@@ -1,0 +1,55 @@
+"""Benchmark runner: executes every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with total wall-clock and per-query seconds.
+
+Each query is fully materialized via a count-ish action (collect on the
+already-aggregated result) so the measured time includes the whole plan,
+not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from polkadot_etl_spark.queries import QUERIES
+from polkadot_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="polkadot-etl-spark-bench")
+
+    # JVM + parquet-footer warmup so q1 doesn't absorb session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
+    per_query: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in sorted(QUERIES):
+        spec = QUERIES[name]
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        n = spec.build(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock for registry queries",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

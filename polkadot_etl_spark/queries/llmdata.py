@@ -1,0 +1,577 @@
+"""Training-data pipeline operators over documents/embeddings — the
+beyond-reference surface (BASELINE.json north star): deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed ANN), and text analysis (lang-id, quality,
+token counting, fingerprinting).
+
+Cross-engine determinism: all hashing is md5 over explicit strings (both
+engines agree byte-for-byte); min-hash signatures are min-of-md5-hex
+*strings* (lexicographic, no integer conversion); dot products fold lists
+left-to-right in both engines (bit-identical doubles) and are rounded
+before ranking.
+
+Scale design (100 TB): every operator here is a shuffle-bounded
+DataFrame plan — shingle explosion is map-side (no shuffle), signatures
+shuffle once on doc_id, LSH candidate generation joins on (band, minhash)
+buckets with an explicit bucket-size cap (mega-buckets are stopword-like
+noise and would otherwise produce quadratic pairs), and ANN's scale path
+joins on sign-buckets instead of cross-joining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polkadot_etl_spark.queries.registry import query
+from polkadot_etl_spark.sources.tables import load_table
+
+N_BANDS = 4
+SHINGLE = 5
+BUCKET_CAP = 64  # LSH buckets larger than this are skipped (stopword-like)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id,
+       COUNT(*)    OVER (PARTITION BY md5(lower(trim(text)))) AS group_size
+FROM documents
+""",
+    doc="Exact dedup via normalized-content hash groupBy: every doc mapped "
+    "to the min doc_id of its content group. At scale: one shuffle on the "
+    "16-byte digest, never on the raw text.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(key)
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def _spark_shingles(text_col: str = "text", k: int = SHINGLE):
+    """Array of k-char shingles of lower(text) — computed map-side."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
+        f" i -> substring(lower({text_col}), i, {k}))"
+    )
+
+
+_DUCK_SHINGLES = (
+    f"list_transform(range(1, greatest(len(lower(text)) - {SHINGLE - 1}, 1) + 1),"
+    f" i -> substr(lower(text), i, {SHINGLE}))"
+)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc, band): min over shingles of the band's 8-hex-char slice
+    of md5(shingle).
+
+    This is MinHash with N_BANDS hash functions taken as disjoint 32-bit
+    slices of one md5 — ONE digest per shingle instead of one per
+    (shingle, band), and no band-explosion of the shingle stream. The
+    min-hashes are hex strings compared lexicographically (fixed width →
+    identical to numeric order) in both engines.
+    """
+    # Fan-out operator: one input row becomes ~n_chars shingle rows, so
+    # input splits must be sized by OUTPUT volume. A compact parquet file
+    # arrives as one split; repartition before the explode or the whole
+    # shingle/digest pipeline runs on a single core (same rule at 100 TB,
+    # just with maxPartitionBytes instead).
+    hs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(_spark_shingles()).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("h"))
+    )
+    mins = hs.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 1 + 8 * b, 8)).alias(f"m{b}") for b in range(N_BANDS)]
+    )
+    stack_args = ", ".join(f"{b}, m{b}" for b in range(N_BANDS))
+    return mins.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) as (b, minhash)").select(
+        "doc_id", F.col("b").cast("bigint").alias("band"), "minhash"
+    )
+
+
+_DUCK_SIG = f"""
+sh AS (
+  SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+hs AS (
+  SELECT doc_id, md5(shingle) AS h FROM sh
+),
+mins AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(substr(h, {1 + 8 * b}, 8)) AS m{b}" for b in range(N_BANDS))}
+  FROM hs GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, band,
+         CASE {" ".join(f"WHEN band = {b} THEN m{b}" for b in range(N_BANDS))} END AS minhash
+  FROM mins CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS band) bands
+)
+"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH {_DUCK_SIG}
+SELECT doc_id, band, minhash FROM sig
+""",
+    doc="MinHash signature computation: per-doc per-band min of salted "
+    "md5 over 5-char shingles. Shingling is map-side (no shuffle); the "
+    "only shuffle is the groupBy(doc_id, band) partial→final min.",
+    tags=("dedup",),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_DUCK_SIG},
+sized AS (
+  SELECT doc_id, band, minhash,
+         COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_size
+  FROM sig
+),
+capped AS (SELECT * FROM sized WHERE bucket_size <= {BUCKET_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    doc="MinHash-LSH candidate pairs: docs sharing any band bucket. "
+    "Bucket-size cap bounds the quadratic blowup of degenerate buckets "
+    "(at 100 TB the cap is what keeps this shuffle-bounded).",
+    tags=("dedup", "headline"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    w = Window.partitionBy("band", "minhash")
+    capped = sig.withColumn("bucket_size", F.count(F.lit(1)).over(w)).where(
+        F.col("bucket_size") <= BUCKET_CAP
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band"), F.col("minhash").alias("minhash")
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("minhash").alias("mh_b")
+    )
+    return (
+        a.join(b, (a.band == b.band_b) & (a.minhash == b.mh_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DUCK_SIG},
+sized AS (
+  SELECT doc_id, band, minhash,
+         COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_size
+  FROM sig
+),
+capped AS (SELECT * FROM sized WHERE bucket_size <= {BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+""",
+    doc="n-gram Jaccard verification of LSH candidates: exact shingle-set "
+    "Jaccard computed ONLY for candidate pairs (never all-pairs), "
+    "keeping near-dups at >= 0.5. The LSH stage bounds the verify cost.",
+    tags=("dedup",),
+    bench=False,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    w = Window.partitionBy("band", "minhash")
+    capped = sig.withColumn("bucket_size", F.count(F.lit(1)).over(w)).where(
+        F.col("bucket_size") <= BUCKET_CAP
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
+    b = capped.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("minhash").alias("mh_b"))
+    cand = (
+        a.join(b, (a.band == b.band_b) & (a.minhash == b.mh_b) & (a.doc_a < b.doc_b))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    dsh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_spark_shingles()).alias("shingle"))
+        .dropDuplicates()
+    )
+    x = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = dsh.select(F.col("doc_id").alias("__y_doc"), F.col("shingle").alias("__y_shingle"))
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, (F.col("doc_b") == F.col("__y_doc")) & (F.col("shingle") == F.col("__y_shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks),
+bits AS (
+  SELECT doc_id, UNNEST(range(0, 64)) AS p, hx FROM h
+),
+contrib AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + (p // 4), 1)) - 1)
+                        >> (3 - (p % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, p
+)
+SELECT doc_id, STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+FROM contrib GROUP BY doc_id
+""",
+    doc="SimHash document fingerprint: 64-bit signature from md5 token "
+    "hashes, majority vote per bit. Output as 64-char bitstring so both "
+    "engines compare exactly. Near-dup distance = Hamming on the string.",
+    tags=("dedup",),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias(
+            "tok"
+        ),
+    )
+    h = toks.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("hx"))
+    bits = h.select("doc_id", "hx", F.explode(F.expr("sequence(0, 63)")).alias("p"))
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', substring(hx, 1 + (p div 4), 1)) - 1,"
+        " 3 - (p % 4)) & 1"
+    )
+    contrib = bits.groupBy("doc_id", "p").agg(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("s"))
+    b = contrib.withColumn("b", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    return b.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("p", "b"))), lambda s: s["b"]), ""
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum_chars,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS n_stopwords,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0), 6) AS avg_token_len,
+       ROUND(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0), 6) AS stopword_ratio
+FROM documents
+""",
+    doc="Text quality metrics: token count, alnum char count, punctuation "
+    "count, stopword ratio, avg token length — all JVM-side regex "
+    "(whole-stage codegen), zero Python.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
+    n_alnum = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    n_punct = F.regexp_count(F.col("text"), F.lit("[.,;:!?]"))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in|is)\b"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_alnum.alias("n_alnum_chars"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_alnum.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS n_bpe_tokens,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')), 0), 6)
+         AS chars_per_token
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex "
+    "(GPT-2-style split classes, no lookahead so RE2 and Java regex "
+    "agree), chars-per-token ratio.",
+    tags=("text",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_count(F.lower(F.col("text")), F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / F.nullif(bpe, F.lit(0)), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) AS en_hits,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|y|es)\\b')) AS es_hits,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS de_hits,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS fr_hits
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END) = lang AS is_match
+FROM scored
+""",
+    doc="Language-ID heuristic: per-language stopword-hit scoring with a "
+    "deterministic argmax tie-break, compared against the labeled lang.",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    en = F.regexp_count(low, F.lit(r"\b(the|a|of|and|is)\b"))
+    es = F.regexp_count(low, F.lit(r"\b(el|la|de|y|es)\b"))
+    de = F.regexp_count(low, F.lit(r"\b(der|die|das|und|ist)\b"))
+    fr = F.regexp_count(low, F.lit(r"\b(le|la|les|et|est)\b"))
+    predicted = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(lower(text)) - 7, 1) + 1),
+                               i -> substr(lower(text), i, 8))) AS shingle
+  FROM documents
+)
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(DISTINCT shingle) AS n_shingles
+FROM sh GROUP BY doc_id
+""",
+    doc="Document fingerprint: min-hash over 8-char shingles (a 1-band "
+    "MinHash == winnowing-style content fingerprint) + distinct shingle "
+    "cardinality.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(_spark_shingles(k=8)).alias("shingle"))
+    )
+    return d.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))"
+)
+_QN = "list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE))"
+_CN = "list_sum(list_transform(range(1, len(c_emb) + 1), i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE))"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+sims AS (
+  SELECT q_id, c_id, ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS cosine
+  FROM q, c WHERE c_id <> q_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+  FROM sims
+)
+SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 5
+""",
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "fold dot products JVM-side (zip_with+aggregate — no Python), rank "
+    "per query. The exact-recall baseline the LSH path is judged against.",
+    tags=("similarity", "headline"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    j = c.crossJoin(F.broadcast(q)).where(F.col("c_id") != F.col("q_id"))
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    sims = j.select("q_id", "c_id", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+_DUCK_BUCKET = (
+    "array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 8),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM b),
+sims AS (
+  SELECT q.q_id, c.c_id, ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket AND c.c_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rn
+  FROM sims
+)
+SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 3
+""",
+    doc="LSH-bucketed ANN — the 100 TB scale path: sign-bucket on the "
+    "first 8 dims (hyperplane LSH with axis-aligned planes) turns the "
+    "cross join into an equi-join on bucket; candidates shrink ~2^8.",
+    tags=("similarity",),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(F.slice("embedding", 1, 8), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+    )
+    b = e.withColumn("bucket", bucket)
+    q = b.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), F.col("bucket").alias("bucket_c"))
+    j = c.join(F.broadcast(q), (F.col("bucket") == F.col("bucket_c")) & (F.col("c_id") != F.col("q_id")))
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    sims = j.select("q_id", "c_id", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+@query(
+    "embedding_bucket_stats",
+    oracle=f"""
+SELECT {_DUCK_BUCKET} AS bucket,
+       COUNT(*) AS n_vectors,
+       CAST(CAST(SUM(CAST(SQRT(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_norm
+FROM embeddings
+GROUP BY 1
+""",
+    doc="IVF-style coarse partition statistics: vectors per sign-bucket + "
+    "summed L2 norms — the bucket histogram that sizes the ANN scale "
+    "path (skew here → re-salt the planes).",
+    tags=("similarity",),
+)
+def embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(F.slice("embedding", 1, 8), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+    )
+    norm = F.sqrt(
+        F.expr("aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(norm.cast("decimal(38,10)")).cast("double").alias("sum_norm"),
+    )

@@ -1,0 +1,3 @@
+from polkadot_etl_spark.sources.tables import TABLES, load_table, register_temp_views
+
+__all__ = ["TABLES", "load_table", "register_temp_views"]

@@ -1,0 +1,77 @@
+"""Test-table access + lake-layout writers.
+
+Reading side: the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+Writing side: the lakehouse conventions that replace the reference's
+BigQuery day-partitioned tables (SURVEY §2.1 S4/S5/S8): day-partitioned
+parquet with dynamic partition overwrite so a re-run of one day atomically
+replaces exactly that day — the Spark equivalent of
+``bq load --replace '${tbl}$YYYYMMDD'`` (reference substrate/substrateetl.js:6553-6572).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Column pruning + predicate pushdown reach
+    the parquet scan because callers filter/select on the returned
+    DataFrame before any action (verify with .explain: PushedFilters).
+
+    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; read it as nanos-long and convert to a microsecond timestamp
+    (lossless here — the data carries no sub-microsecond precision, and
+    DuckDB reads the same file as a microsecond TIMESTAMP). Session
+    timezone is pinned to UTC so date/epoch math matches the oracle even
+    when the caller's session wasn't built by session.py."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all test tables as temp views for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_day_partitioned(
+    df: DataFrame,
+    path: str,
+    time_col: str,
+    partition_col: str = "log_dt",
+    mode: str = "overwrite",
+) -> None:
+    """Publish a silver/gold table day-partitioned on ``time_col``.
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
+    session.py) mode="overwrite" replaces ONLY the day partitions present
+    in ``df`` — the idempotent partition-replace the reference gets from
+    BigQuery partition decorators (SURVEY X8). At 100 TB this is the unit
+    of reprocessing: one chain-day, never a full-table rewrite.
+    """
+    (
+        df.withColumn(partition_col, F.to_date(F.col(time_col)))
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

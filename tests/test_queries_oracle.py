@@ -1,0 +1,37 @@
+"""Every registry query runs on Spark AND on the DuckDB oracle; results
+must match exactly (row count, schema, canonicalized values) — the local
+mirror of the driver's CORRECTNESS gate. Queries without oracle SQL get a
+rows-materialize smoke check."""
+
+from __future__ import annotations
+
+import pytest
+
+from polkadot_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR, compare_frames
+
+NAMES = sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, oracle, name):
+    spec = QUERIES[name]
+    sdf = spec.build(spark, SF_DIR)
+    spdf = sdf.toPandas()
+    if spec.oracle is None:
+        assert len(spdf) >= 0  # rows-only smoke: materializes without error
+        return
+    opdf = oracle.execute(spec.oracle).df()
+    compare_frames(spdf, opdf, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in NAMES if n not in {"anti_join_no_urgent", "gap_detection", "duplicate_detection"}],
+)
+def test_query_nonempty(spark, name):
+    """Queries must exercise real data — empty results would make the
+    oracle gate vacuous. (Audit-style queries that legitimately find
+    nothing at tiny SF are exempted.)"""
+    spec = QUERIES[name]
+    assert spec.build(spark, SF_DIR).limit(1).count() >= 1, f"{name} returned no rows"
