@@ -1,0 +1,32 @@
+from polkadot_etl_spark.plans.decode import calls_from_extrinsics, transfers_from_events
+from polkadot_etl_spark.plans.metrics import (
+    accounts_active,
+    accounts_new_reaped,
+    accounts_passive,
+    blocklog_daily,
+)
+from polkadot_etl_spark.plans.prices import best_by_liquidity, ohlcv_rollup, with_price_usd
+from polkadot_etl_spark.plans.traces import account_change_events
+from polkadot_etl_spark.plans.xcm import (
+    match_messages,
+    match_transfers,
+    teleport_fee_stats,
+    xcm_channel_summary,
+)
+
+__all__ = [
+    "calls_from_extrinsics",
+    "transfers_from_events",
+    "blocklog_daily",
+    "accounts_active",
+    "accounts_passive",
+    "accounts_new_reaped",
+    "ohlcv_rollup",
+    "best_by_liquidity",
+    "with_price_usd",
+    "account_change_events",
+    "match_messages",
+    "match_transfers",
+    "teleport_fee_stats",
+    "xcm_channel_summary",
+]

@@ -1,0 +1,184 @@
+"""XCM cross-chain matching — the reference's hardest distinctive
+semantics (SURVEY §2.3 J1/J2, §2.5 W2, §2.4 A6/A9; Phase 5).
+
+Reference behavior reproduced:
+- xcmmessages_match (xcmmanager.js:417-497): source (incoming=0) ×
+  dest (incoming=1) on (msgHash, chainID, chainIDDest), band
+  0 <= d.sentAt - s.sentAt <= 4, ORDER BY (diffSentAt, diffTS) first-match
+  wins; dedup of repeated dest observations (:609-646).
+- xcmCleaner transfer↔candidate fuzzy match (:569-700): candidate window,
+  exact amount match (amountReceived + teleportFees == amountSent) →
+  confidence 1.0, else fee-distribution z-score; keep best if > 0.5.
+- teleport-fee stats per (symbol, chainIDDest) with std=0 → avg*0.2
+  fallback (substrateetl.js:3201).
+- update_xcm_summary channel rollup (substrateetl.js:5221-5300).
+
+All shuffles are on the msgHash equi-key; the band/tolerance predicates
+are post-filters; tie-breaks are total-ordered windows → reproducible
+output (critical for the reference's "confidence" semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_messages(messages: DataFrame) -> DataFrame:
+    """U3: the same (msgHash, incoming, sentAt) observed over consecutive
+    blocks collapses to the earliest observation (xcmmessages_dedup)."""
+    w = Window.partitionBy("msgHash", "incoming", "sentAt").orderBy(
+        F.col("blockNumber").asc()
+    )
+    return (
+        messages.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def match_messages(messages: DataFrame, max_sent_lag: int = 4) -> DataFrame:
+    """J1+W2: source↔dest pairing with first-match-wins tie-break.
+
+    Output: one row per matched (msgHash, dest observation) carrying both
+    block numbers, sentAt lag and TS diff.
+    """
+    m = dedup_messages(messages)
+    src = m.where(F.col("incoming") == 0).select(
+        "msgHash",
+        "chainID",
+        "chainIDDest",
+        F.col("blockNumber").alias("blockNumberSource"),
+        F.col("sentAt").alias("sentAtSource"),
+        F.col("sourceTS"),
+    )
+    dst = m.where(F.col("incoming") == 1).select(
+        F.col("msgHash").alias("d_msgHash"),
+        F.col("chainID").alias("d_chainID"),
+        F.col("chainIDDest").alias("d_chainIDDest"),
+        F.col("blockNumber").alias("blockNumberDest"),
+        F.col("sentAt").alias("sentAtDest"),
+        F.col("destTS"),
+    )
+    joined = src.join(
+        dst,
+        (src.msgHash == dst.d_msgHash)
+        & (src.chainID == dst.d_chainID)
+        & (src.chainIDDest == dst.d_chainIDDest),
+    ).where(
+        (F.col("sentAtDest") - F.col("sentAtSource")).between(0, max_sent_lag)
+    )
+    joined = joined.withColumn(
+        "diffSentAt", F.col("sentAtDest") - F.col("sentAtSource")
+    ).withColumn("diffTS", F.col("destTS") - F.col("sourceTS"))
+    # first-match-wins per (msgHash, dest observation): smallest sentAt lag,
+    # then smallest TS diff, then block number as the total-order tie-break
+    w = Window.partitionBy("msgHash", "blockNumberDest").orderBy(
+        F.col("diffSentAt").asc(), F.col("diffTS").asc(), F.col("blockNumberSource").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "d_msgHash", "d_chainID", "d_chainIDDest")
+        .withColumn("matched", F.lit(1))
+    )
+
+
+def teleport_fee_stats(candidates: DataFrame) -> DataFrame:
+    """A6: avg/std of teleport fees per (symbol proxy, chainIDDest); the
+    reference keys by symbol — candidates don't carry symbol, so callers
+    join it in first. std=0 or null → avg*0.2 (substrateetl.js:3201)."""
+    s = candidates.groupBy("symbol", "chainIDDest").agg(
+        F.avg(F.col("xcmTeleportFees").cast("double")).alias("avg_fee"),
+        F.stddev_samp(F.col("xcmTeleportFees").cast("double")).alias("std_fee"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return s.withColumn(
+        "std_fee_adj",
+        F.when(
+            F.coalesce(F.col("std_fee"), F.lit(0.0)) == 0, F.col("avg_fee") * 0.2
+        ).otherwise(F.col("std_fee")),
+    )
+
+
+def match_transfers(
+    transfers: DataFrame,
+    candidates: DataFrame,
+    ts_lookback: int = 10,
+    ts_lookahead: int = 120,
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """J2: fuzzy transfer↔destination-candidate match with confidence.
+
+    exact (amountReceived + xcmTeleportFees == amountSent) → 1.0;
+    else z = |amountSent - amountReceived - avgFee| / stdFeeAdj over the
+    per-(symbol, dest) teleport-fee distribution, confidence = 1/(1+z),
+    keep the best candidate per transfer if confidence > min_confidence.
+    """
+    cand = candidates.select(
+        F.col("msgHash").alias("c_msgHash"),
+        F.col("chainIDDest").alias("c_chainIDDest"),
+        F.col("sentAt").alias("c_sentAt"),
+        F.col("destTS").alias("c_destTS"),
+        F.col("blockNumberDest"),
+        F.col("amountReceived"),
+        F.col("xcmTeleportFees"),
+        F.col("eventID").alias("destEventID"),
+    )
+    j = transfers.join(
+        cand,
+        (transfers.msgHash == cand.c_msgHash)
+        & (transfers.chainIDDest == cand.c_chainIDDest),
+    ).where(
+        F.col("c_destTS").between(
+            F.col("sourceTS") - ts_lookback, F.col("sourceTS") + ts_lookahead
+        )
+    )
+    stats = teleport_fee_stats(
+        candidates.join(
+            transfers.select("msgHash", "symbol").dropDuplicates(), "msgHash", "left"
+        )
+    ).select("symbol", F.col("chainIDDest").alias("s_chainIDDest"), "avg_fee", "std_fee_adj")
+    j = j.join(
+        F.broadcast(stats),
+        (j.symbol == stats.symbol) & (j.c_chainIDDest == stats.s_chainIDDest),
+        "left",
+    ).drop(stats.symbol)
+
+    exact = (F.col("amountReceived") + F.col("xcmTeleportFees")) == F.col("amountSent")
+    resid = (
+        F.col("amountSent").cast("double")
+        - F.col("amountReceived").cast("double")
+        - F.coalesce(F.col("avg_fee"), F.lit(0.0))
+    )
+    z = F.abs(resid) / F.greatest(F.col("std_fee_adj"), F.lit(1e-9))
+    confidence = F.when(exact, F.lit(1.0)).otherwise(
+        F.lit(1.0) / (F.lit(1.0) + z)
+    )
+    scored = j.withColumn("confidence", confidence)
+    w = Window.partitionBy("extrinsicID", "transferIndex", "xcmIndex").orderBy(
+        F.col("confidence").desc(), F.col("c_destTS").asc(), F.col("blockNumberDest").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("confidence") > min_confidence))
+        .drop("__rn", "c_msgHash", "c_chainIDDest", "s_chainIDDest")
+    )
+
+
+def xcm_channel_summary(matched_transfers: DataFrame) -> DataFrame:
+    """A9: daily per-channel rollup (update_xcm_summary)."""
+    return (
+        matched_transfers.withColumn(
+            "log_dt", F.to_date(F.timestamp_seconds(F.col("sourceTS")))
+        )
+        .groupBy("chainID", "chainIDDest", "symbol", "log_dt")
+        .agg(
+            F.count(F.lit(1)).alias("num_transfers"),
+            F.sum(F.coalesce(F.col("amountSentUSD"), F.lit(0.0)).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sum_usd"),
+            F.avg("confidence").alias("avg_confidence"),
+        )
+    )

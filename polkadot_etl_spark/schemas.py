@@ -1,0 +1,387 @@
+"""StructType registry — the engine's schema catalog.
+
+Transcribes the reference's published table contracts into Spark schemas
+(SURVEY §1.2): the BigQuery JSON schema files (/root/reference/schema/*.json,
+substrate/schema/substrateetl/*.json) and the MySQL hot tables
+(substrate/schema/polkaholic.sql). Type mapping follows SURVEY §1.3:
+
+- STRING/INTEGER/FLOAT/BOOLEAN/TIMESTAMP → String/Long/Double/Boolean/Timestamp
+- BigQuery NUMERIC (u128 raw amounts, transfers.json:112) → DecimalType(38,0)
+- u128 that can exceed 38 digits (balances free_raw, balances.json:54) →
+  kept as exact STRING alongside the float column, like the reference
+- JSON payloads (params/data/call_args/pv/spec) → JSON string columns,
+  promoted to typed structs via from_json where a pallet schema is known
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _s(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.StringType(), nullable)
+
+
+def _i(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.IntegerType(), nullable)
+
+
+def _l(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.LongType(), nullable)
+
+
+def _d(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.DoubleType(), nullable)
+
+
+def _b(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.BooleanType(), nullable)
+
+
+def _ts(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.TimestampType(), nullable)
+
+
+def _dec(name: str, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, T.DecimalType(38, 0), nullable)
+
+
+# ref: schema/blocks.json:1-88
+BLOCKS = T.StructType(
+    [
+        _s("hash", False),
+        _s("parent_hash", False),
+        _l("number", False),
+        _s("state_root", False),
+        _s("extrinsics_root", False),
+        _ts("block_time", False),
+        _s("author_ss58"),
+        _s("author_pub_key"),
+        _i("spec_version", False),
+        _l("relay_block_number"),
+        _s("relay_state_root"),
+        _i("extrinsic_count"),
+        _i("event_count"),
+        _i("transfer_count"),
+        _i("trace_count"),
+    ]
+)
+
+# ref: schema/extrinsics.json:1-96
+EXTRINSICS = T.StructType(
+    [
+        _s("hash", False),
+        _s("extrinsic_id", False),  # "{bn}-{idx}"
+        _ts("block_time", False),
+        _l("block_number", False),
+        _s("block_hash"),
+        _s("lifetime"),  # JSON {isImmortal, birth, death}
+        _s("section"),
+        _s("method", False),
+        _s("params"),  # JSON
+        _d("fee"),
+        _d("fee_usd"),
+        _l("weight"),
+        _b("signed"),
+        _s("signer_ss58"),
+        _s("signer_pub_key"),
+    ]
+)
+
+# ref: schema/events.json:1-63
+EVENTS = T.StructType(
+    [
+        _s("event_id", False),  # "{bn}-{extIdx}-{evIdx}"
+        _s("section", False),
+        _s("method", False),
+        _s("data", False),  # JSON array (positional args)
+        _s("extrinsic_id", False),
+        _s("extrinsic_hash", False),
+        _ts("block_time", False),
+        _l("block_number", False),
+        _s("block_hash", False),
+        _s("data_decoded"),  # JSON
+    ]
+)
+
+# ref: schema/calls.json:1-140 (flattened call tree)
+CALLS = T.StructType(
+    [
+        _s("relay_chain", False),
+        _i("para_id", False),
+        _s("id"),
+        _s("block_hash"),
+        _l("block_number", False),
+        _ts("block_time", False),
+        _s("extrinsic_hash", False),
+        _s("extrinsic_id", False),
+        _s("extrinsic_section"),
+        _s("extrinsic_method"),
+        _s("call_id", False),  # path id "0-1-2"
+        _s("call_index"),  # 2-byte hex
+        _s("call_section"),
+        _s("call_method"),
+        _s("call_args"),  # JSON
+        _s("call_args_def"),  # JSON
+        _b("root"),
+        _b("leaf"),
+        _d("fee"),  # non-null only at root (substrateetl.js:6409-6416)
+        _d("fee_usd"),
+        _l("weight"),
+        _b("signed"),
+        _s("signer_ss58"),
+        _s("signer_pub_key"),
+        _s("lifetime"),
+    ]
+)
+
+# ref: schema/transfers.json:1-120
+TRANSFERS = T.StructType(
+    [
+        _s("event_id", False),
+        _s("section", False),
+        _s("method", False),
+        _s("extrinsic_id", False),
+        _s("extrinsic_hash", False),
+        _ts("block_time", False),
+        _l("block_number", False),
+        _s("block_hash", False),
+        _s("from_ss58", False),
+        _s("from_pub_key", False),
+        _s("to_ss58", False),
+        _s("to_pub_key", False),
+        _s("asset"),
+        _d("price_usd"),
+        _d("amount_usd"),
+        _s("symbol"),
+        _i("decimals"),
+        _d("amount"),  # decimalized: raw_amount / 10^decimals
+        _dec("raw_amount", False),  # exact u128 (BigQuery NUMERIC)
+    ]
+)
+
+# ref: schema/balances.json:1-112 (daily snapshot; *_raw kept as exact strings)
+BALANCES = T.StructType(
+    [
+        _s("symbol"),
+        _s("address_ss58"),
+        _s("address_pubkey"),
+        _ts("ts"),
+        _s("id"),
+        _s("chain_name"),
+        _s("asset"),
+        _i("para_id"),
+        _d("free"),
+        _d("free_usd"),
+        _s("free_raw"),
+        _d("reserved"),
+        _d("reserved_usd"),
+        _s("reserved_raw"),
+        _d("misc_frozen"),
+        _d("misc_frozen_usd"),
+        _s("misc_frozen_raw"),
+        _d("frozen"),
+        _d("frozen_usd"),
+        _s("frozen_raw"),
+        _d("price_usd"),
+        _i("nonce"),
+    ]
+)
+
+# ref: schema/stakings.json:1-160 (per-era snapshot)
+STAKINGS = T.StructType(
+    [
+        _s("address_ss58"),
+        _s("address_pubkey"),
+        _s("section"),
+        _s("storage"),
+        _s("track"),
+        _l("block_number"),
+        _s("block_hash"),
+        _ts("ts", False),
+        _i("era"),
+        _i("submitted_in"),
+        _b("suppressed"),
+        _d("validator_total"),
+        _d("validator_own"),
+        _d("validator_commission"),
+        _d("validator_reward_shares"),
+        _i("validator_reward_points"),
+        _d("validator_staking_rewards"),
+        _d("total_staked"),
+        _i("total_reward_points"),
+        _d("total_staking_rewards"),
+        _i("nominationpools_id"),
+        _d("nominationpools_total"),
+        _i("nominationpools_member_cnt"),
+        _d("nominationpools_commission"),
+        _s("nominationpools_rewardpools"),
+        _d("member_bonded"),
+        _d("member_unbonded"),
+        _d("member_share"),
+        _s("targets"),  # JSON array of validator ss58
+        _s("pv"),  # JSON
+    ]
+)
+
+# ref: substrate/schema/substrateetl/traces.json:1-140 (storage diffs)
+TRACES = T.StructType(
+    [
+        _s("relay_chain", False),
+        _s("para_id", False),
+        _s("id", False),
+        _s("chain_name"),
+        _s("trace_id", False),  # "{bn}-{idx}"
+        _s("extrinsic_id"),
+        _ts("ts", False),
+        _l("block_number", False),
+        _s("block_hash", False),
+        _s("k", False),
+        _s("v"),
+        _s("section"),
+        _s("storage"),
+        _s("pk_extra"),
+        _s("pv"),  # JSON, e.g. {"consumers":..,"providers":..}
+        _s("symbol"),
+        _i("decimals"),
+        _s("asset"),
+        _s("asset_name"),
+        _s("asset_type"),
+        _s("xcm_interior_key"),
+        _s("address_ss58"),
+        _s("address_pubkey"),
+        _s("flags"),
+        _d("free"),
+        _d("reserved"),
+        _d("frozen"),
+    ]
+)
+
+# ref: substrate/schema/polkaholic.sql:4092-4118 (xcmmessages)
+XCMMESSAGES = T.StructType(
+    [
+        _s("msgHash", False),
+        _l("blockNumber", False),
+        _i("incoming", False),  # 0 = sent at source, 1 = observed at dest
+        _i("chainID"),
+        _i("chainIDDest"),
+        _s("msgType"),
+        _s("relayChain"),
+        _l("sentAt"),
+        _l("blockTS"),
+        _l("sourceTS"),
+        _l("destTS"),
+        _i("matched"),
+        _s("msgStr"),  # JSON
+        _s("errorDesc"),
+        _s("destStatus"),
+        _s("executedEventID"),
+    ]
+)
+
+# ref: substrate/schema/polkaholic.sql:4143 (xcmtransfer, origination side)
+XCMTRANSFER = T.StructType(
+    [
+        _s("extrinsicHash"),
+        _s("extrinsicID"),
+        _i("transferIndex"),
+        _i("xcmIndex"),
+        _i("chainID"),
+        _i("chainIDDest"),
+        _l("blockNumber"),
+        _s("fromAddress"),
+        _s("destAddress"),
+        _s("symbol"),
+        _s("relayChain"),
+        _dec("amountSent"),
+        _d("amountSentUSD"),
+        _l("sourceTS"),
+        _l("sentAt"),
+        _s("msgHash"),
+        _i("incomplete"),
+        _i("destStatus"),
+    ]
+)
+
+# ref: substrate/schema/polkaholic.sql:4192 (destination candidates)
+XCMTRANSFER_DEST_CANDIDATE = T.StructType(
+    [
+        _i("chainIDDest"),
+        _s("msgHash"),
+        _l("sentAt"),
+        _l("destTS"),
+        _l("blockNumberDest"),
+        _dec("amountReceived"),
+        _dec("xcmTeleportFees"),
+        _s("feeReceivingAddress"),
+        _s("feeEventID"),
+        _i("reaped"),
+        _i("isFeeItem"),
+        _s("eventID"),
+        _s("extrinsicID"),
+        _s("fromAddress"),
+    ]
+)
+
+# ref: substrate/schema/polkaholic.sql:1528-1553 (assetlog OHLCV series)
+ASSETLOG = T.StructType(
+    [
+        _s("asset", False),
+        _i("chainID", False),
+        _s("source", False),  # enum: coingecko | oracle | onchain
+        _l("indexTS", False),
+        _d("priceUSD"),
+        _d("total_volumes"),
+        _d("market_caps"),
+        _d("low"),
+        _d("high"),
+        _d("open"),
+        _d("close"),
+        _d("lp0"),
+        _d("lp1"),
+        T.StructField("token0Volume", T.DecimalType(38, 18)),
+        T.StructField("token1Volume", T.DecimalType(38, 18)),
+        T.StructField("issuance", T.DecimalType(38, 18)),
+        _i("liquid"),
+    ]
+)
+
+# ref: schema/specversions.json:1-33
+SPECVERSIONS = T.StructType(
+    [
+        _i("spec_version", False),
+        _l("block_number", False),
+        _s("block_hash", False),
+        _ts("block_time", False),
+        _s("spec"),  # full runtime metadata JSON
+    ]
+)
+
+# ref: schema/accountsactive.json:1-32 (+ passive/new/reaped variants)
+ACCOUNTS = T.StructType(
+    [
+        _i("para_id"),
+        _s("relay_chain"),
+        _s("address_ss58"),
+        _s("address_pubkey"),
+        _s("account_type"),  # active: max over User/System; passive/new/reaped fixed
+        _ts("ts"),
+    ]
+)
+
+SCHEMAS: dict[str, T.StructType] = {
+    "blocks": BLOCKS,
+    "extrinsics": EXTRINSICS,
+    "events": EVENTS,
+    "calls": CALLS,
+    "transfers": TRANSFERS,
+    "balances": BALANCES,
+    "stakings": STAKINGS,
+    "traces": TRACES,
+    "xcmmessages": XCMMESSAGES,
+    "xcmtransfer": XCMTRANSFER,
+    "xcmtransferdestcandidate": XCMTRANSFER_DEST_CANDIDATE,
+    "assetlog": ASSETLOG,
+    "specversions": SPECVERSIONS,
+    "accounts": ACCOUNTS,
+}

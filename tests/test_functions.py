@@ -1,0 +1,111 @@
+"""Scalar-zoo correctness: public test vectors + round-trips, plus
+Arrow-UDF integration on a DataFrame."""
+
+from __future__ import annotations
+
+import pytest
+
+from polkadot_etl_spark.functions import scalars as sc
+
+ALICE_PK = "0xd43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+ALICE_GENERIC = "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY"  # prefix 42
+
+
+class TestSS58:
+    def test_known_vector_alice(self):
+        assert sc.get_address(ALICE_PK, 42) == ALICE_GENERIC
+        assert sc.get_pubkey(ALICE_GENERIC) == ALICE_PK
+
+    @pytest.mark.parametrize("prefix", [0, 2, 42, 137, 2004, 8888])
+    def test_roundtrip_prefixes(self, prefix):
+        pk = "0x" + "ab" * 32
+        addr = sc.get_address(pk, prefix)
+        assert sc.get_pubkey(addr) == pk
+        assert sc.ss58_prefix_of(addr) == prefix
+
+    def test_checksum_rejected(self):
+        bad = ALICE_GENERIC[:-1] + ("R" if ALICE_GENERIC[-1] != "R" else "S")
+        assert not sc.valid_address(bad)
+        assert sc.valid_address(ALICE_GENERIC)
+
+
+class TestHashing:
+    def test_xxhash64_empty(self):
+        assert sc.xxhash64(b"") == 0xEF46DB3751D8E999  # canonical xxh64 vector
+
+    def test_twox128_substrate_prefixes(self):
+        # The two most famous Substrate storage-key prefixes.
+        assert sc.twox_128(b"System") == "26aa394eea5630e07c48ae0c9558cef7"
+        assert sc.twox_128(b"Account") == "b99d880ec681799c0cf30e8886371da9"
+
+    def test_blake2_256(self):
+        assert (
+            sc.blake2_256(b"").hex()
+            == "0e5751c026e543b2e8ab2eb06099daa1d1e5df47778f7787faab45cdf12fe3a8"
+        )
+        assert sc.blake2_256_from_hex("0x00").startswith("0x")
+
+
+class TestAccounts:
+    def test_sovereign_account(self):
+        # b'para' ++ u32le(2004) zero-padded — Moonbeam's relay sovereign.
+        assert (
+            sc.sovereign_account(2004)
+            == "0x70617261d4070000000000000000000000000000000000000000000000000000"
+        )
+
+    def test_multisig_deterministic_and_order_insensitive(self):
+        a, b = "0x" + "11" * 32, "0x" + "22" * 32
+        assert sc.compute_multisig([a, b], 2) == sc.compute_multisig([b, a], 2)
+        assert sc.compute_multisig([a, b], 2) != sc.compute_multisig([a, b], 1)
+
+
+class TestNumerics:
+    def test_dechex(self):
+        assert sc.dechex_to_int("0xff") == 255
+        assert sc.dechex_to_int("123") == 123
+        # u128-scale value survives exactly (JS reference needs BigInt)
+        big = "0x" + "f" * 32
+        assert sc.dechex_to_int_str(big) == str(2**128 - 1)
+
+    def test_reverse_endian(self):
+        assert sc.reverse_endian("0x0102") == "0x0201"
+
+    def test_base_unit(self):
+        assert sc.to_base_unit(1_500_000_000_000, 10) == 150.0
+        assert sc.float_to_raw(150.0, 10) == 1_500_000_000_000
+
+
+class TestLifetime:
+    def test_mortal_era(self):
+        birth, death = sc.lifetime_birth_death(64, 5, 1000)
+        assert birth % 64 == 5 % 64 or birth % 64 == 5
+        assert birth <= 1000 < birth + 64 or death == birth + 64
+        # immortal-period sanity: birth+period == death always
+        assert death - birth == 64
+
+
+class TestKeys:
+    def test_inverted_ts_key_sorts_descending(self):
+        k1, k2 = sc.inverted_ts_key(1000), sc.inverted_ts_key(2000)
+        assert k2 < k1  # newer ts → lexicographically smaller key
+
+    def test_ts_to_log_dt_hr(self):
+        assert sc.ts_to_log_dt_hr(1704067200) == ("2024-01-01", 0)
+
+
+def test_udfs_on_dataframe(spark):
+    """Arrow-batched codec UDFs round-trip on a DataFrame."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.functions.udfs import u_get_address, u_get_pubkey
+
+    df = spark.createDataFrame([(ALICE_PK,), ("0x" + "cd" * 32,)], ["pubkey"])
+    out = (
+        df.withColumn("ss58", u_get_address(42)(F.col("pubkey")))
+        .withColumn("back", u_get_pubkey(F.col("ss58")))
+        .collect()
+    )
+    for row in out:
+        assert row.back == row.pubkey
+    assert out[0].ss58 == ALICE_GENERIC
