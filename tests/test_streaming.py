@@ -1,0 +1,144 @@
+"""Streaming-tier tests: fork resolution across micro-batches, finality
+filtering, hourly continuity windows, gap audit — driven through a real
+file-source stream with availableNow triggers (deterministic)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from polkadot_etl_spark.streaming import (
+    block_candidates_stream,
+    fork_resolving_sink,
+    gap_audit,
+    hourly_block_stats,
+    resolve_forks,
+)
+
+
+def _write_batch(src_dir, name, rows):
+    with open(f"{src_dir}/{name}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _cand(chain, number, h, ts, finalized, observed):
+    return {
+        "chain_id": chain,
+        "number": number,
+        "hash": h,
+        "parent_hash": "0xparent",
+        "block_time": ts,
+        "finalized": finalized,
+        "observed_at": observed,
+    }
+
+
+def _run_stream(spark, src_dir, state_dir, ckpt_dir):
+    stream = block_candidates_stream(spark, src_dir)
+    q = (
+        stream.writeStream.foreachBatch(fork_resolving_sink(state_dir))
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+class TestForkResolution:
+    def test_fork_resolution_across_microbatches(self, spark, tmp_path):
+        src, state, ckpt = str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+        (tmp_path / "src").mkdir()
+
+        # batch 1: two candidate hashes for block 100 (a fork), none finalized
+        _write_batch(src, "b1", [
+            _cand(0, 100, "0xAAA", "2024-01-01 00:00:00", False, "2024-01-01 00:00:01"),
+            _cand(0, 100, "0xBBB", "2024-01-01 00:00:00", False, "2024-01-01 00:00:02"),
+            _cand(0, 101, "0xCCC", "2024-01-01 00:00:12", False, "2024-01-01 00:00:13"),
+        ])
+        _run_stream(spark, src, state, ckpt)
+
+        # batch 2 (separate run = separate micro-batch): finalization arrives —
+        # block 100 finalizes to 0xAAA (0xBBB is the fork loser, X1 deletes it)
+        _write_batch(src, "b2", [
+            _cand(0, 100, "0xAAA", "2024-01-01 00:00:00", True, "2024-01-01 00:01:00"),
+            _cand(0, 101, "0xCCC", "2024-01-01 00:00:12", True, "2024-01-01 00:01:00"),
+        ])
+        _run_stream(spark, src, state, ckpt)
+
+        final = spark.read.parquet(state)
+        rows = {r.number: r for r in final.collect()}
+        assert len(rows) == 2  # exactly one row per height
+        assert rows[100].hash == "0xAAA" and rows[100].finalized
+        assert rows[101].hash == "0xCCC" and rows[101].finalized
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        src, state = str(tmp_path / "src"), str(tmp_path / "state")
+        (tmp_path / "src").mkdir()
+        _write_batch(src, "b1", [
+            _cand(0, 200, "0xAAA", "2024-01-01 00:00:00", True, "2024-01-01 00:00:01"),
+        ])
+        # two runs with DIFFERENT checkpoints → the same batch replays (X6/X8)
+        _run_stream(spark, src, state, str(tmp_path / "ckpt1"))
+        _run_stream(spark, src, state, str(tmp_path / "ckpt2"))
+        assert spark.read.parquet(state).count() == 1
+
+    def test_resolve_forks_batch_semantics(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, 1, "0xA", None, "2024-01-01 00:00:00", False, "2024-01-01 00:00:05"),
+                (0, 1, "0xB", None, "2024-01-01 00:00:00", True, "2024-01-01 00:00:01"),
+                (0, 2, "0xC", None, "2024-01-01 00:00:12", False, "2024-01-01 00:00:02"),
+                (0, 2, "0xD", None, "2024-01-01 00:00:12", False, "2024-01-01 00:00:09"),
+            ],
+            "chain_id int, number long, hash string, parent_hash string, "
+            "block_time string, finalized boolean, observed_at string",
+        ).withColumn("block_time", F.col("block_time").cast("timestamp")).withColumn(
+            "observed_at", F.col("observed_at").cast("timestamp")
+        )
+        out = {r.number: r.hash for r in resolve_forks(df).collect()}
+        assert out[1] == "0xB"  # finalized wins over later observation
+        assert out[2] == "0xD"  # no finalized → latest observation wins
+
+
+def test_hourly_stats_and_continuity(spark, tmp_path):
+    src = str(tmp_path / "src")
+    (tmp_path / "src").mkdir()
+    rows = []
+    # hour 0: blocks 100..104 contiguous; hour 1: 110,112 (gap → not contiguous)
+    for i, bn in enumerate([100, 101, 102, 103, 104]):
+        rows.append(_cand(0, bn, f"0x{bn}", f"2024-01-01 00:{i:02d}:00", True, "2024-01-01 01:00:00"))
+    for i, bn in enumerate([110, 112]):
+        rows.append(_cand(0, bn, f"0x{bn}", f"2024-01-01 01:{i:02d}:00", True, "2024-01-01 02:00:00"))
+    _write_batch(src, "b1", rows)
+
+    stream = block_candidates_stream(spark, src)
+    q = (
+        hourly_block_stats(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_stats")
+        # complete mode: emit open windows too (append would hold hour 1
+        # until the watermark passes its end — correct for production
+        # publication, inconvenient for a bounded test)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+    out = {r.window_start.hour: r for r in spark.sql("select * from hourly_stats").collect()}
+    assert out[0].contiguous and out[0].num_blocks == 5
+    assert not out[1].contiguous and out[1].num_blocks == 2
+
+
+def test_gap_audit(spark):
+    state = spark.createDataFrame(
+        [(0, n) for n in [100, 101, 103, 105]] + [(2004, 7)],
+        "chain_id int, number long",
+    )
+    gaps = {(r.chain_id, r.number) for r in gap_audit(state).collect()}
+    assert gaps == {(0, 102), (0, 104)}
