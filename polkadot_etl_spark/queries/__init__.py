@@ -10,5 +10,6 @@ from polkadot_etl_spark.queries.registry import QUERIES, QuerySpec, query
 from polkadot_etl_spark.queries import tpch  # noqa: F401,E402
 from polkadot_etl_spark.queries import relational  # noqa: F401,E402
 from polkadot_etl_spark.queries import llmdata  # noqa: F401,E402
+from polkadot_etl_spark.queries import survey_ext  # noqa: F401,E402
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

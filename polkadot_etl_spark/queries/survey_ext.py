@@ -1,0 +1,430 @@
+"""SURVEY §2 operator inventory — second tranche.
+
+Covers the operator classes not yet in relational.py: the fuzzy
+confidence-scored tolerance join (J2/T2), block-at-timestamp as-of
+(J5), broadcast dimension decoration (J12), per-block partial stats
+(A7), daily history series with running balance (W4), work-queue
+selection with exponential backoff (T4), validity predicates (P6),
+JSON field access (§2.8), and the recursive call-tree flatten UDTF
+(F2). Docstrings cite the reference file:line each one mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polkadot_etl_spark.queries.fmt import d_date, d_decsum, d_ts, s_date, s_ts
+from polkadot_etl_spark.queries.registry import query
+from polkadot_etl_spark.sources.tables import load_table
+
+
+def _decsum(c) -> F.Column:
+    return F.sum(c.cast("decimal(38,10)")).cast("double")
+
+
+@query(
+    "fuzzy_confidence_match",
+    oracle=f"""
+WITH stats AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         {d_decsum('value')} AS s1,
+         {d_decsum('value * value')} AS s2
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id
+),
+spread AS (
+  SELECT user_id,
+         s1 / n AS avg_v,
+         CASE WHEN n < 2 OR SQRT(GREATEST((s2 - s1*s1/n) / (n-1), 0.0)) = 0
+              THEN GREATEST((s1 / n) * 0.2, 1e-9)
+              ELSE SQRT(GREATEST((s2 - s1*s1/n) / (n-1), 0.0)) END AS std_v
+  FROM stats
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id,
+         c.event_id AS click_id,
+         {d_ts('p.ts')} AS purchase_ts,
+         p.user_id,
+         CASE WHEN ABS(p.value - c.value) < 0.01 THEN 1.0
+              ELSE 1.0 / (1.0 + ABS(p.value - c.value - s.avg_v) / s.std_v) END
+           AS confidence
+  FROM events p
+  JOIN events c ON p.user_id = c.user_id
+  JOIN spread s ON p.user_id = s.user_id
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    AND c.ts >= p.ts - INTERVAL 7200 SECONDS AND c.ts < p.ts
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY purchase_id
+           ORDER BY confidence DESC, click_id ASC) AS rn
+  FROM pairs
+)
+SELECT purchase_id, click_id, purchase_ts, user_id, confidence
+FROM best WHERE rn = 1 AND confidence > 0.5
+""",
+    doc="J2+T2 fuzzy tolerance join with confidence score — the xcmCleaner "
+    "transfer↔candidate match (reference xcmCleaner.js:569-700: candidate "
+    "time window, exact amount → confidence 1, else z-score vs the "
+    "per-group fee distribution with std=0→avg*0.2 fallback "
+    "substrateetl.js:3201, keep best if > 0.5). Shuffle is on the user "
+    "equi-key only; the window band is a post-filter; the top-1 window has "
+    "a total order so output is reproducible. Stats via exact decimal "
+    "sums of x and x² — no Welford-order drift across engines.",
+    tags=("join", "window"),
+)
+def fuzzy_confidence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    stats = clicks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _decsum(F.col("value")).alias("s1"),
+        _decsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    raw_std = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    spread = stats.select(
+        F.col("user_id").alias("s_user_id"),
+        (F.col("s1") / F.col("n")).alias("avg_v"),
+        F.when((F.col("n") < 2) | (raw_std == 0), F.greatest((F.col("s1") / F.col("n")) * 0.2, F.lit(1e-9)))
+        .otherwise(raw_std)
+        .alias("std_v"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+        F.col("value").alias("p_value"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = (
+        p.join(c, p.user_id == c.c_user_id)
+        .where(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7200 SECONDS"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        # spread scales with distinct users — do NOT broadcast; it joins on
+        # the same user_id key the pair join already shuffled on, so AQE
+        # reuses the partitioning (or broadcasts if it measures it small).
+        .join(spread, p.user_id == spread.s_user_id)
+    )
+    confidence = F.when(F.abs(F.col("p_value") - F.col("c_value")) < 0.01, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.abs(F.col("p_value") - F.col("c_value") - F.col("avg_v")) / F.col("std_v"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.col("confidence").desc(), F.col("click_id").asc())
+    return (
+        pairs.withColumn("confidence", confidence)
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("confidence") > 0.5))
+        .select(
+            "purchase_id",
+            "click_id",
+            s_ts("p_ts").alias("purchase_ts"),
+            "user_id",
+            "confidence",
+        )
+    )
+
+
+@query(
+    "block_at_timestamp",
+    oracle=f"""
+SELECT {d_date('ts')} AS probe_dt,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event,
+       COUNT(*) AS n_in_window
+FROM events
+WHERE epoch_us(ts) - epoch_us(date_trunc('day', ts)) < 60000000
+GROUP BY {d_date('ts')}
+""",
+    doc="J5 block-at-timestamp as-of: getBlockNumberByTS finds the "
+    "first/last block with blockDT in [ts, ts+60s] (reference "
+    "query.js:4290-4308). Probe = each day boundary; the window predicate "
+    "is integer epoch-microsecond math so it pushes to the scan and "
+    "agrees exactly with the oracle.",
+    tags=("asof", "agg"),
+)
+def block_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    in_window = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.date_trunc("day", F.col("ts")))
+    ) < 60_000_000
+    return (
+        e.where(in_window)
+        .groupBy(s_date("ts").alias("probe_dt"))
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.count(F.lit(1)).alias("n_in_window"),
+        )
+    )
+
+
+@query(
+    "broadcast_dim_decoration",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       p.p_name, p.p_brand,
+       s.s_name, n.n_name AS supplier_nation,
+       l.l_quantity, l.l_extendedprice
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE l.l_quantity >= 49
+""",
+    doc="J12 broadcast dimension decoration: every row decorated from "
+    "in-memory dims assetInfo/chainInfos (reference "
+    "assetManager.js:1412-1448, query.js:5081-5257 decorateExtrinsic). "
+    "All three dims are broadcast — the fact side never shuffles "
+    "(verified: BroadcastHashJoin ×3, no Exchange on lineitem).",
+    tags=("join",),
+)
+def broadcast_dim_decoration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("supplier_nation"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+
+
+@query(
+    "per_block_stats",
+    oracle=f"""
+SELECT user_id, {d_date('ts')} AS log_dt,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       COUNT(DISTINCT event_type) AS n_types,
+       {d_decsum('value')} AS sum_value
+FROM events
+GROUP BY user_id, {d_date('ts')}
+""",
+    doc="A7 per-block stats at index time: numExtrinsics / "
+    "numSignedExtrinsics / numEvents / fees per block (reference "
+    "indexer.js:5019-5048 getBlockStats) — fine-grain partial agg that "
+    "map-side combines before the shuffle.",
+    tags=("agg",),
+)
+def per_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", s_date("ts").alias("log_dt")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.countDistinct("event_type").alias("n_types"),
+        _decsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "daily_history_series",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, {d_date('ts')} AS log_dt,
+         SUM(CAST(value AS DECIMAL(38,10))) AS day_value,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id, {d_date('ts')}
+)
+SELECT user_id, log_dt,
+       CAST(CAST(day_value AS VARCHAR) AS DOUBLE) AS day_value,
+       n_events,
+       CAST(CAST(SUM(day_value) OVER (
+         PARTITION BY user_id ORDER BY log_dt
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS running_value
+FROM daily
+""",
+    doc="W4 daily balance history series: per-address per-day states "
+    "rendered as a cumulative time series (reference query.js:3989-4058 "
+    "get_account_history / addresshistory). Running sum stays DECIMAL "
+    "(associative) until the final cast, so partial-agg order can't leak; "
+    "log_dt is unique per user → the window order is total.",
+    tags=("window",),
+)
+def daily_history_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", s_date("ts").alias("log_dt")).agg(
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("log_dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "log_dt",
+        F.col("day_value").cast("string").cast("double").alias("day_value"),
+        "n_events",
+        F.sum("day_value").over(w).cast("string").cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "work_queue_backoff",
+    oracle=f"""
+SELECT event_id, event_id % 6 AS attempts, {d_ts('ts')} AS ts
+FROM events
+WHERE epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-30')
+      - CAST(POWER(3, event_id % 6) AS BIGINT) * 60000000
+ORDER BY attempts ASC, ts DESC, event_id ASC
+LIMIT 100
+""",
+    doc="T4 work-queue selection with exponential backoff: ORDER BY "
+    "matchAttempts ASC, sourceTS DESC LIMIT with predicate "
+    "matchAttemptDT < now() - POW(3, matchAttempts) MINUTE (reference "
+    "xcmCleaner.js:1020). Anchor is a fixed literal (no now()) so both "
+    "engines select identical rows; POW(3,k) for k<=5 is exact in a "
+    "double. Spark plans this as TakeOrderedAndProject — no full sort.",
+    tags=("topk",),
+)
+def work_queue_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    attempts = (F.col("event_id") % 6).alias("attempts")
+    backoff_us = F.pow(F.lit(3.0), (F.col("event_id") % 6).cast("double")).cast("bigint") * 60_000_000
+    anchor_us = F.unix_micros(F.to_timestamp(F.lit("2024-01-30")))
+    return (
+        e.where(F.unix_micros(F.col("ts")) < anchor_us - backoff_us)
+        .select("event_id", attempts, F.col("ts"))
+        .orderBy(F.col("attempts").asc(), F.col("ts").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "attempts", s_ts("ts").alias("ts"))
+    )
+
+
+@query(
+    "validity_filter",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+FROM documents
+WHERE regexp_matches(lang, '^[a-z]{2}$')
+  AND n_chars = length(text)
+  AND n_chars BETWEEN 10 AND 100000
+""",
+    doc="P6 validity predicates before writes: validAddress 67-char hex, "
+    "validAsset, validDouble range checks (reference indexer.js:251, "
+    "487-509, 1073-1104) — regex shape check + self-consistency "
+    "(n_chars == length(text)) + numeric range, all native expressions "
+    "inside whole-stage codegen.",
+    tags=("filter",),
+)
+def validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.col("lang").rlike("^[a-z]{2}$")
+        & (F.col("n_chars") == F.length("text"))
+        & F.col("n_chars").between(10, 100000)
+    ).select("doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len"))
+
+
+@query(
+    "json_field_access",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       COUNT(*) AS n,
+       MIN(event_id) AS min_event
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 20
+GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) // 10
+""",
+    doc="§2.8 JSON access: JSON_VALUE / JSON_EXTRACT_SCALAR over params/"
+    "data/props JSON columns (reference docs/AccountAnalytics.md:17-20, "
+    "schema/events.json:22). get_json_object evaluates JVM-side; the "
+    "extracted value feeds a predicate and a grouped agg.",
+    tags=("filter", "agg", "json"),
+)
+def json_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.where(k >= 20)
+        .groupBy((k / 10).cast("bigint").alias("k_decile"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("min_event"))
+    )
+
+
+@query(
+    "call_tree_flatten",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority = '1-URGENT' AS nested FROM orders
+)
+SELECT o_orderkey, '0' AS call_id,
+       CASE WHEN nested THEN 'utility' ELSE 'balances' END AS call_section,
+       CASE WHEN nested THEN 'batch' ELSE 'transfer' END AS call_method,
+       TRUE AS root, NOT nested AS leaf
+FROM base
+UNION ALL
+SELECT o_orderkey, '0-0', 'balances', 'transfer', FALSE, TRUE
+FROM base WHERE nested
+UNION ALL
+SELECT o_orderkey, '0-1', 'system', 'remark', FALSE, TRUE
+FROM base WHERE nested
+""",
+    doc="F2 recursive call-tree flattening UDTF: 1 extrinsic → N call "
+    "rows with '0-1-2' path ids, root/leaf flags (reference "
+    "assetManager.js:1922-2040 paramToCalls, indexer.js:3433-3608 "
+    "recursive_batch_all). The Spark side runs the real recursive "
+    "pandas-UDF flattener from plans/decode.py on synthesized nested "
+    "params JSON; the oracle enumerates the known two-level expansion "
+    "independently — a golden test of the UDTF, not of the generator.",
+    tags=("udtf",),
+)
+def call_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.decode import _flatten_calls
+
+    o = load_table(spark, sf_dir, "orders")
+    nested = F.col("o_orderpriority") == "1-URGENT"
+    params = F.when(
+        nested,
+        F.concat(
+            F.lit('{"calls": [{"section": "balances", "method": "transfer", "args": {"k": '),
+            F.col("o_orderkey").cast("string"),
+            F.lit('}}, {"section": "system", "method": "remark", "args": {"k": '),
+            F.col("o_orderkey").cast("string"),
+            F.lit("}}]}"),
+        ),
+    ).otherwise(F.lit("{}"))
+    src = o.select(
+        "o_orderkey",
+        F.when(nested, F.lit("utility")).otherwise(F.lit("balances")).alias("section"),
+        F.when(nested, F.lit("batch")).otherwise(F.lit("transfer")).alias("method"),
+        params.alias("params"),
+    )
+    node = F.explode(_flatten_calls(F.col("section"), F.col("method"), F.col("params"))).alias("node")
+    return src.select("o_orderkey", node).select(
+        "o_orderkey",
+        F.col("node.call_id").alias("call_id"),
+        F.col("node.call_section").alias("call_section"),
+        F.col("node.call_method").alias("call_method"),
+        F.col("node.root").alias("root"),
+        F.col("node.leaf").alias("leaf"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from polkadot_etl_spark.queries.fmt import d_decsum, s_date, s_dbl
+from polkadot_etl_spark.queries.fmt import d_dbl, d_decsum, s_date, s_dbl
 from polkadot_etl_spark.queries.registry import query
 from polkadot_etl_spark.sources.tables import load_table
 
@@ -144,5 +144,188 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {d_decsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 forecast revenue — pure scan+filter+scalar agg; all "
+    "three predicates push to the parquet scan (PushedFilters), no "
+    "shuffle beyond the single-row final agg.",
+    tags=("agg", "headline"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _decsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-shaped order-priority check — EXISTS correlated "
+    "subquery as a left-semi join (reference J11 semi-join pattern, "
+    "substrateetl.js:3964). The commitdate<receiptdate predicate is "
+    "replaced by l_returnflag='R' (column not in the synthetic schema).",
+    tags=("join", "agg"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {d_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       {d_dbl('c.c_acctbal')} AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) DESC,
+         c.c_custkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q10 returned-item reporting — 4-way join + agg + "
+    "total-ordered top-20 (custkey tie-break). nation broadcast; "
+    "customer joins after the fact side is pre-aggregated by AQE.",
+    tags=("join", "topk", "headline"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            s_dbl(F.col("__rev")).alias("revenue"),
+            s_dbl(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT 100.0 * {d_decsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {d_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-02-01'
+""",
+    doc="TPC-H Q14 promo revenue — conditional-sum ratio over a "
+    "fact×dim join (part broadcast at test SF; bucketed co-location is "
+    "the 100TB path since part scales with SF). Both sums are exact "
+    "decimals cast to double, then one multiply+divide in each engine.",
+    tags=("join", "agg"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * _decsum(promo) / _decsum(disc_price)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       {d_dbl('o.o_totalprice')} AS o_totalprice,
+       {d_decsum('l.l_quantity')} AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 180)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    doc="TPC-H Q18 large-volume customer — grouped-HAVING subquery as a "
+    "left-semi join on the pre-aggregated key set, then the enrich join "
+    "(reference A5 duplicate-audit HAVING class, substrateetl.js:5324).",
+    tags=("join", "agg", "headline"),
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("__q"))
+        .where(F.col("__q") > 180)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.big_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_decsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            s_date("o_orderdate").alias("order_date"),
+            s_dbl(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
         )
     )
