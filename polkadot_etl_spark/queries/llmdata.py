@@ -575,3 +575,48 @@ def embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(norm.cast("decimal(38,10)")).cast("double").alias("sum_norm"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM b),
+sims AS (
+  SELECT q.q_id AS vec_a, c.c_id AS vec_b,
+         ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket AND q.q_id < c.c_id
+)
+SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= 0.3
+""",
+    doc="Embedding-cosine near-duplicate pairs — the semantic-dedup "
+    "stage of a training-data pipeline: same sign-bucket (hyperplane "
+    "LSH) candidates only, exact cosine verify, keep pairs above the threshold (0.3 here — "
+    "the synthetic vectors carry no true dups, so the gate selects the "
+    "top tail; production would use ~0.95). "
+    "All-pairs never materializes: the bucket equi-join bounds the "
+    "quadratic term exactly like the MinHash band join does for text.",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(F.slice("embedding", 1, 8), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+    )
+    b = e.withColumn("bucket", bucket)
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket")
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), F.col("bucket").alias("bucket_c")
+    )
+    j = a.join(c, (F.col("bucket") == F.col("bucket_c")) & (F.col("vec_a") < F.col("vec_b")))
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    sims = j.select("vec_a", "vec_b", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+    return sims.where(F.col("cosine") >= 0.3)

@@ -415,12 +415,23 @@ def call_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("{}"))
     src = o.select(
         "o_orderkey",
+        nested.alias("nested"),
         F.when(nested, F.lit("utility")).otherwise(F.lit("balances")).alias("section"),
         F.when(nested, F.lit("batch")).otherwise(F.lit("transfer")).alias("method"),
         params.alias("params"),
     )
+    # non-nesting fast path: one native root+leaf row, no Python — the UDF
+    # only sees the nesting minority (same split as plans/decode.py)
+    simple = src.where(~F.col("nested")).select(
+        "o_orderkey",
+        F.lit("0").alias("call_id"),
+        F.col("section").alias("call_section"),
+        F.col("method").alias("call_method"),
+        F.lit(True).alias("root"),
+        F.lit(True).alias("leaf"),
+    )
     node = F.explode(_flatten_calls(F.col("section"), F.col("method"), F.col("params"))).alias("node")
-    return src.select("o_orderkey", node).select(
+    deep = src.where(F.col("nested")).select("o_orderkey", node).select(
         "o_orderkey",
         F.col("node.call_id").alias("call_id"),
         F.col("node.call_section").alias("call_section"),
@@ -428,3 +439,4 @@ def call_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node.root").alias("root"),
         F.col("node.leaf").alias("leaf"),
     )
+    return simple.unionByName(deep)
