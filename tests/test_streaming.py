@@ -142,3 +142,145 @@ def test_gap_audit(spark):
     )
     gaps = {(r.chain_id, r.number) for r in gap_audit(state).collect()}
     assert gaps == {(0, 102), (0, 104)}
+
+
+# ---------------------------------------------------------------------------
+# X4: stateful cross-block matching (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def _msg(h, incoming, sent_at, bn, ts, chain=0, dest=2000):
+    return {
+        "msgHash": h,
+        "incoming": incoming,
+        "chainID": chain,
+        "chainIDDest": dest,
+        "sentAt": sent_at,
+        "blockNumber": bn,
+        "blockTS": ts,
+    }
+
+
+@pytest.fixture
+def few_shuffle_partitions(spark):
+    """applyInPandasWithState spawns a python worker per state partition
+    per micro-batch — 32 partitions × multiple batches is pure overhead on
+    4-row test data. Scope it down for the stateful tests."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+class TestStatefulMatching:
+    def test_match_across_micro_batches(self, spark, tmp_path, few_shuffle_partitions):
+        """A source observed in batch 1 must match a dest arriving in
+        batch 2 — the state carries the pending source across batches
+        (the trailing map of indexer.js:3109-3194)."""
+        from polkadot_etl_spark.streaming.stateful import (
+            MESSAGE_SCHEMA,
+            match_messages_stream,
+        )
+
+        src_dir = tmp_path / "msgs"
+        src_dir.mkdir()
+        out = []
+        # batch 1: two sources, no dests; plus a full pair for hash B
+        _write_batch(src_dir, "b1", [
+            _msg("0xaa", 0, 100, 1000, 50_000),
+            _msg("0xbb", 0, 100, 1001, 50_006),
+            _msg("0xbb", 1, 102, 9001, 50_018),
+        ])
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src_dir))
+        )
+        matched = match_messages_stream(stream, state_ttl_ms=None)
+
+        def collect(batch_df, _bid):
+            out.extend(batch_df.collect())
+
+        # first run: only batch-1 file exists
+        q = matched.writeStream.foreachBatch(collect).option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert [r.msgHash for r in out] == ["0xbb"]  # pair already complete
+        # batch 2: the dest for hash A arrives (plus an out-of-band lag
+        # violator for a third hash that must NOT match)
+        _write_batch(src_dir, "b2", [
+            _msg("0xaa", 1, 103, 9000, 50_030),
+            _msg("0xcc", 0, 100, 1002, 50_012),
+            _msg("0xcc", 1, 110, 9002, 50_060),  # lag 10 > 4
+        ])
+        q = matched.writeStream.foreachBatch(collect).option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        by_hash = {r.msgHash: r for r in out}
+        assert set(by_hash) == {"0xaa", "0xbb"}
+        a = by_hash["0xaa"]
+        assert (a.blockNumberSource, a.blockNumberDest) == (1000, 9000)
+        assert a.diffSentAt == 3 and a.diffTS == 30
+        b = by_hash["0xbb"]
+        assert b.diffSentAt == 2 and b.diffTS == 12
+
+    def test_dedup_and_tie_break(self, spark, tmp_path, few_shuffle_partitions):
+        """Repeated observations collapse to the earliest block (U3) and
+        a dest picks the smallest-lag source (W2 total order)."""
+        from polkadot_etl_spark.streaming.stateful import (
+            MESSAGE_SCHEMA,
+            match_messages_stream,
+        )
+
+        src_dir = tmp_path / "msgs"
+        src_dir.mkdir()
+        out = []
+        _write_batch(src_dir, "b1", [
+            _msg("0xdd", 0, 100, 1005, 50_000),   # lag 2 candidate
+            _msg("0xdd", 0, 101, 1006, 50_006),   # lag 1 candidate — wins
+            _msg("0xdd", 0, 101, 1009, 50_006),   # duplicate, later block → ignored
+            _msg("0xdd", 1, 102, 9000, 50_030),
+        ])
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src_dir))
+        )
+
+        def collect(batch_df, _bid):
+            out.extend(batch_df.collect())
+
+        q = match_messages_stream(stream, state_ttl_ms=None).writeStream.foreachBatch(collect).option(
+            "checkpointLocation", str(tmp_path / "ckpt2")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert len(out) == 1
+        r = out[0]
+        assert r.blockNumberSource == 1006 and r.diffSentAt == 1
+
+
+    def test_timeout_path_removes_state(self):
+        """hasTimedOut → state.remove() (cleanTrailingXcmMap). Driven
+        directly — an availableNow run with ProcessingTimeTimeout never
+        terminates while timeouts are pending, so the streaming-level TTL
+        isn't testable with a bounded trigger (documented in stateful.py)."""
+        import json as _json
+
+        from polkadot_etl_spark.streaming.stateful import make_matcher
+
+        class FakeState:
+            hasTimedOut = True
+            exists = True
+            get = (_json.dumps([{"chainID": 0, "chainIDDest": 2000, "sentAt": 100,
+                                 "blockNumber": 1, "blockTS": 5}]), "[]")
+            removed = False
+
+            def remove(self):
+                self.removed = True
+
+        st = FakeState()
+        out = list(make_matcher(state_ttl_ms=1000)(("0xee",), iter([]), st))
+        assert st.removed and out == []
