@@ -25,6 +25,15 @@ def main() -> None:
 
     # JVM + parquet-footer warmup so q1 doesn't absorb session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # Arrow + python-worker-pool warmup so the first pandas-UDF query
+    # doesn't absorb the one-time worker fork/Arrow init (~2 s).
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    # no type hints: __future__ annotations stringifies them, which the
+    # pandas_udf hint inference can't read
+    _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(32).repartition(32).select(_warm("id")).collect()
 
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -161,22 +161,38 @@ GROUP BY a.doc_id, b.doc_id
     tags=("dedup", "headline"),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signatures(spark, sf_dir)
-    w = Window.partitionBy("band", "minhash")
-    capped = sig.withColumn("bucket_size", F.count(F.lit(1)).over(w)).where(
-        F.col("bucket_size") <= BUCKET_CAP
-    )
-    a = capped.select(
-        F.col("doc_id").alias("doc_a"), F.col("band").alias("band"), F.col("minhash").alias("minhash")
-    )
-    b = capped.select(
-        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("minhash").alias("mh_b")
-    )
     return (
-        a.join(b, (a.band == b.band_b) & (a.minhash == b.mh_b) & (a.doc_a < b.doc_b))
+        _lsh_candidate_pairs(spark, sf_dir)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (band-bucket, unordered doc pair), doc_a < doc_b.
+
+    Plan shape: instead of self-joining the signature table (which makes
+    Spark build the whole shingle→md5→min pipeline TWICE and costs 7
+    exchanges), collect each bucket's doc list in the groupBy(band,
+    minhash) shuffle and explode the pairs map-side — signatures are
+    computed once and the pair blowup never crosses a shuffle boundary.
+    The bucket cap bounds the quadratic term (same predicate as the
+    oracle's COUNT window)."""
+    sig = _minhash_signatures(spark, sf_dir)
+    buckets = (
+        sig.groupBy("band", "minhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= BUCKET_CAP))
+    )
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                " b -> struct(a as doc_a, b as doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
 
 
 @query(
@@ -214,43 +230,29 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
     "Jaccard computed ONLY for candidate pairs (never all-pairs), "
     "keeping near-dups at >= 0.5. The LSH stage bounds the verify cost.",
     tags=("dedup",),
-    bench=False,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signatures(spark, sf_dir)
-    w = Window.partitionBy("band", "minhash")
-    capped = sig.withColumn("bucket_size", F.count(F.lit(1)).over(w)).where(
-        F.col("bucket_size") <= BUCKET_CAP
-    )
-    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
-    b = capped.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("minhash").alias("mh_b"))
-    cand = (
-        a.join(b, (a.band == b.band_b) & (a.minhash == b.mh_b) & (a.doc_a < b.doc_b))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
-    )
-    dsh = (
+    cand = _lsh_candidate_pairs(spark, sf_dir).dropDuplicates()
+    # per-doc distinct shingle SET as one sorted array: the exact-verify
+    # join then moves one array per doc instead of one row per shingle,
+    # and the intersection is a map-side array_intersect — no
+    # shingle-grain shuffle at all.
+    # same fan-out rule as _minhash_signatures: a compact parquet file is
+    # one split; spread the docs BEFORE the per-doc set build runs.
+    sets_ = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(_spark_shingles()).alias("shingle"))
-        .dropDuplicates()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.array_sort(F.array_distinct(_spark_shingles())).alias("sh_set"))
     )
-    x = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    y = dsh.select(F.col("doc_id").alias("__y_doc"), F.col("shingle").alias("__y_shingle"))
-    inter = (
-        cand.join(x, "doc_a")
-        .join(y, (F.col("doc_b") == F.col("__y_doc")) & (F.col("shingle") == F.col("__y_shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
-    jac = F.col("n_inter").cast("double") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_inter.cast("double") / (F.size("set_a") + F.size("set_b") - n_inter)
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
+        .where(jac >= 0.5)  # filter on the UNROUNDED value, like the oracle
+        .select("doc_a", "doc_b", n_inter.alias("n_inter"), F.round(jac, 6).alias("jaccard"))
     )
 
 
