@@ -109,3 +109,103 @@ def test_udfs_on_dataframe(spark):
     for row in out:
         assert row.back == row.pubkey
     assert out[0].ss58 == ALICE_GENERIC
+
+
+# ---------------------------------------------------------------------------
+# EVM primitives (F5): keccak-256 / RLP / selectors — public test vectors
+# ---------------------------------------------------------------------------
+
+
+class TestEvmPrimitives:
+    def test_keccak_vectors(self):
+        from polkadot_etl_spark.functions.evm import keccak256
+
+        assert (
+            keccak256(b"").hex()
+            == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+        )
+        assert (
+            keccak256(b"abc").hex()
+            == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+        )
+        # famous Ethereum constants: empty-trie root, empty-ommers hash
+        from polkadot_etl_spark.functions.evm import rlp_encode
+
+        assert (
+            keccak256(rlp_encode(b"")).hex()
+            == "56e81f171bcc55a6ff8345e692c0f86e5b48e01b996cadc001622fb5e363b421"
+        )
+        assert (
+            keccak256(rlp_encode([])).hex()
+            == "1dcc4de8dec75d7aab85b567b6ccd41ad312451b948a7413f0a142fd40d49347"
+        )
+
+    def test_sponge_matches_sha3_for_all_block_boundaries(self):
+        """Same permutation + absorb loop as FIPS-202: with pad 0x06 the
+        sponge must equal hashlib.sha3_256 for every length around the
+        136-byte rate boundary (validates multi-block absorb and the
+        pad_len==1 edge independently of the keccak vectors)."""
+        import hashlib
+
+        from polkadot_etl_spark.functions.evm import _sponge_256
+
+        for n in [0, 1, 134, 135, 136, 137, 200, 271, 272, 273, 500]:
+            data = bytes(range(256))[: n % 256] + b"\xab" * max(0, n - 256)
+            data = (b"\x5c" * n)[:n] if not data else data[:n]
+            assert _sponge_256(data, 0x06) == hashlib.sha3_256(data).digest(), n
+
+    def test_selector_and_topics(self):
+        from polkadot_etl_spark.functions.evm import (
+            TRANSFER_TOPIC,
+            compute_selector,
+            event_topic,
+        )
+
+        assert compute_selector("transfer(address,uint256)") == "0xa9059cbb"
+        assert compute_selector("balanceOf(address)") == "0x70a08231"
+        assert TRANSFER_TOPIC == (
+            "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+        )
+        assert event_topic("Transfer(address,address,uint256)") == TRANSFER_TOPIC
+
+    def test_rlp_roundtrip_and_tx_decode(self):
+        from polkadot_etl_spark.functions.evm import (
+            decode_rlp_transaction,
+            rlp_decode,
+            rlp_encode,
+        )
+
+        for item in [b"", b"\x01", b"dog", [b"cat", b"dog"], [b"", [b"a", [b"bb"]]], b"x" * 60]:
+            assert rlp_decode(rlp_encode(item)) == item
+        assert rlp_encode(b"dog").hex() == "83646f67"
+        tx = rlp_encode(
+            [
+                b"\x09",
+                (20 * 10**9).to_bytes(5, "big"),
+                (21000).to_bytes(3, "big"),
+                bytes.fromhex("35" * 20),
+                (10**18).to_bytes(8, "big"),
+                b"",
+                b"\x25",
+                bytes.fromhex("11" * 32),
+                bytes.fromhex("22" * 32),
+            ]
+        )
+        d = decode_rlp_transaction(tx)
+        assert d["nonce"] == 9 and d["gas"] == 21000
+        assert d["chain_id"] == 1  # EIP-155: v=0x25 → chain 1
+        assert d["value"] == str(10**18)  # exact u256 as string
+
+    def test_classify_log_column(self, spark):
+        from polkadot_etl_spark.functions.evm import TRANSFER_TOPIC, classify_evm_log_col
+
+        df = spark.createDataFrame(
+            [
+                ([TRANSFER_TOPIC, "0x1", "0x2"],),
+                ([TRANSFER_TOPIC, "0x1", "0x2", "0x3"],),
+                (["0xdead"],),
+            ],
+            "topics: array<string>",
+        )
+        got = [r[0] for r in df.select(classify_evm_log_col("topics".__str__() and df.topics)).collect()]
+        assert got == ["erc20_transfer", "erc721_transfer", None]

@@ -455,3 +455,107 @@ def test_staking_nominators_explode_oracle(fx):
     """).df()
     assert len(oracle) > 0
     compare_frames(out.toPandas(), oracle_agg, "staking_nominators")
+
+
+# ---------------------------------------------------------------------------
+# Dynamic per-pallet schema registry (setup_pallet equivalent)
+# ---------------------------------------------------------------------------
+
+_METADATA = {
+    "pallets": [
+        {
+            "name": "balances",
+            "events": [
+                {
+                    "name": "Transfer",
+                    "fields": [
+                        {"name": "from", "type": "AccountId32"},
+                        {"name": "to", "type": "AccountId32"},
+                        {"name": "amount", "type": "u128"},
+                    ],
+                }
+            ],
+        },
+        {
+            "name": "staking",
+            "events": [
+                {
+                    "name": "Rewarded",
+                    "fields": [
+                        {"name": "stash", "type": "AccountId32"},
+                        {"name": "era", "type": "u32"},
+                        {"name": "amount", "type": "Compact<Balance>"},
+                        {"name": "targets", "type": "Vec<u32>"},
+                    ],
+                }
+            ],
+        },
+    ]
+}
+
+
+class TestPalletRegistry:
+    def test_type_mapping(self):
+        from pyspark.sql import types as T
+
+        from polkadot_etl_spark.plans.pallets import map_substrate_type
+
+        assert map_substrate_type("u32") == T.LongType()
+        assert map_substrate_type("u64") == T.DecimalType(20, 0)
+        assert map_substrate_type("u128") == T.DecimalType(38, 0)
+        assert map_substrate_type("Compact<Balance>") == T.DecimalType(38, 0)
+        assert map_substrate_type("Vec<u32>") == T.ArrayType(T.LongType())
+        assert map_substrate_type("AccountId32") == T.StringType()
+        assert map_substrate_type("bool") == T.BooleanType()
+
+    def test_typed_views_from_metadata(self, spark):
+        import json as _json
+
+        from polkadot_etl_spark.plans.pallets import PalletRegistry
+
+        reg = PalletRegistry.from_metadata(_METADATA)
+        assert set(reg.events) == {("balances", "Transfer"), ("staking", "Rewarded")}
+
+        big = 2**100  # a u128 beyond double precision
+        rows = [
+            ("0-0", "balances", "Transfer",
+             _json.dumps({"from": "0xaa", "to": "0xbb", "amount": str(big)})),
+            ("0-1", "staking", "Rewarded",
+             _json.dumps({"stash": "0xcc", "era": 42, "amount": "1000", "targets": [1, 2]})),
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id: string, section: string, method: string, data_decoded: string"
+        )
+        t = reg.typed_events(events, "balances", "Transfer")
+        r = t.collect()[0]
+        # exact u128: numeric decimal AND untruncated raw string
+        assert r.amount_raw == str(big)
+        assert int(r.amount) == big
+        assert r["from"] == "0xaa" and r.to == "0xbb"
+
+        names = reg.generate_views(events)
+        assert names == ["evt_balances_transfer", "evt_staking_rewarded"]
+        got = spark.sql(
+            "SELECT stash, era, amount, targets FROM evt_staking_rewarded"
+        ).collect()[0]
+        assert got.era == 42 and int(got.amount) == 1000 and got.targets == [1, 2]
+
+    def test_filter_pushes_to_scan(self, spark, tmp_path):
+        """The (section, method) filter of a typed view must reach the
+        parquet scan as PushedFilters — that's what makes per-pallet
+        views cheap projections at 100 TB."""
+        import json as _json
+
+        from polkadot_etl_spark.plans.pallets import PalletRegistry
+
+        reg = PalletRegistry.from_metadata(_METADATA)
+        path = str(tmp_path / "events_pq")
+        spark.createDataFrame(
+            [("0-0", "balances", "Transfer", _json.dumps({"from": "a", "to": "b", "amount": "1"}))],
+            "event_id: string, section: string, method: string, data_decoded: string",
+        ).write.parquet(path)
+        t = reg.typed_events(spark.read.parquet(path), "balances", "Transfer")
+        plan = t._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "EqualTo(section,balances)" in plan and "EqualTo(method,Transfer)" in plan
