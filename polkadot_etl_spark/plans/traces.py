@@ -64,3 +64,91 @@ def account_change_events(traces: DataFrame) -> DataFrame:
     return changed.withColumn("prev_change_trace_id", F.lag("trace_id").over(w2)).drop(
         "is_change"
     )
+
+
+# ---------------------------------------------------------------------------
+# F4: raw storage-trace decode (reference substrateetl.js:6605-6775
+# parse_trace): match the 32-byte twox_128 key prefix → (pallet, storage),
+# then decode the value by type. Numeric fast paths are pure native
+# column expressions (LE→BE hex reversal + conv); only arbitrary-type
+# SCALE decode would need a UDF, and that's keyed off the same dim.
+# ---------------------------------------------------------------------------
+
+
+def _le2be(e: str) -> str:
+    """SQL expr: little-endian hex string → big-endian (byte reversal)."""
+    return (
+        f"array_join(reverse(transform(sequence(1, length({e}) div 2),"
+        f" i -> substr({e}, 2*i-1, 2))), '')"
+    )
+
+
+def _u32_at(v: str, byte_off: int):
+    """LE u32 at byte offset inside hex string v (no 0x) → long."""
+    return F.expr(f"cast(conv({_le2be(f'substr({v}, {2*byte_off+1}, 8)')}, 16, 10) as bigint)")
+
+
+def _u128_at(v: str, byte_off: int):
+    """LE u128 at byte offset → decimal(38,0) (null if > 38 digits; the
+    exact-string dual column is the caller's choice via u128_raw_at)."""
+    be = _le2be(f"substr({v}, {2*byte_off+1}, 32)")
+    return F.expr(
+        f"cast(conv(substr({be}, 1, 16), 16, 10) as decimal(38,0))"
+        f" * cast(18446744073709551616 as decimal(38,0))"
+        f" + cast(conv(substr({be}, 17, 16), 16, 10) as decimal(38,0))"
+    )
+
+
+def storage_keys_dim(spark, entries: list[tuple[str, str, str]]) -> DataFrame:
+    """Broadcastable (prefix → pallet, storage, value_type) dim computed
+    from pallet/storage names with the real twox_128 hasher — the
+    reference's in-memory storageKeys map (substrateetl.js:6605)."""
+    from polkadot_etl_spark.functions.scalars import twox_128
+
+    rows = [
+        (
+            (twox_128(p.encode()) + twox_128(s.encode())).lower(),
+            p,
+            s,
+            vt,
+        )
+        for p, s, vt in entries
+    ]
+    return spark.createDataFrame(
+        rows, "prefix: string, section: string, storage: string, value_type: string"
+    )
+
+
+def parse_traces(traces: DataFrame, keys_dim: DataFrame) -> DataFrame:
+    """Decode raw (k, v) trace rows: prefix-join the broadcast dim, then
+    AccountInfo's fixed SCALE layout (nonce/consumers/providers/
+    sufficients u32 ×4, then free/reserved/frozen u128) decodes with
+    native expressions. Unknown prefixes keep raw k/v (section null) —
+    the same unmatched-row behavior as the reference's parse_trace.
+    """
+    t = traces.withColumn("__k", F.lower(F.regexp_replace("k", "^0x", ""))).withColumn(
+        "__v", F.lower(F.regexp_replace("v", "^0x", ""))
+    )
+    j = t.join(
+        F.broadcast(keys_dim), F.substring("__k", 1, 64) == F.col("prefix"), "left"
+    )
+    is_account = (F.col("section") == "System") & (F.col("storage") == "Account")
+    return j.select(
+        *traces.columns,
+        "section",
+        "storage",
+        "value_type",
+        # trailing key bytes past the 2×twox128 prefix (+ map-key hasher):
+        # for System.Account (blake2_128concat) the last 64 hex = pubkey
+        F.when(
+            is_account & (F.length("__k") >= 64 + 32 + 64),
+            F.concat(F.lit("0x"), F.expr("substr(__k, length(__k) - 63, 64)")),
+        ).alias("address_pubkey"),
+        F.when(is_account, _u32_at("__v", 0)).alias("nonce"),
+        F.when(is_account, _u32_at("__v", 4)).alias("consumers"),
+        F.when(is_account, _u32_at("__v", 8)).alias("providers"),
+        F.when(is_account, _u32_at("__v", 12)).alias("sufficients"),
+        F.when(is_account, _u128_at("__v", 16)).alias("free"),
+        F.when(is_account, _u128_at("__v", 32)).alias("reserved"),
+        F.when(is_account, _u128_at("__v", 48)).alias("frozen"),
+    )

@@ -209,3 +209,39 @@ class TestEvmPrimitives:
         )
         got = [r[0] for r in df.select(classify_evm_log_col("topics".__str__() and df.topics)).collect()]
         assert got == ["erc20_transfer", "erc721_transfer", None]
+
+
+class TestMultilocation:
+    def test_interior_key_roundtrip(self):
+        from polkadot_etl_spark.functions.multilocation import (
+            interior_key,
+            multilocation_from_interior_key,
+            para_id_of,
+        )
+
+        here = {"parents": 0, "interior": {"Here": None}}
+        assert interior_key(here, "polkadot") == "polkadot~here"
+        _, back = multilocation_from_interior_key("polkadot~here")
+        assert back["interior"] == {"Here": None}
+
+        # V1 X1 bare junction and X2 array normalize to the same key style
+        x1 = {"parents": 1, "interior": {"X1": {"Parachain": 2000}}}
+        k1 = interior_key(x1, "kusama")
+        assert k1 == 'kusama~[{"parachain":2000}]'
+        x2 = {"parents": 1, "interior": {"X2": [{"Parachain": 2000},
+                                                {"GeneralKey": "0x0001"}]}}
+        k2 = interior_key(x2)
+        assert k2 == 'polkadot~[{"parachain":2000},{"generalKey":"0x0001"}]'
+        relay, ml = multilocation_from_interior_key(k2)
+        assert relay == "polkadot" and ml["interior"]["X2"][0] == {"parachain": 2000}
+        # the key is stable under re-encoding (total canonical form)
+        assert interior_key(ml) == k2
+        assert para_id_of(x2) == 2000 and para_id_of(here) is None
+
+    def test_unknown_junction_rejected(self):
+        import pytest as _pytest
+
+        from polkadot_etl_spark.functions.multilocation import interior_key
+
+        with _pytest.raises(ValueError):
+            interior_key({"interior": {"X1": {"Bogus": 1}}})

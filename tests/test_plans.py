@@ -559,3 +559,101 @@ class TestPalletRegistry:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         assert "EqualTo(section,balances)" in plan and "EqualTo(method,Transfer)" in plan
+
+
+class TestParseTraces:
+    def test_account_info_decode(self, spark):
+        """F4: known SCALE AccountInfo bytes decode to exact fields via
+        the native LE->BE + conv path (no Python in the plan)."""
+        from polkadot_etl_spark.functions.scalars import twox_128
+        from polkadot_etl_spark.plans.traces import parse_traces, storage_keys_dim
+
+        free = 123_456_789_012_345_678_901  # > u64: exercises the hi*2^64+lo path
+        reserved = 50
+        frozen = 0
+        v = (
+            (5).to_bytes(4, "little")
+            + (1).to_bytes(4, "little")
+            + (2).to_bytes(4, "little")
+            + (3).to_bytes(4, "little")
+            + free.to_bytes(16, "little")
+            + reserved.to_bytes(16, "little")
+            + frozen.to_bytes(16, "little")
+        ).hex()
+        pubkey = "ab" * 32
+        k = (
+            twox_128(b"System")
+            + twox_128(b"Account")
+            + "cd" * 16  # blake2_128 of the key (prefix-irrelevant here)
+            + pubkey
+        )
+        dim = storage_keys_dim(
+            spark,
+            [("System", "Account", "AccountInfo"), ("Balances", "TotalIssuance", "u128")],
+        )
+        traces = spark.createDataFrame(
+            [("1-0", "0x" + k, "0x" + v), ("1-1", "0x" + "ee" * 80, "0xffff")],
+            "trace_id: string, k: string, v: string",
+        )
+        rows = {r.trace_id: r for r in parse_traces(traces, dim).collect()}
+        r = rows["1-0"]
+        assert (r.section, r.storage) == ("System", "Account")
+        assert r.address_pubkey == "0x" + pubkey
+        assert (r.nonce, r.consumers, r.providers, r.sufficients) == (5, 1, 2, 3)
+        assert int(r.free) == free and int(r.reserved) == reserved and int(r.frozen) == 0
+        # unmatched prefix keeps raw row, null decode
+        assert rows["1-1"].section is None and rows["1-1"].nonce is None
+
+    def test_dim_is_broadcast(self, spark):
+        from polkadot_etl_spark.plans.traces import parse_traces, storage_keys_dim
+
+        dim = storage_keys_dim(spark, [("System", "Account", "AccountInfo")])
+        traces = spark.createDataFrame(
+            [("1-0", "0x00", "0x00")], "trace_id: string, k: string, v: string"
+        )
+        plan = parse_traces(traces, dim)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestViewLayer:
+    def test_recent_view_filters_and_suppresses(self, spark):
+        from polkadot_etl_spark.sources.views import DEFAULT_SUPPRESS, create_recent_view
+
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                ("2024-04-01 00:00:00", "balances", "transfer"),
+                ("2024-04-01 00:00:00", "timestamp", "set"),
+                ("2023-01-01 00:00:00", "balances", "transfer"),  # too old
+            ],
+            "ts: string, section: string, method: string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = create_recent_view(
+            df, "recent_events", "ts", anchor="2024-05-01", days=109,
+            suppress=DEFAULT_SUPPRESS,
+        )
+        rows = spark.sql("SELECT section, method FROM recent_events").collect()
+        assert [(r.section, r.method) for r in rows] == [("balances", "transfer")]
+        assert out.count() == 1
+
+    def test_materialize_cache_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.sources.views import materialize_cache
+
+        df = spark.range(4).select(
+            F.col("id"),
+            F.to_timestamp(
+                F.when(F.col("id") < 2, "2024-01-01 10:00:00").otherwise("2024-01-02 10:00:00")
+            ).alias("ts"),
+        )
+        path = str(tmp_path / "cached")
+        out = materialize_cache(spark, df, path, "ts")
+        assert out.count() == 4
+        import os
+
+        parts = sorted(p for p in os.listdir(path) if p.startswith("log_dt="))
+        assert parts == ["log_dt=2024-01-01", "log_dt=2024-01-02"]
