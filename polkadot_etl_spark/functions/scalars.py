@@ -318,8 +318,15 @@ _TS_MAX = 99999999999
 def inverted_ts_key(ts: int) -> str:
     """Descending-sort row key: zero-padded (MAX - ts) — BigTable scans
     newest-first (paraTool.js:581-594). In the Spark engine this is only
-    needed for export compatibility; sorting uses ORDER BY DESC."""
-    return str(_TS_MAX - int(ts)).zfill(11)
+    needed for export compatibility; sorting uses ORDER BY DESC.
+
+    Valid domain is [0, _TS_MAX] (unix seconds through year ~5138);
+    outside it the fixed-width key can't order correctly, so reject
+    rather than silently produce a mis-sorting key."""
+    ts = int(ts)
+    if not 0 <= ts <= _TS_MAX:
+        raise ValueError(f"ts out of row-key domain [0, {_TS_MAX}]: {ts}")
+    return str(_TS_MAX - ts).zfill(11)
 
 
 def ts_to_log_dt_hr(ts: int) -> tuple[str, int]:

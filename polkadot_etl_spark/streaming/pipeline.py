@@ -153,3 +153,33 @@ def gap_audit(state: DataFrame) -> DataFrame:
     return expected.join(present, ["chain_id", "number"], "left_anti").withColumn(
         "crawl_block", F.lit(1)
     )
+
+
+def unfinalized_tip(candidates: DataFrame) -> DataFrame:
+    """X5: the pending-tip view — latest unfinalized candidate per
+    (chain_id, number) ABOVE the finalized frontier, served separately
+    from published data until finalization replaces it (reference
+    indexer.js:4091-4210 process_pending_extrinsic, query.js:3147-3205).
+    Batch form over current state; the streaming form is the same plan
+    against the fork-resolution state table."""
+    frontier = (
+        candidates.where(F.col("finalized"))
+        .groupBy(F.col("chain_id").alias("f_chain_id"))
+        .agg(F.max("number").alias("finalized_bn"))
+    )
+    pending = candidates.where(~F.col("finalized"))
+    w = Window.partitionBy("chain_id", "number").orderBy(
+        F.col("observed_at").desc(), F.col("hash").asc()
+    )
+    return (
+        pending.join(
+            F.broadcast(frontier),
+            (pending.chain_id == frontier.f_chain_id)
+            & (pending.number > frontier.finalized_bn),
+            "left_semi",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("status", F.lit("unfinalized"))
+    )

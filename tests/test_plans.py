@@ -657,3 +657,48 @@ class TestViewLayer:
 
         parts = sorted(p for p in os.listdir(path) if p.startswith("log_dt="))
         assert parts == ["log_dt=2024-01-01", "log_dt=2024-01-02"]
+
+
+class TestSkewOperators:
+    def test_salted_agg_equals_plain_agg(self, spark):
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.operators.skew import salted_agg
+        from polkadot_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_DIR
+
+        e = load_table(spark, SF_DIR, "events")
+        plain = (
+            e.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,10)")).alias("total"),
+            )
+            .collect()
+        )
+        salted = salted_agg(
+            e,
+            ["event_type"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum(F.col("value").cast("decimal(38,10)")), F.sum("total")),
+            },
+            buckets=8,
+        ).collect()
+        assert {(r.event_type, r.n, r.total) for r in plain} == {
+            (r.event_type, r.n, r.total) for r in salted
+        }
+
+    def test_salted_join_equals_plain_join(self, spark):
+        from polkadot_etl_spark.operators.skew import salted_join
+        from polkadot_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_DIR
+
+        o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+        c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+        plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"]).collect()
+        salted = salted_join(
+            o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], buckets=4
+        ).collect()
+        key = lambda r: (r.o_orderkey, r.o_custkey, r.c_name)  # noqa: E731
+        assert sorted(map(key, plain)) == sorted(map(key, salted))

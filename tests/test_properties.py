@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the pure scalar layer — the
+codecs must round-trip on arbitrary inputs, not just the fixture vectors.
+No SparkSession involved: these run in milliseconds."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polkadot_etl_spark.functions import scalars as sc
+from polkadot_etl_spark.functions.evm import (
+    _sponge_256,
+    keccak256,
+    rlp_decode,
+    rlp_encode,
+)
+from polkadot_etl_spark.functions.multilocation import (
+    interior_key,
+    multilocation_from_interior_key,
+)
+
+# ---------------------------------------------------------------------------
+# ss58
+# ---------------------------------------------------------------------------
+
+
+@given(pk=st.binary(min_size=32, max_size=32), prefix=st.integers(0, 16383))
+@settings(max_examples=200, deadline=None)
+def test_ss58_roundtrip_any_pubkey_any_prefix(pk, prefix):
+    addr = sc.get_address("0x" + pk.hex(), prefix)
+    assert sc.get_pubkey(addr) == "0x" + pk.hex()
+    assert sc.ss58_prefix_of(addr) == prefix
+    assert sc.valid_address(addr)
+
+
+# ---------------------------------------------------------------------------
+# keccak sponge ≡ FIPS-202 permutation (pad 0x06 ↔ hashlib.sha3_256)
+# ---------------------------------------------------------------------------
+
+
+@given(data=st.binary(max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_sponge_equals_sha3_on_arbitrary_bytes(data):
+    assert _sponge_256(data, 0x06) == hashlib.sha3_256(data).digest()
+
+
+@given(data=st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_keccak_is_32_bytes_and_stable(data):
+    d1, d2 = keccak256(data), keccak256(bytes(data))
+    assert d1 == d2 and len(d1) == 32
+
+
+# ---------------------------------------------------------------------------
+# RLP
+# ---------------------------------------------------------------------------
+
+rlp_items = st.recursive(
+    st.binary(max_size=70),
+    lambda children: st.lists(children, max_size=6),
+    max_leaves=25,
+)
+
+
+@given(item=rlp_items)
+@settings(max_examples=200, deadline=None)
+def test_rlp_roundtrip_arbitrary_nesting(item):
+    assert rlp_decode(rlp_encode(item)) == item
+
+
+# ---------------------------------------------------------------------------
+# numeric codecs
+# ---------------------------------------------------------------------------
+
+
+@given(n=st.integers(0, 2**128 - 1))
+@settings(max_examples=200, deadline=None)
+def test_dechex_exact_u128(n):
+    assert sc.dechex_to_int_str(hex(n)) == str(n)
+
+
+@given(ts=st.integers(0, 99_999_999_998))
+@settings(max_examples=100, deadline=None)
+def test_inverted_ts_key_is_order_reversing(ts):
+    assert sc.inverted_ts_key(ts + 1) < sc.inverted_ts_key(ts)
+
+
+def test_inverted_ts_key_rejects_out_of_domain():
+    """Found by hypothesis: beyond the fixed-width domain the key went
+    negative and ordered wrong — now an explicit error."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        sc.inverted_ts_key(10**11)
+    with pytest.raises(ValueError):
+        sc.inverted_ts_key(-1)
+
+
+# ---------------------------------------------------------------------------
+# multilocation interior keys
+# ---------------------------------------------------------------------------
+
+_junctions = st.one_of(
+    st.fixed_dictionaries({"parachain": st.integers(0, 4095)}),
+    st.fixed_dictionaries({"generalIndex": st.integers(0, 10**6)}),
+    st.fixed_dictionaries(
+        {"generalKey": st.binary(min_size=1, max_size=8).map(lambda b: "0x" + b.hex())}
+    ),
+    st.fixed_dictionaries({"palletInstance": st.integers(0, 255)}),
+)
+
+
+@given(js=st.lists(_junctions, min_size=1, max_size=4), relay=st.sampled_from(["polkadot", "kusama"]))
+@settings(max_examples=200, deadline=None)
+def test_interior_key_roundtrip_arbitrary_junctions(js, relay):
+    ml = {"parents": 1, "interior": {"X1": js[0]} if len(js) == 1 else {f"X{len(js)}": js}}
+    key = interior_key(ml, relay)
+    r2, ml2 = multilocation_from_interior_key(key)
+    assert r2 == relay
+    assert interior_key(ml2, relay) == key  # canonical fixed point

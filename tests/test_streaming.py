@@ -284,3 +284,29 @@ class TestStatefulMatching:
         st = FakeState()
         out = list(make_matcher(state_ttl_ms=1000)(("0xee",), iter([]), st))
         assert st.removed and out == []
+
+
+def test_unfinalized_tip(spark):
+    """X5: only candidates above the finalized frontier appear, one per
+    height (latest observation wins), flagged unfinalized."""
+    from polkadot_etl_spark.streaming.pipeline import unfinalized_tip
+
+    rows = [
+        _cand(1, 10, "0xa", "2024-01-01 00:00:00", True, "2024-01-01 00:00:01"),
+        _cand(1, 11, "0xb1", "2024-01-01 00:01:00", False, "2024-01-01 00:01:01"),
+        _cand(1, 11, "0xb2", "2024-01-01 00:01:00", False, "2024-01-01 00:01:05"),
+        _cand(1, 9, "0xold", "2024-01-01 00:00:00", False, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [
+            {
+                **r,
+                "block_time": __import__("datetime").datetime.fromisoformat(r["block_time"]),
+                "observed_at": __import__("datetime").datetime.fromisoformat(r["observed_at"]),
+            }
+            for r in rows
+        ]
+    )
+    out = unfinalized_tip(df).collect()
+    assert len(out) == 1
+    assert out[0].number == 11 and out[0].hash == "0xb2" and out[0].status == "unfinalized"
