@@ -329,3 +329,185 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+       {d_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+  AND n1.n_nationkey <> n2.n_nationkey
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(strftime(l.l_shipdate, '%Y') AS BIGINT)
+""",
+    doc="TPC-H Q7 volume shipping — two roles of the same dim (supplier "
+    "nation × customer nation) with a symmetric pair predicate; both "
+    "nation sides broadcast, facts shuffle once on the join keys.",
+    tags=("join", "agg"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("n1_key") < 5) & (F.col("n2_key") < 5) & (F.col("n1_key") != F.col("n2_key"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(_decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+    doc="TPC-H Q13 customer order-count distribution — LEFT OUTER join "
+    "with an extra join-side predicate (kept in the ON clause, not a "
+    "post-filter: customers with zero qualifying orders must survive "
+    "with c_count=0), then a histogram over the grouped counts.",
+    tags=("join", "agg"),
+)
+def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+WITH pavg AS (
+  SELECT l_partkey, {d_decsum('l_quantity')} / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {d_decsum('l.l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pavg  ON pavg.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * pavg.avg_qty
+""",
+    doc="TPC-H Q17 small-quantity-order revenue — correlated AVG "
+    "subquery decorrelated into a per-part aggregate joined back to the "
+    "fact (the classic subquery-to-join rewrite Catalyst also performs).",
+    tags=("join", "agg"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pavg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (_decsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pavg, l.l_partkey == pavg.a_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (_decsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+SELECT {d_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 disjunctive multi-attribute predicates across the "
+    "join: the OR-of-ANDs stays one join with a residual condition "
+    "(Catalyst pushes the common p_partkey equi-key; per-branch "
+    "single-side conjuncts are derived and pushed to both scans).",
+    tags=("join", "filter"),
+)
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(br).agg(
+        _decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {d_decsum('c_acctbal')} / COUNT(*) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, COUNT(*) AS numcust, {d_decsum('c.c_acctbal')} AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22 global sales opportunity — scalar-subquery threshold "
+    "(broadcast single-row cross join) + NOT EXISTS as a left-anti join "
+    "(the reference's passive-accounts shape, docs/DEFINITIONS.md:166); "
+    "the EXISTS side is restricted to urgent orders so the anti-set is "
+    "non-trivial on the synthetic data.",
+    tags=("join", "agg", "setop"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (_decsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o.where(F.col("o_orderpriority") == "1-URGENT"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _decsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
