@@ -440,3 +440,38 @@ def call_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node.leaf").alias("leaf"),
     )
     return simple.unionByName(deep)
+
+
+@query(
+    "asof_broadcast_version",
+    oracle=f"""
+WITH versions AS (
+  SELECT * FROM (VALUES
+    (1, TIMESTAMP '1995-01-01'), (2, TIMESTAMP '1996-01-01'),
+    (3, TIMESTAMP '1997-01-01'), (4, TIMESTAMP '1998-07-01'),
+    (5, TIMESTAMP '2000-01-01')) AS t(spec_version, since)
+)
+SELECT o.o_orderkey, {d_date('o.o_orderdate')} AS order_date,
+       (SELECT MAX(v.spec_version) FROM versions v WHERE v.since <= o.o_orderdate)
+         AS spec_version
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-06-01'
+""",
+    doc="J4 as-of against a tiny broadcast dim — spec_version at block "
+    "(reference polkaholicDB.js:322-333 reverse-scans per-chain "
+    "specVersions for max blockNumber <= bn). With a dim this small the "
+    "right plan is NOT the union+window asof: broadcast the versions, "
+    "conditional max — zero extra shuffle on the fact side.",
+    tags=("asof", "join"),
+)
+def asof_broadcast_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1995-06-01"))
+    versions = spark.createDataFrame(
+        [(1, "1995-01-01"), (2, "1996-01-01"), (3, "1997-01-01"),
+         (4, "1998-07-01"), (5, "2000-01-01")],
+        "spec_version: int, since: string",
+    ).select("spec_version", F.to_timestamp("since").alias("since"))
+    j = o.crossJoin(F.broadcast(versions)).where(F.col("since") <= F.col("o_orderdate"))
+    return j.groupBy("o_orderkey", s_date("o_orderdate").alias("order_date")).agg(
+        F.max("spec_version").alias("spec_version")
+    )

@@ -60,6 +60,7 @@ def write_day_partitioned(
     time_col: str,
     partition_col: str = "log_dt",
     mode: str = "overwrite",
+    cluster_by: list[str] | None = None,
 ) -> None:
     """Publish a silver/gold table day-partitioned on ``time_col``.
 
@@ -69,9 +70,12 @@ def write_day_partitioned(
     BigQuery partition decorators (SURVEY X8). At 100 TB this is the unit
     of reprocessing: one chain-day, never a full-table rewrite.
     """
-    (
-        df.withColumn(partition_col, F.to_date(F.col(time_col)))
-        .write.mode(mode)
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    # cluster_by sorts rows within each day partition (e.g. block_number,
+    # or address for per-address feeds) — the Spark replacement for the
+    # reference's BigTable key design (8-hex block keys, inverted-TS keys,
+    # SURVEY §4): parquet row-group min/max stats on the sorted columns
+    # give the scan the same range-skipping a prefix-ordered key store does.
+    out = df.withColumn(partition_col, F.to_date(F.col(time_col)))
+    if cluster_by:
+        out = out.sortWithinPartitions(partition_col, *cluster_by)
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)
