@@ -6,7 +6,8 @@ from polkadot_etl_spark.plans.metrics import (
     blocklog_daily,
 )
 from polkadot_etl_spark.plans.prices import best_by_liquidity, ohlcv_rollup, with_price_usd
-from polkadot_etl_spark.plans.traces import account_change_events
+from polkadot_etl_spark.plans.pallets import PalletRegistry, map_substrate_type
+from polkadot_etl_spark.plans.traces import account_change_events, parse_traces, storage_keys_dim
 from polkadot_etl_spark.plans.xcm import (
     match_messages,
     match_transfers,
@@ -25,6 +26,10 @@ __all__ = [
     "best_by_liquidity",
     "with_price_usd",
     "account_change_events",
+    "parse_traces",
+    "storage_keys_dim",
+    "PalletRegistry",
+    "map_substrate_type",
     "match_messages",
     "match_transfers",
     "teleport_fee_stats",

@@ -702,3 +702,62 @@ class TestSkewOperators:
         ).collect()
         key = lambda r: (r.o_orderkey, r.o_custkey, r.c_name)  # noqa: E731
         assert sorted(map(key, plain)) == sorted(map(key, salted))
+
+
+class TestLakeWriter:
+    def test_day_partition_replace_is_surgical(self, spark, tmp_path):
+        """X8: rewriting one day must replace exactly that day and leave
+        the others untouched (the bq load --replace '$YYYYMMDD' analog)."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.sources.tables import write_day_partitioned
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        path = str(tmp_path / "lake")
+        day1 = [(1, "2024-01-01 05:00:00"), (2, "2024-01-01 06:00:00")]
+        day2 = [(3, "2024-01-02 05:00:00")]
+        df = spark.createDataFrame(day1 + day2, "id: long, ts: string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        write_day_partitioned(df, path, "ts", cluster_by=["id"])
+        # re-publish ONLY day 2 with different content
+        df2 = spark.createDataFrame(
+            [(99, "2024-01-02 09:00:00")], "id: long, ts: string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        write_day_partitioned(df2, path, "ts")
+        got = {r.id for r in spark.read.parquet(path).collect()}
+        assert got == {1, 2, 99}  # day1 intact, day2 replaced
+
+    def test_replay_same_day_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.sources.tables import write_day_partitioned
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        path = str(tmp_path / "lake")
+        df = spark.createDataFrame([(1, "2024-01-01 05:00:00")], "id: long, ts: string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        write_day_partitioned(df, path, "ts")
+        write_day_partitioned(df, path, "ts")  # replay
+        assert spark.read.parquet(path).count() == 1
+
+
+class TestWasmStub:
+    def test_selector_dispatch_and_stub_boundary(self):
+        import pytest as _pytest
+
+        from polkadot_etl_spark.plans.wasm import ContractRegistry, InkMessage
+
+        reg = ContractRegistry()
+        reg.register(
+            "0xCODE",
+            [
+                InkMessage("get", "0x2f865bd9"),
+                InkMessage("transfer", "0x84a15da1", ("AccountId", "Balance")),
+            ],
+        )
+        assert reg.decode_call("0xcode", "0x2f865bd9")["label"] == "get"
+        assert reg.decode_call("0xcode", "0xdeadbeef")["decoded"] is False
+        with _pytest.raises(NotImplementedError):
+            reg.decode_call("0xCODE", "0x84a15da1ffff")
