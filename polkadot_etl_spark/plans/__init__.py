@@ -5,6 +5,7 @@ from polkadot_etl_spark.plans.metrics import (
     accounts_passive,
     blocklog_daily,
 )
+from polkadot_etl_spark.plans.stakings import nominators_per_validator, validators_by_era
 from polkadot_etl_spark.plans.prices import best_by_liquidity, ohlcv_rollup, with_price_usd
 from polkadot_etl_spark.plans.pallets import PalletRegistry, map_substrate_type
 from polkadot_etl_spark.plans.traces import account_change_events, parse_traces, storage_keys_dim
@@ -24,6 +25,8 @@ __all__ = [
     "accounts_new_reaped",
     "ohlcv_rollup",
     "best_by_liquidity",
+    "validators_by_era",
+    "nominators_per_validator",
     "with_price_usd",
     "account_change_events",
     "parse_traces",

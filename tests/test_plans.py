@@ -761,3 +761,50 @@ class TestWasmStub:
         assert reg.decode_call("0xcode", "0xdeadbeef")["decoded"] is False
         with _pytest.raises(NotImplementedError):
             reg.decode_call("0xCODE", "0x84a15da1ffff")
+
+
+class TestStakingAnalytics:
+    def test_validators_by_era_vs_oracle(self, fx):
+        from polkadot_etl_spark.plans.stakings import validators_by_era
+
+        got = validators_by_era(fx["dfs"]["stakings"]).toPandas()
+        want = fx["con"].execute("""
+WITH v AS (
+  SELECT era, address_ss58 AS validator_ss58, validator_total, validator_own,
+         validator_commission, validator_reward_points, ts
+  FROM stakings WHERE storage = 'ErasStakers'
+),
+era_agg AS (
+  SELECT era, CAST(SUM(validator_reward_points) AS BIGINT) AS era_reward_points,
+         CAST(CAST(SUM(CAST(validator_total AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           AS era_total_staked,
+         COUNT(*) AS n_validators
+  FROM v GROUP BY era
+)
+SELECT v.era, v.validator_ss58, v.validator_total, v.validator_own,
+       v.validator_commission, v.validator_reward_points,
+       e.era_reward_points, e.era_total_staked, e.n_validators,
+       CAST(v.validator_reward_points AS DOUBLE) / e.era_reward_points AS reward_share,
+       (CAST(v.validator_reward_points AS DOUBLE) / e.era_reward_points)
+         / (v.validator_total / e.era_total_staked) AS points_per_stake_ratio
+FROM v LEFT JOIN era_agg e ON v.era = e.era
+""").df()
+        got = got.drop(columns=[c for c in got.columns if c == "ts"], errors="ignore")
+        compare_frames(got, want, "validators_by_era")
+
+    def test_nominators_per_validator_vs_oracle(self, fx):
+        from polkadot_etl_spark.plans.stakings import nominators_per_validator
+
+        got = nominators_per_validator(fx["dfs"]["stakings"]).toPandas()
+        want = fx["con"].execute("""
+WITH n AS (
+  SELECT era, address_ss58 AS nominator_ss58,
+         UNNEST(CAST(json_extract(targets, '$') AS VARCHAR[])) AS validator_ss58
+  FROM stakings WHERE storage = 'Nominators'
+)
+SELECT era, validator_ss58,
+       STRING_AGG(nominator_ss58, ',' ORDER BY nominator_ss58) AS nominators,
+       COUNT(DISTINCT nominator_ss58) AS n_nominators
+FROM n GROUP BY era, validator_ss58
+""").df()
+        compare_frames(got, want, "nominators_per_validator")
