@@ -335,3 +335,22 @@ def ts_to_log_dt_hr(ts: int) -> tuple[str, int]:
 
     dt = datetime.datetime.fromtimestamp(int(ts), datetime.timezone.utc)
     return dt.strftime("%Y-%m-%d"), dt.hour
+
+
+# ---------------------------------------------------------------------------
+# UniV3 price math (paraTool.js:104 sqrtPriceX96ToPriceWithDecimals,
+# :130 tickToPriceWithDecimals) — public Uniswap v3 formulas
+# ---------------------------------------------------------------------------
+
+
+def sqrt_price_x96_to_price(sqrt_price_x96: int, decimals0: int, decimals1: int) -> float:
+    """token1-per-token0 price from a Q64.96 sqrt price:
+    (sqrtPriceX96 / 2^96)^2 · 10^(decimals0 - decimals1)."""
+    ratio = (int(sqrt_price_x96) / (1 << 96)) ** 2
+    return ratio * 10 ** (decimals0 - decimals1)
+
+
+def tick_to_price(tick: int, decimals0: int, decimals1: int) -> float:
+    """token1-per-token0 price of a v3 tick: 1.0001^tick scaled by the
+    decimal gap."""
+    return (1.0001 ** int(tick)) * 10 ** (decimals0 - decimals1)

@@ -83,3 +83,42 @@ def with_price_usd(
     return out.withColumn("price_usd", F.col("priceUSD")).withColumn(
         "amount_usd", F.col(amount_col) * F.col("priceUSD")
     ).drop("priceUSD")
+
+
+def lp_price_usd(
+    lp: DataFrame,
+    assetlog: DataFrame,
+    ts_col: str = "ts_epoch",
+) -> DataFrame:
+    """LP token price composition (assetManager.js:1499-1534): an LP
+    share's USD price = (reserve0·price0 + reserve1·price1) / lp_supply,
+    where price0/price1 are the as-of prices of the two pooled tokens.
+
+    lp columns: asset, token0, token1, reserve0, reserve1, lp_supply, ts.
+    Two as-of passes (one per token leg) — each is a single shuffle on
+    the token key; no per-row lookups.
+    """
+    prices = best_by_liquidity(assetlog).select(
+        F.col("asset").alias("__p_asset"),
+        F.col("indexTS").alias(ts_col),
+        F.col("priceUSD"),
+    )
+
+    def leg(df: DataFrame, token_col: str, out_col: str) -> DataFrame:
+        right = prices.withColumnRenamed("__p_asset", token_col)
+        out = asof_join(
+            left=df,
+            right=right,
+            by=[token_col],
+            left_ts=ts_col,
+            right_ts=ts_col,
+            value_cols=["priceUSD"],
+        )
+        return out.withColumnRenamed("priceUSD", out_col)
+
+    j = leg(lp, "token0", "price0")
+    j = leg(j, "token1", "price1")
+    tvl = F.col("reserve0") * F.col("price0") + F.col("reserve1") * F.col("price1")
+    return j.withColumn("tvl_usd", tvl).withColumn(
+        "lp_price_usd", F.when(F.col("lp_supply") > 0, tvl / F.col("lp_supply"))
+    )

@@ -245,3 +245,22 @@ class TestMultilocation:
 
         with _pytest.raises(ValueError):
             interior_key({"interior": {"X1": {"Bogus": 1}}})
+
+
+class TestUniV3Math:
+    def test_sqrt_price_identity(self):
+        # sqrtPriceX96 = 2^96 → ratio exactly 1.0; same-decimals → price 1
+        assert sc.sqrt_price_x96_to_price(1 << 96, 18, 18) == 1.0
+        # USDC(6)/WETH(18) style decimal gap
+        p = sc.sqrt_price_x96_to_price(1 << 96, 6, 18)
+        assert abs(p - 1e-12) < 1e-24
+
+    def test_tick_price(self):
+        assert sc.tick_to_price(0, 18, 18) == 1.0
+        # tick 6931 ≈ doubling (1.0001^6931 ≈ 2.0000...)
+        assert abs(sc.tick_to_price(6931, 18, 18) - 2.0) < 0.001
+        # consistency: price(tick) == sqrt_price(sqrt(1.0001^tick)·2^96)
+        import math
+        t = 1200
+        sp = int(math.sqrt(1.0001**t) * (1 << 96))
+        assert abs(sc.tick_to_price(t, 8, 8) - sc.sqrt_price_x96_to_price(sp, 8, 8)) < 1e-6

@@ -1,0 +1,67 @@
+"""Plan-quality regression guards: the physical plans behind the registry
+must keep the properties the 100 TB design depends on. Planning only —
+nothing executes, so the whole registry checks in seconds."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from polkadot_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].build(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Python in a plan must be Arrow-batched (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas) — BatchEvalPython is the
+    row-pickling slow path and is banned from the whole registry."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if "BatchEvalPython" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in QUERIES.items() if "topk" in s.tags)
+)
+def test_topk_plans_as_take_ordered(spark, name):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("tpch_q1", r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate"),
+        ("tpch_q6_forecast_revenue", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
+        ("dynamic_predicates", r"PushedFilters: \[[^\]]*In\(event_type"),
+        ("like_filter", r"PushedFilters: \[[^\]]*StringContains\(text,spark\)"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, expected):
+    assert re.search(expected, _plan(spark, name)), name
+
+
+def test_dim_decoration_is_all_broadcast_no_fact_shuffle(spark):
+    plan = _plan(spark, "broadcast_dim_decoration")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
+    assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    assert not re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
+
+
+def test_aggregations_are_partial_final(spark):
+    """The flagship grouped agg must map-side combine: two HashAggregate
+    nodes (partial below the exchange, final above)."""
+    plan = _plan(spark, "tpch_q1")
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert "partial_sum" in plan

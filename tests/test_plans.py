@@ -808,3 +808,71 @@ SELECT era, validator_ss58,
 FROM n GROUP BY era, validator_ss58
 """).df()
         compare_frames(got, want, "nominators_per_validator")
+
+
+class TestLpPrice:
+    def test_lp_price_composes_both_legs(self, spark):
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.plans.stakings import validators_by_era  # noqa: F401
+        from polkadot_etl_spark.plans.prices import lp_price_usd
+
+        assetlog = spark.createDataFrame(
+            [
+                ("DOT", 0, 100, 7.0, 1, "oracle", 0.0, 0.0, 0.0, 0.0, 0.0),
+                ("USDT", 0, 100, 1.0, 1, "oracle", 0.0, 0.0, 0.0, 0.0, 0.0),
+                ("DOT", 0, 200, 8.0, 1, "oracle", 0.0, 0.0, 0.0, 0.0, 0.0),
+            ],
+            "asset: string, chainID: int, indexTS: long, priceUSD: double, liquid: int,"
+            " source: string, open: double, high: double, low: double, close: double,"
+            " total_volumes: double",
+        )
+        lp = spark.createDataFrame(
+            [("LP-DOT-USDT", "DOT", "USDT", 1000.0, 7500.0, 500.0, 250)],
+            "asset: string, token0: string, token1: string, reserve0: double,"
+            " reserve1: double, lp_supply: double, ts_epoch: long",
+        )
+        r = lp_price_usd(lp, assetlog).collect()[0]
+        # at ts 250: DOT as-of price 8.0 (ts 200), USDT 1.0 (ts 100)
+        assert r.tvl_usd == 1000.0 * 8.0 + 7500.0 * 1.0
+        assert r.lp_price_usd == r.tvl_usd / 500.0
+
+
+class TestChainParsers:
+    def test_dispatch_and_overrides(self):
+        from polkadot_etl_spark.plans.chains import (
+            ChainParser,
+            MoonbeamParser,
+            get_parser,
+            register_parser,
+        )
+
+        assert isinstance(get_parser(2004), MoonbeamParser)
+        assert get_parser(999999).__class__ is ChainParser  # generic fallback
+        assert get_parser(2004).native_decimals == 18
+        assert get_parser(2000).native_symbol == "ACA"
+        assert get_parser(0).is_suppressed("timestamp", "set")
+
+        @register_parser
+        class TestChain(ChainParser):
+            chain_id = 31337
+            native_symbol = "TST"
+
+        assert get_parser(31337).native_symbol == "TST"
+
+    def test_per_chain_transfer_decimals(self, fx):
+        """The same events decode with chain-specific decimal scaling —
+        the override changes config, not plan shape."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        events = fx["dfs"]["events"]
+        dot = get_parser(0).transfers(events).where(F.col("symbol") == "DOT")
+        aca = get_parser(2000).transfers(events)
+        r_dot = dot.select("raw_amount", "amount").first()
+        r_aca = aca.where(F.col("raw_amount") == r_dot.raw_amount).select(
+            "raw_amount", "amount"
+        ).first()
+        # same raw integer, 10 vs 12 decimals → amounts differ by 100×
+        assert abs(float(r_dot.amount) / float(r_aca.amount) - 100.0) < 1e-6
