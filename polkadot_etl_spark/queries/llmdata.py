@@ -622,3 +622,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
     sims = j.select("vec_a", "vec_b", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
     return sims.where(F.col("cosine") >= 0.3)
+
+
+@query(
+    "multimodal_image_features",
+    oracle=None,  # mapInPandas binary pipeline — not SQL-expressible; driver runs rows-only check
+    doc="Multimodal column pipeline end-to-end on synthesized media: "
+    "documents' text bytes become deterministic 16x16 grayscale rasters "
+    "(the marked stand-in for a real codec — no media libs in this "
+    "environment), then the REAL Arrow-batched mapInPandas stages run: "
+    "decode/validate, nearest-neighbor resize to 8x8, and byte-histogram "
+    "features. Returns per-image stats + feature norms; plumbing "
+    "(schema, binary columns, batch shape, fan-out partitioning) is the "
+    "same a PIL/ffmpeg-backed deployment would use.",
+    tags=("multimodal",),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.media import (
+        byte_histogram_features,
+        decode_image,
+        resize_images,
+    )
+
+    W = H = 16
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    # deterministic fake codec input: text bytes truncated/zero-padded to W*H
+    content = F.substring(
+        F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(W * H))), 1, W * H
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.named_struct(
+            F.lit("width"), F.lit(W).cast("int"),
+            F.lit("height"), F.lit(H).cast("int"),
+            F.lit("channels"), F.lit(1).cast("int"),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(1).cast("int"),
+            F.lit("fps"), F.lit(None).cast("double"),
+        ).alias("meta"),
+    )
+    stats = decode_image(media)
+    resized = resize_images(media, 8, 8).select(
+        "media_id", F.length("content").alias("resized_bytes")
+    )
+    feats = byte_histogram_features(media).select(
+        "media_id",
+        F.size("features").alias("n_feature_bins"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum"),
+    )
+    return (
+        stats.join(resized, "media_id")
+        .join(feats, "media_id")
+        .select(
+            "media_id", "width", "height", "n_pixels",
+            F.round("pixel_mean", 4).alias("pixel_mean"),
+            "valid", "resized_bytes", "n_feature_bins", "feature_sum",
+        )
+    )

