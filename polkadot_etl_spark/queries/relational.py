@@ -811,3 +811,57 @@ def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
     present = o.select(F.to_date("o_orderdate").alias("day")).dropDuplicates()
     return calendar.join(present, "day", "left_anti").select(s_date("day").alias("missing_day"))
+
+
+@query(
+    "rollup_daily_type",
+    oracle=f"""
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE({d_date('ts')}, '<all>') AS log_dt,
+       COUNT(*) AS cnt,
+       {d_decsum('COALESCE(value, 0)')} AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, {d_date('ts')})
+""",
+    doc="Hierarchical ROLLUP totals (type, day) -> (type) -> (). The "
+    "reference computes its rollup tiers with separate queries "
+    "(SURVEY §2.4: A1 daily + A2 trailing + chain totals); GROUPING "
+    "SETS folds them into ONE pass over the fact table — strictly "
+    "fewer scans at 100 TB. NULL group markers are coalesced to a "
+    "literal so both engines hash identically.",
+    tags=("agg",),
+)
+def rollup_daily_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", s_date("ts").alias("log_dt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _decsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("log_dt", F.lit("<all>")).alias("log_dt"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines by design; driver runs rows-only
+    doc="approx_count_distinct (HyperLogLog++) per event_type with the "
+    "exact count alongside — the documented opt-in for 100 TB cardinality "
+    "work (SURVEY §2.4: reference uses exact COUNT(DISTINCT) at "
+    "substrateetl.js:9385; at scale the exact form shuffles every "
+    "distinct key, the sketch shuffles fixed-size registers). rsd=0.01; "
+    "the test asserts the sketch lands within 5% of exact.",
+    tags=("agg",),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

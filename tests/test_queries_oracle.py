@@ -35,3 +35,12 @@ def test_query_nonempty(spark, name):
     nothing at tiny SF are exempted.)"""
     spec = QUERIES[name]
     assert spec.build(spark, SF_DIR).limit(1).count() >= 1, f"{name} returned no rows"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """The HLL sketch must land within 5% of the exact count — the
+    rows-only driver check can't see values, so pin accuracy here."""
+    from polkadot_etl_spark.queries import QUERIES
+
+    for r in QUERIES["approx_distinct_users"].build(spark, SF_DIR).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), r
