@@ -865,3 +865,79 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "fee_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Ordered-statistics aggregation: exact interpolated median/p95 "
+    "per group — the fee-distribution class (A6) extended beyond the "
+    "reference's avg/std. Exact percentile sorts within groups (one "
+    "shuffle); at 100 TB swap to approx_percentile and record the "
+    "rank error, same as the countDistinct/HLL trade. Rounded to 6dp "
+    "in BOTH engines: interpolation arithmetic is one subtract/"
+    "multiply/add on identical doubles.",
+    tags=("agg",),
+)
+def fee_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "moving_avg_7d",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_idx,
+         {d_date('ts')} AS log_dt,
+         SUM(CAST(value AS DECIMAL(38,10))) AS day_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id, log_dt,
+       CAST(CAST(SUM(day_value) OVER w AS VARCHAR) AS DOUBLE)
+         / COUNT(*) OVER w AS avg_7d,
+       COUNT(*) OVER w AS days_present
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="7-day trailing moving average per user via a RANGE frame over "
+    "an integer day index — the windowed form of the reference's "
+    "trailing rollups (A2, substrateetl.js:9487): RANGE (not ROWS) so "
+    "missing days shrink the window instead of silently stretching it. "
+    "Numerator stays DECIMAL until one final cast; denominator is the "
+    "frame row count — one IEEE divide on identical operands.",
+    tags=("window", "agg"),
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000_000)).cast("bigint").alias("day_idx"),
+        s_date("ts").alias("log_dt"),
+    ).agg(F.sum(F.col("value").cast("decimal(38,10)")).alias("day_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "log_dt",
+        (
+            F.sum("day_value").over(w).cast("string").cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present"),
+    )
