@@ -941,3 +941,55 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_7d"),
         F.count(F.lit(1)).over(w).alias("days_present"),
     )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       {d_ts('MIN(ts)')} AS session_start,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+         AS duration_s
+FROM sessions GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (30-min inactivity): LAG flags session "
+    "starts, a running SUM numbers them, one grouped agg summarizes — "
+    "the standard two-window composition. Both windows and the agg "
+    "share the user_id partitioning, so the whole pipeline is ONE "
+    "shuffle + sorts. (ts, event_id) is a total order so session "
+    "numbering is reproducible. The streaming twin is "
+    "session_window(ts, '30 minutes') with a watermark.",
+    tags=("window", "agg"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(wc))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        s_ts(F.min("ts")).alias("session_start"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000)
+        .cast("bigint")
+        .alias("duration_s"),
+    )

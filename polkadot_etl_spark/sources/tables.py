@@ -79,3 +79,23 @@ def write_day_partitioned(
     if cluster_by:
         out = out.sortWithinPartitions(partition_col, *cluster_by)
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (SURVEY §4 'co-located joins via bucketing'):
+    both sides of a recurring big-big join written with the same
+    (bucket_cols, n_buckets) join WITHOUT any exchange — the shuffle is
+    paid once at write time instead of on every query. This is the
+    replacement for the reference's hand-designed row keys when the same
+    join runs daily (e.g. extrinsics × events on extrinsic_id).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

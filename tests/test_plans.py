@@ -876,3 +876,37 @@ class TestChainParsers:
         ).first()
         # same raw integer, 10 vs 12 decimals → amounts differ by 100×
         assert abs(float(r_dot.amount) / float(r_aca.amount) - 100.0) < 1e-6
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark):
+        """Two tables bucketed on the join key must sort-merge join with
+        ZERO Exchange nodes — the write-time shuffle replaces the
+        query-time shuffle (run daily, pay once)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.sources.tables import write_bucketed
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        try:
+            a = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+            )
+            b = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+            )
+            write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
+            write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+            j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = j._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+            assert "SortMergeJoin" in plan
+            assert j.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")
