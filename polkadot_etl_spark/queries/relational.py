@@ -993,3 +993,42 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_s"),
     )
+
+
+@query(
+    "session_window_native",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM ordered
+)
+SELECT user_id, {d_ts('MIN(ts)')} AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+    doc="Spark's NATIVE session_window operator cross-validated against "
+    "an independent LAG-based sessionization oracle — the two "
+    "formulations must produce identical sessions (same 30-min gap "
+    "rule). session_window is also the streaming form (with a "
+    "watermark); this pins its batch semantics to the SQL definition.",
+    tags=("window", "agg"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            s_ts(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )

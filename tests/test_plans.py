@@ -910,3 +910,37 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
             spark.sql("DROP TABLE IF EXISTS bkt_a")
             spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+class TestUpsertMerge:
+    def test_merge_replaces_matches_inserts_new_keeps_other_days(self, spark, tmp_path):
+        """J10/X6: matched keys replaced, new keys inserted, untouched
+        partitions byte-identical; replay is idempotent."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.operators.merge import upsert_day_partitioned
+
+        path = str(tmp_path / "tbl")
+
+        def mk(rows):
+            return spark.createDataFrame(rows, "k: long, v: string, ts: string").withColumn(
+                "ts", F.to_timestamp("ts")
+            )
+
+        base = mk([
+            (1, "a", "2024-01-01 01:00:00"),
+            (2, "b", "2024-01-01 02:00:00"),
+            (3, "c", "2024-01-02 01:00:00"),
+        ])
+        upsert_day_partitioned(spark, path, base, ["k"], "ts")
+        upd = mk([
+            (2, "B2", "2024-01-01 02:30:00"),  # replace key 2
+            (4, "d", "2024-01-01 03:00:00"),   # insert key 4
+        ])
+        upsert_day_partitioned(spark, path, upd, ["k"], "ts")
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+        # replay the same batch → identical content (idempotent)
+        upsert_day_partitioned(spark, path, upd, ["k"], "ts")
+        got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got2 == got
