@@ -511,3 +511,57 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             _decsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+       {d_decsum("CASE WHEN n2.n_nationkey = 3 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+         / {d_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY CAST(strftime(o.o_orderdate, '%Y') AS BIGINT)
+""",
+    doc="TPC-H Q8 market share — share-of-total within group: one "
+    "nation's revenue fraction of a region's yearly total, as a "
+    "conditional-sum / total-sum ratio in a single grouped pass (no "
+    "self-join against the total). Six-way star join; all dims "
+    "broadcast; p_type filter dropped (part uninvolved in the share "
+    "definition on the synthetic schema).",
+    tags=("join", "agg"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n2_key") == 3, disc).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (_decsum(target) / _decsum(disc)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -944,3 +944,71 @@ class TestUpsertMerge:
         upsert_day_partitioned(spark, path, upd, ["k"], "ts")
         got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
         assert got2 == got
+
+
+class TestAsofAgainstPandas:
+    def test_asof_join_matches_merge_asof(self, spark):
+        """The union+window as-of operator must agree with pandas
+        merge_asof (backward direction, by-key) on randomized data —
+        an independent reference implementation."""
+        import numpy as np
+        import pandas as pd
+
+        from polkadot_etl_spark.operators.asof import asof_join
+
+        rng = np.random.default_rng(42)
+        n_l, n_r = 400, 300
+        left_pd = pd.DataFrame(
+            {
+                "key": rng.integers(0, 8, n_l),
+                "ts": rng.integers(0, 10_000, n_l),
+                "lid": np.arange(n_l),
+            }
+        )
+        right_pd = pd.DataFrame(
+            {
+                "key": rng.integers(0, 8, n_r),
+                "ts": rng.integers(0, 10_000, n_r),
+                "val": rng.random(n_r).round(6),
+            }
+        )
+        # merge_asof needs unique (key, ts) on the right to be unambiguous;
+        # keep the max val per (key, ts) in both references
+        right_pd = right_pd.sort_values(["key", "ts", "val"]).groupby(
+            ["key", "ts"], as_index=False
+        ).last()
+
+        want = pd.merge_asof(
+            left_pd.sort_values("ts"),
+            right_pd.sort_values("ts"),
+            on="ts",
+            by="key",
+            direction="backward",
+        ).sort_values("lid")
+
+        left = spark.createDataFrame(left_pd)
+        right = spark.createDataFrame(right_pd)
+        got = (
+            asof_join(left, right, by=["key"], left_ts="ts", right_ts="ts", value_cols=["val"])
+            .toPandas()
+            .sort_values("lid")
+        )
+        lhs = got.set_index("lid")["val"].astype(float)
+        rhs = want.set_index("lid")["val"].astype(float)
+        pd.testing.assert_series_equal(lhs, rhs, check_exact=True)
+
+
+def test_sanity_nullify_counts(spark):
+    """The reference's crawler-glitch guard: counts above ratio x prior
+    total become NULL, sane counts survive (substrateetl.js:9407-9415)."""
+    from polkadot_etl_spark.plans.metrics import sanity_nullify_counts
+
+    df = spark.createDataFrame(
+        [("d1", 10, 1000), ("d2", 600, 1000), ("d3", 500, 1000)],
+        "day: string, new_accounts: long, prior_total: long",
+    )
+    got = {
+        r.day: r.new_accounts
+        for r in sanity_nullify_counts(df, "new_accounts", "prior_total").collect()
+    }
+    assert got == {"d1": 10, "d2": None, "d3": 500}
