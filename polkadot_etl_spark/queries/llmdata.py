@@ -681,3 +681,39 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid", "resized_bytes", "n_feature_bins", "feature_sum",
         )
     )
+
+
+@query(
+    "ss58_codec_roundtrip",
+    oracle=None,  # blake2-based ss58 checksums aren't expressible in DuckDB SQL
+    doc="Arrow-batched ss58 codec on the driver-facing surface: "
+    "deterministic 32-byte pubkeys derived from customer keys (md5x2), "
+    "encoded to ss58 for three network prefixes and decoded back — "
+    "returns per-prefix totals and round-trip-ok counts (equality "
+    "asserted in tests; the driver's rows-only check sees stable "
+    "1-row-per-prefix output). All Python is pandas-UDF map-side work; "
+    "the aggregation is native.",
+    tags=("functions",),
+)
+def ss58_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.functions.udfs import u_get_address, u_get_pubkey
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    pk = F.concat(
+        F.lit("0x"), F.md5(F.col("c_custkey").cast("string")),
+        F.md5(F.concat(F.lit("salt"), F.col("c_custkey").cast("string"))),
+    )
+    base = c.select(F.col("c_custkey"), pk.alias("pubkey"))
+    out = None
+    for prefix in (0, 2, 42):
+        enc = base.withColumn("prefix", F.lit(prefix)).withColumn(
+            "ss58", u_get_address(prefix)(F.col("pubkey"))
+        )
+        out = enc if out is None else out.unionByName(enc)
+    roundtrip = out.withColumn("back", u_get_pubkey(F.col("ss58")))
+    return roundtrip.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("back") == F.col("pubkey"), 1)).alias("n_roundtrip_ok"),
+        F.min(F.length("ss58")).alias("min_addr_len"),
+        F.max(F.length("ss58")).alias("max_addr_len"),
+    )

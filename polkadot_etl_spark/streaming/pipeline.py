@@ -183,3 +183,47 @@ def unfinalized_tip(candidates: DataFrame) -> DataFrame:
         .drop("__rn")
         .withColumn("status", F.lit("unfinalized"))
     )
+
+
+def match_messages_stream_join(
+    sources: DataFrame, dests: DataFrame, max_lag_seconds: int = 120
+) -> DataFrame:
+    """Watermarked stream-stream inner join form of the XCM match (the
+    idiomatic evolution of the batch-over-window cron the reference runs,
+    SURVEY §3.3; the stateful per-key form is streaming/stateful.py).
+
+    Both sides are watermarked so Spark can bound the join state: a
+    source is held only until destTime can no longer fall inside
+    [srcTime, srcTime + max_lag_seconds]."""
+    s = (
+        sources.withWatermark("block_time", f"{max_lag_seconds} seconds")
+        .select(
+            F.col("msgHash").alias("s_msgHash"),
+            F.col("chain_id").alias("s_chain"),
+            F.col("number").alias("blockNumberSource"),
+            F.col("block_time").alias("srcTime"),
+        )
+    )
+    d = (
+        dests.withWatermark("block_time", f"{max_lag_seconds} seconds")
+        .select(
+            F.col("msgHash").alias("d_msgHash"),
+            F.col("chain_id").alias("d_chain"),
+            F.col("number").alias("blockNumberDest"),
+            F.col("block_time").alias("destTime"),
+        )
+    )
+    return s.join(
+        d,
+        (F.col("s_msgHash") == F.col("d_msgHash"))
+        & (F.col("destTime") >= F.col("srcTime"))
+        & (F.col("destTime") <= F.col("srcTime") + F.expr(f"INTERVAL {max_lag_seconds} SECONDS")),
+    ).select(
+        F.col("s_msgHash").alias("msgHash"),
+        F.col("s_chain").alias("chainIDSource"),
+        F.col("d_chain").alias("chainIDDest"),
+        "blockNumberSource",
+        "blockNumberDest",
+        "srcTime",
+        "destTime",
+    )

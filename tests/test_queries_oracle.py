@@ -44,3 +44,14 @@ def test_approx_distinct_within_tolerance(spark):
 
     for r in QUERIES["approx_distinct_users"].build(spark, SF_DIR).collect():
         assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), r
+
+
+def test_ss58_codec_roundtrip_invariant(spark):
+    """The rows-only driver check can't see values — pin the invariant:
+    every derived pubkey round-trips through ss58 for every prefix."""
+    from polkadot_etl_spark.queries import QUERIES
+
+    rows = QUERIES["ss58_codec_roundtrip"].build(spark, SF_DIR).collect()
+    assert {r.prefix for r in rows} == {0, 2, 42}
+    for r in rows:
+        assert r.n_total == r.n_roundtrip_ok > 0, r

@@ -310,3 +310,51 @@ def test_unfinalized_tip(spark):
     out = unfinalized_tip(df).collect()
     assert len(out) == 1
     assert out[0].number == 11 and out[0].hash == "0xb2" and out[0].status == "unfinalized"
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path, few_shuffle_partitions):
+    """Watermarked stream-stream XCM match: pairs within the time band
+    join across micro-batches; out-of-band pairs don't."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from polkadot_etl_spark.streaming.pipeline import (
+        CANDIDATE_SCHEMA,
+        match_messages_stream_join,
+    )
+
+    src_dir = tmp_path / "src"
+    dst_dir = tmp_path / "dst"
+    src_dir.mkdir(), dst_dir.mkdir()
+
+    def w(dirpath, name, rows):
+        with open(f"{dirpath}/{name}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def msg(h, chain, bn, t):
+        return {
+            "chain_id": chain, "number": bn, "hash": h + "-b", "parent_hash": None,
+            "block_time": t, "finalized": True, "observed_at": t, "msgHash": h,
+        }
+
+    schema = CANDIDATE_SCHEMA.add("msgHash", "string")
+    w(src_dir, "s1", [msg("0xa", 0, 100, "2024-01-01 00:00:00"),
+                      msg("0xb", 0, 101, "2024-01-01 00:00:06")])
+    w(dst_dir, "d1", [msg("0xa", 2000, 900, "2024-01-01 00:01:30"),   # in band (90s)
+                      msg("0xb", 2000, 901, "2024-01-01 00:05:00")])  # out of band (294s)
+
+    sources = spark.readStream.schema(schema).json(str(src_dir))
+    dests = spark.readStream.schema(schema).json(str(dst_dir))
+    out = []
+    q = (
+        match_messages_stream_join(sources, dests)
+        .writeStream.foreachBatch(lambda b, _: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r.msgHash for r in out] == ["0xa"]
+    assert (out[0].blockNumberSource, out[0].blockNumberDest) == (100, 900)
