@@ -565,3 +565,49 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q9_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+       {d_decsum('l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.1 * l.l_quantity')}
+         AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, CAST(strftime(o.o_orderdate, '%Y') AS BIGINT)
+""",
+    doc="TPC-H Q9 product-type profit by (supplier nation, year) — "
+    "revenue minus cost across a 5-way join with a LIKE dim filter. "
+    "No partsupp table in the synthetic schema, so unit cost is "
+    "p_retailprice*0.1 (shape-preserving substitute). The profit "
+    "expression folds into ONE per-row decimal cast before the sum, so "
+    "the subtraction order is identical in both engines.",
+    tags=("join", "agg"),
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_decsum(profit).alias("sum_profit"))
+    )
