@@ -1032,3 +1032,31 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events GROUP BY user_id
+""",
+    doc="PIVOT: long→wide per-type counts per user (the per-address "
+    "lifetime-stats table shape, A13, built with the pivot operator "
+    "instead of hand-written conditional aggs). The pivot value list is "
+    "EXPLICIT — never inferred — so the plan is a single partial→final "
+    "agg with no extra distinct-values job and a stable schema.",
+    tags=("agg", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )

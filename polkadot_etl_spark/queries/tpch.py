@@ -611,3 +611,41 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_decsum(profit).alias("sum_profit"))
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {d_decsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 top supplier — argmax via scalar subquery against a "
+    "reused aggregate view: the revenue aggregate computes once, its "
+    "max broadcasts as a single-row cross join, the equality filter "
+    "picks the argmax rows (ties preserved, like the spec). Exact "
+    "decimal revenue makes the equality well-defined across engines.",
+    tags=("join", "agg", "topk"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
