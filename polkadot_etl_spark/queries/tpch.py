@@ -632,7 +632,7 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     "max broadcasts as a single-row cross join, the equality filter "
     "picks the argmax rows (ties preserved, like the spec). Exact "
     "decimal revenue makes the equality well-defined across engines.",
-    tags=("join", "agg", "topk"),
+    tags=("join", "agg", "argmax"),
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
