@@ -1060,3 +1060,28 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@query(
+    "unpivot_roundtrip",
+    oracle="""
+SELECT user_id, event_type, COUNT(*) AS cnt
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+GROUP BY user_id, event_type
+""",
+    doc="UNPIVOT (stack) as the exact inverse of PIVOT: the wide "
+    "per-type count table unpivots back to long form and must equal "
+    "the direct long aggregation (zero cells dropped, matching GROUP "
+    "BY semantics). stack() is pure projection — the only shuffle is "
+    "the original pivot agg.",
+    tags=("agg", "pivot"),
+)
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = e.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    stack_expr = "stack({n}, {args}) as (event_type, cnt)".format(
+        n=len(types), args=", ".join(f"'{t}', `{t}`" for t in types)
+    )
+    return wide.select("user_id", F.expr(stack_expr)).where(F.col("cnt") > 0)
