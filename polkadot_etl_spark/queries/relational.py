@@ -1085,3 +1085,38 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=len(types), args=", ".join(f"'{t}', `{t}`" for t in types)
     )
     return wide.select("user_id", F.expr(stack_expr)).where(F.col("cnt") > 0)
+
+
+@query(
+    "intersect_except_users",
+    oracle="""
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     signups AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT 'buyer_and_viewer' AS cohort, COUNT(*) AS n FROM (
+  SELECT user_id FROM buyers INTERSECT SELECT user_id FROM viewers)
+UNION ALL
+SELECT 'buyer_not_signup', COUNT(*) FROM (
+  SELECT user_id FROM buyers EXCEPT SELECT user_id FROM signups)
+""",
+    doc="U4 set-op completion: INTERSECT (buyers ∩ viewers) and EXCEPT "
+    "(buyers − signups) cohort counts. Spark plans both as hash "
+    "left-semi / left-anti joins over the deduped key sets — same "
+    "physical shape as the J9/J11 forms, surfaced through the set-op "
+    "API the reference never needed (SURVEY §2.7 U4).",
+    tags=("setop",),
+)
+def intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def cohort(t: str) -> DataFrame:
+        return e.where(F.col("event_type") == t).select("user_id").dropDuplicates()
+
+    buyers, viewers, signups = cohort("purchase"), cohort("view"), cohort("signup")
+    both = buyers.intersect(viewers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("buyer_and_viewer").alias("cohort"), "n"
+    )
+    only = buyers.exceptAll(signups).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("buyer_not_signup").alias("cohort"), "n"
+    )
+    return both.unionByName(only)
