@@ -120,3 +120,71 @@ def test_interior_key_roundtrip_arbitrary_junctions(js, relay):
     r2, ml2 = multilocation_from_interior_key(key)
     assert r2 == relay
     assert interior_key(ml2, relay) == key  # canonical fixed point
+
+
+# ---------------------------------------------------------------------------
+# multisig / sovereign / base58 / evm tx properties
+# ---------------------------------------------------------------------------
+
+
+@given(data=st.binary(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_b58_roundtrip(data):
+    assert sc.b58decode(sc.b58encode(data)) == data
+
+
+@given(
+    pks=st.lists(st.binary(min_size=32, max_size=32), min_size=1, max_size=5, unique=True),
+    threshold=st.integers(1, 5),
+)
+@settings(max_examples=100, deadline=None)
+def test_multisig_order_insensitive(pks, threshold):
+    """Any permutation of signatories yields the same multisig account."""
+    hexes = ["0x" + p.hex() for p in pks]
+    base = sc.compute_multisig(hexes, threshold)
+    assert sc.compute_multisig(list(reversed(hexes)), threshold) == base
+    assert base.startswith("0x") and len(base) == 66
+
+
+@given(nonce=st.integers(0, 2**32 - 1), value=st.integers(0, 2**128), gas=st.integers(21000, 2**32))
+@settings(max_examples=100, deadline=None)
+def test_evm_tx_decode_roundtrip_fields(nonce, value, gas):
+    from polkadot_etl_spark.functions.evm import decode_rlp_transaction, rlp_encode
+
+    def be(n):
+        return n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+
+    tx = rlp_encode([be(nonce), be(10**9), be(gas), bytes.fromhex("ab" * 20),
+                     be(value), b"\x01\x02\x03\x04\x05", b"\x25", b"\x11" * 32, b"\x22" * 32])
+    d = decode_rlp_transaction(tx)
+    assert d["nonce"] == nonce and d["gas"] == gas
+    assert d["value"] == str(value)  # exact u256 round-trip as string
+    assert d["selector"] == "0x01020304"
+
+
+@given(raw=st.integers(0, 2**63 - 1), decimals=st.integers(0, 18))
+@settings(max_examples=100, deadline=None)
+def test_base_unit_scaling_consistent(raw, decimals):
+    """to_base_unit inverts float_to_raw up to float precision."""
+    amount = sc.to_base_unit(raw, decimals)
+    back = sc.float_to_raw(amount, decimals)
+    # float64 has 53 bits of mantissa; the round-trip is exact when raw
+    # fits, and within 1 ulp of the scale otherwise
+    assert abs(back - raw) <= max(1, raw // (1 << 52))
+
+
+@given(period=st.sampled_from([4, 8, 16, 32, 64, 128, 256]), phase=st.integers(0, 255),
+       current=st.integers(0, 10**7))
+@settings(max_examples=100, deadline=None)
+def test_lifetime_birth_not_after_current(period, phase, current):
+    from hypothesis import assume
+
+    phase = phase % period
+    # a mortal extrinsic can't be observed before its own phase block —
+    # current < phase is unreachable on a live chain
+    assume(current >= phase)
+    birth, death = sc.lifetime_birth_death(period, phase, current)
+    assert birth <= current
+    assert current < death  # still alive at the observation block
+    assert death == birth + period
+    assert birth % period == phase
