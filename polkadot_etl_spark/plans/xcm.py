@@ -116,6 +116,14 @@ def match_transfers(
     per-(symbol, dest) teleport-fee distribution, confidence = 1/(1+z),
     keep the best candidate per transfer if confidence > min_confidence.
     """
+    # De-skew: a hot msgHash (replayed/spammy message) would materialize
+    # k·m pairs before the time-band filter. Composite key adds a time
+    # bucket of width lookback+lookahead: any candidate inside the band
+    # [sourceTS - lookback, sourceTS + lookahead] falls in the bucket of
+    # the band's left edge or of its right edge, so each transfer probes
+    # exactly those (≤2 distinct) buckets and per-task pair counts are
+    # bounded by per-bucket density, not per-hash lifetime counts.
+    bucket_w = ts_lookback + ts_lookahead
     cand = candidates.select(
         F.col("msgHash").alias("c_msgHash"),
         F.col("chainIDDest").alias("c_chainIDDest"),
@@ -125,16 +133,29 @@ def match_transfers(
         F.col("amountReceived"),
         F.col("xcmTeleportFees"),
         F.col("eventID").alias("destEventID"),
+        F.floor(F.col("destTS") / F.lit(bucket_w)).alias("c_bucket"),
     )
-    j = transfers.join(
+    probe = transfers.withColumn(
+        "probe_bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("sourceTS") - ts_lookback) / F.lit(bucket_w)),
+                    F.floor((F.col("sourceTS") + ts_lookahead) / F.lit(bucket_w)),
+                )
+            )
+        ),
+    )
+    j = probe.join(
         cand,
-        (transfers.msgHash == cand.c_msgHash)
-        & (transfers.chainIDDest == cand.c_chainIDDest),
+        (probe.msgHash == cand.c_msgHash)
+        & (probe.chainIDDest == cand.c_chainIDDest)
+        & (probe.probe_bucket == cand.c_bucket),
     ).where(
         F.col("c_destTS").between(
             F.col("sourceTS") - ts_lookback, F.col("sourceTS") + ts_lookahead
         )
-    )
+    ).drop("probe_bucket", "c_bucket")
     stats = teleport_fee_stats(
         candidates.join(
             transfers.select("msgHash", "symbol").dropDuplicates(), "msgHash", "left"

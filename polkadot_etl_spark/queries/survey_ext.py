@@ -70,10 +70,13 @@ FROM best WHERE rn = 1 AND confidence > 0.5
     "transfer↔candidate match (reference xcmCleaner.js:569-700: candidate "
     "time window, exact amount → confidence 1, else z-score vs the "
     "per-group fee distribution with std=0→avg*0.2 fallback "
-    "substrateetl.js:3201, keep best if > 0.5). Shuffle is on the user "
-    "equi-key only; the window band is a post-filter; the top-1 window has "
-    "a total order so output is reproducible. Stats via exact decimal "
-    "sums of x and x² — no Welford-order drift across engines.",
+    "substrateetl.js:3201, keep best if > 0.5). Shuffle key is the "
+    "composite (user_id, floor(epoch/7200)) — purchases probe their own "
+    "and the previous 2h bucket, so a hot user cannot create a quadratic "
+    "straggler task; the exact band is a post-filter on the bounded "
+    "bucket pairs. Top-1 window has a total order so output is "
+    "reproducible. Stats via exact decimal sums of x and x² — no "
+    "Welford-order drift across engines.",
     tags=("join", "window"),
 )
 def fuzzy_confidence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,28 +100,40 @@ def fuzzy_confidence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(raw_std)
         .alias("std_v"),
     )
+    # De-skew: the naive user_id equi-join materializes k·m pairs per hot
+    # user BEFORE the 2h band filter — a straggler task when one address is
+    # an exchange. Composite key (user_id, floor(epoch/7200)) instead: a
+    # click in [p_ts - 7200s, p_ts) lives in time-bucket pb or pb-1 of the
+    # purchase, so each purchase probes exactly those two buckets and the
+    # per-task pair count is bounded by the per-2h-bucket density, not the
+    # per-user lifetime count. Output identical; oracle unchanged.
+    bucket_us = 7200 * 1_000_000
     p = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
         "user_id",
         F.col("value").alias("p_value"),
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(bucket_us)).alias("pb"),
     )
+    probe = p.withColumn("probe_bucket", F.explode(F.array(F.col("pb"), F.col("pb") - 1))).drop("pb")
     c = e.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("c_ts"),
         F.col("user_id").alias("c_user_id"),
         F.col("value").alias("c_value"),
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(bucket_us)).alias("cb"),
     )
     pairs = (
-        p.join(c, p.user_id == c.c_user_id)
+        probe.join(c, (probe.user_id == c.c_user_id) & (probe.probe_bucket == c.cb))
         .where(
             (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7200 SECONDS"))
             & (F.col("c_ts") < F.col("p_ts"))
         )
+        .drop("probe_bucket", "cb")
         # spread scales with distinct users — do NOT broadcast; it joins on
-        # the same user_id key the pair join already shuffled on, so AQE
-        # reuses the partitioning (or broadcasts if it measures it small).
-        .join(spread, p.user_id == spread.s_user_id)
+        # a user_id-prefixed key so AQE co-locates it (or broadcasts if it
+        # measures it small).
+        .join(spread, F.col("user_id") == spread.s_user_id)
     )
     confidence = F.when(F.abs(F.col("p_value") - F.col("c_value")) < 0.01, F.lit(1.0)).otherwise(
         F.lit(1.0)
@@ -363,10 +378,12 @@ GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) // 10
 )
 def json_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # extract once in a projection; the filter and grouping key reuse the
+    # materialized column instead of re-parsing the JSON twice per row
+    k = e.select("event_id", F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"))
     return (
-        e.where(k >= 20)
-        .groupBy((k / 10).cast("bigint").alias("k_decile"))
+        k.where(F.col("k") >= 20)
+        .groupBy((F.col("k") / 10).cast("bigint").alias("k_decile"))
         .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("min_event"))
     )
 
@@ -470,16 +487,15 @@ WHERE o.o_orderdate >= TIMESTAMP '1995-06-01'
 )
 def asof_broadcast_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1995-06-01"))
-    versions = spark.createDataFrame(
-        [(1, "1995-01-01"), (2, "1996-01-01"), (3, "1997-01-01"),
-         (4, "1998-07-01"), (5, "2000-01-01")],
-        "spec_version: int, since: string",
-    ).select("spec_version", F.to_timestamp("since").alias("since"))
-    # in-memory reverse scan, Spark-style: newest boundary first wins
+    # the tiny dim is a driver-side literal — no createDataFrame/.collect()
+    # round-trip; the reverse scan (newest boundary first wins) compiles
+    # straight into a when-chain evaluated at the parquet scan
+    versions = [(1, "1995-01-01"), (2, "1996-01-01"), (3, "1997-01-01"),
+                (4, "1998-07-01"), (5, "2000-01-01")]
     spec = None
-    for v in sorted(versions.collect(), key=lambda r: r.since, reverse=True):
-        clause = F.col("o_orderdate") >= F.lit(v.since)
-        spec = F.when(clause, v.spec_version) if spec is None else spec.when(clause, v.spec_version)
+    for spec_version, since in sorted(versions, key=lambda v: v[1], reverse=True):
+        clause = F.col("o_orderdate") >= F.to_timestamp(F.lit(since))
+        spec = F.when(clause, spec_version) if spec is None else spec.when(clause, spec_version)
     return o.select(
         "o_orderkey",
         s_date("o_orderdate").alias("order_date"),

@@ -59,6 +59,18 @@ def test_dim_decoration_is_all_broadcast_no_fact_shuffle(spark):
     assert not re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
 
 
+def test_fuzzy_match_joins_on_time_bucket(spark):
+    """The fuzzy tolerance join must carry the de-skew composite key:
+    the equi-join condition includes the floor(ts/7200) probe bucket, so a
+    hot user can never materialize its full lifetime cross product before
+    the band filter."""
+    plan = _plan(spark, "fuzzy_confidence_match")
+    assert "probe_bucket" in plan, "composite time-bucket key missing from join"
+    m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    if m:  # AQE may also choose broadcast; when SMJ, the bucket must be a key
+        assert "probe_bucket" in m.group(1) or "probe_bucket" in m.group(2)
+
+
 def test_aggregations_are_partial_final(spark):
     """The flagship grouped agg must map-side combine: two HashAggregate
     nodes (partial below the exchange, final above)."""
