@@ -1,4 +1,12 @@
 from polkadot_etl_spark.plans.decode import calls_from_extrinsics, transfers_from_events
+from polkadot_etl_spark.plans.dump import (
+    blocklog_gold,
+    dump_day,
+    gap_audit,
+    logs_from_blocks,
+    published_blocks,
+    write_dump,
+)
 from polkadot_etl_spark.plans.metrics import (
     accounts_active,
     accounts_new_reaped,
@@ -19,6 +27,12 @@ from polkadot_etl_spark.plans.xcm import (
 __all__ = [
     "calls_from_extrinsics",
     "transfers_from_events",
+    "dump_day",
+    "write_dump",
+    "logs_from_blocks",
+    "published_blocks",
+    "blocklog_gold",
+    "gap_audit",
     "blocklog_daily",
     "accounts_active",
     "accounts_passive",

@@ -11,6 +11,7 @@ from polkadot_etl_spark.queries import tpch  # noqa: F401,E402
 from polkadot_etl_spark.queries import relational  # noqa: F401,E402
 from polkadot_etl_spark.queries import llmdata  # noqa: F401,E402
 from polkadot_etl_spark.queries import survey_ext  # noqa: F401,E402
+from polkadot_etl_spark.queries import pipelines  # noqa: F401,E402
 
 # The external correctness gate records only the FIRST 50 registry entries
 # (registration order).  _PRIORITY pins that window to one green
@@ -72,8 +73,8 @@ _PRIORITY: list[str] = [
     "gap_detection",
     "session_window_native",
     "pivot_event_counts",
-    # slots 48-50 reserved for round-2 capability queries; append here as
-    # they land (dump_day, evm_decoded_transfers, rewards rollup, ...).
+    # slots 48-50: round-3 capability queries
+    "dump_day_blocklog",
 ]
 
 

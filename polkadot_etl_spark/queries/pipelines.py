@@ -1,0 +1,215 @@
+"""Composed-pipeline registry queries — end-to-end golden tests of the
+multi-table plans in plans/ (dump_day now; further pipelines append here).
+
+Pattern (same as call_tree_flatten): synthesize a deterministic bronze
+layer from the TPC-H-ish driver tables, run the REAL pipeline, and have
+the oracle enumerate the expected result independently in SQL — a golden
+test of the pipeline composition, not of the synthetic generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polkadot_etl_spark.queries.fmt import d_date, d_decsum, s_date
+from polkadot_etl_spark.queries.registry import query
+from polkadot_etl_spark.sources.tables import load_table
+
+# Nested params for the utility:batch extrinsics — exercises the recursive
+# call-tree flatten inside dump_day (root + 2 leaf children = 3 call rows).
+_NESTED_PARAMS = (
+    '{"calls": [{"section": "balances", "method": "transfer", "args": {"v": 1}},'
+    ' {"section": "staking", "method": "bond", "args": {"v": 2}}]}'
+)
+
+_DAY0 = "1998-01-01"  # synthesis window: ~8% of orders, ~215 chain-days
+
+
+def _pk(c: Column) -> Column:
+    """64-hex-char pubkey from an integer key (digits are valid hex)."""
+    return F.concat(F.lit("0x"), F.lpad(c.cast("string"), 64, "0"))
+
+
+def _synth_bronze(spark: SparkSession, sf_dir: str):
+    """Deterministic chain-day bronze from orders/lineitem:
+
+    - block   := order   (number = o_orderkey, block_time = o_orderdate,
+                 digest logs: 1 always + 1 more for 1-URGENT)
+    - extrinsic := lineitem (id = "{okey}-{lineno}"); section by
+      l_returnflag: A → utility:batch (nested params), R →
+      balances:transfer, N → timestamp:set; signed = A|R with
+      fee = l_extendedprice
+    - events  := system:ExtrinsicSuccess where l_quantity >= 2, plus a
+      balances:Transfer event for every R line (positional JSON data)
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit(_DAY0))
+    li = load_table(spark, sf_dir, "lineitem")
+
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    j1 = F.concat(
+        F.lit('{"preRuntime":["0x61757261","0x'),
+        F.lpad(F.hex(F.col("o_orderkey")), 16, "0"),
+        F.lit('"]}'),
+    )
+    j2 = F.lit('{"seal":["0x61757261","0x00"]}')
+    blocks_raw = o.select(
+        F.col("o_orderkey").alias("number"),
+        F.concat(F.lit("0xb"), F.col("o_orderkey").cast("string")).alias("hash"),
+        F.lit(None).cast("string").alias("parent_hash"),
+        F.lit(None).cast("string").alias("state_root"),
+        F.lit(None).cast("string").alias("extrinsics_root"),
+        F.col("o_orderdate").alias("block_time"),
+        F.lit(None).cast("string").alias("author_ss58"),
+        F.lit(None).cast("string").alias("author_pub_key"),
+        F.lit(1).alias("spec_version"),
+        F.lit(None).cast("long").alias("relay_block_number"),
+        F.lit(None).cast("string").alias("relay_state_root"),
+        F.when(urgent, F.array(j1, j2)).otherwise(F.array(j1)).alias("digest_logs"),
+    )
+
+    le = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).drop("o_orderkey")
+    rf = F.col("l_returnflag")
+    signed = rf.isin("A", "R")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
+    # success flag is baked into the id so that colliding ids always agree
+    # on success-eligibility — the success semi-join inside dump_day then
+    # grants calls to exactly the rows the oracle counts per-row.
+    ok = (F.col("l_quantity") >= 2).cast("int")
+    ext_id = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), ok)
+    ext_hash = F.concat(
+        F.lit("0xe"), F.col("l_orderkey").cast("string"), F.lit("x"),
+        F.col("l_linenumber").cast("string"), F.lit("x"), ok.cast("string"),
+    )
+    extrinsics = le.select(
+        ext_hash.alias("hash"),
+        ext_id.alias("extrinsic_id"),
+        F.col("o_orderdate").alias("block_time"),
+        F.col("l_orderkey").alias("block_number"),
+        F.concat(F.lit("0xb"), F.col("l_orderkey").cast("string")).alias("block_hash"),
+        F.lit("{}").alias("lifetime"),
+        F.when(rf == "A", F.lit("utility")).when(rf == "R", F.lit("balances")).otherwise(F.lit("timestamp")).alias("section"),
+        F.when(rf == "A", F.lit("batch")).when(rf == "R", F.lit("transfer")).otherwise(F.lit("set")).alias("method"),
+        F.when(rf == "A", F.lit(_NESTED_PARAMS)).otherwise(F.lit("{}")).alias("params"),
+        F.when(signed, F.col("l_extendedprice")).alias("fee"),
+        F.when(signed, F.col("l_extendedprice") * 6.5).alias("fee_usd"),
+        F.lit(None).cast("long").alias("weight"),
+        signed.alias("signed"),
+        _pk(F.col("l_suppkey")).alias("signer_ss58"),
+        _pk(F.col("l_suppkey")).alias("signer_pub_key"),
+    )
+
+    common = [
+        ext_id.alias("extrinsic_id"),
+        ext_hash.alias("extrinsic_hash"),
+        F.col("o_orderdate").alias("block_time"),
+        F.col("l_orderkey").alias("block_number"),
+        F.concat(F.lit("0xb"), F.col("l_orderkey").cast("string")).alias("block_hash"),
+        F.lit(None).cast("string").alias("data_decoded"),
+    ]
+    success = le.where(F.col("l_quantity") >= 2).select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.lit("0")).alias("event_id"),
+        F.lit("system").alias("section"),
+        F.lit("ExtrinsicSuccess").alias("method"),
+        F.lit("[]").alias("data"),
+        *common,
+    )
+    raw_amt = F.floor(F.col("l_extendedprice") * 100).cast("bigint").cast("string")
+    xfer_ev = le.where(rf == "R").select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.lit("1")).alias("event_id"),
+        F.lit("balances").alias("section"),
+        F.lit("Transfer").alias("method"),
+        F.concat(
+            F.lit('["'), _pk(F.col("l_suppkey")), F.lit('","'), _pk(F.col("l_partkey")),
+            F.lit('","'), raw_amt, F.lit('"]'),
+        ).alias("data"),
+        *common,
+    )
+    events = success.unionByName(xfer_ev)
+    return blocks_raw, extrinsics, events
+
+
+@query(
+    "dump_day_blocklog",
+    oracle=f"""
+WITH o AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_DAY0}'
+),
+days AS (
+  SELECT {d_date('o_orderdate')} AS log_dt,
+         MIN(o_orderkey) AS start_bn,
+         MAX(o_orderkey) AS end_bn,
+         COUNT(*) AS num_blocks,
+         COUNT(*) + COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+           AS num_logs
+  FROM o GROUP BY 1
+),
+le AS (
+  SELECT l.*, o.o_orderdate FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+),
+extd AS (
+  SELECT {d_date('o_orderdate')} AS log_dt,
+         COUNT(*) AS num_extrinsics,
+         COUNT(CASE WHEN l_returnflag IN ('A','R') THEN 1 END)
+           AS num_signed_extrinsics,
+         COUNT(DISTINCT CASE WHEN l_returnflag IN ('A','R') THEN l_suppkey END)
+           AS num_active_signers,
+         {d_decsum("CASE WHEN l_returnflag IN ('A','R') THEN l_extendedprice END")}
+           AS fees,
+         COUNT(CASE WHEN l_quantity >= 2 THEN 1 END)
+           + COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS num_events,
+         CAST(SUM(CASE WHEN l_quantity >= 2
+                       THEN CASE WHEN l_returnflag = 'A' THEN 3 ELSE 1 END
+                       ELSE 0 END) AS BIGINT) AS num_calls,
+         COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS num_transfers
+  FROM le GROUP BY 1
+)
+SELECT d.log_dt, d.start_bn, d.end_bn, d.num_blocks,
+       d.end_bn - d.start_bn + 1 - d.num_blocks AS num_missing,
+       COALESCE(e.num_extrinsics, 0) AS num_extrinsics,
+       COALESCE(e.num_signed_extrinsics, 0) AS num_signed_extrinsics,
+       COALESCE(e.num_active_signers, 0) AS num_active_signers,
+       e.fees,
+       COALESCE(e.num_events, 0) AS num_events,
+       COALESCE(e.num_calls, 0) AS num_calls,
+       COALESCE(e.num_transfers, 0) AS num_transfers,
+       d.num_logs,
+       (d.end_bn - d.start_bn + 1 - d.num_blocks) = 0 AS loaded
+FROM days d LEFT JOIN extd e ON d.log_dt = e.log_dt
+""",
+    doc="The integrated day-dump pipeline (dump_substrateetl, reference "
+    "substrate/substrateetl.js:6171-6596): bronze blocks+extrinsics+events "
+    "→ blocks/extrinsics/events/calls/transfers/logs silver + blocklog "
+    "gold with gap audit, in one composed plan. The Spark side runs the "
+    "REAL plans.dump.dump_day (digest→logs explode :6462-6473, validity "
+    "gates :6480-6497, call-tree flatten, transfer extraction, per-day "
+    "gold rollup :6573-6596); the oracle derives every blocklog column "
+    "independently from orders/lineitem. Block numbers = sparse-per-day "
+    "o_orderkey, so the gap audit (num_missing, loaded) is genuinely "
+    "exercised.",
+    tags=("pipeline", "agg", "join", "udtf"),
+)
+def dump_day_blocklog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.dump import dump_day
+
+    blocks_raw, extrinsics, events = _synth_bronze(spark, sf_dir)
+    tables = dump_day(blocks_raw, extrinsics, events, relay_chain="polkadot", para_id=0)
+    gold = tables["blocklog"]
+    return gold.select(
+        s_date("log_dt").alias("log_dt"),
+        "start_bn",
+        "end_bn",
+        "num_blocks",
+        "num_missing",
+        "num_extrinsics",
+        "num_signed_extrinsics",
+        "num_active_signers",
+        "fees",
+        "num_events",
+        "num_calls",
+        "num_transfers",
+        "num_logs",
+        "loaded",
+    )

@@ -104,6 +104,40 @@ EVENTS = T.StructType(
     ]
 )
 
+# ref: substrate/schema/substrateetl/logs.json:1-32 — one row per digest
+# log of a block, log_id = "{blockNumber}-{logIndex}" (substrateetl.js:6462-6473)
+LOGS = T.StructType(
+    [
+        _s("log_id", False),
+        _s("block_hash", False),
+        _ts("block_time", False),
+        _l("block_number", False),
+        _s("log", False),  # raw digest log JSON (BigQuery JSON column)
+    ]
+)
+
+# Bronze-layer block rows as the indexer hands them to dump_day: the
+# published BLOCKS header fields plus the raw digest logs that the logs
+# silver table is exploded from (substrateetl.js:6293-6309 header map,
+# :6462 hdr.digest.logs). No counts — those are derived from the child
+# tables during the dump.
+RAW_BLOCKS = T.StructType(
+    [
+        _l("number", False),
+        _s("hash", False),
+        _s("parent_hash"),
+        _s("state_root"),
+        _s("extrinsics_root"),
+        _ts("block_time", False),
+        _s("author_ss58"),
+        _s("author_pub_key"),
+        _i("spec_version"),
+        _l("relay_block_number"),
+        _s("relay_state_root"),
+        T.StructField("digest_logs", T.ArrayType(T.StringType()), True),
+    ]
+)
+
 # ref: schema/calls.json:1-140 (flattened call tree)
 CALLS = T.StructType(
     [
@@ -371,8 +405,10 @@ ACCOUNTS = T.StructType(
 
 SCHEMAS: dict[str, T.StructType] = {
     "blocks": BLOCKS,
+    "blocks_raw": RAW_BLOCKS,
     "extrinsics": EXTRINSICS,
     "events": EVENTS,
+    "logs": LOGS,
     "calls": CALLS,
     "transfers": TRANSFERS,
     "balances": BALANCES,

@@ -41,7 +41,7 @@ def _naive(dt: datetime) -> datetime:
 
 def build_fixture_rows(seed: int = 42) -> dict[str, list[tuple]]:
     rng = random.Random(seed)
-    blocks, extrinsics, events, specversions = [], [], [], []
+    blocks, blocks_raw, extrinsics, events, specversions = [], [], [], [], []
     balances, traces, stakings = [], [], []
 
     for para_id, relay, bn0 in CHAINS:
@@ -166,6 +166,28 @@ def build_fixture_rows(seed: int = 42) -> dict[str, list[tuple]]:
                         evs_in_block,
                         1,
                         2,
+                    )
+                )
+                # bronze twin carrying the raw digest logs (1-3 per block)
+                digest = [json.dumps({"preRuntime": ["0x61757261", f"0x{bn:016x}"]})]
+                if bn % 2 == 0:
+                    digest.append(json.dumps({"seal": ["0x61757261", f"0x{bn:08x}" + "00" * 28]}))
+                if bn % 5 == 0:
+                    digest.append(json.dumps({"consensus": ["0x66726f6e", "0x01"]}))
+                blocks_raw.append(
+                    (
+                        bn,
+                        bhash,
+                        "0xb" + f"{para_id:04x}{bn - 1:08x}".ljust(62, "0"),
+                        "0x5" + "0" * 63,
+                        "0x6" + "0" * 63,
+                        ts,
+                        SS58[author],
+                        author,
+                        spec,
+                        bn + 10_000_000 if para_id else None,
+                        None,
+                        digest,
                     )
                 )
 
@@ -304,6 +326,7 @@ def build_fixture_rows(seed: int = 42) -> dict[str, list[tuple]]:
 
     return {
         "blocks": blocks,
+        "blocks_raw": blocks_raw,
         "extrinsics": extrinsics,
         "events": events,
         "specversions": specversions,
