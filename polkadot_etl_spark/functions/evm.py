@@ -233,6 +233,282 @@ def classify_evm_log(topics: list[str]) -> str | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# ABI parameter decode (reference ethTool.js:237-330 selector surface,
+# decodeTransactionInput; UniswapV2/V3 Swap parse per tools/udfs.sql:1-130).
+#
+# Calldata/log data are '0x…' hex strings; every decode below is pure
+# substring + conv arithmetic on JVM-side columns — no Python in the hot
+# path, whole-stage-codegen friendly. uint256 comes out three ways:
+#   - exact DECIMAL(38,0) (overflows > ~1e38 become NULL, the BigQuery
+#     NUMERIC semantics the reference stores raw amounts with)
+#   - double (lossy, for USD-style math)
+#   - low-64 bigint (safe when the domain is known small)
+# ---------------------------------------------------------------------------
+
+# 4-byte selectors, equal to the reference's published literals
+# (ethTool.js:241-249, :270-282, :305-312) — asserted in tests.
+ERC20_SELECTORS = {
+    "transfer": compute_selector("transfer(address,uint256)"),  # 0xa9059cbb
+    "transferFrom": compute_selector("transferFrom(address,address,uint256)"),  # 0x23b872dd
+    "approve": compute_selector("approve(address,uint256)"),  # 0x095ea7b3
+}
+ERC721_SELECTORS = {
+    "safeTransferFrom": compute_selector("safeTransferFrom(address,address,uint256)"),  # 0x42842e0e
+    "safeTransferFromData": compute_selector(
+        "safeTransferFrom(address,address,uint256,bytes)"
+    ),  # 0xb88d4fde
+}
+ERC1155_SELECTORS = {
+    "safeTransferFrom": compute_selector(
+        "safeTransferFrom(address,address,uint256,uint256,bytes)"
+    ),  # 0xf242432a
+    "safeBatchTransferFrom": compute_selector(
+        "safeBatchTransferFrom(address,address,uint256[],uint256[],bytes)"
+    ),  # 0x2eb2c2d6
+}
+
+SWAP_V2_TOPIC = event_topic("Swap(address,uint256,uint256,uint256,uint256,address)")
+SWAP_V3_TOPIC = event_topic("Swap(address,address,int256,int256,uint160,uint128,int24)")
+
+_TWO64 = 18446744073709551616  # 2**64
+
+
+def abi_word(data, i: int):
+    """64-hex-char ABI word ``i`` of '0x'+selector-prefixed calldata."""
+    from pyspark.sql import functions as F
+
+    return F.substring(data, 11 + 64 * i, 64)
+
+
+def log_word(data, i: int):
+    """64-hex-char word ``i`` of '0x'-prefixed (selector-less) log data."""
+    from pyspark.sql import functions as F
+
+    return F.substring(data, 3 + 64 * i, 64)
+
+
+def abi_address(word):
+    """address = low 20 bytes of a 32-byte word."""
+    from pyspark.sql import functions as F
+
+    return F.concat(F.lit("0x"), F.lower(F.substring(word, 25, 40)))
+
+
+def abi_uint_dec(word):
+    """Exact uint256 → DECIMAL(38,0) via four 64-bit limbs; values beyond
+    decimal(38) overflow to NULL (Spark non-ANSI), mirroring the
+    reference's NUMERIC columns."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    two64 = F.lit(decimal.Decimal(_TWO64))
+    out = None
+    for i in range(4):
+        limb = F.conv(F.substring(word, 1 + 16 * i, 16), 16, 10).cast("decimal(38,0)")
+        out = limb if out is None else (out * two64 + limb).cast("decimal(38,0)")
+    return out
+
+
+def abi_uint_dbl(word):
+    """uint256 → double (lossy above 2^53, never null)."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(0.0)
+    for i in range(4):
+        limb = F.conv(F.substring(word, 1 + 16 * i, 16), 16, 10).cast("double")
+        out = out * float(_TWO64) + limb
+    return out
+
+
+def abi_int_dbl(word):
+    """int256 → double: two's complement decode (UniV3 Swap amounts are
+    signed, tools/udfs.sql parse_…_event_Swap). The sign flip happens in
+    EXACT decimal limb space — doing it in doubles (u − 2^256) would lose
+    every magnitude below 2^203 to the 53-bit mantissa. |values| ≥ ~1e38
+    overflow the decimal and come out NULL."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    two64 = F.lit(decimal.Decimal(_TWO64))
+    max64 = F.lit(decimal.Decimal(_TWO64 - 1))
+    pos, mag = None, None
+    for i in range(4):
+        limb = F.conv(F.substring(word, 1 + 16 * i, 16), 16, 10).cast("decimal(38,0)")
+        inv = max64 - limb
+        pos = limb if pos is None else (pos * two64 + limb).cast("decimal(38,0)")
+        mag = inv if mag is None else (mag * two64 + inv).cast("decimal(38,0)")
+    neg = F.substring(word, 1, 1).isin(
+        "8", "9", "a", "b", "c", "d", "e", "f", "A", "B", "C", "D", "E", "F"
+    )
+    return F.when(neg, -(mag + F.lit(decimal.Decimal(1)))).otherwise(pos).cast("double")
+
+
+def abi_uint64(word):
+    """Low 64 bits as bigint — exact when the domain is known < 2^63."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(word, 49, 16), 16, 10).cast("bigint")
+
+
+def decode_token_calldata(data):
+    """ERC-20/721/1155 calldata → struct(standard, method, from, to,
+    amount_raw DECIMAL(38,0), amount double, token_id DECIMAL(38,0)).
+
+    A when-chain over the selector table (the reference's
+    detectERC20/721/1155 required-selector lists, ethTool.js:237-330).
+    0x23b872dd transferFrom is shared by ERC-20 and ERC-721 — classified
+    'erc20' here; the third word doubles as amount/token_id exactly as in
+    the shared Transfer topic. Unknown selector → NULL struct fields.
+    """
+    from pyspark.sql import functions as F
+
+    sel = F.lower(F.substring(data, 1, 10))
+    w0, w1, w2, w3 = (abi_word(data, i) for i in range(4))
+
+    def out(standard, method, frm, to, val_word, id_word):
+        null_dec = F.lit(None).cast("decimal(38,0)")
+        return F.struct(
+            F.lit(standard).alias("standard"),
+            F.lit(method).alias("method"),
+            (frm if frm is not None else F.lit(None).cast("string")).alias("from_addr"),
+            (to if to is not None else F.lit(None).cast("string")).alias("to_addr"),
+            (abi_uint_dec(val_word) if val_word is not None else null_dec).alias("amount_raw"),
+            (abi_uint_dbl(val_word) if val_word is not None else F.lit(None).cast("double")).alias("amount"),
+            (abi_uint_dec(id_word) if id_word is not None else null_dec).alias("token_id"),
+        )
+
+    return (
+        F.when(sel == ERC20_SELECTORS["transfer"], out("erc20", "transfer", None, abi_address(w0), w1, None))
+        .when(sel == ERC20_SELECTORS["transferFrom"], out("erc20", "transferFrom", abi_address(w0), abi_address(w1), w2, None))
+        .when(sel == ERC20_SELECTORS["approve"], out("erc20", "approve", None, abi_address(w0), w1, None))
+        .when(sel == ERC721_SELECTORS["safeTransferFrom"], out("erc721", "safeTransferFrom", abi_address(w0), abi_address(w1), None, w2))
+        .when(sel == ERC721_SELECTORS["safeTransferFromData"], out("erc721", "safeTransferFrom", abi_address(w0), abi_address(w1), None, w2))
+        .when(sel == ERC1155_SELECTORS["safeTransferFrom"], out("erc1155", "safeTransferFrom", abi_address(w0), abi_address(w1), w3, w2))
+        .when(sel == ERC1155_SELECTORS["safeBatchTransferFrom"], out("erc1155", "safeBatchTransferFrom", abi_address(w0), abi_address(w1), None, None))
+    )
+
+
+def decode_transfer_log(topics, data):
+    """Transfer/TransferSingle/Swap event params → struct(kind, from,
+    to, amount_raw, amount, token_id, amount0_in, amount1_in,
+    amount0_out, amount1_out).
+
+    ERC-20 Transfer: amount = data word 0 (3 topics). ERC-721 Transfer:
+    tokenId = topic3 (4 topics, same topic0 — ethTool.js:253-254 comment).
+    ERC-1155 TransferSingle: operator/from/to topics, (id, amount) data
+    words. UniswapV2 Swap: 4 uint data words; V3 Swap: 2 signed words
+    (tools/udfs.sql).
+    """
+    from pyspark.sql import functions as F
+
+    t0 = F.lower(topics[0])
+    n = F.size(topics)
+    null_s = F.lit(None).cast("string")
+    null_dec = F.lit(None).cast("decimal(38,0)")
+    null_d = F.lit(None).cast("double")
+
+    def addr(t):
+        return F.concat(F.lit("0x"), F.lower(F.substring(t, 27, 40)))
+
+    def out(kind, frm, to, raw_word, id_word, sw=None):
+        sw = sw or [None] * 4
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (frm if frm is not None else null_s).alias("from_addr"),
+            (to if to is not None else null_s).alias("to_addr"),
+            (abi_uint_dec(raw_word) if raw_word is not None else null_dec).alias("amount_raw"),
+            (abi_uint_dbl(raw_word) if raw_word is not None else null_d).alias("amount"),
+            (abi_uint_dec(id_word) if id_word is not None else null_dec).alias("token_id"),
+            (sw[0] if sw[0] is not None else null_d).alias("amount0_in"),
+            (sw[1] if sw[1] is not None else null_d).alias("amount1_in"),
+            (sw[2] if sw[2] is not None else null_d).alias("amount0_out"),
+            (sw[3] if sw[3] is not None else null_d).alias("amount1_out"),
+        )
+
+    return (
+        F.when((t0 == TRANSFER_TOPIC) & (n == 4), out("erc721_transfer", addr(topics[1]), addr(topics[2]), None, F.substring(topics[3], 3, 64)))
+        .when(t0 == TRANSFER_TOPIC, out("erc20_transfer", addr(topics[1]), addr(topics[2]), log_word(data, 0), None))
+        .when(t0 == TRANSFER_SINGLE_TOPIC, out("erc1155_transfer_single", addr(topics[2]), addr(topics[3]), log_word(data, 1), log_word(data, 0)))
+        .when(
+            t0 == SWAP_V2_TOPIC,
+            out("univ2_swap", addr(topics[1]), addr(topics[2]), None, None,
+                [abi_uint_dbl(log_word(data, i)) for i in range(4)]),
+        )
+        .when(
+            t0 == SWAP_V3_TOPIC,
+            out("univ3_swap", addr(topics[1]), addr(topics[2]), None, None,
+                [abi_int_dbl(log_word(data, 0)), abi_int_dbl(log_word(data, 1)), None, None]),
+        )
+    )
+
+
+def decorate_txn(txns, receipts):
+    """The full-txn decoration (reference ethTool.js:819-918 decorateTxn):
+    join tx × receipt on the hash and derive the fee economics natively —
+    fee = gasUsed·gasPrice, burnedFee = gasUsed·baseFee, txnSaving =
+    (maxFee − baseFee)·gasUsed, with the reference's exact ordering quirk:
+    burned/saving use the pre-adjustment baseFee (effectiveGasPrice when
+    1559 fields are present, else 0) and the PUBLISHED baseFee is then
+    re-derived as gasPrice − maxPriorityFee when gasPrice ≥ baseFee
+    (:860-866). Ether/gwei scaling matches :841-842.
+
+    Inputs carry numeric (already de-hexed) columns: txns(hash,
+    block_hash, block_number, transaction_index, from_addr, to_addr,
+    chain_id, nonce, tx_type, value, gas, gas_price, max_fee_per_gas,
+    max_priority_fee_per_gas, input); receipts(hash, status, gas_used,
+    cumulative_gas_used, effective_gas_price, contract_address).
+    """
+    from pyspark.sql import functions as F
+
+    ether, gwei = 1e18, 1e9
+    r = receipts.select(
+        F.col("hash").alias("__rhash"),
+        "status",
+        "gas_used",
+        "cumulative_gas_used",
+        "effective_gas_price",
+        "contract_address",
+    )
+    j = txns.join(r, txns.hash == r.__rhash, "inner").drop("__rhash")
+    has1559 = F.col("max_priority_fee_per_gas").isNotNull()
+    base_fee0 = F.when(has1559, F.col("effective_gas_price")).otherwise(F.lit(0.0)).cast("double")
+    gas_price = F.coalesce(F.col("gas_price"), F.lit(0)).cast("double")
+    gas_used = F.coalesce(F.col("gas_used"), F.lit(0)).cast("double")
+    max_fee = F.coalesce(F.col("max_fee_per_gas"), F.lit(0)).cast("double")
+    max_prio = F.coalesce(F.col("max_priority_fee_per_gas"), F.lit(0)).cast("double")
+    base_fee_pub = F.when(gas_price >= base_fee0, gas_price - max_prio).otherwise(base_fee0)
+    return j.select(
+        "chain_id",
+        F.col("hash").alias("transaction_hash"),
+        "status",
+        "block_hash",
+        "block_number",
+        "transaction_index",
+        F.col("from_addr"),
+        F.col("to_addr"),
+        F.col("contract_address").alias("creates"),
+        (F.col("value").cast("double") / ether).alias("value"),
+        F.col("tx_type"),
+        (gas_used * gas_price / ether).alias("fee"),
+        (gas_used * base_fee0 / ether).alias("burned_fee"),
+        ((max_fee - base_fee0) * gas_used / ether).alias("txn_saving"),
+        F.col("gas").alias("gas_limit"),
+        F.col("gas_used").alias("gas_used"),
+        F.col("cumulative_gas_used"),
+        (max_fee / gwei).alias("max_fee_per_gas"),
+        (max_prio / gwei).alias("max_priority_fee_per_gas"),
+        (base_fee_pub / gwei).alias("base_fee_per_gas"),
+        (F.col("effective_gas_price").cast("double") / gwei).alias("effective_gas_price"),
+        (gas_price / gwei).alias("gas_price"),
+        "nonce",
+        F.col("input"),
+        F.when(F.length("input") >= 10, F.lower(F.substring("input", 1, 10))).alias("selector"),
+    )
+
+
 def classify_evm_log_col(topics):  # type: (Column) -> Column
     """Native column expression version of classify_evm_log — a when
     chain over topic0 + topic count, fully JVM-side (the BigQuery JS UDF

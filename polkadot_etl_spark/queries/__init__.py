@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "pivot_event_counts",
     # slots 48-50: round-3 capability queries
     "dump_day_blocklog",
+    "evm_decoded_transfers",
 ]
 
 

@@ -213,3 +213,61 @@ def dump_day_blocklog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_logs",
         "loaded",
     )
+
+
+@query(
+    "evm_decoded_transfers",
+    oracle="""
+SELECT event_id,
+       CASE event_type WHEN 'purchase' THEN 'transfer'
+                       WHEN 'click' THEN 'transferFrom'
+                       WHEN 'view' THEN 'approve' END AS method,
+       CASE WHEN event_type = 'click'
+            THEN '0x' || lpad(CAST(user_id + 7 AS VARCHAR), 40, '0') END AS from_addr,
+       '0x' || lpad(CAST(user_id AS VARCHAR), 40, '0') AS to_addr,
+       CAST(FLOOR(value * 100) AS BIGINT) AS amount
+FROM events
+WHERE event_type IN ('purchase', 'click', 'view')
+""",
+    doc="F5 EVM ABI parameter decode (reference ethTool.js:237-330 "
+    "selector lists, decodeTransactionInput): ERC-20 "
+    "transfer/transferFrom/approve calldata synthesized per event "
+    "(selector + padded address/uint256 words via hex encode), then "
+    "decoded by the REAL functions.evm.decode_token_calldata — selector "
+    "when-chain, word substring extraction, 4-limb uint256→DECIMAL "
+    "reconstruction — entirely JVM-side (no Python). The oracle derives "
+    "the expected decode directly from the source columns, so the query "
+    "proves the encode→decode round trip bit-exactly.",
+    tags=("scalar", "filter"),
+)
+def evm_decoded_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.functions.evm import ERC20_SELECTORS, decode_token_calldata
+
+    e = load_table(spark, sf_dir, "events")
+    amt = F.floor(F.col("value") * 100).cast("bigint")
+    # address words use decimal digits (valid hex) so the oracle can build
+    # the expected address without hex conversion; the amount word is a
+    # true hex encode that the decoder must conv() back
+    to_word = F.lpad(F.col("user_id").cast("string"), 64, "0")
+    from_word = F.lpad((F.col("user_id") + 7).cast("string"), 64, "0")
+    amt_word = F.lpad(F.lower(F.hex(amt)), 64, "0")
+    etype = F.col("event_type")
+    calldata = (
+        F.when(etype == "purchase", F.concat(F.lit(ERC20_SELECTORS["transfer"]), to_word, amt_word))
+        .when(etype == "click", F.concat(F.lit(ERC20_SELECTORS["transferFrom"]), from_word, to_word, amt_word))
+        .when(etype == "view", F.concat(F.lit(ERC20_SELECTORS["approve"]), to_word, amt_word))
+        .otherwise(F.lit("0x"))
+    )
+    d = decode_token_calldata(F.col("calldata")).alias("d")
+    return (
+        e.withColumn("calldata", calldata)
+        .select("event_id", d)
+        .where(F.col("d.method").isNotNull())
+        .select(
+            "event_id",
+            F.col("d.method").alias("method"),
+            F.col("d.from_addr").alias("from_addr"),
+            F.col("d.to_addr").alias("to_addr"),
+            F.col("d.amount_raw").cast("bigint").alias("amount"),
+        )
+    )

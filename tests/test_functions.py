@@ -211,6 +211,149 @@ class TestEvmPrimitives:
         assert got == ["erc20_transfer", "erc721_transfer", None]
 
 
+class TestAbiDecode:
+    """ABI parameter decode (F5 full): selector constants must equal the
+    reference's published literals (ethTool.js:241-312) and the column
+    decoders must invert a known-good encode."""
+
+    def test_selector_constants_match_reference_literals(self):
+        from polkadot_etl_spark.functions.evm import (
+            ERC20_SELECTORS,
+            ERC721_SELECTORS,
+            ERC1155_SELECTORS,
+            SWAP_V2_TOPIC,
+        )
+
+        assert ERC20_SELECTORS == {
+            "transfer": "0xa9059cbb",
+            "transferFrom": "0x23b872dd",
+            "approve": "0x095ea7b3",
+        }
+        assert ERC721_SELECTORS["safeTransferFrom"] == "0x42842e0e"
+        assert ERC721_SELECTORS["safeTransferFromData"] == "0xb88d4fde"
+        assert ERC1155_SELECTORS["safeTransferFrom"] == "0xf242432a"
+        assert ERC1155_SELECTORS["safeBatchTransferFrom"] == "0x2eb2c2d6"
+        # UniswapV2 Swap topic, public constant
+        assert SWAP_V2_TOPIC == (
+            "0xd78ad95fa46c994b6551d0da85fc275fe613ce37657fb8d5e3d130840159d822"
+        )
+
+    @staticmethod
+    def _w(value: int) -> str:
+        return f"{value:064x}"
+
+    def test_calldata_decode_vectors(self, spark):
+        from polkadot_etl_spark.functions.evm import decode_token_calldata
+
+        to = 0x5AAEB6053F3E94C9B9A09F33669435E7EF1BEAED
+        frm = 0xDEADBEEF
+        big = 123456789012345678901234567890  # > 2^63, < 1e38: exact decimal
+        rows = [
+            ("t20", "0xa9059cbb" + self._w(to) + self._w(10**6)),
+            ("tf20", "0x23b872dd" + self._w(frm) + self._w(to) + self._w(big)),
+            ("t721", "0x42842e0e" + self._w(frm) + self._w(to) + self._w(77)),
+            ("t1155", "0xf242432a" + self._w(frm) + self._w(to) + self._w(5) + self._w(900)),
+            ("junk", "0xdeadbeef" + self._w(1)),
+        ]
+        df = spark.createDataFrame(rows, "k: string, data: string")
+        got = {
+            r.k: r
+            for r in df.select("k", decode_token_calldata(df.data).alias("d")).select("k", "d.*").collect()
+        }
+        assert got["t20"].method == "transfer" and got["t20"].standard == "erc20"
+        assert got["t20"].to_addr == "0x" + f"{to:040x}"
+        assert int(got["t20"].amount_raw) == 10**6
+        assert got["tf20"].from_addr == "0x" + f"{frm:040x}"
+        assert int(got["tf20"].amount_raw) == big  # exact above 2^63
+        assert got["t721"].standard == "erc721" and int(got["t721"].token_id) == 77
+        assert got["t1155"].standard == "erc1155"
+        assert int(got["t1155"].token_id) == 5 and int(got["t1155"].amount_raw) == 900
+        assert got["junk"].method is None
+
+    def test_log_decode_vectors(self, spark):
+        from polkadot_etl_spark.functions.evm import (
+            SWAP_V2_TOPIC,
+            SWAP_V3_TOPIC,
+            TRANSFER_TOPIC,
+            decode_transfer_log,
+        )
+
+        pad = lambda a: "0x" + f"{a:064x}"  # noqa: E731
+        w = self._w
+        rows = [
+            ("erc20", [TRANSFER_TOPIC, pad(0xA1), pad(0xB2)], "0x" + w(500)),
+            ("erc721", [TRANSFER_TOPIC, pad(0xA1), pad(0xB2), pad(42)], "0x"),
+            (
+                "univ2",
+                [SWAP_V2_TOPIC, pad(0xA1), pad(0xB2)],
+                "0x" + w(11) + w(0) + w(0) + w(33),
+            ),
+            (
+                "univ3",
+                [SWAP_V3_TOPIC, pad(0xA1), pad(0xB2)],
+                # amount0 = -7 (two's complement), amount1 = +9
+                "0x" + f"{(1 << 256) - 7:064x}" + w(9),
+            ),
+        ]
+        df = spark.createDataFrame(rows, "k: string, topics: array<string>, data: string")
+        got = {
+            r.k: r
+            for r in df.select("k", decode_transfer_log(df.topics, df.data).alias("d"))
+            .select("k", "d.*")
+            .collect()
+        }
+        assert got["erc20"].kind == "erc20_transfer" and int(got["erc20"].amount_raw) == 500
+        assert got["erc20"].from_addr == "0x" + f"{0xA1:040x}"
+        assert got["erc721"].kind == "erc721_transfer" and int(got["erc721"].token_id) == 42
+        assert got["univ2"].kind == "univ2_swap"
+        assert (got["univ2"].amount0_in, got["univ2"].amount1_out) == (11.0, 33.0)
+        assert got["univ3"].amount0_in == -7.0 and got["univ3"].amount1_in == 9.0
+
+    def test_decorate_txn_fee_math(self, spark):
+        """decorateTxn economics (ethTool.js:841-918): legacy fee =
+        gasUsed·gasPrice; 1559 burned = gasUsed·effectiveGasPrice with the
+        published baseFee re-derived from gasPrice − maxPriorityFee."""
+        from polkadot_etl_spark.functions.evm import decorate_txn
+
+        tx_schema = (
+            "hash: string, block_hash: string, block_number: long, "
+            "transaction_index: int, from_addr: string, to_addr: string, "
+            "chain_id: long, nonce: long, tx_type: int, value: double, "
+            "gas: long, gas_price: long, max_fee_per_gas: long, "
+            "max_priority_fee_per_gas: long, input: string"
+        )
+        gwei = 10**9
+        txns = spark.createDataFrame(
+            [
+                ("0x1", "0xb", 1, 0, "0xa", "0xb", 1284, 0, 0, float(10**18),
+                 21000, 50 * gwei, None, None, "0x"),
+                ("0x2", "0xb", 1, 1, "0xa", "0xc", 1284, 1, 2, 0.0,
+                 100000, 60 * gwei, 80 * gwei, 2 * gwei, "0xa9059cbb" + "00" * 64),
+            ],
+            tx_schema,
+        )
+        receipts = spark.createDataFrame(
+            [
+                ("0x1", 1, 21000, 21000, 50 * gwei, None),
+                ("0x2", 1, 90000, 111000, 58 * gwei, None),
+            ],
+            "hash: string, status: int, gas_used: long, cumulative_gas_used: long, "
+            "effective_gas_price: long, contract_address: string",
+        )
+        got = {r.transaction_hash: r for r in decorate_txn(txns, receipts).collect()}
+        legacy = got["0x1"]
+        assert legacy.fee == pytest.approx(21000 * 50 * gwei / 1e18)
+        assert legacy.burned_fee == 0.0  # no 1559 fields → baseFee0 = 0
+        assert legacy.base_fee_per_gas == pytest.approx(50.0)  # gasPrice − 0 prio
+        e1559 = got["0x2"]
+        assert e1559.fee == pytest.approx(90000 * 60 * gwei / 1e18)
+        assert e1559.burned_fee == pytest.approx(90000 * 58 * gwei / 1e18)
+        assert e1559.txn_saving == pytest.approx((80 - 58) * gwei * 90000 / 1e18)
+        # gasPrice (60) >= baseFee0 (58) → published baseFee = 60 − 2 = 58
+        assert e1559.base_fee_per_gas == pytest.approx(58.0)
+        assert e1559.selector == "0xa9059cbb"
+
+
 class TestMultilocation:
     def test_interior_key_roundtrip(self):
         from polkadot_etl_spark.functions.multilocation import (
