@@ -13,6 +13,11 @@ from polkadot_etl_spark.plans.metrics import (
     accounts_passive,
     blocklog_daily,
 )
+from polkadot_etl_spark.plans.feeds import (
+    crowdloan_feed,
+    identity_table,
+    reward_feed,
+)
 from polkadot_etl_spark.plans.stakings import nominators_per_validator, validators_by_era
 from polkadot_etl_spark.plans.prices import best_by_liquidity, ohlcv_rollup, with_price_usd
 from polkadot_etl_spark.plans.pallets import PalletRegistry, map_substrate_type
@@ -33,6 +38,9 @@ __all__ = [
     "published_blocks",
     "blocklog_gold",
     "gap_audit",
+    "reward_feed",
+    "crowdloan_feed",
+    "identity_table",
     "blocklog_daily",
     "accounts_active",
     "accounts_passive",

@@ -1,0 +1,216 @@
+"""Account feed surfaces: staking rewards, crowdloan contributions, and
+the published identity table.
+
+Reference behavior reproduced:
+- feedreward (chainparser.js:4086-4117 prepareFeedReward; indexer.js:
+  3940-3960 processRawFeedRewards; :3962-3999 decorateFeedReward):
+  staking(Rewarded)/staking(Slashed) events become reward rows; Slashed is
+  negated; the era attaches from the most recent staking(PayoutStarted)
+  event seen earlier in the same extrinsic (a forward-fill, not a join);
+  only value > 0 rows are published (indexer.js:3953 — negated slashes are
+  therefore dropped from the feed).
+- feedcrowdloan (chainparser.js:4033-4083): crowdloan(Contributed) →
+  (account, paraID, decimalized amount); crowdloan(MemoUpdated) → memo.
+- identity (identityManager.js:60-185): per-relay registration info JSON →
+  name/fullname = info.display, judgement_verified = any judgement status
+  in {Reasonable, KnownGood}; sub-identities inherit the parent's
+  name/info/judgements with fullname = "{parent_name}/{subname}".
+
+Scale shape: the reward era forward-fill is one window over
+(extrinsic_id) ordered by event index — the shuffle key is the same
+extrinsic_id every downstream join uses. Identity parent decoration is a
+self-join on parent pubkey; identity cardinality is ~1e5 rows on any real
+chain, so the parent side broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_VERIFIED_STATUS = ("Reasonable", "KnownGood")  # identityManager.js:88
+
+
+def reward_feed(
+    events: DataFrame,
+    native_decimals: int = 10,
+    order_col: str = "event_id",
+    include_slashes: bool = False,
+) -> DataFrame:
+    """staking(Rewarded|Slashed) → feedreward rows with PayoutStarted era
+    forward-fill. ``order_col`` must order events within an extrinsic
+    (the reference walks them in feed order)."""
+    arr = F.from_json(F.col("data"), T.ArrayType(T.StringType()))
+    is_staking = F.col("section") == "staking"
+    is_reward = is_staking & F.col("method").isin("Rewarded", "Slashed")
+    is_payout = is_staking & (F.col("method") == "PayoutStarted")
+    base = events.where(is_reward | is_payout).withColumn("__d", arr)
+
+    parsed = base.select(
+        "event_id",
+        "extrinsic_id",
+        "section",
+        "method",
+        "block_number",
+        "block_time",
+        F.col(order_col).alias("__ord"),
+        F.when(is_payout, F.col("__d")[0].cast("int")).alias("__era_raw"),
+        F.when(is_reward, F.col("__d")[0]).alias("account"),
+        F.when(is_reward, F.col("__d")[1].cast("decimal(38,0)")).alias("__raw"),
+        F.when(F.col("method") == "Slashed", F.lit(-1)).otherwise(F.lit(1)).alias("__sign"),
+    )
+    # era forward-fill: last PayoutStarted era seen at-or-before this event
+    # within the same extrinsic (indexer.js:3945-3951)
+    w = (
+        Window.partitionBy("extrinsic_id")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = parsed.withColumn("era", F.last("__era_raw", ignorenulls=True).over(w))
+    raw_signed = (F.col("__raw") * F.col("__sign")).cast("decimal(38,0)")
+    out = (
+        filled.where(F.col("account").isNotNull())
+        .select(
+            "event_id",
+            "extrinsic_id",
+            "section",
+            "method",
+            "account",
+            F.col("account").alias("account_pubkey"),
+            "block_number",
+            "block_time",
+            "era",
+            (raw_signed.cast("double") / float(10**native_decimals)).alias("amount"),
+            raw_signed.alias("raw_amount"),
+        )
+    )
+    if not include_slashes:
+        # the published feed keeps strictly-positive values (indexer.js:3953)
+        out = out.where(F.col("amount") > 0)
+    return out
+
+
+def crowdloan_feed(events: DataFrame, native_decimals: int = 10) -> DataFrame:
+    """crowdloan(Contributed) → contribution rows; crowdloan(MemoUpdated)
+    → memo rows (both kinds in one frame, memo NULL for contributions,
+    amount NULL for memos — chainparser.js:4033-4083)."""
+    arr = F.from_json(F.col("data"), T.ArrayType(T.StringType()))
+    is_cl = F.col("section") == "crowdloan"
+    contributed = is_cl & (F.col("method") == "Contributed")
+    memo_upd = is_cl & (F.col("method") == "MemoUpdated")
+    e = events.where(contributed | memo_upd).withColumn("__d", arr)
+    raw = F.when(F.col("method") == "Contributed", F.col("__d")[2].cast("decimal(38,0)"))
+    return e.select(
+        "event_id",
+        "extrinsic_id",
+        "section",
+        "method",
+        F.col("__d")[0].alias("account"),
+        F.col("__d")[1].cast("int").alias("para_id"),
+        (raw.cast("double") / float(10**native_decimals)).alias("amount"),
+        raw.alias("raw_amount"),
+        F.when(F.col("method") == "MemoUpdated", F.col("__d")[2]).alias("memo"),
+        "block_number",
+        "block_time",
+    )
+
+
+def _relay_identity(
+    registrations: DataFrame, sub_accounts: DataFrame, relay: str
+) -> DataFrame:
+    """One relay's identity columns (pubkey, parent, is_subidentity,
+    fullname, name, subname, info, judgements, judgement_verified)."""
+    judgements_t = T.ArrayType(T.StructType([T.StructField("status", T.StringType())]))
+    regs = registrations.where(F.col("relay") == relay).select(
+        "pubkey",
+        F.col("info"),
+        F.col("judgements"),
+        F.get_json_object("info", "$.display").alias("name"),
+        F.exists(
+            F.coalesce(F.from_json("judgements", judgements_t), F.array()),
+            lambda j: j["status"].isin(*_VERIFIED_STATUS),
+        ).alias("judgement_verified"),
+    )
+    base = regs.select(
+        "pubkey",
+        F.lit(None).cast("string").alias("parent"),
+        F.lit(None).cast("boolean").alias("is_subidentity"),
+        F.col("name").alias("fullname"),  # fullname = display (js:115)
+        "name",
+        F.lit(None).cast("string").alias("subname"),
+        "info",
+        "judgements",
+        "judgement_verified",
+    )
+    subs = sub_accounts.where(F.col("relay") == relay)
+    parent = F.broadcast(
+        regs.select(
+            F.col("pubkey").alias("__ppk"),
+            F.col("name").alias("__pname"),
+            F.col("info").alias("__pinfo"),
+            F.col("judgements").alias("__pjudge"),
+            F.col("judgement_verified").alias("__pverified"),
+        )
+    )
+    sub_rows = (
+        subs.join(parent, subs.parent == parent.__ppk, "left")
+        .select(
+            "pubkey",
+            F.col("parent"),
+            F.lit(True).alias("is_subidentity"),
+            # fullname = "{parent_name}/{subname}", "/{subname}" when the
+            # parent has no display name (identityManager.js:160,172)
+            F.concat(F.coalesce(F.col("__pname"), F.lit("")), F.lit("/"), F.col("subname")).alias(
+                "fullname"
+            ),
+            F.col("__pname").alias("name"),
+            "subname",
+            F.col("__pinfo").alias("info"),
+            F.col("__pjudge").alias("judgements"),
+            F.col("__pverified").alias("judgement_verified"),
+        )
+    )
+    return base.unionByName(sub_rows)
+
+
+def identity_table(registrations: DataFrame, sub_accounts: DataFrame) -> DataFrame:
+    """The published identity table (schema/identity.json): polkadot_* and
+    kusama_* column pairs full-outer-joined on pubkey, with both ss58
+    encodings of every pubkey (identityManager.js:60-185).
+
+    Inputs: registrations(pubkey, relay, info JSON, judgements JSON),
+    sub_accounts(pubkey, relay, parent, subname) with relay ∈
+    {'polkadot', 'kusama'}."""
+    from polkadot_etl_spark.functions.udfs import u_get_address
+
+    def wide(relay: str) -> DataFrame:
+        r = _relay_identity(registrations, sub_accounts, relay)
+        return r.select(
+            F.col("pubkey").alias(f"__{relay}_pk"),
+            *[
+                F.col(c).alias(f"{relay}_{c}")
+                for c in (
+                    "parent",
+                    "is_subidentity",
+                    "fullname",
+                    "name",
+                    "subname",
+                    "info",
+                    "judgements",
+                    "judgement_verified",
+                )
+            ],
+        )
+
+    p, k = wide("polkadot"), wide("kusama")
+    j = p.join(k, p.__polkadot_pk == k.__kusama_pk, "full_outer")
+    pubkey = F.coalesce("__polkadot_pk", "__kusama_pk")
+    return j.select(
+        pubkey.alias("pubkey"),
+        u_get_address(0)(pubkey).alias("polkadot_ss58"),
+        u_get_address(2)(pubkey).alias("kusama_ss58"),
+        *[f"polkadot_{c}" for c in ("parent", "is_subidentity", "fullname", "name", "subname", "info", "judgements", "judgement_verified")],
+        *[f"kusama_{c}" for c in ("parent", "is_subidentity", "fullname", "name", "subname", "info", "judgements", "judgement_verified")],
+    )

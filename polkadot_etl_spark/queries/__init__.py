@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     # slots 48-50: round-3 capability queries
     "dump_day_blocklog",
     "evm_decoded_transfers",
+    "rewards_rollup",
 ]
 
 

@@ -216,6 +216,78 @@ def dump_day_blocklog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rewards_rollup",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, value, event_type,
+         CAST(FLOOR(event_id / 20) AS BIGINT) AS ext_id
+  FROM events
+  WHERE event_type IN ('purchase', 'error', 'signup')
+),
+filled AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type = 'signup'
+                         THEN user_id * 10 + event_id % 5 END IGNORE NULLS)
+           OVER (PARTITION BY ext_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era
+  FROM base
+)
+SELECT '0x' || lpad(CAST(user_id AS VARCHAR), 64, '0') AS account,
+       COUNT(*) AS n_rewards,
+       CAST(CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+         AS total_raw,
+       CAST(COALESCE(MAX(era), -1) AS INTEGER) AS max_era,
+       COUNT(era) AS n_with_era
+FROM filled
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Per-address staking-rewards rollup over the feedreward surface "
+    "(reference query.js:4147 get_account_rewards; extraction "
+    "chainparser.js:4086-4117 + indexer.js:3940-3999). The Spark side "
+    "synthesizes staking(Rewarded/Slashed/PayoutStarted) events from the "
+    "events table, runs the REAL plans.feeds.reward_feed — positional "
+    "JSON parse, PayoutStarted era forward-fill within the extrinsic "
+    "(window last(ignorenulls)), Slashed negation, the value>0 publish "
+    "gate that drops slashes — then rolls up per account. The oracle "
+    "recomputes the forward-fill with LAST_VALUE(... IGNORE NULLS) and "
+    "the gate independently.",
+    tags=("pipeline", "window", "agg"),
+)
+def rewards_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.feeds import reward_feed
+
+    e = load_table(spark, sf_dir, "events")
+    etype = F.col("event_type")
+    raw_str = F.floor(F.col("value") * 1e6).cast("string")
+    era_str = (F.col("user_id") * 10 + F.col("event_id") % 5).cast("string")
+    acct = F.concat(F.lit("0x"), F.lpad(F.col("user_id").cast("string"), 64, "0"))
+    synth = e.where(etype.isin("purchase", "error", "signup")).select(
+        F.col("event_id"),
+        F.floor(F.col("event_id") / 20).cast("bigint").cast("string").alias("extrinsic_id"),
+        F.lit("staking").alias("section"),
+        F.when(etype == "purchase", F.lit("Rewarded"))
+        .when(etype == "error", F.lit("Slashed"))
+        .otherwise(F.lit("PayoutStarted"))
+        .alias("method"),
+        F.when(
+            etype == "signup", F.concat(F.lit('["'), era_str, F.lit('","0x00"]'))
+        )
+        .otherwise(F.concat(F.lit('["'), acct, F.lit('","'), raw_str, F.lit('"]')))
+        .alias("data"),
+        F.lit(None).cast("long").alias("block_number"),
+        F.col("ts").alias("block_time"),
+    )
+    feed = reward_feed(synth, native_decimals=10, order_col="event_id")
+    return feed.groupBy("account").agg(
+        F.count(F.lit(1)).alias("n_rewards"),
+        F.sum("raw_amount").cast("string").cast("double").alias("total_raw"),
+        F.coalesce(F.max("era"), F.lit(-1)).cast("int").alias("max_era"),
+        F.count("era").alias("n_with_era"),
+    )
+
+
+@query(
     "evm_decoded_transfers",
     oracle="""
 SELECT event_id,

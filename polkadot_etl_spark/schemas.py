@@ -391,6 +391,102 @@ SPECVERSIONS = T.StructType(
     ]
 )
 
+# ref: schema/identity.json:1-112 (identityManager.js:60-185 build)
+IDENTITY = T.StructType(
+    [
+        _s("pubkey", False),
+        _s("polkadot_ss58", False),
+        _s("kusama_ss58", False),
+        _s("polkadot_parent"),
+        _b("polkadot_is_subidentity"),
+        _s("polkadot_fullname"),
+        _s("polkadot_name"),
+        _s("polkadot_subname"),
+        _s("polkadot_info"),  # JSON
+        _s("polkadot_judgements"),  # JSON
+        _b("polkadot_judgement_verified"),
+        _s("kusama_parent"),
+        _b("kusama_is_subidentity"),
+        _s("kusama_fullname"),
+        _s("kusama_name"),
+        _s("kusama_subname"),
+        _s("kusama_info"),  # JSON
+        _s("kusama_judgements"),  # JSON
+        _b("kusama_judgement_verified"),
+    ]
+)
+
+# ref: schema/assets.json:1-48
+ASSETS = T.StructType(
+    [
+        _i("para_id"),
+        _s("chain_name"),
+        _s("asset"),
+        _s("name"),
+        _s("currency_id"),
+        _s("symbol"),
+        _i("decimals"),
+        _s("xcm_interior_key"),
+        _s("xc_contract_address"),
+    ]
+)
+
+# ref: schema/xcmassets.json:1-62 (the xcmgar global asset registry rows)
+XCMASSETS = T.StructType(
+    [
+        _s("xcm_interior_key", False),
+        _s("xcm_v1_multilocation_byte"),
+        _s("xcm_v1_multilocation"),  # JSON
+        _s("symbol"),
+        _i("decimals"),
+        _i("para_id"),
+        _s("chain_name"),
+        _s("interior_type"),
+        _s("source"),
+        _s("xc_contract_address"),
+        _s("xc_currency_id"),
+        _i("confidence"),
+    ]
+)
+
+# feedreward rows (indexer.js:3962-3999 decorateFeedReward; served by
+# query.js:4147 get_account_rewards)
+REWARDS = T.StructType(
+    [
+        _s("event_id", False),
+        _s("extrinsic_id"),
+        _s("section", False),
+        _s("method", False),
+        _s("account", False),
+        _s("account_pubkey"),
+        _l("block_number"),
+        _ts("block_time"),
+        _i("era"),
+        _d("amount"),  # decimalized, sign-flipped for Slashed
+        _dec("raw_amount"),
+        _d("amount_usd"),
+        _d("price_usd"),
+    ]
+)
+
+# feedcrowdloan rows (chainparser.js:4033-4083 prepareFeedcrowdloan;
+# served by query.js:4059 get_account_crowdloans)
+CROWDLOANS = T.StructType(
+    [
+        _s("event_id", False),
+        _s("extrinsic_id"),
+        _s("section", False),
+        _s("method", False),
+        _s("account", False),
+        _i("para_id"),
+        _d("amount"),
+        _dec("raw_amount"),
+        _s("memo"),
+        _l("block_number"),
+        _ts("block_time"),
+    ]
+)
+
 # ref: schema/accountsactive.json:1-32 (+ passive/new/reaped variants)
 ACCOUNTS = T.StructType(
     [
@@ -420,4 +516,9 @@ SCHEMAS: dict[str, T.StructType] = {
     "assetlog": ASSETLOG,
     "specversions": SPECVERSIONS,
     "accounts": ACCOUNTS,
+    "identity": IDENTITY,
+    "assets": ASSETS,
+    "xcmassets": XCMASSETS,
+    "rewards": REWARDS,
+    "crowdloans": CROWDLOANS,
 }

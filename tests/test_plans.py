@@ -1108,6 +1108,99 @@ class TestDumpDay:
         assert before == after > 0
 
 
+class TestFeeds:
+    """feedreward / feedcrowdloan / identity (chainparser.js:4033-4117,
+    indexer.js:3940-3999, identityManager.js:60-185)."""
+
+    _EV = (
+        "event_id: string, extrinsic_id: string, section: string, "
+        "method: string, data: string, block_number: long, block_time: timestamp"
+    )
+
+    def test_reward_feed_era_fill_and_slash_gate(self, spark):
+        from polkadot_etl_spark.plans.feeds import reward_feed
+
+        rows = [
+            # ext A: payout(era 100) → two rewards; a later payout resets era
+            ("1", "A", "staking", "PayoutStarted", '["100","0xv"]', None, None),
+            ("2", "A", "staking", "Rewarded", '["0xaa","50000000000"]', None, None),
+            ("3", "A", "staking", "PayoutStarted", '["101","0xv"]', None, None),
+            ("4", "A", "staking", "Rewarded", '["0xbb","20000000000"]', None, None),
+            # ext B: reward BEFORE any payout → era null; slash is dropped
+            ("5", "B", "staking", "Rewarded", '["0xcc","10000000000"]', None, None),
+            ("6", "B", "staking", "Slashed", '["0xdd","70000000000"]', None, None),
+            # noise
+            ("7", "B", "balances", "Transfer", '["0xa","0xb","1"]', None, None),
+        ]
+        df = spark.createDataFrame(rows, self._EV)
+        got = {r.event_id: r for r in reward_feed(df, native_decimals=10).collect()}
+        assert set(got) == {"2", "4", "5"}  # slash gated out (indexer.js:3953)
+        assert got["2"].era == 100 and got["4"].era == 101  # forward-fill
+        assert got["5"].era is None
+        assert got["2"].amount == pytest.approx(5.0)
+        assert int(got["2"].raw_amount) == 50000000000
+        # include_slashes=True surfaces the negated row
+        slashes = {
+            r.event_id: r
+            for r in reward_feed(df, native_decimals=10, include_slashes=True).collect()
+        }
+        assert int(slashes["6"].raw_amount) == -70000000000
+
+    def test_crowdloan_feed(self, spark):
+        from polkadot_etl_spark.plans.feeds import crowdloan_feed
+
+        rows = [
+            ("1", "A", "crowdloan", "Contributed", '["0xaa","2004","500000000000"]', None, None),
+            ("2", "A", "crowdloan", "MemoUpdated", '["0xaa","2004","0xb554"]', None, None),
+            ("3", "A", "crowdloan", "Withdrew", '["0xaa","2004","1"]', None, None),
+        ]
+        got = {
+            r.event_id: r
+            for r in crowdloan_feed(spark.createDataFrame(rows, self._EV), 10).collect()
+        }
+        assert set(got) == {"1", "2"}
+        c = got["1"]
+        assert (c.account, c.para_id) == ("0xaa", 2004)
+        assert c.amount == pytest.approx(50.0) and int(c.raw_amount) == 500000000000
+        assert got["2"].memo == "0xb554" and got["2"].amount is None
+
+    def test_identity_table(self, spark):
+        from polkadot_etl_spark.functions.scalars import get_address
+        from polkadot_etl_spark.plans.feeds import identity_table
+
+        alice = "0x" + "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+        bob = "0x" + "8eaf04151687736326c9fea17e25fc5287613693c912909cb226aa4794f26a48"
+        sub = "0x" + "11" * 32
+        regs = spark.createDataFrame(
+            [
+                (alice, "polkadot", '{"display": "Alice"}',
+                 '[{"status": "Reasonable"}]'),
+                (alice, "kusama", '{"display": "AliceK"}',
+                 '[{"status": "FeePaid"}]'),
+                (bob, "polkadot", '{"legal": "Bob"}', None),
+            ],
+            "pubkey: string, relay: string, info: string, judgements: string",
+        )
+        subs = spark.createDataFrame(
+            [(sub, "polkadot", alice, "hot")],
+            "pubkey: string, relay: string, parent: string, subname: string",
+        )
+        got = {r.pubkey: r for r in identity_table(regs, subs).collect()}
+        a = got[alice]
+        assert a.polkadot_name == "Alice" and a.polkadot_fullname == "Alice"
+        assert a.polkadot_judgement_verified is True  # Reasonable ∈ verified set
+        assert a.kusama_judgement_verified is False  # FeePaid is not
+        assert a.polkadot_ss58 == get_address(alice, 0)
+        assert a.kusama_ss58 == get_address(alice, 2)
+        # sub-identity inherits parent name, composes fullname
+        s = got[sub]
+        assert s.polkadot_is_subidentity is True
+        assert s.polkadot_fullname == "Alice/hot" and s.polkadot_name == "Alice"
+        assert s.polkadot_parent == alice
+        # display-less registration → name null, no crash
+        assert got[bob].polkadot_name is None
+
+
 def test_sanity_nullify_counts(spark):
     """The reference's crawler-glitch guard: counts above ratio x prior
     total become NULL, sane counts survive (substrateetl.js:9407-9415)."""
