@@ -1,0 +1,132 @@
+"""Pure-Python SCALE codec for the primitive ink!/substrate types.
+
+Implements the public SCALE specification (substrate.dev codec docs):
+little-endian fixed-width ints, compact/general integers, bool, options,
+vectors/strings with compact length prefixes, and fixed-size byte arrays
+(AccountId/H256/H160). This replaces the previous hard stub in
+plans/wasm.py for every message whose argument types are primitive
+(reference substrate/substrateetl.js:2097-2140 decodeWASMContractsCall —
+there the polkadot.js ContractPromise does this decode from uploaded ink
+metadata; here the registry carries the declared types).
+
+Compound user types (custom structs/enums) still require real ink
+metadata and remain behind NotImplementedError.
+"""
+
+from __future__ import annotations
+
+_UINTS = {"u8": 1, "u16": 2, "u32": 4, "u64": 8, "u128": 16}
+_INTS = {"i8": 1, "i16": 2, "i32": 4, "i64": 8, "i128": 16}
+_FIXED_HEX = {"AccountId": 32, "H256": 32, "Hash": 32, "H160": 20}
+_ALIASES = {
+    "Balance": "u128",
+    "BlockNumber": "u32",
+    "Moment": "u64",
+    "bool": "bool",
+    "str": "String",
+}
+
+
+class ScaleError(ValueError):
+    pass
+
+
+def decode_compact(data: bytes, offset: int = 0) -> tuple[int, int]:
+    """Compact/general integer (SCALE spec §compact encoding)."""
+    if offset >= len(data):
+        raise ScaleError("compact: out of data")
+    b0 = data[offset]
+    mode = b0 & 0b11
+    if mode == 0:
+        return b0 >> 2, offset + 1
+    if mode == 1:
+        if offset + 2 > len(data):
+            raise ScaleError("compact u16: out of data")
+        return int.from_bytes(data[offset : offset + 2], "little") >> 2, offset + 2
+    if mode == 2:
+        if offset + 4 > len(data):
+            raise ScaleError("compact u32: out of data")
+        return int.from_bytes(data[offset : offset + 4], "little") >> 2, offset + 4
+    n = (b0 >> 2) + 4
+    if offset + 1 + n > len(data):
+        raise ScaleError("compact big: out of data")
+    return int.from_bytes(data[offset + 1 : offset + 1 + n], "little"), offset + 1 + n
+
+
+def decode_value(type_name: str, data: bytes, offset: int = 0):
+    """Decode one SCALE value; returns (python value, next offset).
+
+    Supported: uN/iN, bool, AccountId/H256/H160 (→ 0x hex), Vec<u8>
+    (→ 0x hex), String, Compact<T>, Option<T>, [u8; N], Vec<T>."""
+    t = _ALIASES.get(type_name, type_name).strip()
+
+    if t in _UINTS:
+        n = _UINTS[t]
+        if offset + n > len(data):
+            raise ScaleError(f"{t}: out of data")
+        return int.from_bytes(data[offset : offset + n], "little"), offset + n
+    if t in _INTS:
+        n = _INTS[t]
+        if offset + n > len(data):
+            raise ScaleError(f"{t}: out of data")
+        return int.from_bytes(data[offset : offset + n], "little", signed=True), offset + n
+    if t == "bool":
+        if offset >= len(data):
+            raise ScaleError("bool: out of data")
+        b = data[offset]
+        if b not in (0, 1):
+            raise ScaleError(f"bool: invalid byte {b:#x}")
+        return bool(b), offset + 1
+    if t in _FIXED_HEX:
+        n = _FIXED_HEX[t]
+        if offset + n > len(data):
+            raise ScaleError(f"{t}: out of data")
+        return "0x" + data[offset : offset + n].hex(), offset + n
+    if t.startswith("Compact<") and t.endswith(">"):
+        return decode_compact(data, offset)
+    if t.startswith("Option<") and t.endswith(">"):
+        if offset >= len(data):
+            raise ScaleError("Option: out of data")
+        if data[offset] == 0:
+            return None, offset + 1
+        if data[offset] != 1:
+            raise ScaleError(f"Option: invalid tag {data[offset]:#x}")
+        return decode_value(t[7:-1], data, offset + 1)
+    if t in ("Vec<u8>", "Bytes"):
+        ln, offset = decode_compact(data, offset)
+        if offset + ln > len(data):
+            raise ScaleError("Vec<u8>: out of data")
+        return "0x" + data[offset : offset + ln].hex(), offset + ln
+    if t == "String":
+        ln, offset = decode_compact(data, offset)
+        if offset + ln > len(data):
+            raise ScaleError("String: out of data")
+        return data[offset : offset + ln].decode("utf-8", errors="replace"), offset + ln
+    if t.startswith("[u8;") and t.endswith("]"):
+        n = int(t[4:-1].strip())
+        if offset + n > len(data):
+            raise ScaleError(f"{t}: out of data")
+        return "0x" + data[offset : offset + n].hex(), offset + n
+    if t.startswith("Vec<") and t.endswith(">"):
+        inner = t[4:-1]
+        ln, offset = decode_compact(data, offset)
+        out = []
+        for _ in range(ln):
+            v, offset = decode_value(inner, data, offset)
+            out.append(v)
+        return out, offset
+    raise NotImplementedError(
+        f"SCALE decode of compound/custom type {type_name!r} requires ink metadata"
+    )
+
+
+def decode_args(arg_types: tuple[str, ...] | list[str], data: bytes, offset: int = 0) -> list:
+    """Decode a message's argument list; raises ScaleError on truncated
+    input and NotImplementedError on non-primitive types."""
+    out = []
+    for t in arg_types:
+        v, offset = decode_value(t, data, offset)
+        out.append(v)
+    if offset != len(data):
+        raise ScaleError(f"{len(data) - offset} trailing bytes after args")
+    return out

@@ -19,6 +19,7 @@ from polkadot_etl_spark.plans.feeds import (
     reward_feed,
 )
 from polkadot_etl_spark.plans.stakings import nominators_per_validator, validators_by_era
+from polkadot_etl_spark.plans.xcmgar import build_xcm_asset_registry, propagate_registry
 from polkadot_etl_spark.plans.prices import best_by_liquidity, ohlcv_rollup, with_price_usd
 from polkadot_etl_spark.plans.pallets import PalletRegistry, map_substrate_type
 from polkadot_etl_spark.plans.traces import account_change_events, parse_traces, storage_keys_dim
@@ -41,6 +42,8 @@ __all__ = [
     "reward_feed",
     "crowdloan_feed",
     "identity_table",
+    "build_xcm_asset_registry",
+    "propagate_registry",
     "blocklog_daily",
     "accounts_active",
     "accounts_passive",

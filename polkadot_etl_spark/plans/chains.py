@@ -16,7 +16,9 @@ expressions, so a chain override never de-optimizes the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from polkadot_etl_spark.plans.decode import transfers_from_events
 
@@ -61,13 +63,168 @@ class MoonbeamParser(ChainParser):
 
 
 class AcalaParser(ChainParser):
-    """ORML tokens chain: currencies/tokens pallets carry multi-asset
-    transfers (chains/acala.js); 12-decimal native."""
+    """ORML tokens chain (chains/acala.js, 1,137 LoC): multi-asset
+    transfers via currencies/tokens pallets with PER-ASSET decimals, ORML
+    CurrencyId canonicalization (Token / DexShare / ForeignAsset /
+    LiquidCrowdloan, with the lcDOT rename at acala.js:822-825), dex:Swap
+    path-hop volume extraction (acala.js:619-670), and swapped storage-key
+    argument orders (Tokens:Accounts = [account, currency] vs
+    Loans:Positions = [currency, account], acala.js:11-49)."""
 
     chain_id = 2000
     native_symbol = "ACA"
     native_decimals = 12
     ss58_prefix = 10
+
+    # known asset decimals (indexer.assetInfo equivalent); lookup misses
+    # fall back to 12 exactly like getCachedAssetDecimal (acala.js:813)
+    asset_decimals: dict[str, int] = {
+        "ACA": 12, "AUSD": 12, "KUSD": 12, "KAR": 12, "KSM": 12, "LKSM": 12,
+        "DOT": 10, "LDOT": 10, "lcDOT": 10, "TAP": 12, "TAI": 12,
+    }
+
+    # ---- CurrencyId canonicalization (token_to_string / getAssetInfo) ----
+
+    def asset_symbol(self, asset: Column) -> Column:
+        """ORML CurrencyId JSON (or bare symbol) → display symbol.
+        {"Token":"KSM"} → KSM; {"DexShare":[a,b]} → "symA/symB" LP label;
+        {"ForeignAsset":"0"} → fa#0; {"LiquidCrowdloan":"13"} → lcDOT
+        (the hard rename, acala.js:822-825). Bare strings pass through."""
+
+        def tok(j: Column) -> Column:
+            return F.coalesce(
+                F.get_json_object(j, "$.Token"),
+                F.concat(F.lit("fa#"), F.get_json_object(j, "$.ForeignAsset")),
+            )
+
+        lc = F.get_json_object(asset, "$.LiquidCrowdloan")
+        dex0 = F.get_json_object(asset, "$.DexShare[0]")
+        return (
+            F.when(lc == "13", F.lit("lcDOT"))
+            .when(lc.isNotNull(), F.concat(F.lit("lc#"), lc))
+            .when(
+                dex0.isNotNull(),
+                F.concat(
+                    tok(dex0), F.lit("/"), tok(F.get_json_object(asset, "$.DexShare[1]"))
+                ),
+            )
+            .when(tok(asset).isNotNull(), tok(asset))
+            .otherwise(asset)
+        )
+
+    def asset_decimals_col(self, symbol: Column) -> Column:
+        """Per-asset decimals when-chain over the known-asset map, with the
+        reference's default-12 fallback (acala.js:813)."""
+        out = None
+        for sym, dec in sorted(self.asset_decimals.items()):
+            clause = symbol == sym
+            out = F.when(clause, dec) if out is None else out.when(clause, dec)
+        return out.otherwise(F.lit(self.native_decimals))
+
+    def transfers(self, events: DataFrame) -> DataFrame:
+        """Multi-asset transfers: unlike the base parser (flat native
+        decimals), every row's amount is decimalized by ITS asset's
+        decimals and the symbol is the canonical ORML form."""
+        base = transfers_from_events(
+            events,
+            native_symbol=self.native_symbol,
+            native_decimals=self.native_decimals,
+            ss58_prefix=self.ss58_prefix,
+        )
+        sym = self.asset_symbol(F.col("asset"))
+        dec = self.asset_decimals_col(sym)
+        return (
+            base.withColumn("symbol", sym)
+            .withColumn("decimals", dec)
+            .withColumn(
+                "amount",
+                F.col("raw_amount").cast("double") / F.pow(F.lit(10.0), dec.cast("double")),
+            )
+        )
+
+    # ---- dex:Swap path-hop extraction (acala.js:619-670) -----------------
+
+    def dex_swap_hops(self, events: DataFrame) -> DataFrame:
+        """dex(Swap) data = [trader, path currencies, path volumes] →
+        one row per consecutive path hop with per-asset-decimalized
+        volumes (process_dex_swap_event walks i, i+1 pairs). The explode
+        is map-side; no shuffle."""
+        d_tokens = F.from_json(
+            F.get_json_object("data", "$[1]"), T.ArrayType(T.StringType())
+        )
+        d_vols = F.from_json(
+            F.get_json_object("data", "$[2]"), T.ArrayType(T.DecimalType(38, 0))
+        )
+        e = (
+            events.where((F.col("section") == "dex") & (F.col("method") == "Swap"))
+            .select(
+                "event_id",
+                "extrinsic_id",
+                "block_number",
+                "block_time",
+                F.get_json_object("data", "$[0]").alias("trader"),
+                d_tokens.alias("__toks"),
+                d_vols.alias("__vols"),
+            )
+            .where(F.size("__toks") >= 2)
+        )
+        hop = F.explode(
+            F.transform(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                lambda _t, i: F.struct(
+                    F.col("__toks")[i].alias("tok0"),
+                    F.col("__toks")[i + 1].alias("tok1"),
+                    F.col("__vols")[i].alias("vol0_raw"),
+                    F.col("__vols")[i + 1].alias("vol1_raw"),
+                    i.alias("hop"),
+                ),
+            )
+        ).alias("h")
+        sym0 = self.asset_symbol(F.col("h.tok0"))
+        sym1 = self.asset_symbol(F.col("h.tok1"))
+        return e.select(
+            "event_id", "extrinsic_id", "block_number", "block_time", "trader", hop
+        ).select(
+            "event_id",
+            "extrinsic_id",
+            "block_number",
+            "block_time",
+            "trader",
+            F.col("h.hop").alias("hop"),
+            sym0.alias("token0"),
+            sym1.alias("token1"),
+            (
+                F.col("h.vol0_raw").cast("double")
+                / F.pow(F.lit(10.0), self.asset_decimals_col(sym0).cast("double"))
+            ).alias("token0_in"),
+            (
+                F.col("h.vol1_raw").cast("double")
+                / F.pow(F.lit(10.0), self.asset_decimals_col(sym1).cast("double"))
+            ).alias("token1_out"),
+            F.concat(F.lit("["), sym0, F.lit(","), sym1, F.lit("]")).alias("pair_key"),
+        )
+
+    # ---- storage-key argument order (acala.js:11-49) ---------------------
+
+    # pallet:storage → (position of accountID, position of currencyID)
+    _STORAGE_KEY_ORDER = {
+        ("Tokens", "Accounts"): (0, 1),
+        ("Loans", "Positions"): (1, 0),
+        ("Rewards", "SharesAndWithdrawnRewards"): (1, 0),
+    }
+
+    def storage_key_args(self, section: str, storage: str, decorated_key: Column):
+        """(account, asset) columns from a decorated storage key JSON
+        array — the per-storage argument order the reference hand-codes
+        in getTokensAccountsKey/getLoansPositionsKey."""
+        order = self._STORAGE_KEY_ORDER.get((section, storage))
+        if order is None:
+            return None
+        acct_i, asset_i = order
+        return (
+            F.get_json_object(decorated_key, f"$[{acct_i}]").alias("account"),
+            F.get_json_object(decorated_key, f"$[{asset_i}]").alias("asset"),
+        )
 
 
 class KusamaParser(ChainParser):

@@ -3,16 +3,20 @@ substrate/substrateetl.js:2097-2140 decodeWASMContractsCall).
 
 The reference resolves the contract's code hash to uploaded ink!
 metadata, matches the 4-byte message selector, and SCALE-decodes the
-arguments. The SCALE/metadata toolchain (`scale-codec` / `ink-metadata`)
-is not available in this environment, so the decode step is STUBBED
-behind the metadata registry: selector matching and dispatch — the
-Spark-side plumbing — are real; argument decoding raises
-NotImplementedError unless the message declares no arguments.
+arguments (polkadot.js ContractPromise.abi.decodeMessage). Here the
+registry carries the declared argument types and the arguments are
+SCALE-decoded by functions/scale.py — a from-spec pure-Python codec
+covering every primitive ink type (uN/iN, bool, AccountId, Vec<u8>,
+String, Compact<T>, Option<T>, fixed arrays). Only compound custom
+types (user structs/enums), which genuinely require the uploaded ink
+metadata, remain behind NotImplementedError.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+from polkadot_etl_spark.functions.scale import decode_args
 
 
 @dataclass(frozen=True)
@@ -32,19 +36,20 @@ class ContractRegistry:
         self._by_hash[code_hash.lower()] = {m.selector.lower(): m for m in messages}
 
     def decode_call(self, code_hash: str, data_hex: str) -> dict:
-        """Match the selector of a contracts.call data payload; decode
-        args when trivially possible (none declared), else mark the row
-        for the full SCALE path."""
+        """Match the selector of a contracts.call data payload and
+        SCALE-decode the declared arguments (substrateetl.js:2104-2119).
+        Compound custom arg types raise NotImplementedError (they need
+        the uploaded ink metadata)."""
         data = data_hex[2:] if data_hex.startswith("0x") else data_hex
         selector = "0x" + data[:8].lower()
         msgs = self._by_hash.get(code_hash.lower(), {})
         m = msgs.get(selector)
         if m is None:
             return {"selector": selector, "label": None, "decoded": False}
-        if not m.arg_types:
-            return {"selector": selector, "label": m.label, "decoded": True, "args": {}}
-        raise NotImplementedError(
-            "SCALE argument decode requires the ink metadata toolchain, "
-            "which is not installed in this environment (stub boundary — "
-            f"message {m.label} declares args {m.arg_types})"
-        )
+        values = decode_args(m.arg_types, bytes.fromhex(data[8:]))
+        return {
+            "selector": selector,
+            "label": m.label,
+            "decoded": True,
+            "args": dict(zip([f"arg{i}" for i in range(len(values))], values)),
+        }

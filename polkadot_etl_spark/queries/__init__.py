@@ -39,6 +39,7 @@ _PRIORITY: list[str] = [
     "text_quality",
     "token_counts",
     "doc_fingerprint",
+    "lsh_dropped_buckets",
     "multimodal_image_features",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
@@ -52,13 +53,15 @@ _PRIORITY: list[str] = [
     "work_queue_backoff",
     "validity_filter",
     "json_field_access",
-    # set-op family
-    "unpivot_roundtrip",
+    # set-op family (unpivot_roundtrip: driver-green in r2, demoted past
+    # the window to keep slot room; still in the local oracle suite)
     "intersect_except_users",
     # one representative per remaining SURVEY §2 family
     "interval_sampling",
     "noise_suppression",
-    "like_filter",
+    # like_filter: driver-green in r2, demoted past the window (local
+    # oracle suite still covers it); filter family repped by
+    # dynamic_predicates + validity_filter + noise_suppression
     "dynamic_predicates",
     "band_join_tiebreak",
     "anti_join_no_urgent",
@@ -73,10 +76,11 @@ _PRIORITY: list[str] = [
     "gap_detection",
     "session_window_native",
     "pivot_event_counts",
-    # slots 48-50: round-3 capability queries
+    # round-3 capability queries
     "dump_day_blocklog",
     "evm_decoded_transfers",
     "rewards_rollup",
+    "xcm_asset_registry",
 ]
 
 

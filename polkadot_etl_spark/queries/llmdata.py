@@ -168,6 +168,43 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lsh_dropped_buckets",
+    oracle=f"""
+WITH {_DUCK_SIG},
+bucket AS (
+  SELECT band, minhash, COUNT(*) AS bucket_size FROM sig GROUP BY band, minhash
+)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       COUNT(CASE WHEN bucket_size > {BUCKET_CAP} THEN 1 END) AS n_buckets_dropped,
+       CAST(COALESCE(SUM(CASE WHEN bucket_size > {BUCKET_CAP} THEN bucket_size END), 0)
+            AS BIGINT) AS n_docs_dropped,
+       CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
+FROM bucket GROUP BY band
+""",
+    doc="Companion coverage metric for the LSH candidate stage — the 'no "
+    "silent caps' rule: every band reports how many buckets (and doc "
+    "entries) the BUCKET_CAP skip-rule dropped, plus the observed max "
+    "bucket size so the cap can be tuned instead of trusted. Shares the "
+    "signature build with dedup_minhash_lsh_pairs; one extra tiny "
+    "two-level agg, no new shuffle shape.",
+    tags=("dedup", "metric"),
+)
+def lsh_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    b = sig.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("bucket_size"))
+    dropped = F.col("bucket_size") > BUCKET_CAP
+    return b.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.when(dropped, 1)).alias("n_buckets_dropped"),
+        F.coalesce(F.sum(F.when(dropped, F.col("bucket_size"))), F.lit(0)).alias(
+            "n_docs_dropped"
+        ),
+        F.max("bucket_size").alias("max_bucket_size"),
+    )
+
+
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (band-bucket, unordered doc pair), doc_a < doc_b.
 

@@ -288,6 +288,92 @@ def rewards_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xcm_asset_registry",
+    oracle="""
+WITH o AS (SELECT n_nationkey AS k FROM nation),
+r AS (SELECT DISTINCT s_nationkey AS k, 3000 + s_suppkey % 5 AS chain FROM supplier),
+conf AS (
+  SELECT o.k, 1 + COUNT(r.chain) AS confidence
+  FROM o LEFT JOIN r ON r.k = o.k GROUP BY o.k
+)
+SELECT 'polkadot~[{"parachain":' || (2000 + k) || '},{"generalIndex":' || k || '}]'
+         AS xcm_interior_key,
+       'N' || k AS symbol,
+       10 + k % 3 AS decimals,
+       CAST(2000 + k AS INTEGER) AS para_id,
+       'x2' AS interior_type,
+       confidence
+FROM conf
+""",
+    doc="The xcmgar global asset registry build (reference "
+    "substrate/xcmgarlib3.js (relay, para, currency)→asset map; "
+    "schema/xcmassets.json; propagation join xcmmanager.js:500-510): "
+    "every nation is an asset registered by its home chain (Token "
+    "currency) and re-registered as an xc-wrapper (ForeignAsset) by each "
+    "remote chain that has a supplier there. The REAL "
+    "plans.xcmgar.build_xcm_asset_registry canonicalizes: multilocation→"
+    "interior-key via the Arrow-batched codec UDF, home-registration-"
+    "first rank window, confidence = distinct registering chains. The "
+    "oracle constructs the expected canonical rows directly.",
+    tags=("pipeline", "join", "window"),
+)
+def xcm_asset_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.xcmgar import build_xcm_asset_registry
+
+    k = F.col("k")
+    ks = k.cast("string")
+    ml = F.concat(
+        F.lit('{"parents": 1, "interior": {"X2": [{"Parachain": '),
+        (k + 2000).cast("string"),
+        F.lit('}, {"GeneralIndex": '),
+        ks,
+        F.lit("}]}}"),
+    )
+
+    def common(df, para_id, currency, symbol, source):
+        return df.select(
+            F.lit("polkadot").alias("relay_chain"),
+            para_id.alias("para_id"),
+            currency.alias("currency_id"),
+            symbol.alias("symbol"),
+            F.concat(F.lit("Nation "), ks).alias("name"),
+            (F.lit(10) + k % 3).alias("decimals"),
+            ml.alias("multilocation"),
+            F.lit(None).cast("string").alias("xc_contract_address"),
+            F.lit(source).alias("source"),
+        )
+
+    origins = common(
+        load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k")),
+        k + 2000,
+        F.concat(F.lit('{"Token":"N'), ks, F.lit('"}')),
+        F.concat(F.lit("N"), ks),
+        "gar",
+    )
+    remotes = common(
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_nationkey").alias("k"),
+            (F.lit(3000) + F.col("s_suppkey") % 5).alias("chain"),
+        )
+        .dropDuplicates(),
+        F.col("chain"),
+        F.concat(F.lit('{"ForeignAsset":"'), ks, F.lit('"}')),
+        F.concat(F.lit("xcN"), ks),
+        "onchain",
+    )
+    reg = build_xcm_asset_registry(origins.unionByName(remotes))
+    return reg.select(
+        "xcm_interior_key",
+        "symbol",
+        "decimals",
+        "para_id",
+        "interior_type",
+        "confidence",
+    )
+
+
+@query(
     "evm_decoded_transfers",
     oracle="""
 SELECT event_id,

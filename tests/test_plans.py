@@ -743,10 +743,41 @@ class TestLakeWriter:
         assert spark.read.parquet(path).count() == 1
 
 
-class TestWasmStub:
-    def test_selector_dispatch_and_stub_boundary(self):
-        import pytest as _pytest
+class TestWasmDecode:
+    def test_scale_primitive_vectors(self):
+        """Public SCALE spec vectors (substrate codec docs)."""
+        from polkadot_etl_spark.functions.scale import (
+            ScaleError,
+            decode_compact,
+            decode_value,
+        )
 
+        # compact: 0→0x00, 1→0x04, 42→0xa8, 69→0x1501, 65535→0xfeff0300,
+        # 2^32→five-byte big mode
+        assert decode_compact(bytes([0x00])) == (0, 1)
+        assert decode_compact(bytes([0x04])) == (1, 1)
+        assert decode_compact(bytes([0xA8])) == (42, 1)
+        assert decode_compact(bytes.fromhex("1501")) == (69, 2)
+        assert decode_compact(bytes.fromhex("feff0300")) == (65535, 4)
+        assert decode_compact(bytes.fromhex("0300000001")) == (2**24, 5)  # 4-byte big mode
+        assert decode_compact(bytes.fromhex("070000000001")) == (2**32, 6)  # 5-byte big mode
+
+        assert decode_value("u32", bytes.fromhex("04030201")) == (0x01020304, 4)
+        assert decode_value("i8", bytes([0xFF])) == (-1, 1)
+        assert decode_value("u128", (10**12).to_bytes(16, "little")) == (10**12, 16)
+        assert decode_value("bool", b"\x01") == (True, 1)
+        assert decode_value("Vec<u8>", bytes.fromhex("0c010203")) == ("0x010203", 4)
+        assert decode_value("String", bytes.fromhex("10696e6b21")) == ("ink!", 5)
+        assert decode_value("Option<u32>", bytes.fromhex("0105000000")) == (5, 5)
+        assert decode_value("Option<u32>", b"\x00") == (None, 1)
+        assert decode_value("Vec<u16>", bytes.fromhex("0804000800")) == ([4, 8], 5)
+        assert decode_value("[u8; 4]", bytes.fromhex("deadbeef")) == ("0xdeadbeef", 4)
+        with pytest.raises(ScaleError):
+            decode_value("u64", b"\x01\x02")  # truncated
+
+    def test_contract_call_decode_full(self):
+        """The erc20::transfer(AccountId, Balance) message decodes past
+        the old stub boundary (substrateetl.js:2097-2140)."""
         from polkadot_etl_spark.plans.wasm import ContractRegistry, InkMessage
 
         reg = ContractRegistry()
@@ -755,12 +786,26 @@ class TestWasmStub:
             [
                 InkMessage("get", "0x2f865bd9"),
                 InkMessage("transfer", "0x84a15da1", ("AccountId", "Balance")),
+                InkMessage("custom", "0x11111111", ("MyStruct",)),
             ],
         )
-        assert reg.decode_call("0xcode", "0x2f865bd9")["label"] == "get"
+        assert reg.decode_call("0xcode", "0x2f865bd9") == {
+            "selector": "0x2f865bd9",
+            "label": "get",
+            "decoded": True,
+            "args": {},
+        }
         assert reg.decode_call("0xcode", "0xdeadbeef")["decoded"] is False
-        with _pytest.raises(NotImplementedError):
-            reg.decode_call("0xCODE", "0x84a15da1ffff")
+
+        dest = "ab" * 32
+        bal = (5 * 10**10).to_bytes(16, "little").hex()
+        got = reg.decode_call("0xCODE", "0x84a15da1" + dest + bal)
+        assert got["label"] == "transfer" and got["decoded"] is True
+        assert got["args"] == {"arg0": "0x" + dest, "arg1": 5 * 10**10}
+
+        # compound custom types are the remaining honest boundary
+        with pytest.raises(NotImplementedError):
+            reg.decode_call("0xCODE", "0x11111111" + "00")
 
 
 class TestStakingAnalytics:
@@ -861,21 +906,130 @@ class TestChainParsers:
         assert get_parser(31337).native_symbol == "TST"
 
     def test_per_chain_transfer_decimals(self, fx):
-        """The same events decode with chain-specific decimal scaling —
-        the override changes config, not plan shape."""
+        """Kusama decodes the same raw integers at 12 decimals vs
+        polkadot's 10 — the flat-config override changes scaling only."""
         from pyspark.sql import functions as F
 
         from polkadot_etl_spark.plans.chains import get_parser
 
         events = fx["dfs"]["events"]
         dot = get_parser(0).transfers(events).where(F.col("symbol") == "DOT")
-        aca = get_parser(2000).transfers(events)
+        ksm = get_parser(2).transfers(events)
         r_dot = dot.select("raw_amount", "amount").first()
-        r_aca = aca.where(F.col("raw_amount") == r_dot.raw_amount).select(
+        r_ksm = ksm.where(F.col("raw_amount") == r_dot.raw_amount).select(
             "raw_amount", "amount"
         ).first()
         # same raw integer, 10 vs 12 decimals → amounts differ by 100×
-        assert abs(float(r_dot.amount) / float(r_aca.amount) - 100.0) < 1e-6
+        assert abs(float(r_dot.amount) / float(r_ksm.amount) - 100.0) < 1e-6
+
+    def test_acala_asset_symbol_and_decimals(self, spark):
+        """ORML CurrencyId canonicalization + per-asset decimals
+        (acala.js token_to_string, getAssetInfo lcDOT rename :822-825,
+        default-12 fallback :813) — acala output genuinely differs from
+        the base parser on the same rows."""
+        from polkadot_etl_spark.plans.chains import AcalaParser, get_parser
+
+        p = get_parser(2000)
+        assert isinstance(p, AcalaParser)
+        rows = [
+            ('{"Token":"KSM"}',),
+            ('{"Token":"DOT"}',),
+            ('{"DexShare":[{"Token":"KAR"},{"Token":"KSM"}]}',),
+            ('{"ForeignAsset":"0"}',),
+            ('{"LiquidCrowdloan":"13"}',),
+            ('{"Token":"ZZZ"}',),
+            ("DOT",),
+        ]
+        df = spark.createDataFrame(rows, "asset: string")
+        got = df.select(
+            p.asset_symbol(df.asset).alias("sym"),
+            p.asset_decimals_col(p.asset_symbol(df.asset)).alias("dec"),
+        ).collect()
+        assert [(r.sym, r.dec) for r in got] == [
+            ("KSM", 12),
+            ("DOT", 10),  # per-asset: NOT the chain-native 12
+            ("KAR/KSM", 12),
+            ("fa#0", 12),
+            ("lcDOT", 10),  # the hard rename
+            ("ZZZ", 12),  # unknown → default-12 fallback
+            ("DOT", 10),  # bare symbol passthrough
+        ]
+
+    def test_acala_transfers_differ_from_base(self, spark):
+        """The same tokens:Transfer decodes differently under acala:
+        ORML symbol extraction + per-asset decimals vs flat native."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.plans.chains import ChainParser, get_parser
+
+        ev = spark.createDataFrame(
+            [
+                ("1-0-0", "tokens", "Transfer",
+                 '["{\\"Token\\":\\"DOT\\"}", "0x01", "0x02", "50000000000"]',
+                 "1-0", "0xe1", None, 1, "0xb1", None),
+            ],
+            "event_id: string, section: string, method: string, data: string, "
+            "extrinsic_id: string, extrinsic_hash: string, block_time: timestamp, "
+            "block_number: long, block_hash: string, data_decoded: string",
+        )
+        base_r = ChainParser().transfers(ev).first()
+        aca_r = get_parser(2000).transfers(ev).first()
+        assert base_r.symbol == '{"Token":"DOT"}'  # raw passthrough
+        assert aca_r.symbol == "DOT"  # canonicalized
+        assert float(base_r.amount) == pytest.approx(5.0)  # 10 decimals (polkadot base)
+        assert float(aca_r.amount) == pytest.approx(5.0)  # per-asset DOT=10
+        # an unknown ORML token falls back to 12 on acala → differs from base
+        ev2 = ev.withColumn(
+            "data", F.lit('["{\\"Token\\":\\"KAR\\"}", "0x01", "0x02", "50000000000"]')
+        )
+        assert float(get_parser(2000).transfers(ev2).first().amount) == pytest.approx(0.05)
+        assert float(ChainParser().transfers(ev2).first().amount) == pytest.approx(5.0)
+
+    def test_acala_dex_swap_hops(self, spark):
+        """process_dex_swap_event (acala.js:619-670): a 3-token path
+        explodes into 2 hops with per-asset-decimalized volumes."""
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        data = (
+            '["5Trader", '
+            '[{"Token":"KAR"},{"Token":"KSM"},{"Token":"DOT"}], '
+            '["5000000000000", "1000000000000", "30000000000"]]'
+        )
+        ev = spark.createDataFrame(
+            [("9-0-1", "dex", "Swap", data, "9-0", None, 9)],
+            "event_id: string, section: string, method: string, data: string, "
+            "extrinsic_id: string, block_time: timestamp, block_number: long",
+        )
+        hops = get_parser(2000).dex_swap_hops(ev).orderBy("hop").collect()
+        assert len(hops) == 2
+        h0, h1 = hops
+        assert (h0.token0, h0.token1) == ("KAR", "KSM")
+        assert h0.token0_in == pytest.approx(5.0)  # 12 dec
+        assert h0.token1_out == pytest.approx(1.0)  # 12 dec
+        assert h0.pair_key == "[KAR,KSM]" and h0.trader == "5Trader"
+        assert (h1.token0, h1.token1) == ("KSM", "DOT")
+        assert h1.token1_out == pytest.approx(3.0)  # DOT at 10 dec
+        # non-swap events and short paths produce nothing
+        assert get_parser(2000).dex_swap_hops(
+            ev.withColumn("method", F.lit("AddLiquidity"))
+        ).count() == 0
+
+    def test_acala_storage_key_order(self, spark):
+        """Tokens:Accounts = [account, currency] but Loans:Positions =
+        [currency, account] (acala.js:11-49)."""
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        p = get_parser(2000)
+        df = spark.createDataFrame(
+            [('["5Acct",{"Token":"KSM"}]',), ('[{"Token":"KSM"},"5Acct"]',)],
+            "k: string",
+        )
+        ta = df.limit(1).select(*p.storage_key_args("Tokens", "Accounts", df.k)).first()
+        assert ta.account == "5Acct" and "KSM" in ta.asset
+        lp_cols = p.storage_key_args("Loans", "Positions", df.k)
+        lp = df.select(*lp_cols).collect()[1]
+        assert lp.account == "5Acct" and "KSM" in lp.asset
+        assert p.storage_key_args("Unknown", "Storage", df.k) is None
 
 
 class TestBucketedJoin:
@@ -1199,6 +1353,73 @@ class TestFeeds:
         assert s.polkadot_parent == alice
         # display-less registration → name null, no crash
         assert got[bob].polkadot_name is None
+
+
+class TestXcmgar:
+    _COLS = (
+        "relay_chain: string, para_id: int, currency_id: string, symbol: string, "
+        "name: string, decimals: int, multilocation: string, "
+        "xc_contract_address: string, source: string"
+    )
+
+    def _regs(self, spark):
+        dot_ml = '{"parents": 1, "interior": {"Here": null}}'
+        aca_ml = '{"parents": 1, "interior": {"X2": [{"Parachain": 2000}, {"GeneralKey": "0x0000"}]}}'
+        rows = [
+            # DOT: home registration on the relay (para 0)...
+            ("polkadot", 0, '{"Token":"DOT"}', "DOT", "Polkadot", 10, dot_ml, None, "gar"),
+            # ...and a wrapper registration on moonbeam with a precompile
+            ("polkadot", 2004, "42259045809535163221576417993425387648", "xcDOT",
+             "xcDOT", 10, dot_ml, "0xffffffff1fcacbd218edc0eba20fc2308c778080", "onchain"),
+            # ACA: home on 2000, wrapper on 2004
+            ("polkadot", 2000, '{"Token":"ACA"}', "ACA", "Acala", 12, aca_ml, None, "gar"),
+            ("polkadot", 2004, "224821240862170613278369189818311486111", "xcACA",
+             "Acala", 12, aca_ml, None, "onchain"),
+        ]
+        return spark.createDataFrame(rows, self._COLS)
+
+    def test_registry_canonicalization(self, spark):
+        from polkadot_etl_spark.plans.xcmgar import build_xcm_asset_registry
+
+        reg = {r.xcm_interior_key: r for r in build_xcm_asset_registry(self._regs(spark)).collect()}
+        assert set(reg) == {
+            "polkadot~here",
+            'polkadot~[{"parachain":2000},{"generalKey":"0x0000"}]',
+        }
+        dot = reg["polkadot~here"]
+        # home registration wins over the xc-wrapper; contract address is
+        # still harvested from the wrapper row
+        assert dot.symbol == "DOT" and dot.para_id == 0
+        assert dot.confidence == 2 and dot.interior_type == "here"
+        assert dot.xc_contract_address == "0xffffffff1fcacbd218edc0eba20fc2308c778080"
+        assert dot.xc_currency_id == '{"Token":"DOT"}'
+        aca = reg['polkadot~[{"parachain":2000},{"generalKey":"0x0000"}]']
+        assert aca.symbol == "ACA" and aca.para_id == 2000
+        assert aca.interior_type == "x2" and aca.confidence == 2
+
+    def test_propagation_join(self, spark):
+        """xcmLiquidityPairsUpdate (xcmmanager.js:500-510): local asset
+        rows pick up the canonical identity via their own (para_id,
+        currency_id) registration."""
+        from polkadot_etl_spark.plans.xcmgar import (
+            build_xcm_asset_registry,
+            propagate_registry,
+        )
+
+        regs = self._regs(spark)
+        registry = build_xcm_asset_registry(regs)
+        local = spark.createDataFrame(
+            [
+                (2004, "42259045809535163221576417993425387648", "lp-token-0"),
+                (2004, "999", "unregistered"),
+            ],
+            "para_id: int, currency_id: string, note: string",
+        )
+        got = {r.note: r for r in propagate_registry(local, regs, registry).collect()}
+        lp = got["lp-token-0"]
+        assert lp.xcm_interior_key == "polkadot~here"
+        assert lp.xcm_symbol == "DOT" and lp.xcm_home_para_id == 0
+        assert got["unregistered"].xcm_interior_key is None
 
 
 def test_sanity_nullify_counts(spark):
