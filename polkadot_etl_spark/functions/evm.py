@@ -357,37 +357,69 @@ def decode_token_calldata(data):
     """ERC-20/721/1155 calldata → struct(standard, method, from, to,
     amount_raw DECIMAL(38,0), amount double, token_id DECIMAL(38,0)).
 
-    A when-chain over the selector table (the reference's
-    detectERC20/721/1155 required-selector lists, ethTool.js:237-330).
-    0x23b872dd transferFrom is shared by ERC-20 and ERC-721 — classified
-    'erc20' here; the third word doubles as amount/token_id exactly as in
-    the shared Transfer topic. Unknown selector → NULL struct fields.
+    Selector dispatch over the reference's detectERC20/721/1155 required
+    lists (ethTool.js:237-330). 0x23b872dd transferFrom is shared by
+    ERC-20 and ERC-721 — classified 'erc20' here; the third word doubles
+    as amount/token_id exactly as in the shared Transfer topic. Unknown
+    selector → NULL struct fields.
+
+    Codegen note: the when-chains here pick WORDS per selector and the
+    expensive limb decodes (abi_uint_dec/dbl) run ONCE on the picked
+    word — inlining a limb chain into every branch grows the generated
+    method past janino's 64 KB limit and drops the whole stage out of
+    codegen (measured: interpreted fallback).
     """
     from pyspark.sql import functions as F
 
     sel = F.lower(F.substring(data, 1, 10))
     w0, w1, w2, w3 = (abi_word(data, i) for i in range(4))
+    s = ERC20_SELECTORS, ERC721_SELECTORS, ERC1155_SELECTORS
 
-    def out(standard, method, frm, to, val_word, id_word):
-        null_dec = F.lit(None).cast("decimal(38,0)")
-        return F.struct(
-            F.lit(standard).alias("standard"),
-            F.lit(method).alias("method"),
-            (frm if frm is not None else F.lit(None).cast("string")).alias("from_addr"),
-            (to if to is not None else F.lit(None).cast("string")).alias("to_addr"),
-            (abi_uint_dec(val_word) if val_word is not None else null_dec).alias("amount_raw"),
-            (abi_uint_dbl(val_word) if val_word is not None else F.lit(None).cast("double")).alias("amount"),
-            (abi_uint_dec(id_word) if id_word is not None else null_dec).alias("token_id"),
-        )
+    def chain(cases):
+        out = None
+        for cond_val, res in cases:
+            out = F.when(cond_val, res) if out is None else out.when(cond_val, res)
+        return out
 
-    return (
-        F.when(sel == ERC20_SELECTORS["transfer"], out("erc20", "transfer", None, abi_address(w0), w1, None))
-        .when(sel == ERC20_SELECTORS["transferFrom"], out("erc20", "transferFrom", abi_address(w0), abi_address(w1), w2, None))
-        .when(sel == ERC20_SELECTORS["approve"], out("erc20", "approve", None, abi_address(w0), w1, None))
-        .when(sel == ERC721_SELECTORS["safeTransferFrom"], out("erc721", "safeTransferFrom", abi_address(w0), abi_address(w1), None, w2))
-        .when(sel == ERC721_SELECTORS["safeTransferFromData"], out("erc721", "safeTransferFrom", abi_address(w0), abi_address(w1), None, w2))
-        .when(sel == ERC1155_SELECTORS["safeTransferFrom"], out("erc1155", "safeTransferFrom", abi_address(w0), abi_address(w1), w3, w2))
-        .when(sel == ERC1155_SELECTORS["safeBatchTransferFrom"], out("erc1155", "safeBatchTransferFrom", abi_address(w0), abi_address(w1), None, None))
+    t20, tf20, a20 = s[0]["transfer"], s[0]["transferFrom"], s[0]["approve"]
+    t721, t721d = s[1]["safeTransferFrom"], s[1]["safeTransferFromData"]
+    t1155, tb1155 = s[2]["safeTransferFrom"], s[2]["safeBatchTransferFrom"]
+    known_721 = [t721, t721d]
+    known = [t20, tf20, a20, *known_721, t1155, tb1155]
+
+    standard = chain(
+        [
+            (sel.isin(t20, tf20, a20), F.lit("erc20")),
+            (sel.isin(*known_721), F.lit("erc721")),
+            (sel.isin(t1155, tb1155), F.lit("erc1155")),
+        ]
+    )
+    method = chain(
+        [
+            (sel == t20, F.lit("transfer")),
+            (sel == tf20, F.lit("transferFrom")),
+            (sel == a20, F.lit("approve")),
+            (sel.isin(*known_721, t1155), F.lit("safeTransferFrom")),
+            (sel == tb1155, F.lit("safeBatchTransferFrom")),
+        ]
+    )
+    # word picked per selector; the limb decode runs once on the pick
+    from_word = chain([(sel.isin(tf20, *known_721, t1155, tb1155), w0)])
+    to_word = chain([(sel.isin(t20, a20), w0), (sel.isin(tf20, *known_721, t1155, tb1155), w1)])
+    amount_word = chain([(sel.isin(t20, a20), w1), (sel == tf20, w2), (sel == t1155, w3)])
+    id_word = chain([(sel.isin(*known_721, t1155), w2)])
+
+    return F.when(
+        sel.isin(*known),
+        F.struct(
+            standard.alias("standard"),
+            method.alias("method"),
+            F.when(from_word.isNotNull(), abi_address(from_word)).alias("from_addr"),
+            F.when(to_word.isNotNull(), abi_address(to_word)).alias("to_addr"),
+            abi_uint_dec(amount_word).alias("amount_raw"),
+            F.when(amount_word.isNotNull(), abi_uint_dbl(amount_word)).alias("amount"),
+            abi_uint_dec(id_word).alias("token_id"),
+        ),
     )
 
 

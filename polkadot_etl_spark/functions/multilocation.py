@@ -76,6 +76,45 @@ def multilocation_from_interior_key(key: str) -> tuple[str, dict[str, Any]]:
     return relay, {"parents": 0, "interior": {f"X{len(js)}": js}}
 
 
+_NETWORKS = {"00": "Any", "02": "Polkadot", "03": "Kusama"}
+
+
+def junction_from_hex(hex_str: str) -> dict[str, Any]:
+    """Decode one precompile-encoded junction: 1 selector byte + payload
+    (reference chains/moonbeam.js:205-289 convertMultilocationFromHex —
+    the byte layout of the XCM-transactor precompile docs).
+
+    0x00 Parachain(u32) · 0x01 AccountId32{key, network} ·
+    0x02 AccountIndex64{index, network} · 0x03 AccountKey20{key, network}
+    · 0x04 PalletInstance(u8) · 0x05 GeneralIndex(u128) ·
+    0x06 GeneralKey(bytes) · 0x07 OnlyChild."""
+    h = hex_str[2:] if hex_str.startswith("0x") else hex_str
+    sel, body = h[:2], h[2:]
+
+    def network(tail: str) -> Any:
+        if tail[:2] == "01":
+            return {"Named": tail[2:]}
+        return _NETWORKS.get(tail[:2], "Any")
+
+    if sel == "00":
+        return {"parachain": int(body, 16)}
+    if sel == "01":
+        return {"accountId32": {"network": network(body[64:]), "key": "0x" + body[:64]}}
+    if sel == "02":
+        return {"accountIndex64": {"network": network(body[16:]), "index": int(body[:16], 16)}}
+    if sel == "03":
+        return {"accountKey20": {"network": network(body[40:]), "key": "0x" + body[:40]}}
+    if sel == "04":
+        return {"palletInstance": int(body, 16)}
+    if sel == "05":
+        return {"generalIndex": int(body, 16)}
+    if sel == "06":
+        return {"generalKey": "0x" + body}
+    if sel == "07":
+        return {"onlyChild": None}
+    raise ValueError(f"unknown junction selector 0x{sel}")
+
+
 def para_id_of(multilocation: dict[str, Any]) -> int | None:
     """First Parachain junction's id, if any (the chainIDDest derivation
     the xcm transfer matcher keys on)."""

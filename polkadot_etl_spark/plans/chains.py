@@ -51,15 +51,48 @@ class ChainParser:
     def is_suppressed(self, section: str, method: str) -> bool:
         return (section, method) in self.suppress
 
+    def reward_feed(self, events: DataFrame) -> DataFrame:
+        """feedreward extraction with this chain's pallet config
+        (chainparser.js prepareFeedReward; overridden per chain)."""
+        from polkadot_etl_spark.plans.feeds import reward_feed
+
+        return reward_feed(events, native_decimals=self.native_decimals)
+
 
 class MoonbeamParser(ChainParser):
-    """EVM chain: 18-decimal native token, h160 accounts (prefix 1284),
-    EVM logs decoded via functions/evm.py (chains/moonbeam.js)."""
+    """EVM (frontier) chain (chains/moonbeam.js, 1,096 LoC): 18-decimal
+    native token, h160 accounts (prefix 1284), EVM logs decoded via
+    functions/evm.py, parachainStaking rewards with hex balances
+    (moonbeam.js:867-902), and the XC-20 precompile address rule that
+    maps a u128 asset id onto an EVM contract address
+    (0xFFFFFFFF + 16-byte id — the addresses hard-coded at
+    moonbeam.js:469,726 follow this rule)."""
 
     chain_id = 2004
     native_symbol = "GLMR"
     native_decimals = 18
     ss58_prefix = 1284
+
+    def reward_feed(self, events: DataFrame) -> DataFrame:
+        """parachainStaking(Rewarded) with 0x-hex balance payloads; no
+        PayoutStarted/era on parachain staking (moonbeam.js:877-902
+        prepareFeedReward override + rewardFilter :867)."""
+        from polkadot_etl_spark.plans.feeds import reward_feed
+
+        return reward_feed(
+            events,
+            native_decimals=self.native_decimals,
+            section="parachainStaking",
+            rewarded_methods=("Rewarded",),
+            payout_method=None,
+        )
+
+    @staticmethod
+    def xc20_contract_address(asset_id: int) -> str:
+        """XC-20 precompile address for a u128 asset id:
+        0xFFFFFFFF || 16-byte big-endian id. Verifiable against the
+        reference's hard-coded xcDOT address (moonbeam.js:726)."""
+        return "0xffffffff" + f"{asset_id:032x}"
 
 
 class AcalaParser(ChainParser):

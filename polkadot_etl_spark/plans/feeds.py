@@ -33,19 +33,41 @@ from pyspark.sql.window import Window
 _VERIFIED_STATUS = ("Reasonable", "KnownGood")  # identityManager.js:88
 
 
+def _u128_from_maybe_hex(c: Column) -> Column:
+    """Exact decimal(38,0) from a decimal string OR a 0x-hex string (EVM
+    chains emit hex balances, moonbeam.js:888 dechexToInt) — two 64-bit
+    limbs so values past 2^63 stay exact."""
+    hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
+    hi = F.conv(F.substring(hex_body, 1, 16), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(hex_body, 17, 16), 16, 10).cast("decimal(38,0)")
+    import decimal
+
+    from_hex = (hi * F.lit(decimal.Decimal(2**64)) + lo).cast("decimal(38,0)")
+    return F.when(c.startswith("0x"), from_hex).otherwise(c.cast("decimal(38,0)"))
+
+
 def reward_feed(
     events: DataFrame,
     native_decimals: int = 10,
     order_col: str = "event_id",
     include_slashes: bool = False,
+    section: str = "staking",
+    rewarded_methods: tuple[str, ...] = ("Rewarded", "Slashed"),
+    payout_method: str | None = "PayoutStarted",
 ) -> DataFrame:
-    """staking(Rewarded|Slashed) → feedreward rows with PayoutStarted era
-    forward-fill. ``order_col`` must order events within an extrinsic
-    (the reference walks them in feed order)."""
+    """{section}(Rewarded|Slashed) → feedreward rows with PayoutStarted
+    era forward-fill. ``order_col`` must order events within an extrinsic
+    (the reference walks them in feed order). Per-chain parsers override
+    the pallet config — e.g. moonbeam's parachainStaking(Rewarded) with
+    hex balances and no era events (moonbeam.js:867-902)."""
     arr = F.from_json(F.col("data"), T.ArrayType(T.StringType()))
-    is_staking = F.col("section") == "staking"
-    is_reward = is_staking & F.col("method").isin("Rewarded", "Slashed")
-    is_payout = is_staking & (F.col("method") == "PayoutStarted")
+    in_section = F.col("section") == section
+    is_reward = in_section & F.col("method").isin(*rewarded_methods)
+    is_payout = (
+        in_section & (F.col("method") == payout_method)
+        if payout_method
+        else F.lit(False)
+    )
     base = events.where(is_reward | is_payout).withColumn("__d", arr)
 
     parsed = base.select(
@@ -58,7 +80,7 @@ def reward_feed(
         F.col(order_col).alias("__ord"),
         F.when(is_payout, F.col("__d")[0].cast("int")).alias("__era_raw"),
         F.when(is_reward, F.col("__d")[0]).alias("account"),
-        F.when(is_reward, F.col("__d")[1].cast("decimal(38,0)")).alias("__raw"),
+        F.when(is_reward, _u128_from_maybe_hex(F.col("__d")[1])).alias("__raw"),
         F.when(F.col("method") == "Slashed", F.lit(-1)).otherwise(F.lit(1)).alias("__sign"),
     )
     # era forward-fill: last PayoutStarted era seen at-or-before this event

@@ -1014,6 +1014,56 @@ class TestChainParsers:
             ev.withColumn("method", F.lit("AddLiquidity"))
         ).count() == 0
 
+    def test_moonbeam_parachain_staking_rewards(self, spark):
+        """parachainStaking(Rewarded) with hex balances decodes exactly
+        past 2^63 (moonbeam.js:877-902); base-chain staking events are
+        ignored by the moonbeam override and vice versa."""
+        from polkadot_etl_spark.plans.chains import ChainParser, get_parser
+
+        big = 5 * 10**19  # > 2^63
+        ev = spark.createDataFrame(
+            [
+                ("1-0-0", "parachainStaking", "Rewarded",
+                 f'["0x22bA795AA1223F0C8fAE2932F16F4b1F8B573163", "0x{big:x}"]',
+                 "1-0", None, 1),
+                ("1-0-1", "staking", "Rewarded", '["0xaa", "1000"]', "1-0", None, 1),
+            ],
+            "event_id: string, section: string, method: string, data: string, "
+            "extrinsic_id: string, block_time: timestamp, block_number: long",
+        )
+        moon = get_parser(2004).reward_feed(ev).collect()
+        assert len(moon) == 1 and moon[0].event_id == "1-0-0"
+        assert int(moon[0].raw_amount) == big  # exact past 2^63
+        assert moon[0].amount == pytest.approx(big / 1e18)
+        assert moon[0].era is None
+        base = ChainParser().reward_feed(ev).collect()
+        assert len(base) == 1 and base[0].event_id == "1-0-1"
+
+    def test_moonbeam_xc20_precompile_address(self):
+        """The u128→address rule reproduces the reference's hard-coded
+        xcDOT precompile (moonbeam.js:726)."""
+        from polkadot_etl_spark.plans.chains import MoonbeamParser
+
+        xcdot = 42259045809535163221576417993425387648
+        assert MoonbeamParser.xc20_contract_address(xcdot) == (
+            "0xffffffff1fcacbd218edc0eba20fc2308c778080"
+        )
+
+    def test_junction_from_hex(self):
+        """Precompile junction bytes (moonbeam.js:205-289)."""
+        from polkadot_etl_spark.functions.multilocation import junction_from_hex
+
+        assert junction_from_hex("0x00000007e7") == {"parachain": 2023}
+        assert junction_from_hex("0x04" + "35") == {"palletInstance": 0x35}
+        assert junction_from_hex("0x05" + "00" * 15 + "2a") == {"generalIndex": 42}
+        a32 = junction_from_hex("0x01" + "ab" * 32 + "02")
+        assert a32["accountId32"]["network"] == "Polkadot"
+        assert a32["accountId32"]["key"] == "0x" + "ab" * 32
+        k20 = junction_from_hex("0x03" + "cd" * 20 + "00")
+        assert k20["accountKey20"]["key"] == "0x" + "cd" * 20
+        with pytest.raises(ValueError):
+            junction_from_hex("0x09beef")
+
     def test_acala_storage_key_order(self, spark):
         """Tokens:Accounts = [account, currency] but Loans:Positions =
         [currency, account] (acala.js:11-49)."""
