@@ -649,3 +649,207 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+SELECT DISTINCT l.l_partkey, p.p_brand, s.s_suppkey, s.s_name,
+       CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+       CAST(l.l_extendedprice AS DOUBLE) AS supply_price
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_type = 'LARGE' AND p.p_size < 11
+  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                           WHERE l2.l_partkey = l.l_partkey)
+""",
+    doc="TPC-H Q2-shaped min-cost supplier — correlated-MIN subquery "
+    "(reference: cheapest-offer lookups in the asset price pather, "
+    "assetManager.js min-liquidity selection). The correlation "
+    "decorrelates to a per-part window MIN: ONE hash-partition of the "
+    "fact by l_partkey computes the min and filters in the same stage — "
+    "no join back, no second shuffle. Ties all survive, like the spec; "
+    "min over raw doubles is the same value in both engines. The "
+    "supply relation is lineitem (the synthetic schema has no partsupp).",
+    tags=("join", "window", "subquery"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 11)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("__min_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "l_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            s_dbl(F.col("s_acctbal")).alias("s_acctbal"),
+            s_dbl(F.col("l_extendedprice")).alias("supply_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "tpch_q11_important_value_share",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey,
+         {d_decsum('l_extendedprice * (1 - l_discount)')} AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+thresh AS (SELECT {d_decsum('l_extendedprice * (1 - l_discount)')}
+                    / COUNT(DISTINCT l_partkey) AS mean_value FROM lineitem)
+SELECT pv.l_partkey, pv.part_value
+FROM pv, thresh
+WHERE pv.part_value > 1.2 * thresh.mean_value
+""",
+    doc="TPC-H Q11-shaped important-value share — grouped sums kept only "
+    "when they exceed a fraction of the GLOBAL aggregate (reference: the "
+    "'significant holder' cut in the asset top-N tables, query.js "
+    "getAssetHolders). The global mean computes in the same single scan "
+    "(partial aggs), broadcasts as a one-row cross join; the HAVING "
+    "compares two exact-decimal-derived doubles so the boundary is "
+    "identical across engines.",
+    tags=("agg", "subquery"),
+)
+def tpch_q11_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    pv = l.groupBy("l_partkey").agg(F.sum(val).cast("double").alias("part_value"))
+    thresh = l.agg(
+        (F.sum(val).cast("double") / F.count_distinct(F.col("l_partkey"))).alias("mean_value")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .where(F.col("part_value") > 1.2 * F.col("mean_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q16_supplier_count_by_part",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'SMALL'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16-shaped supplier count per part descriptor — "
+    "COUNT(DISTINCT) per group with a NOT-IN exclusion subquery "
+    "(reference: distinct-author counts with a denylist, the "
+    "numTraces/distinct-signer audits). NOT IN over the non-null "
+    "supplier keys is a broadcast left-anti join; the distinct count "
+    "expands to a two-phase partial/final aggregate, no extra shuffle "
+    "beyond the group-by.",
+    tags=("agg", "setop", "subquery"),
+)
+def tpch_q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "SMALL")
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 500.0)
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_supply_semi",
+    oracle=f"""
+WITH sq AS (
+  SELECT l.l_suppkey, {d_decsum('l.l_quantity')} AS sum_qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%widget%'
+  GROUP BY l.l_suppkey
+),
+cut AS (SELECT {d_decsum('sum_qty')} / COUNT(*) AS mean_qty FROM sq)
+SELECT s.s_suppkey, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT sq.l_suppkey FROM sq, cut
+                      WHERE sq.sum_qty > 1.05 * cut.mean_qty)
+""",
+    doc="TPC-H Q20-shaped excess-supply semi-join — IN against an "
+    "aggregated-and-thresholded subquery (reference: the 'active "
+    "enough' account promotion, accounts_active feeding downstream "
+    "dumps). The inner aggregate shuffles once on l_suppkey; its mean "
+    "broadcasts; the outer IN is a broadcast left-semi join into the "
+    "tiny supplier dim — the fact table is scanned exactly once.",
+    tags=("join", "agg", "subquery"),
+)
+def tpch_q20_excess_supply_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    sq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_decsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+    cut = sq.agg((_decsum(F.col("sum_qty")) / F.count(F.lit(1))).alias("mean_qty"))
+    keep = sq.crossJoin(F.broadcast(cut)).where(F.col("sum_qty") > 1.05 * F.col("mean_qty"))
+    return (
+        s.join(keep, s.s_suppkey == keep.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", s_dbl(F.col("s_acctbal")).alias("s_acctbal"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+""",
+    doc="TPC-H Q21-shaped sole-fault supplier — correlated EXISTS + NOT "
+    "EXISTS against the same fact (reference: the xcm 'sole failed hop' "
+    "attribution, xcmCleaner dest-candidate disqualification). Both "
+    "correlations become shuffled joins on the high-cardinality "
+    "l_orderkey (semi then anti) with the suppkey-inequality as a "
+    "residual — no skewed key, no quadratic blowup; the supplier dim "
+    "broadcasts and the top-25 plans as TakeOrderedAndProject.",
+    tags=("join", "setop", "topk"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
+        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
