@@ -268,8 +268,163 @@ class KusamaParser(ChainParser):
     ss58_prefix = 2
 
 
+class AstarParser(ChainParser):
+    """dApps-staking chain (chains/astar.js, 966 LoC): 18-decimal native
+    token, dappsStaking(Reward) rewards carrying the era INLINE in the
+    event data (no PayoutStarted — astar.js:889-920), the staked smart
+    contract ({evm:...}/{wasm:...}) as a first-class reward column, and
+    the XC-20-style asset-address rule shared with moonbeam
+    (astar.js:624-628: '0x' + addr[10:], with rawAssetID 0 → ASTR)."""
+
+    chain_id = 2006
+    native_symbol = "ASTR"
+    native_decimals = 18
+    ss58_prefix = 5
+
+    def reward_feed(self, events: DataFrame) -> DataFrame:
+        """dappsStaking(Reward) data = [account, smart_contract, era,
+        amount]: era inline (dechex), hex balances, no fill window
+        (astar.js:889-920 prepareFeedReward override)."""
+        from polkadot_etl_spark.plans.feeds import reward_feed
+
+        return reward_feed(
+            events,
+            native_decimals=self.native_decimals,
+            section="dappsStaking",
+            rewarded_methods=("Reward",),
+            payout_method=None,
+            account_index=0,
+            contract_index=1,
+            era_data_index=2,
+            amount_index=3,
+        )
+
+    @staticmethod
+    def xc20_asset_id(addr: Column) -> Column:
+        """EVM asset address → raw asset id hex: strip the 0xFFFFFFFF
+        marker prefix ('0x' + addr[10:], astar.js:624-625)."""
+        return F.when(
+            addr.startswith("0x"),
+            F.concat(F.lit("0x"), F.substring(addr, 11, 2_000_000)),
+        ).otherwise(addr)
+
+    def asset_symbol_for_id(self, raw_id: Column) -> Column:
+        """Asset id 0 is the native token on astar (astar.js:626-628)."""
+        return F.when(raw_id.cast("long") == 0, F.lit(self.native_symbol))
+
+
+class ParallelParser(ChainParser):
+    """Money-market chain (chains/parallel.js, 1,225 LoC): NUMERIC asset
+    ids resolved through the assets registry table (the reference queries
+    assets.metadata on-chain and caches it, parallel.js:171-215 — the
+    Spark translation is a broadcast join against the published assets
+    dim), comma-formatted ids cleaned first (chainparser.js:6068-6071),
+    per-pallet storage-key argument orders (oracle/loans/amm,
+    parallel.js:436-489), and the liquidStaking exchange-rate ratio
+    decoded from an 18-decimal fixed-point hex (parallel.js:417-424)."""
+
+    chain_id = 2012
+    native_symbol = "PARA"
+    native_decimals = 12
+    ss58_prefix = 172
+
+    @staticmethod
+    def cleaned_asset_id(raw: Column) -> Column:
+        """'200,070,014' → 200070014 (paraTool.toNumWithoutComma via
+        cleanedAssetID, chainparser.js:6068)."""
+        return F.regexp_replace(raw, ",", "").cast("long")
+
+    def decorate_asset(
+        self, df: DataFrame, assets: DataFrame, id_col: str = "asset_id"
+    ) -> DataFrame:
+        """Broadcast-join symbol/decimals from the assets dim onto any
+        frame keyed by numeric asset id, then decimalize raw_amount if
+        present. The registry is tiny (<1e4 rows on any chain) so this is
+        shuffle-free — the Spark form of the reference's assetInfo cache
+        (parallel.js:154-215)."""
+        dim = F.broadcast(
+            assets.select(
+                F.col("asset_id").alias("__aid"),
+                F.col("symbol").alias("symbol"),
+                F.col("decimals").alias("decimals"),
+            )
+        )
+        out = df.join(dim, self.cleaned_asset_id(F.col(id_col)) == F.col("__aid"), "left").drop(
+            "__aid"
+        )
+        if "raw_amount" in df.columns:
+            out = out.withColumn(
+                "amount",
+                F.col("raw_amount").cast("double")
+                / F.pow(F.lit(10.0), F.coalesce(F.col("decimals"), F.lit(self.native_decimals)).cast("double")),
+            )
+        return out
+
+    # pallet:storage → decorated-key JSON array layout
+    # (account position, asset position) with None = not present
+    _STORAGE_KEY_ORDER: dict[tuple[str, str], tuple[int | None, int | None]] = {
+        ("oracle", "values"): (None, 0),          # [assetId]
+        ("oracle", "rawValues"): (0, 1),          # [oracle, assetId]
+        ("assets", "asset"): (None, 0),           # [assetId]
+        ("loans", "accountBorrows"): (1, 0),      # [assetId, account]
+        ("loans", "accountDeposits"): (1, 0),     # [assetId, account]
+        ("loans", "exchangeRate"): (None, 0),     # [assetId]
+        ("loans", "borrowIndex"): (None, 0),
+        ("loans", "totalBorrows"): (None, 0),
+        ("loans", "totalSupply"): (None, 0),
+        ("balances", "locks"): (0, None),         # [account]
+        ("liquidStaking", "exchangeRate"): (0, None),
+    }
+
+    def storage_key_args(self, section: str, storage: str, decorated_key: Column):
+        """(account, asset_id) columns for parallel's pallets — the
+        hand-coded key walkers at parallel.js:436-489 as one layout
+        table."""
+        order = self._STORAGE_KEY_ORDER.get((section, storage))
+        if order is None:
+            return None
+        acct_i, asset_i = order
+        acct = (
+            F.get_json_object(decorated_key, f"$[{acct_i}]")
+            if acct_i is not None
+            else F.lit(None).cast("string")
+        )
+        asset = (
+            self.cleaned_asset_id(F.get_json_object(decorated_key, f"$[{asset_i}]"))
+            if asset_i is not None
+            else F.lit(None).cast("long")
+        )
+        return acct.alias("account"), asset.alias("asset_id")
+
+    @staticmethod
+    def liquid_staking_exchange_rate(decorated_val: Column) -> Column:
+        """liquidStaking:exchangeRate — 18-decimal fixed-point, possibly
+        hex (parallel.js:417-424 getLiquidStakingExchangeRateVal)."""
+        from polkadot_etl_spark.plans.feeds import _u128_from_maybe_hex
+
+        return _u128_from_maybe_hex(decorated_val).cast("double") / 1e18
+
+    @staticmethod
+    def oracle_price(decorated_val: Column):
+        """oracle:values → (raw_price, price_ts): value is a u128 hex,
+        timestamp is ms → floor seconds (parallel.js:246-255)."""
+        from polkadot_etl_spark.plans.feeds import _u128_from_maybe_hex
+
+        raw = _u128_from_maybe_hex(F.get_json_object(decorated_val, "$.value"))
+        ts = (F.get_json_object(decorated_val, "$.timestamp").cast("long") / 1000).cast("long")
+        return raw.alias("raw_price"), ts.alias("price_ts")
+
+
 _PARSERS: dict[int, type[ChainParser]] = {
-    p.chain_id: p for p in (ChainParser, KusamaParser, AcalaParser, MoonbeamParser)
+    p.chain_id: p
+    for p in (
+        ChainParser,
+        KusamaParser,
+        AcalaParser,
+        MoonbeamParser,
+        AstarParser,
+        ParallelParser,
+    )
 }
 
 

@@ -46,6 +46,18 @@ def _u128_from_maybe_hex(c: Column) -> Column:
     return F.when(c.startswith("0x"), from_hex).otherwise(c.cast("decimal(38,0)"))
 
 
+def _dechex_int(c: Column) -> Column:
+    """Small int from a decimal OR 0x-hex string (paraTool.dechexToInt)."""
+    return (
+        F.when(
+            c.startswith("0x"),
+            F.conv(F.regexp_replace(c, "^0x", ""), 16, 10).cast("long"),
+        )
+        .otherwise(c.cast("long"))
+        .cast("int")
+    )
+
+
 def reward_feed(
     events: DataFrame,
     native_decimals: int = 10,
@@ -54,22 +66,48 @@ def reward_feed(
     section: str = "staking",
     rewarded_methods: tuple[str, ...] = ("Rewarded", "Slashed"),
     payout_method: str | None = "PayoutStarted",
+    account_index: int = 0,
+    amount_index: int = 1,
+    era_data_index: int | None = None,
+    contract_index: int | None = None,
 ) -> DataFrame:
     """{section}(Rewarded|Slashed) → feedreward rows with PayoutStarted
     era forward-fill. ``order_col`` must order events within an extrinsic
     (the reference walks them in feed order). Per-chain parsers override
-    the pallet config — e.g. moonbeam's parachainStaking(Rewarded) with
-    hex balances and no era events (moonbeam.js:867-902)."""
+    the pallet config and data layout — moonbeam's
+    parachainStaking(Rewarded) with hex balances and no era events
+    (moonbeam.js:867-902); astar's dappsStaking(Reward) carrying the era
+    INLINE at data[2] and the amount at data[3], with the staked smart
+    contract at data[1] (astar.js:889-920).
+
+    When the era is inline (``era_data_index``) or absent (no
+    ``payout_method``) the forward-fill window — and its shuffle — is
+    skipped entirely; the fill only exists for relay-style chains where
+    era arrives as a separate PayoutStarted event."""
     arr = F.from_json(F.col("data"), T.ArrayType(T.StringType()))
     in_section = F.col("section") == section
     is_reward = in_section & F.col("method").isin(*rewarded_methods)
+    need_fill = payout_method is not None and era_data_index is None
     is_payout = (
         in_section & (F.col("method") == payout_method)
-        if payout_method
+        if need_fill
         else F.lit(False)
     )
     base = events.where(is_reward | is_payout).withColumn("__d", arr)
 
+    if era_data_index is not None:
+        era_raw = F.when(is_reward, _dechex_int(F.get(F.col("__d"), era_data_index)))
+    else:
+        era_raw = F.when(is_payout, F.get(F.col("__d"), 0).cast("int"))
+    contract = (
+        F.coalesce(
+            F.get_json_object(F.get(F.col("__d"), contract_index), "$.evm"),
+            F.get_json_object(F.get(F.col("__d"), contract_index), "$.wasm"),
+            F.get(F.col("__d"), contract_index),
+        )
+        if contract_index is not None
+        else F.lit(None).cast("string")
+    )
     parsed = base.select(
         "event_id",
         "extrinsic_id",
@@ -78,19 +116,23 @@ def reward_feed(
         "block_number",
         "block_time",
         F.col(order_col).alias("__ord"),
-        F.when(is_payout, F.col("__d")[0].cast("int")).alias("__era_raw"),
-        F.when(is_reward, F.col("__d")[0]).alias("account"),
-        F.when(is_reward, _u128_from_maybe_hex(F.col("__d")[1])).alias("__raw"),
+        era_raw.alias("__era_raw"),
+        F.when(is_reward, F.get(F.col("__d"), account_index)).alias("account"),
+        F.when(is_reward, _u128_from_maybe_hex(F.get(F.col("__d"), amount_index))).alias("__raw"),
+        F.when(is_reward, contract).alias("smart_contract"),
         F.when(F.col("method") == "Slashed", F.lit(-1)).otherwise(F.lit(1)).alias("__sign"),
     )
-    # era forward-fill: last PayoutStarted era seen at-or-before this event
-    # within the same extrinsic (indexer.js:3945-3951)
-    w = (
-        Window.partitionBy("extrinsic_id")
-        .orderBy("__ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = parsed.withColumn("era", F.last("__era_raw", ignorenulls=True).over(w))
+    if need_fill:
+        # era forward-fill: last PayoutStarted era seen at-or-before this
+        # event within the same extrinsic (indexer.js:3945-3951)
+        w = (
+            Window.partitionBy("extrinsic_id")
+            .orderBy("__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = parsed.withColumn("era", F.last("__era_raw", ignorenulls=True).over(w))
+    else:
+        filled = parsed.withColumn("era", F.col("__era_raw"))
     raw_signed = (F.col("__raw") * F.col("__sign")).cast("decimal(38,0)")
     out = (
         filled.where(F.col("account").isNotNull())
@@ -104,6 +146,7 @@ def reward_feed(
             "block_number",
             "block_time",
             "era",
+            "smart_contract",
             (raw_signed.cast("double") / float(10**native_decimals)).alias("amount"),
             raw_signed.alias("raw_amount"),
         )
@@ -123,17 +166,17 @@ def crowdloan_feed(events: DataFrame, native_decimals: int = 10) -> DataFrame:
     contributed = is_cl & (F.col("method") == "Contributed")
     memo_upd = is_cl & (F.col("method") == "MemoUpdated")
     e = events.where(contributed | memo_upd).withColumn("__d", arr)
-    raw = F.when(F.col("method") == "Contributed", F.col("__d")[2].cast("decimal(38,0)"))
+    raw = F.when(F.col("method") == "Contributed", F.get(F.col("__d"), 2).cast("decimal(38,0)"))
     return e.select(
         "event_id",
         "extrinsic_id",
         "section",
         "method",
-        F.col("__d")[0].alias("account"),
-        F.col("__d")[1].cast("int").alias("para_id"),
+        F.get(F.col("__d"), 0).alias("account"),
+        F.get(F.col("__d"), 1).cast("int").alias("para_id"),
         (raw.cast("double") / float(10**native_decimals)).alias("amount"),
         raw.alias("raw_amount"),
-        F.when(F.col("method") == "MemoUpdated", F.col("__d")[2]).alias("memo"),
+        F.when(F.col("method") == "MemoUpdated", F.get(F.col("__d"), 2)).alias("memo"),
         "block_number",
         "block_time",
     )

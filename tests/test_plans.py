@@ -1081,6 +1081,93 @@ class TestChainParsers:
         assert lp.account == "5Acct" and "KSM" in lp.asset
         assert p.storage_key_args("Unknown", "Storage", df.k) is None
 
+    def test_astar_dapps_staking_rewards(self, spark):
+        """dappsStaking(Reward) carries era inline at data[2] and the hex
+        amount at data[3]; the staked contract ({evm:...}) becomes a
+        column; no PayoutStarted fill (astar.js:889-920)."""
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        big = 3 * 10**18
+        ev = spark.createDataFrame(
+            [
+                ("1-0-0", "dappsStaking", "Reward",
+                 f'["WAcct", {{"evm": "0xcd12"}}, "68", "0x{big:x}"]',
+                 "1-0", None, 1),
+                ("1-0-1", "staking", "Rewarded", '["WOther", "500"]', "1-0", None, 1),
+            ],
+            "event_id: string, section: string, method: string, data: string, "
+            "extrinsic_id: string, block_time: timestamp, block_number: long",
+        )
+        rows = get_parser(2006).reward_feed(ev).collect()
+        assert len(rows) == 1 and rows[0].account == "WAcct"
+        assert rows[0].era == 68
+        assert rows[0].smart_contract == "0xcd12"
+        assert int(rows[0].raw_amount) == big
+        assert rows[0].amount == pytest.approx(big / 1e18)
+
+    def test_astar_xc20_asset_id(self, spark):
+        """'0xFFFFFFFF...' asset address → '0x' + addr[10:]
+        (astar.js:624-628); id 0 is the native token."""
+        from polkadot_etl_spark.plans.chains import AstarParser
+
+        df = spark.createDataFrame(
+            [("0xffffffff00000000000000010000000000000011",), ("42",)], "a: string"
+        )
+        got = df.select(AstarParser.xc20_asset_id(df.a).alias("v")).collect()
+        assert got[0].v == "0x00000000000000010000000000000011"
+        assert got[1].v == "42"
+        p = AstarParser()
+        sym = df.select(p.asset_symbol_for_id(F.lit("0")).alias("s")).first()
+        assert sym.s == "ASTR"
+
+    def test_parallel_storage_and_vals(self, spark):
+        """Key orders (oracle/loans/amm families, parallel.js:436-489),
+        comma-cleaned numeric ids (chainparser.js:6068), the 18-decimal
+        liquidStaking exchange rate, and the oracle ms→s price val
+        (parallel.js:246-255,417-424)."""
+        from polkadot_etl_spark.plans.chains import ParallelParser, get_parser
+
+        p = get_parser(2012)
+        assert isinstance(p, ParallelParser)
+        df = spark.createDataFrame(
+            [('["hJOracle","102"]', '["1,000","hJAcct"]')], "k1: string, k2: string"
+        )
+        rv = df.select(*p.storage_key_args("oracle", "rawValues", df.k1)).first()
+        assert rv.account == "hJOracle" and rv.asset_id == 102
+        lb = df.select(*p.storage_key_args("loans", "accountBorrows", df.k2)).first()
+        assert lb.account == "hJAcct" and lb.asset_id == 1000  # comma cleaned
+        assert p.storage_key_args("unknown", "storage", df.k1) is None
+
+        vals = spark.createDataFrame(
+            [('{"value":"0x000000000000000003a2ae9d185fa4b3","timestamp":1653303666594}',
+              hex(15 * 10**17))],
+            "ov: string, xr: string",
+        )
+        price = vals.select(*ParallelParser.oracle_price(vals.ov)).first()
+        assert int(price.raw_price) == 0x03A2AE9D185FA4B3
+        assert price.price_ts == 1653303666
+        xr = vals.select(ParallelParser.liquid_staking_exchange_rate(vals.xr).alias("r")).first()
+        assert xr.r == pytest.approx(1.5)
+
+    def test_parallel_decorate_asset(self, spark):
+        """Numeric-id frames decorate symbol/decimals via a broadcast
+        join against the assets dim and decimalize with a native-decimals
+        fallback (parallel.js:154-215 assetInfo cache)."""
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        p = get_parser(2012)
+        assets = spark.createDataFrame(
+            [(100, "KSM", 12), (102, "USDT", 6)], "asset_id: long, symbol: string, decimals: int"
+        )
+        rows = spark.createDataFrame(
+            [("100", 5 * 10**12), ("102", 7 * 10**6), ("999", 10**12)],
+            "asset_id: string, raw_amount: long",
+        )
+        got = {r.asset_id: r for r in p.decorate_asset(rows, assets).collect()}
+        assert got["100"].symbol == "KSM" and got["100"].amount == pytest.approx(5.0)
+        assert got["102"].symbol == "USDT" and got["102"].amount == pytest.approx(7.0)
+        assert got["999"].symbol is None and got["999"].amount == pytest.approx(1.0)
+
 
 class TestBucketedJoin:
     def test_colocated_join_has_no_exchange(self, spark):
