@@ -353,6 +353,48 @@ def abi_uint64(word):
     return F.conv(F.substring(word, 49, 16), 16, 10).cast("bigint")
 
 
+TRANSFER_BATCH_TOPIC = event_topic(
+    "TransferBatch(address,address,address,uint256[],uint256[])"
+)  # 0x4a39dc06… (the literal the reference pins, ethTool.js:314)
+
+
+def log_uint_array(data, head_slot: int):
+    """Decode a dynamic ``uint256[]`` from '0x'-prefixed log data as
+    array<decimal(38,0)> — the ABI head-tail layout natively: the head
+    word at ``head_slot`` holds the tail's byte offset; the tail starts
+    with a length word followed by the elements (TransferBatch's
+    ids/values, ethTool.js erc1155ABI TransferBatch arm).
+
+    All column-side: dynamic positions use column-position substring
+    inside a transform over sequence(1, n) — no Python, no explode, no
+    shuffle; NULL (not an error) when the data is too short."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    two64 = F.lit(decimal.Decimal(_TWO64))
+    base = (abi_uint64(log_word(data, head_slot)) / 32).cast("int")  # tail slot
+    n = F.conv(
+        F.substring(data, 3 + 64 * base + 48, 16), 16, 10
+    ).cast("int")
+
+    def elem(i):
+        # element i (1-based) lives at slot base + i
+        word = F.substring(data, 3 + 64 * (base + i), 64)
+        out = None
+        for k in range(4):
+            limb = F.conv(F.substring(word, 1 + 16 * k, 16), 16, 10).cast("decimal(38,0)")
+            out = limb if out is None else (out * two64 + limb).cast("decimal(38,0)")
+        return out
+
+    long_enough = F.length(data) >= 2 + 64 * (base + n + 1)
+    empty = F.array().cast("array<decimal(38,0)>")
+    # sequence(1, 0) would run DESCENDING — the n == 0 arm must short-circuit
+    return F.when(n == 0, empty).when(
+        (n > 0) & long_enough, F.transform(F.sequence(F.lit(1), n), elem)
+    )
+
+
 def decode_token_calldata(data):
     """ERC-20/721/1155 calldata → struct(standard, method, from, to,
     amount_raw DECIMAL(38,0), amount double, token_id DECIMAL(38,0)).
@@ -523,6 +565,7 @@ def decorate_txn(txns, receipts):
         F.col("to_addr"),
         F.col("contract_address").alias("creates"),
         (F.col("value").cast("double") / ether).alias("value"),
+        F.col("value").cast("decimal(38,0)").alias("value_raw"),
         F.col("tx_type"),
         (gas_used * gas_price / ether).alias("fee"),
         (gas_used * base_fee0 / ether).alias("burned_fee"),
@@ -535,9 +578,18 @@ def decorate_txn(txns, receipts):
         (base_fee_pub / gwei).alias("base_fee_per_gas"),
         (F.col("effective_gas_price").cast("double") / gwei).alias("effective_gas_price"),
         (gas_price / gwei).alias("gas_price"),
+        # exact wei-denominated integers (the gwei doubles above are the
+        # reference's display units; round-tripping them back truncates)
+        F.col("gas_price").cast("long").alias("gas_price_wei"),
+        F.col("max_fee_per_gas").cast("long").alias("max_fee_per_gas_wei"),
+        F.col("max_priority_fee_per_gas").cast("long").alias("max_priority_fee_per_gas_wei"),
+        F.col("effective_gas_price").cast("long").alias("effective_gas_price_wei"),
         "nonce",
         F.col("input"),
         F.when(F.length("input") >= 10, F.lower(F.substring("input", 1, 10))).alias("selector"),
+        # passthrough metadata (block_time / extrinsic ids / access_list)
+        # survives decoration when the caller provides it
+        *[c for c in ("block_time", "extrinsic_id", "extrinsic_hash", "access_list") if c in txns.columns],
     )
 
 

@@ -48,16 +48,11 @@ _PRIORITY: list[str] = [
     "asof_broadcast_version",
     "block_at_timestamp",
     "broadcast_dim_decoration",
-    "per_block_stats",
-    "daily_history_series",
-    "work_queue_backoff",
-    "validity_filter",
-    "json_field_access",
-    # set-op family (unpivot_roundtrip: driver-green in r2, demoted past
-    # the window to keep slot room; still in the local oracle suite)
-    "intersect_except_users",
-    # one representative per remaining SURVEY §2 family
-    "interval_sampling",
+    # per_block_stats / daily_history_series / work_queue_backoff /
+    # validity_filter / json_field_access / intersect_except_users /
+    # interval_sampling: driver-green in r2, demoted past the window to
+    # make room for the round-3 queries below; all remain in the local
+    # oracle suite (tests/test_queries_oracle.py)
     "noise_suppression",
     # like_filter: driver-green in r2, demoted past the window (local
     # oracle suite still covers it); filter family repped by
@@ -81,6 +76,15 @@ _PRIORITY: list[str] = [
     "evm_decoded_transfers",
     "rewards_rollup",
     "xcm_asset_registry",
+    "evm_transfer_logs",
+    "evm_txn_fees",
+    # round-3 TPC-H completion (correlated-MIN, global-share HAVING,
+    # distinct-count + NOT IN, aggregated-IN semi, EXISTS/NOT EXISTS)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_value_share",
+    "tpch_q16_supplier_count_by_part",
+    "tpch_q20_excess_supply_semi",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -429,3 +429,207 @@ def evm_decoded_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.amount_raw").cast("bigint").alias("amount"),
         )
     )
+
+
+@query(
+    "evm_transfer_logs",
+    oracle="""
+SELECT event_id,
+       CASE event_type WHEN 'purchase' THEN 'erc20' WHEN 'click' THEN 'erc721'
+                       WHEN 'view' THEN 'erc1155_single' ELSE 'erc1155_batch' END
+         AS transfer_type,
+       '0x' || lpad(CAST(user_id AS VARCHAR), 40, '0') AS from_address,
+       '0x' || lpad(CAST(user_id + CASE WHEN event_type = 'view' THEN 2 ELSE 1 END AS VARCHAR), 40, '0')
+         AS to_address,
+       CASE event_type
+            WHEN 'purchase' THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+            WHEN 'click' THEN CAST(user_id * 3 AS VARCHAR)
+            WHEN 'view' THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+       END AS value,
+       CASE WHEN event_type IN ('view', 'error')
+            THEN '0x' || lpad('9', 40, '0') END AS operator,
+       CASE event_type
+            WHEN 'view' THEN '[' || user_id || ']'
+            WHEN 'error' THEN '[' || user_id || ',' || (user_id + 1) || ']'
+       END AS token_ids,
+       CASE event_type
+            WHEN 'view' THEN '[' || CAST(FLOOR(value * 100) AS BIGINT) || ']'
+            WHEN 'error' THEN '[' || CAST(FLOOR(value * 100) AS BIGINT) || ','
+                              || (CAST(FLOOR(value * 100) AS BIGINT) + 1) || ']'
+       END AS token_values
+FROM events
+WHERE event_type IN ('purchase', 'click', 'view', 'error')
+""",
+    doc="The evmtransfers silver table (schema/substrateetl/"
+    "evmtransfers.json; log walk per the reference's erc20/erc721/erc1155 "
+    "ABI arms, ethTool.js:2030-2075): ERC-20 Transfer, ERC-721 Transfer "
+    "(4-topic form), ERC-1155 TransferSingle AND TransferBatch logs are "
+    "synthesized per event — the batch arm with a REAL ABI head-tail "
+    "dynamic-array encoding (head offsets 0x40/0xa0, length-prefixed "
+    "tails) — then decoded by the REAL plans.evm.evmtransfers_table. "
+    "Batch ids/values decode natively via column-position substring over "
+    "a sequence transform (functions/evm.py log_uint_array): no Python, "
+    "no explode. signup events carry a non-transfer topic and must drop "
+    "out. The oracle reconstructs every decoded field from the source "
+    "columns.",
+    tags=("pipeline", "scalar", "filter"),
+)
+def evm_transfer_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.functions.evm import (
+        TRANSFER_BATCH_TOPIC,
+        TRANSFER_SINGLE_TOPIC,
+        TRANSFER_TOPIC,
+    )
+    from polkadot_etl_spark.plans.evm import evmtransfers_table
+
+    e = load_table(spark, sf_dir, "events")
+    amt = F.floor(F.col("value") * 100).cast("bigint")
+    u = F.col("user_id")
+
+    def pad32(c: Column) -> Column:
+        return F.concat(F.lit("0x"), F.lpad(c.cast("string"), 64, "0"))
+
+    def hexw(c: Column) -> Column:
+        return F.lpad(F.lower(F.hex(c)), 64, "0")
+
+    etype = F.col("event_type")
+    op = pad32(F.lit(9))
+    # TransferBatch data: [0x40 head, 0xa0 head][len 2, id0, id1][len 2, v0, v1]
+    batch_data = F.concat(
+        F.lit("0x"), hexw(F.lit(0x40)), hexw(F.lit(0xA0)),
+        hexw(F.lit(2)), hexw(u), hexw(u + 1),
+        hexw(F.lit(2)), hexw(amt), hexw(amt + 1),
+    )
+    topics = (
+        F.when(etype == "purchase", F.array(F.lit(TRANSFER_TOPIC), pad32(u), pad32(u + 1)))
+        # topic3 is the uint256 tokenId — a true hex word (the decoder
+        # conv()s it back; the from/to address topics are read literally)
+        .when(etype == "click", F.array(F.lit(TRANSFER_TOPIC), pad32(u), pad32(u + 1), F.concat(F.lit("0x"), hexw(u * 3))))
+        .when(etype == "view", F.array(F.lit(TRANSFER_SINGLE_TOPIC), op, pad32(u), pad32(u + 2)))
+        .when(etype == "error", F.array(F.lit(TRANSFER_BATCH_TOPIC), op, pad32(u), pad32(u + 1)))
+        .otherwise(F.array(F.lit("0x" + "ab" * 32), pad32(u)))  # signup: not a transfer
+    )
+    data = (
+        F.when(etype == "purchase", F.concat(F.lit("0x"), hexw(amt)))
+        .when(etype == "view", F.concat(F.lit("0x"), hexw(u), hexw(amt)))
+        .when(etype == "error", batch_data)
+        .otherwise(F.lit("0x"))
+    )
+    logs = e.select(
+        F.col("event_id"),
+        F.concat(F.lit("0xc"), u.cast("string")).alias("address"),
+        topics.alias("topics"),
+        data.alias("data"),
+        F.concat(F.lit("0xt"), F.col("event_id").cast("string")).alias("transaction_hash"),
+        F.col("event_id").cast("int").alias("log_index"),
+        F.col("ts").alias("block_time"),
+        F.col("event_id").alias("block_number"),
+        F.lit(None).cast("string").alias("block_hash"),
+    )
+    t = evmtransfers_table(logs)
+    return t.select(
+        F.col("log_index").cast("bigint").alias("event_id"),
+        "transfer_type",
+        "from_address",
+        "to_address",
+        "value",
+        "operator",
+        "token_ids",
+        "token_values",
+    )
+
+
+@query(
+    "evm_txn_fees",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, o_custkey, o_totalprice,
+         o_orderpriority = '1-URGENT' AS is1559,
+         21000 + o_orderkey % 400000 AS gas_used,
+         1000000000 + o_orderkey % 1000 AS gas_price,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN 900000000 + o_orderkey % 1000 END AS egp,
+         o_orderstatus = 'F' AS has_input
+  FROM orders
+)
+SELECT '0xh' || k AS hash,
+       '0x' || lpad(CAST(o_custkey AS VARCHAR), 40, '0') AS from_address,
+       CAST(FLOOR(o_totalprice * 1e6) AS DOUBLE) AS value_wei,
+       gas_price,
+       gas_used AS receipt_gas_used,
+       CAST(k % 2 AS INTEGER) AS receipt_status,
+       CAST(gas_used AS DOUBLE) * CAST(gas_price AS DOUBLE) / 1e18 AS fee,
+       CAST(gas_used AS DOUBLE) * (CASE WHEN is1559 THEN CAST(egp AS DOUBLE) ELSE 0.0 END) / 1e18
+         AS burned_fee,
+       ((CASE WHEN is1559 THEN 2e9 ELSE 0.0 END)
+          - (CASE WHEN is1559 THEN CAST(egp AS DOUBLE) ELSE 0.0 END))
+         * CAST(gas_used AS DOUBLE) / 1e18 AS txn_saving,
+       CASE WHEN has_input THEN '0xa9059cbb' END AS method_id,
+       CASE WHEN has_input THEN 'transfer(address,uint256)' END AS signature
+FROM t
+""",
+    doc="The evmtxs silver table (schema/substrateetl/evmtxs.json; fee "
+    "economics ethTool.js:819-918 decorateTxn): tx + receipt frames "
+    "synthesized from orders — EIP-1559 fields only on urgent orders, "
+    "legacy otherwise, ERC-20 transfer calldata on 'F' rows — run "
+    "through the REAL plans.evm.evmtxs_table: tx × receipt hash join, "
+    "fee = gasUsed·gasPrice, burnedFee = gasUsed·baseFee with the "
+    "reference's pre-adjustment baseFee quirk, txnSaving = "
+    "(maxFee − baseFee)·gasUsed, selector → method_id + resolved text "
+    "signature. The oracle recomputes every fee column from the same "
+    "integer inputs with identical IEEE double steps.",
+    tags=("pipeline", "join", "scalar"),
+)
+def evm_txn_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.functions.evm import ERC20_SELECTORS
+    from polkadot_etl_spark.plans.evm import evmtxs_table
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    has_input = F.col("o_orderstatus") == "F"
+    calldata = F.concat(
+        F.lit(ERC20_SELECTORS["transfer"]),
+        F.lpad(F.col("o_custkey").cast("string"), 64, "0"),
+        F.lpad(F.lower(F.hex(k)), 64, "0"),
+    )
+    txns = o.select(
+        F.concat(F.lit("0xh"), k.cast("string")).alias("hash"),
+        F.lit(None).cast("string").alias("block_hash"),
+        k.alias("block_number"),
+        (k % 500).cast("int").alias("transaction_index"),
+        F.concat(F.lit("0x"), F.lpad(F.col("o_custkey").cast("string"), 40, "0")).alias("from_addr"),
+        F.concat(F.lit("0x"), F.lpad((F.col("o_custkey") + 1).cast("string"), 40, "0")).alias("to_addr"),
+        F.lit(2004).alias("chain_id"),
+        (k % 100).alias("nonce"),
+        F.when(urgent, 2).otherwise(0).alias("tx_type"),
+        F.floor(F.col("o_totalprice") * 1e6).cast("decimal(38,0)").alias("value"),
+        (F.lit(21000) + k % 400000 + 10000).alias("gas"),
+        (F.lit(1000000000) + k % 1000).alias("gas_price"),
+        F.when(urgent, F.lit(2000000000)).alias("max_fee_per_gas"),
+        F.when(urgent, F.lit(100000000)).alias("max_priority_fee_per_gas"),
+        F.when(has_input, calldata).otherwise(F.lit("0x")).alias("input"),
+        F.col("o_orderdate").alias("block_time"),
+    )
+    receipts = o.select(
+        F.concat(F.lit("0xh"), k.cast("string")).alias("hash"),
+        (k % 2).cast("int").alias("status"),
+        (F.lit(21000) + k % 400000).alias("gas_used"),
+        (F.lit(21000) + k % 400000).alias("cumulative_gas_used"),
+        F.when(urgent, F.lit(900000000) + k % 1000).alias("effective_gas_price"),
+        F.lit(None).cast("string").alias("contract_address"),
+    )
+    t = evmtxs_table(txns, receipts)
+    return t.select(
+        "hash",
+        "from_address",
+        F.col("value").cast("double").alias("value_wei"),
+        "gas_price",
+        "receipt_gas_used",
+        "receipt_status",
+        "fee",
+        "burned_fee",
+        "txn_saving",
+        "method_id",
+        "signature",
+    )

@@ -487,6 +487,63 @@ CROWDLOANS = T.StructType(
     ]
 )
 
+# ref: schema/substrateetl/evmtxs.json:1 (frontier-chain decorated txns,
+# fee economics per ethTool.js:819-918 decorateTxn)
+EVMTXS = T.StructType(
+    [
+        _s("hash", False),
+        _l("nonce"),
+        _i("transaction_index"),
+        _s("from_address"),
+        _s("to_address"),
+        _dec("value"),
+        _l("gas"),
+        _l("gas_price"),
+        _s("input"),
+        _l("receipt_cumulative_gas_used"),
+        _l("receipt_gas_used"),
+        _s("receipt_contract_address"),
+        _i("receipt_status"),
+        _ts("block_timestamp"),
+        _l("block_number"),
+        _s("block_hash"),
+        _l("max_fee_per_gas"),
+        _l("max_priority_fee_per_gas"),
+        _i("transaction_type"),
+        _l("receipt_effective_gas_price"),
+        _d("fee"),
+        _d("txn_saving"),
+        _d("burned_fee"),
+        _s("extrinsic_id"),
+        _s("extrinsic_hash"),
+        _s("method_id"),
+        _s("signature"),
+        _s("access_list"),  # JSON
+        _s("params"),  # JSON
+    ]
+)
+
+# ref: schema/substrateetl/evmtransfers.json:1 (token transfers decoded
+# from EVM logs; token_ids/token_values carry the 1155 batch arrays)
+EVMTRANSFERS = T.StructType(
+    [
+        _s("token_address"),
+        _s("from_address"),
+        _s("to_address"),
+        _s("value"),  # raw u256 as exact string
+        _d("value_usd"),
+        _s("operator"),
+        _s("token_ids"),  # JSON array
+        _s("token_values"),  # JSON array
+        _s("transaction_hash"),
+        _i("log_index"),
+        _ts("block_timestamp"),
+        _l("block_number"),
+        _s("block_hash"),
+        _s("transfer_type"),
+    ]
+)
+
 # ref: schema/accountsactive.json:1-32 (+ passive/new/reaped variants)
 ACCOUNTS = T.StructType(
     [
@@ -521,4 +578,6 @@ SCHEMAS: dict[str, T.StructType] = {
     "xcmassets": XCMASSETS,
     "rewards": REWARDS,
     "crowdloans": CROWDLOANS,
+    "evmtxs": EVMTXS,
+    "evmtransfers": EVMTRANSFERS,
 }

@@ -407,3 +407,65 @@ class TestUniV3Math:
         t = 1200
         sp = int(math.sqrt(1.0001**t) * (1 << 96))
         assert abs(sc.tick_to_price(t, 8, 8) - sc.sqrt_price_x96_to_price(sp, 8, 8)) < 1e-6
+
+
+class TestEvmDynamicArrays:
+    def test_log_uint_array_batch_vector(self, spark):
+        """TransferBatch head-tail layout: heads 0x40/0xa0, length-prefixed
+        tails (erc1155 TransferBatch, ethTool.js:314)."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.functions.evm import log_uint_array
+
+        def w(v):
+            return f"{v:064x}"
+
+        big = 2**80 + 7  # needs multi-limb reconstruction
+        data = "0x" + w(0x40) + w(0xA0) + w(2) + w(5) + w(big) + w(2) + w(9) + w(10)
+        df = spark.createDataFrame([(data,)], "data: string")
+        ids = df.select(log_uint_array(F.col("data"), 0).alias("a")).first().a
+        vals = df.select(log_uint_array(F.col("data"), 1).alias("a")).first().a
+        assert [int(x) for x in ids] == [5, big]
+        assert [int(x) for x in vals] == [9, 10]
+
+    def test_log_uint_array_empty_and_short(self, spark):
+        """n == 0 must give [], truncated data must give NULL (not an
+        ANSI error, not a descending-sequence artifact)."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.functions.evm import log_uint_array
+
+        def w(v):
+            return f"{v:064x}"
+
+        empty = "0x" + w(0x20) + w(0)          # tail with len 0
+        short = "0x" + w(0x20) + w(3) + w(1)   # claims 3, carries 1
+        df = spark.createDataFrame([(empty, short)], "e: string, s: string")
+        row = df.select(
+            log_uint_array(F.col("e"), 0).alias("e"),
+            log_uint_array(F.col("s"), 0).alias("s"),
+        ).first()
+        assert row.e == []
+        assert row.s is None
+
+    def test_evmtransfers_drops_non_transfers(self, spark):
+        """Approval/unknown logs must not produce evmtransfers rows."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.functions.evm import APPROVAL_TOPIC, TRANSFER_TOPIC
+        from polkadot_etl_spark.plans.evm import evmtransfers_table
+
+        pad = "0x" + "0" * 44 + "a" * 20
+        logs = spark.createDataFrame(
+            [
+                ("0xc1", [TRANSFER_TOPIC, pad, pad], "0x" + f"{77:064x}", "0xt1", 0),
+                ("0xc1", [APPROVAL_TOPIC, pad, pad], "0x" + f"{88:064x}", "0xt2", 1),
+                ("0xc1", ["0x" + "ab" * 32], "0x", "0xt3", 2),
+            ],
+            "address: string, topics: array<string>, data: string, "
+            "transaction_hash: string, log_index: int",
+        ).select("*", F.lit(None).cast("timestamp").alias("block_time"),
+                 F.lit(1).alias("block_number"), F.lit(None).cast("string").alias("block_hash"))
+        rows = evmtransfers_table(logs).collect()
+        assert len(rows) == 1
+        assert rows[0].transfer_type == "erc20" and rows[0].value == "77"
