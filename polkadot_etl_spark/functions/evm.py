@@ -358,12 +358,24 @@ TRANSFER_BATCH_TOPIC = event_topic(
 )  # 0x4a39dc06… (the literal the reference pins, ethTool.js:314)
 
 
-def log_uint_array(data, head_slot: int):
+def log_array_base(data, head_slot: int):
+    """Tail slot index of a dynamic ABI array: the head word at
+    ``head_slot`` holds the tail's byte offset (offset/32 = slot).
+    Materialize this as its own column before log_uint_array — inlining
+    it into every element position blows the generated method past
+    janino's 64 KB limit and drops the projection out of codegen."""
+    return (abi_uint64(log_word(data, head_slot)) / 32).cast("int")
+
+
+def log_uint_array(data, head_slot=None, base=None):
     """Decode a dynamic ``uint256[]`` from '0x'-prefixed log data as
-    array<decimal(38,0)> — the ABI head-tail layout natively: the head
-    word at ``head_slot`` holds the tail's byte offset; the tail starts
-    with a length word followed by the elements (TransferBatch's
+    array<decimal(38,0)> — the ABI head-tail layout natively: the tail
+    starts with a length word followed by the elements (TransferBatch's
     ids/values, ethTool.js erc1155ABI TransferBatch arm).
+
+    Pass either ``head_slot`` (base derived inline — fine for one-off
+    use) or a pre-materialized ``base`` column from log_array_base (the
+    codegen-friendly form when decoding several arrays per row).
 
     All column-side: dynamic positions use column-position substring
     inside a transform over sequence(1, n) — no Python, no explode, no
@@ -372,8 +384,9 @@ def log_uint_array(data, head_slot: int):
 
     from pyspark.sql import functions as F
 
+    if base is None:
+        base = log_array_base(data, head_slot)
     two64 = F.lit(decimal.Decimal(_TWO64))
-    base = (abi_uint64(log_word(data, head_slot)) / 32).cast("int")  # tail slot
     n = F.conv(
         F.substring(data, 3 + 64 * base + 48, 16), 16, 10
     ).cast("int")

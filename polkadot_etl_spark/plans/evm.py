@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from polkadot_etl_spark.functions.evm import (
+    log_array_base,
     ERC1155_SELECTORS,
     ERC20_SELECTORS,
     ERC721_SELECTORS,
@@ -130,12 +131,22 @@ def evmtransfers_table(logs: DataFrame) -> DataFrame:
     def addr(t):
         return F.concat(F.lit("0x"), F.lower(F.substring(t, 27, 40)))
 
-    ids = log_uint_array(F.col("data"), 0)
-    vals = log_uint_array(F.col("data"), 1)
+    # tail bases materialize ONCE per head slot; inlining them into every
+    # element position of the transform lambdas blows the generated
+    # method past janino's 64 KB limit (measured: the final projection
+    # fell out of whole-stage codegen)
+    staged = (
+        logs.where(is_single | is_batch)
+        .withColumn("d", decode_transfer_log(topics, F.col("data")))
+        .withColumn("__b0", F.when(is_batch, log_array_base(F.col("data"), 0)))
+        .withColumn("__b1", F.when(is_batch, log_array_base(F.col("data"), 1)))
+        .withColumn("__ids", log_uint_array(F.col("data"), base=F.col("__b0")))
+        .withColumn("__vals", log_uint_array(F.col("data"), base=F.col("__b1")))
+    )
+    ids = F.col("__ids")
+    vals = F.col("__vals")
 
-    base = logs.where(is_single | is_batch).withColumn(
-        "d", decode_transfer_log(topics, F.col("data"))
-    ).select(
+    base = staged.select(
         F.col("address").alias("token_address"),
         F.when(is_batch, addr(topics[2])).otherwise(F.col("d.from_addr")).alias("from_address"),
         F.when(is_batch, addr(topics[3])).otherwise(F.col("d.to_addr")).alias("to_address"),
