@@ -50,10 +50,9 @@ _PRIORITY: list[str] = [
     "broadcast_dim_decoration",
     # per_block_stats / daily_history_series / work_queue_backoff /
     # validity_filter / json_field_access / intersect_except_users /
-    # interval_sampling: driver-green in r2, demoted past the window to
-    # make room for the round-3 queries below; all remain in the local
-    # oracle suite (tests/test_queries_oracle.py)
-    "noise_suppression",
+    # interval_sampling / noise_suppression: driver-green in r2, demoted
+    # past the window to make room for the round-3 queries below; all
+    # remain in the local oracle suite (tests/test_queries_oracle.py)
     # like_filter: driver-green in r2, demoted past the window (local
     # oracle suite still covers it); filter family repped by
     # dynamic_predicates + validity_filter + noise_suppression
@@ -78,6 +77,7 @@ _PRIORITY: list[str] = [
     "xcm_asset_registry",
     "evm_transfer_logs",
     "evm_txn_fees",
+    "wasm_contract_calls",
     # round-3 TPC-H completion (correlated-MIN, global-share HAVING,
     # distinct-count + NOT IN, aggregated-IN semi, EXISTS/NOT EXISTS)
     "tpch_q2_min_cost_supplier",

@@ -633,3 +633,99 @@ def evm_txn_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method_id",
         "signature",
     )
+
+
+@query(
+    "wasm_contract_calls",
+    oracle="""
+SELECT 'c' || l_orderkey || '-' || l_linenumber AS extrinsic_id,
+       '0x' || lpad(CAST(l_suppkey AS VARCHAR), 64, '0') AS address_pub_key,
+       CASE WHEN l_returnflag = 'A'
+            THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+            ELSE CAST(CAST(l_quantity AS BIGINT) * 2 AS VARCHAR) END AS gas_limit,
+       CASE WHEN l_returnflag = 'R' THEN '500' ELSE '0' END
+         AS storage_deposit_limit,
+       CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS value,
+       '0x' || lpad(CAST(l_suppkey + 1000 AS VARCHAR), 64, '0') AS caller_pub_key,
+       '0xc' || (l_suppkey % 4) AS code_hash,
+       CASE WHEN l_suppkey % 4 < 2
+            THEN '{"args": {"arg0": ' || l_partkey || ', "arg1": '
+                 || CASE WHEN l_linenumber % 2 = 1 THEN 'true' ELSE 'false' END
+                 || '}, "decoded": true, "label": "flip", "selector": "0xdeadbeef"}'
+            ELSE '{"decoded": false, "label": null, "selector": "0xdeadbeef"}'
+       END AS decoded_call
+FROM lineitem
+""",
+    doc="The contractscall silver table (schema/substrateetl/contracts/"
+    "contractscall.json; build substrateetl.js:2569-2640): contracts.call "
+    "rows synthesized from lineitem — gas_limit hex on 'A' rows (the "
+    "dechexToIntStr path), short storage_deposit_limit (→ 0) except 'R' "
+    "rows, SCALE calldata 0xdeadbeef + LE-u32(partkey) + bool — run "
+    "through the REAL plans.wasm.contractscall_table: params JSON "
+    "extraction, exact u128 limb dechex, broadcast contracts-dim join "
+    "for code_hash, and the ink! registry decode (functions/scale.py "
+    "from-spec SCALE codec) via an Arrow-batched UDF; hashes 0xc2/0xc3 "
+    "are unregistered so their rows prove the decoded=false arm. The "
+    "oracle reconstructs every column including the canonical "
+    "decoded_call JSON.",
+    tags=("pipeline", "scalar", "join", "udf"),
+)
+def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.wasm import (
+        ContractRegistry,
+        InkMessage,
+        contractscall_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    u = F.col("l_suppkey")
+    qty = F.col("l_quantity").cast("bigint")
+    # little-endian u32 hex of l_partkey (SCALE wire form)
+    be = F.lpad(F.lower(F.hex(F.col("l_partkey"))), 8, "0")
+    le = F.concat(
+        F.substring(be, 7, 2), F.substring(be, 5, 2),
+        F.substring(be, 3, 2), F.substring(be, 1, 2),
+    )
+    arg_bool = F.when(F.col("l_linenumber") % 2 == 1, F.lit("01")).otherwise(F.lit("00"))
+    calldata = F.concat(F.lit("0xdeadbeef"), le, arg_bool)
+    gas = F.when(
+        F.col("l_returnflag") == "A", F.concat(F.lit('"0x'), F.lpad(F.lower(F.hex(qty)), 4, "0"), F.lit('"'))
+    ).otherwise(F.concat(F.lit('"'), (qty * 2).cast("string"), F.lit('"')))
+    sdl = F.when(F.col("l_returnflag") == "R", F.lit('"0x01f4"')).otherwise(F.lit('"12"'))
+    params = F.concat(
+        F.lit('{"dest": {"id": "'), _pk(u), F.lit('"}, "gas_limit": '), gas,
+        F.lit(', "storage_deposit_limit": '), sdl,
+        F.lit(', "value": "'), F.floor(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        F.lit('", "data": "'), calldata, F.lit('"}'),
+    )
+    calls = li.select(
+        F.concat(F.lit("c"), F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")).alias("extrinsic_id"),
+        F.lit(None).cast("string").alias("hash"),
+        F.lit(None).cast("timestamp").alias("block_time"),
+        F.col("l_orderkey").alias("block_number"),
+        F.lit(None).cast("string").alias("block_hash"),
+        F.lit("contracts").alias("section"),
+        F.lit("call").alias("method"),
+        params.alias("params"),
+        _pk(u + 1000).alias("signer_pub_key"),
+    )
+    dim = sup.select(
+        _pk(F.col("s_suppkey")).alias("address_pub_key"),
+        F.concat(F.lit("0xc"), (F.col("s_suppkey") % 4).cast("string")).alias("code_hash"),
+    )
+    reg = ContractRegistry()
+    flip = [InkMessage("flip", "0xdeadbeef", ("u32", "bool"))]
+    reg.register("0xc0", flip)
+    reg.register("0xc1", flip)
+    t = contractscall_table(calls, dim, registry=reg)
+    return t.select(
+        "extrinsic_id",
+        "address_pub_key",
+        "gas_limit",
+        "storage_deposit_limit",
+        "value",
+        "caller_pub_key",
+        "code_hash",
+        "decoded_call",
+    )

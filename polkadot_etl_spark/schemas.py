@@ -544,6 +544,86 @@ EVMTRANSFERS = T.StructType(
     ]
 )
 
+# ref: schema/substrateetl/contracts/contracts.json (ink!/WASM contracts
+# dim; build substrateetl.js:2544-2566)
+CONTRACTS = T.StructType(
+    [
+        _s("address_pub_key", False),
+        _s("deployer_pub_key"),
+        _s("storer_pub_key"),
+        _s("extrinsic_id"),
+        _s("extrinsic_hash"),
+        _l("block_number_instantiated"),
+        _ts("deployed_ts"),
+        _s("code_hash"),
+    ]
+)
+
+# ref: schema/substrateetl/contracts/contractscode.json (CodeStored rows,
+# substrateetl.js:2524-2542)
+CONTRACTSCODE = T.StructType(
+    [
+        _s("code_hash", False),
+        _s("extrinsic_id"),
+        _s("extrinsic_hash"),
+        _s("storer_pub_key"),
+        _l("block_number"),
+        _ts("code_stored_ts"),
+    ]
+)
+
+# ref: schema/substrateetl/contracts/contractscall.json (contracts.call
+# rows with dechexed limits + ink! decoded_call, substrateetl.js:2569-2640)
+CONTRACTSCALL = T.StructType(
+    [
+        _s("extrinsic_id", False),
+        _s("extrinsic_hash"),
+        _ts("block_timestamp"),
+        _l("block_number"),
+        _s("block_hash"),
+        _s("address_pub_key"),
+        _s("gas_limit"),  # exact u128 strings (dechexToIntStr)
+        _s("storage_deposit_limit"),
+        _s("value"),
+        _s("caller_pub_key"),
+        _s("code_hash"),
+        _s("decoded_call"),  # JSON
+    ]
+)
+
+# ref: schema/substrateetl/chains.json (the chain registry dim)
+CHAINS = T.StructType(
+    [
+        _i("para_id"),
+        _s("id", False),
+        _s("chain_name"),
+        _i("ss58_prefix"),
+        _s("symbol"),
+        _b("is_evm"),
+        _b("is_wasm"),
+    ]
+)
+
+# ref: schema/substrateetl/users.json (ss58↔evm address unification)
+USERS = T.StructType(
+    [
+        _s("id", False),
+        _s("ss58_address"),
+        _s("evm_address"),
+        _s("account_pubkey"),
+    ]
+)
+
+# ref: schema/substrateetl/exchanges.json (address label dim; joined as a
+# broadcast decoration exactly like J12)
+EXCHANGES = T.StructType(
+    [
+        _s("address_pubkey", False),
+        _s("address_nickname"),
+        _s("address_label"),
+    ]
+)
+
 # ref: schema/accountsactive.json:1-32 (+ passive/new/reaped variants)
 ACCOUNTS = T.StructType(
     [
@@ -580,4 +660,10 @@ SCHEMAS: dict[str, T.StructType] = {
     "crowdloans": CROWDLOANS,
     "evmtxs": EVMTXS,
     "evmtransfers": EVMTRANSFERS,
+    "contracts": CONTRACTS,
+    "contractscode": CONTRACTSCODE,
+    "contractscall": CONTRACTSCALL,
+    "chains": CHAINS,
+    "users": USERS,
+    "exchanges": EXCHANGES,
 }

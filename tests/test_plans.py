@@ -1573,3 +1573,33 @@ def test_sanity_nullify_counts(spark):
         for r in sanity_nullify_counts(df, "new_accounts", "prior_total").collect()
     }
     assert got == {"d1": 10, "d2": None, "d3": 500}
+
+
+class TestContractsTables:
+    def test_contracts_and_code_tables(self, spark):
+        """CodeStored/Instantiated events x extrinsics signer join
+        (substrateetl.js:2524-2566); non-contract events drop out."""
+        from polkadot_etl_spark.plans.wasm import contracts_table, contractscode_table
+
+        ev = spark.createDataFrame(
+            [
+                ("1-1", "contracts", "CodeStored", '["0xcode1"]', "0xe1", None, 10),
+                ("1-2", "contracts", "Instantiated", '["0xdep", "0xaddr"]', "0xe2", None, 11),
+                ("1-3", "balances", "Transfer", '["a","b","1"]', "0xe3", None, 12),
+            ],
+            "extrinsic_id: string, section: string, method: string, data: string, "
+            "extrinsic_hash: string, block_time: timestamp, block_number: long",
+        )
+        xt = spark.createDataFrame(
+            [("1-1", "0xsig1"), ("1-2", "0xsig2")],
+            "extrinsic_id: string, signer_pub_key: string",
+        )
+        code = contractscode_table(ev, xt).collect()
+        assert len(code) == 1
+        assert code[0].code_hash == "0xcode1" and code[0].storer_pub_key == "0xsig1"
+        con = contracts_table(ev, xt).collect()
+        assert len(con) == 1
+        # the reference reads data[0] as the address, data[1] as deployer
+        assert con[0].address_pub_key == "0xdep" and con[0].deployer_pub_key == "0xaddr"
+        assert con[0].storer_pub_key == "0xsig2"
+        assert con[0].block_number_instantiated == 11
