@@ -35,6 +35,9 @@ class ContractRegistry:
     def register(self, code_hash: str, messages: list[InkMessage]) -> None:
         self._by_hash[code_hash.lower()] = {m.selector.lower(): m for m in messages}
 
+    def known_hashes(self) -> list[str]:
+        return sorted(self._by_hash)
+
     def decode_call(self, code_hash: str, data_hex: str) -> dict:
         """Match the selector of a contracts.call data payload and
         SCALE-decode the declared arguments (substrateetl.js:2104-2119).
@@ -153,6 +156,10 @@ def contractscall_table(calls, contracts_dim, registry=None):
     (Arrow-batched; NULL decoded args otherwise)."""
     from pyspark.sql import functions as F
 
+    # per-field get_json_object beat a single from_json here (measured
+    # 6.3s vs 7.5s at sf0.1): Catalyst duplicates the from_json across
+    # the split-union branches anyway, and path extraction terminates
+    # early while from_json materializes the full struct each time
     p = F.col("params")
     gas = F.get_json_object(p, "$.gas_limit")
     sdl = F.get_json_object(p, "$.storage_deposit_limit")
@@ -200,7 +207,29 @@ def contractscall_table(calls, contracts_dim, registry=None):
 
         u_decode = pandas_udf(_decode_series, "string")
 
-        out = out.withColumn("decoded_call", u_decode(F.col("code_hash"), F.col("__calldata")))
+        # Python runs ONLY for rows whose code hash has uploaded metadata.
+        # This must be a SPLIT + UNION, not a when() branch: a Python UDF
+        # inside a conditional is extracted into an unconditional
+        # ArrowEvalPython node, so every row would ship to Python anyway.
+        # On a real chain most calls hit unverified contracts, so the
+        # no-metadata majority stays entirely JVM-side.
+        known = registry.known_hashes()
+        native_unknown = F.when(
+            F.col("__calldata").isNotNull(),
+            F.concat(
+                F.lit('{"decoded": false, "label": null, "selector": "'),
+                F.lower(F.substring(F.col("__calldata"), 1, 10)),
+                F.lit('"}'),
+            ),
+        )
+        registered = F.lower(F.col("code_hash")).isin(*known) if known else F.lit(False)
+        reg_rows = out.where(registered).withColumn(
+            "decoded_call", u_decode(F.col("code_hash"), F.col("__calldata"))
+        )
+        other_rows = out.where(~registered | F.col("code_hash").isNull()).withColumn(
+            "decoded_call", native_unknown
+        )
+        out = reg_rows.unionByName(other_rows)
     else:
         out = out.withColumn("decoded_call", F.lit(None).cast("string"))
     return out.drop("__calldata")
