@@ -137,6 +137,15 @@ def h160_to_pubkey(h160: str) -> str:
     return "0x" + h.ljust(64, "0")
 
 
+def h160_to_mapped_pubkey(h160: str) -> str:
+    """Frontier HashedAddressMapping: the substrate account that owns an
+    EVM address on chains like astar = blake2_256('evm:' ++ h160) — the
+    polkadot-js evmToAddress rule behind paraTool.js:522-525
+    h160_to_pubkey."""
+    h = h160[2:] if h160.startswith("0x") else h160
+    return "0x" + blake2_256(b"evm:" + bytes.fromhex(h)).hex()
+
+
 # ---------------------------------------------------------------------------
 # hashing
 # ---------------------------------------------------------------------------

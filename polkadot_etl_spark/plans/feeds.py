@@ -279,3 +279,21 @@ def identity_table(registrations: DataFrame, sub_accounts: DataFrame) -> DataFra
         *[f"polkadot_{c}" for c in ("parent", "is_subidentity", "fullname", "name", "subname", "info", "judgements", "judgement_verified")],
         *[f"kusama_{c}" for c in ("parent", "is_subidentity", "fullname", "name", "subname", "info", "judgements", "judgement_verified")],
     )
+
+
+def users_table(accounts: DataFrame, ss58_prefix: int = 0) -> DataFrame:
+    """The published users table (schema/substrateetl/users.json):
+    ss58 ↔ EVM address unification per pubkey. The H160 is the pubkey's
+    first 20 bytes (polkadot-js addressToEvm, paraTool.js:517-519) — a
+    native substring, no Python; the ss58 encoding is the Arrow-batched
+    base58 codec. Input needs an ``account_pubkey`` column; every other
+    column is derived."""
+    from polkadot_etl_spark.functions.udfs import u_get_address
+
+    pk = F.col("account_pubkey")
+    return accounts.select(
+        pk.alias("id"),
+        u_get_address(ss58_prefix)(pk).alias("ss58_address"),
+        F.concat(F.lit("0x"), F.substring(pk, 3, 40)).alias("evm_address"),
+        pk.alias("account_pubkey"),
+    )

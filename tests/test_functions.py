@@ -469,3 +469,37 @@ class TestEvmDynamicArrays:
         rows = evmtransfers_table(logs).collect()
         assert len(rows) == 1
         assert rows[0].transfer_type == "erc20" and rows[0].value == "77"
+
+
+class TestEvmAddressMapping:
+    def test_pubkey_h160_roundtrips(self):
+        """Truncation + zero-pad conventions (paraTool.js:517-539)."""
+        from polkadot_etl_spark.functions.scalars import (
+            h160_to_mapped_pubkey,
+            h160_to_pubkey,
+            pubkey_to_h160,
+        )
+
+        pk = "0x" + "ab" * 20 + "00" * 12
+        h = pubkey_to_h160(pk)
+        assert h == "0x" + "ab" * 20
+        assert h160_to_pubkey(h) == pk
+        # Frontier HashedAddressMapping: blake2_256('evm:' ++ h160)
+        import hashlib
+
+        want = hashlib.blake2b(b"evm:" + bytes.fromhex("ab" * 20), digest_size=32)
+        assert h160_to_mapped_pubkey(h) == "0x" + want.hexdigest()
+
+    def test_users_table(self, spark):
+        from polkadot_etl_spark.plans.feeds import users_table
+
+        acc = spark.createDataFrame(
+            [("0x" + "11" * 32,), ("0x" + "22" * 32,)], "account_pubkey: string"
+        )
+        rows = {r.id: r for r in users_table(acc).collect()}
+        r1 = rows["0x" + "11" * 32]
+        assert r1.evm_address == "0x" + "11" * 20
+        assert r1.ss58_address and not r1.ss58_address.startswith("0x")
+        from polkadot_etl_spark.functions.scalars import get_pubkey
+
+        assert get_pubkey(r1.ss58_address) == r1.id
