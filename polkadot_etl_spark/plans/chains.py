@@ -95,26 +95,18 @@ class MoonbeamParser(ChainParser):
         return "0xffffffff" + f"{asset_id:032x}"
 
 
-class AcalaParser(ChainParser):
-    """ORML tokens chain (chains/acala.js, 1,137 LoC): multi-asset
-    transfers via currencies/tokens pallets with PER-ASSET decimals, ORML
-    CurrencyId canonicalization (Token / DexShare / ForeignAsset /
-    LiquidCrowdloan, with the lcDOT rename at acala.js:822-825), dex:Swap
-    path-hop volume extraction (acala.js:619-670), and swapped storage-key
-    argument orders (Tokens:Accounts = [account, currency] vs
-    Loans:Positions = [currency, account], acala.js:11-49)."""
-
-    chain_id = 2000
-    native_symbol = "ACA"
-    native_decimals = 12
-    ss58_prefix = 10
+class OrmlParser(ChainParser):
+    """Shared base for ORML multi-asset (tokens/currencies pallet)
+    chains — acala, bifrost, interlay, parallel all inherit the generic
+    CurrencyId canonicalization and per-asset decimalization from the
+    reference's base chainparser; per-chain subclasses supply the asset
+    map and their pallet quirks. The lcDOT rename applies across relay
+    ORML chains (acala.js:822-825; interlay.js:114-117)."""
 
     # known asset decimals (indexer.assetInfo equivalent); lookup misses
-    # fall back to 12 exactly like getCachedAssetDecimal (acala.js:813)
-    asset_decimals: dict[str, int] = {
-        "ACA": 12, "AUSD": 12, "KUSD": 12, "KAR": 12, "KSM": 12, "LKSM": 12,
-        "DOT": 10, "LDOT": 10, "lcDOT": 10, "TAP": 12, "TAI": 12,
-    }
+    # fall back to the native decimals exactly like getCachedAssetDecimal
+    # (acala.js:813)
+    asset_decimals: dict[str, int] = {}
 
     # ---- CurrencyId canonicalization (token_to_string / getAssetInfo) ----
 
@@ -174,6 +166,23 @@ class AcalaParser(ChainParser):
                 F.col("raw_amount").cast("double") / F.pow(F.lit(10.0), dec.cast("double")),
             )
         )
+
+class AcalaParser(OrmlParser):
+    """ORML tokens chain (chains/acala.js, 1,137 LoC): multi-asset
+    transfers via currencies/tokens pallets with PER-ASSET decimals,
+    dex:Swap path-hop volume extraction (acala.js:619-670), and swapped
+    storage-key argument orders (Tokens:Accounts = [account, currency]
+    vs Loans:Positions = [currency, account], acala.js:11-49)."""
+
+    chain_id = 2000
+    native_symbol = "ACA"
+    native_decimals = 12
+    ss58_prefix = 10
+
+    asset_decimals: dict[str, int] = {
+        "ACA": 12, "AUSD": 12, "KUSD": 12, "KAR": 12, "KSM": 12, "LKSM": 12,
+        "DOT": 10, "LDOT": 10, "lcDOT": 10, "TAP": 12, "TAI": 12,
+    }
 
     # ---- dex:Swap path-hop extraction (acala.js:619-670) -----------------
 
@@ -266,6 +275,78 @@ class KusamaParser(ChainParser):
     native_symbol = "KSM"
     native_decimals = 12
     ss58_prefix = 2
+
+
+class BifrostParser(OrmlParser):
+    """Liquid-staking ORML chain (chains/bifrost.js — an empty subclass
+    in the reference too: everything inherits from the ORML base; only
+    the chain config and asset map differ)."""
+
+    chain_id = 2030
+    native_symbol = "BNC"
+    native_decimals = 12
+    ss58_prefix = 6
+
+    asset_decimals: dict[str, int] = {
+        "BNC": 12, "vBNC": 12, "DOT": 10, "vDOT": 10, "KSM": 12,
+        "vKSM": 12, "vsDOT": 10, "vsKSM": 12,
+    }
+
+
+class InterlayParser(OrmlParser):
+    """Bitcoin-bridge ORML chain (chains/interlay.js, 143 LoC):
+    tokens:totalIssuance storage rows carry the currency id in the key
+    (interlay.js:11-17) and a high-precision issuance value; issuance is
+    decimalized per asset, with DexShare-style two-element pairs taking
+    the FIRST leg's decimals (interlay.js:43-72
+    processTokensTotalIssuance); generic balance vals are dechexed
+    field-by-field (interlay.js:19-30)."""
+
+    chain_id = 2032
+    native_symbol = "INTR"
+    native_decimals = 10
+    ss58_prefix = 2032
+
+    asset_decimals: dict[str, int] = {
+        "INTR": 10, "IBTC": 8, "KINT": 12, "KBTC": 8, "DOT": 10, "KSM": 12,
+    }
+
+    _STORAGE_KEY_ORDER = {("tokens", "totalIssuance"): (None, 0)}
+
+    def storage_key_args(self, section: str, storage: str, decorated_key: Column):
+        """tokens:totalIssuance's decorated key = [currencyID]
+        (interlay.js:11-17 getTotalIssuance)."""
+        order = self._STORAGE_KEY_ORDER.get((section, storage))
+        if order is None:
+            return None
+        return (
+            F.lit(None).cast("string").alias("account"),
+            F.get_json_object(decorated_key, "$[0]").alias("asset"),
+        )
+
+    def total_issuance(self, rows: DataFrame) -> DataFrame:
+        """rows(asset JSON, raw_issuance) → decimalized issuance table.
+        A two-element array asset is a liquidity pair: decimals come
+        from the FIRST leg (interlay.js:46-52); otherwise the asset's
+        own decimals with the native fallback."""
+        leg0 = F.get_json_object(F.col("asset"), "$[0]")
+        is_pair = leg0.isNotNull() & F.get_json_object(F.col("asset"), "$[1]").isNotNull()
+        sym_direct = self.asset_symbol(F.col("asset"))
+        sym_leg0 = self.asset_symbol(leg0)
+        sym = F.when(is_pair, F.concat(sym_leg0, F.lit("/"), self.asset_symbol(F.get_json_object(F.col("asset"), "$[1]")))).otherwise(sym_direct)
+        dec = F.when(is_pair, self.asset_decimals_col(sym_leg0)).otherwise(
+            self.asset_decimals_col(sym_direct)
+        )
+        return rows.select(
+            "asset",
+            sym.alias("symbol"),
+            F.when(is_pair, F.lit("liquidity_pair")).otherwise(F.lit("token")).alias("asset_type"),
+            F.col("raw_issuance").cast("decimal(38,0)").alias("raw_issuance"),
+            (
+                F.col("raw_issuance").cast("double")
+                / F.pow(F.lit(10.0), dec.cast("double"))
+            ).alias("issuance"),
+        )
 
 
 class AstarParser(ChainParser):
@@ -424,6 +505,8 @@ _PARSERS: dict[int, type[ChainParser]] = {
         MoonbeamParser,
         AstarParser,
         ParallelParser,
+        BifrostParser,
+        InterlayParser,
     )
 }
 

@@ -1603,3 +1603,47 @@ class TestContractsTables:
         assert con[0].address_pub_key == "0xdep" and con[0].deployer_pub_key == "0xaddr"
         assert con[0].storer_pub_key == "0xsig2"
         assert con[0].block_number_instantiated == 11
+
+    def test_bifrost_inherits_orml(self, spark):
+        """Bifrost is an empty ORML subclass in the reference too — the
+        generic canonicalization must just work with its asset map."""
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        p = get_parser(2030)
+        df = spark.createDataFrame([('{"Token":"vDOT"}',)], "a: string")
+        row = df.select(
+            p.asset_symbol(df.a).alias("s"),
+            p.asset_decimals_col(p.asset_symbol(df.a)).alias("d"),
+        ).first()
+        assert row.s == "vDOT" and row.d == 10
+
+    def test_interlay_total_issuance(self, spark):
+        """Pair assets take the FIRST leg's decimals; plain tokens their
+        own; unknown falls back to native (interlay.js:43-72)."""
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        p = get_parser(2032)
+        rows = spark.createDataFrame(
+            [
+                ('{"Token":"IBTC"}', 5 * 10**8),
+                ('[{"Token":"IBTC"}, {"Token":"DOT"}]', 3 * 10**8),
+                ('{"Token":"UNKNOWN"}', 10**10),
+            ],
+            "asset: string, raw_issuance: long",
+        )
+        got = {r.symbol: r for r in p.total_issuance(rows).collect()}
+        assert got["IBTC"].issuance == pytest.approx(5.0)
+        assert got["IBTC"].asset_type == "token"
+        pair = got["IBTC/DOT"]
+        assert pair.asset_type == "liquidity_pair"
+        assert pair.issuance == pytest.approx(3.0)  # leg-0 (IBTC, 8) decimals
+        assert got["UNKNOWN"].issuance == pytest.approx(1.0)  # native 10
+
+    def test_interlay_issuance_key(self, spark):
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        p = get_parser(2032)
+        df = spark.createDataFrame([('["{\\"Token\\":\\"IBTC\\"}"]',)], "k: string")
+        got = df.select(*p.storage_key_args("tokens", "totalIssuance", df.k)).first()
+        assert got.account is None and "IBTC" in got.asset
+        assert p.storage_key_args("other", "thing", df.k) is None
