@@ -40,6 +40,9 @@ _PRIORITY: list[str] = [
     "token_counts",
     "doc_fingerprint",
     "lsh_dropped_buckets",
+    "dedup_clusters",
+    "train_val_split",
+    "benchmark_contamination",
     "multimodal_image_features",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
@@ -67,9 +70,9 @@ _PRIORITY: list[str] = [
     "lag_change_detection",
     "best_by_rank",
     "topk_paging",
-    "gap_detection",
-    "session_window_native",
-    "pivot_event_counts",
+    # gap_detection / session_window_native: driver-green in r2,
+    # demoted for train_val_split + benchmark_contamination
+    # pivot_event_counts: driver-green in r2, demoted for dedup_clusters
     # round-3 capability queries
     "dump_day_blocklog",
     "evm_decoded_transfers",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from polkadot_etl_spark.queries.registry import query
+from polkadot_etl_spark.queries.registry import QUERIES, query
 from polkadot_etl_spark.sources.tables import load_table
 
 N_BANDS = 4
@@ -753,4 +753,149 @@ def ss58_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("back") == F.col("pubkey"), 1)).alias("n_roundtrip_ok"),
         F.min(F.length("ss58")).alias("min_addr_len"),
         F.max(F.length("ss58")).alias("max_addr_len"),
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+b AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM b),
+sims AS (
+  SELECT q.q_id AS vec_a, c.c_id AS vec_b
+  FROM q JOIN c ON q.bucket = c.bucket AND q.q_id < c.c_id
+  WHERE ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) >= 0.3
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS bb FROM sims
+  UNION ALL SELECT vec_b, vec_a FROM sims
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.node, edges.bb FROM reach JOIN edges ON reach.r = edges.a
+),
+cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS vec_id, component AS cluster_id,
+       node = component AS is_canonical,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM cc
+""",
+    doc="Near-duplicate CLUSTERING — the stage after pair emission that "
+    "an actual dedup run needs: candidate pairs (the same sign-bucket + "
+    "cosine-verify edges as dedup_embedding_cosine) grouped into "
+    "components via operators/graph.py connected_components (iterative "
+    "min-label propagation, one reused-key shuffle per round, lineage "
+    "cut per round), then one canonical keeper per cluster "
+    "(is_canonical = min id). The oracle recomputes components "
+    "independently with a recursive transitive-closure CTE. Beyond the "
+    "reference (which stops at pairs); the keep-list join that drops "
+    "non-canonical docs is a trivial left-anti against this output.",
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from polkadot_etl_spark.operators.graph import connected_components
+
+    pairs = QUERIES["dedup_embedding_cosine"].build(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+@query(
+    "train_val_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM assigned GROUP BY split
+""",
+    doc="Deterministic train/val/test split assignment — a training-data "
+    "pipeline's first partitioning decision. Hash-range on md5(doc_id): "
+    "content-independent, engine-independent (md5 hex is identical in "
+    "Spark and DuckDB, unlike xxhash/murmur), stable under re-runs and "
+    "resharding — exactly why production splits hash the DOCUMENT KEY "
+    "rather than using rand() with a seed (seeded rand is partition-"
+    "order-dependent on a cluster). ~80/10/10 via hex-prefix "
+    "thresholds (0xcc/0xe6). Beyond the reference; pure map-side + one "
+    "tiny aggregate.",
+    tags=("sampling",),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest({_DUCK_SHINGLES}) AS shingle FROM documents WHERE doc_id < 20
+  )
+),
+train_sh AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+  FROM documents WHERE doc_id >= 20
+)
+SELECT t.doc_id, COUNT(*) AS n_shared
+FROM train_sh t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+HAVING COUNT(*) >= 3
+""",
+    doc="Benchmark decontamination — flag training documents sharing "
+    "k-char shingles with an evaluation set (docs < 20 stand in for the "
+    "benchmark). The benchmark shingle set is tiny relative to the "
+    "corpus (eval sets are MBs, corpora are TBs), so it BROADCASTS and "
+    "the contamination scan is one map-side semi-join over the "
+    "training shingles — no corpus-side shuffle at 100 TB. Threshold "
+    "n_shared >= 3 suppresses single-shingle noise. Beyond the "
+    "reference.",
+    tags=("dedup", "filter"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bench = (
+        d.where(F.col("doc_id") < 20)
+        .select(F.explode(_spark_shingles()).alias("shingle"))
+        .distinct()
+    )
+    train = d.where(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
     )

@@ -1647,3 +1647,27 @@ class TestContractsTables:
         got = df.select(*p.storage_key_args("tokens", "totalIssuance", df.k)).first()
         assert got.account is None and "IBTC" in got.asset
         assert p.storage_key_args("other", "thing", df.k) is None
+
+
+class TestConnectedComponents:
+    def test_components_and_canonical(self, spark):
+        """Two components (one a 4-path needing multiple rounds), min-id
+        labels, singleton-free output."""
+        from polkadot_etl_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(4, 3), (3, 2), (2, 1), (10, 11), (11, 10)], "src: long, dst: long"
+        )
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_non_convergence_raises(self, spark):
+        from polkadot_etl_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "src: long, dst: long"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="not converged"):
+            connected_components(edges, max_iter=2)
