@@ -68,7 +68,7 @@ _PRIORITY: list[str] = [
     "monthly_rollup_having",
     "ohlcv_hourly",
     "lag_change_detection",
-    "best_by_rank",
+    # best_by_rank: driver-green in r2, demoted for identity_resolution
     "topk_paging",
     # gap_detection / session_window_native: driver-green in r2,
     # demoted for train_val_split + benchmark_contamination
@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "evm_transfer_logs",
     "evm_txn_fees",
     "wasm_contract_calls",
+    "identity_resolution",
     # round-3 TPC-H completion (correlated-MIN, global-share HAVING,
     # distinct-count + NOT IN, aggregated-IN semi, EXISTS/NOT EXISTS)
     "tpch_q2_min_cost_supplier",

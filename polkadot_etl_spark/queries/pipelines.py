@@ -729,3 +729,93 @@ def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_hash",
         "decoded_call",
     )
+
+
+@query(
+    "identity_resolution",
+    oracle="""
+WITH base AS (SELECT c_custkey AS k, c_acctbal, c_mktsegment FROM customer),
+regs AS (
+  SELECT k, CASE WHEN k % 2 = 0 THEN 'polkadot' ELSE 'kusama' END AS relay,
+         'name' || k AS name, c_acctbal > 500.0 AS verified
+  FROM base
+),
+mains AS (
+  SELECT '0x' || lpad(CAST(k AS VARCHAR), 64, '0') AS pubkey, relay,
+         NULL AS parent, CAST(NULL AS BOOLEAN) AS is_sub,
+         name AS fullname, name, verified
+  FROM regs
+),
+subs AS (
+  SELECT '0x' || lpad(CAST(r.k + 1000000 AS VARCHAR), 64, '0') AS pubkey, r.relay,
+         '0x' || lpad(CAST(r.k AS VARCHAR), 64, '0') AS parent, true AS is_sub,
+         r.name || '/sub' || r.k AS fullname, r.name, r.verified
+  FROM regs r JOIN base b ON b.k = r.k
+  WHERE b.c_mktsegment = 'BUILDING'
+),
+allr AS (SELECT * FROM mains UNION ALL SELECT * FROM subs)
+SELECT pubkey,
+       MAX(CASE WHEN relay = 'polkadot' THEN parent END) AS polkadot_parent,
+       BOOL_OR(CASE WHEN relay = 'polkadot' THEN is_sub END) AS polkadot_is_subidentity,
+       MAX(CASE WHEN relay = 'polkadot' THEN fullname END) AS polkadot_fullname,
+       MAX(CASE WHEN relay = 'polkadot' THEN name END) AS polkadot_name,
+       BOOL_OR(CASE WHEN relay = 'polkadot' THEN verified END) AS polkadot_judgement_verified,
+       MAX(CASE WHEN relay = 'kusama' THEN parent END) AS kusama_parent,
+       BOOL_OR(CASE WHEN relay = 'kusama' THEN is_sub END) AS kusama_is_subidentity,
+       MAX(CASE WHEN relay = 'kusama' THEN fullname END) AS kusama_fullname,
+       MAX(CASE WHEN relay = 'kusama' THEN name END) AS kusama_name,
+       BOOL_OR(CASE WHEN relay = 'kusama' THEN verified END) AS kusama_judgement_verified
+FROM allr GROUP BY pubkey
+""",
+    doc="The published identity table (schema/identity.json; "
+    "identityManager.js:60-185): registrations + sub-identities "
+    "synthesized from customer — relay by key parity, display name in "
+    "the info JSON, judgements Reasonable (verified) vs LowQuality by "
+    "balance, one sub-identity per BUILDING customer — run through the "
+    "REAL plans.feeds.identity_table: per-relay registration parse "
+    "(info JSON display, judgement-status EXISTS over the parsed "
+    "array), sub-identity parent inheritance with the "
+    "'{parent}/{subname}' fullname rule, polkadot×kusama full-outer "
+    "unification on pubkey. The oracle rebuilds the wide table with a "
+    "union + conditional pivot (each pubkey registers on exactly one "
+    "relay here, so the pivot equals the full outer join). ss58 "
+    "re-encodings excluded (base58 is not SQL-expressible; covered by "
+    "pytest round-trip properties).",
+    tags=("pipeline", "join", "scalar"),
+)
+def identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.feeds import identity_table
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    relay = F.when(k % 2 == 0, "polkadot").otherwise("kusama")
+    regs = c.select(
+        _pk(k).alias("pubkey"),
+        relay.alias("relay"),
+        F.concat(F.lit('{"display": "name'), k.cast("string"), F.lit('"}')).alias("info"),
+        F.when(
+            F.col("c_acctbal") > 500.0, F.lit('[{"status": "Reasonable"}]')
+        )
+        .otherwise(F.lit('[{"status": "LowQuality"}]'))
+        .alias("judgements"),
+    )
+    subs = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        _pk(k + 1000000).alias("pubkey"),
+        relay.alias("relay"),
+        _pk(k).alias("parent"),
+        F.concat(F.lit("sub"), k.cast("string")).alias("subname"),
+    )
+    t = identity_table(regs, subs)
+    return t.select(
+        "pubkey",
+        "polkadot_parent",
+        "polkadot_is_subidentity",
+        "polkadot_fullname",
+        "polkadot_name",
+        "polkadot_judgement_verified",
+        "kusama_parent",
+        "kusama_is_subidentity",
+        "kusama_fullname",
+        "kusama_name",
+        "kusama_judgement_verified",
+    )

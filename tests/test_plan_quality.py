@@ -77,3 +77,56 @@ def test_aggregations_are_partial_final(spark):
     plan = _plan(spark, "tpch_q1")
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
     assert "partial_sum" in plan
+
+
+def test_q21_exists_chain_shapes(spark):
+    """The correlated EXISTS/NOT-EXISTS rewrite must be semi + anti joins
+    on the order key and the top-25 a TakeOrderedAndProject — and never a
+    cartesian product from the suppkey inequality."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_is_single_window_shuffle(spark):
+    """The correlated-MIN decorrelates to a window over l_partkey: ONE
+    hash exchange for the fact (the window), dims broadcast, no join
+    back onto the fact."""
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert not re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark shingle set must broadcast — the corpus-side scan
+    stays map-local (no corpus shuffle before the aggregate)."""
+    plan = _plan(spark, "benchmark_contamination")
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert not re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
+
+
+def test_global_share_threshold_broadcasts_scalar(spark):
+    """Q11's global mean must reach the HAVING as a broadcast one-row
+    join, not a shuffled join."""
+    plan = _plan(spark, "tpch_q11_important_value_share")
+    assert re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M) or re.findall(
+        r"^\(\d+\) BroadcastHashJoin", plan, re.M
+    )
+    assert not re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
+
+
+def test_evm_decodes_stay_jvm_side(spark):
+    """Token decode (calldata + logs incl. the 1155 dynamic arrays) is
+    pure column expressions — zero Python of any kind in the plan."""
+    for name in ("evm_transfer_logs", "evm_txn_fees", "evm_decoded_transfers"):
+        plan = _plan(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_wasm_decode_python_is_gated(spark):
+    """ink! decode: exactly ONE Arrow-batched Python node (the
+    metadata-backed branch) — the unregistered branch is native."""
+    plan = _plan(spark, "wasm_contract_calls")
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
