@@ -192,9 +192,17 @@ def dump_day(
     native_symbol: str = "DOT",
     native_decimals: int = 10,
     ss58_prefix: int = 0,
+    chain_id: int | None = None,
 ) -> dict[str, DataFrame]:
     """One chain-day of bronze → every published table + gold, the unit of
     (re)processing (dump_substrateetl, substrateetl.js:6171-6596).
+
+    When ``chain_id`` is given, the per-chain parser plugin is resolved
+    and supplies the native-token config AND the transfer semantics —
+    e.g. acala's per-asset decimalization, moonbeam's 18-decimal native —
+    exactly like indexer.js:6697-6755 setup_chainParser runs before any
+    processing. The explicit keyword config remains for chains with no
+    registered parser.
 
     Returns {blocks, extrinsics, events, calls, transfers, logs, blocklog,
     gap_audit}. All frames are lazy — callers pick which to materialize or
@@ -214,12 +222,17 @@ def dump_day(
     ext_pub = ext.where(F.col("section").isNotNull() & F.col("method").isNotNull())
 
     calls = calls_from_extrinsics(ext_pub, ev_pub, relay_chain, para_id)
-    transfers = transfers_from_events(
-        ev_pub,
-        native_symbol=native_symbol,
-        native_decimals=native_decimals,
-        ss58_prefix=ss58_prefix,
-    )
+    if chain_id is not None:
+        from polkadot_etl_spark.plans.chains import get_parser
+
+        transfers = get_parser(chain_id).transfers(ev_pub)
+    else:
+        transfers = transfers_from_events(
+            ev_pub,
+            native_symbol=native_symbol,
+            native_decimals=native_decimals,
+            ss58_prefix=ss58_prefix,
+        )
     logs = logs_from_blocks(braw)
     blocks = published_blocks(braw, ext_pub, ev_pub, transfers)
     gold = blocklog_gold(blocks, ext_pub, ev_pub, calls, transfers, logs)

@@ -1671,3 +1671,25 @@ class TestConnectedComponents:
 
         with _pytest.raises(RuntimeError, match="not converged"):
             connected_components(edges, max_iter=2)
+
+
+class TestDumpDayChainDispatch:
+    def test_chain_id_resolves_parser_transfers(self, fx):
+        """dump_day(chain_id=2004) must use the moonbeam parser's
+        18-decimal native config for transfer decimalization; the default
+        path stays at 10 (setup_chainParser before processing,
+        indexer.js:6697-6755)."""
+        from polkadot_etl_spark.plans.dump import dump_day
+
+        dfs = fx["dfs"]
+        base = dump_day(dfs["blocks_raw"], dfs["extrinsics"], dfs["events"], "polkadot", 0)
+        moon = dump_day(
+            dfs["blocks_raw"], dfs["extrinsics"], dfs["events"], "polkadot", 0,
+            chain_id=2004,
+        )
+        b = base["transfers"].select("event_id", "amount").orderBy("event_id").collect()
+        m = moon["transfers"].select("event_id", "amount").orderBy("event_id").collect()
+        assert len(b) == len(m) and len(b) > 0
+        for rb, rm in zip(b, m):
+            if rb.amount:  # same raw, different decimals: 10 vs 18
+                assert rm.amount == pytest.approx(rb.amount / 1e8)
