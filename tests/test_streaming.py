@@ -358,3 +358,79 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path, few_shuffle_partiti
     q.awaitTermination(120)
     assert [r.msgHash for r in out] == ["0xa"]
     assert (out[0].blockNumberSource, out[0].blockNumberDest) == (100, 900)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(
+        not _protobuf_available(),
+        reason="transformWithStateInPandas needs google.protobuf (its state "
+        "server protocol); not available in this env — the operator is "
+        "implemented and this test runs wherever protobuf is",
+    )
+    def test_tws_matches_across_micro_batches(self, spark, tmp_path, few_shuffle_partitions):
+        """The Spark 4 transformWithStateInPandas form must produce the
+        SAME matches as the applyInPandasWithState form — shared
+        _match_pending semantics, typed ValueState carrying the pending
+        observations across batches. Needs the RocksDB state store."""
+        from polkadot_etl_spark.streaming.stateful import (
+            MESSAGE_SCHEMA,
+            match_messages_stream_tws,
+        )
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            src_dir = tmp_path / "msgs"
+            src_dir.mkdir()
+            out = []
+            _write_batch(src_dir, "b1", [
+                _msg("0xaa", 0, 100, 1000, 50_000),
+                _msg("0xbb", 0, 100, 1001, 50_006),
+                _msg("0xbb", 1, 102, 9001, 50_018),
+            ])
+            stream = (
+                spark.readStream.schema(MESSAGE_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src_dir))
+            )
+            matched = match_messages_stream_tws(stream, state_ttl_ms=None)
+
+            def collect(batch_df, _bid):
+                out.extend(batch_df.collect())
+
+            q = matched.writeStream.foreachBatch(collect).option(
+                "checkpointLocation", str(tmp_path / "ckpt_tws")
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+            assert [r.msgHash for r in out] == ["0xbb"]
+            _write_batch(src_dir, "b2", [
+                _msg("0xaa", 1, 103, 9000, 50_030),
+                _msg("0xcc", 0, 100, 1002, 50_012),
+                _msg("0xcc", 1, 110, 9002, 50_060),  # lag 10 > 4
+            ])
+            q = matched.writeStream.foreachBatch(collect).option(
+                "checkpointLocation", str(tmp_path / "ckpt_tws")
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+            by_hash = {r.msgHash: r for r in out}
+            assert set(by_hash) == {"0xaa", "0xbb"}
+            assert by_hash["0xaa"].diffSentAt == 3
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
