@@ -32,19 +32,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the parquet scan because callers filter/select on the returned
     DataFrame before any action (verify with .explain: PushedFilters).
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; read it as nanos-long and convert to a microsecond timestamp
-    (lossless here — the data carries no sub-microsecond precision, and
-    DuckDB reads the same file as a microsecond TIMESTAMP). Session
-    timezone is pinned to UTC so date/epoch math matches the oracle even
-    when the caller's session wasn't built by session.py."""
+    events.ts has been generated as parquet TIMESTAMP(NANOS) (which
+    Spark's reader rejects without nanosAsLong) in some datasets and as a
+    plain micros TIMESTAMP in others, so the handling is adaptive: read
+    with nanosAsLong on (a no-op for non-NANOS files), convert to a
+    timestamp only if the column actually came back as a long, and cast
+    any NTZ variant to the session-TZ timestamp so every downstream
+    consumer sees one type. Session timezone is pinned to UTC so
+    date/epoch math matches the oracle even when the caller's session
+    wasn't built by session.py."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos-long → micros timestamp (lossless)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type != "timestamp":  # timestamp_ntz → session-TZ (UTC) instant
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
