@@ -853,3 +853,55 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(25)
     )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+SELECT CASE WHEN (l.l_orderkey + l.l_linenumber) % 3 = 0 THEN 'MAIL' ELSE 'SHIP' END
+         AS ship_mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE (l.l_orderkey + l.l_linenumber) % 3 < 2
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    doc="TPC-H Q12-shaped shipmode/priority split — conditional counts "
+    "over a fact-fact join with a cross-table lateness predicate "
+    "(reference: the delayed-finalization audit splitting blocks by "
+    "propagation tier). The synthetic tables carry no l_shipmode / "
+    "l_commitdate, so mode derives deterministically from the line key "
+    "(%3: MAIL/SHIP kept, RAIL filtered) and 'late' is shipdate more "
+    "than 60 days after orderdate. Both CASE branches aggregate in one "
+    "pass (partial->final); the mode filter and the date window prune "
+    "before the join so only matching lineitem rows shuffle.",
+    tags=("join", "agg"),
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3 < 2)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .withColumn(
+            "ship_mode",
+            F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 0, "MAIL").otherwise(
+                "SHIP"
+            ),
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
