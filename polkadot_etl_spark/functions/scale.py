@@ -120,6 +120,29 @@ def decode_value(type_name: str, data: bytes, offset: int = 0):
     )
 
 
+def fixed_width(type_name: str) -> tuple[int, str] | None:
+    """(byte width, render kind) when ``type_name`` is a fixed-width SCALE
+    type, else None.  Kinds: 'uint' (LE unsigned int → decimal string),
+    'bool' (one byte 00/01), 'hex' (fixed byte array → 0x-hex string).
+
+    This classification powers the JVM fast path in
+    plans/wasm.contractscall_table: a message whose args are ALL
+    fixed-width decodes with pure column expressions (substring +
+    byte-reverse + conv) — no Python worker at all.  Dynamic types
+    (Vec, String, Compact, Option, signed ints) return None and keep the
+    Arrow-batched UDF path."""
+    t = _ALIASES.get(type_name, type_name).strip()
+    if t in _UINTS:
+        return _UINTS[t], "uint"
+    if t == "bool":
+        return 1, "bool"
+    if t in _FIXED_HEX:
+        return _FIXED_HEX[t], "hex"
+    if t.startswith("[u8;") and t.endswith("]"):
+        return int(t[4:-1].strip()), "hex"
+    return None
+
+
 def decode_args(arg_types: tuple[str, ...] | list[str], data: bytes, offset: int = 0) -> list:
     """Decode a message's argument list; raises ScaleError on truncated
     input and NotImplementedError on non-primitive types."""

@@ -38,6 +38,10 @@ class ContractRegistry:
     def known_hashes(self) -> list[str]:
         return sorted(self._by_hash)
 
+    def messages(self, code_hash: str) -> dict[str, InkMessage]:
+        """selector → message for one registered code hash."""
+        return self._by_hash.get(code_hash.lower(), {})
+
     def decode_call(self, code_hash: str, data_hex: str) -> dict:
         """Match the selector of a contracts.call data payload and
         SCALE-decode the declared arguments (substrateetl.js:2104-2119).
@@ -156,14 +160,18 @@ def contractscall_table(calls, contracts_dim, registry=None):
     (Arrow-batched; NULL decoded args otherwise)."""
     from pyspark.sql import functions as F
 
-    # per-field get_json_object beat a single from_json here (measured
-    # 6.3s vs 7.5s at sf0.1): Catalyst duplicates the from_json across
-    # the split-union branches anyway, and path extraction terminates
-    # early while from_json materializes the full struct each time
+    # Two-stage projection, deliberately: stage 1 runs each
+    # get_json_object exactly once; stage 2 derives the dechex columns
+    # from the SMALL extracted strings.  Folding both into one select
+    # duplicates the JSON parse into every _dechex_str subtree (~6 refs
+    # each) once the projection fuses with the downstream join stage —
+    # codegen CSE stops deduplicating across that boundary (measured
+    # ~2.4s extra at sf0.1).  CollapseProject keeps the split because
+    # the extracted attrs are non-cheap and multiply referenced.
     p = F.col("params")
-    gas = F.get_json_object(p, "$.gas_limit")
-    sdl = F.get_json_object(p, "$.storage_deposit_limit")
-    base = calls.where(
+    gas = F.col("__gas")
+    sdl = F.col("__sdl")
+    raw = calls.where(
         (F.col("section") == "contracts") & (F.col("method") == "call")
     ).select(
         "extrinsic_id",
@@ -172,13 +180,26 @@ def contractscall_table(calls, contracts_dim, registry=None):
         "block_number",
         "block_hash",
         F.get_json_object(p, "$.dest.id").alias("address_pub_key"),
+        F.get_json_object(p, "$.gas_limit").alias("__gas"),
+        F.get_json_object(p, "$.storage_deposit_limit").alias("__sdl"),
+        F.get_json_object(p, "$.value").alias("__value"),
+        F.col("signer_pub_key").alias("caller_pub_key"),
+        F.get_json_object(p, "$.data").alias("__calldata"),
+    )
+    base = raw.select(
+        "extrinsic_id",
+        "extrinsic_hash",
+        "block_timestamp",
+        "block_number",
+        "block_hash",
+        "address_pub_key",
         F.when(gas.isNotNull(), _dechex_str(gas)).otherwise(F.lit("0")).alias("gas_limit"),
         F.when(F.length(sdl) > 4, _dechex_str(sdl)).otherwise(F.lit("0")).alias(
             "storage_deposit_limit"
         ),
-        F.coalesce(_dechex_str(F.get_json_object(p, "$.value")), F.lit("0")).alias("value"),
-        F.col("signer_pub_key").alias("caller_pub_key"),
-        F.get_json_object(p, "$.data").alias("__calldata"),
+        F.coalesce(_dechex_str(F.col("__value")), F.lit("0")).alias("value"),
+        "caller_pub_key",
+        "__calldata",
     )
     dim = F.broadcast(
         contracts_dim.select(
@@ -188,48 +209,153 @@ def contractscall_table(calls, contracts_dim, registry=None):
     )
     out = base.join(dim, base.address_pub_key == F.col("__addr"), "left").drop("__addr")
     if registry is not None:
-        import pandas as pd
-        from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
-
-        def _decode_series(code_hash, data_hex):
-            import json
-
-            def one(ch, dh):
-                if ch is None or dh is None:
-                    return None
-                try:
-                    return json.dumps(registry.decode_call(ch, dh), sort_keys=True)
-                except NotImplementedError:
-                    return None
-
-            return pd.Series([one(c, d) for c, d in zip(code_hash, data_hex)])
-
-        u_decode = pandas_udf(_decode_series, "string")
-
-        # Python runs ONLY for rows whose code hash has uploaded metadata.
-        # This must be a SPLIT + UNION, not a when() branch: a Python UDF
-        # inside a conditional is extracted into an unconditional
-        # ArrowEvalPython node, so every row would ship to Python anyway.
-        # On a real chain most calls hit unverified contracts, so the
-        # no-metadata majority stays entirely JVM-side.
-        known = registry.known_hashes()
-        native_unknown = F.when(
-            F.col("__calldata").isNotNull(),
-            F.concat(
-                F.lit('{"decoded": false, "label": null, "selector": "'),
-                F.lower(F.substring(F.col("__calldata"), 1, 10)),
-                F.lit('"}'),
-            ),
-        )
-        registered = F.lower(F.col("code_hash")).isin(*known) if known else F.lit(False)
-        reg_rows = out.where(registered).withColumn(
-            "decoded_call", u_decode(F.col("code_hash"), F.col("__calldata"))
-        )
-        other_rows = out.where(~registered | F.col("code_hash").isNull()).withColumn(
-            "decoded_call", native_unknown
-        )
-        out = reg_rows.unionByName(other_rows)
+        out = _with_decoded_call(out, registry)
     else:
         out = out.withColumn("decoded_call", F.lit(None).cast("string"))
     return out.drop("__calldata")
+
+
+def _native_arg_exprs(cd, specs):
+    """Per-arg (value_expr, valid_expr) decoding fixed-width SCALE args
+    straight from the calldata hex (layout: '0x' + 8 selector chars +
+    args).  LE ints byte-reverse via substring concat then conv; u128
+    goes through two 64-bit limbs into an exact decimal(38,0)."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    exprs = []
+    off = 0  # byte offset inside the args blob
+    for n, kind in specs:
+        sl = F.substring(cd, 11 + 2 * off, 2 * n)
+        if kind == "uint":
+            rev = (
+                F.concat(*[F.substring(sl, 2 * i + 1, 2) for i in reversed(range(n))])
+                if n > 1
+                else sl
+            )
+            if n <= 8:
+                val = F.conv(rev, 16, 10)  # Spark conv is unsigned-64 exact
+            else:
+                hi = F.conv(F.substring(rev, 1, 16), 16, 10).cast("decimal(38,0)")
+                lo = F.conv(F.substring(rev, 17, 16), 16, 10).cast("decimal(38,0)")
+                val = (
+                    (hi * F.lit(decimal.Decimal(2**64)) + lo)
+                    .cast("decimal(38,0)")
+                    .cast("string")
+                )
+            exprs.append((val, F.lit(True)))
+        elif kind == "bool":
+            val = F.when(sl == "01", F.lit("true")).otherwise(F.lit("false"))
+            exprs.append((val, sl.isin("00", "01")))
+        else:  # fixed byte array → 0x-hex (json string)
+            exprs.append((F.concat(F.lit('"0x'), F.lower(sl), F.lit('"')), F.lit(True)))
+        off += n
+    return exprs, off
+
+
+def _with_decoded_call(out, registry):
+    """decoded_call column in three tiers, cheapest first:
+
+    1. code hashes whose messages are ALL fixed-width SCALE types →
+       generated column expressions (substring/conv/concat), zero Python;
+       the emitted JSON byte-matches json.dumps(..., sort_keys=True).
+    2. code hashes with any dynamic-typed message (Vec/String/Compact/…)
+       → the Arrow-batched UDF over functions/scale.py.
+    3. unregistered / no code hash → native decoded:false JSON.
+
+    Only tier 2 is a SPLIT + UNION (a Python UDF inside a when() branch
+    is extracted into an unconditional ArrowEvalPython node, so every
+    row would ship to Python anyway); tiers 1+3 evaluate as one
+    when-chain over a SINGLE scan — with a fully fixed-width registry
+    the whole decode is one codegen stage, no union, no Python.  On a
+    real chain most calls hit unverified contracts (tier 3) and most
+    verified contracts expose fixed-width messages (tier 1), so Python
+    is the rare path."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.functions.scale import fixed_width
+
+    cd = F.col("__calldata")
+    ch = F.lower(F.col("code_hash"))
+    native_unknown = F.when(
+        cd.isNotNull(),
+        F.concat(
+            F.lit('{"decoded": false, "label": null, "selector": "'),
+            F.lower(F.substring(cd, 1, 10)),
+            F.lit('"}'),
+        ),
+    )
+
+    native_hashes, python_hashes = [], []
+    for h in registry.known_hashes():
+        msgs = registry.messages(h)
+        if all(
+            len(m.arg_types) <= 10  # past arg9, json.dumps key order ≠ index order
+            and all(fixed_width(t) is not None for t in m.arg_types)
+            for m in msgs.values()
+        ):
+            native_hashes.append(h)
+        else:
+            python_hashes.append(h)
+
+    native_expr = None
+    if native_hashes:
+        sel_col = F.lower(F.substring(cd, 1, 10))
+        for h in native_hashes:
+            for sel, m in sorted(registry.messages(h).items()):
+                specs = [fixed_width(t) for t in m.arg_types]
+                parts = [F.lit('{"args": {')]
+                arg_exprs, total = _native_arg_exprs(cd, specs)
+                for i, (val, _) in enumerate(arg_exprs):
+                    if i:
+                        parts.append(F.lit(", "))
+                    parts.append(F.lit(f'"arg{i}": '))
+                    parts.append(val)
+                parts.append(
+                    F.lit(
+                        '}, "decoded": true, "label": %s, "selector": "%s"}'
+                        % (json.dumps(m.label), sel)
+                    )
+                )
+                ok = F.length(cd) == 10 + 2 * total
+                for _, valid in arg_exprs:
+                    ok = ok & valid
+                # matched hash+selector but malformed args → NULL, the
+                # same surface the UDF tier gives a ScaleError row
+                inner = F.when(ok, F.concat(*parts))
+                cond = cd.isNotNull() & (ch == h) & (sel_col == sel)
+                native_expr = (
+                    F.when(cond, inner) if native_expr is None else native_expr.when(cond, inner)
+                )
+    tier13 = native_expr.otherwise(native_unknown) if native_expr is not None else native_unknown
+
+    if not python_hashes:
+        return out.withColumn("decoded_call", tier13)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from polkadot_etl_spark.functions.scale import ScaleError
+
+    def _decode_series(code_hash, data_hex):
+        def one(c, d):
+            if c is None or d is None:
+                return None
+            try:
+                return json.dumps(registry.decode_call(c, d), sort_keys=True)
+            except (NotImplementedError, ScaleError):
+                return None
+
+        return pd.Series([one(c, d) for c, d in zip(code_hash, data_hex)])
+
+    u_decode = pandas_udf(_decode_series, "string")
+    py_rows = out.where(ch.isin(python_hashes)).withColumn(
+        "decoded_call", u_decode(F.col("code_hash"), cd)
+    )
+    rest = out.where(~ch.isin(python_hashes) | F.col("code_hash").isNull()).withColumn(
+        "decoded_call", tier13
+    )
+    return rest.unionByName(py_rows)

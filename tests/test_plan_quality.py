@@ -126,7 +126,47 @@ def test_evm_decodes_stay_jvm_side(spark):
 
 
 def test_wasm_decode_python_is_gated(spark):
-    """ink! decode: exactly ONE Arrow-batched Python node (the
-    metadata-backed branch) — the unregistered branch is native."""
+    """ink! decode: the registry query's messages are all fixed-width
+    SCALE types, so the whole decode is generated column expressions —
+    zero Python, zero Union (one scan)."""
     plan = _plan(spark, "wasm_contract_calls")
-    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Union" not in plan
+
+
+def test_wasm_dynamic_types_gate_python_to_one_branch(spark):
+    """A registry with a dynamic-typed message (Vec<u8>) still routes
+    ONLY that code hash's rows through Python: exactly one
+    ArrowEvalPython node, fed by an isin filter, unioned with the
+    native tiers."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans.wasm import (
+        ContractRegistry,
+        InkMessage,
+        contractscall_table,
+    )
+
+    calls = spark.createDataFrame(
+        [("c1", None, None, 1, None, "contracts", "call",
+          '{"dest": {"id": "0xaa"}, "gas_limit": "1", "value": "0", '
+          '"data": "0xdeadbeef04ff"}', "0xbb")],
+        "extrinsic_id: string, hash: string, block_time: timestamp,"
+        " block_number: long, block_hash: string, section: string,"
+        " method: string, params: string, signer_pub_key: string",
+    )
+    dim = spark.createDataFrame(
+        [("0xaa", "0xc0"), ("0xcc", "0xc1")],
+        "address_pub_key: string, code_hash: string",
+    )
+    reg = ContractRegistry()
+    reg.register("0xc0", [InkMessage("push", "0xdeadbeef", ("Vec<u8>",))])
+    reg.register("0xc1", [InkMessage("flip", "0xdeadbeef", ("u32", "bool"))])
+    df = contractscall_table(calls, dim, registry=reg)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    got = {r["extrinsic_id"]: r["decoded_call"] for r in df.collect()}
+    assert got["c1"] == (
+        '{"args": {"arg0": "0xff"}, "decoded": true, "label": "push",'
+        ' "selector": "0xdeadbeef"}'
+    )

@@ -807,6 +807,53 @@ class TestWasmDecode:
         with pytest.raises(NotImplementedError):
             reg.decode_call("0xCODE", "0x11111111" + "00")
 
+    def test_native_decode_matches_python_codec(self, spark):
+        """The generated-column fast path must emit byte-identical JSON
+        to json.dumps(decode_call(...), sort_keys=True) for every
+        fixed-width kind — u8/u32/u64 near 2^64, u128 past 2^64 (the
+        two-limb conv), bool, AccountId, [u8; 4]."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.plans.wasm import (
+            ContractRegistry,
+            InkMessage,
+            contractscall_table,
+        )
+
+        types = ("u8", "u32", "u64", "u128", "bool", "AccountId", "[u8; 4]")
+        args = (7, 0x01020304, 2**64 - 5, 10**30 + 3, True, bytes(range(32)), b"\xde\xad\xbe\xef")
+        blob = (
+            args[0].to_bytes(1, "little")
+            + args[1].to_bytes(4, "little")
+            + args[2].to_bytes(8, "little")
+            + args[3].to_bytes(16, "little")
+            + b"\x01"
+            + args[5]
+            + args[6]
+        )
+        reg = ContractRegistry()
+        reg.register("0xc0", [InkMessage("mix", "0xaabbccdd", types)])
+        data = "0xaabbccdd" + blob.hex()
+        want = json.dumps(reg.decode_call("0xc0", data), sort_keys=True)
+
+        calls = spark.createDataFrame(
+            [("c1", None, None, 1, None, "contracts", "call",
+              json.dumps({"dest": {"id": "0xaa"}, "gas_limit": "1",
+                          "value": "0", "data": data}), "0xbb")],
+            "extrinsic_id: string, hash: string, block_time: timestamp,"
+            " block_number: long, block_hash: string, section: string,"
+            " method: string, params: string, signer_pub_key: string",
+        )
+        dim = spark.createDataFrame(
+            [("0xaa", "0xc0")], "address_pub_key: string, code_hash: string"
+        )
+        df = contractscall_table(calls, dim, registry=reg)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan  # all-fixed registry: zero Python
+        assert df.collect()[0]["decoded_call"] == want
+
 
 class TestStakingAnalytics:
     def test_validators_by_era_vs_oracle(self, fx):
