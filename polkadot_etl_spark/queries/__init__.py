@@ -43,6 +43,9 @@ _PRIORITY: list[str] = [
     "dedup_clusters",
     "train_val_split",
     "benchmark_contamination",
+    "gopher_repetition",
+    "passage_dedup_ngrams",
+    "pii_scrub",
     "multimodal_image_features",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
@@ -59,17 +62,18 @@ _PRIORITY: list[str] = [
     # like_filter: driver-green in r2, demoted past the window (local
     # oracle suite still covers it); filter family repped by
     # dynamic_predicates + validity_filter + noise_suppression
+    # anti_join_no_urgent / active_accounts_union / topk_paging:
+    # driver-green in r2, demoted for the round-3 corpus-hygiene ops
+    # (anti now repped by tpch_q16 NOT IN + tpch_q21 NOT EXISTS; union
+    # by the local oracle suite; top-k by tpch_q3/q18 + topn_per_group)
     "dynamic_predicates",
     "band_join_tiebreak",
-    "anti_join_no_urgent",
     "left_join_dim_agg",
     "daily_order_metrics",
-    "active_accounts_union",
     "monthly_rollup_having",
     "ohlcv_hourly",
     "lag_change_detection",
     # best_by_rank: driver-green in r2, demoted for identity_resolution
-    "topk_paging",
     # gap_detection / session_window_native: driver-green in r2,
     # demoted for train_val_split + benchmark_contamination
     # pivot_event_counts: driver-green in r2, demoted for dedup_clusters

@@ -899,3 +899,187 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters / passage dedup / PII (Gopher-style corpus hygiene)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gopher_repetition",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY doc_id, word),
+t AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_count FROM c GROUP BY doc_id),
+m AS (SELECT doc_id, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct_words FROM w)
+SELECT m.doc_id, m.n_words, m.n_distinct_words, t.top_word_count,
+       ROUND(CAST(t.top_word_count AS DOUBLE) / m.n_words, 6) AS top_word_frac,
+       ROUND(1.0 - CAST(m.n_distinct_words AS DOUBLE) / m.n_words, 6)
+         AS repeated_word_frac,
+       ((CAST(t.top_word_count AS DOUBLE) / m.n_words) <= 0.2 AND m.n_words >= 10)
+         AS keep
+FROM m JOIN t ON m.doc_id = t.doc_id
+""",
+    doc="Gopher-style repetition filters (Rae et al. 2021 §A1.1: drop "
+    "documents dominated by repeated tokens): per-doc word count, "
+    "distinct-word count, most-frequent-word count, and the derived "
+    "fractions + keep flag. The Spark side computes the top-word count "
+    "WITHOUT any shuffle: array_sort the word array and run-length it "
+    "with a higher-order aggregate (struct state prev/run/best) — one "
+    "map-side pass per document, vs the oracle's explode + two "
+    "group-bys. At 100 TB that is the difference between a free "
+    "column and a corpus-wide word shuffle.",
+    tags=("text", "filter"),
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(st, wd):
+        run = F.when(wd.eqNullSafe(st["prev"]), st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            wd.alias("prev"), run.alias("run"), F.greatest(st["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(words), state0, step, lambda st: st["best"])
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        top.cast("bigint").alias("top_word_count"),
+    )
+    twf = F.col("top_word_count").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
+        F.round(twf, 6).alias("top_word_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_words").cast("double") / F.col("n_words"), 6
+        ).alias("repeated_word_frac"),
+        ((twf <= 0.2) & (F.col("n_words") >= 10)).alias("keep"),
+    )
+
+
+@query(
+    "passage_dedup_ngrams",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i)),
+f AS (SELECT md5(gram) AS gram_hash,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_occurrences
+      FROM s GROUP BY md5(gram))
+SELECT gram_hash, n_docs, n_occurrences FROM f WHERE n_docs >= 2
+""",
+    doc="Passage-level exact dedup — word 5-grams appearing in more than "
+    "one document (the 'remove repeated passages across the corpus' op "
+    "of large-scale dataset curation; cf. Lee et al. 2022 "
+    "deduplicating-training-data, the exact-substring pass). Gram "
+    "explosion is map-side over the word array; the only shuffle is the "
+    "groupBy on the 16-byte md5 of the gram — raw gram text never "
+    "crosses the wire. Fan-out op, so input splits are repartitioned by "
+    "output volume like the MinHash shingle stage.",
+    tags=("dedup", "text"),
+)
+def passage_dedup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 4),
+            lambda i: F.array_join(F.slice(words, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("gram_hash"))
+        .groupBy("gram_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PII_IP = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact admin' || CAST(doc_id // 5 AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_IP}', '<IP>', 'g') AS clean_text
+FROM p
+""",
+    doc="PII detection + redaction over the corpus: e-mail and IPv4 "
+    "counts per document and the scrubbed text (training-data hygiene "
+    "pass). PII is synthesized deterministically onto the PII-free "
+    "test corpus (docs %5 get an e-mail, %7 an IP) so the scrub has "
+    "ground truth. Both patterns are RE2-and-Java-compatible (no "
+    "lookarounds) and run as JVM regexp_count/regexp_replace inside "
+    "whole-stage codegen — zero Python, no shuffle at all.",
+    tags=("text", "filter"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit(" contact admin"),
+                F.expr("CAST(doc_id DIV 5 AS STRING)"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (k % 256).cast("string"),
+                F.lit(".0."),
+                (k % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", pii_text.alias("t"))
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ).alias("clean_text"),
+    )
