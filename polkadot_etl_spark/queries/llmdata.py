@@ -90,10 +90,13 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrives as one split; repartition before the explode or the whole
     # shingle/digest pipeline runs on a single core (same rule at 100 TB,
     # just with maxPartitionBytes instead).
+    # min over a multiset == min over its distinct set, so dedupe the
+    # shingle array BEFORE exploding: ~40% fewer md5s on this corpus
+    # (small vocab → many repeated 5-grams), oracle unchanged.
     hs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(_spark_shingles()).alias("shingle"))
+        .select("doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("h"))
     )
     mins = hs.groupBy("doc_id").agg(

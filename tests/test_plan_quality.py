@@ -125,6 +125,24 @@ def test_evm_decodes_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
 
 
+def test_corpus_hygiene_ops_stay_map_side(spark):
+    """gopher_repetition (HOF run-length) and pii_scrub (JVM regex) are
+    per-document column computations — zero Exchange, zero Python.
+    passage_dedup_ngrams shuffles exactly twice beyond the fan-out
+    repartition — the distinct-aggregate pair shuffle then the final
+    gram-hash shuffle.  (A size(collect_set) single-shuffle variant
+    exists but is memory-unsafe on degenerate hot grams at 100 TB;
+    the two-phase shape bounds per-key state.)"""
+    for name in ("gopher_repetition", "pii_scrub"):
+        plan = _plan(spark, name)
+        assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), name
+        assert "EvalPython" not in plan, name
+    plan = _plan(spark, "passage_dedup_ngrams")
+    # 3 = fan-out roundrobin repartition + the two hash exchanges
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3
+    assert "EvalPython" not in plan
+
+
 def test_wasm_decode_python_is_gated(spark):
     """ink! decode: the registry query's messages are all fixed-width
     SCALE types, so the whole decode is generated column expressions —
