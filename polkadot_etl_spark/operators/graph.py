@@ -60,23 +60,22 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # keep the old label in the SAME join output: change detection
+        # is then a filter over the checkpointed frame, not a third
+        # node-keyed join per round
+        stepped = (
             labels.join(nbr, labels.node == nbr.node2, "left")
             .select(
                 "node",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("component") != F.col("__old")).count()
+        labels = stepped.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
