@@ -46,6 +46,8 @@ _PRIORITY: list[str] = [
     "gopher_repetition",
     "passage_dedup_ngrams",
     "pii_scrub",
+    "ivf_centroid_update",
+    "stratified_sample",
     "multimodal_image_features",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
@@ -62,17 +64,17 @@ _PRIORITY: list[str] = [
     # like_filter: driver-green in r2, demoted past the window (local
     # oracle suite still covers it); filter family repped by
     # dynamic_predicates + validity_filter + noise_suppression
-    # anti_join_no_urgent / active_accounts_union / topk_paging:
-    # driver-green in r2, demoted for the round-3 corpus-hygiene ops
-    # (anti now repped by tpch_q16 NOT IN + tpch_q21 NOT EXISTS; union
-    # by the local oracle suite; top-k by tpch_q3/q18 + topn_per_group)
+    # anti_join_no_urgent / active_accounts_union / topk_paging /
+    # monthly_rollup_having / lag_change_detection: driver-green in r2,
+    # demoted for the round-3 corpus/embedding ops (anti now repped by
+    # tpch_q16 NOT IN + tpch_q21 NOT EXISTS; union/top-k/rollup/window
+    # by tpch_q3/q18/q1 + band_join_tiebreak's W2 tie-break + the local
+    # oracle suite, which still verifies every demoted query)
     "dynamic_predicates",
     "band_join_tiebreak",
     "left_join_dim_agg",
     "daily_order_metrics",
-    "monthly_rollup_having",
     "ohlcv_hourly",
-    "lag_change_detection",
     # best_by_rank: driver-green in r2, demoted for identity_resolution
     # gap_detection / session_window_native: driver-green in r2,
     # demoted for train_val_split + benchmark_contamination

@@ -1086,3 +1086,110 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
         ).alias("clean_text"),
     )
+
+
+@query(
+    "ivf_centroid_update",
+    oracle="""
+WITH seeds AS (SELECT vec_id AS cid, embedding AS semb FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, s.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE)) AS score
+  FROM embeddings e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+ex AS (
+  SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS val
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+)
+SELECT cid, pos, COUNT(*) AS n_members,
+       CAST(CAST(SUM(CAST(CAST(CAST(val AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10)))
+                 AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS centroid
+FROM ex GROUP BY cid, pos
+""",
+    doc="One Lloyd's iteration of IVF coarse-quantizer training: assign "
+    "every vector to its nearest seed centroid (max dot product, first 8 "
+    "vectors as seeds) and recompute each centroid as the element-wise "
+    "mean of its members. The assignment is ZERO-shuffle: the k seed "
+    "vectors are collected once and inlined as literal arrays, so the "
+    "k dot products + argmax are pure column expressions (array_max "
+    "over (score, -cid) structs reproduces the oracle's score DESC, "
+    "cid ASC tie-break). The update is the one unavoidable shuffle — "
+    "posexplode to (cid, dim) with map-side partial sums, so only "
+    "k x dim x n_partitions rows cross the wire at 100 TB. Sums are "
+    "exact decimals; mean = decimal sum / count, one IEEE division in "
+    "both engines. The oracle's element cast routes DOUBLE->VARCHAR->"
+    "DECIMAL: DuckDB's direct DOUBLE->DECIMAL multiplies by 10^scale in "
+    "binary before rounding and can land one decimal ulp off Spark's "
+    "exact BigDecimal conversion (same trick as fmt.d_decsum, one level "
+    "down).",
+    tags=("similarity", "agg"),
+)
+def ivf_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        e.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in r["embedding"]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("score"),
+                F.lit(-int(r["vec_id"])).alias("negcid"),
+            ).cast("struct<score:double,negcid:int>")
+            for r in seeds
+        ]
+    )
+    assigned = e.select(
+        (-F.array_max(scores)["negcid"]).alias("cid"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    )
+    return (
+        assigned.groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+        )
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE WHEN lang = 'en' THEN '1a' ELSE '80' END
+""",
+    doc="Per-language stratified sampling — rebalance a corpus dominated "
+    "by one language by hash-thresholding each stratum at its own rate "
+    "(en ~10%, others ~50%). Same md5-on-the-key discipline as "
+    "train_val_split: deterministic, reshard-stable, partition-order-"
+    "independent (seeded rand() is not, on a cluster). Pure map-side "
+    "filter — zero shuffle, and the predicate prunes before anything "
+    "else runs.",
+    tags=("sampling", "filter"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = F.when(F.col("lang") == "en", "1a").otherwise("80")
+    return d.where(h2 < rate).select("doc_id", "lang")
