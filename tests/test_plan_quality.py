@@ -143,6 +143,17 @@ def test_corpus_hygiene_ops_stay_map_side(spark):
     assert "EvalPython" not in plan
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """Nearest-seed assignment is literal-array column math; the ONLY
+    exchange is the (cid, pos) aggregate (map-side partials first).
+    stratified_sample is pure map-side — zero Exchange."""
+    plan = _plan(spark, "ivf_centroid_update")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "EvalPython" not in plan
+    plan = _plan(spark, "stratified_sample")
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
 def test_wasm_decode_python_is_gated(spark):
     """ink! decode: the registry query's messages are all fixed-width
     SCALE types, so the whole decode is generated column expressions —
