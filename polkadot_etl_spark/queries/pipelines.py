@@ -581,10 +581,32 @@ FROM t
     tags=("pipeline", "join", "scalar"),
 )
 def evm_txn_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from polkadot_etl_spark.functions.evm import ERC20_SELECTORS
     from polkadot_etl_spark.plans.evm import evmtxs_table
 
-    o = load_table(spark, sf_dir, "orders")
+    txns, receipts = _synth_evm_frames(load_table(spark, sf_dir, "orders"))
+    t = evmtxs_table(txns, receipts)
+    return t.select(
+        "hash",
+        "from_address",
+        F.col("value").cast("double").alias("value_wei"),
+        "gas_price",
+        "receipt_gas_used",
+        "receipt_status",
+        "fee",
+        "burned_fee",
+        "txn_saving",
+        "method_id",
+        "signature",
+    )
+
+
+def _synth_evm_frames(o: DataFrame):
+    """tx + receipt frames synthesized from orders — EIP-1559 fields on
+    urgent orders, legacy otherwise, ERC-20 transfer calldata on 'F'
+    rows.  Shared by evm_txn_fees and evmtxs_daily_gold so the
+    synthetic chain is identical in both."""
+    from polkadot_etl_spark.functions.evm import ERC20_SELECTORS
+
     k = F.col("o_orderkey")
     urgent = F.col("o_orderpriority") == "1-URGENT"
     has_input = F.col("o_orderstatus") == "F"
@@ -619,19 +641,70 @@ def evm_txn_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(urgent, F.lit(900000000) + k % 1000).alias("effective_gas_price"),
         F.lit(None).cast("string").alias("contract_address"),
     )
+    return txns, receipts
+
+
+@query(
+    "evmtxs_daily_gold",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderdate,
+         o_orderpriority = '1-URGENT' AS is1559,
+         CAST(21000 + o_orderkey % 400000 AS BIGINT) AS gas_used,
+         CAST(1000000000 + o_orderkey % 1000 AS BIGINT) AS gas_price,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(900000000 + o_orderkey % 1000 AS BIGINT) END AS egp,
+         o_orderstatus = 'F' AS has_input
+  FROM orders
+)
+SELECT {d_date('o_orderdate')} AS log_dt,
+       COUNT(*) AS num_txs,
+       COUNT(CASE WHEN k % 2 = 1 THEN 1 END) AS num_success,
+       COUNT(CASE WHEN has_input THEN 1 END) AS num_token_calls,
+       COUNT(CASE WHEN is1559 THEN 1 END) AS num_eip1559,
+       CAST(CAST(SUM(CAST(gas_used AS DECIMAL(38,0)) * gas_price) AS VARCHAR)
+            AS DOUBLE) / 1e18 AS fees,
+       CAST(CAST(COALESCE(SUM(CASE WHEN is1559
+                      THEN CAST(gas_used AS DECIMAL(38,0)) * egp END), 0)
+                 AS VARCHAR) AS DOUBLE) / 1e18 AS burned_fees
+FROM t GROUP BY 1
+""",
+    doc="The Frontier chain-day gold rollup — evmtxs aggregated per "
+    "log_dt exactly like blocklog aggregates the substrate day "
+    "(substrateetl.js evm branch of dump_substrateetl + the chain "
+    "numTransactionsEVM/fees columns): tx count, success count "
+    "(receipt_status), token-call count (method_id present), EIP-1559 "
+    "share, and fee totals. Fee accounting is exact-integer wei — "
+    "sum(gas_used x gas_price) as DECIMAL(38,0) with map-side partials "
+    "— divided by 1e18 ONCE at the end, so no per-row double rounding "
+    "accumulates and the decimal->double hand-off uses the VARCHAR "
+    "route (fmt.d_decsum rationale). Built on the same "
+    "plans.evm.evmtxs_table silver as evm_txn_fees.",
+    tags=("pipeline", "agg"),
+)
+def evmtxs_daily_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.evm import evmtxs_table
+
+    txns, receipts = _synth_evm_frames(load_table(spark, sf_dir, "orders"))
     t = evmtxs_table(txns, receipts)
-    return t.select(
-        "hash",
-        "from_address",
-        F.col("value").cast("double").alias("value_wei"),
-        "gas_price",
-        "receipt_gas_used",
-        "receipt_status",
-        "fee",
-        "burned_fee",
-        "txn_saving",
-        "method_id",
-        "signature",
+    wei = F.col("receipt_gas_used").cast("decimal(38,0)") * F.col("gas_price")
+    burned = F.when(
+        F.col("transaction_type") == 2,
+        F.col("receipt_gas_used").cast("decimal(38,0)")
+        * F.col("receipt_effective_gas_price"),
+    )
+    return (
+        t.groupBy(s_date("block_timestamp").alias("log_dt"))
+        .agg(
+            F.count(F.lit(1)).alias("num_txs"),
+            F.count(F.when(F.col("receipt_status") == 1, 1)).alias("num_success"),
+            F.count(F.when(F.col("method_id").isNotNull(), 1)).alias("num_token_calls"),
+            F.count(F.when(F.col("transaction_type") == 2, 1)).alias("num_eip1559"),
+            (F.sum(wei).cast("double") / 1e18).alias("fees"),
+            (F.coalesce(F.sum(burned), F.lit(0).cast("decimal(38,0)")).cast("double") / 1e18).alias(
+                "burned_fees"
+            ),
+        )
     )
 
 
