@@ -892,3 +892,86 @@ def identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kusama_name",
         "kusama_judgement_verified",
     )
+
+
+@query(
+    "dex_router_paths",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT p_partkey % 17 AS a, (p_partkey // 17) % 17 AS b
+  FROM part
+  WHERE p_partkey % 17 <> (p_partkey // 17) % 17 AND p_partkey < 80
+),
+edges AS (
+  -- explicit DISTINCT over UNION ALL: a bare UNION here is NOT
+  -- reliably deduplicated by DuckDB when the CTE is consumed inside a
+  -- recursive member (observed: duplicate seed rows)
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+  )
+),
+paths(dst, path, depth) AS (
+  SELECT b, '0->' || b, 1 FROM edges WHERE a = 0
+  UNION ALL
+  SELECT ed.b, p.path || '->' || ed.b, p.depth + 1
+  FROM paths p JOIN edges ed ON ed.a = p.dst
+  WHERE p.depth < 3
+    AND NOT contains('->' || p.path || '->', '->' || ed.b || '->')
+)
+SELECT path, dst AS terminal, depth FROM paths
+""",
+    doc="DEX router path enumeration — all simple swap routes from a "
+    "source asset through the pool graph up to 3 hops (reference "
+    "priceManager.js:410 getRouterAssetPaths / :166 getRouterPaths, "
+    "which walks router pool edges to maxDepth collecting candidate "
+    "swap routes). Pool edges synthesize from part keys (two "
+    "independent residues; capped at p_partkey<80 so the graph is "
+    "identical at every SF). Spark shape: a DEPTH-BOUNDED traversal is "
+    "UNROLLED joins in one lazy plan — no driver loop, no checkpoint "
+    "(vs the iterative connected_components, where depth is "
+    "data-dependent); the edge dim broadcasts at every hop, and the "
+    "no-revisit rule is the same '->'-delimited path-string predicate "
+    "the oracle's recursive CTE uses, so both engines prune identical "
+    "branches.",
+    tags=("pipeline", "join"),
+)
+def dex_router_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = F.col("p_partkey") % 17
+    b = F.expr("p_partkey DIV 17") % 17
+    e = (
+        p.where((F.col("p_partkey") < 80) & (a != b))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    ed = F.broadcast(edges.select(F.col("a").alias("ea"), F.col("b").alias("eb")))
+    hops = [
+        edges.where(F.col("a") == 0).select(
+            F.col("b").alias("dst"),
+            F.concat(F.lit("0->"), F.col("b").cast("string")).alias("path"),
+            F.lit(1).alias("depth"),
+        )
+    ]
+    for _ in range(2):
+        hops.append(
+            hops[-1]
+            .join(ed, hops[-1]["dst"] == F.col("ea"))
+            .where(
+                ~F.expr(
+                    "contains('->' || path || '->', '->' || CAST(eb AS STRING) || '->')"
+                )
+            )
+            .select(
+                F.col("eb").alias("dst"),
+                F.expr("path || '->' || CAST(eb AS STRING)").alias("path"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+    out = hops[0]
+    for h in hops[1:]:
+        out = out.unionByName(h)
+    return out.select("path", F.col("dst").alias("terminal"), "depth")
