@@ -20,14 +20,22 @@ def _plan(spark, name: str) -> str:
 
 
 def test_no_row_at_a_time_python_anywhere(spark):
-    """Python in a plan must be Arrow-batched (ArrowEvalPython /
-    FlatMapGroupsInPandas / MapInPandas) — BatchEvalPython is the
-    row-pickling slow path and is banned from the whole registry."""
-    offenders = []
+    """Registry-wide plan bans, checked in one planning pass:
+    - BatchEvalPython (row-pickling Python) — Python must be
+      Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas /
+      MapInPandas);
+    - CartesianProduct — an unkeyed shuffled cross join is never the
+      right 100 TB plan; small-side crosses must broadcast
+      (BroadcastNestedLoopJoin) and everything else needs a key."""
+    offenders, cartesian = [], []
     for name in sorted(QUERIES):
-        if "BatchEvalPython" in _plan(spark, name):
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
             offenders.append(name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+    assert not cartesian, f"non-broadcast cartesian products in: {cartesian}"
 
 
 @pytest.mark.parametrize(
