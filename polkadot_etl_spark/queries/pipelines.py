@@ -975,3 +975,121 @@ def dex_router_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in hops[1:]:
         out = out.unionByName(h)
     return out.select("path", F.col("dst").alias("terminal"), "depth")
+
+
+@query(
+    "xcm_trace_spans",
+    oracle="""
+WITH o AS (
+  SELECT 'x' || o_orderkey AS extrinsic_id,
+         'm' || (o_orderkey % 1000) AS msg_hash,
+         o_orderkey % 10000 AS sent_at
+  FROM orders
+),
+d AS (
+  SELECT 'd' || l_orderkey AS event_id,
+         'm' || (l_orderkey % 1000) AS msg_hash,
+         (l_orderkey % 10000) + (l_suppkey % 6) - 1 AS received_at
+  FROM lineitem WHERE l_linenumber = 1
+),
+m AS (
+  SELECT extrinsic_id, msg_hash, event_id FROM (
+    SELECT o.extrinsic_id, o.msg_hash, d.event_id,
+           ROW_NUMBER() OVER (PARTITION BY o.extrinsic_id
+                              ORDER BY d.received_at - o.sent_at, d.event_id) AS rn
+    FROM o JOIN d ON d.msg_hash = o.msg_hash
+                 AND d.received_at - o.sent_at BETWEEN 0 AND 4
+  ) WHERE rn = 1
+)
+SELECT substr(md5('cn' || extrinsic_id), 1, 16) AS trace_id,
+       substr(md5('cn' || extrinsic_id), 1, 16) AS span_id,
+       CAST(NULL AS VARCHAR) AS parent_span_id,
+       'origination' AS kind, extrinsic_id AS ref
+FROM o
+UNION ALL
+SELECT substr(md5('cn' || extrinsic_id), 1, 16),
+       substr(md5('cn' || extrinsic_id || '/' || msg_hash), 1, 16),
+       substr(md5('cn' || extrinsic_id), 1, 16),
+       'xcm', msg_hash
+FROM o
+UNION ALL
+SELECT substr(md5('cn' || extrinsic_id), 1, 16),
+       substr(md5('cn' || event_id), 1, 16),
+       substr(md5('cn' || extrinsic_id || '/' || msg_hash), 1, 16),
+       'dest', event_id
+FROM m
+""",
+    doc="XCM trace-span assembly (reference substrate/xcmtracer.js:95 "
+    "submitleg / :561 match): every origination extrinsic emits a root "
+    "span and a child xcm-message span; when a destination event "
+    "matches (same msg_hash, received 0..4 relay blocks after sent_at, "
+    "first-match tie-break — xcmmanager.js:417-497 band semantics via "
+    "operators/band.py) it emits a third span parented to the message "
+    "span — the reference's extrinsic->xcm->dest leg chain, here as "
+    "one DataFrame of (trace_id, span_id, parent_span_id) rows instead "
+    "of per-row Zipkin POSTs. Span ids follow the reference's "
+    "idhash('cn'+id) 16-hex-char scheme with md5 standing in for "
+    "twox_128 (the oracle engine has no twox; the repo's real twox_128 "
+    "is vector-tested in functions/scalars.py). Matched and "
+    "unmatched-dest origins both appear, exactly like the tracer's "
+    "'123' and '12' arms.",
+    tags=("pipeline", "join"),
+)
+def xcm_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.band import band_join_best_match
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("x"), k.cast("string")).alias("extrinsic_id"),
+        F.concat(F.lit("m"), (k % 1000).cast("string")).alias("msg_hash"),
+        (k % 10000).alias("sent_at"),
+    )
+    lk = F.col("l_orderkey")
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 1)
+        .select(
+            F.concat(F.lit("d"), lk.cast("string")).alias("event_id"),
+            F.concat(F.lit("m"), (lk % 1000).cast("string")).alias("msg_hash"),
+            ((lk % 10000) + (F.col("l_suppkey") % 6) - 1).alias("received_at"),
+        )
+    )
+    m = band_join_best_match(
+        source=o,
+        dest=d,
+        keys=["msg_hash"],
+        source_ts="sent_at",
+        dest_ts="received_at",
+        lower=0,
+        upper=4,
+        source_id="extrinsic_id",
+        tie_break=["event_id"],
+    )
+
+    def _span(*parts):
+        return F.substring(F.md5(F.concat(F.lit("cn"), *parts)), 1, 16)
+
+    root = _span(F.col("extrinsic_id"))
+    xcm_span = _span(F.col("extrinsic_id"), F.lit("/"), F.col("msg_hash"))
+    s1 = o.select(
+        root.alias("trace_id"),
+        root.alias("span_id"),
+        F.lit(None).cast("string").alias("parent_span_id"),
+        F.lit("origination").alias("kind"),
+        F.col("extrinsic_id").alias("ref"),
+    )
+    s2 = o.select(
+        root.alias("trace_id"),
+        xcm_span.alias("span_id"),
+        root.alias("parent_span_id"),
+        F.lit("xcm").alias("kind"),
+        F.col("msg_hash").alias("ref"),
+    )
+    s3 = m.select(
+        root.alias("trace_id"),
+        _span(F.col("d_event_id")).alias("span_id"),
+        xcm_span.alias("parent_span_id"),
+        F.lit("dest").alias("kind"),
+        F.col("d_event_id").alias("ref"),
+    )
+    return s1.unionByName(s2).unionByName(s3)
