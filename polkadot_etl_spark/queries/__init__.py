@@ -54,7 +54,6 @@ _PRIORITY: list[str] = [
     "fuzzy_confidence_match",
     "call_tree_flatten",
     "asof_broadcast_version",
-    "block_at_timestamp",
     "broadcast_dim_decoration",
     # per_block_stats / daily_history_series / work_queue_backoff /
     # validity_filter / json_field_access / intersect_except_users /
@@ -65,15 +64,16 @@ _PRIORITY: list[str] = [
     # oracle suite still covers it); filter family repped by
     # dynamic_predicates + validity_filter + noise_suppression
     # anti_join_no_urgent / active_accounts_union / topk_paging /
-    # monthly_rollup_having / lag_change_detection: driver-green in r2,
-    # demoted for the round-3 corpus/embedding ops (anti now repped by
-    # tpch_q16 NOT IN + tpch_q21 NOT EXISTS; union/top-k/rollup/window
-    # by tpch_q3/q18/q1 + band_join_tiebreak's W2 tie-break + the local
-    # oracle suite, which still verifies every demoted query)
+    # monthly_rollup_having / lag_change_detection / left_join_dim_agg /
+    # daily_order_metrics / block_at_timestamp: driver-green in r2,
+    # demoted for the round-3 capability ops (anti now repped by
+    # tpch_q16 NOT IN + tpch_q21 NOT EXISTS; joins by tpch_q3/q5/q21;
+    # day-metrics by evmtxs_daily_gold + tpch_q1; as-of/at-ts by
+    # asof_broadcast_version; union/top-k/rollup/window by
+    # tpch_q3/q18/q1 + band_join_tiebreak's W2 tie-break; the local
+    # oracle suite still verifies every demoted query)
     "dynamic_predicates",
     "band_join_tiebreak",
-    "left_join_dim_agg",
-    "daily_order_metrics",
     "ohlcv_hourly",
     # best_by_rank: driver-green in r2, demoted for identity_resolution
     # gap_detection / session_window_native: driver-green in r2,
@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     "evm_txn_fees",
     "wasm_contract_calls",
     "identity_resolution",
+    "evmtxs_daily_gold",
+    "dex_router_paths",
+    "xcm_trace_spans",
     # round-3 TPC-H completion (correlated-MIN, global-share HAVING,
     # distinct-count + NOT IN, aggregated-IN semi, EXISTS/NOT EXISTS)
     "tpch_q2_min_cost_supplier",
