@@ -1093,3 +1093,110 @@ def xcm_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_event_id").alias("ref"),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+# Kusama weight model per instruction, transcribed from the reference's
+# public table (substrate/xcmInstructions.js getInstructionSet; per-read/
+# write costs and the fee coefficient from xcmtracer.js:46-55).
+_XCM_WEIGHT_DIM = [
+    ("withdrawAsset", 20385000, 1, 1),
+    ("receiveTeleportedAsset", 19595000, 1, 1),
+    ("transferAsset", 3275600, 2, 2),
+    ("transferReserveAsset", 50645000, 8, 5),
+    ("clearOrigin", 8268000, 0, 0),
+    ("transact", 31693000, 1, 0),
+    ("queryResponse", 24677000, 1, 0),
+]
+_W_READ = 25000000
+_W_WRITE = 100000000
+_KSM_FEE_COEF = 3.862092404422869e-14  # (1e12/(10*30000*86309000))/1e12
+
+
+@query(
+    "xcm_message_weights",
+    oracle=f"""
+WITH m AS (
+  SELECT event_id AS msg_id,
+         CASE event_type
+              WHEN 'purchase' THEN '["withdrawAsset","clearOrigin","buyExecution","depositAsset"]'
+              WHEN 'click' THEN '["reserveAssetDeposited","clearOrigin","buyExecution","depositAsset"]'
+              WHEN 'view' THEN '["receiveTeleportedAsset","clearOrigin","buyExecution","depositAsset"]'
+              WHEN 'error' THEN '["transferReserveAsset"]'
+              ELSE '["transact","clearOrigin"]' END AS instr_json
+  FROM events
+),
+i AS (
+  SELECT msg_id, unnest(CAST(json_extract(instr_json, '$') AS VARCHAR[])) AS instruction
+  FROM m
+),
+dim(instruction, ref_time, reads, writes) AS (
+  VALUES {", ".join(f"('{n}', {rt}, {r}, {w})" for n, rt, r, w in
+                    [("withdrawAsset", 20385000, 1, 1),
+                     ("receiveTeleportedAsset", 19595000, 1, 1),
+                     ("transferAsset", 3275600, 2, 2),
+                     ("transferReserveAsset", 50645000, 8, 5),
+                     ("clearOrigin", 8268000, 0, 0),
+                     ("transact", 31693000, 1, 0),
+                     ("queryResponse", 24677000, 1, 0)])}
+),
+j AS (
+  SELECT i.msg_id,
+         COALESCE(d.ref_time, 1000000)
+           + COALESCE(d.reads, 0) * {_W_READ}
+           + COALESCE(d.writes, 0) * {_W_WRITE} AS w
+  FROM i LEFT JOIN dim d USING (instruction)
+)
+SELECT msg_id, COUNT(*) AS n_instructions,
+       CAST(SUM(w) AS BIGINT) AS total_weight,
+       CAST(SUM(w) AS BIGINT) * {_KSM_FEE_COEF!r} AS fee_ksm
+FROM j GROUP BY msg_id
+""",
+    doc="Per-message XCM weight + fee estimation (reference "
+    "xcmtracer.js:38-56 compute_instruction_weight over "
+    "xcmInstructions.js getInstructionSet): each message's instruction "
+    "list joins the per-instruction (refTime, reads, writes) model, "
+    "weight = refTime + reads x 25e6 + writes x 1e8 with the tracer's "
+    "1e6 default for unmodeled instructions, fee = total x the KSM "
+    "weight-to-fee coefficient (precomputed in one literal so both "
+    "engines do the identical int x double multiply). Spark shape: the "
+    "instruction model is a BROADCAST dim against the exploded "
+    "instruction stream; one groupBy(msg_id) shuffle with map-side "
+    "partials.",
+    tags=("pipeline", "join", "agg"),
+)
+def xcm_message_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    instr_json = (
+        F.when(F.col("event_type") == "purchase",
+               '["withdrawAsset","clearOrigin","buyExecution","depositAsset"]')
+        .when(F.col("event_type") == "click",
+              '["reserveAssetDeposited","clearOrigin","buyExecution","depositAsset"]')
+        .when(F.col("event_type") == "view",
+              '["receiveTeleportedAsset","clearOrigin","buyExecution","depositAsset"]')
+        .when(F.col("event_type") == "error", '["transferReserveAsset"]')
+        .otherwise('["transact","clearOrigin"]')
+    )
+    i = e.select(
+        F.col("event_id").alias("msg_id"),
+        F.explode(F.from_json(instr_json, "array<string>")).alias("instruction"),
+    )
+    dim = F.broadcast(
+        spark.createDataFrame(
+            _XCM_WEIGHT_DIM, "instruction: string, ref_time: long, reads: int, writes: int"
+        )
+    )
+    w = (
+        F.coalesce(F.col("ref_time"), F.lit(1000000))
+        + F.coalesce(F.col("reads"), F.lit(0)) * _W_READ
+        + F.coalesce(F.col("writes"), F.lit(0)) * _W_WRITE
+    )
+    return (
+        i.join(dim, "instruction", "left")
+        .select("msg_id", w.alias("w"))
+        .groupBy("msg_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_instructions"),
+            F.sum("w").alias("total_weight"),
+            (F.sum("w") * F.lit(_KSM_FEE_COEF)).alias("fee_ksm"),
+        )
+    )
