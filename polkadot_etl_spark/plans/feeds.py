@@ -33,16 +33,41 @@ from pyspark.sql.window import Window
 _VERIFIED_STATUS = ("Reasonable", "KnownGood")  # identityManager.js:88
 
 
-def _u128_from_maybe_hex(c: Column) -> Column:
-    """Exact decimal(38,0) from a decimal string OR a 0x-hex string (EVM
-    chains emit hex balances, moonbeam.js:888 dechexToInt) — two 64-bit
-    limbs so values past 2^63 stay exact."""
-    hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
-    hi = F.conv(F.substring(hex_body, 1, 16), 16, 10).cast("decimal(38,0)")
-    lo = F.conv(F.substring(hex_body, 17, 16), 16, 10).cast("decimal(38,0)")
+def _u128_hex_to_str(hex32: Column) -> Column:
+    """Exact base-10 digit string for a FULL-RANGE u128 given as 32
+    big-endian hex chars.  hi*2^64+lo does not fit decimal(38,0) (u128
+    max ≈ 3.4e38 > 10^38-1), so assemble in base-10^12 limbs — every
+    intermediate stays < 10^31 and the result is exact up to 2^128-1.
+    Identity used: 2^64 = 18446744*10^12 + 73709551616."""
     import decimal
 
-    from_hex = (hi * F.lit(decimal.Decimal(2**64)) + lo).cast("decimal(38,0)")
+    H = F.conv(F.substring(hex32, 1, 16), 16, 10).cast("decimal(20,0)")
+    L = F.conv(F.substring(hex32, 17, 16), 16, 10).cast("decimal(20,0)")
+    # t = H*73709551616 + L  ≤ 1.36e30, exact in decimal(31,0)
+    t = (H * F.lit(decimal.Decimal(73709551616)) + L).cast("decimal(31,0)")
+    # split t into base-10^12 digits by string slicing (no decimal division,
+    # whose Spark result scale rules would round)
+    t_str = F.lpad(t.cast("string"), 31, "0")
+    t_hi = F.substring(t_str, 1, 19).cast("decimal(20,0)")
+    t_lo_str = F.substring(t_str, 20, 12)
+    # high = H*18446744 + carry  ≤ 3.41e26, exact in decimal(27,0)
+    high = (H * F.lit(decimal.Decimal(18446744)) + t_hi).cast("decimal(27,0)")
+    return F.when(
+        high == F.lit(decimal.Decimal(0)),
+        t_lo_str.cast("decimal(12,0)").cast("string"),
+    ).otherwise(F.concat(high.cast("string"), t_lo_str))
+
+
+def _u128_from_maybe_hex(c: Column) -> Column:
+    """Exact decimal(38,0) from a decimal string OR a 0x-hex string (EVM
+    chains emit hex balances, moonbeam.js:888 dechexToInt) — via the
+    full-range limb string so values past 2^63 stay exact.  The published
+    column contract is decimal(38,0) (BigQuery NUMERIC twin), so the
+    astronomically-unlikely balances ≥ 10^38 (> total issuance of any
+    real chain by ~19 orders of magnitude) overflow to NULL here; callers
+    needing the untruncated value use _u128_hex_to_str directly."""
+    hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
+    from_hex = _u128_hex_to_str(hex_body).cast("decimal(38,0)")
     return F.when(c.startswith("0x"), from_hex).otherwise(c.cast("decimal(38,0)"))
 
 

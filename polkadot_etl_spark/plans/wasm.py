@@ -71,12 +71,17 @@ class ContractRegistry:
 
 def _dechex_str(c):
     """Exact integer string from a decimal or 0x-hex string (the
-    reference's dechexToIntStr on gas/storage limits)."""
+    reference's dechexToIntStr on gas/storage limits).  Hex inputs route
+    through the base-10^12 limb assembly so the FULL u128 range is exact
+    (hi*2^64+lo cast to decimal(38,0) would NULL out values ≥ 10^38)."""
     from pyspark.sql import functions as F
 
-    from polkadot_etl_spark.plans.feeds import _u128_from_maybe_hex
+    from polkadot_etl_spark.plans.feeds import _u128_hex_to_str
 
-    return _u128_from_maybe_hex(c).cast("string")
+    hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
+    return F.when(c.startswith("0x"), _u128_hex_to_str(hex_body)).otherwise(
+        c.cast("decimal(38,0)").cast("string")
+    )
 
 
 def contractscode_table(events, extrinsics):
@@ -219,10 +224,12 @@ def _native_arg_exprs(cd, specs):
     """Per-arg (value_expr, valid_expr) decoding fixed-width SCALE args
     straight from the calldata hex (layout: '0x' + 8 selector chars +
     args).  LE ints byte-reverse via substring concat then conv; u128
-    goes through two 64-bit limbs into an exact decimal(38,0)."""
-    import decimal
-
+    goes through the base-10^12 limb assembly (_u128_hex_to_str), exact
+    over the FULL u128 range — the earlier decimal(38,0) route NULLed
+    legal values ≥ 10^38 while the Python codec tier returned them."""
     from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans.feeds import _u128_hex_to_str
 
     exprs = []
     off = 0  # byte offset inside the args blob
@@ -237,13 +244,7 @@ def _native_arg_exprs(cd, specs):
             if n <= 8:
                 val = F.conv(rev, 16, 10)  # Spark conv is unsigned-64 exact
             else:
-                hi = F.conv(F.substring(rev, 1, 16), 16, 10).cast("decimal(38,0)")
-                lo = F.conv(F.substring(rev, 17, 16), 16, 10).cast("decimal(38,0)")
-                val = (
-                    (hi * F.lit(decimal.Decimal(2**64)) + lo)
-                    .cast("decimal(38,0)")
-                    .cast("string")
-                )
+                val = _u128_hex_to_str(F.lpad(rev, 32, "0"))
             exprs.append((val, F.lit(True)))
         elif kind == "bool":
             val = F.when(sl == "01", F.lit("true")).otherwise(F.lit("false"))
@@ -338,15 +339,17 @@ def _with_decoded_call(out, registry):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from polkadot_etl_spark.functions.scale import ScaleError
-
     def _decode_series(code_hash, data_hex):
         def one(c, d):
             if c is None or d is None:
                 return None
             try:
                 return json.dumps(registry.decode_call(c, d), sort_keys=True)
-            except (NotImplementedError, ScaleError):
+            except (NotImplementedError, ValueError):
+                # ValueError also covers bytes.fromhex on odd-length /
+                # non-hex calldata (ScaleError subclasses it) — malformed
+                # input maps to NULL, matching the native tier's surface,
+                # instead of failing the whole task
                 return None
 
         return pd.Series([one(c, d) for c, d in zip(code_hash, data_hex)])

@@ -1130,14 +1130,7 @@ i AS (
   FROM m
 ),
 dim(instruction, ref_time, reads, writes) AS (
-  VALUES {", ".join(f"('{n}', {rt}, {r}, {w})" for n, rt, r, w in
-                    [("withdrawAsset", 20385000, 1, 1),
-                     ("receiveTeleportedAsset", 19595000, 1, 1),
-                     ("transferAsset", 3275600, 2, 2),
-                     ("transferReserveAsset", 50645000, 8, 5),
-                     ("clearOrigin", 8268000, 0, 0),
-                     ("transact", 31693000, 1, 0),
-                     ("queryResponse", 24677000, 1, 0)])}
+  VALUES {", ".join(f"('{n}', {rt}, {r}, {w})" for n, rt, r, w in _XCM_WEIGHT_DIM)}
 ),
 j AS (
   SELECT i.msg_id,

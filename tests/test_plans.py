@@ -854,6 +854,69 @@ class TestWasmDecode:
         assert "EvalPython" not in plan  # all-fixed registry: zero Python
         assert df.collect()[0]["decoded_call"] == want
 
+    def test_native_u128_full_range(self, spark):
+        """The native tier must stay exact past decimal(38,0): u128
+        values ≥ 10^38 (up to 2^128-1) previously NULLed out while the
+        Python codec returned the exact integer — the base-10^12 limb
+        assembly keeps the tiers identical over the whole range."""
+        import json
+
+        from polkadot_etl_spark.plans.wasm import (
+            ContractRegistry,
+            InkMessage,
+            contractscall_table,
+        )
+
+        reg = ContractRegistry()
+        reg.register("0xc0", [InkMessage("pay", "0xaabbccdd", ("u128",))])
+        dim = spark.createDataFrame(
+            [("0xaa", "0xc0")], "address_pub_key: string, code_hash: string"
+        )
+        for v in (0, 10**38, 10**38 - 1, 2**128 - 1, 2**64, 2**64 - 1):
+            data = "0xaabbccdd" + v.to_bytes(16, "little").hex()
+            want = json.dumps(reg.decode_call("0xc0", data), sort_keys=True)
+            calls = spark.createDataFrame(
+                [("c1", None, None, 1, None, "contracts", "call",
+                  json.dumps({"dest": {"id": "0xaa"}, "gas_limit": "1",
+                              "value": "0", "data": data}), "0xbb")],
+                "extrinsic_id: string, hash: string, block_time: timestamp,"
+                " block_number: long, block_hash: string, section: string,"
+                " method: string, params: string, signer_pub_key: string",
+            )
+            df = contractscall_table(calls, dim, registry=reg)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "EvalPython" not in plan
+            assert df.collect()[0]["decoded_call"] == want, f"u128 value {v}"
+
+    def test_udf_tier_malformed_calldata_is_null(self, spark):
+        """Odd-length / non-hex calldata in the Python codec tier must
+        surface as NULL (the native tier's behavior), not fail the task
+        (bytes.fromhex raises plain ValueError, not ScaleError)."""
+        import json
+
+        from polkadot_etl_spark.plans.wasm import (
+            ContractRegistry,
+            InkMessage,
+            contractscall_table,
+        )
+
+        reg = ContractRegistry()
+        # Vec<u8> is dynamic → forces the Arrow UDF tier for this hash
+        reg.register("0xc0", [InkMessage("store", "0xaabbccdd", ("Vec<u8>",))])
+        dim = spark.createDataFrame(
+            [("0xaa", "0xc0")], "address_pub_key: string, code_hash: string"
+        )
+        calls = spark.createDataFrame(
+            [("c1", None, None, 1, None, "contracts", "call",
+              json.dumps({"dest": {"id": "0xaa"}, "gas_limit": "1",
+                          "value": "0", "data": "0xaabbccddZZZ"}), "0xbb")],
+            "extrinsic_id: string, hash: string, block_time: timestamp,"
+            " block_number: long, block_hash: string, section: string,"
+            " method: string, params: string, signer_pub_key: string",
+        )
+        df = contractscall_table(calls, dim, registry=reg)
+        assert df.collect()[0]["decoded_call"] is None
+
 
 class TestStakingAnalytics:
     def test_validators_by_era_vs_oracle(self, fx):
