@@ -1193,3 +1193,242 @@ def xcm_message_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w") * F.lit(_KSM_FEE_COEF)).alias("fee_ksm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OpenGov conviction-voting surface (dump_democracy) — the oracle CASE
+# expressions interpolate the SAME maps the plan uses (TRACK_NAMES /
+# CONVICTION_MULT) so the two engines cannot drift.
+# ---------------------------------------------------------------------------
+
+from polkadot_etl_spark.plans.governance import CONVICTION_MULT, TRACK_NAMES  # noqa: E402
+
+_TRACK_IDS = list(TRACK_NAMES)  # classID chosen by k % 15 over the map keys
+_SQL_CLASS_ID = (
+    "CASE k % 15 "
+    + " ".join(f"WHEN {i} THEN {cid}" for i, cid in enumerate(_TRACK_IDS))
+    + " END"
+)
+_SQL_CLASS_NAME = (
+    "CASE class_id "
+    + " ".join(f"WHEN {cid} THEN '{name}'" for cid, name in TRACK_NAMES.items())
+    + " ELSE NULL END"
+)
+_SQL_MULT = (
+    "CASE conviction "
+    + " ".join(f"WHEN '{c}' THEN {m}" for c, m in CONVICTION_MULT.items())
+    + " ELSE 1.0 END"
+)
+
+
+@query(
+    "democracy_voting",
+    oracle=f"""
+WITH c AS (SELECT c_custkey AS k FROM customer),
+v1 AS (
+  SELECT k, CAST(k % 97 AS INTEGER) AS poll_id,
+         CASE WHEN k % 4 = 0 THEN 'Aye'
+              WHEN k % 4 = 1 AND k % 11 = 0 THEN NULL
+              WHEN k % 4 = 1 THEN 'Nay'
+              WHEN k % 4 = 2 THEN 'Split'
+              ELSE 'SplitAbstain' END AS vote,
+         CASE WHEN k % 4 = 0 AND k % 5 = 0 THEN 'Locked7x'
+              WHEN k % 4 = 0 THEN 'Locked' || CAST(1 + k % 6 AS VARCHAR) || 'x'
+              ELSE 'None' END AS conviction,
+         CASE WHEN k % 4 = 0 THEN CAST(k * 1000000 + 123 AS DOUBLE) / 1e10
+              WHEN k % 4 = 2 THEN CAST(k * 10000 + 1 AS DOUBLE) / 1e10
+              WHEN k % 4 = 3 THEN CAST(k * 100 + 3 AS DOUBLE) / 1e10
+              ELSE 0.0 END AS aye,
+         CASE WHEN k % 4 = 1 AND k % 11 = 0 THEN 0.0
+              WHEN k % 4 = 1 THEN CAST(k * 100000 + 7 AS DOUBLE) / 1e10
+              WHEN k % 4 = 2 THEN CAST(k * 1000 + 2 AS DOUBLE) / 1e10
+              WHEN k % 4 = 3 THEN CAST(k * 10 + 4 AS DOUBLE) / 1e10
+              ELSE 0.0 END AS nay,
+         CASE WHEN k % 4 = 3 THEN CAST(k * 100000 + 5 AS DOUBLE) / 1e10
+              ELSE 0.0 END AS abstain
+  FROM c WHERE k % 7 <> 0),
+v2 AS (
+  SELECT k, CAST(100 + k % 41 AS INTEGER) AS poll_id, 'Aye' AS vote,
+         'Locked2x' AS conviction,
+         CAST(k * 999 + 11 AS DOUBLE) / 1e10 AS aye, 0.0 AS nay, 0.0 AS abstain
+  FROM c WHERE k % 7 <> 0 AND k % 3 = 0),
+votes AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+vdecor AS (
+  SELECT '5' || lpad(CAST(k AS VARCHAR), 8, '0') AS account,
+         CAST({_SQL_CLASS_ID} AS INTEGER) AS class_id,
+         poll_id, vote, conviction, aye, nay, abstain
+  FROM votes),
+vrows AS (
+  SELECT account, class_id, {_SQL_CLASS_NAME} AS class_name,
+         'Casting' AS kind, poll_id, vote, conviction,
+         aye, aye * ({_SQL_MULT}) AS ayec,
+         nay, nay * ({_SQL_MULT}) AS nayc, abstain,
+         CAST(NULL AS VARCHAR) AS target, CAST(NULL AS DOUBLE) AS balance
+  FROM vdecor),
+ddecor AS (
+  SELECT '5' || lpad(CAST(k AS VARCHAR), 8, '0') AS account,
+         CAST({_SQL_CLASS_ID} AS INTEGER) AS class_id,
+         CASE WHEN k % 14 = 0 THEN 'None'
+              ELSE 'Locked' || CAST(1 + k % 6 AS VARCHAR) || 'x' END AS conviction,
+         '5' || lpad(CAST(k + 1 AS VARCHAR), 8, '0') AS target,
+         CAST(k * 1000000007 AS DOUBLE) / 1e10 AS balance
+  FROM c WHERE k % 7 = 0),
+drows AS (
+  SELECT account, class_id, {_SQL_CLASS_NAME} AS class_name,
+         'Delegating' AS kind, CAST(NULL AS INTEGER) AS poll_id,
+         CAST(NULL AS VARCHAR) AS vote, conviction,
+         CAST(NULL AS DOUBLE) AS aye, CAST(NULL AS DOUBLE) AS ayec,
+         CAST(NULL AS DOUBLE) AS nay, CAST(NULL AS DOUBLE) AS nayc,
+         CAST(NULL AS DOUBLE) AS abstain, target, balance
+  FROM ddecor)
+SELECT * FROM vrows UNION ALL SELECT * FROM drows
+""",
+    doc="The dump_democracy conviction-voting surface (reference "
+    "substrateetl.js:2141-2306): a synthesized convictionVoting.votingFor "
+    "state scan (toHuman JSON: comma-grouped balances, "
+    "Standard/Split/SplitAbstain casting variants, an unknown-variant "
+    "'WEIRD' row, Delegating rows, an unmapped Locked7x conviction) runs "
+    "through the REAL plans.governance.conviction_votes_table + "
+    "delegations_table — one JVM-side from_json + explode + "
+    "get_json_object pipeline, conviction multipliers (None→0.1, "
+    "unmapped→1), 10^10 decimalization, classIDtoName decoration. The "
+    "oracle enumerates the expected rows directly from customer keys, "
+    "with the track/conviction CASEs interpolated from the same literal "
+    "maps the plan uses.",
+    tags=("pipeline", "scalar", "filter"),
+)
+def democracy_voting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.governance import (
+        conviction_votes_table,
+        delegations_table,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    k = F.col("k")
+
+    def acct(key: Column) -> Column:
+        return F.concat(F.lit("5"), F.lpad(key.cast("string"), 8, "0"))
+
+    class_id = None
+    for i, cid in enumerate(_TRACK_IDS):
+        cond = (k % 15) == i
+        class_id = F.when(cond, cid) if class_id is None else class_id.when(cond, cid)
+
+    def std_payload(vote: Column, conv: Column, bal: Column) -> Column:
+        return F.concat(
+            F.lit('{"Standard": {"vote": {"vote": "'),
+            vote,
+            F.lit('", "conviction": "'),
+            conv,
+            F.lit('"}, "balance": "'),
+            bal,
+            F.lit('"}}'),
+        )
+
+    conv1 = F.when(k % 5 == 0, F.lit("Locked7x")).otherwise(
+        F.concat(F.lit("Locked"), (1 + k % 6).cast("string"), F.lit("x"))
+    )
+    v1_payload = (
+        F.when(
+            k % 4 == 0,
+            std_payload(F.lit("Aye"), conv1, F.format_number(k * 1000000 + 123, 0)),
+        )
+        .when(
+            (k % 4 == 1) & (k % 11 == 0),
+            F.lit('{"Mystery": {"x": 1}}'),  # the :2273 "WEIRD" guard row
+        )
+        .when(
+            k % 4 == 1,
+            std_payload(F.lit("Nay"), F.lit("None"), F.format_number(k * 100000 + 7, 0)),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit('{"Split": {"aye": "'),
+                (k * 10000 + 1).cast("string"),
+                F.lit('", "nay": "'),
+                (k * 1000 + 2).cast("string"),
+                F.lit('"}}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"SplitAbstain": {"aye": "'),
+                (k * 100 + 3).cast("string"),
+                F.lit('", "nay": "'),
+                (k * 10 + 4).cast("string"),
+                F.lit('", "abstain": "'),
+                (k * 100000 + 5).cast("string"),
+                F.lit('"}}'),
+            )
+        )
+    )
+    v1 = F.concat(F.lit("["), (k % 97).cast("string"), F.lit(", "), v1_payload, F.lit("]"))
+    v2 = F.concat(
+        F.lit("["),
+        (100 + k % 41).cast("string"),
+        F.lit(", "),
+        std_payload(F.lit("Aye"), F.lit("Locked2x"), (k * 999 + 11).cast("string")),
+        F.lit("]"),
+    )
+    votes_arr = F.concat(
+        F.lit("["),
+        v1,
+        F.when(k % 3 == 0, F.concat(F.lit(", "), v2)).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    casting_json = F.concat(F.lit('{"Casting": {"votes": '), votes_arr, F.lit("}}"))
+    conv_d = F.when(k % 14 == 0, F.lit("None")).otherwise(
+        F.concat(F.lit("Locked"), (1 + k % 6).cast("string"), F.lit("x"))
+    )
+    deleg_json = F.concat(
+        F.lit('{"Delegating": {"balance": "'),
+        F.format_number(k * 1000000007, 0),
+        F.lit('", "target": "'),
+        acct(k + 1),
+        F.lit('", "conviction": "'),
+        conv_d,
+        F.lit('"}}'),
+    )
+    state = c.select(
+        acct(k).alias("account"),
+        class_id.cast("int").alias("class_id"),
+        F.when(k % 7 == 0, deleg_json).otherwise(casting_json).alias("voting"),
+    )
+
+    votes = conviction_votes_table(state)
+    dels = delegations_table(state)
+    nulls = F.lit(None)
+    vrows = votes.select(
+        "account",
+        "class_id",
+        "class_name",
+        F.lit("Casting").alias("kind"),
+        "poll_id",
+        "vote",
+        "conviction",
+        "aye",
+        "ayec",
+        "nay",
+        "nayc",
+        "abstain",
+        nulls.cast("string").alias("target"),
+        nulls.cast("double").alias("balance"),
+    )
+    drows = dels.select(
+        "account",
+        "class_id",
+        "class_name",
+        F.lit("Delegating").alias("kind"),
+        nulls.cast("int").alias("poll_id"),
+        nulls.cast("string").alias("vote"),
+        "conviction",
+        nulls.cast("double").alias("aye"),
+        nulls.cast("double").alias("ayec"),
+        nulls.cast("double").alias("nay"),
+        nulls.cast("double").alias("nayc"),
+        nulls.cast("double").alias("abstain"),
+        "target",
+        "balance",
+    )
+    return vrows.unionByName(drows)

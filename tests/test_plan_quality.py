@@ -207,3 +207,12 @@ def test_wasm_dynamic_types_gate_python_to_one_branch(spark):
         '{"args": {"arg0": "0xff"}, "decoded": true, "label": "push",'
         ' "selector": "0xdeadbeef"}'
     )
+
+
+def test_democracy_voting_is_shuffle_free(spark):
+    """The conviction-voting surface is a pure narrow map over the state
+    scan (from_json + explode + get_json_object, all JVM): the plan must
+    contain zero Exchange and zero Python."""
+    plan = _plan(spark, "democracy_voting")
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), "unexpected shuffle"
+    assert "EvalPython" not in plan

@@ -1803,3 +1803,65 @@ class TestDumpDayChainDispatch:
         for rb, rm in zip(b, m):
             if rb.amount:  # same raw, different decimals: 10 vs 18
                 assert rm.amount == pytest.approx(rb.amount / 1e8)
+
+
+class TestGovernance:
+    def test_conviction_votes_edge_payloads(self, spark):
+        """Pin dump_democracy's per-variant semantics on a hand-built
+        votingFor fixture (substrateetl.js:2219-2295): Standard Aye/Nay,
+        Split (conviction None → 0.1x), SplitAbstain, the len!=2 tuple
+        guard, the unknown-variant WEIRD row, and an unmapped conviction
+        falling back to 1x."""
+        from polkadot_etl_spark.plans.governance import (
+            conviction_votes_table,
+            delegations_table,
+        )
+
+        rows = [
+            # Standard Aye with comma-grouped balance, Locked3x
+            ("a1", 0,
+             '{"Casting": {"votes": [[165, {"Standard": {"vote": {"vote": "Aye",'
+             ' "conviction": "Locked3x"}, "balance": "1,000,000,000,000"}}]]}}'),
+            # Standard Nay, unmapped conviction → mult fallback 1
+            ("a2", 1,
+             '{"Casting": {"votes": [[7, {"Standard": {"vote": {"vote": "Nay",'
+             ' "conviction": "Locked9x"}, "balance": "20000000000"}}]]}}'),
+            # Split (no conviction → None → 0.1x) + a malformed 1-tuple
+            ("a3", 10,
+             '{"Casting": {"votes": [[8, {"Split": {"aye": "30000000000",'
+             ' "nay": "10000000000"}}], [99]]}}'),
+            # SplitAbstain
+            ("a4", 34,
+             '{"Casting": {"votes": [[9, {"SplitAbstain": {"aye": "100",'
+             ' "nay": "200", "abstain": "40000000000"}}]]}}'),
+            # unknown payload variant → zeros, NULL vote (the WEIRD log)
+            ("a5", 2,
+             '{"Casting": {"votes": [[10, {"Quadratic": {"weight": "5"}}]]}}'),
+            # Delegating
+            ("a6", 20,
+             '{"Delegating": {"balance": "5,000,000,000,000", "target": "a1",'
+             ' "conviction": "Locked6x"}}'),
+        ]
+        state = spark.createDataFrame(rows, "account: string, class_id: int, voting: string")
+        votes = {r["account"]: r for r in conviction_votes_table(state).collect()}
+
+        v = votes["a1"]
+        assert (v["poll_id"], v["vote"], v["conviction"]) == (165, "Aye", "Locked3x")
+        assert (v["aye"], v["ayec"], v["nay"], v["class_name"]) == (100.0, 300.0, 0.0, "Root")
+        v = votes["a2"]  # unmapped Locked9x → mult 1 (substrateetl.js:2266)
+        assert (v["nay"], v["nayc"], v["class_name"]) == (2.0, 2.0, "Whitelisted Caller")
+        v = votes["a3"]  # Split → conviction None → 0.1x; 1-tuple dropped
+        assert (v["vote"], v["conviction"]) == ("Split", "None")
+        assert (v["aye"], round(v["ayec"], 10), v["nay"]) == (3.0, 0.3, 1.0)
+        assert sum(1 for r in conviction_votes_table(state).collect()
+                   if r["account"] == "a3") == 1
+        v = votes["a4"]
+        assert (v["vote"], v["abstain"], v["class_name"]) == ("SplitAbstain", 4.0, "Big Spender")
+        v = votes["a5"]  # WEIRD: zeros, NULL direction, still published
+        assert v["vote"] is None and v["aye"] == 0.0 and v["nay"] == 0.0
+
+        d = delegations_table(state).collect()
+        assert len(d) == 1
+        assert (d[0]["account"], d[0]["target"], d[0]["balance"],
+                d[0]["conviction"], d[0]["class_name"]) == (
+            "a6", "a1", 500.0, "Locked6x", "Referendum Canceller")
