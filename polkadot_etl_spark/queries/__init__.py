@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     # tpch_q20_excess_supply_semi: driver-green in r3, demoted to make
     # room; still in the local oracle suite)
     "democracy_voting",
+    "xcmtransfers_wide",
     # round-3 TPC-H completion reps kept in window
     "tpch_q16_supplier_count_by_part",
     "tpch_q20_excess_supply_semi",

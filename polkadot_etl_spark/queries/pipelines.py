@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from polkadot_etl_spark.queries.fmt import d_date, d_decsum, s_date
+from polkadot_etl_spark.queries.fmt import d_date, d_decsum, s_date, s_ts
 from polkadot_etl_spark.queries.registry import query
 from polkadot_etl_spark.sources.tables import load_table
 
@@ -1432,3 +1432,212 @@ def democracy_voting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "balance",
     )
     return vrows.unionByName(drows)
+
+
+# ---------------------------------------------------------------------------
+# The published wide xcmtransfers contract (schema/xcmtransfers.json).
+# ---------------------------------------------------------------------------
+
+# DuckDB-side helper fragments for the wide-row oracle (k = o_orderkey).
+_XW = {
+    "amount_sent": "(k % 100) * 1000 + 5000",
+    "fee": "CASE WHEN k % 9 = 0 THEN (k % 100) * 1000 + 5000 ELSE (k % 7) * 100 END",
+    "source_ts": "1600000000 + k * 7",
+    "dest_ts": "1600000000 + k * 7 + k % 60",
+    "price": "CAST(k % 50 AS DOUBLE) / 10",
+}
+
+
+@query(
+    "xcmtransfers_wide",
+    oracle=f"""
+WITH o AS (SELECT o_orderkey AS k FROM orders),
+base AS (
+  SELECT k,
+         2000 + k % 4 AS o_chain, 2010 + k % 3 AS d_chain,
+         {_XW["amount_sent"]} AS amount_sent,
+         {_XW["fee"]} AS fee,
+         {_XW["source_ts"]} AS source_ts,
+         {_XW["dest_ts"]} AS dest_ts,
+         {_XW["price"]} AS price,
+         'S' || CAST(k % 5 AS VARCHAR) AS symbol
+  FROM o),
+d AS (
+  SELECT *,
+         amount_sent - fee AS amount_recv,
+         CASE WHEN k % 2 = 1 OR k % 9 <> 0 THEN 'success' ELSE 'unknown' END AS status,
+         'chain' || CAST(o_chain AS VARCHAR) AS o_id,
+         'Chain ' || CAST(o_chain AS VARCHAR) AS o_name,
+         k % 4 AS o_para,
+         'chain' || CAST(d_chain AS VARCHAR) AS d_id,
+         'Chain ' || CAST(d_chain AS VARCHAR) AS d_name,
+         10 + k % 3 AS d_para
+  FROM base)
+SELECT symbol,
+       'polkadot~S' || CAST(k % 5 AS VARCHAR) AS xcm_interior_key,
+       CAST(NULL AS BIGINT) AS xcm_interior_keys_unregistered,
+       price AS price_usd,
+       strftime(make_timestamp(source_ts * 1000000), '%Y-%m-%d %H:%M:%S.%f')
+         AS origination_ts,
+       o_name AS origination_chain_name,
+       o_id AS origination_id,
+       '0xt' || CAST(k AS VARCHAR) AS origination_extrinsic_hash,
+       CAST(k AS VARCHAR) || '-0' AS origination_extrinsic_id,
+       CAST(0 AS BIGINT) AS origination_transfer_index,
+       CAST(0 AS BIGINT) AS origination_xcm_index,
+       CASE WHEN k % 2 = 0 THEN '0xevm' || CAST(k AS VARCHAR) END
+         AS origination_transaction_hash,
+       '0x' || lpad(CAST(k AS VARCHAR), 8, '0') AS origination_msg_hash,
+       CASE WHEN k % 5 = 0 THEN FALSE ELSE k % 3 = 0 END AS origination_is_msg_sent,
+       CAST(k AS BIGINT) AS origination_block_number,
+       CAST(o_para AS BIGINT) AS origination_para_id,
+       'xcmPallet' AS origination_section,
+       'limitedReserveTransferAssets' AS origination_method,
+       '5S' || CAST(k AS VARCHAR) AS origination_sender_ss58,
+       '0x' || lpad(CAST(k AS VARCHAR), 64, '0') AS origination_sender_pub_key,
+       CAST(amount_sent AS DOUBLE) AS origination_amount_sent,
+       CAST(amount_sent AS DOUBLE) / 1e10 * price AS origination_amount_sent_usd,
+       CASE WHEN k % 13 = 0 THEN 0.0
+            ELSE CAST(k % 13 AS DOUBLE) / 10000 END AS origination_tx_fee,
+       CASE WHEN k % 13 = 0 THEN 0.0
+            ELSE CAST(k % 13 AS DOUBLE) / 10000 * price END AS origination_tx_fee_usd,
+       symbol AS origination_tx_fee_symbol,
+       k % 2 = 0 AS origination_is_fee_item,
+       CAST(k AS BIGINT) AS origination_sent_at,
+       status AS destination_execution_status,
+       d_name AS destination_chain_name,
+       d_id AS destination_id,
+       CAST(d_para AS BIGINT) AS destination_para_id,
+       '5B' || CAST(k AS VARCHAR) AS destination_beneficiary_ss58,
+       '0xb' || lpad(CAST(k AS VARCHAR), 63, '0') AS destination_beneficiary_pub_key,
+       CAST(k + 1 AS VARCHAR) || '-2' AS destination_extrinsic_id,
+       CAST(k AS VARCHAR) || '-e5' AS destination_event_id,
+       CAST(k + 1000 AS BIGINT) AS destination_block_number,
+       strftime(make_timestamp(dest_ts * 1000000), '%Y-%m-%d %H:%M:%S.%f')
+         AS destination_ts,
+       CAST(amount_recv AS DOUBLE) AS destination_amount_received,
+       CAST(amount_recv AS DOUBLE) / 1e10 * price AS destination_amount_received_usd,
+       CAST(fee AS DOUBLE) AS destination_teleport_fee,
+       CAST(fee AS DOUBLE) / 1e10 * price AS destination_teleport_fee_usd,
+       symbol AS destination_teleport_fee_symbol,
+       '{{"origination":{{"id":"' || o_id || '","chainName":"' || o_name
+         || '","paraID":' || CAST(o_para AS VARCHAR)
+         || ',"extrinsicHash":"0xt' || CAST(k AS VARCHAR)
+         || '","extrinsicID":"' || CAST(k AS VARCHAR)
+         || '-0","sender":"5S' || CAST(k AS VARCHAR)
+         || '","blockNumber":' || CAST(k AS VARCHAR)
+         || ',"section":"xcmPallet","method":"limitedReserveTransferAssets"'
+         || ',"amountSent":' || CAST(amount_sent AS VARCHAR)
+         || ',"ts":' || CAST(source_ts AS VARCHAR)
+         || '}},"destination":{{"id":"' || d_id || '","chainName":"' || d_name
+         || '","paraID":' || CAST(d_para AS VARCHAR)
+         || ',"beneficiary":"5B' || CAST(k AS VARCHAR)
+         || '","blockNumber":' || CAST(k + 1000 AS VARCHAR)
+         || ',"eventID":"' || CAST(k AS VARCHAR)
+         || '-e5","amountReceived":' || CAST(amount_recv AS VARCHAR)
+         || ',"teleportFee":' || CAST(fee AS VARCHAR)
+         || ',"ts":' || CAST(dest_ts AS VARCHAR)
+         || ',"executionStatus":"' || status || '"}}}}' AS xcm_info,
+       strftime(make_timestamp((1700000000 + k) * 1000000), '%Y-%m-%d %H:%M:%S.%f')
+         AS xcm_info_last_update_time
+FROM d
+""",
+    doc="The PUBLISHED wide xcmtransfers table (schema/xcmtransfers.json; "
+    "dump_xcm flatten substrateetl.js:5068-5165): per order, one "
+    "synthesized transfer with exactly one exact-match destination "
+    "candidate (amountReceived + teleportFees == amountSent → confidence "
+    "1.0) runs through the REAL plans.xcm.match_transfers (de-skewed "
+    "composite-key band join) then plans.xcm.xcmtransfers_wide — double "
+    "broadcast chain-dim decoration, the destStatus/executionStatus/"
+    "amountReceived success rule (incl. an 'unknown' branch where the "
+    "full amount burned as fees), fee/flag coalesces, and the canonical "
+    "xcm_info JSON blob (compared as a STRING against the oracle's "
+    "hand-concatenated JSON — byte-exact). The projection iterates "
+    "schemas.XCMTRANSFERS_WIDE so names/order/types match the contract "
+    "by construction.",
+    tags=("pipeline", "join", "scalar"),
+)
+def xcmtransfers_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.xcm import match_transfers
+    from polkadot_etl_spark.plans.xcm import xcmtransfers_wide as wide
+
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    k = F.col("k")
+    ks = k.cast("string")
+    amount_sent = (k % 100) * 1000 + 5000
+    fee = F.when(k % 9 == 0, amount_sent).otherwise((k % 7) * 100)
+    source_ts = F.lit(1600000000) + k * 7
+    dest_ts = source_ts + k % 60
+    price = (k % 50).cast("double") / 10
+    symbol = F.concat(F.lit("S"), (k % 5).cast("string"))
+
+    transfers = o.select(
+        F.concat(F.lit("0xt"), ks).alias("extrinsicHash"),
+        F.concat(ks, F.lit("-0")).alias("extrinsicID"),
+        F.lit(0).cast("long").alias("transferIndex"),
+        F.lit(0).cast("long").alias("xcmIndex"),
+        (F.lit(2000) + k % 4).alias("chainID"),
+        (F.lit(2010) + k % 3).alias("chainIDDest"),
+        k.alias("blockNumber"),
+        symbol.alias("symbol"),
+        amount_sent.alias("amountSent"),
+        source_ts.alias("sourceTS"),
+        k.alias("sentAt"),
+        F.concat(F.lit("0x"), F.lpad(ks, 8, "0")).alias("msgHash"),
+        (k % 2).cast("int").alias("destStatus"),
+        # xcmInfo-side decorations the indexer packs onto the transfer row
+        F.when(k % 9 == 0, F.lit("error")).otherwise(F.lit("success")).alias(
+            "destExecutionStatus"
+        ),
+        price.alias("priceUSD"),
+        (amount_sent.cast("double") / F.lit(1e10) * price).alias("amountSentUSD"),
+        ((amount_sent - fee).cast("double") / F.lit(1e10) * price).alias(
+            "amountReceivedUSD"
+        ),
+        F.lit("xcmPallet").alias("section"),
+        F.lit("limitedReserveTransferAssets").alias("method"),
+        F.when(k % 13 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 13).cast("double") / 10000)
+        .alias("txFee"),
+        F.when(k % 13 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 13).cast("double") / 10000 * price)
+        .alias("txFeeUSD"),
+        (fee.cast("double") / F.lit(1e10) * price).alias("teleportFeeUSD"),
+        F.concat(F.lit("5S"), ks).alias("senderSS58"),
+        F.concat(F.lit("0x"), F.lpad(ks, 64, "0")).alias("senderPubKey"),
+        F.concat(F.lit("5B"), ks).alias("beneficiarySS58"),
+        F.concat(F.lit("0xb"), F.lpad(ks, 63, "0")).alias("beneficiaryPubKey"),
+        F.when(k % 2 == 0, F.concat(F.lit("0xevm"), ks)).alias("transactionHash"),
+        F.when(k % 5 == 0, F.lit(None).cast("boolean"))
+        .otherwise(k % 3 == 0)
+        .alias("isMsgSent"),
+        (k % 2 == 0).alias("isFeeItem"),
+        F.concat((k + 1).cast("string"), F.lit("-2")).alias("destExtrinsicID"),
+        (F.lit(1700000000) + k).alias("xcmInfoLastUpdateTS"),
+        F.concat(F.lit("polkadot~S"), (k % 5).cast("string")).alias("xcmInteriorKey"),
+    )
+    candidates = o.select(
+        F.concat(F.lit("0x"), F.lpad(ks, 8, "0")).alias("msgHash"),
+        (F.lit(2010) + k % 3).alias("chainIDDest"),
+        k.alias("sentAt"),
+        dest_ts.alias("destTS"),
+        (k + 1000).alias("blockNumberDest"),
+        (amount_sent - fee).alias("amountReceived"),
+        fee.alias("xcmTeleportFees"),
+        F.concat(ks, F.lit("-e5")).alias("eventID"),
+    )
+    chain_ids = [2000, 2001, 2002, 2003, 2010, 2011, 2012]
+    chains = spark.createDataFrame(
+        [(c, f"chain{c}", f"Chain {c}", c - 2000) for c in chain_ids],
+        "chainID: long, id: string, chain_name: string, para_id: long",
+    )
+    matched = match_transfers(transfers, candidates)
+    w = wide(matched, chains)
+    return w.select(
+        *[
+            s_ts(c).alias(c)
+            if c in ("origination_ts", "destination_ts", "xcm_info_last_update_time")
+            else F.col(c)
+            for c in w.columns
+        ]
+    )

@@ -357,6 +357,59 @@ XCMTRANSFER_DEST_CANDIDATE = T.StructType(
     ]
 )
 
+# ref: schema/xcmtransfers.json:1-220 — the PUBLISHED wide xcmtransfers
+# contract (dump_xcm flatten, substrateetl.js:5068-5165): the per-day
+# partitioned origination_*/destination_* denormalization of one matched
+# transfer. Column order follows the schema file exactly.
+XCMTRANSFERS_WIDE = T.StructType(
+    [
+        _s("symbol"),
+        _s("xcm_interior_key"),
+        _l("xcm_interior_keys_unregistered"),
+        _d("price_usd"),
+        _ts("origination_ts", False),
+        _s("origination_chain_name", False),
+        _s("origination_id", False),
+        _s("origination_extrinsic_hash", False),
+        _s("origination_extrinsic_id", False),
+        _l("origination_transfer_index", False),
+        _l("origination_xcm_index", False),
+        _s("origination_transaction_hash"),
+        _s("origination_msg_hash"),
+        _b("origination_is_msg_sent"),
+        _l("origination_block_number", False),
+        _l("origination_para_id", False),
+        _s("origination_section", False),
+        _s("origination_method", False),
+        _s("origination_sender_ss58", False),
+        _s("origination_sender_pub_key", False),
+        _d("origination_amount_sent"),
+        _d("origination_amount_sent_usd"),
+        _d("origination_tx_fee", False),
+        _d("origination_tx_fee_usd", False),
+        _s("origination_tx_fee_symbol", False),
+        _b("origination_is_fee_item", False),
+        _l("origination_sent_at"),
+        _s("destination_execution_status", False),
+        _s("destination_chain_name"),
+        _s("destination_id"),
+        _l("destination_para_id"),
+        _s("destination_beneficiary_ss58"),
+        _s("destination_beneficiary_pub_key"),
+        _s("destination_extrinsic_id"),
+        _s("destination_event_id"),
+        _l("destination_block_number"),
+        _ts("destination_ts"),
+        _d("destination_amount_received"),
+        _d("destination_amount_received_usd"),
+        _d("destination_teleport_fee"),
+        _d("destination_teleport_fee_usd"),
+        _s("destination_teleport_fee_symbol"),
+        _s("xcm_info", False),  # BigQuery JSON → JSON string column
+        _ts("xcm_info_last_update_time", False),
+    ]
+)
+
 # ref: substrate/schema/polkaholic.sql:1528-1553 (assetlog OHLCV series)
 ASSETLOG = T.StructType(
     [

@@ -216,3 +216,11 @@ def test_democracy_voting_is_shuffle_free(spark):
     plan = _plan(spark, "democracy_voting")
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), "unexpected shuffle"
     assert "EvalPython" not in plan
+
+
+def test_xcmtransfers_wide_chain_dims_broadcast(spark):
+    """The wide xcmtransfers projection decorates with the chain registry
+    dim twice (origin + destination) — both must be broadcast hash joins;
+    the fact side must not gain a shuffle for the decoration."""
+    plan = _plan(spark, "xcmtransfers_wide")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 2

@@ -1865,3 +1865,108 @@ class TestGovernance:
         assert (d[0]["account"], d[0]["target"], d[0]["balance"],
                 d[0]["conviction"], d[0]["class_name"]) == (
             "a6", "a1", 500.0, "Locked6x", "Referendum Canceller")
+
+
+class TestXcmTransfersWide:
+    def test_schema_matches_published_contract(self):
+        """Column names, order, nullability-shape, and types of
+        schemas.XCMTRANSFERS_WIDE must match schema/xcmtransfers.json
+        exactly (the public data contract of the wide table)."""
+        import json
+        import os
+
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        from polkadot_etl_spark.schemas import XCMTRANSFERS_WIDE
+
+        path = "/root/reference/schema/xcmtransfers.json"
+        if not os.path.exists(path):
+            _pytest.skip("reference schema dir not present")
+        with open(path) as fh:
+            contract = json.load(fh)
+        type_map = {
+            "STRING": T.StringType(),
+            "INTEGER": T.LongType(),
+            "FLOAT": T.DoubleType(),
+            "BOOLEAN": T.BooleanType(),
+            "TIMESTAMP": T.TimestampType(),
+            "JSON": T.StringType(),
+        }
+        assert [f.name for f in XCMTRANSFERS_WIDE.fields] == [c["name"] for c in contract]
+        for f, c in zip(XCMTRANSFERS_WIDE.fields, contract):
+            assert f.dataType == type_map[c["type"]], f.name
+            # REQUIRED columns must be non-nullable in the struct
+            if c["mode"] == "REQUIRED":
+                assert not f.nullable, f"{f.name} should be REQUIRED"
+
+    def test_execution_status_rule(self, spark):
+        """destination_execution_status (substrateetl.js:5095): success iff
+        destStatus==1 OR xcmInfo says success OR amountReceived > 0."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.plans.xcm import xcmtransfers_wide
+
+        base = dict(
+            extrinsicHash="0xt1", extrinsicID="1-0", transferIndex=0, xcmIndex=0,
+            chainID=2000, chainIDDest=2010, blockNumber=1, symbol="DOT",
+            amountSent=100, sourceTS=1600000000, sentAt=1, msgHash="0xm1",
+            priceUSD=1.0, amountSentUSD=1.0, amountReceivedUSD=1.0,
+            section="xcmPallet", method="transfer", txFee=None, txFeeUSD=None,
+            teleportFeeUSD=0.0, senderSS58="5S", senderPubKey="0xs",
+            beneficiarySS58="5B", beneficiaryPubKey="0xb",
+            transactionHash=None, isMsgSent=None, isFeeItem=None,
+            destExtrinsicID="2-1", xcmInfoLastUpdateTS=1700000000,
+            blockNumberDest=2, destEventID="1-e", c_destTS=1600000100,
+        )
+        rows = [
+            {**base, "extrinsicID": "1-0", "destStatus": 1,
+             "destExecutionStatus": "error", "amountReceived": 0, "xcmTeleportFees": 100},
+            {**base, "extrinsicID": "2-0", "destStatus": 0,
+             "destExecutionStatus": "success", "amountReceived": 0, "xcmTeleportFees": 100},
+            {**base, "extrinsicID": "3-0", "destStatus": 0,
+             "destExecutionStatus": "error", "amountReceived": 50, "xcmTeleportFees": 50},
+            {**base, "extrinsicID": "4-0", "destStatus": 0,
+             "destExecutionStatus": "error", "amountReceived": 0, "xcmTeleportFees": 100},
+        ]
+        schema = (
+            "extrinsicHash string, extrinsicID string, transferIndex long,"
+            " xcmIndex long, chainID long, chainIDDest long, blockNumber long,"
+            " symbol string, amountSent long, sourceTS long, sentAt long,"
+            " msgHash string, priceUSD double, amountSentUSD double,"
+            " amountReceivedUSD double, section string, method string,"
+            " txFee double, txFeeUSD double, teleportFeeUSD double,"
+            " senderSS58 string, senderPubKey string, beneficiarySS58 string,"
+            " beneficiaryPubKey string, transactionHash string,"
+            " isMsgSent boolean, isFeeItem boolean, destExtrinsicID string,"
+            " xcmInfoLastUpdateTS long, blockNumberDest long,"
+            " destEventID string, c_destTS long, destStatus int,"
+            " destExecutionStatus string, amountReceived long,"
+            " xcmTeleportFees long"
+        )
+        field_names = [f.strip().split(" ")[0] for f in schema.split(",")]
+        matched = spark.createDataFrame(
+            [tuple(r[n] for n in field_names) for r in rows], schema
+        )
+        chains = spark.createDataFrame(
+            [(2000, "c0", "C0", 0), (2010, "c1", "C1", 10)],
+            "chainID: long, id: string, chain_name: string, para_id: long",
+        )
+        out = {
+            r["origination_extrinsic_id"]: r
+            for r in xcmtransfers_wide(matched, chains).collect()
+        }
+        assert out["1-0"]["destination_execution_status"] == "success"
+        assert out["2-0"]["destination_execution_status"] == "success"
+        assert out["3-0"]["destination_execution_status"] == "success"
+        assert out["4-0"]["destination_execution_status"] == "unknown"
+        # fee/flag coalesces (:5128-5131)
+        assert out["1-0"]["origination_tx_fee"] == 0.0
+        assert out["1-0"]["origination_is_msg_sent"] is False
+        assert out["1-0"]["origination_is_fee_item"] is False
+        # xcm_info is valid JSON with both sides
+        import json as _json
+
+        blob = _json.loads(out["1-0"]["xcm_info"])
+        assert blob["origination"]["paraID"] == 0
+        assert blob["destination"]["executionStatus"] == "success"
