@@ -175,3 +175,73 @@ def evmtransfers_table(logs: DataFrame) -> DataFrame:
         .alias("transfer_type"),
     )
     return base
+
+
+def accounts_evm_active(evmtxs: DataFrame) -> DataFrame:
+    """The published accountsevmactive rows (schema/accountsevmactive.json;
+    the Frontier twin of the accountsactive build, docs/DEFINITIONS.md:
+    30-100): per day, every EVM transaction sender with its per-day
+    transaction_count and last-seen ts.  The published table is
+    date-partitioned by ts, so the day grain is internal (one groupBy on
+    (day, from_address) with map-side partials — a single shuffle).
+    """
+    return (
+        evmtxs.where(F.col("from_address").isNotNull())
+        .groupBy(
+            F.to_date("block_timestamp").alias("__d"),
+            "from_address",
+        )
+        .agg(
+            F.max("block_timestamp").alias("ts"),
+            F.count(F.lit(1)).alias("transaction_count"),
+        )
+        .select("from_address", "ts", "transaction_count")
+    )
+
+
+def accounts_evm_passive(
+    transfers: DataFrame,
+    evmtxs: DataFrame,
+    para_id: str,
+    relay_chain: str,
+) -> DataFrame:
+    """The published accountsevmpassive rows (schema/accountsevmpassive.
+    json; the Frontier twin of accountspassive, docs/DEFINITIONS.md:
+    104-178): addresses touched by a transfer that day (sender OR
+    receiver) that did NOT send any EVM transaction that day — J9
+    anti-join, keyed on (day, address) so both sides co-partition on the
+    same shuffle key.
+
+    ``transfers`` needs (from_address, to_address, block_timestamp);
+    ``evmtxs`` is the active side (from_address, block_timestamp).
+    """
+    touched = (
+        transfers.select(
+            F.to_date("block_timestamp").alias("__d"),
+            F.col("from_address").alias("address"),
+            F.col("block_timestamp").alias("ts"),
+        )
+        .unionByName(
+            transfers.select(
+                F.to_date("block_timestamp").alias("__d"),
+                F.col("to_address").alias("address"),
+                F.col("block_timestamp").alias("ts"),
+            )
+        )
+        .where(F.col("address").isNotNull())
+        .groupBy("__d", "address")
+        .agg(F.max("ts").alias("ts"))
+    )
+    active = evmtxs.where(F.col("from_address").isNotNull()).select(
+        F.to_date("block_timestamp").alias("__d"),
+        F.col("from_address").alias("address"),
+    )
+    return (
+        touched.join(active, ["__d", "address"], "left_anti")
+        .select(
+            F.lit(para_id).alias("para_id"),
+            F.lit(relay_chain).alias("relay_chain"),
+            "address",
+            "ts",
+        )
+    )

@@ -100,8 +100,8 @@ _PRIORITY: list[str] = [
     # room; still in the local oracle suite)
     "democracy_voting",
     "xcmtransfers_wide",
+    "evm_accounts_daily",
     # round-3 TPC-H completion reps kept in window
-    "tpch_q16_supplier_count_by_part",
     "tpch_q20_excess_supply_semi",
     "tpch_q21_waiting_suppliers",
 ]

@@ -1641,3 +1641,83 @@ def xcmtransfers_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in w.columns
         ]
     )
+
+
+@query(
+    "evm_accounts_daily",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderdate AS d, o_custkey AS c, COUNT(*) AS n,
+  FROM orders GROUP BY 1, 2
+),
+active AS (
+  SELECT '0x' || lpad(CAST(c AS VARCHAR), 40, '0') AS address,
+         strftime(d, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         CAST(n AS BIGINT) AS transaction_count, d, c
+  FROM t
+),
+touched AS (
+  SELECT DISTINCT d, c AS a FROM t
+  UNION
+  SELECT DISTINCT d, c + 1 AS a FROM t
+),
+passive AS (
+  SELECT '0x' || lpad(CAST(a AS VARCHAR), 40, '0') AS address,
+         strftime(d, '%Y-%m-%d %H:%M:%S.%f') AS ts
+  FROM touched x
+  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.d = x.d AND t.c = x.a)
+)
+SELECT 'active' AS kind, address, ts, transaction_count,
+       CAST(NULL AS VARCHAR) AS para_id, CAST(NULL AS VARCHAR) AS relay_chain
+FROM active
+UNION ALL
+SELECT 'passive' AS kind, address, ts, CAST(NULL AS BIGINT) AS transaction_count,
+       '2004' AS para_id, 'polkadot' AS relay_chain
+FROM passive
+""",
+    doc="The Frontier daily account metrics (schema/accountsevmactive.json "
+    "+ accountsevmpassive.json; the EVM twin of the DEFINITIONS.md:30-178 "
+    "accountsactive/passive builds): the REAL plans.evm.evmtxs_table "
+    "silver (same _synth_evm_frames chain as evm_txn_fees) feeds "
+    "accounts_evm_active (one groupBy (day, sender) with map-side "
+    "partials) and accounts_evm_passive (transfer-touched addresses "
+    "anti-joined against same-day senders on the co-partitioned "
+    "(day, address) key). Active rows carry per-day transaction_count; "
+    "passive rows carry the para_id/relay_chain decoration. The oracle "
+    "recomputes both sets from orders directly (senders = custkey, "
+    "receivers = custkey+1, passive = receivers with no same-day send).",
+    tags=("pipeline", "agg", "anti"),
+)
+def evm_accounts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.evm import (
+        accounts_evm_active,
+        accounts_evm_passive,
+        evmtxs_table,
+    )
+
+    txns, receipts = _synth_evm_frames(load_table(spark, sf_dir, "orders"))
+    t = evmtxs_table(txns, receipts)
+    transfers = t.select("from_address", "to_address", "block_timestamp")
+    active = accounts_evm_active(t)
+    passive = accounts_evm_passive(transfers, t, para_id="2004", relay_chain="polkadot")
+    nulls = F.lit(None)
+    return (
+        active.select(
+            F.lit("active").alias("kind"),
+            F.col("from_address").alias("address"),
+            s_ts("ts").alias("ts"),
+            F.col("transaction_count"),
+            nulls.cast("string").alias("para_id"),
+            nulls.cast("string").alias("relay_chain"),
+        )
+        .unionByName(
+            passive.select(
+                F.lit("passive").alias("kind"),
+                "address",
+                s_ts("ts").alias("ts"),
+                nulls.cast("long").alias("transaction_count"),
+                "para_id",
+                "relay_chain",
+            )
+        )
+    )

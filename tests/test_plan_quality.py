@@ -224,3 +224,11 @@ def test_xcmtransfers_wide_chain_dims_broadcast(spark):
     the fact side must not gain a shuffle for the decoration."""
     plan = _plan(spark, "xcmtransfers_wide")
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 2
+
+
+def test_evm_accounts_passive_is_anti_join(spark):
+    """accountsevmpassive must plan the not-active check as a LeftAnti
+    join on the co-partitioned (day, address) key — never a cross or a
+    per-row subquery."""
+    plan = _plan(spark, "evm_accounts_daily")
+    assert "LeftAnti" in plan
