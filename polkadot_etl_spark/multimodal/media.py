@@ -10,13 +10,17 @@ Design (the 100 TB part is the plumbing, which is fully real here):
 - partitioning: media tables are fan-out-heavy (one video → N frames), so
   pipelines repartition by OUTPUT volume before exploding, same rule as
   the text shingle pipelines.
-- CODEC BOUNDARY: real JPEG/PNG/audio decoding requires PIL/ffmpeg which
-  are NOT in this container. `decode_image(..., codec="raw")` implements
-  a deterministic fake codec (content bytes are a row-major grayscale
-  raster of meta.width × meta.height) so every downstream op (resize,
-  features, frame sampling) is real, tested arithmetic. codec="jpeg"
-  raises NotImplementedError behind an import-try of PIL — the clearly
-  marked stub to swap on a cluster with the codec libs installed.
+- CODECS: PNG / BMP / PPM-PGM decode is REAL — the pure-Python/numpy
+  codecs in multimodal/codecs.py (zlib-backed PNG with all five scanline
+  filters, uncompressed BMP, netpbm) run on any executor with no media
+  libraries. codec="auto" sniffs magic bytes; codec="raw" remains the
+  zero-copy path for pre-decoded rasters (content = row-major grayscale
+  of meta.width × meta.height). The one honest boundary left is JPEG:
+  a DCT codec is out of scope without PIL, so JPEG bytes raise
+  NotImplementedError behind an import-try (swap in pillow on a cluster
+  that has it).
+- audio/video remain raster/PCM-shaped raw content; frame sampling and
+  histogram features are codec-agnostic byte arithmetic.
 """
 
 from __future__ import annotations
@@ -27,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from polkadot_etl_spark.multimodal import codecs
 
 MEDIA_META = T.StructType(
     [
@@ -49,19 +55,22 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _require_raw(codec: str) -> None:
+def _decoder(codec: str):
+    """Returns bytes→uint8-ndarray, or None for the raw-raster path.
+    PNG/BMP/PPM decode natively (multimodal/codecs.py); JPEG raises
+    NotImplementedError from inside decode_auto unless PIL is present."""
     if codec == "raw":
-        return
-    if codec in ("jpeg", "png"):
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:  # pragma: no cover - codec libs absent here
-            raise NotImplementedError(
-                "real image codecs need pillow, which is not installed in this "
-                "environment; use codec='raw' (deterministic fake raster) or "
-                "install pillow on the cluster"
-            ) from e
-        raise NotImplementedError("PIL decode path not wired yet")
+        return None
+    if codec == "auto":
+        return codecs.decode_auto
+    if codec == "png":
+        return codecs.decode_png
+    if codec == "bmp":
+        return codecs.decode_bmp
+    if codec in ("ppm", "pgm"):
+        return codecs.decode_ppm
+    if codec == "jpeg":
+        return codecs.decode_auto  # PIL-gated inside
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -69,9 +78,12 @@ def decode_image(media: DataFrame, codec: str = "raw") -> DataFrame:
     """BINARY → per-image decoded stats (shape check + pixel mean/std).
 
     The decode itself runs inside mapInPandas over Arrow batches: the
-    JVM→Python hop moves whole binary columns, not rows.
+    JVM→Python hop moves whole binary columns, not rows.  For encoded
+    codecs (png/bmp/ppm/auto) width/height come from the CODEC; valid
+    additionally checks they agree with the meta struct when present.
+    Undecodable bytes yield a valid=false row (never a task failure).
     """
-    _require_raw(codec)
+    dec = _decoder(codec)
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -88,18 +100,52 @@ def decode_image(media: DataFrame, codec: str = "raw") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf.media_id, pdf.content, pdf.meta):
-                w, h = int(meta["width"]), int(meta["height"])
-                buf = np.frombuffer(content, dtype=np.uint8)
-                ok = buf.size == w * h
-                px = buf.astype(np.float64)
+                mw = int(meta["width"]) if meta["width"] is not None else None
+                mh = int(meta["height"]) if meta["height"] is not None else None
+                if dec is None:
+                    buf = np.frombuffer(content, dtype=np.uint8)
+                    w, h = mw, mh
+                    ok = buf.size == (w or 0) * (h or 0)
+                    px = buf
+                else:
+                    try:
+                        img = dec(bytes(content))
+                        h, w = img.shape[:2]
+                        ok = (mw is None or mw == w) and (mh is None or mh == h)
+                        px = img.reshape(-1)
+                    except (ValueError, NotImplementedError):
+                        rows.append(
+                            {
+                                "media_id": mid, "width": mw, "height": mh,
+                                "n_pixels": 0, "pixel_mean": None,
+                                "pixel_std": None, "valid": False,
+                            }
+                        )
+                        continue
+                # exact integer moments (uint8 values, sums exact below
+                # 2^53): mean = S1/n and var = (S2 - S1^2/n)/n are then
+                # reproducible bit-for-bit by any engine computing the
+                # same moments — float summation order never enters
+                n = int(px.size)
+                if n:
+                    import math
+
+                    x = px.astype(np.int64)
+                    s1, s2 = int(x.sum()), int((x * x).sum())
+                    mean = s1 / n
+                    # math.sqrt is IEEE correctly-rounded (pow(x, .5) isn't
+                    # guaranteed to be), so engines agree bit-for-bit
+                    std = math.sqrt(max((s2 - s1 * s1 / n) / n, 0.0))
+                else:
+                    mean = std = None
                 rows.append(
                     {
                         "media_id": mid,
                         "width": w,
                         "height": h,
-                        "n_pixels": int(buf.size),
-                        "pixel_mean": float(px.mean()) if buf.size else None,
-                        "pixel_std": float(px.std()) if buf.size else None,
+                        "n_pixels": n,
+                        "pixel_mean": mean,
+                        "pixel_std": std,
                         "valid": bool(ok),
                     }
                 )
@@ -109,9 +155,11 @@ def decode_image(media: DataFrame, codec: str = "raw") -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int, codec: str = "raw") -> DataFrame:
-    """Nearest-neighbor resize of the fake raster — real vectorized
-    arithmetic, same signature a PIL-backed version would have."""
-    _require_raw(codec)
+    """Nearest-neighbor resize — real vectorized arithmetic over the
+    decoded raster (encoded codecs decode first; RGB converts to
+    luminance).  Output content is the raw grayscale raster of the
+    resized image; undecodable/mis-sized inputs drop out."""
+    dec = _decoder(codec)
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -125,11 +173,18 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, codec: str = "raw") 
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf.media_id, pdf.content, pdf.meta):
-                w, h = int(meta["width"]), int(meta["height"])
-                img = np.frombuffer(content, dtype=np.uint8)
-                if img.size != w * h:
-                    continue
-                img = img.reshape(h, w)
+                if dec is None:
+                    w, h = int(meta["width"]), int(meta["height"])
+                    img = np.frombuffer(content, dtype=np.uint8)
+                    if img.size != w * h:
+                        continue
+                    img = img.reshape(h, w)
+                else:
+                    try:
+                        img = codecs.to_gray(dec(bytes(content)))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    h, w = img.shape
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 resized = img[np.ix_(ys, xs)]
@@ -182,8 +237,15 @@ def byte_histogram_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 2, codec: str = "raw") -> DataFrame:
     """Video frame sampling: content = n_frames rasters back-to-back; emit
     every_n-th frame as its own image row (UDTF-shaped fan-out — the
-    caller repartitions by expected OUTPUT volume first)."""
-    _require_raw(codec)
+    caller repartitions by expected OUTPUT volume first).  Video stays
+    raw-raster only: container/codec demux (mp4/h264) is out of scope
+    without ffmpeg, which is the same boundary the reference's media
+    handling has."""
+    if codec != "raw":
+        raise NotImplementedError(
+            "encoded video containers need ffmpeg; sample_frames takes raw "
+            "back-to-back rasters"
+        )
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),

@@ -666,19 +666,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_features",
-    oracle=None,  # mapInPandas binary pipeline — not SQL-expressible; driver runs rows-only check
-    doc="Multimodal column pipeline end-to-end on synthesized media: "
-    "documents' text bytes become deterministic 16x16 grayscale rasters "
-    "(the marked stand-in for a real codec — no media libs in this "
-    "environment), then the REAL Arrow-batched mapInPandas stages run: "
-    "decode/validate, nearest-neighbor resize to 8x8, and byte-histogram "
-    "features. Returns per-image stats + feature norms; plumbing "
-    "(schema, binary columns, batch shape, fan-out partitioning) is the "
-    "same a PIL/ffmpeg-backed deployment would use.",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 256) AS t FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id, unicode(c) AS v
+  FROM (SELECT doc_id, unnest(string_split(t, '')) AS c FROM d)
+  WHERE c <> ''
+),
+s AS (
+  SELECT doc_id, SUM(v) AS s1, SUM(v * v) AS s2,
+         SUM(CASE WHEN v < 16 THEN 1 ELSE 0 END) AS lo, COUNT(*) AS nch
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id, 16 AS width, 16 AS height,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s1, 0) AS DOUBLE) / 256 AS pixel_mean,
+       sqrt((CAST(COALESCE(s2, 0) AS DOUBLE)
+             - CAST(COALESCE(s1, 0) AS DOUBLE) * COALESCE(s1, 0) / 256) / 256)
+         AS pixel_std,
+       TRUE AS valid,
+       CAST(64 AS BIGINT) AS resized_bytes,
+       16 AS n_feature_bins,
+       1.0 AS feature_sum,
+       CAST(256 - COALESCE(nch, 0) + COALESCE(lo, 0) AS DOUBLE) / 256 AS bin0
+FROM d LEFT JOIN s USING (doc_id)
+""",
+    doc="Multimodal column pipeline end-to-end with a REAL codec: "
+    "documents' text bytes become 16x16 grayscale rasters, get encoded "
+    "as real zlib-backed PNGs (multimodal/codecs.py — pure numpy+stdlib, "
+    "runs on any executor), then the Arrow-batched mapInPandas stages "
+    "run on the ENCODED bytes: PNG decode + validate (decode_image), "
+    "nearest-neighbor resize to 8x8 through the decoder, and byte-"
+    "histogram features over the raster. Pixel stats use exact integer "
+    "moments (mean = S1/n, var = (S2 - S1^2/n)/n, IEEE sqrt) so the "
+    "oracle — which recomputes the moments from the document characters "
+    "in SQL (text is ASCII: unicode(c) = the UTF-8 byte) — matches "
+    "bit-for-bit, turning the multimodal surface from a rows-only check "
+    "into a full hash row. JPEG remains the declared boundary (needs "
+    "PIL).",
     tags=("multimodal",),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.codecs import encode_png
     from polkadot_etl_spark.multimodal.media import (
+        MEDIA_SCHEMA,
         byte_histogram_features,
         decode_image,
         resize_images,
@@ -686,11 +719,11 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     W = H = 16
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    # deterministic fake codec input: text bytes truncated/zero-padded to W*H
+    # deterministic raster: text bytes truncated / zero-padded to W*H
     content = F.substring(
         F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(W * H))), 1, W * H
     )
-    media = docs.select(
+    raster = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         content.alias("content"),
@@ -703,22 +736,38 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fps"), F.lit(None).cast("double"),
         ).alias("meta"),
     )
-    stats = decode_image(media)
-    resized = resize_images(media, 8, 8).select(
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_png(np.frombuffer(c, dtype=np.uint8).reshape(H, W))
+                for c in pdf.content
+            ]
+            yield pdf
+
+    png = raster.mapInPandas(_encode, MEDIA_SCHEMA)
+    stats = decode_image(png, codec="png")
+    resized = resize_images(png, 8, 8, codec="png").select(
         "media_id", F.length("content").alias("resized_bytes")
     )
-    feats = byte_histogram_features(media).select(
+    feats = byte_histogram_features(raster).select(
         "media_id",
         F.size("features").alias("n_feature_bins"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("feature_sum"),
+        F.element_at("features", 1).cast("double").alias("bin0"),
     )
     return (
         stats.join(resized, "media_id")
         .join(feats, "media_id")
         .select(
-            "media_id", "width", "height", "n_pixels",
-            F.round("pixel_mean", 4).alias("pixel_mean"),
-            "valid", "resized_bytes", "n_feature_bins", "feature_sum",
+            "media_id", "width", "height", "n_pixels", "pixel_mean", "pixel_std",
+            "valid", "resized_bytes", "n_feature_bins", "feature_sum", "bin0",
         )
     )
 

@@ -78,11 +78,17 @@ def test_sample_frames(media):
         assert (got[fi] == frames[fi]).all()
 
 
-def test_real_codec_is_clearly_stubbed(media):
-    with pytest.raises((NotImplementedError, Exception)) as ei:
-        decode_image(media["df"], codec="jpeg").collect()
-    # the stub must be explicit, not an accidental failure
-    assert "pillow" in str(ei.value) or "PIL" in str(ei.value)
+def test_jpeg_is_the_declared_boundary(media):
+    """JPEG needs a real DCT codec (PIL, absent here): decode_auto raises
+    an explicit NotImplementedError naming pillow, and the DataFrame path
+    surfaces those rows as valid=false instead of failing the task."""
+    from polkadot_etl_spark.multimodal.codecs import decode_auto
+
+    with pytest.raises(NotImplementedError) as ei:
+        decode_auto(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    assert "pillow" in str(ei.value).lower()
+    out = decode_image(media["df"], codec="auto").collect()
+    assert all(not r.valid for r in out)  # raw rasters aren't a known format
 
 
 def test_features_feed_similarity_search(spark, media):
@@ -96,3 +102,167 @@ def test_features_feed_similarity_search(spark, media):
     sims = j.select(F.col("a.media_id").alias("ma"), F.col("b.media_id").alias("mb"),
                     dot.alias("dot")).collect()
     assert len(sims) == 6 and all(s.dot > 0 for s in sims)
+
+
+class TestCodecs:
+    """Golden-pixel tests for the pure-Python image codecs."""
+
+    def test_png_golden_hand_assembled(self):
+        """Decode a PNG hand-assembled in this test (chunk layout written
+        with struct/zlib here, independent of codecs.encode_png):
+        2x1 grayscale, pixels [5, 9]."""
+        import struct
+        import zlib
+
+        from polkadot_etl_spark.multimodal.codecs import decode_png
+
+        def chunk(ctype, body):
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+        idat = zlib.compress(b"\x00\x05\x09")  # filter 0, pixels 5 9
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        assert decode_png(data).tolist() == [[5, 9]]
+
+    def test_png_roundtrip_gray_and_rgb(self):
+        from polkadot_etl_spark.multimodal.codecs import decode_png, encode_png
+
+        gray = RNG.randint(0, 256, size=(7, 5), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(gray)), gray)
+        rgb = RNG.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+    def test_png_all_filters_unfilter(self):
+        """Filter the scanlines of a known image with an independent
+        straight-from-spec reference implementation (plain loops), then
+        assert the vectorized decoder recovers the original."""
+        import struct
+        import zlib
+
+        from polkadot_etl_spark.multimodal.codecs import decode_png
+
+        img = RNG.randint(0, 256, size=(5, 4), dtype=np.uint8)  # gray, ch=1
+        h, w, ch = 5, 4, 1
+        filters = [0, 1, 2, 3, 4]  # one per scanline
+        out = bytearray()
+        prev = [0] * (w * ch)
+        for y in range(h):
+            raw = [int(v) for v in img[y]]  # python ints: no uint8 wrap in a+b
+            f = filters[y]
+            out.append(f)
+            line = []
+            for x in range(w * ch):
+                a = raw[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line.append((raw[x] - pred) & 0xFF)
+            out.extend(line)
+            prev = raw
+
+        def chunk(ctype, body):
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(data), img)
+
+    def test_bmp_golden_hand_assembled(self):
+        """1x1 24-bit BMP written byte-by-byte here: pixel BGR=(1,2,3)
+        → RGB (3,2,1)."""
+        import struct
+
+        from polkadot_etl_spark.multimodal.codecs import decode_bmp
+
+        pix = bytes([1, 2, 3, 0])  # BGR + pad to 4
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        img = decode_bmp(header + dib + pix)
+        assert img.shape == (1, 1, 3) and img[0, 0].tolist() == [3, 2, 1]
+
+    def test_bmp_roundtrip_gray_and_rgb_with_padding(self):
+        from polkadot_etl_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+        gray = RNG.randint(0, 256, size=(3, 5), dtype=np.uint8)  # stride pads 5→8
+        assert np.array_equal(decode_bmp(encode_bmp(gray)), gray)
+        rgb = RNG.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)  # 9→12 pad
+        assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+
+    def test_bmp_top_down(self):
+        """Negative height = top-down row order (no flip)."""
+        import struct
+
+        from polkadot_etl_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+        gray = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+        data = bytearray(encode_bmp(gray))
+        # patch height to -2 and pre-flip the stored rows
+        data[22:26] = struct.pack("<i", -2)
+        img = decode_bmp(bytes(data))
+        assert np.array_equal(img, gray[::-1])
+
+    def test_ppm_roundtrip_and_comments(self):
+        from polkadot_etl_spark.multimodal.codecs import decode_ppm, encode_ppm
+
+        gray = RNG.randint(0, 256, size=(4, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+        rgb = RNG.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+        # netpbm comments between header tokens
+        with_comment = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+        img = decode_ppm(with_comment)
+        assert img.shape == (2, 3) and img.reshape(-1).tolist() == list(range(6))
+
+    def test_decode_auto_sniffs_all_formats(self):
+        from polkadot_etl_spark.multimodal.codecs import (
+            decode_auto,
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        img = RNG.randint(0, 256, size=(6, 6), dtype=np.uint8)
+        for enc in (encode_png, encode_bmp, encode_ppm):
+            assert np.array_equal(decode_auto(enc(img)), img), enc.__name__
+        with pytest.raises(ValueError):
+            decode_auto(b"not an image at all")
+
+    def test_dataframe_png_pipeline(self, spark):
+        """decode_image / resize_images over REAL PNG bytes end-to-end,
+        including an undecodable row surfacing as valid=false."""
+        from polkadot_etl_spark.multimodal.codecs import encode_png
+
+        imgs = {1: RNG.randint(0, 256, size=(6, 4), dtype=np.uint8),
+                2: RNG.randint(0, 256, size=(16, 16), dtype=np.uint8)}
+        rows = [
+            (mid, "image", bytearray(encode_png(img)),
+             (img.shape[1], img.shape[0], 1, None, None, None))
+            for mid, img in imgs.items()
+        ] + [(3, "image", bytearray(b"garbage-bytes"), (4, 4, 1, None, None, None))]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in decode_image(df, codec="png").collect()}
+        for mid, img in imgs.items():
+            r = out[mid]
+            assert r.valid and r.n_pixels == img.size
+            assert r.pixel_mean == pytest.approx(img.astype(np.float64).mean())
+            assert r.pixel_std == pytest.approx(img.astype(np.float64).std())
+        assert not out[3].valid and out[3].n_pixels == 0
+        rs = {r.media_id: r for r in resize_images(df, 2, 2, codec="png").collect()}
+        assert set(rs) == {1, 2}  # garbage row drops out
+        want = imgs[1][np.ix_((np.arange(2) * 6 // 2), (np.arange(2) * 4 // 2))]
+        assert np.frombuffer(bytes(rs[1].content), dtype=np.uint8).tolist() == want.reshape(-1).tolist()
