@@ -123,15 +123,59 @@ def accounts_new_reaped(balances: DataFrame) -> DataFrame:
     return new.unionByName(reaped)
 
 
+def balances_day_rollup(balances: DataFrame) -> DataFrame:
+    """The balances-day publish: numAddresses / numNewAccounts /
+    numReapedAccounts per day from daily balance snapshots, with the
+    NULLIFY sanity rule applied to both lifecycle counts — the
+    updateNativeBalances → update_blocklog fragment (substrateetl.js:
+    2905-3050 snapshot walk; :9369-9428 per-day rollup; :9407-9415
+    NULLIFY guard).
+
+    Scale shape: lifecycle detection is the one-shuffle lag/lead window
+    of accounts_new_reaped; the per-day aggregates are map-side-partial
+    counts. The final lag(numAddresses) window is ordered over the DAY
+    axis — one row per day, so the single-partition sort is bounded by
+    calendar length, not data volume."""
+    lifecycle = accounts_new_reaped(balances)
+    counts = lifecycle.groupBy("log_dt").agg(
+        F.count(F.when(F.col("account_type") == "New", 1)).alias("num_new_accounts"),
+        F.count(F.when(F.col("account_type") == "Reaped", 1)).alias("num_reaped_accounts"),
+    )
+    addresses = (
+        balances.select(F.to_date("ts").alias("log_dt"), "address_pubkey")
+        .dropDuplicates()
+        .groupBy("log_dt")
+        .agg(F.count(F.lit(1)).alias("num_addresses"))
+    )
+    daily = (
+        addresses.join(counts, "log_dt", "full_outer")
+        .withColumn("num_new_accounts", F.coalesce("num_new_accounts", F.lit(0)))
+        .withColumn("num_reaped_accounts", F.coalesce("num_reaped_accounts", F.lit(0)))
+        .withColumn(
+            "__prior", F.lag("num_addresses").over(Window.orderBy("log_dt"))
+        )
+    )
+    daily = sanity_nullify_counts(daily, "num_new_accounts", "__prior")
+    daily = sanity_nullify_counts(daily, "num_reaped_accounts", "__prior")
+    return daily.select(
+        "log_dt", "num_addresses", "num_new_accounts", "num_reaped_accounts"
+    )
+
+
 def sanity_nullify_counts(
     daily: DataFrame, count_col: str, prior_col: str, ratio: float = 0.5
 ) -> DataFrame:
     """The reference's data-quality guard (substrateetl.js:9407-9415):
-    NULLIFY a day's new/reaped count when it exceeds `ratio` of the prior
-    day's address total — a crawler glitch, not a real signal."""
+    NULLIFY a day's new/reaped count when rat = count / (1 + prior-day
+    address total) exceeds `ratio`, OR when the prior-day total is
+    unknown ("don't add new or reaped if its more than half of what we
+    saw yesterday, or if yesterday is blank") — a crawler glitch, not a
+    real signal."""
     return daily.withColumn(
         count_col,
-        F.when(F.col(count_col) > F.col(prior_col) * ratio, F.lit(None)).otherwise(
-            F.col(count_col)
-        ),
+        F.when(
+            F.col(prior_col).isNull()
+            | (F.col(count_col) > (F.lit(1) + F.col(prior_col)) * ratio),
+            F.lit(None),
+        ).otherwise(F.col(count_col)),
     )

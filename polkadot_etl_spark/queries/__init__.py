@@ -101,8 +101,8 @@ _PRIORITY: list[str] = [
     "democracy_voting",
     "xcmtransfers_wide",
     "evm_accounts_daily",
-    # round-3 TPC-H completion reps kept in window
-    "tpch_q20_excess_supply_semi",
+    "balances_day_lifecycle",
+    # round-3 TPC-H completion rep kept in window
     "tpch_q21_waiting_suppliers",
 ]
 

@@ -1721,3 +1721,87 @@ def evm_accounts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "balances_day_lifecycle",
+    oracle="""
+WITH c AS (SELECT c_custkey AS k FROM customer),
+pd AS (
+  SELECT k, i FROM c, (VALUES (0), (1), (2), (3)) d(i)
+  WHERE (i = 0 AND k % 2 = 0) OR (i = 1 AND k % 3 = 0)
+     OR (i = 2 AND k % 16 = 1) OR i = 3
+),
+seq AS (
+  SELECT k, i, lag(i) OVER (PARTITION BY k ORDER BY i) AS pi,
+         lead(i) OVER (PARTITION BY k ORDER BY i) AS ni
+  FROM pd
+),
+newc AS (
+  SELECT i AS di, COUNT(*) AS n FROM seq
+  WHERE pi IS NULL OR i - pi > 1 GROUP BY i
+),
+reapedc AS (
+  SELECT i + 1 AS di, COUNT(*) AS n FROM seq
+  WHERE ni IS NULL OR ni - i > 1 GROUP BY i + 1
+),
+addr AS (SELECT i AS di, COUNT(*) AS n FROM pd GROUP BY i),
+days AS (
+  SELECT DISTINCT di FROM (
+    SELECT di FROM newc UNION ALL SELECT di FROM reapedc
+    UNION ALL SELECT di FROM addr)
+),
+daily AS (
+  SELECT d.di, addr.n AS num_addresses,
+         COALESCE(newc.n, 0) AS nn, COALESCE(reapedc.n, 0) AS nr,
+         lag(addr.n) OVER (ORDER BY d.di) AS prior
+  FROM days d
+  LEFT JOIN addr ON addr.di = d.di
+  LEFT JOIN newc ON newc.di = d.di
+  LEFT JOIN reapedc ON reapedc.di = d.di
+)
+SELECT strftime(DATE '2023-01-01' + di, '%Y-%m-%d') AS log_dt,
+       num_addresses,
+       CASE WHEN prior IS NULL OR nn > (1 + prior) * 0.5
+            THEN NULL ELSE nn END AS num_new_accounts,
+       CASE WHEN prior IS NULL OR nr > (1 + prior) * 0.5
+            THEN NULL ELSE nr END AS num_reaped_accounts
+FROM daily
+""",
+    doc="The balances-day lifecycle publish (reference updateNativeBalances "
+    "snapshot walk substrateetl.js:2905-3050 -> accountsnew/accountsreaped "
+    "per DEFINITIONS.md:205-238, rolled into update_blocklog's "
+    "numAddresses/numNewAccounts/numReapedAccounts with the :9407-9415 "
+    "NULLIFY guard): four synthesized daily snapshots with presence rules "
+    "chosen so every branch fires -- first-day news on an unknown prior "
+    "day (nullified), sane mid-range news (kept), a gap reappearance, a "
+    "mass-return day and a mass-reap day (both nullified by the 50% "
+    "rule), and a zero-reaped day (kept). Runs the REAL "
+    "plans.metrics.balances_day_rollup: one lag/lead window for "
+    "lifecycle, map-side-partial day counts, day-axis lag for the prior "
+    "total, reference-exact rat = count/(1+prior) > 0.5 nullify.",
+    tags=("pipeline", "window", "agg"),
+)
+def balances_day_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.metrics import balances_day_rollup
+
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    k = F.col("k")
+    rules = [k % 2 == 0, k % 3 == 0, k % 16 == 1, F.lit(True)]
+    snaps = None
+    for i, rule in enumerate(rules):
+        day = c.where(rule).select(
+            F.concat(F.lit("0x"), F.lpad(k.cast("string"), 64, "0")).alias(
+                "address_pubkey"
+            ),
+            F.concat(F.lit("5A"), k.cast("string")).alias("address_ss58"),
+            F.lit(f"2023-01-0{i + 1} 00:00:00").cast("timestamp").alias("ts"),
+        )
+        snaps = day if snaps is None else snaps.unionByName(day)
+    out = balances_day_rollup(snaps)
+    return out.select(
+        s_date("log_dt").alias("log_dt"),
+        "num_addresses",
+        "num_new_accounts",
+        "num_reaped_accounts",
+    )

@@ -1675,14 +1675,16 @@ def test_sanity_nullify_counts(spark):
     from polkadot_etl_spark.plans.metrics import sanity_nullify_counts
 
     df = spark.createDataFrame(
-        [("d1", 10, 1000), ("d2", 600, 1000), ("d3", 500, 1000)],
+        [("d1", 10, 1000), ("d2", 600, 1000), ("d3", 500, 1000), ("d0", 5, None)],
         "day: string, new_accounts: long, prior_total: long",
     )
     got = {
         r.day: r.new_accounts
         for r in sanity_nullify_counts(df, "new_accounts", "prior_total").collect()
     }
-    assert got == {"d1": 10, "d2": None, "d3": 500}
+    # d3: rat = 500/1001 < .5 keeps; d0: prior unknown ("yesterday is
+    # blank") nullifies regardless of the count
+    assert got == {"d1": 10, "d2": None, "d3": 500, "d0": None}
 
 
 class TestContractsTables:
