@@ -67,24 +67,37 @@ def write_day_partitioned(
     partition_col: str = "log_dt",
     mode: str = "overwrite",
     cluster_by: list[str] | None = None,
+    grain: str = "day",
 ) -> None:
-    """Publish a silver/gold table day-partitioned on ``time_col``.
+    """Publish a silver/gold table partitioned on ``time_col``.
 
     With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
-    session.py) mode="overwrite" replaces ONLY the day partitions present
+    session.py) mode="overwrite" replaces ONLY the partitions present
     in ``df`` — the idempotent partition-replace the reference gets from
     BigQuery partition decorators (SURVEY X8). At 100 TB this is the unit
     of reprocessing: one chain-day, never a full-table rewrite.
+
+    grain="hour" adds a second-level log_hr partition (0-23) under each
+    day — the dump_gs_hourly export variant (substrateetl.js:5522-5650,
+    per-(logDT, hr) AVRO extracts). Two-level (log_dt, log_hr) keeps
+    day-level pruning working for daily readers while hourly replays
+    replace exactly one hour.
     """
-    # cluster_by sorts rows within each day partition (e.g. block_number,
+    # cluster_by sorts rows within each partition (e.g. block_number,
     # or address for per-address feeds) — the Spark replacement for the
     # reference's BigTable key design (8-hex block keys, inverted-TS keys,
     # SURVEY §4): parquet row-group min/max stats on the sorted columns
     # give the scan the same range-skipping a prefix-ordered key store does.
     out = df.withColumn(partition_col, F.to_date(F.col(time_col)))
+    part_cols = [partition_col]
+    if grain == "hour":
+        out = out.withColumn("log_hr", F.hour(F.col(time_col)))
+        part_cols.append("log_hr")
+    elif grain != "day":
+        raise ValueError(f"unknown grain {grain!r}")
     if cluster_by:
-        out = out.sortWithinPartitions(partition_col, *cluster_by)
-    out.write.mode(mode).partitionBy(partition_col).parquet(path)
+        out = out.sortWithinPartitions(*part_cols, *cluster_by)
+    out.write.mode(mode).partitionBy(*part_cols).parquet(path)
 
 
 def write_bucketed(

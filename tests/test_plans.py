@@ -742,6 +742,41 @@ class TestLakeWriter:
         write_day_partitioned(df, path, "ts")  # replay
         assert spark.read.parquet(path).count() == 1
 
+    def test_hourly_grain_replaces_one_hour(self, spark, tmp_path):
+        """dump_gs_hourly variant (substrateetl.js:5522-5650): two-level
+        (log_dt, log_hr) partitioning -- an hourly replay replaces exactly
+        that hour, sibling hours and other days stay intact."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.sources.tables import write_day_partitioned
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        path = str(tmp_path / "lake_hr")
+        rows = [
+            (1, "2024-01-01 05:10:00"),
+            (2, "2024-01-01 05:50:00"),
+            (3, "2024-01-01 06:00:00"),
+            (4, "2024-01-02 05:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "id: long, ts: string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        write_day_partitioned(df, path, "ts", grain="hour")
+        got = spark.read.parquet(path)
+        assert {(r.id, str(r.log_dt), r.log_hr) for r in got.collect()} == {
+            (1, "2024-01-01", 5), (2, "2024-01-01", 5),
+            (3, "2024-01-01", 6), (4, "2024-01-02", 5),
+        }
+        # replay hour 05 of day 1 with different content
+        df2 = spark.createDataFrame(
+            [(99, "2024-01-01 05:30:00")], "id: long, ts: string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        write_day_partitioned(df2, path, "ts", grain="hour")
+        assert {r.id for r in spark.read.parquet(path).collect()} == {99, 3, 4}
+        # day-level pruning still works over the two-level layout
+        day1 = spark.read.parquet(path).where(F.col("log_dt") == "2024-01-01")
+        assert {r.id for r in day1.collect()} == {99, 3}
+
 
 class TestWasmDecode:
     def test_scale_primitive_vectors(self):
