@@ -232,3 +232,25 @@ def test_evm_accounts_passive_is_anti_join(spark):
     per-row subquery."""
     plan = _plan(spark, "evm_accounts_daily")
     assert "LeftAnti" in plan
+
+
+def test_balances_lifecycle_is_window_not_selfjoin(spark):
+    """accounts_new_reaped must detect new/reaped via ONE lag/lead window
+    over the per-address day sequence, never a per-day-pair self-join:
+    the plan stays Python-free and its shuffle count is bounded (window +
+    day aggs + the day-axis rollup), independent of how many days the
+    snapshot spans."""
+    plan = _plan(spark, "balances_day_lifecycle")
+    assert "EvalPython" not in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 8, f"shuffle count grew to {n_exchanges}"
+
+
+def test_multimodal_pipeline_is_mapside_with_pushdown(spark):
+    """The multimodal pipeline is pure fan-out: the doc_id predicate must
+    reach the parquet scan, Python must be Arrow-batched mapInPandas, and
+    the media joins must broadcast (zero shuffle in the whole plan)."""
+    plan = _plan(spark, "multimodal_image_features")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
