@@ -344,3 +344,56 @@ def xcmtransfers_wide(matched: DataFrame, chains: DataFrame) -> DataFrame:
     return m.select(
         *[cols[f.name].cast(f.dataType).alias(f.name) for f in XCMTRANSFERS_WIDE.fields]
     )
+
+
+def xcm_messages_wide(messages: DataFrame, chains: DataFrame) -> DataFrame:
+    """The PUBLISHED per-day xcm messages table (schema/xcm.json; the
+    second flatten inside dump_xcm, substrateetl.js:5176-5214): one row
+    per message with para-id/chain-id decoration
+    (paraTool.getParaIDfromChainID / getIDByChainID → the chains dim,
+    joined twice as BROADCAST hash joins) and the interior-key arrays
+    passed through as JSON.
+
+    ``messages`` carries the xcm MySQL row columns (schemas.XCMMESSAGES
+    naming): msgHash, chainID, chainIDDest, relayedAt, includedAt,
+    msgType, blockTS, msgStr, msgHex, version, xcmInteriorKeys,
+    xcmInteriorKeysUnregistered.  The projection iterates
+    schemas.XCM_WIDE so names/order/types match the contract."""
+    from polkadot_etl_spark.schemas import XCM_WIDE
+
+    o_dim = F.broadcast(
+        chains.select(
+            F.col("chainID").alias("__o_chain"),
+            F.col("id").alias("__o_id"),
+            F.col("para_id").alias("__o_para"),
+        )
+    )
+    d_dim = F.broadcast(
+        chains.select(
+            F.col("chainID").alias("__d_chain"),
+            F.col("id").alias("__d_id"),
+            F.col("para_id").alias("__d_para"),
+        )
+    )
+    m = messages.join(o_dim, messages.chainID == F.col("__o_chain"), "left").join(
+        d_dim, messages.chainIDDest == F.col("__d_chain"), "left"
+    )
+    cols = {
+        "msg_hash": F.col("msgHash"),
+        "origination_ts": F.timestamp_seconds(F.col("blockTS")),
+        "origination_para_id": F.col("__o_para"),
+        "destination_para_id": F.col("__d_para"),
+        "origination_id": F.col("__o_id"),
+        "destination_id": F.col("__d_id"),
+        "relayed_at": F.col("relayedAt"),
+        "included_at": F.col("includedAt"),
+        "msg": F.col("msgStr"),
+        "msg_hex": F.col("msgHex"),
+        "msg_type": F.col("msgType"),
+        "version": F.col("version"),
+        "xcm_interior_keys": F.col("xcmInteriorKeys"),
+        "xcm_interior_keys_unregistered": F.col("xcmInteriorKeysUnregistered"),
+    }
+    return m.select(
+        *[cols[f.name].cast(f.dataType).alias(f.name) for f in XCM_WIDE.fields]
+    )

@@ -75,9 +75,10 @@ _PRIORITY: list[str] = [
     # asof_broadcast_version; union/top-k/rollup/window by
     # tpch_q3/q18/q1 + band_join_tiebreak's W2 tie-break; the local
     # oracle suite still verifies every demoted query)
-    "dynamic_predicates",
+    # dynamic_predicates / ohlcv_hourly: driver-green in r2 AND r3,
+    # demoted in r4 for the published xcm/snapshots contracts
+    # (xcm_messages_published + snapshots_pricefeed below)
     "band_join_tiebreak",
-    "ohlcv_hourly",
     # best_by_rank: driver-green in r2, demoted for identity_resolution
     # gap_detection / session_window_native: driver-green in r2,
     # demoted for train_val_split + benchmark_contamination
@@ -102,6 +103,8 @@ _PRIORITY: list[str] = [
     "xcmtransfers_wide",
     "evm_accounts_daily",
     "balances_day_lifecycle",
+    "xcm_messages_published",
+    "snapshots_pricefeed",
     # round-3 TPC-H completion rep kept in window
     "tpch_q21_waiting_suppliers",
 ]

@@ -1805,3 +1805,159 @@ def balances_day_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_new_accounts",
         "num_reaped_accounts",
     )
+
+
+@query(
+    "xcm_messages_published",
+    oracle="""
+WITH e AS (
+  -- FLOOR before the cast: Spark's unix_timestamp truncates sub-second
+  -- parts while a bare CAST(DOUBLE AS BIGINT) in DuckDB rounds
+  SELECT event_id AS k, CAST(FLOOR(epoch(ts)) AS BIGINT) AS bts,
+         CASE event_type WHEN 'purchase' THEN 'xcmp' WHEN 'click' THEN 'ump'
+                         ELSE 'dmp' END AS msg_type
+  FROM events WHERE event_id % 4 = 0
+)
+SELECT '0x' || lpad(CAST(k AS VARCHAR), 8, '0') AS msg_hash,
+       strftime(make_timestamp(bts * 1000000),
+                '%Y-%m-%d %H:%M:%S.%f') AS origination_ts,
+       CAST(k % 4 AS BIGINT) AS origination_para_id,
+       CAST(10 + k % 3 AS BIGINT) AS destination_para_id,
+       'chain' || CAST(2000 + k % 4 AS VARCHAR) AS origination_id,
+       'chain' || CAST(2010 + k % 3 AS VARCHAR) AS destination_id,
+       CAST(k AS BIGINT) AS relayed_at,
+       CAST(k + 2 AS BIGINT) AS included_at,
+       '{"v3": [{"clearOrigin": null}]}' AS msg,
+       '0x' || lpad(CAST(k AS VARCHAR), 12, '0') AS msg_hex,
+       msg_type,
+       CASE WHEN k % 5 = 0 THEN NULL ELSE 'V' || CAST(2 + k % 2 AS VARCHAR) END
+         AS version,
+       CASE WHEN k % 7 = 0
+            THEN '["polkadot~here"]' END AS xcm_interior_keys,
+       CAST(NULL AS VARCHAR) AS xcm_interior_keys_unregistered
+FROM e
+""",
+    doc="The PUBLISHED per-day xcm messages table (schema/xcm.json; the "
+    "second flatten of dump_xcm, substrateetl.js:5176-5214): synthesized "
+    "xcm MySQL rows (schemas.XCMMESSAGES naming) run through the REAL "
+    "plans.xcm.xcm_messages_wide — double broadcast chain-dim decoration "
+    "for origination/destination para_id + id, interior-key JSON "
+    "passthrough, contract projection iterating schemas.XCM_WIDE. The "
+    "oracle enumerates expected rows from events directly, including "
+    "NULL version and NULL interior-key branches.",
+    tags=("pipeline", "join"),
+)
+def xcm_messages_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.xcm import xcm_messages_wide
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 0)
+    k = F.col("event_id")
+    ks = k.cast("string")
+    messages = e.select(
+        F.concat(F.lit("0x"), F.lpad(ks, 8, "0")).alias("msgHash"),
+        (F.lit(2000) + k % 4).alias("chainID"),
+        (F.lit(2010) + k % 3).alias("chainIDDest"),
+        k.alias("relayedAt"),
+        (k + 2).alias("includedAt"),
+        F.when(F.col("event_type") == "purchase", "xcmp")
+        .when(F.col("event_type") == "click", "ump")
+        .otherwise("dmp")
+        .alias("msgType"),
+        F.unix_timestamp("ts").alias("blockTS"),
+        F.lit('{"v3": [{"clearOrigin": null}]}').alias("msgStr"),
+        F.concat(F.lit("0x"), F.lpad(ks, 12, "0")).alias("msgHex"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("V"), (2 + k % 2).cast("string")))
+        .alias("version"),
+        F.when(k % 7 == 0, F.lit('["polkadot~here"]')).alias("xcmInteriorKeys"),
+        F.lit(None).cast("string").alias("xcmInteriorKeysUnregistered"),
+    )
+    chain_ids = [2000, 2001, 2002, 2003, 2010, 2011, 2012]
+    chains = spark.createDataFrame(
+        [(c, f"chain{c}", c - 2000) for c in chain_ids],
+        "chainID: long, id: string, para_id: long",
+    )
+    w = xcm_messages_wide(messages, chains)
+    return w.select(
+        *[
+            s_ts(c).alias(c) if c == "origination_ts" else F.col(c)
+            for c in w.columns
+        ]
+    )
+
+
+@query(
+    "snapshots_pricefeed",
+    oracle="""
+WITH e AS (
+  SELECT event_id AS k, ts, epoch(ts) AS ets,
+         'TKN' || CAST(event_id % 7 AS VARCHAR) AS sym
+  FROM events WHERE event_type = 'purchase'
+),
+canon AS (
+  SELECT k, sym, ets, CAST(FLOOR(ets / 3600) * 3600 AS BIGINT) AS hts,
+         ROW_NUMBER() OVER (PARTITION BY sym, CAST(FLOOR(ets / 3600) * 3600 AS BIGINT)
+                            ORDER BY k) AS rn
+  FROM e
+)
+SELECT 'polkadot' AS relay_chain, '0' AS para_id, 'polkadot' AS id,
+       'Polkadot' AS chain_name,
+       strftime(make_timestamp(hts * 1000000), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(k % 1000000 AS BIGINT) AS block_number,
+       '0xb' || CAST(k AS VARCHAR) AS block_hash,
+       CAST(NULL AS VARCHAR) AS address_ss58,
+       CAST(NULL AS VARCHAR) AS address_pubkey,
+       'pricefeed' AS section, 'price' AS storage,
+       'coingecko' AS track, sym AS track_val,
+       '{"asset":"' || sym || '"}' AS kv,
+       '{"decimals":10,"price_raw":' || CAST(k % 100000 AS VARCHAR) || '}' AS pv,
+       'coingecko' AS source
+FROM canon WHERE rn = 1
+""",
+    doc="The generic hourly state-snapshot publish (schema/snapshots.json; "
+    "priceManager.js:1007-1060 coingecko feed rows): synthesized price "
+    "observations normalize through the REAL plans.snapshots."
+    "snapshot_rows — canonical-hour bucketing (floor(ts/3600)*3600, "
+    "integer epoch math in codegen), the reference's first-observation-"
+    "per-(symbol, hour) `hit` dedup as one rank window, kv/pv packed as "
+    "canonical JSON via to_json (integral fields, engine-stable), chain "
+    "identity decoration, and the contract projection iterating "
+    "schemas.SNAPSHOTS. The oracle recomputes the dedup and blobs "
+    "directly from events.",
+    tags=("pipeline", "window", "scalar"),
+)
+def snapshots_pricefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.snapshots import snapshot_rows
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    k = F.col("event_id")
+    sym = F.concat(F.lit("TKN"), (k % 7).cast("string"))
+    snaps = snapshot_rows(
+        e,
+        section="pricefeed",
+        storage="price",
+        source="coingecko",
+        chain={
+            "relay_chain": "polkadot",
+            "para_id": 0,
+            "id": "polkadot",
+            "chain_name": "Polkadot",
+        },
+        block_number=k % 1000000,
+        block_hash=F.concat(F.lit("0xb"), k.cast("string")),
+        ts=F.col("ts"),
+        track=F.lit("coingecko"),
+        track_val=sym,
+        kv=F.struct(sym.alias("asset")),
+        pv=F.struct(
+            F.lit(10).alias("decimals"), (k % 100000).alias("price_raw")
+        ),
+        dedup_first_per_hour=True,
+        order_col="event_id",
+    )
+    return snaps.select(
+        *[
+            s_ts(c).alias(c) if c == "ts" else F.col(c)
+            for c in snaps.columns
+        ]
+    )

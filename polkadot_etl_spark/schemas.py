@@ -410,6 +410,54 @@ XCMTRANSFERS_WIDE = T.StructType(
     ]
 )
 
+# ref: schema/xcm.json:1-60 — the PUBLISHED per-day xcm messages table
+# (dump_xcm second half, substrateetl.js:5176-5214): one row per message
+# with para-id/chain-id decoration and the registry key arrays as JSON.
+XCM_WIDE = T.StructType(
+    [
+        _s("msg_hash", False),
+        _ts("origination_ts", False),
+        _l("origination_para_id", False),
+        _l("destination_para_id", False),
+        _s("origination_id"),
+        _s("destination_id"),
+        _l("relayed_at"),
+        _l("included_at"),
+        _s("msg"),
+        _s("msg_hex"),
+        _s("msg_type", False),
+        _s("version"),
+        _s("xcm_interior_keys"),  # BigQuery JSON → JSON string column
+        _s("xcm_interior_keys_unregistered"),
+    ]
+)
+
+# ref: schema/snapshots.json:1-66 — the generic hourly state-snapshot
+# contract (priceManager.js:1013-1032 price feed rows; substrateetl.js:
+# 7807-7818 staking era snapshots; loaded :7134 with
+# --time_partitioning_field=ts): heterogeneous state rows normalized to
+# (section, storage, track, track_val, kv JSON, pv JSON).
+SNAPSHOTS = T.StructType(
+    [
+        _s("relay_chain"),
+        _s("para_id"),
+        _s("id"),
+        _s("chain_name"),
+        _ts("ts", False),
+        _l("block_number", False),
+        _s("block_hash", False),
+        _s("address_ss58"),
+        _s("address_pubkey"),
+        _s("section", False),
+        _s("storage", False),
+        _s("track"),
+        _s("track_val"),
+        _s("kv"),  # BigQuery JSON → JSON string column
+        _s("pv"),
+        _s("source", False),
+    ]
+)
+
 # ref: substrate/schema/polkaholic.sql:1528-1553 (assetlog OHLCV series)
 ASSETLOG = T.StructType(
     [

@@ -254,3 +254,22 @@ def test_multimodal_pipeline_is_mapside_with_pushdown(spark):
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
+def test_published_xcm_messages_dims_broadcast(spark):
+    """xcm_messages_wide decorates with the chains dim twice — both must
+    be broadcast; the message side must not shuffle (plan has zero
+    Exchange: pure scan → two BHJ → project)."""
+    plan = _plan(spark, "xcm_messages_published")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+
+
+def test_snapshots_dedup_is_single_window_shuffle(spark):
+    """The first-per-hour dedup is ONE rank window on (track_val, hour) —
+    exactly one hash Exchange in the plan, no joins, no Python."""
+    plan = _plan(spark, "snapshots_pricefeed")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(track_val" in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan

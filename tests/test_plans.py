@@ -2007,3 +2007,72 @@ class TestXcmTransfersWide:
         blob = _json.loads(out["1-0"]["xcm_info"])
         assert blob["origination"]["paraID"] == 0
         assert blob["destination"]["executionStatus"] == "success"
+
+
+class TestPublishedContracts:
+    """Schema parity of the published StructTypes against the reference's
+    BigQuery JSON schema files (skipped when the reference isn't present)."""
+
+    @staticmethod
+    def _check(struct, path):
+        import json
+        import os
+
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        if not os.path.exists(path):
+            _pytest.skip("reference schema dir not present")
+        with open(path) as fh:
+            contract = json.load(fh)
+        type_map = {
+            "STRING": T.StringType(),
+            "INTEGER": T.LongType(),
+            "FLOAT": T.DoubleType(),
+            "BOOLEAN": T.BooleanType(),
+            "TIMESTAMP": T.TimestampType(),
+            "JSON": T.StringType(),
+        }
+        assert [f.name for f in struct.fields] == [c["name"] for c in contract]
+        for f, c in zip(struct.fields, contract):
+            assert f.dataType == type_map[c["type"]], f.name
+            if c["mode"] == "REQUIRED":
+                assert not f.nullable, f"{f.name} should be REQUIRED"
+
+    def test_xcm_wide_matches_contract(self):
+        from polkadot_etl_spark.schemas import XCM_WIDE
+
+        self._check(XCM_WIDE, "/root/reference/schema/xcm.json")
+
+    def test_snapshots_matches_contract(self):
+        from polkadot_etl_spark.schemas import SNAPSHOTS
+
+        self._check(SNAPSHOTS, "/root/reference/schema/snapshots.json")
+
+    def test_snapshot_hour_dedup_keeps_first(self, spark):
+        """priceManager.js:1007-1012: only the FIRST observation per
+        (track_val, canonical hour) survives."""
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.plans.snapshots import snapshot_rows
+
+        obs = spark.createDataFrame(
+            [(1, "A", "2024-01-01 05:10:00"), (2, "A", "2024-01-01 05:50:00"),
+             (3, "A", "2024-01-01 06:05:00"), (4, "B", "2024-01-01 05:59:00")],
+            "k: long, sym: string, ts: string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = snapshot_rows(
+            obs, section="pricefeed", storage="price", source="t",
+            chain={"relay_chain": "polkadot", "para_id": 0, "id": "p",
+                   "chain_name": "P"},
+            block_number=F.col("k"), block_hash=F.col("sym"), ts=F.col("ts"),
+            track_val=F.col("sym"),
+            pv=F.struct(F.col("k").alias("price_raw")),
+            dedup_first_per_hour=True, order_col="k",
+        ).collect()
+        kept = {(r.track_val, str(r.ts), r.block_number) for r in out}
+        assert kept == {
+            ("A", "2024-01-01 05:00:00", 1),  # k=2 same hour dropped
+            ("A", "2024-01-01 06:00:00", 3),
+            ("B", "2024-01-01 05:00:00", 4),
+        }
