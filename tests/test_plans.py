@@ -2076,3 +2076,55 @@ class TestPublishedContracts:
             ("A", "2024-01-01 06:00:00", 3),
             ("B", "2024-01-01 05:00:00", 4),
         }
+
+
+class TestJdbcPlanner:
+    """S3: the JDBC partition planner (no DB in env — the plan is the
+    tested surface; spark.read.jdbc consumes it unchanged)."""
+
+    def test_stride_partitions_cover_and_never_overlap(self):
+        from polkadot_etl_spark.sources.jdbc import stride_predicates
+
+        preds = stride_predicates("k", 0, 1000, 4)
+        assert len(preds) == 4
+        assert preds[0] == "k < 250 OR k IS NULL"  # open below + NULLs
+        assert preds[-1] == "k >= 750"  # open above
+        # every key matches exactly one predicate
+        import re
+
+        def matches(k, p):
+            if "IS NULL" in p:
+                return k < int(re.search(r"< (\d+)", p).group(1))
+            nums = [int(x) for x in re.findall(r"\d+", p)]
+            if ">=" in p and "<" in p:
+                return nums[0] <= k < nums[1]
+            return k >= nums[0]
+
+        for k in [-5, 0, 249, 250, 500, 999, 1000, 10**9]:
+            assert sum(matches(k, p) for p in preds) == 1, k
+
+    def test_stride_degenerate_cases(self):
+        from polkadot_etl_spark.sources.jdbc import stride_predicates
+
+        assert stride_predicates("k", 5, 5, 8) == ["1=1"]  # empty range
+        assert stride_predicates("k", 0, 10, 1) == ["1=1"]  # single part
+        # more partitions than keys → clamps, still covers
+        preds = stride_predicates("k", 0, 3, 10)
+        assert len(preds) == 3
+
+    def test_point_and_day_predicates(self):
+        from polkadot_etl_spark.sources.jdbc import (
+            day_range_predicates,
+            point_predicates,
+        )
+
+        assert point_predicates("chainID", [0, 2000]) == [
+            "chainID = 0", "chainID = 2000",
+        ]
+        assert point_predicates("addr", ["a'b"]) == ["addr = 'a''b'"]
+        days = day_range_predicates("sourceTS", "2023-02-01", 2)
+        # 2023-02-01 UTC midnight = 1675209600
+        assert days == [
+            "sourceTS >= 1675209600 AND sourceTS < 1675296000",
+            "sourceTS >= 1675296000 AND sourceTS < 1675382400",
+        ]
