@@ -67,8 +67,12 @@ def _u128_from_maybe_hex(c: Column) -> Column:
     real chain by ~19 orders of magnitude) overflow to NULL here; callers
     needing the untruncated value use _u128_hex_to_str directly."""
     hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
-    from_hex = _u128_hex_to_str(hex_body).cast("decimal(38,0)")
-    return F.when(c.startswith("0x"), from_hex).otherwise(c.cast("decimal(38,0)"))
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # of a legal u128 ≥ 10^38 THROWS and fails the task; the published
+    # column contract is NULL there (callers wanting the exact value use
+    # _u128_hex_to_str / the *_raw string duals)
+    from_hex = _u128_hex_to_str(hex_body).try_cast("decimal(38,0)")
+    return F.when(c.startswith("0x"), from_hex).otherwise(c.try_cast("decimal(38,0)"))
 
 
 def _dechex_int(c: Column) -> Column:
@@ -191,7 +195,7 @@ def crowdloan_feed(events: DataFrame, native_decimals: int = 10) -> DataFrame:
     contributed = is_cl & (F.col("method") == "Contributed")
     memo_upd = is_cl & (F.col("method") == "MemoUpdated")
     e = events.where(contributed | memo_upd).withColumn("__d", arr)
-    raw = F.when(F.col("method") == "Contributed", F.get(F.col("__d"), 2).cast("decimal(38,0)"))
+    raw = F.when(F.col("method") == "Contributed", F.get(F.col("__d"), 2).try_cast("decimal(38,0)"))
     return e.select(
         "event_id",
         "extrinsic_id",

@@ -89,14 +89,25 @@ def _u32_at(v: str, byte_off: int):
 
 
 def _u128_at(v: str, byte_off: int):
-    """LE u128 at byte offset → decimal(38,0) (null if > 38 digits; the
-    exact-string dual column is the caller's choice via u128_raw_at)."""
-    be = _le2be(f"substr({v}, {2*byte_off+1}, 32)")
-    return F.expr(
-        f"cast(conv(substr({be}, 1, 16), 16, 10) as decimal(38,0))"
-        f" * cast(18446744073709551616 as decimal(38,0))"
-        f" + cast(conv(substr({be}, 17, 16), 16, 10) as decimal(38,0))"
-    )
+    """LE u128 at byte offset → decimal(38,0), NULL if > 38 digits (the
+    exact-string dual column is u128_raw_at, full-range).
+
+    Routed through the exact limb string + try_cast: the direct
+    hi*2^64+lo decimal arithmetic THROWS under ANSI mode (Spark 4
+    default) when a legal u128 exceeds 10^38 — one hot account would
+    fail the whole task instead of NULLing one column."""
+    return u128_raw_at(v, byte_off).try_cast("decimal(38,0)")
+
+
+def u128_raw_at(v: str, byte_off: int):
+    """LE u128 at byte offset → EXACT base-10 string over the FULL u128
+    range (the *_raw STRING dual columns of schema/balances.json:54 —
+    kept as strings precisely because u128 max ≈ 3.4e38 overflows the
+    38-digit NUMERIC/decimal column)."""
+    from polkadot_etl_spark.plans.feeds import _u128_hex_to_str
+
+    be = F.expr(_le2be(f"substr({v}, {2 * byte_off + 1}, 32)"))
+    return _u128_hex_to_str(be)
 
 
 def storage_keys_dim(spark, entries: list[tuple[str, str, str]]) -> DataFrame:
@@ -151,4 +162,9 @@ def parse_traces(traces: DataFrame, keys_dim: DataFrame) -> DataFrame:
         F.when(is_account, _u128_at("__v", 16)).alias("free"),
         F.when(is_account, _u128_at("__v", 32)).alias("reserved"),
         F.when(is_account, _u128_at("__v", 48)).alias("frozen"),
+        # exact-string duals (schema/balances.json free_raw/... rationale:
+        # full u128 doesn't fit the 38-digit numeric column)
+        F.when(is_account, u128_raw_at("__v", 16)).alias("free_raw"),
+        F.when(is_account, u128_raw_at("__v", 32)).alias("reserved_raw"),
+        F.when(is_account, u128_raw_at("__v", 48)).alias("frozen_raw"),
     )

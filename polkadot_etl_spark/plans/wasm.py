@@ -79,8 +79,10 @@ def _dechex_str(c):
     from polkadot_etl_spark.plans.feeds import _u128_hex_to_str
 
     hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
+    # try_cast: ANSI mode (Spark 4 default) would otherwise THROW on a
+    # decimal string past 38 digits instead of yielding NULL
     return F.when(c.startswith("0x"), _u128_hex_to_str(hex_body)).otherwise(
-        c.cast("decimal(38,0)").cast("string")
+        c.try_cast("decimal(38,0)").cast("string")
     )
 
 

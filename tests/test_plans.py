@@ -570,7 +570,7 @@ class TestParseTraces:
 
         free = 123_456_789_012_345_678_901  # > u64: exercises the hi*2^64+lo path
         reserved = 50
-        frozen = 0
+        frozen = 2**128 - 1  # past decimal(38,0): numeric col NULLs, raw stays exact
         v = (
             (5).to_bytes(4, "little")
             + (1).to_bytes(4, "little")
@@ -600,7 +600,12 @@ class TestParseTraces:
         assert (r.section, r.storage) == ("System", "Account")
         assert r.address_pubkey == "0x" + pubkey
         assert (r.nonce, r.consumers, r.providers, r.sufficients) == (5, 1, 2, 3)
-        assert int(r.free) == free and int(r.reserved) == reserved and int(r.frozen) == 0
+        assert int(r.free) == free and int(r.reserved) == reserved
+        # u128 max: the 38-digit numeric column NULLs (documented cap);
+        # the exact-string dual keeps the full value (balances *_raw rule)
+        assert r.frozen is None
+        assert r.free_raw == str(free) and r.reserved_raw == str(reserved)
+        assert r.frozen_raw == str(2**128 - 1)
         # unmatched prefix keeps raw row, null decode
         assert rows["1-1"].section is None and rows["1-1"].nonce is None
 
