@@ -163,7 +163,7 @@ class OrmlParser(ChainParser):
             .withColumn("decimals", dec)
             .withColumn(
                 "amount",
-                F.col("raw_amount").cast("double") / F.pow(F.lit(10.0), dec.cast("double")),
+                F.col("raw_amount").try_cast("double") / F.pow(F.lit(10.0), dec.cast("double")),
             )
         )
 
@@ -236,11 +236,11 @@ class AcalaParser(OrmlParser):
             sym0.alias("token0"),
             sym1.alias("token1"),
             (
-                F.col("h.vol0_raw").cast("double")
+                F.col("h.vol0_raw").try_cast("double")
                 / F.pow(F.lit(10.0), self.asset_decimals_col(sym0).cast("double"))
             ).alias("token0_in"),
             (
-                F.col("h.vol1_raw").cast("double")
+                F.col("h.vol1_raw").try_cast("double")
                 / F.pow(F.lit(10.0), self.asset_decimals_col(sym1).cast("double"))
             ).alias("token1_out"),
             F.concat(F.lit("["), sym0, F.lit(","), sym1, F.lit("]")).alias("pair_key"),
@@ -341,9 +341,9 @@ class InterlayParser(OrmlParser):
             "asset",
             sym.alias("symbol"),
             F.when(is_pair, F.lit("liquidity_pair")).otherwise(F.lit("token")).alias("asset_type"),
-            F.col("raw_issuance").cast("decimal(38,0)").alias("raw_issuance"),
+            F.col("raw_issuance").try_cast("decimal(38,0)").alias("raw_issuance"),
             (
-                F.col("raw_issuance").cast("double")
+                F.col("raw_issuance").try_cast("double")
                 / F.pow(F.lit(10.0), dec.cast("double"))
             ).alias("issuance"),
         )
@@ -391,7 +391,7 @@ class AstarParser(ChainParser):
 
     def asset_symbol_for_id(self, raw_id: Column) -> Column:
         """Asset id 0 is the native token on astar (astar.js:626-628)."""
-        return F.when(raw_id.cast("long") == 0, F.lit(self.native_symbol))
+        return F.when(raw_id.try_cast("long") == 0, F.lit(self.native_symbol))
 
 
 class ParallelParser(ChainParser):
@@ -413,7 +413,7 @@ class ParallelParser(ChainParser):
     def cleaned_asset_id(raw: Column) -> Column:
         """'200,070,014' → 200070014 (paraTool.toNumWithoutComma via
         cleanedAssetID, chainparser.js:6068)."""
-        return F.regexp_replace(raw, ",", "").cast("long")
+        return F.regexp_replace(raw, ",", "").try_cast("long")
 
     def decorate_asset(
         self, df: DataFrame, assets: DataFrame, id_col: str = "asset_id"
@@ -436,7 +436,7 @@ class ParallelParser(ChainParser):
         if "raw_amount" in df.columns:
             out = out.withColumn(
                 "amount",
-                F.col("raw_amount").cast("double")
+                F.col("raw_amount").try_cast("double")
                 / F.pow(F.lit(10.0), F.coalesce(F.col("decimals"), F.lit(self.native_decimals)).cast("double")),
             )
         return out
@@ -492,7 +492,7 @@ class ParallelParser(ChainParser):
         from polkadot_etl_spark.plans.feeds import _u128_from_maybe_hex
 
         raw = _u128_from_maybe_hex(F.get_json_object(decorated_val, "$.value"))
-        ts = (F.get_json_object(decorated_val, "$.timestamp").cast("long") / 1000).cast("long")
+        ts = (F.get_json_object(decorated_val, "$.timestamp").try_cast("long") / 1000).cast("long")
         return raw.alias("raw_price"), ts.alias("price_ts")
 
 

@@ -191,7 +191,7 @@ def transfers_from_events(
     is_transfer = F.concat_ws(":", F.col("section"), F.col("method")).isin(
         *[f"{s}:{m}" for s, m in _TRANSFER_LAYOUT]
     )
-    raw = cases_val.cast("decimal(38,0)")
+    raw = cases_val.try_cast("decimal(38,0)")
     from polkadot_etl_spark.functions.udfs import u_get_address
 
     enc = u_get_address(ss58_prefix)

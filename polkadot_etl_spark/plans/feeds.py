@@ -82,7 +82,7 @@ def _dechex_int(c: Column) -> Column:
             c.startswith("0x"),
             F.conv(F.regexp_replace(c, "^0x", ""), 16, 10).cast("long"),
         )
-        .otherwise(c.cast("long"))
+        .otherwise(c.try_cast("long"))
         .cast("int")
     )
 

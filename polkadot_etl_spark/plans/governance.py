@@ -92,7 +92,7 @@ def _num(raw: Column, decimals: int) -> Column:
     """Comma-grouped toHuman balance string → decimalized double
     (substrateetl.js:2267-2269: strip commas, / 10**10)."""
     return F.coalesce(
-        F.regexp_replace(raw, ",", "").cast("double"), F.lit(0.0)
+        F.regexp_replace(raw, ",", "").try_cast("double"), F.lit(0.0)
     ) / F.lit(float(10**decimals))
 
 
@@ -150,7 +150,7 @@ def conviction_votes_table(voting_state: DataFrame, decimals: int = 10) -> DataF
     return v.select(
         "account",
         "class_id",
-        F.element_at("__v", 1).cast("int").alias("poll_id"),
+        F.element_at("__v", 1).try_cast("int").alias("poll_id"),
         votedesc.alias("vote"),
         aye.alias("aye"),
         (aye * mult).alias("ayec"),
