@@ -55,7 +55,10 @@ _PRIORITY: list[str] = [
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
     "fuzzy_confidence_match",
-    "call_tree_flatten",
+    # call_tree_flatten: driver-green in r3 AND exercised inside
+    # dump_day_blocklog every round; demoted in r4 for
+    # cluster_trace_reference (F4 decode, previously pytest-only)
+    "cluster_trace_reference",
     "asof_broadcast_version",
     "broadcast_dim_decoration",
     # per_block_stats / daily_history_series / work_queue_backoff /

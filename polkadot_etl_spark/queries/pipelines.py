@@ -1961,3 +1961,126 @@ def snapshots_pricefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in snaps.columns
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# The cluster-trace reference table: F4 storage-trace decode driven through
+# the driver gate (previously pytest-only).
+# ---------------------------------------------------------------------------
+
+# twox_128("System") ++ twox_128("Account") — deterministic storage-key
+# prefix, computed once by the same hasher the plan's dim uses.
+_SYS_ACCT_PREFIX = "26aa394eea5630e07c48ae0c9558cef7b99d880ec681799c0cf30e8886371da9"
+
+
+@query(
+    "cluster_trace_reference",
+    oracle=f"""
+WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 1),
+d AS (
+  SELECT k, k % 7 AS nonce, k % 3 AS consumers, 1 AS providers,
+         k % 2 AS sufficients, k % 250 AS free_b, (k * 7) % 250 AS reserved_b
+  FROM o
+)
+SELECT CAST(k AS VARCHAR) || '-0' AS extrinsic_id,
+       '0x' || lpad(CAST(k AS VARCHAR), 64, '0') AS address_pubkey,
+       'System' AS section, 'Account' AS storage,
+       CAST(k AS BIGINT) AS block_number,
+       '0xe' || CAST(k AS VARCHAR) AS extrinsic_hash,
+       CASE WHEN k % 2 = 0 THEN 'balances' ELSE 'staking' END AS ext_section,
+       CASE WHEN k % 2 = 0 THEN 'transfer' ELSE 'bond' END AS ext_method,
+       CAST(nonce AS BIGINT) AS nonce,
+       CAST(consumers AS BIGINT) AS consumers,
+       CAST(providers AS BIGINT) AS providers,
+       CAST(sufficients AS BIGINT) AS sufficients,
+       CAST(free_b AS BIGINT) AS free,
+       CAST(reserved_b AS BIGINT) AS reserved,
+       CAST(0 AS BIGINT) AS frozen,
+       CAST(free_b AS VARCHAR) AS free_raw,
+       CAST(reserved_b AS VARCHAR) AS reserved_raw,
+       '0' AS frozen_raw
+FROM d
+""",
+    doc="The cluster-trace reference table (substrateetl.js:7447 CREATE "
+    "TABLE target_clustertracereference0: System.Account traces LEFT "
+    "JOIN extrinsics on extrinsic_id with the AccountInfo fields "
+    "extracted): synthesized raw (k, v) trace rows — REAL twox_128 "
+    "System.Account key prefixes, SCALE-encoded LE AccountInfo values "
+    "built hex-byte by hex-byte — decode through the REAL "
+    "plans.traces.parse_traces (broadcast storage-key dim, native LE→BE "
+    "conv decode, full-range *_raw string duals) and join the extrinsic "
+    "decoration exactly like the reference's derived table. The oracle "
+    "recomputes every decoded field from the order keys directly, so "
+    "the whole hex encode→prefix-match→SCALE-decode path is "
+    "hash-verified.",
+    tags=("pipeline", "scalar", "join"),
+)
+def cluster_trace_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.traces import parse_traces, storage_keys_dim
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 1)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+
+    def hex2(c: Column) -> Column:
+        return F.lpad(F.lower(F.hex(c)), 2, "0")
+
+    def u32le(c: Column) -> Column:
+        return F.concat(hex2(c), F.lit("000000"))
+
+    def u128le(c: Column) -> Column:
+        return F.concat(hex2(c), F.lit("0" * 30))
+
+    pubkey_hex = F.lpad(ks, 64, "0")
+    key = F.concat(F.lit("0x" + _SYS_ACCT_PREFIX), F.lit("cd" * 16), pubkey_hex)
+    val = F.concat(
+        F.lit("0x"),
+        u32le(k % 7),  # nonce
+        u32le(k % 3),  # consumers
+        u32le(F.lit(1)),  # providers
+        u32le(k % 2),  # sufficients
+        u128le(k % 250),  # free
+        u128le((k * 7) % 250),  # reserved
+        u128le(F.lit(0)),  # frozen
+    )
+    traces = o.select(
+        F.concat(ks, F.lit("-0")).alias("trace_id"),
+        F.concat(ks, F.lit("-0")).alias("extrinsic_id"),
+        k.alias("block_number"),
+        key.alias("k"),
+        val.alias("v"),
+    )
+    dim = storage_keys_dim(
+        spark,
+        [("System", "Account", "AccountInfo"), ("Balances", "TotalIssuance", "u128")],
+    )
+    decoded = parse_traces(traces, dim)
+    extrinsics = o.select(
+        F.concat(ks, F.lit("-0")).alias("__xid"),
+        F.concat(F.lit("0xe"), ks).alias("extrinsic_hash"),
+        F.when(k % 2 == 0, "balances").otherwise("staking").alias("ext_section"),
+        F.when(k % 2 == 0, "transfer").otherwise("bond").alias("ext_method"),
+    )
+    j = decoded.join(
+        extrinsics, decoded.extrinsic_id == extrinsics.__xid, "left"
+    )
+    return j.select(
+        "extrinsic_id",
+        "address_pubkey",
+        "section",
+        "storage",
+        "block_number",
+        "extrinsic_hash",
+        "ext_section",
+        "ext_method",
+        F.col("nonce").cast("long").alias("nonce"),
+        F.col("consumers").cast("long").alias("consumers"),
+        F.col("providers").cast("long").alias("providers"),
+        F.col("sufficients").cast("long").alias("sufficients"),
+        F.col("free").cast("long").alias("free"),
+        F.col("reserved").cast("long").alias("reserved"),
+        F.col("frozen").cast("long").alias("frozen"),
+        "free_raw",
+        "reserved_raw",
+        "frozen_raw",
+    )

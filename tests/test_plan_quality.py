@@ -273,3 +273,12 @@ def test_snapshots_dedup_is_single_window_shuffle(spark):
     assert "hashpartitioning(track_val" in plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_cluster_trace_decode_is_native_and_broadcast(spark):
+    """F4 via the driver gate: the storage-key dim joins broadcast, the
+    AccountInfo decode is pure native expressions (no Python anywhere),
+    and the extrinsic decoration does not force an extra fact shuffle."""
+    plan = _plan(spark, "cluster_trace_reference")
+    assert "EvalPython" not in plan
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
