@@ -284,9 +284,13 @@ def left_join_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_cust"), _decsum(F.col("c_acctbal")).alias("sum_bal"))
     )
+    # broadcast the AGGREGATED side: a LeftOuter join can only build its
+    # right (non-preserved) side, so a broadcast hint on the preserved dim
+    # is silently ignored ("build left for left outer join" warning) and
+    # the plan degrades to a shuffle. Post-groupBy the agg is dim-sized
+    # (≤ distinct nation keys) — the correct broadcast at any scale.
     return (
-        F.broadcast(n)
-        .join(agg, n.n_nationkey == agg.c_nationkey, "left")
+        n.join(F.broadcast(agg), n.n_nationkey == agg.c_nationkey, "left")
         .select(
             "n_name",
             F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
