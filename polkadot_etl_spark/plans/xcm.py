@@ -156,16 +156,26 @@ def match_transfers(
             F.col("sourceTS") - ts_lookback, F.col("sourceTS") + ts_lookahead
         )
     ).drop("probe_bucket", "c_bucket")
+    # alias the stats-side key columns explicitly: both sides descend from
+    # `transfers`, and comparing same-named columns across shared lineage
+    # relies on Spark's auto-disambiguation (it works — distinct attribute
+    # ids in the optimized plan — but logs a trivially-true warning and is
+    # one refactor away from a silent self-compare)
     stats = teleport_fee_stats(
         candidates.join(
             transfers.select("msgHash", "symbol").dropDuplicates(), "msgHash", "left"
         )
-    ).select("symbol", F.col("chainIDDest").alias("s_chainIDDest"), "avg_fee", "std_fee_adj")
+    ).select(
+        F.col("symbol").alias("s_symbol"),
+        F.col("chainIDDest").alias("s_chainIDDest"),
+        "avg_fee",
+        "std_fee_adj",
+    )
     j = j.join(
         F.broadcast(stats),
-        (j.symbol == stats.symbol) & (j.c_chainIDDest == stats.s_chainIDDest),
+        (j.symbol == stats.s_symbol) & (j.c_chainIDDest == stats.s_chainIDDest),
         "left",
-    ).drop(stats.symbol)
+    ).drop("s_symbol")
 
     exact = (F.col("amountReceived") + F.col("xcmTeleportFees")) == F.col("amountSent")
     resid = (
