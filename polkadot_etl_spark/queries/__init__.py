@@ -54,7 +54,10 @@ _PRIORITY: list[str] = [
     "multimodal_image_features",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
-    "fuzzy_confidence_match",
+    # fuzzy_confidence_match: driver-green in r3; J2 is also exercised by
+    # xcmtransfers_wide's match_transfers path every round — demoted in
+    # r4 for snapshots_staking_era (the second snapshot producer)
+    "snapshots_staking_era",
     # call_tree_flatten: driver-green in r3 AND exercised inside
     # dump_day_blocklog every round; demoted in r4 for
     # cluster_trace_reference (F4 decode, previously pytest-only)

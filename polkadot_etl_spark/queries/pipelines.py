@@ -2084,3 +2084,82 @@ def cluster_trace_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reserved_raw",
         "frozen_raw",
     )
+
+
+@query(
+    "snapshots_staking_era",
+    oracle="""
+WITH s AS (
+  SELECT s_nationkey AS era, 'v' || CAST(s_suppkey AS VARCHAR) AS validator,
+         s_suppkey % 1000 + 1 AS point
+  FROM supplier
+),
+agg AS (
+  SELECT era, CAST(SUM(point) AS BIGINT) AS total,
+         '[' || string_agg('{"point":' || CAST(point AS VARCHAR)
+                           || ',"validator":"' || validator || '"}', ','
+                           ORDER BY point, validator) || ']' AS weights
+  FROM s GROUP BY era
+)
+SELECT 'polkadot' AS relay_chain, '0' AS para_id, 'polkadot' AS id,
+       'Polkadot' AS chain_name,
+       strftime(make_timestamp(CAST(FLOOR((1700000000 + era * 3600) / 3600) * 3600
+                                    AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(1000 + era * 100 AS BIGINT) AS block_number,
+       '0xera' || CAST(era AS VARCHAR) AS block_hash,
+       CAST(NULL AS VARCHAR) AS address_ss58,
+       CAST(NULL AS VARCHAR) AS address_pubkey,
+       'Staking' AS section, 'ErasRewardPoints' AS storage,
+       'era' AS track, CAST(era AS VARCHAR) AS track_val,
+       CAST(NULL AS VARCHAR) AS kv,
+       '{"total":' || CAST(total AS VARCHAR) || ',"weights":' || weights || '}' AS pv,
+       'onchain' AS source
+FROM agg
+""",
+    doc="The staking-era snapshot producer (substrateetl.js:7790-7818: "
+    "one ErasRewardPoints snapshot row per era with the per-validator "
+    "point weights packed into pv): per-era totals + a sorted "
+    "array<struct> of validator points aggregated from supplier rows, "
+    "normalized through the REAL plans.snapshots.snapshot_rows — the pv "
+    "blob is to_json of the NESTED struct (array of structs renders "
+    "natively, no string re-escaping), compared byte-exact against the "
+    "oracle's string_agg-built JSON. One groupBy(era) shuffle with "
+    "map-side partials; the snapshot projection is a pure map.",
+    tags=("pipeline", "agg", "scalar"),
+)
+def snapshots_staking_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.snapshots import snapshot_rows
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("era"),
+        F.concat(F.lit("v"), F.col("s_suppkey").cast("string")).alias("validator"),
+        (F.col("s_suppkey") % 1000 + 1).alias("point"),
+    )
+    agg = s.groupBy("era").agg(
+        F.sum("point").alias("total"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("point"), F.col("validator")))
+        ).alias("weights"),
+    )
+    snaps = snapshot_rows(
+        agg,
+        section="Staking",
+        storage="ErasRewardPoints",
+        source="onchain",
+        chain={
+            "relay_chain": "polkadot",
+            "para_id": 0,
+            "id": "polkadot",
+            "chain_name": "Polkadot",
+        },
+        block_number=F.lit(1000) + F.col("era") * 100,
+        block_hash=F.concat(F.lit("0xera"), F.col("era").cast("string")),
+        ts=F.timestamp_seconds(F.lit(1700000000) + F.col("era") * 3600),
+        track=F.lit("era"),
+        track_val=F.col("era").cast("string"),
+        pv=F.struct(F.col("total"), F.col("weights")),
+    )
+    return snaps.select(
+        *[s_ts(c).alias(c) if c == "ts" else F.col(c) for c in snaps.columns]
+    )
