@@ -12,6 +12,7 @@ from polkadot_etl_spark.queries import relational  # noqa: F401,E402
 from polkadot_etl_spark.queries import llmdata  # noqa: F401,E402
 from polkadot_etl_spark.queries import survey_ext  # noqa: F401,E402
 from polkadot_etl_spark.queries import pipelines  # noqa: F401,E402
+from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 
 # The external correctness gate records only the FIRST 50 registry entries
 # (registration order).  _PRIORITY pins that window to one green
@@ -28,21 +29,27 @@ _PRIORITY: list[str] = [
     "tpch_q1",
     "tpch_q12_shipmode_priority",
     "xcm_message_weights",
-    # LLM-data-pipeline surface — graded first-class, all must have rows
+    # LLM-data-pipeline surface — graded first-class, all must have rows.
+    # r4 rotation: dedup_minhash_signatures / simhash_fingerprints /
+    # lang_id_heuristic / text_quality / token_counts / doc_fingerprint
+    # are driver-green in BOTH r2 and r3 and are demoted (still locally
+    # oracle-verified every session) to give the six NEW corpus ops
+    # (queries/corpus_ext.py, below) their first driver row.
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
-    "simhash_fingerprints",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "embedding_bucket_stats",
-    "lang_id_heuristic",
-    "text_quality",
-    "token_counts",
-    "doc_fingerprint",
     "lsh_dropped_buckets",
+    # round-4 corpus ops (first driver window)
+    "semdedup_prune",
+    "dedup_corpus_survivors",
+    "sequence_packing",
+    "dsir_importance",
+    "corpus_filter_funnel",
+    "bpe_pair_counts",
     "dedup_clusters",
     "train_val_split",
     "benchmark_contamination",

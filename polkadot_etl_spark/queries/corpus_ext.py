@@ -1,0 +1,618 @@
+"""Second tier of training-data pipeline operators (beyond-reference,
+graded first-class per the brief): SemDeDup-style semantic pruning,
+end-to-end fuzzy-dedup corpus materialization, concat-and-chunk sequence
+packing, DSIR-style importance weighting, a filter-funnel accounting
+table, and the first BPE merge-pair count of tokenizer training.
+
+Same determinism contract as queries/llmdata.py: md5 for all hashing,
+fold-left double arithmetic matched between engines, explicit rounding
+before any float comparison or output, and integer math everywhere else.
+
+Scale design (100 TB): packing is per-shard (no global sort), DSIR's
+bucket dim is a 256-row broadcast, SemDeDup's quadratic term is bounded
+by the k-means cell size (k ~ sqrt(N) in production), the funnel is one
+corpus pass + a 1-row aggregate, and pair counting shuffles 16-byte
+digram keys, never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polkadot_etl_spark.queries.registry import QUERIES, query
+from polkadot_etl_spark.sources.tables import load_table
+
+SEMDEDUP_K = 8  # k-means cells (seeded, like ivf_centroid_update)
+SEMDEDUP_THR = 0.3  # cosine gate (synthetic vectors: selects top tail)
+PACK_CHUNK = 256  # context-window length in BPE-ish tokens
+DSIR_BUCKETS = 256  # hashed-unigram feature space (2 hex chars of md5)
+
+# fold-left pairwise dot/norm fragments shared with llmdata's ANN oracle
+_DOT = (
+    "list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))"
+)
+_QN = "list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE))"
+_CN = "list_sum(list_transform(range(1, len(c_emb) + 1), i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE))"
+
+
+def _assigned_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, embedding): nearest-seed-centroid assignment.
+
+    Same zero-shuffle scheme as ivf_centroid_update: the k seed vectors
+    (vec_id < SEMDEDUP_K) are collected once and inlined as ONE flat
+    left-associated SQL term chain per seed (py4j-cheap, matches the
+    oracle's list_sum fold bit-for-bit), argmax via array_max over
+    (score, -cid) structs = score DESC, cid ASC.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        e.where(F.col("vec_id") < SEMDEDUP_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def dot_sql(seed_vals):
+        return " + ".join(
+            f"CAST(embedding[{i}] AS DOUBLE) * CAST('{float(v)!r}' AS DOUBLE)"
+            for i, v in enumerate(seed_vals)
+        )
+
+    scores = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('score', {dot_sql(r['embedding'])}, 'negcid', {-int(r['vec_id'])})"
+            for r in seeds
+        )
+        + ")"
+    )
+    # own projection so downstream Generates never re-evaluate the k x dim
+    # score chain per element (the measured ivf pitfall, README "engine
+    # pitfalls")
+    return e.select(
+        "vec_id", (-F.array_max(scores)["negcid"]).alias("cid"), "embedding"
+    )
+
+
+_DUCK_ASSIGN = f"""
+seeds AS (SELECT vec_id AS cid, embedding AS semb FROM embeddings
+          WHERE vec_id < {SEMDEDUP_K}),
+scored AS (
+  SELECT e.vec_id, s.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE)) AS score
+  FROM embeddings e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+a AS (
+  SELECT ass.vec_id, ass.cid, e.embedding
+  FROM assign ass JOIN embeddings e USING (vec_id)
+)
+"""
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+WITH {_DUCK_ASSIGN},
+pairs AS (
+  SELECT y.vec_id AS vb,
+         ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS cosine
+  FROM (SELECT vec_id, cid, embedding AS q_emb FROM a) x
+  JOIN (SELECT vec_id, cid, embedding AS c_emb FROM a) y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id
+),
+dropped AS (SELECT DISTINCT vb FROM pairs WHERE cosine >= {SEMDEDUP_THR})
+SELECT a.vec_id, a.cid,
+       COUNT(*) OVER (PARTITION BY a.cid) AS cluster_size,
+       a.vec_id IN (SELECT vb FROM dropped) AS is_dropped
+FROM a
+""",
+    doc="SemDeDup semantic pruning (Abbas et al. 2023): cluster the "
+    "embedding space with a seeded coarse quantizer, then WITHIN each "
+    "cell drop every vector that has a sufficiently-cosine-similar "
+    "earlier (lower-id) cell-mate — pairwise similarity is computed "
+    "only inside cells, never across the corpus. Assignment is the "
+    "zero-shuffle literal-seed argmax of ivf_centroid_update; the "
+    "intra-cell pair join is an equi-join on cid, so the quadratic "
+    "term is bounded by the cell size (k ~ sqrt(N) in production keeps "
+    "cells O(sqrt(N)); here k=8 over the synthetic 512). Greedy "
+    "keep-lowest-id replaces the paper's keep-farthest-from-centroid "
+    "tie-break for cross-engine determinism.",
+    tags=("dedup", "similarity"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _assigned_vectors(spark, sf_dir)
+    x = a.select(F.col("vec_id").alias("vec_a"), "cid", F.col("embedding").alias("q_emb"))
+    y = a.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("c_emb"),
+    )
+    j = x.join(y, (F.col("cid") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
+    dropped = (
+        j.select("vec_b", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+        .where(F.col("cosine") >= SEMDEDUP_THR)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    w = Window.partitionBy("cid")
+    return (
+        a.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            F.coalesce(F.col("dropped"), F.lit(False)).alias("is_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end fuzzy dedup: LSH candidates -> Jaccard verify -> components
+# -> per-doc keep decision (the corpus a training run would actually read)
+# --------------------------------------------------------------------------
+
+_DUCK_JACCARD_EDGES = """
+sh AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, greatest(len(lower(text)) - 4, 1) + 1),
+                        i -> substr(lower(text), i, 5))) AS shingle
+  FROM documents
+),
+hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+mins AS (
+  SELECT doc_id,
+         MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+         MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+  FROM hs GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, band,
+         CASE WHEN band = 0 THEN m0 WHEN band = 1 THEN m1
+              WHEN band = 2 THEN m2 ELSE m3 END AS minhash
+  FROM mins CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) bands
+),
+sized AS (
+  SELECT doc_id, band, minhash,
+         COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_size
+  FROM sig
+),
+capped AS (SELECT * FROM sized WHERE bucket_size <= 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+jedges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+)
+"""
+
+
+@query(
+    "dedup_corpus_survivors",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_JACCARD_EDGES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS bb FROM jedges
+  UNION ALL SELECT doc_b, doc_a FROM jedges
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.node, edges.bb FROM reach JOIN edges ON reach.r = edges.a
+),
+cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.component, d.doc_id) AS cluster_id,
+       (cc.component IS NULL OR d.doc_id = cc.component) AS is_kept,
+       COUNT(*) OVER (PARTITION BY COALESCE(cc.component, d.doc_id)) AS cluster_size
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+""",
+    doc="END-TO-END fuzzy dedup — the composed pipeline a training run "
+    "actually executes, as one plan: MinHash-LSH candidate pairs "
+    "(bucket-capped), exact n-gram-Jaccard verification (>= 0.5, "
+    "candidates only), connected components over the verified edges "
+    "(operators/graph.py min-label propagation), and the final per-doc "
+    "keep decision (keep the min-id member of every near-dup cluster; "
+    "singletons keep themselves). Output is the full corpus roster with "
+    "cluster_id / is_kept — the left-anti that drops losers is a "
+    "trivial filter on this. The oracle recomputes everything "
+    "independently: signatures, capped buckets, Jaccard, and a "
+    "recursive-CTE transitive closure. At 100 TB every stage is the "
+    "already-audited shuffle-bounded shape (shingles map-side, one "
+    "md5-key shuffle, bucket-capped pair explosion, per-round lineage "
+    "cuts in CC).",
+    tags=("dedup", "headline"),
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.graph import connected_components
+
+    edges = QUERIES["dedup_ngram_jaccard"].build(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(cc, docs.doc_id == cc.node, "left")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (F.col("component").isNull() | (F.col("doc_id") == F.col("component"))).alias(
+                "is_kept"
+            ),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, source,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {PACK_CHUNK} AS BIGINT) AS chunk_first,
+       CAST((cum - 1) // {PACK_CHUNK} AS BIGINT) AS chunk_last,
+       CAST((cum - 1) // {PACK_CHUNK} - (cum - n_tokens) // {PACK_CHUNK} + 1
+            AS BIGINT) AS n_chunks
+FROM c
+""",
+    doc="Concat-and-chunk sequence packing — the GPT-style pretraining "
+    "batcher: documents are concatenated in doc_id order WITHIN each "
+    "source shard and sliced into fixed context windows of "
+    f"{PACK_CHUNK} BPE-ish tokens; each doc reports its token offset "
+    "and the [first, last] chunk it lands in (n_chunks > 1 = the doc "
+    "straddles a window boundary). Packing per SHARD, not globally, is "
+    "the scale decision: a global token order would be one giant sort "
+    "and a single-partition window; per-source windows parallelize "
+    "across shards exactly like production packers that pack each "
+    "input file independently. Integer math end-to-end, token counts "
+    "from the same RE2-and-Java-safe pre-tokenizer as token_counts.",
+    tags=("text", "sampling"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+    staged = d.select("doc_id", "source", n_tokens.cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = staged.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum - n_tokens AS start_offset",
+        f"(cum - n_tokens) DIV {PACK_CHUNK} AS chunk_first",
+        f"(cum - 1) DIV {PACK_CHUNK} AS chunk_last",
+        f"(cum - 1) DIV {PACK_CHUNK} - (cum - n_tokens) DIV {PACK_CHUNK} + 1 AS n_chunks",
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+WITH wd AS (
+  SELECT doc_id, lang,
+         UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wb AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS bucket FROM wd),
+cnt AS (
+  SELECT bucket, COUNT(*) AS r,
+         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS t
+  FROM wb GROUP BY bucket
+),
+dim AS (
+  SELECT bucket, r, t, SUM(r) OVER () AS rt, SUM(t) OVER () AS tt FROM cnt
+),
+wt AS (
+  SELECT bucket,
+         CAST(ROUND(ln(CAST((t + 1) * (rt + {DSIR_BUCKETS}) AS DOUBLE)
+                       / CAST((r + 1) * (tt + {DSIR_BUCKETS}) AS DOUBLE)), 6)
+              AS DECIMAL(12,6)) AS w8
+  FROM dim
+),
+perdoc AS (
+  SELECT wb.doc_id, COUNT(*) AS n_words, SUM(wt.w8) AS imp
+  FROM wb JOIN wt ON wb.bucket = wt.bucket
+  GROUP BY wb.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.imp, 0) AS DOUBLE) AS importance
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+""",
+    doc="DSIR-style importance weighting (Xie et al. 2023, data selection "
+    "via importance resampling): hashed-unigram bag-of-words features "
+    "(bucket = 2 hex chars of md5(word) -> 256 buckets), two smoothed "
+    "unigram LMs — target (lang='en' docs) vs raw (everything) — and "
+    "per-doc importance = sum of per-word log-likelihood ratios "
+    "ln(p_target(b)/p_raw(b)) with add-1 smoothing. Selection then "
+    "samples docs with probability proportional to exp(importance); "
+    "the weight itself is the deliverable here. BOTH LMs come out of ONE "
+    "corpus aggregation (raw count + conditional target count per "
+    "bucket), and the 256-row weight dim BROADCASTS onto the exploded "
+    "word stream, so scoring adds zero corpus shuffle. "
+    "Per-bucket log-ratios are rounded to 6 dp and summed as exact "
+    "DECIMALs, so per-doc sums are order-independent and engine-exact.",
+    tags=("sampling", "text"),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    wb = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.explode(words).alias("w"))
+        .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bucket"))
+    )
+    # ONE corpus aggregation builds both LMs: raw count + target count per
+    # bucket (a conditional count), so the word stream is scanned once,
+    # not once per LM.
+    cnt = wb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
+    )
+    wall = Window.partitionBy()  # 256-row dim: a single-partition window is free
+    dim = cnt.select(
+        "bucket",
+        "r",
+        "t",
+        F.sum("r").over(wall).alias("rt"),
+        F.sum("t").over(wall).alias("tt"),
+    )
+    w8 = F.round(
+        F.log(
+            ((F.col("t") + 1) * (F.col("rt") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("r") + 1) * (F.col("tt") + DSIR_BUCKETS)).cast("double")
+        ),
+        6,
+    ).cast("decimal(12,6)")
+    wt = dim.select("bucket", w8.alias("w8"))
+    perdoc = (
+        wb.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("w8").alias("imp"))
+    )
+    docs = d.select("doc_id")
+    return docs.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce(F.col("imp"), F.lit(0)).cast("double").alias("importance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter funnel: cascaded quality gates with per-stage accounting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words,
+         md5(lower(trim(text))) AS ck
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY doc_id, word),
+t AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM c GROUP BY doc_id),
+per AS (
+  SELECT w.doc_id,
+         len(w.words) AS n_words,
+         CAST(length(replace(w.text, ' ', '')) AS DOUBLE) / len(w.words) AS awl,
+         len(regexp_extract_all(lower(w.text), '\\b(the|a|and|of|to|in|is)\\b'))
+           AS stop_hits,
+         CAST(t.top_cnt AS DOUBLE) / len(w.words) AS twf,
+         w.doc_id = MIN(w.doc_id) OVER (PARTITION BY w.ck) AS canonical
+  FROM w JOIN t ON t.doc_id = w.doc_id
+),
+flags AS (
+  SELECT
+    (n_words BETWEEN 10 AND 400) AS p1,
+    (n_words BETWEEN 10 AND 400) AND (awl BETWEEN 2 AND 12) AS p2,
+    (n_words BETWEEN 10 AND 400) AND (awl BETWEEN 2 AND 12)
+      AND stop_hits >= 2 AS p3,
+    (n_words BETWEEN 10 AND 400) AND (awl BETWEEN 2 AND 12)
+      AND stop_hits >= 2 AND twf <= 0.2 AS p4,
+    (n_words BETWEEN 10 AND 400) AND (awl BETWEEN 2 AND 12)
+      AND stop_hits >= 2 AND twf <= 0.2 AND canonical AS p5
+  FROM per
+),
+agg AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS k1,
+         SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS k2,
+         SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS k3,
+         SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS k4,
+         SUM(CASE WHEN p5 THEN 1 ELSE 0 END) AS k5
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'doc_length' AS stage_name,
+         CAST(total AS BIGINT) AS n_in, CAST(k1 AS BIGINT) AS n_kept,
+         CAST(total - k1 AS BIGINT) AS n_dropped FROM agg
+  UNION ALL SELECT 2, 'word_shape', CAST(k1 AS BIGINT), CAST(k2 AS BIGINT),
+         CAST(k1 - k2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'stopword_floor', CAST(k2 AS BIGINT), CAST(k3 AS BIGINT),
+         CAST(k2 - k3 AS BIGINT) FROM agg
+  UNION ALL SELECT 4, 'repetition', CAST(k3 AS BIGINT), CAST(k4 AS BIGINT),
+         CAST(k3 - k4 AS BIGINT) FROM agg
+  UNION ALL SELECT 5, 'exact_dedup', CAST(k4 AS BIGINT), CAST(k5 AS BIGINT),
+         CAST(k4 - k5 AS BIGINT) FROM agg
+)
+""",
+    doc="Corpus filter FUNNEL — the per-stage accounting table every "
+    "production curation run publishes (the no-silent-caps rule applied "
+    "to the whole pipeline): five cascaded gates (Gopher doc-length, "
+    "mean-word-length shape, stopword floor, top-word repetition, exact "
+    "dedup canonicality) each report docs-in / kept / dropped, so a "
+    "single dashboard row shows where the corpus went. One corpus pass: "
+    "all five booleans are computed per doc in one projection (the "
+    "repetition gate reuses gopher_repetition's shuffle-free sorted-"
+    "array run-length aggregate; dedup canonicality is the one md5-key "
+    "window), then a 1-row aggregate fans out to 5 stage rows via "
+    "stack. Counts are integers — exact by construction.",
+    tags=("filter", "text", "metric"),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # shuffle-free top-word count (same HOF as gopher_repetition)
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(st, wd):
+        run = F.when(wd.eqNullSafe(st["prev"]), st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            wd.alias("prev"), run.alias("run"), F.greatest(st["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(words), state0, step, lambda st: st["best"])
+    ck = F.md5(F.lower(F.trim(F.col("text"))))
+    per = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.size(words)
+        ).alias("awl"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in|is)\b")).alias(
+            "stop_hits"
+        ),
+        (top.cast("double") / F.size(words)).alias("twf"),
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(ck))).alias("canonical"),
+    )
+    p1 = F.col("n_words").between(10, 400)
+    p2 = p1 & F.col("awl").between(2, 12)
+    p3 = p2 & (F.col("stop_hits") >= 2)
+    p4 = p3 & (F.col("twf") <= 0.2)
+    p5 = p4 & F.col("canonical")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(p1.cast("long")).alias("k1"),
+        F.sum(p2.cast("long")).alias("k2"),
+        F.sum(p3.cast("long")).alias("k3"),
+        F.sum(p4.cast("long")).alias("k4"),
+        F.sum(p5.cast("long")).alias("k5"),
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 1, 'doc_length',     total, k1,"
+        " 2, 'word_shape',     k1,    k2,"
+        " 3, 'stopword_floor', k2,    k3,"
+        " 4, 'repetition',     k3,    k4,"
+        " 5, 'exact_dedup',    k4,    k5"
+        ") AS (stage, stage_name, n_in, n_kept)"
+    ).selectExpr(
+        "stage", "stage_name", "CAST(n_in AS BIGINT) AS n_in",
+        "CAST(n_kept AS BIGINT) AS n_kept",
+        "CAST(n_in - n_kept AS BIGINT) AS n_dropped",
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer training: first BPE merge-pair statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+WITH wd AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+p AS (
+  SELECT UNNEST(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+  FROM wd WHERE len(w) >= 2
+),
+c AS (SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY pair),
+r AS (
+  SELECT pair, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rn
+  FROM c
+)
+SELECT pair, n_occurrences, rn FROM r WHERE rn <= 50
+""",
+    doc="First BPE merge step of tokenizer training: count every "
+    "adjacent character pair inside every word occurrence across the "
+    "corpus and rank the top 50 merge candidates (count DESC, pair ASC "
+    "total order). Pair explosion is map-side over the word stream; "
+    "the only shuffle is the groupBy on the <= 26^2 pair keys, and the "
+    "final ranking window runs over that bounded dim — at 100 TB the "
+    "corpus pass is embarrassingly parallel and the rank costs "
+    "nothing. Iterating merges (re-segment, re-count) reuses this "
+    "exact plan per round.",
+    tags=("text",),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    ex = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(words).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = ex.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 50)

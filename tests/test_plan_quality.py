@@ -275,6 +275,72 @@ def test_snapshots_dedup_is_single_window_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_sequence_packing_is_one_shard_window(spark):
+    """Packing must be per-shard: exactly ONE Exchange (the source-key
+    window), no global sort, no Python — the scale property that keeps
+    packing embarrassingly parallel across input shards."""
+    plan = _plan(spark, "sequence_packing")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(source" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dsir_single_pass_and_broadcast_weights(spark):
+    """DSIR: the 256-row weight dim must broadcast onto the word stream
+    (scoring adds no corpus shuffle) and both LMs must come from ONE
+    corpus aggregation — so the word-stream groupBy(bucket) appears once
+    in the plan, not per LM."""
+    plan = _plan(spark, "dsir_importance")
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(bucket", plan)) <= 2  # partial+final pair
+
+
+def test_funnel_is_single_pass(spark):
+    """The filter funnel computes all five gate booleans in one corpus
+    pass: only the dedup-canonicality window Exchange plus the 1-row
+    final aggregate — and the repetition gate must stay the shuffle-free
+    HOF (no per-word explode/groupBy anywhere)."""
+    plan = _plan(spark, "corpus_filter_funnel")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "EvalPython" not in plan
+    # exactly ONE Generate: the 5-row stack over the 1-row aggregate —
+    # no per-word explode (the repetition gate is the run-length HOF)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+
+
+def test_semdedup_pairs_join_on_cell(spark):
+    """SemDeDup's quadratic term must be bounded by the k-means cell:
+    the pair join is an equi-join carrying cid (never a cross), the
+    assignment is literal column math (no Python), and the keep-rule
+    join broadcasts."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # formatted plans list join keys in the details section ("Left keys")
+    assert re.search(r"Left keys \[\d+\]: \[cid", plan), (
+        "pair join lost its cid equi-key"
+    )
+
+
+def test_bpe_pair_rank_over_bounded_dim(spark):
+    """Pair counting shuffles only the <=26^2 digram keys: one hash
+    Exchange for the count, one single-partition Exchange for the rank
+    window over the bounded dim — nothing else, no Python."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "EvalPython" not in plan
+
+
+def test_corpus_survivors_reuses_audited_shapes(spark):
+    """The end-to-end dedup plan must stay Python-free and keep the
+    bucket-cap predicate from the LSH stage (the quadratic bound) in the
+    composed plan."""
+    plan = _plan(spark, "dedup_corpus_survivors")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cluster_trace_decode_is_native_and_broadcast(spark):
     """F4 via the driver gate: the storage-key dim joins broadcast, the
     AccountInfo decode is pure native expressions (no Python anywhere),
