@@ -326,3 +326,77 @@ def users_table(accounts: DataFrame, ss58_prefix: int = 0) -> DataFrame:
         F.concat(F.lit("0x"), F.substring(pk, 3, 40)).alias("evm_address"),
         pk.alias("account_pubkey"),
     )
+
+
+def users_tags_table(transfers: DataFrame, labels: DataFrame) -> DataFrame:
+    """The full_users attribution table (``dump_users_tags``,
+    substrateetl.js:603-637): who funded every account, and from where.
+
+    Stages (exactly the reference's CTE chain, Spark-first):
+
+    1. pair rollup — transfers grouped by (from_pub_key, to_pub_key):
+       exact-decimal amount sum, transfer count, min extrinsic_id, min ts;
+    2. label decoration — the known-accounts dim (exchanges/knownpubs)
+       joins onto the SENDER. The dim is filtered to non-Scam accounts
+       BEFORE the join (the reference expresses this as a WHERE after its
+       LEFT JOIN, which silently collapses it to an inner join and
+       defeats its own ifNull(label,'other'); filtering the dim pre-join
+       preserves the published intent — unlabeled senders attribute as
+       'other'). Dim-sized → broadcast, the fact never reshuffles;
+    3. first attribution — the reference's min(concat(ts, '_',
+       extrinsic_id, '_', sender, '_', label)) trick, with the timestamp
+       zero-padded so string order == numeric order;
+    4. user rollup — sorted distinct label array, decimal amount /
+       count sums, and the attribution key split back into its four
+       first_transfer_* fields.
+
+    Transfers needs (from_pub_key, to_pub_key, amount, extrinsic_id, ts);
+    labels needs (address_pubkey, address_label, account_type) — the
+    schema/knownpubs.json contract."""
+    pairs = transfers.groupBy("from_pub_key", "to_pub_key").agg(
+        F.sum(F.col("amount").cast("decimal(38,10)")).alias("amount"),
+        F.count(F.lit(1)).alias("transfer_cnt"),
+        F.min("extrinsic_id").alias("extrinsic_id"),
+        F.min("ts").alias("ts"),
+    )
+    dim = labels.where(F.col("account_type") != "Scams").select(
+        F.col("address_pubkey").alias("from_pub_key"),
+        F.col("address_label").alias("known_label"),
+    )
+    outgoing = pairs.join(F.broadcast(dim), "from_pub_key", "left").select(
+        F.col("to_pub_key").alias("user_pubkey"),
+        F.coalesce(F.col("known_label"), F.lit("other")).alias("known_label"),
+        "from_pub_key",
+        "extrinsic_id",
+        "transfer_cnt",
+        "amount",
+        "ts",
+    )
+    attribution = F.concat_ws(
+        "_",
+        F.lpad(F.unix_timestamp("ts").cast("string"), 20, "0"),
+        "extrinsic_id",
+        "from_pub_key",
+        "known_label",
+    )
+    rolled = outgoing.groupBy("user_pubkey").agg(
+        # serialized (not a raw array) so the driver's value-hash and the
+        # DuckDB oracle canonicalize identically
+        F.array_join(F.sort_array(F.collect_set("known_label")), ",").alias(
+            "known_labels"
+        ),
+        F.sum("amount").alias("amount"),
+        F.sum("transfer_cnt").alias("transfer_cnt"),
+        F.min(attribution).alias("attribution"),
+    )
+    part = F.split(F.col("attribution"), "_")
+    return rolled.select(
+        "user_pubkey",
+        "known_labels",
+        F.col("amount").cast("string").cast("double").alias("amount"),
+        "transfer_cnt",
+        part.getItem(0).cast("bigint").cast("string").alias("first_transfer_ts"),
+        part.getItem(1).alias("first_transfer_extrinsic_id"),
+        part.getItem(2).alias("first_transfer_sender_pub_key"),
+        part.getItem(3).alias("first_transfer"),
+    )

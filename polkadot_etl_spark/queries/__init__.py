@@ -41,7 +41,9 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "embedding_bucket_stats",
+    # embedding_bucket_stats: green r2+r3, demoted in r4 for
+    # users_tags_attribution (similarity surface still repped by the two
+    # ANN queries + semdedup_prune)
     "lsh_dropped_buckets",
     # round-4 corpus ops (first driver window)
     "semdedup_prune",
@@ -120,6 +122,8 @@ _PRIORITY: list[str] = [
     "snapshots_pricefeed",
     # round-3 TPC-H completion rep kept in window
     "tpch_q21_waiting_suppliers",
+    # round-4 reference-parity addition (dump_users_tags full_users)
+    "users_tags_attribution",
 ]
 
 

@@ -2163,3 +2163,101 @@ def snapshots_staking_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps.select(
         *[s_ts(c).alias(c) if c == "ts" else F.col(c) for c in snaps.columns]
     )
+
+
+@query(
+    "users_tags_attribution",
+    oracle="""
+WITH t AS (
+  SELECT '0x' || lpad(CAST(l_suppkey AS VARCHAR), 64, '0') AS from_pub_key,
+         '0x' || lpad(CAST(o_custkey AS VARCHAR), 64, '0') AS to_pub_key,
+         l_extendedprice AS amount,
+         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           AS extrinsic_id,
+         o_orderdate AS ts
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+lab AS (
+  SELECT '0x' || lpad(CAST(s_suppkey AS VARCHAR), 64, '0') AS address_pubkey,
+         'EX' || CAST(s_suppkey % 12 AS VARCHAR) AS address_label,
+         CASE WHEN s_suppkey % 9 = 0 THEN 'Scams' ELSE 'Exchange' END
+           AS account_type
+  FROM supplier WHERE s_suppkey % 4 <> 1
+),
+pairs AS (
+  SELECT from_pub_key, to_pub_key,
+         SUM(CAST(amount AS DECIMAL(38,10))) AS amount,
+         COUNT(*) AS transfer_cnt,
+         MIN(extrinsic_id) AS extrinsic_id,
+         MIN(ts) AS ts
+  FROM t GROUP BY 1, 2
+),
+outgoing AS (
+  SELECT p.to_pub_key AS user_pubkey,
+         COALESCE(l.address_label, 'other') AS known_label,
+         p.from_pub_key, p.extrinsic_id, p.transfer_cnt, p.amount, p.ts
+  FROM pairs p
+  LEFT JOIN (SELECT * FROM lab WHERE account_type <> 'Scams') l
+    ON l.address_pubkey = p.from_pub_key
+),
+rolled AS (
+  SELECT user_pubkey,
+         array_to_string(list_sort(list(DISTINCT known_label)), ',') AS known_labels,
+         SUM(amount) AS amount,
+         CAST(SUM(transfer_cnt) AS BIGINT) AS transfer_cnt,
+         MIN(lpad(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR), 20, '0')
+             || '_' || extrinsic_id || '_' || from_pub_key || '_' || known_label)
+           AS attribution
+  FROM outgoing GROUP BY user_pubkey
+)
+SELECT user_pubkey, known_labels,
+       CAST(CAST(amount AS VARCHAR) AS DOUBLE) AS amount,
+       transfer_cnt,
+       CAST(CAST(string_split(attribution, '_')[1] AS BIGINT) AS VARCHAR)
+         AS first_transfer_ts,
+       string_split(attribution, '_')[2] AS first_transfer_extrinsic_id,
+       string_split(attribution, '_')[3] AS first_transfer_sender_pub_key,
+       string_split(attribution, '_')[4] AS first_transfer
+FROM rolled
+""",
+    doc="The full_users attribution table — dump_users_tags "
+    "(substrateetl.js:603-637, knownpubs/exchanges branches; dim "
+    "contract schema/knownpubs.json): transfer pair rollup, sender "
+    "label decoration ('other' when unlabeled, Scam senders excluded "
+    "from the dim BEFORE the left join — the reference's post-join "
+    "WHERE collapses its own LEFT JOIN), min-concat first-funder "
+    "attribution with zero-padded timestamps, per-user label-set / "
+    "amount / count rollup, attribution split back into the four "
+    "first_transfer_* fields. Two shuffles total (pair key, user key); "
+    "the label dim broadcasts; amounts are exact decimal sums. Bronze "
+    "synthesized from lineitem x orders (sender = supplier pubkey, "
+    "receiver = customer pubkey); real pipeline: "
+    "plans/feeds.py users_tags_table.",
+    tags=("join", "agg", "pipeline"),
+)
+def users_tags_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.feeds import users_tags_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    transfers = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        _pk(F.col("l_suppkey")).alias("from_pub_key"),
+        _pk(F.col("o_custkey")).alias("to_pub_key"),
+        F.col("l_extendedprice").alias("amount"),
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("extrinsic_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    labels = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 4 != 1)
+        .select(
+            _pk(F.col("s_suppkey")).alias("address_pubkey"),
+            F.concat(F.lit("EX"), (F.col("s_suppkey") % 12).cast("string")).alias(
+                "address_label"
+            ),
+            F.when(F.col("s_suppkey") % 9 == 0, "Scams")
+            .otherwise("Exchange")
+            .alias("account_type"),
+        )
+    )
+    return users_tags_table(transfers, labels)

@@ -341,6 +341,16 @@ def test_corpus_survivors_reuses_audited_shapes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_users_tags_label_dim_broadcasts(spark):
+    """The knownpubs label dim must broadcast onto the pair rollup (the
+    fact side never reshuffles for decoration) and the whole attribution
+    pipeline stays Python-free with no cartesian shapes."""
+    plan = _plan(spark, "users_tags_attribution")
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cluster_trace_decode_is_native_and_broadcast(spark):
     """F4 via the driver gate: the storage-key dim joins broadcast, the
     AccountInfo decode is pure native expressions (no Python anywhere),

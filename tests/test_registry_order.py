@@ -37,6 +37,7 @@ _DEMOTED_GREEN = {
     "text_quality",
     "token_counts",
     "doc_fingerprint",
+    "embedding_bucket_stats",  # r2+r3 green; slot went to users_tags_attribution
 }
 
 
