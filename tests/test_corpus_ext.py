@@ -1,0 +1,149 @@
+"""Semantic invariants for the second-tier corpus ops — properties the
+row-hash oracle gate can't express (cross-row consistency, conservation
+laws, independent recomputation in plain Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from polkadot_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_sequence_packing_conserves_tokens_and_is_contiguous(spark):
+    """Within each shard: offsets are exactly the running token sum (no
+    gaps, no overlaps), chunk spans are consistent, and the total token
+    count is conserved."""
+    pdf = (
+        QUERIES["sequence_packing"]
+        .build(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    C = 256
+    for _, grp in pdf.groupby("source"):
+        expected_start = 0
+        for row in grp.itertuples():
+            assert row.start_offset == expected_start
+            expected_start += row.n_tokens
+            end = row.start_offset + row.n_tokens - 1
+            assert row.chunk_first == row.start_offset // C
+            assert row.chunk_last == end // C
+            assert row.n_chunks == row.chunk_last - row.chunk_first + 1 >= 1
+    assert pdf.n_tokens.sum() > 0
+
+
+def test_corpus_survivors_keep_exactly_min_per_cluster(spark):
+    """Every cluster keeps exactly one doc — its min id — and the roster
+    covers the whole corpus exactly once."""
+    pdf = QUERIES["dedup_corpus_survivors"].build(spark, SF_DIR).toPandas()
+    assert pdf.doc_id.is_unique
+    for cid, grp in pdf.groupby("cluster_id"):
+        kept = grp[grp.is_kept]
+        assert len(kept) == 1, f"cluster {cid} kept {len(kept)}"
+        assert kept.doc_id.iloc[0] == grp.doc_id.min() == cid
+        assert (grp.cluster_size == len(grp)).all()
+
+
+def test_semdedup_drop_rule(spark):
+    """A vector is dropped iff some LOWER-id vector in the same cell has
+    rounded cosine >= the threshold — recomputed independently in numpy
+    from the raw embeddings + the query's own cell assignment."""
+    from polkadot_etl_spark.sources.tables import load_table
+
+    pdf = QUERIES["semdedup_prune"].build(spark, SF_DIR).toPandas()
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for r in pdf.itertuples():
+        by_cell.setdefault(r.cid, []).append(r.vec_id)
+    expect_dropped = set()
+    for members in by_cell.values():
+        members.sort()
+        for i, b in enumerate(members):
+            for a in members[:i]:
+                va, vb = emb[a], emb[b]
+                cos = float(va @ vb) / np.sqrt(float(va @ va) * float(vb @ vb))
+                if round(cos, 6) >= 0.3:
+                    expect_dropped.add(b)
+                    break
+    got_dropped = set(pdf[pdf.is_dropped].vec_id)
+    assert got_dropped == expect_dropped
+    # cells of size 1 can never drop
+    singles = {m[0] for m in by_cell.values() if len(m) == 1}
+    assert not (singles & got_dropped)
+
+
+def test_dsir_importance_is_finite_and_word_counted(spark):
+    """Importance weights are finite, word counts match an independent
+    recount, and docs sharing the exact same text get the same weight."""
+    import re
+
+    from polkadot_etl_spark.sources.tables import load_table
+
+    pdf = QUERIES["dsir_importance"].build(spark, SF_DIR).toPandas()
+    assert np.isfinite(pdf.importance).all()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in pdf.sample(n=min(25, len(pdf)), random_state=7).itertuples():
+        assert r.n_words == len(re.findall(r"[a-z]+", texts[r.doc_id].lower()))
+    by_text: dict[str, set[float]] = {}
+    for r in pdf.itertuples():
+        by_text.setdefault(texts[r.doc_id], set()).add(r.importance)
+    for t, vals in by_text.items():
+        assert len(vals) == 1, f"same text, different importance: {vals}"
+
+
+def test_filter_funnel_is_a_cascade(spark):
+    """Stage arithmetic: n_in(1) = corpus size, n_in(i+1) = n_kept(i),
+    kept <= in everywhere, and dropped = in - kept."""
+    from polkadot_etl_spark.sources.tables import load_table
+
+    pdf = (
+        QUERIES["corpus_filter_funnel"].build(spark, SF_DIR).toPandas().sort_values("stage")
+    )
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert list(pdf.stage) == [1, 2, 3, 4, 5]
+    assert pdf.n_in.iloc[0] == n_docs
+    for i in range(len(pdf) - 1):
+        assert pdf.n_in.iloc[i + 1] == pdf.n_kept.iloc[i]
+    assert (pdf.n_kept <= pdf.n_in).all()
+    assert (pdf.n_dropped == pdf.n_in - pdf.n_kept).all()
+    assert pdf.n_kept.iloc[-1] > 0, "funnel filtered out the whole corpus"
+
+
+def test_bpe_top_pair_matches_python_recount(spark):
+    """The #1 merge candidate equals a from-scratch Python recount over
+    the same corpus."""
+    import re
+    from collections import Counter
+
+    from polkadot_etl_spark.sources.tables import load_table
+
+    pdf = QUERIES["bpe_pair_counts"].build(spark, SF_DIR).toPandas()
+    counts: Counter[str] = Counter()
+    for r in load_table(spark, SF_DIR, "documents").collect():
+        for w in re.findall(r"[a-z]+", r["text"].lower()):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    top_pair, top_n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    head = pdf[pdf.rn == 1].iloc[0]
+    assert (head["pair"], head["n_occurrences"]) == (top_pair, top_n)
+    assert list(pdf.rn) == list(range(1, len(pdf) + 1))
+
+
+def test_users_tags_scam_senders_attribute_as_other(spark):
+    """Senders whose label row is Scam-typed (or absent) must attribute
+    as 'other' — the label never leaks through the pre-join filter."""
+    pdf = QUERIES["users_tags_attribution"].build(spark, SF_DIR).toPandas()
+    for r in pdf.itertuples():
+        suppkey = int(r.first_transfer_sender_pub_key[2:], 16)
+        if suppkey % 4 == 1 or suppkey % 9 == 0:  # unlabeled or Scams
+            assert r.first_transfer == "other", r
+        else:
+            assert r.first_transfer == f"EX{suppkey % 12}", r
+        assert r.transfer_cnt > 0 and "_" not in r.user_pubkey
