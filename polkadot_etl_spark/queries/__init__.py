@@ -35,11 +35,13 @@ _PRIORITY: list[str] = [
     # are driver-green in BOTH r2 and r3 and are demoted (still locally
     # oracle-verified every session) to give the six NEW corpus ops
     # (queries/corpus_ext.py, below) their first driver row.
-    "dedup_exact",
+    # dedup_exact: green r2+r3, demoted in r4 (exact-dedup semantics stay
+    # in-window via corpus_filter_funnel stage 5 + dedup_corpus_survivors)
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
+    # ann_cosine_topk: green r2+r3, demoted in r4 (ANN repped by
+    # ann_lsh_bucketed — the scale path — plus semdedup_prune)
     "ann_lsh_bucketed",
     # embedding_bucket_stats: green r2+r3, demoted in r4 for
     # users_tags_attribution (similarity surface still repped by the two
@@ -52,6 +54,8 @@ _PRIORITY: list[str] = [
     "dsir_importance",
     "corpus_filter_funnel",
     "bpe_pair_counts",
+    "unigram_perplexity",
+    "split_leakage_audit",
     "dedup_clusters",
     "train_val_split",
     "benchmark_contamination",

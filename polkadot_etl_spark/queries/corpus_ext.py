@@ -2,7 +2,8 @@
 graded first-class per the brief): SemDeDup-style semantic pruning,
 end-to-end fuzzy-dedup corpus materialization, concat-and-chunk sequence
 packing, DSIR-style importance weighting, a filter-funnel accounting
-table, and the first BPE merge-pair count of tokenizer training.
+table, the first BPE merge-pair count of tokenizer training, CCNet-style
+unigram perplexity + OOV scoring, and a train->eval split leakage audit.
 
 Same determinism contract as queries/llmdata.py: md5 for all hashing,
 fold-left double arithmetic matched between engines, explicit rounding
@@ -616,3 +617,175 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
     return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 50)
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity scoring + OOV rate
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 200  # "known vocabulary" = top-K corpus words
+
+
+@query(
+    "unigram_perplexity",
+    oracle=f"""
+WITH wd AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM wd GROUP BY w),
+dim AS (
+  SELECT w, c, SUM(c) OVER () AS tot,
+         ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rnk
+  FROM cnt
+),
+wt AS (
+  SELECT w,
+         CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+              AS DECIMAL(12,6)) AS logp,
+         rnk <= {VOCAB_TOP_K} AS in_vocab
+  FROM dim
+),
+perdoc AS (
+  SELECT wd.doc_id, COUNT(*) AS n_words,
+         SUM(wt.logp) AS slogp,
+         COUNT(CASE WHEN NOT wt.in_vocab THEN 1 END) AS n_oov
+  FROM wd JOIN wt ON wd.w = wt.w
+  GROUP BY wd.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       ROUND(-CAST(COALESCE(p.slogp, 0) AS DOUBLE)
+             / CAST(GREATEST(COALESCE(p.n_words, 0), 1) AS DOUBLE), 6)
+         AS cross_entropy,
+       ROUND(CAST(COALESCE(p.n_oov, 0) AS DOUBLE)
+             / CAST(GREATEST(COALESCE(p.n_words, 0), 1) AS DOUBLE), 6)
+         AS oov_rate
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+""",
+    doc="CCNet-style language-model quality scoring (Wenzek et al. 2020: "
+    "bucket a crawl by LM perplexity; RedPajama/Gopher use the same "
+    "signal): per-doc cross-entropy under the corpus unigram LM "
+    "(-mean log p(w), the SQL-expressible stand-in for the KenLM "
+    "5-gram) plus OOV rate against the top-"
+    f"{VOCAB_TOP_K}"
+    " corpus vocabulary — the two columns a perplexity filter "
+    "thresholds on. The LM dim is one corpus word-count aggregate; "
+    "per-word log-probs are rounded to 6 dp and summed as exact "
+    "DECIMALs (order-independent), with ONE IEEE division per doc at "
+    "the end. At 100 TB the word dim is ~millions of rows — still a "
+    "broadcast candidate, with the md5-bucket fallback (dsir_importance) "
+    "when it is not.",
+    tags=("text", "filter"),
+)
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    wd = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(words).alias("w")
+    )
+    cnt = wd.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    rnk = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    dim = cnt.select(
+        "w",
+        F.round(
+            F.log(F.col("c").cast("double") / F.sum("c").over(wall).cast("double")), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("logp"),
+        (F.row_number().over(rnk) <= VOCAB_TOP_K).alias("in_vocab"),
+    )
+    perdoc = (
+        wd.join(F.broadcast(dim), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("logp").alias("slogp"),
+            F.count(F.when(~F.col("in_vocab"), 1)).alias("n_oov"),
+        )
+    )
+    nz = F.greatest(F.coalesce(F.col("n_words"), F.lit(0)), F.lit(1)).cast("double")
+    return d.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.round(-F.coalesce(F.col("slogp"), F.lit(0)).cast("double") / nz, 6).alias(
+            "cross_entropy"
+        ),
+        F.round(F.coalesce(F.col("n_oov"), F.lit(0)).cast("double") / nz, 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Split leakage audit (train -> val/test contamination inside the corpus)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+w AS (SELECT doc_id, split, string_split(text, ' ') AS words FROM assigned),
+g AS (
+  SELECT DISTINCT split, md5(array_to_string(words[i:i+4], ' ')) AS gram_hash
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i)
+),
+tr AS (SELECT gram_hash FROM g WHERE split = 'train'),
+ev AS (SELECT split, gram_hash FROM g WHERE split <> 'train')
+SELECT ev.split,
+       COUNT(*) AS n_grams,
+       COUNT(tr.gram_hash) AS n_leaked,
+       ROUND(CAST(COUNT(tr.gram_hash) AS DOUBLE) / COUNT(*), 6) AS leak_rate
+FROM ev LEFT JOIN tr ON tr.gram_hash = ev.gram_hash
+GROUP BY ev.split
+""",
+    doc="Train→eval leakage audit — the decontamination check applied to "
+    "the corpus's OWN splits (the benchmark_contamination op pointed "
+    "inward): for every held-out split, the fraction of its distinct "
+    "word-5-grams that also appear in train. Splits use "
+    "train_val_split's md5-range rule, grams the passage_dedup 5-gram "
+    "hash. The only shuffles are the distinct-(split, gram) aggregate "
+    "and the gram-hash-keyed left join — co-partitioned 16-byte keys, "
+    "never raw text, and NO broadcast: at 100 TB the train gram set is "
+    "corpus-sized, so this join must stay shuffle-keyed (contrast with "
+    "benchmark_contamination, where the benchmark side is small by "
+    "definition).",
+    tags=("dedup", "sampling", "metric"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 4),
+            lambda i: F.md5(F.array_join(F.slice(words, i, 5), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(split.alias("split"), F.explode(grams).alias("gram_hash"))
+        .distinct()
+    )
+    tr = g.where(F.col("split") == "train").select(
+        F.col("gram_hash").alias("tr_hash")
+    )
+    ev = g.where(F.col("split") != "train")
+    j = ev.join(tr, ev.gram_hash == tr.tr_hash, "left")
+    return j.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("tr_hash").alias("n_leaked"),
+        F.round(F.count("tr_hash").cast("double") / F.count(F.lit(1)), 6).alias(
+            "leak_rate"
+        ),
+    )

@@ -147,3 +147,44 @@ def test_users_tags_scam_senders_attribute_as_other(spark):
         else:
             assert r.first_transfer == f"EX{suppkey % 12}", r
         assert r.transfer_cnt > 0 and "_" not in r.user_pubkey
+
+
+def test_perplexity_tracks_word_rarity(spark):
+    """Independent recomputation: per-doc cross-entropy from a Python
+    corpus count must match the query to 1e-5, and OOV rate must be the
+    fraction of words outside the top-200 vocabulary."""
+    import math
+    import re
+    from collections import Counter
+
+    from polkadot_etl_spark.sources.tables import load_table
+
+    pdf = QUERIES["unigram_perplexity"].build(spark, SF_DIR).toPandas()
+    docs = {
+        r["doc_id"]: re.findall(r"[a-z]+", r["text"].lower())
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    counts = Counter(w for ws in docs.values() for w in ws)
+    tot = sum(counts.values())
+    vocab = {
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    }
+    for r in pdf.sample(n=min(30, len(pdf)), random_state=3).itertuples():
+        ws = docs[r.doc_id]
+        if not ws:
+            assert r.cross_entropy == 0 and r.oov_rate == 0
+            continue
+        h = -sum(round(math.log(counts[w] / tot), 6) for w in ws) / len(ws)
+        assert abs(r.cross_entropy - h) < 1e-5, r.doc_id
+        oov = sum(1 for w in ws if w not in vocab) / len(ws)
+        assert abs(r.oov_rate - oov) < 1e-5, r.doc_id
+
+
+def test_split_leakage_bounds_and_coverage(spark):
+    """Both held-out splits report, rates are in [0, 1], and n_leaked
+    can never exceed n_grams."""
+    pdf = QUERIES["split_leakage_audit"].build(spark, SF_DIR).toPandas()
+    assert set(pdf.split) == {"val", "test"}
+    assert (pdf.n_leaked <= pdf.n_grams).all()
+    assert ((pdf.leak_rate >= 0) & (pdf.leak_rate <= 1)).all()
+    assert (pdf.n_grams > 0).all()

@@ -341,6 +341,25 @@ def test_corpus_survivors_reuses_audited_shapes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_perplexity_lm_dim_broadcasts(spark):
+    """The unigram-LM dim must broadcast onto the word stream (scoring
+    adds no corpus shuffle) and the whole plan stays Python-free."""
+    plan = _plan(spark, "unigram_perplexity")
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert "EvalPython" not in plan
+
+
+def test_split_leakage_is_hash_keyed(spark):
+    """Leakage audit: gram text never crosses the wire (join keys are the
+    16-byte md5 column), no Python, no cartesian shapes. Join strategy is
+    deliberately left to size estimates — broadcast at toy SF, shuffle
+    SMJ at corpus scale."""
+    plan = _plan(spark, "split_leakage_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "gram_hash" in plan
+
+
 def test_users_tags_label_dim_broadcasts(spark):
     """The knownpubs label dim must broadcast onto the pair rollup (the
     fact side never reshuffles for decoration) and the whole attribution

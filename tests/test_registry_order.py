@@ -38,6 +38,8 @@ _DEMOTED_GREEN = {
     "token_counts",
     "doc_fingerprint",
     "embedding_bucket_stats",  # r2+r3 green; slot went to users_tags_attribution
+    "dedup_exact",  # r2+r3 green; slot went to unigram_perplexity
+    "ann_cosine_topk",  # r2+r3 green; slot went to split_leakage_audit
 }
 
 
