@@ -38,7 +38,9 @@ _PRIORITY: list[str] = [
     # dedup_exact: green r2+r3, demoted in r4 (exact-dedup semantics stay
     # in-window via corpus_filter_funnel stage 5 + dedup_corpus_survivors)
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard: green r2+r3, demoted in r4 — its FULL pipeline
+    # (signatures -> capped buckets -> Jaccard verify) re-runs inside
+    # dedup_corpus_survivors' composed plan every round
     "dedup_embedding_cosine",
     # ann_cosine_topk: green r2+r3, demoted in r4 (ANN repped by
     # ann_lsh_bucketed — the scale path — plus semdedup_prune)
@@ -56,6 +58,7 @@ _PRIORITY: list[str] = [
     "bpe_pair_counts",
     "unigram_perplexity",
     "split_leakage_audit",
+    "mixture_weights",
     "dedup_clusters",
     "train_val_split",
     "benchmark_contamination",

@@ -789,3 +789,82 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-mixture weighting (temperature-scaled source sampling)
+# --------------------------------------------------------------------------
+
+MIX_BUDGET = 1_000_000_000  # token budget the mixture is solved for
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sw,
+         SUM(CAST(n_tokens AS HUGEINT)) OVER () AS tot,
+         SUM(CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)))
+           OVER () AS stot
+  FROM t
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS raw_share,
+       ROUND(CAST(sw AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS weight,
+       ROUND(CAST(sw AS DOUBLE) / CAST(stot AS DOUBLE) * {MIX_BUDGET}
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM w
+""",
+    doc="Data-mixture weighting — the sampling-temperature step every "
+    "multi-source pretraining run solves (GPT-3's hand-set mixture, "
+    "DoReMi's learned one; tau=2 temperature smoothing here, i.e. "
+    "weight proportional to sqrt(tokens)): per-source doc/token counts, raw "
+    "natural share, smoothed sampling weight, and the implied epoch "
+    "count (repeat rate) of each source at a fixed "
+    f"{MIX_BUDGET:,}"
+    "-token budget — the number a curator checks against the "
+    "4-epochs-max repetition rule of Muennighoff et al. 2023. One "
+    "groupBy(source) over the corpus with map-side partials; the "
+    "window totals run over the source-count-sized dim. sqrt values "
+    "are rounded to 6 dp and summed as DECIMALs so the normalizer is "
+    "order-independent across engines and partitionings.",
+    tags=("sampling", "metric"),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+    )
+    sw = F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(18,6)")
+    wall = Window.partitionBy()
+    w = t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        sw.alias("sw"),
+        F.sum("n_tokens").over(wall).alias("tot"),
+        F.sum(sw).over(wall).alias("stot"),
+    )
+    weight = F.col("sw").cast("double") / F.col("stot").cast("double")
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "raw_share"
+        ),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * MIX_BUDGET / F.col("n_tokens").cast("double"), 6).alias(
+            "epochs"
+        ),
+    )

@@ -188,3 +188,21 @@ def test_split_leakage_bounds_and_coverage(spark):
     assert (pdf.n_leaked <= pdf.n_grams).all()
     assert ((pdf.leak_rate >= 0) & (pdf.leak_rate <= 1)).all()
     assert (pdf.n_grams > 0).all()
+
+
+def test_mixture_weights_normalize_and_smooth(spark):
+    """Weights and raw shares each sum to ~1; temperature smoothing must
+    COMPRESS the mixture (max weight <= max raw share, min weight >= min
+    raw share) while preserving the source ordering; epochs are the
+    budget identity."""
+    pdf = QUERIES["mixture_weights"].build(spark, SF_DIR).toPandas()
+    assert abs(pdf.weight.sum() - 1) < 1e-4
+    assert abs(pdf.raw_share.sum() - 1) < 1e-4
+    assert pdf.weight.max() <= pdf.raw_share.max() + 1e-9
+    assert pdf.weight.min() >= pdf.raw_share.min() - 1e-9
+    by_tokens = pdf.sort_values(["n_tokens", "source"])
+    assert list(by_tokens.weight) == sorted(by_tokens.weight)
+    for r in pdf.itertuples():
+        # epochs derives from the UNROUNDED weight; compare relatively
+        expected = r.weight * 1_000_000_000 / r.n_tokens
+        assert abs(r.epochs - expected) / expected < 1e-4

@@ -40,6 +40,7 @@ _DEMOTED_GREEN = {
     "embedding_bucket_stats",  # r2+r3 green; slot went to users_tags_attribution
     "dedup_exact",  # r2+r3 green; slot went to unigram_perplexity
     "ann_cosine_topk",  # r2+r3 green; slot went to split_leakage_audit
+    "dedup_ngram_jaccard",  # r2+r3 green; re-runs inside dedup_corpus_survivors
 }
 
 
