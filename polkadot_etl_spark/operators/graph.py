@@ -80,6 +80,93 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components: not converged after {max_iter} rounds — "
-        "raise max_iter (or switch to large-star/small-star for "
+        "raise max_iter (or switch to connected_components_star for "
         "high-diameter graphs)"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — the
+    giant-component / high-diameter escape hatch for min-label
+    propagation: propagation needs O(diameter) rounds (a 10^6-node chain
+    is 10^6 shuffles), star contraction converges in O(log^2 n) rounds
+    on ANY topology because each round rewires every node toward its
+    neighborhood minimum, halving tree heights instead of walking them.
+
+    Per round, over the current rooted-tree edge set (u, v):
+    - large-star: for every node u, connect every STRICTLY LARGER
+      neighbor v to m = min(neighborhood(u) ∪ {u});
+    - small-star: for every node u, connect every not-larger neighbor
+      (and u itself) to m.
+
+    Both steps are the same plan shape as one propagation round: a
+    groupBy(node) min-aggregate plus a co-partitioned join of the edge
+    stream back onto that min — per-key state stays O(1) (a collect_set
+    of neighborhoods would concentrate the whole component on its root
+    node in late rounds, the degenerate-hot-key shape this repo bans).
+    Fixpoint: the edge set is a star forest (every node points directly
+    at its component minimum). Output matches connected_components
+    exactly: (node, component = min node id).
+
+    Same no-silent-caps rule: raises if not converged after max_iter
+    alternations."""
+    ab = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # canonical undirected edge set, self-loops dropped
+    cur = (
+        ab.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # symmetric edge stream (center, member) + per-center min; the
+        # join back is co-partitioned on the center key (same key as the
+        # aggregate, so the exchange is reused), per-key state O(1)
+        sym = e.select(F.col("u").alias("c"), F.col("v").alias("m")).unionByName(
+            e.select(F.col("v").alias("c"), F.col("u").alias("m"))
+        )
+        mins = sym.groupBy("c").agg(F.min("m").alias("nbr_min"))
+        root = F.least(F.col("c"), F.col("nbr_min"))
+        j = sym.join(mins, "c")
+        if large:
+            # strictly larger neighbors re-point at the neighborhood min
+            out = j.where(F.col("m") > F.col("c")).select(
+                root.alias("r"), F.col("m").alias("n")
+            )
+        else:
+            # u and its not-larger neighbors point at the min
+            out = j.where(F.col("m") <= F.col("c")).select(
+                root.alias("r"), F.col("m").alias("n")
+            ).unionByName(mins.select(root.alias("r"), F.col("c").alias("n")))
+        return (
+            out.where(F.col("r") != F.col("n"))
+            .select(F.least("r", "n").alias("u"), F.greatest("r", "n").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        # fixpoint = star forest: every edge already joins a node to the
+        # component min, so one more large-star pass changes nothing
+        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+            comp = nxt.select(F.col("v").alias("node"), F.col("u").alias("component"))
+            return nodes.join(comp, "node", "left").select(
+                "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+            )
+        cur = nxt
+    raise RuntimeError(
+        f"connected_components_star: not converged after {max_iter} rounds"
     )

@@ -1824,6 +1824,49 @@ class TestConnectedComponents:
         with _pytest.raises(RuntimeError, match="not converged"):
             connected_components(edges, max_iter=2)
 
+    def test_star_matches_propagation_on_random_graph(self, spark):
+        """large-star/small-star must produce byte-identical components
+        to min-label propagation on a messy random graph (dups, reversed
+        edges, self-loops, multiple components)."""
+        import random
+
+        from polkadot_etl_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(42)
+        raw = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        edges = spark.createDataFrame(raw, "src: long, dst: long")
+        prop = {
+            r.node: r.component
+            for r in connected_components(edges).collect()
+        }
+        star = {
+            r.node: r.component
+            for r in connected_components_star(edges).collect()
+        }
+        # propagation skips self-loop-only nodes that star keeps; compare
+        # on the common (edge-connected) node set
+        assert set(star) >= set(prop)
+        assert {n: star[n] for n in prop} == prop
+
+    def test_star_converges_on_high_diameter_chain(self, spark):
+        """The whole point of star contraction: a 64-node chain needs ~64
+        propagation rounds but must collapse within O(log^2 n) star
+        alternations — and still label everything with the chain min."""
+        from polkadot_etl_spark.operators.graph import connected_components_star
+
+        n = 64
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src: long, dst: long"
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components_star(edges, max_iter=8).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
 
 class TestDumpDayChainDispatch:
     def test_chain_id_resolves_parser_transfers(self, fx):
