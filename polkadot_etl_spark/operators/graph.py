@@ -18,9 +18,10 @@ Scale notes (100 TB):
   long before data size matters.
 - near-dup graphs are overwhelmingly tiny components (pairs/triples),
   so rounds-to-converge ≈ 3-4 in practice; max_iter bounds adversarial
-  chains. For planet-scale graphs with giant components, swap in the
-  alternating large-star/small-star variant — same join shape per
-  round, fewer rounds.
+  chains. For planet-scale graphs with giant components, use
+  ``connected_components_star`` below — alternating large-star/
+  small-star contraction, O(log^2 n) rounds on any topology
+  (cross-validated against propagation in tests/test_plans.py).
 """
 
 from __future__ import annotations

@@ -206,3 +206,22 @@ def test_mixture_weights_normalize_and_smooth(spark):
         # epochs derives from the UNROUNDED weight; compare relatively
         expected = r.weight * 1_000_000_000 / r.n_tokens
         assert abs(r.epochs - expected) / expected < 1e-4
+
+
+def test_non_utc_driver_session_still_matches_oracle(spark, oracle):
+    """The external driver builds its own SparkSession with whatever
+    timezone the host has; load_table force-resets the session tz to UTC
+    so date/epoch math keeps matching the oracle. Pin that guard by
+    running date-sensitive queries under a Los Angeles session."""
+    from tests.conftest import compare_frames
+
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        for name in ("daily_order_metrics", "ohlcv_hourly"):
+            spec = QUERIES[name]
+            spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+            spdf = spec.build(spark, SF_DIR).toPandas()
+            compare_frames(spdf, oracle.execute(spec.oracle).df(), f"{name}@LA")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
