@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from polkadot_etl_spark.queries.registry import QUERIES, query
 from polkadot_etl_spark.sources.tables import load_table
 
-SEMDEDUP_K = 8  # k-means cells (seeded, like ivf_centroid_update)
+SEMDEDUP_K = 45  # k-means cells ~ sqrt(N) (seeded, like ivf_centroid_update)
 SEMDEDUP_THR = 0.3  # cosine gate (synthetic vectors: selects top tail)
 PACK_CHUNK = 256  # context-window length in BPE-ish tokens
 DSIR_BUCKETS = 256  # hashed-unigram feature space (2 hex chars of md5)
@@ -39,39 +39,41 @@ _CN = "list_sum(list_transform(range(1, len(c_emb) + 1), i -> c_emb[i]::DOUBLE *
 
 
 def _assigned_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cid, embedding): nearest-seed-centroid assignment.
+    """(vec_id, cid, embedding, norm2): nearest-seed-centroid assignment.
 
-    Same zero-shuffle scheme as ivf_centroid_update: the k seed vectors
-    (vec_id < SEMDEDUP_K) are collected once and inlined as ONE flat
-    left-associated SQL term chain per seed (py4j-cheap, matches the
-    oracle's list_sum fold bit-for-bit), argmax via array_max over
-    (score, -cid) structs = score DESC, cid ASC.
+    ivf_centroid_update's literal-seed trick (inline every seed as a flat
+    SQL term chain) is right for k=8 but does NOT scale in k: at
+    k=45 the 45 x 64-term expression tree OOMs a default-1g driver
+    during codegen before any data moves. Here the k seed vectors stay a
+    45-row BROADCAST dim instead: one BroadcastNestedLoopJoin fans each
+    vector out to k (vec, seed) rows — the sanctioned small-side
+    broadcast cross, never a CartesianProduct — the fold-left HOF dot
+    scores each pair (bit-identical to the oracle's list_sum), and a
+    groupBy(vec_id) max(struct(score, -cid)) argmax reproduces
+    score DESC, cid ASC in one 2000-key shuffle.
+
+    The squared norm is computed ONCE per vector here — computing it per
+    PAIR inside the cell join tripled the interpreted HOF work (measured
+    14s -> ~2s at sf0.1 together with k ~ sqrt(N)).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    seeds = sorted(
-        e.where(F.col("vec_id") < SEMDEDUP_K).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
+    seeds = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("seed_cid"), F.col("embedding").alias("semb")
     )
-
-    def dot_sql(seed_vals):
-        return " + ".join(
-            f"CAST(embedding[{i}] AS DOUBLE) * CAST('{float(v)!r}' AS DOUBLE)"
-            for i, v in enumerate(seed_vals)
-        )
-
-    scores = F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('score', {dot_sql(r['embedding'])}, 'negcid', {-int(r['vec_id'])})"
-            for r in seeds
-        )
-        + ")"
+    dot = F.expr(
+        "aggregate(zip_with(embedding, semb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
     )
-    # own projection so downstream Generates never re-evaluate the k x dim
-    # score chain per element (the measured ivf pitfall, README "engine
-    # pitfalls")
-    return e.select(
-        "vec_id", (-F.array_max(scores)["negcid"]).alias("cid"), "embedding"
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        F.struct(dot.alias("score"), (-F.col("seed_cid")).alias("negcid")).alias("sc"),
+    )
+    assign = scored.groupBy("vec_id").agg((-F.max("sc")["negcid"]).alias("cid"))
+    norm = F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    return e.join(assign, "vec_id").select(
+        "vec_id", "cid", "embedding", norm.alias("norm2")
     )
 
 
@@ -91,7 +93,9 @@ assign AS (
     FROM scored) WHERE rn = 1
 ),
 a AS (
-  SELECT ass.vec_id, ass.cid, e.embedding
+  SELECT ass.vec_id, ass.cid, e.embedding,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS norm2
   FROM assign ass JOIN embeddings e USING (vec_id)
 )
 """
@@ -103,9 +107,9 @@ a AS (
 WITH {_DUCK_ASSIGN},
 pairs AS (
   SELECT y.vec_id AS vb,
-         ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS cosine
-  FROM (SELECT vec_id, cid, embedding AS q_emb FROM a) x
-  JOIN (SELECT vec_id, cid, embedding AS c_emb FROM a) y
+         ROUND({_DOT} / SQRT(x.norm2 * y.norm2), 6) AS cosine
+  FROM (SELECT vec_id, cid, norm2, embedding AS q_emb FROM a) x
+  JOIN (SELECT vec_id, cid, norm2, embedding AS c_emb FROM a) y
     ON x.cid = y.cid AND x.vec_id < y.vec_id
 ),
 dropped AS (SELECT DISTINCT vb FROM pairs WHERE cosine >= {SEMDEDUP_THR})
@@ -118,32 +122,44 @@ FROM a
     "embedding space with a seeded coarse quantizer, then WITHIN each "
     "cell drop every vector that has a sufficiently-cosine-similar "
     "earlier (lower-id) cell-mate — pairwise similarity is computed "
-    "only inside cells, never across the corpus. Assignment is the "
-    "zero-shuffle literal-seed argmax of ivf_centroid_update; the "
+    "only inside cells, never across the corpus. Assignment scores "
+    "against a broadcast seed dim with a groupBy argmax (the literal-"
+    "seed inlining of ivf_centroid_update OOMs codegen past k~10); the "
     "intra-cell pair join is an equi-join on cid, so the quadratic "
-    "term is bounded by the cell size (k ~ sqrt(N) in production keeps "
-    "cells O(sqrt(N)); here k=8 over the synthetic 512). Greedy "
-    "keep-lowest-id replaces the paper's keep-farthest-from-centroid "
-    "tie-break for cross-engine determinism.",
+    "term is bounded by the cell size — k is sized ~ sqrt(N) "
+    f"(k={SEMDEDUP_K}) exactly as the paper prescribes; k=8 measured "
+    "14s at sf0.1 because 250-vector cells put 250k pairs through the "
+    "interpreted HOF dot product. Squared norms are computed once per "
+    "VECTOR in the assignment projection, not once per pair (3 HOF "
+    "folds per pair -> 1). Greedy keep-lowest-id replaces the paper's "
+    "keep-farthest-from-centroid tie-break for cross-engine "
+    "determinism.",
     tags=("dedup", "similarity"),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = _assigned_vectors(spark, sf_dir)
-    x = a.select(F.col("vec_id").alias("vec_a"), "cid", F.col("embedding").alias("q_emb"))
+    # materialize the assignment ONCE: it feeds three consumers (both
+    # pair-join sides + the roster), and Spark would otherwise re-run
+    # the scan -> broadcast-score -> argmax subtree per consumer
+    a = _assigned_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    x = a.select(
+        F.col("vec_id").alias("vec_a"),
+        "cid",
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("qn2"),
+    )
     y = a.select(
         F.col("vec_id").alias("vec_b"),
         F.col("cid").alias("cid_b"),
         F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("cn2"),
     )
     j = x.join(y, (F.col("cid") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
     dot = F.expr(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
     )
-    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
     dropped = (
-        j.select("vec_b", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+        j.select("vec_b", F.round(dot / F.sqrt(F.col("qn2") * F.col("cn2")), 6).alias("cosine"))
         .where(F.col("cosine") >= SEMDEDUP_THR)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

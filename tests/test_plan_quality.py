@@ -311,12 +311,16 @@ def test_funnel_is_single_pass(spark):
 
 def test_semdedup_pairs_join_on_cell(spark):
     """SemDeDup's quadratic term must be bounded by the k-means cell:
-    the pair join is an equi-join carrying cid (never a cross), the
-    assignment is literal column math (no Python), and the keep-rule
-    join broadcasts."""
+    the pair join is an equi-join carrying cid, the only cross shape is
+    the k-row seed dim broadcast (BroadcastNestedLoopJoin — never a
+    shuffled CartesianProduct), and no Python anywhere."""
     plan = _plan(spark, "semdedup_prune")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+    # the assignment (seed-dim broadcast cross + argmax) is materialized
+    # once via localCheckpoint, so the visible plan reads ExistingRDD
+    # instead of re-running that subtree per consumer
+    assert "ExistingRDD" in plan
     # formatted plans list join keys in the details section ("Left keys")
     assert re.search(r"Left keys \[\d+\]: \[cid", plan), (
         "pair join lost its cid equi-key"
