@@ -4,9 +4,16 @@ SHORT final JSON line (total wall-clock only).  The full per-query map is
 written as a sidecar to BENCH_DETAIL.json next to this file — the harness
 truncates long stdout lines, so the final line must stay small.
 
-Each query is fully materialized via a count-ish action (collect on the
-already-aggregated result) so the measured time includes the whole plan,
-not just planning.
+Each query is fully materialized through the NOOP SINK
+(`df.write.format("noop")`): every output column is computed and row
+counts never cross to the driver. r1-r3 used `.count()`, which
+under-measured some queries — under a count, Catalyst legally eliminates
+projections and even joins that cannot change cardinality (measured:
+semdedup_prune's pairwise-cosine stage vanished entirely, 0.5s counted
+vs 14s real), so count-based numbers flattered exactly the expensive
+column pipelines a bench exists to watch. r4 sidecar deltas vs r3 on
+unchanged queries are therefore expected to read slightly HIGH, once,
+for queries whose output columns were previously prunable.
 
 Each query runs TWICE and the per-query sidecar records the MIN of the two
 iterations: 104 queries share one warm JVM, so single-shot timings absorb
@@ -55,12 +62,12 @@ def main() -> None:
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
-            n = spec.build(spark, sf_dir).count()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(min(times), 3)
         print(
             f"# {name}: min={per_query[name]:.3f}s "
-            f"(iters: {', '.join(f'{t:.3f}' for t in times)}) rows={n}",
+            f"(iters: {', '.join(f'{t:.3f}' for t in times)})",
             file=sys.stderr,
         )
     wall_all = round(time.perf_counter() - t_all, 3)

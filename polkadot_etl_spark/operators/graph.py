@@ -118,16 +118,19 @@ def connected_components_star(
     Same no-silent-caps rule: raises if not converged after max_iter
     alternations."""
     ab = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node roster BEFORE the self-loop filter: a node whose only edges
+    # are self-loops must still appear in the output (as its own
+    # singleton component), exactly like connected_components
+    nodes = (
+        ab.select(F.col("a").alias("node"))
+        .unionByName(ab.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # canonical undirected edge set, self-loops dropped
     cur = (
         ab.where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        cur.select(F.col("u").alias("node"))
-        .unionByName(cur.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

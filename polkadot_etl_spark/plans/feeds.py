@@ -335,7 +335,14 @@ def users_tags_table(transfers: DataFrame, labels: DataFrame) -> DataFrame:
     Stages (exactly the reference's CTE chain, Spark-first):
 
     1. pair rollup — transfers grouped by (from_pub_key, to_pub_key):
-       exact-decimal amount sum, transfer count, min extrinsic_id, min ts;
+       exact-decimal amount sum, transfer count, min extrinsic_id, min ts.
+       NOTE (reference parity, deliberate): the reference's pair CTE
+       takes ``min(extrinsic_id)`` (a LEXICOGRAPHIC string min) and
+       ``min(block_time)`` INDEPENDENTLY, so the reported
+       first_transfer_extrinsic_id can belong to a different transfer
+       than the first_transfer_ts and "100-1" sorts before "99-1" —
+       mirrored as-is because the published full_users contract is
+       defined by that SQL;
     2. label decoration — the known-accounts dim (exchanges/knownpubs)
        joins onto the SENDER. The dim is filtered to non-Scam accounts
        BEFORE the join (the reference expresses this as a WHERE after its
@@ -345,7 +352,12 @@ def users_tags_table(transfers: DataFrame, labels: DataFrame) -> DataFrame:
        'other'). Dim-sized → broadcast, the fact never reshuffles;
     3. first attribution — the reference's min(concat(ts, '_',
        extrinsic_id, '_', sender, '_', label)) trick, with the timestamp
-       zero-padded so string order == numeric order;
+       zero-padded so string order == numeric order. The codec is
+       hardened for real data: the free-text label goes LAST and the
+       split is limited to 4 parts, so labels containing '_' round-trip
+       intact, and a NULL ts/extrinsic_id nulls the whole attribution
+       (null-propagating concat, matching SQL ``||``) instead of
+       silently shifting the split indexes;
     4. user rollup — sorted distinct label array, decimal amount /
        count sums, and the attribution key split back into its four
        first_transfer_* fields.
@@ -372,12 +384,17 @@ def users_tags_table(transfers: DataFrame, labels: DataFrame) -> DataFrame:
         "amount",
         "ts",
     )
-    attribution = F.concat_ws(
-        "_",
+    # F.concat (NOT concat_ws): concat_ws skips NULL fields, which would
+    # silently shift every split index; concat nulls the whole key like
+    # the SQL || operator
+    attribution = F.concat(
         F.lpad(F.unix_timestamp("ts").cast("string"), 20, "0"),
-        "extrinsic_id",
-        "from_pub_key",
-        "known_label",
+        F.lit("_"),
+        F.col("extrinsic_id"),
+        F.lit("_"),
+        F.col("from_pub_key"),
+        F.lit("_"),
+        F.col("known_label"),
     )
     rolled = outgoing.groupBy("user_pubkey").agg(
         # serialized (not a raw array) so the driver's value-hash and the
@@ -389,7 +406,9 @@ def users_tags_table(transfers: DataFrame, labels: DataFrame) -> DataFrame:
         F.sum("transfer_cnt").alias("transfer_cnt"),
         F.min(attribution).alias("attribution"),
     )
-    part = F.split(F.col("attribution"), "_")
+    # limit=4: the free-text label is the LAST field, so labels that
+    # contain '_' (knownpubs labels are arbitrary text) survive intact
+    part = F.split(F.col("attribution"), "_", 4)
     return rolled.select(
         "user_pubkey",
         "known_labels",

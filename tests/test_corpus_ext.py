@@ -141,7 +141,9 @@ def test_users_tags_scam_senders_attribute_as_other(spark):
     as 'other' — the label never leaks through the pre-join filter."""
     pdf = QUERIES["users_tags_attribution"].build(spark, SF_DIR).toPandas()
     for r in pdf.itertuples():
-        suppkey = int(r.first_transfer_sender_pub_key[2:], 16)
+        # _pk zero-pads the DECIMAL key string (digits are valid hex, but
+        # the content is base-10)
+        suppkey = int(r.first_transfer_sender_pub_key[2:], 10)
         if suppkey % 4 == 1 or suppkey % 9 == 0:  # unlabeled or Scams
             assert r.first_transfer == "other", r
         else:

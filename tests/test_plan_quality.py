@@ -325,6 +325,17 @@ def test_semdedup_pairs_join_on_cell(spark):
     assert re.search(r"Left keys \[\d+\]: \[cid", plan), (
         "pair join lost its cid equi-key"
     )
+    # the checkpoint HIDES the assignment subtree from the query plan
+    # above, so assert its invariant directly on the pre-checkpoint
+    # frame: the seed cross must be the sanctioned small-side broadcast
+    # (BroadcastNestedLoopJoin), never a shuffled CartesianProduct
+    from polkadot_etl_spark.queries.corpus_ext import _assigned_vectors
+
+    aplan = _assigned_vectors(spark, SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", aplan, re.M)) == 1
+    assert "CartesianProduct" not in aplan
 
 
 def test_bpe_pair_rank_over_bounded_dim(spark):

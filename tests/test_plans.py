@@ -1837,6 +1837,7 @@ class TestConnectedComponents:
 
         rng = random.Random(42)
         raw = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        raw += [(61, 61), (63, 63)]  # self-loop-only nodes must survive
         edges = spark.createDataFrame(raw, "src: long, dst: long")
         prop = {
             r.node: r.component
@@ -1846,10 +1847,7 @@ class TestConnectedComponents:
             r.node: r.component
             for r in connected_components_star(edges).collect()
         }
-        # propagation skips self-loop-only nodes that star keeps; compare
-        # on the common (edge-connected) node set
-        assert set(star) >= set(prop)
-        assert {n: star[n] for n in prop} == prop
+        assert star == prop
 
     def test_star_converges_on_high_diameter_chain(self, spark):
         """The whole point of star contraction: a 64-node chain needs ~64
