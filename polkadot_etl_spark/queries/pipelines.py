@@ -525,7 +525,11 @@ def evm_transfer_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("block_time"),
         F.col("event_id").alias("block_number"),
         F.lit(None).cast("string").alias("block_hash"),
-    )
+        # ABI decode is compute-heavy and the events parquet arrives as a
+        # handful of splits; spread the decode across the executor cores
+        # and materialize the synthesized topics/data arrays once (same
+        # compact-input rule as wasm_contract_calls, measured there)
+    ).repartition(spark.sparkContext.defaultParallelism)
     t = evmtransfers_table(logs)
     return t.select(
         F.col("log_index").cast("bigint").alias("event_id"),
@@ -782,7 +786,12 @@ def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("call").alias("method"),
         params.alias("params"),
         _pk(u + 1000).alias("signer_pub_key"),
-    )
+        # compute-heavy decode over a compact parquet input: 600k rows
+        # arrive as 3 splits, so without this the JSON parse + dechex
+        # pipeline runs on 3 of 32 cores; the exchange ALSO materializes
+        # the params concat once, where the fused projection re-evaluated
+        # it per get_json_object (measured 26.7s -> ~4s at sf0.1)
+    ).repartition(spark.sparkContext.defaultParallelism)
     dim = sup.select(
         _pk(F.col("s_suppkey")).alias("address_pub_key"),
         F.concat(F.lit("0xc"), (F.col("s_suppkey") % 4).cast("string")).alias("code_hash"),
@@ -2049,7 +2058,12 @@ def cluster_trace_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("block_number"),
         key.alias("k"),
         val.alias("v"),
-    )
+        # the six u128 limb decodes are BigDecimal-heavy (~70us/row/col)
+        # and a compact orders parquet arrives as 1-2 splits — spread the
+        # decode across the executor cores (measured 24s -> ~1.5s at
+        # sf0.1); the exchange also materializes the synthesized k/v hex
+        # once instead of per decoded column
+    ).repartition(spark.sparkContext.defaultParallelism)
     dim = storage_keys_dim(
         spark,
         [("System", "Account", "AccountInfo"), ("Balances", "TotalIssuance", "u128")],
