@@ -1,6 +1,7 @@
 from polkadot_etl_spark.multimodal.media import (
     MEDIA_SCHEMA,
     byte_histogram_features,
+    decode_audio,
     decode_image,
     resize_images,
     sample_frames,
@@ -9,6 +10,7 @@ from polkadot_etl_spark.multimodal.media import (
 __all__ = [
     "MEDIA_SCHEMA",
     "byte_histogram_features",
+    "decode_audio",
     "decode_image",
     "resize_images",
     "sample_frames",

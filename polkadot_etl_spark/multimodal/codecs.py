@@ -234,6 +234,79 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, uncompressed PCM: 8-bit unsigned or 16-bit signed LE)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed PCM WAV (RIFF/WAVE container; audio format 1;
+    8-bit unsigned or 16-bit signed little-endian samples).
+
+    Returns (samples, sample_rate) where samples is int16 ndarray of shape
+    (n_frames, n_channels) — 8-bit input is re-centered to signed
+    (v - 128) so both widths share the zero-centered convention the
+    feature extractors (RMS / zero-crossing) assume.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_format}) not supported")
+    if bits not in (8, 16) or n_ch < 1:
+        raise NotImplementedError(f"{bits}-bit / {n_ch}-channel WAV not supported")
+    if block_align != n_ch * bits // 8:
+        raise ValueError("WAV block alignment inconsistent with fmt")
+    if bits == 8:
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        n = len(pcm) // 2
+        x = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.int16)
+    if x.size % n_ch:
+        raise ValueError("WAV data length not a whole number of frames")
+    return x.reshape(-1, n_ch), int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode int samples — shape (n_frames,) or (n_frames, n_channels),
+    zero-centered — as uncompressed PCM WAV (16-bit signed LE, or 8-bit
+    unsigned with the +128 re-bias)."""
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    if bits == 16:
+        pcm = x.astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = (x.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block_align = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 

@@ -19,8 +19,11 @@ Design (the 100 TB part is the plumbing, which is fully real here):
   a DCT codec is out of scope without PIL, so JPEG bytes raise
   NotImplementedError behind an import-try (swap in pillow on a cluster
   that has it).
-- audio/video remain raster/PCM-shaped raw content; frame sampling and
-  histogram features are codec-agnostic byte arithmetic.
+- AUDIO decode is REAL too: the pure-stdlib RIFF/WAV parser
+  (codecs.decode_wav — PCM 8/16-bit, any channel count) backs
+  decode_audio's feature extraction. Compressed audio (mp3/aac) and
+  video containers (mp4/h264) remain the honest ffmpeg boundary; video
+  stays raw back-to-back rasters for frame sampling.
 """
 
 from __future__ import annotations
@@ -199,6 +202,96 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, codec: str = "raw") 
             yield pd.DataFrame(rows)
 
     return media.where(media.kind == "image").mapInPandas(run, out_schema)
+
+
+def decode_audio(media: DataFrame, codec: str = "wav") -> DataFrame:
+    """BINARY → per-clip audio features via a REAL container parse: the
+    pure-stdlib RIFF/WAV codec (multimodal/codecs.py decode_wav — PCM
+    8/16-bit, any channel count) runs inside mapInPandas over Arrow
+    batches, so encoded bytes never cross the JVM→Python hop row-at-a-time.
+
+    Features are exact-integer moments over the interleaved samples
+    (values bounded by 2^15 so S2 stays far below 2^53 for any practical
+    clip): amp_mean = S1/n, rms = sqrt(S2/n) (IEEE sqrt), peak = max|x|,
+    zero_crossings = #{k : sign01(x[k]) != sign01(x[k-1])} with
+    sign01(v) := v >= 0, over the interleaved stream.  duration_sec uses
+    frames (n_samples / n_channels) / sample_rate.  Undecodable bytes
+    yield valid=false rows, never task failures.  codec="raw" treats
+    content as headerless 16-bit signed LE mono at meta.sample_rate.
+    """
+    if codec not in ("wav", "raw"):
+        raise ValueError(f"unknown audio codec {codec}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("amp_mean", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, content, meta in zip(pdf.media_id, pdf.content, pdf.meta):
+                try:
+                    if codec == "wav":
+                        frames, rate = codecs.decode_wav(bytes(content))
+                        ch = frames.shape[1]
+                    else:
+                        rate = int(meta["sample_rate"] or 0)
+                        frames = np.frombuffer(content, dtype="<i2")[:, None]
+                        ch = 1
+                    mr = meta["sample_rate"]
+                    ok = mr is None or int(mr) == rate
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "media_id": mid, "sample_rate": None, "n_channels": None,
+                            "n_samples": 0, "duration_sec": None, "amp_mean": None,
+                            "rms": None, "peak": None, "zero_crossings": 0,
+                            "valid": False,
+                        }
+                    )
+                    continue
+                x = frames.reshape(-1).astype(np.int64)  # interleaved stream
+                n = int(x.size)
+                if n:
+                    s1, s2 = int(x.sum()), int((x * x).sum())
+                    mean = s1 / n
+                    rms = math.sqrt(s2 / n)
+                    peak = int(np.abs(x).max())
+                    pos = x >= 0
+                    zc = int(np.count_nonzero(pos[1:] != pos[:-1]))
+                    dur = (n // ch) / rate if rate else None
+                else:
+                    mean = rms = dur = None
+                    peak, zc = None, 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "n_samples": n,
+                        "duration_sec": dur,
+                        "amp_mean": mean,
+                        "rms": rms,
+                        "peak": peak,
+                        "zero_crossings": zc,
+                        "valid": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.where(media.kind == "audio").mapInPandas(run, out_schema)
 
 
 def byte_histogram_features(media: DataFrame, n_bins: int = 16) -> DataFrame:

@@ -37,7 +37,9 @@ _PRIORITY: list[str] = [
     # (queries/corpus_ext.py, below) their first driver row.
     # dedup_exact: green r2+r3, demoted in r4 (exact-dedup semantics stay
     # in-window via corpus_filter_funnel stage 5 + dedup_corpus_survivors)
-    "dedup_minhash_lsh_pairs",
+    # dedup_minhash_lsh_pairs: green r2+r3, demoted mid-r4 for
+    # multimodal_audio_features — the LSH band-bucket pipeline re-runs
+    # inside dedup_corpus_survivors' composed plan every round
     # dedup_ngram_jaccard: green r2+r3, demoted in r4 — its FULL pipeline
     # (signatures -> capped buckets -> Jaccard verify) re-runs inside
     # dedup_corpus_survivors' composed plan every round
@@ -59,8 +61,10 @@ _PRIORITY: list[str] = [
     "unigram_perplexity",
     "split_leakage_audit",
     "mixture_weights",
-    "dedup_clusters",
-    "train_val_split",
+    # dedup_clusters: green r3, demoted mid-r4 for audit_row_counts — the
+    # connected-components stage re-runs inside dedup_corpus_survivors
+    # train_val_split: green r3, demoted mid-r4 for address_topn_metrics —
+    # the md5-range split assignment re-runs inside split_leakage_audit
     "benchmark_contamination",
     "gopher_repetition",
     "passage_dedup_ngrams",
@@ -68,6 +72,11 @@ _PRIORITY: list[str] = [
     "ivf_centroid_update",
     "stratified_sample",
     "multimodal_image_features",
+    # mid-r4 additions: real RIFF/WAV codec surface, the reference's
+    # audit_substrateetl cross-check, and the 15-metric addressTopN
+    "multimodal_audio_features",
+    "audit_row_counts",
+    "address_topn_metrics",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative
     # fuzzy_confidence_match: driver-green in r3; J2 is also exercised by

@@ -773,6 +773,98 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS rate
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT d.doc_id, d.ch, d.rate, k.k,
+         ((d.doc_id * 7919 + k.k * 104729) % 65536) - 32768 AS v
+  FROM d JOIN (SELECT unnest(range(512)) AS k) k ON k.k < 256 * d.ch
+),
+w AS (
+  SELECT doc_id, ch, rate, k, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+  FROM s
+),
+agg AS (
+  SELECT doc_id, ch, rate,
+         COUNT(*) AS n, SUM(v) AS s1, SUM(CAST(v AS BIGINT) * v) AS s2,
+         MAX(ABS(v)) AS peak,
+         SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+                  THEN 1 ELSE 0 END) AS zc
+  FROM w GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id, rate AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(256 AS DOUBLE) / rate AS duration_sec,
+       CAST(s1 AS DOUBLE) / n AS amp_mean,
+       sqrt(CAST(s2 AS DOUBLE) / n) AS rms,
+       CAST(peak AS INTEGER) AS peak,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       TRUE AS valid
+FROM agg
+""",
+    doc="Multimodal AUDIO pipeline end-to-end with a REAL container codec: "
+    "deterministic 16-bit PCM signals (sample k = ((id*7919 + k*104729) "
+    "mod 65536) - 32768, 256 frames, 1-2 channels, 8/16/24 kHz) are "
+    "encoded as real RIFF/WAV bytes (multimodal/codecs.py encode_wav) "
+    "and then parsed BACK by the pure-stdlib WAV decoder inside the "
+    "Arrow-batched decode_audio stage — chunk walk, fmt validation, "
+    "channel de-interleave — which also cross-checks the parsed sample "
+    "rate against the meta struct. Features are exact integer moments "
+    "(amp_mean = S1/n, rms = IEEE sqrt(S2/n), peak = max|x|, "
+    "zero-crossings over the interleaved stream), so the oracle — which "
+    "recomputes every feature from the generator formula in SQL — "
+    "matches bit-for-bit: the whole encode→RIFF-parse→featurize path is "
+    "hash-verified. Compressed audio (mp3/aac) stays the declared "
+    "ffmpeg boundary.",
+    tags=("multimodal",),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.codecs import encode_wav
+    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA, decode_audio
+
+    N_FRAMES = 256
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    seed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        # placeholder; the real RIFF bytes are built in the Arrow stage below
+        F.lit(b"").alias("content"),
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("channels"), (F.lit(1) + F.col("doc_id") % 2).cast("int"),
+            F.lit("sample_rate"),
+            (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3)).cast("int"),
+            F.lit("n_frames"), F.lit(N_FRAMES).cast("int"),
+            F.lit("fps"), F.lit(None).cast("double"),
+        ).alias("meta"),
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for mid, meta in zip(pdf.media_id, pdf.meta):
+                ch, rate = int(meta["channels"]), int(meta["sample_rate"])
+                k = np.arange(N_FRAMES * ch, dtype=np.int64)
+                v = ((mid * 7919 + k * 104729) % 65536) - 32768
+                out.append(encode_wav(v.reshape(N_FRAMES, ch), rate))
+            pdf["content"] = out
+            yield pdf
+
+    wav = seed.mapInPandas(_synth, MEDIA_SCHEMA)
+    return decode_audio(wav, codec="wav")
+
+
+@query(
     "ss58_codec_roundtrip",
     oracle=None,  # blake2-based ss58 checksums aren't expressible in DuckDB SQL
     doc="Arrow-batched ss58 codec on the driver-facing surface: "

@@ -392,3 +392,35 @@ def test_cluster_trace_decode_is_native_and_broadcast(spark):
     plan = _plan(spark, "cluster_trace_reference")
     assert "EvalPython" not in plan
     assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+
+
+def test_audit_is_single_day_shuffle(spark):
+    """The published-table audit builds all three present-block arrays in
+    ONE groupBy(day) pass — exactly one Exchange, the range-diff is
+    map-side array math, no joins, no Python."""
+    plan = _plan(spark, "audit_row_counts")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_address_topn_rank_limit_pushes_down(spark):
+    """addressTopN has only 15 rank groups, so the scale property lives in
+    Catalyst's rank-limit pushdown (SPARK-37099): a PARTIAL
+    WindowGroupLimit below the rank exchange keeps each input partition's
+    local top-25 per metric before any shuffle — no task ever holds a
+    metric's full address set.  Pin the partial+final pair and that the
+    rank is ONE window (a hand-rolled salted two-phase stage measured
+    strictly worse: same bound, one extra Exchange)."""
+    plan = _plan(spark, "address_topn_metrics")
+    assert len(re.findall(r"^\(\d+\) Window(?!GroupLimit)", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.M)) == 2
+
+
+def test_audio_pipeline_is_mapside_with_pushdown(spark):
+    """The audio pipeline mirrors the image one: doc_id predicate pushed
+    to the scan, Python is Arrow-batched mapInPandas only, zero shuffle."""
+    plan = _plan(spark, "multimodal_audio_features")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)

@@ -2174,3 +2174,37 @@ class TestJdbcPlanner:
             "sourceTS >= 1675209600 AND sourceTS < 1675296000",
             "sourceTS >= 1675296000 AND sourceTS < 1675382400",
         ]
+
+
+def test_topn_window_group_limit_exact(spark):
+    """The rank-limit pushdown (WindowGroupLimit) must not change results:
+    top_n_per_group equals the driver-side per-group sorted head on a
+    skewed synthetic with heavy value ties forcing the tie-break."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.topn import top_n_per_group
+
+    df = (
+        spark.range(2000)
+        .repartition(16)  # many input partitions -> partial limits do work
+        .select(
+            (F.col("id") % 7).cast("string").alias("grp"),
+            (F.col("id") % 13).cast("double").alias("val"),  # heavy ties
+            F.col("id").alias("addr"),
+        )
+    )
+    order = [F.col("val").desc(), F.col("addr").asc()]
+    got = sorted(
+        (r.grp, r.rn, r.val, r.addr)
+        for r in top_n_per_group(df, ["grp"], order, 9).collect()
+    )
+    rows = sorted(((r.grp, -r.val, r.addr) for r in df.collect()))
+    expect = []
+    by_grp = {}
+    for grp, nval, addr in rows:
+        k = by_grp.setdefault(grp, [])
+        if len(k) < 9:
+            k.append((grp, len(k) + 1, -nval, addr))
+    for k in by_grp.values():
+        expect.extend(k)
+    assert got == sorted(expect)

@@ -41,6 +41,12 @@ _DEMOTED_GREEN = {
     "dedup_exact",  # r2+r3 green; slot went to unigram_perplexity
     "ann_cosine_topk",  # r2+r3 green; slot went to split_leakage_audit
     "dedup_ngram_jaccard",  # r2+r3 green; re-runs inside dedup_corpus_survivors
+    # mid-r4 demotions for the three new mid-r4 queries (audio codec,
+    # audit_row_counts, address_topn_metrics); each demotee's semantics
+    # re-run inside an in-window composed query every round
+    "dedup_minhash_lsh_pairs",  # r2+r3 green; LSH stage of dedup_corpus_survivors
+    "dedup_clusters",  # r3 green; CC stage of dedup_corpus_survivors
+    "train_val_split",  # r3 green; split stage of split_leakage_audit
 }
 
 
