@@ -88,7 +88,11 @@ _PRIORITY: list[str] = [
     # cluster_trace_reference (F4 decode, previously pytest-only)
     "cluster_trace_reference",
     "asof_broadcast_version",
-    "broadcast_dim_decoration",
+    # broadcast_dim_decoration: green r3, demoted mid-r4 for
+    # bpe_encode_vocab — J12 broadcast decoration runs inside
+    # xcmtransfers_wide, xcm_messages_published, wasm_contract_calls and
+    # cluster_trace_reference every round (all in-window)
+    "bpe_encode_vocab",
     # per_block_stats / daily_history_series / work_queue_backoff /
     # validity_filter / json_field_access / intersect_except_users /
     # interval_sampling / noise_suppression: driver-green in r2, demoted

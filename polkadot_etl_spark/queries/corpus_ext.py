@@ -884,3 +884,121 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY: greedy merge loop over a fixed merges table
+# ---------------------------------------------------------------------------
+
+# Fixed merge table (rank, left, right) — the shape of a production
+# tokenizer's merges.txt (Sennrich et al. 2016).  Includes second-level
+# merges (th+e, an+d, er+s) so the apply loop genuinely re-merges merged
+# tokens.  Both the Spark closure and the oracle VALUES are generated
+# from THIS literal, so the two sides cannot drift.
+_BPE_MERGES = [
+    (1, "t", "h"),
+    (2, "a", "n"),
+    (3, "e", "r"),
+    (4, "i", "n"),
+    (5, "th", "e"),
+    (6, "an", "d"),
+    (7, "er", "s"),
+    (8, "s", "t"),
+    (9, "o", "r"),
+    (10, "a", "t"),
+    (11, "le", "s"),
+    (12, "l", "e"),
+]
+
+
+@query(
+    "bpe_encode_vocab",
+    oracle=f"""
+WITH RECURSIVE merges(rank, a, b) AS (
+  VALUES {", ".join(f"({r}, '{a}', '{b}')" for r, a, b in _BPE_MERGES)}
+),
+words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+it(word, s) AS (
+  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' FROM words
+  UNION ALL
+  SELECT word, replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')
+  FROM (
+    SELECT word, s,
+      (SELECT m.a FROM merges m
+        WHERE contains(s, ' ' || m.a || ' ' || m.b || ' ')
+        ORDER BY m.rank LIMIT 1) AS a,
+      (SELECT m.b FROM merges m
+        WHERE contains(s, ' ' || m.a || ' ' || m.b || ' ')
+        ORDER BY m.rank LIMIT 1) AS b
+    FROM it
+  ) WHERE a IS NOT NULL
+)
+SELECT w.word, w.freq, trim(i.s) AS tokens,
+       CAST(len(string_split(trim(i.s), ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(w.word) - len(string_split(trim(i.s), ' ')) AS INTEGER) AS n_merges
+FROM it i JOIN words w USING (word)
+WHERE NOT EXISTS (SELECT 1 FROM merges m
+                  WHERE contains(i.s, ' ' || m.a || ' ' || m.b || ' '))
+""",
+    doc="BPE tokenizer APPLY — the missing half of bpe_pair_counts "
+    "(which counts merge candidates; this applies a learned merges "
+    "table, Sennrich et al. 2016): per word, repeatedly merge the "
+    "lowest-rank adjacent token pair until none applies, including "
+    "second-level merges of already-merged tokens. Scale design: "
+    "encoding runs over the DISTINCT vocabulary (one groupBy(word) "
+    "shuffle — Zipf makes |vocab| orders of magnitude smaller than the "
+    "corpus; the corpus-wide application is then a hash join on word), "
+    "and the merges table rides the Arrow UDF closure. Determinism: "
+    "each round applies ONE rank via left-to-right non-overlapping "
+    "string replace — Python str.replace and DuckDB replace() share "
+    "those exact semantics, and a pair only partially merged in one "
+    "round is still the minimal applicable rank next round, so both "
+    "engines converge to the identical fixpoint; the oracle runs the "
+    "same loop as a recursive CTE with a correlated min-rank probe. "
+    "The vocabulary encode itself is the one genuinely non-relational "
+    "step (a data-dependent fixpoint loop), so the Arrow-batched UDF "
+    "is the sanctioned tool.",
+    tags=("corpus", "tokenizer"),
+)
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges = sorted(_BPE_MERGES)  # by rank
+
+    def _encode_series(ws):
+        def one(w):
+            s = " " + " ".join(w) + " "
+            while True:
+                hit = next(
+                    ((a, b) for _, a, b in merges if f" {a} {b} " in s), None
+                )
+                if hit is None:
+                    return s.strip()
+                a, b = hit
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+
+        return pd.Series([one(w) for w in ws])
+
+    u_encode = pandas_udf(_encode_series, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = words.withColumn("tokens", u_encode("word"))
+    n_tokens = F.size(F.split("tokens", " "))
+    return out.select(
+        "word",
+        "freq",
+        "tokens",
+        n_tokens.alias("n_tokens"),
+        (F.length("word") - n_tokens).cast("int").alias("n_merges"),
+    )

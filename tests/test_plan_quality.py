@@ -424,3 +424,20 @@ def test_audio_pipeline_is_mapside_with_pushdown(spark):
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
+def test_bpe_encode_runs_on_vocab_not_corpus(spark):
+    """BPE apply must encode the DISTINCT vocabulary: the word groupBy is
+    the only Exchange, and the fixpoint loop is exactly one Arrow-batched
+    UDF (never row-pickling Python) running above the aggregate — i.e.
+    on vocab-sized, not corpus-sized, input."""
+    plan = _plan(spark, "bpe_encode_vocab")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+    # formatted plans list nodes leaves-first: the UDF node id must be
+    # LARGER than the final aggregate's, i.e. the encode consumes the
+    # deduplicated vocab, not the raw word stream
+    agg_id = max(int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.M))
+    udf_id = int(re.search(r"^\((\d+)\) ArrowEvalPython", plan, re.M).group(1))
+    assert udf_id > agg_id, "encode UDF runs below the vocab aggregate"
