@@ -66,7 +66,10 @@ _PRIORITY: list[str] = [
     # train_val_split: green r3, demoted mid-r4 for address_topn_metrics —
     # the md5-range split assignment re-runs inside split_leakage_audit
     "benchmark_contamination",
-    "gopher_repetition",
+    # gopher_repetition: green r3, demoted mid-r4 for its same-family
+    # successor intradoc_dup_ngrams (the Gopher duplicate-5-gram signal)
+    "intradoc_dup_ngrams",
+    "quality_classifier_logit",
     "passage_dedup_ngrams",
     "pii_scrub",
     "ivf_centroid_update",
@@ -113,7 +116,9 @@ _PRIORITY: list[str] = [
     # dynamic_predicates / ohlcv_hourly: driver-green in r2 AND r3,
     # demoted in r4 for the published xcm/snapshots contracts
     # (xcm_messages_published + snapshots_pricefeed below)
-    "band_join_tiebreak",
+    # band_join_tiebreak: green r3, demoted mid-r4 for
+    # quality_classifier_logit — the J1 band join + W2 tie-break run
+    # inside xcm_trace_spans (in-window) every round
     # best_by_rank: driver-green in r2, demoted for identity_resolution
     # gap_detection / session_window_native: driver-green in r2,
     # demoted for train_val_split + benchmark_contamination

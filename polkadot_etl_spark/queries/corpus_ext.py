@@ -1002,3 +1002,110 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         (F.length("word") - n_tokens).cast("int").alias("n_merges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier inference (fasttext-style scoring at scale)
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 64  # hashed-unigram feature space of the linear model
+
+
+@query(
+    "quality_classifier_logit",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+)
+SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+       CAST(list_sum(list_transform(ws,
+              w -> ((CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % {QC_BUCKETS})
+                     * 37) % 21 - 10)) AS DOUBLE)
+         / (10.0 * len(ws)) - 0.05 AS logit,
+       CAST(list_sum(list_transform(ws,
+              w -> ((CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % {QC_BUCKETS})
+                     * 37) % 21 - 10)) AS DOUBLE)
+         / (10.0 * len(ws)) - 0.05 > 0.0 AS keep
+FROM d WHERE len(ws) > 0
+""",
+    doc="Linear quality-classifier INFERENCE — the corpus-scale scoring "
+    "pass of a fasttext-style filter (the CCNet / LLaMA wiki-ref "
+    "quality gate shape): each document's hashed-unigram features "
+    "(md5 -> 64 buckets) hit a fixed weight vector and the mean "
+    "activation plus bias becomes the keep/drop logit. Weights are "
+    "integer tenths DERIVED from the bucket id (w = ((b*37) mod 21) - "
+    "10), so the per-doc accumulation is EXACT integer math folded "
+    "map-side by a higher-order aggregate — zero shuffle, zero Python, "
+    "one IEEE division + bias at the end; both engines recompute the "
+    "same integers from the same md5 arithmetic. The logit (not the "
+    "sigmoid) is the output: libm exp() is not cross-engine "
+    "reproducible, the threshold decision is identical either way.",
+    tags=("corpus", "quality"),
+)
+def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    z10 = F.expr(
+        "aggregate(regexp_extract_all(lower(text), '[a-z]+', 0), 0L,"
+        " (acc, w) -> acc + ((cast(conv(substring(md5(w), 1, 4), 16, 10) as int)"
+        f" % {QC_BUCKETS}) * 37) % 21 - 10)"
+    )
+    n = F.size(ws)
+    logit = z10.cast("double") / (F.lit(10.0) * n) - F.lit(0.05)
+    return d.where(n > 0).select(
+        "doc_id",
+        n.alias("n_words"),
+        logit.alias("logit"),
+        (logit > 0.0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document duplicate n-gram fraction (Gopher / RefinedWeb signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "intradoc_dup_ngrams",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 3),
+                        i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS grams
+  FROM d WHERE len(ws) >= 5
+)
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS INTEGER) AS n_dup_grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_frac
+FROM g
+""",
+    doc="The duplicate-5-gram repetition signal (Gopher sec. A1.1 "
+    "'fraction of duplicate n-grams', kept by RefinedWeb/Dolma): per "
+    "document, the fraction of word-5-grams that repeat WITHIN the "
+    "document — the within-doc complement of the cross-doc "
+    "passage_dedup_ngrams. Entirely map-side: the gram list and its "
+    "distinct count are higher-order array expressions per row, so the "
+    "plan has zero Exchange and zero Python — at 100 TB this filter "
+    "costs one embarrassingly parallel corpus pass.",
+    tags=("corpus", "quality"),
+)
+def intradoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    grams = F.expr(
+        "transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 4),"
+        " i -> array_join(slice(regexp_extract_all(lower(text), '[a-z]+', 0), i, 5), ' '))"
+    )
+    g = d.where(F.size(ws) >= 5).select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    ndup = (n - F.size(F.array_distinct("grams"))).cast("int")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        ndup.alias("n_dup_grams"),
+        (ndup.cast("double") / n).alias("dup_frac"),
+    )

@@ -441,3 +441,13 @@ def test_bpe_encode_runs_on_vocab_not_corpus(spark):
     agg_id = max(int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.M))
     udf_id = int(re.search(r"^\((\d+)\) ArrowEvalPython", plan, re.M).group(1))
     assert udf_id > agg_id, "encode UDF runs below the vocab aggregate"
+
+
+def test_classifier_and_dup_ngrams_are_map_side(spark):
+    """quality_classifier_logit (integer HOF fold) and
+    intradoc_dup_ngrams (per-row gram array math) are single corpus
+    passes: zero Exchange, zero Python."""
+    for name in ("quality_classifier_logit", "intradoc_dup_ngrams"):
+        plan = _plan(spark, name)
+        assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), name
+        assert "EvalPython" not in plan, name

@@ -47,6 +47,7 @@ _DEMOTED_GREEN = {
     "dedup_minhash_lsh_pairs",  # r2+r3 green; LSH stage of dedup_corpus_survivors
     "dedup_clusters",  # r3 green; CC stage of dedup_corpus_survivors
     "train_val_split",  # r3 green; split stage of split_leakage_audit
+    "gopher_repetition",  # r3 green; slot went to intradoc_dup_ngrams (same family)
 }
 
 
