@@ -43,10 +43,14 @@ _PRIORITY: list[str] = [
     # dedup_ngram_jaccard: green r2+r3, demoted in r4 — its FULL pipeline
     # (signatures -> capped buckets -> Jaccard verify) re-runs inside
     # dedup_corpus_survivors' composed plan every round
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine: green r2+r3, demoted mid-r4 for
+    # pq_quantize_embeddings (embedding near-dup repped by semdedup_prune)
+    "pq_quantize_embeddings",
     # ann_cosine_topk: green r2+r3, demoted in r4 (ANN repped by
-    # ann_lsh_bucketed — the scale path — plus semdedup_prune)
-    "ann_lsh_bucketed",
+    # the LSH and PQ scale paths plus semdedup_prune)
+    # ann_lsh_bucketed: green r3, demoted mid-r4 for its same-family
+    # successor ann_pq_adc_search (the PQ compressed-scan path)
+    "ann_pq_adc_search",
     # embedding_bucket_stats: green r2+r3, demoted in r4 for
     # users_tags_attribution (similarity surface still repped by the two
     # ANN queries + semdedup_prune)

@@ -451,3 +451,18 @@ def test_classifier_and_dup_ngrams_are_map_side(spark):
         plan = _plan(spark, name)
         assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), name
         assert "EvalPython" not in plan, name
+
+
+def test_pq_encode_is_map_side_and_search_broadcasts(spark):
+    """PQ encode is a zero-Exchange, zero-Python column pass; the ADC
+    search's only cross shape is the broadcast query set (never a
+    shuffled CartesianProduct) and its top-k rank gets the
+    WindowGroupLimit pushdown."""
+    plan = _plan(spark, "pq_quantize_embeddings")
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert "EvalPython" not in plan
+    plan = _plan(spark, "ann_pq_adc_search")
+    assert "CartesianProduct" not in plan
+    assert re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.M)
+    assert "EvalPython" not in plan

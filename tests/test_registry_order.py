@@ -48,6 +48,8 @@ _DEMOTED_GREEN = {
     "dedup_clusters",  # r3 green; CC stage of dedup_corpus_survivors
     "train_val_split",  # r3 green; split stage of split_leakage_audit
     "gopher_repetition",  # r3 green; slot went to intradoc_dup_ngrams (same family)
+    "dedup_embedding_cosine",  # r2+r3 green; slot went to pq_quantize_embeddings
+    "ann_lsh_bucketed",  # r3 green; slot went to ann_pq_adc_search (same family)
 }
 
 
