@@ -77,7 +77,10 @@ _PRIORITY: list[str] = [
     "passage_dedup_ngrams",
     "pii_scrub",
     "ivf_centroid_update",
-    "stratified_sample",
+    # stratified_sample: green r3, demoted mid-r4 for its same-family
+    # successor mixture_sample_corpus (md5-threshold sampling is the
+    # shared mechanism; mixture_weights also stays in-window)
+    "mixture_sample_corpus",
     "multimodal_image_features",
     # mid-r4 additions: real RIFF/WAV codec surface, the reference's
     # audit_substrateetl cross-check, and the 15-metric addressTopN
@@ -136,7 +139,9 @@ _PRIORITY: list[str] = [
     "evm_txn_fees",
     "wasm_contract_calls",
     "identity_resolution",
-    "evmtxs_daily_gold",
+    # evmtxs_daily_gold: green r3, demoted mid-r4 for skewed_hotkey_rollup
+    # (EVM surface keeps 4 in-window reps: decoded/logs/fees/accounts)
+    "skewed_hotkey_rollup",
     "dex_router_paths",
     "xcm_trace_spans",
     # round-4 capability queries (tpch_q2_min_cost_supplier /

@@ -911,6 +911,22 @@ _BPE_MERGES = [
 ]
 
 
+def bpe_encode_word(word: str, merges: list[tuple[int, str, str]]) -> str:
+    """Greedy BPE encode of one word against rank-sorted merges; returns
+    the space-joined token string.  Each round applies the lowest-rank
+    pair present via one left-to-right non-overlapping str.replace —
+    the exact semantics the recursive-CTE oracle mirrors with DuckDB
+    replace() (a pair only partially merged in a round is still the
+    minimal applicable rank next round, so the fixpoint is identical)."""
+    s = " " + " ".join(word) + " "
+    while True:
+        hit = next(((a, b) for _, a, b in merges if f" {a} {b} " in s), None)
+        if hit is None:
+            return s.strip()
+        a, b = hit
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+
+
 @query(
     "bpe_encode_vocab",
     oracle=f"""
@@ -971,18 +987,7 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = sorted(_BPE_MERGES)  # by rank
 
     def _encode_series(ws):
-        def one(w):
-            s = " " + " ".join(w) + " "
-            while True:
-                hit = next(
-                    ((a, b) for _, a, b in merges if f" {a} {b} " in s), None
-                )
-                if hit is None:
-                    return s.strip()
-                a, b = hit
-                s = s.replace(f" {a} {b} ", f" {a}{b} ")
-
-        return pd.Series([one(w) for w in ws])
+        return pd.Series([bpe_encode_word(w, merges) for w in ws])
 
     u_encode = pandas_udf(_encode_series, "string")
 
@@ -1252,7 +1257,9 @@ SELECT q_id, db_id, adc_dist, rn FROM r WHERE rn <= 10
     "top-10-per-query is a rank window that Catalyst's rank-limit "
     "pushdown bounds per partition. Ordering is engine-exact: "
     "distances round to 6 dp with (adc, db_id) total order.",
-    tags=("similarity", "topk"),
+    # NOT tagged "topk": that tag asserts a global TakeOrderedAndProject,
+    # but per-QUERY top-10 is a rank window (WindowGroupLimit-bounded)
+    tags=("similarity",),
 )
 def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1269,4 +1276,128 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture materialization: sample the corpus at the tau-smoothed weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_sample_corpus",
+    oracle=f"""
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sw,
+         SUM(CAST(n_tokens AS HUGEINT)) OVER () AS tot,
+         SUM(CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)))
+           OVER () AS stot
+  FROM t
+),
+e AS (
+  SELECT source, n_docs, n_tokens,
+         ROUND(CAST(sw AS DOUBLE) / CAST(stot AS DOUBLE)
+               * (2.0 * CAST(tot AS DOUBLE)) / CAST(n_tokens AS DOUBLE), 6)
+           AS epochs
+  FROM w
+),
+d AS (
+  SELECT doc_id, e.source, e.n_docs, e.n_tokens, e.epochs,
+         CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+           AS doc_tokens,
+         CAST(FLOOR(e.epochs) AS INTEGER)
+           + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) / 4294967296.0
+                       < e.epochs - FLOOR(e.epochs)
+                  THEN 1 ELSE 0 END AS copies
+  FROM documents JOIN e USING (source)
+),
+x AS (
+  SELECT source, n_docs, n_tokens, epochs, doc_id, doc_tokens,
+         unnest(generate_series(1, copies)) AS epoch_i
+  FROM d
+)
+SELECT source, n_docs, n_tokens, epochs,
+       COUNT(*) AS emitted_docs,
+       CAST(SUM(doc_tokens) AS BIGINT) AS emitted_tokens,
+       ROUND(CAST(SUM(doc_tokens) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS realized_epochs
+FROM x GROUP BY source, n_docs, n_tokens, epochs
+""",
+    doc="Mixture MATERIALIZATION — the step after mixture_weights that "
+    "actually assembles the training corpus: each source's tau=2 "
+    "sampling weight becomes an epoch count against a 2x-total-token "
+    "budget, every document physically replicates floor(epochs) times, "
+    "and the fractional epoch is an md5-threshold gate (u(doc_id) < "
+    "frac) so the sample is deterministic, reshard-stable, and "
+    "engine-identical — the same md5-as-uniform trick as "
+    "train_val_split. The explode is the real fan-out a mixture build "
+    "pays (bounded by ceil(epochs) copies per doc); per-source "
+    "realized_epochs verifies the sampler lands on the target. One "
+    "corpus pass + a source-count-sized broadcast dim; the only "
+    "shuffles are the two source aggregates.",
+    tags=("sampling", "pipeline"),
+)
+def mixture_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    sw = F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(18,6)")
+    wall = Window.partitionBy()
+    w = t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        sw.alias("sw"),
+        F.sum("n_tokens").over(wall).alias("tot"),
+        F.sum(sw).over(wall).alias("stot"),
+    )
+    epochs = F.round(
+        F.col("sw").cast("double")
+        / F.col("stot").cast("double")
+        * (F.lit(2.0) * F.col("tot").cast("double"))
+        / F.col("n_tokens").cast("double"),
+        6,
+    )
+    e = w.select("source", "n_docs", "n_tokens", epochs.alias("epochs"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    frac = F.col("epochs") - F.floor("epochs")
+    copies = F.floor("epochs").cast("int") + F.when(u < frac, 1).otherwise(0)
+    docs = d.select("doc_id", "source", n_tok.cast("bigint").alias("doc_tokens"))
+    joined = docs.join(F.broadcast(e), "source").withColumn("copies", copies)
+    x = joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "epochs",
+        "doc_id",
+        "doc_tokens",
+        F.explode(
+            F.slice(
+                F.sequence(F.lit(1), F.greatest(F.col("copies"), F.lit(1))),
+                1,
+                F.col("copies"),
+            )
+        ).alias("epoch_i"),
+    )
+    return x.groupBy("source", "n_docs", "n_tokens", "epochs").agg(
+        F.count(F.lit(1)).alias("emitted_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("emitted_tokens"),
+        F.round(
+            F.sum("doc_tokens").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("realized_epochs"),
     )

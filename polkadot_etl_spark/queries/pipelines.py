@@ -2581,3 +2581,59 @@ def address_topn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "topN", "N", "address", "val", F.col("balance_usd").alias("balanceUSD")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation through the driver gate (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skewed_hotkey_rollup",
+    oracle=f"""
+WITH f AS (
+  SELECT CASE WHEN event_id % 5 < 2 THEN 'hot-wallet'
+              ELSE 'u' || CAST(user_id % 97 AS VARCHAR) END AS address,
+         value
+  FROM events
+)
+SELECT address, COUNT(*) AS n_events,
+       {d_decsum('COALESCE(value, 0)')} AS total_value
+FROM f GROUP BY address
+""",
+    doc="Salted two-level aggregation driven through the driver gate "
+    "(operators/skew.py salted_agg — the explicit form of the hot-key "
+    "mitigation AQE can't do for aggregations): 40% of the event "
+    "stream is routed to ONE hot address (the reference's exchange "
+    "hot-wallet shape that addressTopN exists for), and the rollup "
+    "first aggregates on (address, salt) — splitting the hot key over "
+    "16 reducers — then combines per address. The salt never reaches "
+    "the result: counts sum, and the per-salt DECIMAL partials combine "
+    "into the same exact total the oracle's single GROUP BY computes, "
+    "so the hash row proves result-determinism of the salted plan.",
+    tags=("agg", "skew"),
+)
+def skewed_hotkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    addr = F.when(F.col("event_id") % 5 < 2, F.lit("hot-wallet")).otherwise(
+        F.concat(F.lit("u"), (F.col("user_id") % 97).cast("string"))
+    )
+    f = e.select(addr.alias("address"), "value")
+    out = salted_agg(
+        f,
+        ["address"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_value": (
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(38,10)")),
+                F.sum("total_value"),
+            ),
+        },
+    )
+    return out.select(
+        "address",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -466,3 +466,23 @@ def test_pq_encode_is_map_side_and_search_broadcasts(spark):
     assert re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.M)
     assert "EvalPython" not in plan
+
+
+def test_salted_agg_splits_hot_key_then_combines(spark):
+    """The salted rollup must shuffle TWICE by design — first on
+    (address, __salt) splitting the hot key over 16 reducers, then on
+    address for the exact combine — with no Python anywhere."""
+    plan = _plan(spark, "skewed_hotkey_rollup")
+    assert "__salt" in plan, "salt column missing from the partial aggregate"
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "EvalPython" not in plan
+
+
+def test_mixture_sample_broadcasts_epoch_dim(spark):
+    """The mixture materialization joins the source-count-sized epoch dim
+    as a broadcast (the corpus never reshuffles for decoration), the
+    replication is a Generate (explode) fan-out, and no Python appears."""
+    plan = _plan(spark, "mixture_sample_corpus")
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert re.findall(r"^\(\d+\) Generate", plan, re.M)
+    assert "EvalPython" not in plan

@@ -188,3 +188,21 @@ def test_lifetime_birth_not_after_current(period, phase, current):
     assert current < death  # still alive at the observation block
     assert death == birth + period
     assert birth % period == phase
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=24))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_invariants(word):
+    """BPE apply on arbitrary words: tokens concatenate back to the word
+    (no characters created or destroyed), every token is either a single
+    char or the product of a listed merge, and the fixpoint really is a
+    fixpoint (no listed pair remains adjacent)."""
+    from polkadot_etl_spark.queries.corpus_ext import _BPE_MERGES, bpe_encode_word
+
+    merges = sorted(_BPE_MERGES)
+    toks = bpe_encode_word(word, merges).split(" ")
+    assert "".join(toks) == word
+    products = {a + b for _, a, b in merges}
+    assert all(len(t) == 1 or t in products for t in toks)
+    s = " " + " ".join(toks) + " "
+    assert not any(f" {a} {b} " in s for _, a, b in merges)
