@@ -74,7 +74,10 @@ _PRIORITY: list[str] = [
     # successor intradoc_dup_ngrams (the Gopher duplicate-5-gram signal)
     "intradoc_dup_ngrams",
     "quality_classifier_logit",
-    "passage_dedup_ngrams",
+    # passage_dedup_ngrams: green r3, demoted mid-r4 for its same-family
+    # successor exact_substring_dup_spans (cross-doc window dedup with
+    # span merging — the Lee et al. 2021 remove-the-span semantics)
+    "exact_substring_dup_spans",
     "pii_scrub",
     "ivf_centroid_update",
     # stratified_sample: green r3, demoted mid-r4 for its same-family

@@ -1401,3 +1401,108 @@ def mixture_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_tokens").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("realized_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup spans (Lee et al. 2021, window-granular form)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 10  # dedup window length in words
+
+
+@query(
+    "exact_substring_dup_spans",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+win AS (
+  SELECT doc_id,
+         unnest(range(1, len(ws) - {SUBSTR_W} + 2)) AS i,
+         len(ws) AS n_words
+  FROM d WHERE len(ws) >= {SUBSTR_W}
+),
+g AS (
+  SELECT w.doc_id, w.i, w.i + {SUBSTR_W} - 1 AS j,
+         md5(array_to_string(list_slice(d.ws, w.i, w.i + {SUBSTR_W} - 1), ' ')) AS h
+  FROM win w JOIN d USING (doc_id)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+m AS (SELECT g.doc_id, g.i, g.j FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, i, j,
+         CASE WHEN i > COALESCE(MAX(j) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM m
+),
+sp AS (
+  SELECT doc_id, i, j,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM isl
+)
+SELECT doc_id, CAST(span_id AS INTEGER) AS span_id,
+       CAST(MIN(i) AS INTEGER) AS span_start,
+       CAST(MAX(j) AS INTEGER) AS span_end,
+       CAST(MAX(j) - MIN(i) + 1 AS INTEGER) AS span_words
+FROM sp GROUP BY doc_id, span_id
+""",
+    doc="Exact-substring deduplication at window granularity (Lee et al. "
+    "2021 'Deduplicating Training Data Makes Language Models Better' — "
+    "the remove-the-span, not-the-document dedup every modern pipeline "
+    "runs; their suffix array becomes a distributed hash of sliding "
+    "10-word windows): every window occurring more than once "
+    "corpus-wide is marked, and each document's marked windows merge "
+    "into maximal removal spans (1-based word-index ranges) via a "
+    "gaps-and-islands running-max window. Scale shape: windows hash "
+    "to md5 BEFORE the shuffle (raw text never moves), the dup-window "
+    "set joins back on the 16-byte key, and the island merge is one "
+    "doc_id window partition — three bounded shuffles total, no "
+    "suffix array in memory anywhere.",
+    tags=("dedup", "corpus"),
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws")
+    )
+    W = SUBSTR_W
+    g = (
+        d.where(F.size("ws") >= W)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(ws) - {W} + 1)")).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "i",
+            (F.col("i") + W - 1).alias("j"),
+            F.md5(F.expr(f"array_join(slice(ws, i, {W}), ' ')")).alias("h"),
+        )
+    )
+    dup = g.groupBy("h").count().where(F.col("count") > 1).select("h")
+    m = g.join(dup, "h").select("doc_id", "i", "j")
+    prev_max = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = m.withColumn(
+        "new_span",
+        F.when(
+            F.col("i") > F.coalesce(F.max("j").over(prev_max), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(run).cast("int"))
+    return isl.groupBy("doc_id", "span_id").agg(
+        F.min("i").cast("int").alias("span_start"),
+        F.max("j").cast("int").alias("span_end"),
+        (F.max("j") - F.min("i") + 1).cast("int").alias("span_words"),
+    )

@@ -486,3 +486,15 @@ def test_mixture_sample_broadcasts_epoch_dim(spark):
     assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
     assert re.findall(r"^\(\d+\) Generate", plan, re.M)
     assert "EvalPython" not in plan
+
+
+def test_substring_dedup_hashes_before_shuffle(spark):
+    """Exact-substring span dedup: raw window text must md5 before any
+    Exchange (the 16-byte key is what shuffles), the island merge is a
+    doc_id window, and no Python appears. Shuffle count stays bounded:
+    the dup-count aggregate pair, the join back, and the island window."""
+    plan = _plan(spark, "exact_substring_dup_spans")
+    assert "EvalPython" not in plan
+    assert "md5" in plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 5, f"shuffle count grew to {n_ex}"
