@@ -79,7 +79,10 @@ _PRIORITY: list[str] = [
     # span merging — the Lee et al. 2021 remove-the-span semantics)
     "exact_substring_dup_spans",
     "pii_scrub",
-    "ivf_centroid_update",
+    # ivf_centroid_update: green r3, demoted mid-r4 for
+    # ccnet_perplexity_buckets (vector-quantization family repped by
+    # pq_quantize_embeddings + ann_pq_adc_search in-window)
+    "ccnet_perplexity_buckets",
     # stratified_sample: green r3, demoted mid-r4 for its same-family
     # successor mixture_sample_corpus (md5-threshold sampling is the
     # shared mechanism; mixture_weights also stays in-window)

@@ -1506,3 +1506,102 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("j").cast("int").alias("span_end"),
         (F.max("j") - F.min("i") + 1).cast("int").alias("span_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH wd AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM wd GROUP BY w),
+dim AS (SELECT w, c, SUM(c) OVER () AS tot FROM cnt),
+wt AS (
+  SELECT w, CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS logp
+  FROM dim
+),
+perdoc AS (
+  SELECT wd.doc_id, COUNT(*) AS n_words, SUM(wt.logp) AS slogp
+  FROM wd JOIN wt ON wd.w = wt.w GROUP BY wd.doc_id
+),
+ce AS (
+  SELECT d.doc_id, d.lang,
+         CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+         ROUND(-CAST(COALESCE(p.slogp, 0) AS DOUBLE)
+               / CAST(GREATEST(COALESCE(p.n_words, 0), 1) AS DOUBLE), 6)
+           AS cross_entropy
+  FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+),
+tiled AS (
+  SELECT lang, n_words, cross_entropy,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY cross_entropy, doc_id) - 1) * 3
+                    / COUNT(*) OVER (PARTITION BY lang)) AS INTEGER) AS b
+  FROM ce
+)
+SELECT lang,
+       CASE b WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       ROUND(CAST(CAST(SUM(CAST(cross_entropy AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS mean_ce,
+       MIN(cross_entropy) AS min_ce, MAX(cross_entropy) AS max_ce
+FROM tiled GROUP BY lang, b
+""",
+    doc="CCNet's defining move (Wenzek et al. 2020): bucket each "
+    "language's crawl into perplexity head/middle/tail terciles — "
+    "head trains, tail drops, middle is judgement. Composes the REAL "
+    "unigram_perplexity plan (corpus unigram LM, broadcast dim, "
+    "decimal-exact log-prob sums) with a language-partitioned rank "
+    "window; the tercile is MANUAL integer math "
+    "(floor((rn-1)*3/count)) rather than NTILE so remainder-placement "
+    "semantics cannot differ across engines, with (cross_entropy, "
+    "doc_id) as the total order. Per-bucket stats aggregate the "
+    "already-rounded doubles as exact decimals. The rank window gets "
+    "one shuffle per language partition — at 100 TB the CE scores "
+    "would pre-aggregate into quantile sketches per language instead; "
+    "the tercile thresholds here are the exact form of that.",
+    tags=("corpus", "filter"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ce = unigram_perplexity(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    wl = Window.partitionBy("lang")
+    rn = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    tiled = ce.select(
+        "lang",
+        "n_words",
+        "cross_entropy",
+        F.floor(
+            (F.row_number().over(rn) - 1) * 3 / F.count(F.lit(1)).over(wl)
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    bucket = (
+        F.when(F.col("b") == 0, "head")
+        .when(F.col("b") == 1, "middle")
+        .otherwise("tail")
+    )
+    return tiled.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("cross_entropy").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ce"),
+        F.min("cross_entropy").alias("min_ce"),
+        F.max("cross_entropy").alias("max_ce"),
+    )

@@ -498,3 +498,13 @@ def test_substring_dedup_hashes_before_shuffle(spark):
     assert "md5" in plan
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_ex <= 5, f"shuffle count grew to {n_ex}"
+
+
+def test_ccnet_buckets_compose_broadcast_lm(spark):
+    """The tercile bucketing must reuse unigram_perplexity's shape — the
+    LM dim broadcasts onto the word stream — and stay Python-free; the
+    per-language rank is one window partition."""
+    plan = _plan(spark, "ccnet_perplexity_buckets")
+    assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
+    assert "EvalPython" not in plan
+    assert re.findall(r"^\(\d+\) Window(?!GroupLimit)", plan, re.M)

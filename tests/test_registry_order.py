@@ -52,6 +52,7 @@ _DEMOTED_GREEN = {
     "ann_lsh_bucketed",  # r3 green; slot went to ann_pq_adc_search (same family)
     "stratified_sample",  # r3 green; slot went to mixture_sample_corpus (same family)
     "passage_dedup_ngrams",  # r3 green; slot went to exact_substring_dup_spans (same family)
+    "ivf_centroid_update",  # r3 green; slot went to ccnet_perplexity_buckets (VQ family -> PQ pair)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
     # its r3-green demotion for skewed_hotkey_rollup is noted in
     # queries/__init__.py)
