@@ -142,7 +142,10 @@ _PRIORITY: list[str] = [
     "rewards_rollup",
     "xcm_asset_registry",
     "evm_transfer_logs",
-    "evm_txn_fees",
+    # evm_txn_fees: green r3, demoted mid-r4 for image_dhash_dedup (EVM
+    # keeps decoded/logs/accounts reps in-window; fee economics also
+    # rides the evm silver tables)
+    "image_dhash_dedup",
     "wasm_contract_calls",
     "identity_resolution",
     # evmtxs_daily_gold: green r3, demoted mid-r4 for skewed_hotkey_rollup

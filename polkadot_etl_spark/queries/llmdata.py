@@ -1346,3 +1346,135 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     rate = F.when(F.col("lang") == "en", "1a").otherwise("80")
     return d.where(h2 < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup via perceptual difference hash (dHash)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_oracle_sql() -> str:
+    """Generated oracle: recomputes the 64-bit dHash from the raster
+    formula (16x16 raster = text bytes zero-padded, nearest-neighbor
+    resample to 9x8 exactly as multimodal.resize_images indexes it),
+    emitting the same 16-hex-char string the Arrow stage produces."""
+    # resize_images index math: src_row = r*16//8, src_col = c*16//9
+    xs = [c * 16 // 9 for c in range(9)]
+
+    def pix(r: int, c: int) -> str:
+        i = (r * 16 // 8) * 16 + xs[c]
+        return f"(CASE WHEN {i} < len(t) THEN unicode(substr(t, {i} + 1, 1)) ELSE 0 END)"
+
+    bits = [
+        f"(CASE WHEN {pix(r, c)} > {pix(r, c + 1)} THEN 1 ELSE 0 END)"
+        for r in range(8)
+        for c in range(8)
+    ]
+    nibbles = [
+        f"substr('0123456789abcdef', 8*{bits[k]} + 4*{bits[k+1]} + 2*{bits[k+2]} + {bits[k+3]} + 1, 1)"
+        for k in range(0, 64, 4)
+    ]
+    return f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 256) AS t FROM documents WHERE doc_id < 200
+),
+h AS (
+  SELECT doc_id AS media_id, {" || ".join(nibbles)} AS dhash FROM d
+)
+SELECT media_id, dhash,
+       MIN(media_id) OVER (PARTITION BY dhash) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY dhash) AS group_size
+FROM h
+"""
+
+
+@query(
+    "image_dhash_dedup",
+    oracle=_dhash_oracle_sql(),
+    doc="Image NEAR-DUP detection via perceptual difference hash — the "
+    "standard multimodal dedup primitive (dHash: resample to 9x8, one "
+    "bit per adjacent-pixel gradient, 64 bits total; images differing "
+    "by re-encode/minor noise collide): document rasters encode as "
+    "REAL zlib PNGs, decode + nearest-neighbor-resample through the "
+    "REAL multimodal pipeline (codecs.decode_png -> "
+    "resize_images(9, 8)), the 72-byte raster hashes to 16 hex chars "
+    "in the Arrow stage, and exact-dHash grouping assigns canonical "
+    "ids exactly like dedup_exact (one shuffle on the 8-byte hash, "
+    "never pixels). The oracle regenerates every gradient bit from "
+    "the raster index formula in SQL, so the whole "
+    "encode->decode->resample->hash path is hash-verified. At scale, "
+    "Hamming-near matches bucket by hash bands exactly like MinHash-"
+    "LSH (dedup_minhash_lsh_pairs is the template).",
+    tags=("multimodal", "dedup"),
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.codecs import encode_png
+    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA, resize_images
+
+    W = H = 16
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    content = F.substring(
+        F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(W * H))), 1, W * H
+    )
+    raster = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.named_struct(
+            F.lit("width"), F.lit(W).cast("int"),
+            F.lit("height"), F.lit(H).cast("int"),
+            F.lit("channels"), F.lit(1).cast("int"),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(1).cast("int"),
+            F.lit("fps"), F.lit(None).cast("double"),
+        ).alias("meta"),
+    )
+
+    def _encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_png(np.frombuffer(c, dtype=np.uint8).reshape(H, W))
+                for c in pdf.content
+            ]
+            yield pdf
+
+    png = raster.mapInPandas(_encode, MEDIA_SCHEMA)
+    resized = resize_images(png, 9, 8, codec="png")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.StringType()),
+        ]
+    )
+
+    def _dhash(batches):
+        import numpy as np
+
+        hexd = "0123456789abcdef"
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                a = np.frombuffer(content, dtype=np.uint8).reshape(8, 9)
+                bits = (a[:, :8] > a[:, 1:]).reshape(-1)
+                hx = "".join(
+                    hexd[8 * bits[k] + 4 * bits[k + 1] + 2 * bits[k + 2] + bits[k + 3]]
+                    for k in range(0, 64, 4)
+                )
+                rows.append({"media_id": mid, "dhash": hx})
+            yield pd.DataFrame(rows)
+
+    h = resized.mapInPandas(_dhash, out_schema)
+    w = Window.partitionBy("dhash")
+    return h.select(
+        "media_id",
+        "dhash",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )

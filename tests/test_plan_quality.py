@@ -508,3 +508,14 @@ def test_ccnet_buckets_compose_broadcast_lm(spark):
     assert re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)
     assert "EvalPython" not in plan
     assert re.findall(r"^\(\d+\) Window(?!GroupLimit)", plan, re.M)
+
+
+def test_dhash_dedup_shuffles_hash_not_pixels(spark):
+    """dHash dedup: the only Exchange is the 16-hex-char hash window
+    (pixels never shuffle — all raster work is Arrow map stages above
+    the pushed-down doc_id scan)."""
+    plan = _plan(spark, "image_dhash_dedup")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(dhash" in plan
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
