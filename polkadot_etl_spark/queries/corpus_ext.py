@@ -1101,11 +1101,14 @@ FROM g
 def intradoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    # stage the word array in its OWN projection: referencing the regexp
+    # subtree inside the transform lambda would re-run it per element
+    # (the Generate/codegen-CSE pitfall in README "measured pitfalls")
+    staged = d.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 5)
     grams = F.expr(
-        "transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 4),"
-        " i -> array_join(slice(regexp_extract_all(lower(text), '[a-z]+', 0), i, 5), ' '))"
+        "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"
     )
-    g = d.where(F.size(ws) >= 5).select("doc_id", grams.alias("grams"))
+    g = staged.select("doc_id", grams.alias("grams"))
     n = F.size("grams")
     ndup = (n - F.size(F.array_distinct("grams"))).cast("int")
     return g.select(

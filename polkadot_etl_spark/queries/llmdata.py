@@ -61,11 +61,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spark_shingles(text_col: str = "text", k: int = SHINGLE):
-    """Array of k-char shingles of lower(text) — computed map-side."""
+def _spark_shingles(text_col: str = "lt", k: int = SHINGLE):
+    """Array of k-char shingles of ``text_col`` — computed map-side.
+
+    ``text_col`` must be an ALREADY-LOWERCASED staged column (callers
+    select ``F.lower("text").alias("lt")`` first): an expression subtree
+    inside a ``transform`` lambda re-evaluates once per element, so
+    ``lower(text)`` in here would cost O(len^2) per document (measured
+    2.1x on the minhash pipeline at sf0.1 — the same lambda-subtree rule
+    as the Generate pitfall in README "measured pitfalls")."""
     return F.expr(
-        f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
-        f" i -> substring(lower({text_col}), i, {k}))"
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
     )
 
 
@@ -96,6 +103,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("h"))
     )
@@ -282,6 +290,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets_ = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.array_sort(F.array_distinct(_spark_shingles())).alias("sh_set"))
     )
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
@@ -481,6 +490,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.explode(_spark_shingles(k=8)).alias("shingle"))
     )
     return d.groupBy("doc_id").agg(
@@ -1031,11 +1041,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = (
         d.where(F.col("doc_id") < 20)
+        .select(F.lower("text").alias("lt"))
         .select(F.explode(_spark_shingles()).alias("shingle"))
         .distinct()
     )
-    train = d.where(F.col("doc_id") >= 20).select(
-        "doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle")
+    train = (
+        d.where(F.col("doc_id") >= 20)
+        .select("doc_id", F.lower("text").alias("lt"))
+        .select("doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle"))
     )
     return (
         train.join(F.broadcast(bench), "shingle")
