@@ -141,7 +141,9 @@ _PRIORITY: list[str] = [
     "evm_decoded_transfers",
     "rewards_rollup",
     "xcm_asset_registry",
-    "evm_transfer_logs",
+    # evm_transfer_logs: green r3, demoted mid-r4 for video_scene_cuts
+    # (EVM log decode also runs inside evm_decoded_transfers, in-window)
+    "video_scene_cuts",
     # evm_txn_fees: green r3, demoted mid-r4 for image_dhash_dedup (EVM
     # keeps decoded/logs/accounts reps in-window; fee economics also
     # rides the evm silver tables)

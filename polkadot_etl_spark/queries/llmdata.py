@@ -1491,3 +1491,147 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection over sampled frames
+# ---------------------------------------------------------------------------
+
+_VID_W = _VID_H = 8  # frame raster
+_VID_FRAMES = 8
+
+
+@query(
+    "video_scene_cuts",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_VID_W * _VID_H}) AS t,
+         3 + doc_id % 3 AS cut_at
+  FROM documents WHERE doc_id < 100
+),
+mad AS (
+  SELECT doc_id, cut_at,
+         (SELECT SUM(ABS(2 * (CASE WHEN k.k < len(d.t)
+                                   THEN unicode(substr(d.t, k.k + 1, 1))
+                                   ELSE 0 END) - 255))
+          FROM (SELECT unnest(range({_VID_W * _VID_H})) AS k) k) AS cut_mad
+  FROM d
+),
+f AS (
+  SELECT doc_id, cut_at, cut_mad, unnest(range({_VID_FRAMES - 1})) AS frame_index
+  FROM mad
+)
+SELECT doc_id AS media_id, CAST(frame_index AS INTEGER) AS frame_index,
+       CAST(CASE WHEN frame_index + 1 = cut_at THEN cut_mad ELSE 0 END
+            AS BIGINT) AS mad_sum,
+       CAST({_VID_W * _VID_H} AS INTEGER) AS n_pixels,
+       (CASE WHEN frame_index + 1 = cut_at THEN cut_mad ELSE 0 END)
+         > 32 * {_VID_W * _VID_H} AS is_cut
+FROM f
+""",
+    doc="Video scene-cut detection — the frame-level segmentation step a "
+    "video training pipeline runs before captioning/sampling: synthetic "
+    "8-frame raw-raster clips (frames after a per-doc cut point are the "
+    "photometric inverse — a hard cut) pass through the REAL "
+    "multimodal.sample_frames fan-out (every_n=1), consecutive frames "
+    "pair up by (media_id, frame_index) equi-join, and the Arrow diff "
+    "stage computes the exact integer sum of absolute pixel "
+    "differences; is_cut is the integer comparison mad_sum > 32*n. The "
+    "oracle recomputes the cut-boundary MAD from the raster formula "
+    "(sum |2b-255| over the doc's bytes), hash-verifying the "
+    "synthesize->sample->pair->diff path end to end. Scale shape: "
+    "frame fan-out is the repartition-before-explode rule, the pair "
+    "join is one (media_id, frame) shuffle, pixels never aggregate "
+    "globally. Codec demux (mp4/h264) stays the declared ffmpeg "
+    "boundary, as in sample_frames.",
+    tags=("multimodal",),
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA, sample_frames
+
+    W, H, NF = _VID_W, _VID_H, _VID_FRAMES
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    seed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.substring(
+            F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(W * H))), 1, W * H
+        ).alias("content"),  # base frame raster; full clip built in Arrow below
+        F.named_struct(
+            F.lit("width"), F.lit(W).cast("int"),
+            F.lit("height"), F.lit(H).cast("int"),
+            F.lit("channels"), F.lit(1).cast("int"),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(NF).cast("int"),
+            F.lit("fps"), F.lit(8.0).cast("double"),
+        ).alias("meta"),
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                base = np.frombuffer(content, dtype=np.uint8)
+                cut = 3 + mid % 3
+                frames = [base if f < cut else (255 - base) for f in range(NF)]
+                out.append(np.concatenate(frames).tobytes())
+            pdf["content"] = out
+            yield pdf
+
+    clips = seed.mapInPandas(_synth, MEDIA_SCHEMA)
+    frames = sample_frames(clips, every_n=1)
+    a = frames.select(
+        "media_id",
+        F.col("frame_index").alias("fa"),
+        F.col("content").alias("ca"),
+    )
+    b = frames.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("frame_index").alias("fb"),
+        F.col("content").alias("cb"),
+    )
+    pairs = a.join(
+        b, (F.col("media_id") == F.col("media_id_b")) & (F.col("fa") + 1 == F.col("fb"))
+    ).select("media_id", "fa", "ca", "cb")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("mad_sum", T.LongType()),
+            T.StructField("n_pixels", T.IntegerType()),
+        ]
+    )
+
+    def _diff(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, fa, ca, cb in zip(pdf.media_id, pdf.fa, pdf.ca, pdf.cb):
+                x = np.frombuffer(ca, dtype=np.uint8).astype(np.int64)
+                y = np.frombuffer(cb, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_index": int(fa),
+                        "mad_sum": int(np.abs(x - y).sum()),
+                        "n_pixels": int(x.size),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    diffs = pairs.mapInPandas(_diff, out_schema)
+    return diffs.select(
+        "media_id",
+        "frame_index",
+        "mad_sum",
+        "n_pixels",
+        (F.col("mad_sum") > 32 * F.col("n_pixels")).alias("is_cut"),
+    )

@@ -519,3 +519,13 @@ def test_dhash_dedup_shuffles_hash_not_pixels(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "hashpartitioning(dhash" in plan
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_video_cuts_pair_join_is_keyed(spark):
+    """Scene-cut detection: the consecutive-frame pair join must be a
+    keyed equi-join on (media_id, frame arithmetic) — never a cartesian —
+    with all pixel work in Arrow map stages above the pushed-down scan."""
+    plan = _plan(spark, "video_scene_cuts")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
