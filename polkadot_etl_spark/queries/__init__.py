@@ -78,7 +78,9 @@ _PRIORITY: list[str] = [
     # successor exact_substring_dup_spans (cross-doc window dedup with
     # span merging — the Lee et al. 2021 remove-the-span semantics)
     "exact_substring_dup_spans",
-    "pii_scrub",
+    # pii_scrub: green r3, demoted mid-r4 for audio_energy_hash_dedup
+    # (locally oracle-verified every session like all demotions)
+    "audio_energy_hash_dedup",
     # ivf_centroid_update: green r3, demoted mid-r4 for
     # ccnet_perplexity_buckets (vector-quantization family repped by
     # pq_quantize_embeddings + ann_pq_adc_search in-window)

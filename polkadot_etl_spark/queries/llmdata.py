@@ -1635,3 +1635,144 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         (F.col("mad_sum") > 32 * F.col("n_pixels")).alias("is_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup via energy-contour hash (through the 8-bit WAV path)
+# ---------------------------------------------------------------------------
+
+_AUD_N = 256  # samples per clip
+_AUD_SEG = 16  # contour segments
+
+
+def _audio_hash_oracle_sql() -> str:
+    """Generated oracle: recomputes the 16-bit energy-contour hash from
+    the clip formula (8-bit PCM = text bytes, decoder re-centers to
+    b-128) — per-segment integer energies, one gradient bit per adjacent
+    segment pair, zero-padded to 4 hex chars."""
+    seg_len = _AUD_N // _AUD_SEG
+
+    def energy(s: int) -> str:
+        terms = []
+        for i in range(s * seg_len, (s + 1) * seg_len):
+            v = f"(CASE WHEN {i} < len(t) THEN unicode(substr(t, {i} + 1, 1)) ELSE 0 END - 128)"
+            terms.append(f"{v} * {v}")
+        return "(" + " + ".join(terms) + ")"
+
+    bits = [
+        f"(CASE WHEN {energy(s)} > {energy(s + 1)} THEN 1 ELSE 0 END)"
+        for s in range(_AUD_SEG - 1)
+    ] + ["0"]
+    nibbles = [
+        f"substr('0123456789abcdef', 8*{bits[k]} + 4*{bits[k+1]} + 2*{bits[k+2]} + {bits[k+3]} + 1, 1)"
+        for k in range(0, 16, 4)
+    ]
+    return f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_AUD_N}) AS t FROM documents WHERE doc_id < 200
+),
+h AS (
+  SELECT doc_id AS media_id, {" || ".join(nibbles)} AS ehash FROM d
+)
+SELECT media_id, ehash,
+       MIN(media_id) OVER (PARTITION BY ehash) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY ehash) AS group_size
+FROM h
+"""
+
+
+@query(
+    "audio_energy_hash_dedup",
+    oracle=_audio_hash_oracle_sql(),
+    doc="Audio NEAR-DUP detection via an energy-contour hash — the "
+    "time-domain cousin of a chromaprint (clips that differ by "
+    "re-encode or level-preserving noise keep their energy shape): "
+    "8-bit PCM clips derived from document bytes encode as REAL "
+    "RIFF/WAV files (exercising the u8 storage + signed re-center path "
+    "of codecs.encode_wav/decode_wav, complementing the 16-bit "
+    "multimodal_audio_features), the Arrow stage parses them back and "
+    "hashes the 16-segment integer energy contour into one gradient "
+    "bit per adjacent segment (16 hex-packed bits), and exact-hash "
+    "grouping assigns canonical ids exactly like dedup_exact — one "
+    "shuffle on 4 hex chars per clip, never samples. The oracle "
+    "regenerates every energy term from the clip formula, so the "
+    "encode->RIFF-parse->contour->hash path is hash-verified.",
+    tags=("multimodal", "dedup"),
+)
+def audio_energy_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.codecs import decode_wav, encode_wav
+    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA
+
+    N, S = _AUD_N, _AUD_SEG
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    seed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.substring(
+            F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(N))), 1, N
+        ).alias("content"),  # raw bytes; the Arrow stage wraps them as 8-bit WAV
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("channels"), F.lit(1).cast("int"),
+            F.lit("sample_rate"), F.lit(8000).cast("int"),
+            F.lit("n_frames"), F.lit(N).cast("int"),
+            F.lit("fps"), F.lit(None).cast("double"),
+        ).alias("meta"),
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                # bytes are unsigned PCM; encode_wav(bits=8) stores x+128,
+                # so pass the signed view (b-128) for a byte-exact round trip
+                encode_wav(
+                    np.frombuffer(c, dtype=np.uint8).astype(np.int16) - 128,
+                    8000,
+                    bits=8,
+                )
+                for c in pdf.content
+            ]
+            yield pdf
+
+    wav = seed.mapInPandas(_synth, MEDIA_SCHEMA)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ehash", T.StringType()),
+        ]
+    )
+
+    def _contour(batches):
+        import numpy as np
+
+        hexd = "0123456789abcdef"
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                x, _rate = decode_wav(bytes(content))
+                v = x.reshape(-1).astype(np.int64)
+                e = (v * v).reshape(S, N // S).sum(axis=1)
+                bits = list((e[:-1] > e[1:]).astype(int)) + [0]
+                hx = "".join(
+                    hexd[8 * bits[k] + 4 * bits[k + 1] + 2 * bits[k + 2] + bits[k + 3]]
+                    for k in range(0, 16, 4)
+                )
+                rows.append({"media_id": mid, "ehash": hx})
+            yield pd.DataFrame(rows)
+
+    h = wav.mapInPandas(_contour, out_schema)
+    w = Window.partitionBy("ehash")
+    return h.select(
+        "media_id",
+        "ehash",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )

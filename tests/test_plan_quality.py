@@ -529,3 +529,13 @@ def test_video_cuts_pair_join_is_keyed(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_audio_hash_dedup_shuffles_hash_not_samples(spark):
+    """Audio energy-hash dedup mirrors the image one: the only Exchange
+    is the 4-hex-char hash window — PCM samples never shuffle."""
+    plan = _plan(spark, "audio_energy_hash_dedup")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", plan)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(ehash" in plan
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan

@@ -53,6 +53,7 @@ _DEMOTED_GREEN = {
     "stratified_sample",  # r3 green; slot went to mixture_sample_corpus (same family)
     "passage_dedup_ngrams",  # r3 green; slot went to exact_substring_dup_spans (same family)
     "ivf_centroid_update",  # r3 green; slot went to ccnet_perplexity_buckets (VQ family -> PQ pair)
+    "pii_scrub",  # r3 green; slot went to audio_energy_hash_dedup
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
