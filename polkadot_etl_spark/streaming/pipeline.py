@@ -49,6 +49,35 @@ def block_candidates_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(CANDIDATE_SCHEMA).json(source_dir)
 
 
+def block_candidates_socket_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """S1 over a real network boundary: NDJSON block candidates arriving
+    on a TCP socket (the shape of the reference's websocket subscription,
+    crawler.js:1549-1808 — a WS bridge emitting one JSON line per
+    candidate is exactly this source).  Lines parse through from_json
+    against CANDIDATE_SCHEMA; malformed lines yield NULL structs and are
+    dropped rather than failing the stream.  The downstream plan
+    (watermark, fork resolution, windows) is byte-identical to the file
+    and Kafka forms — only the source node differs, which is the point
+    of the design.  (The socket source is at-most-once and
+    single-connection: production uses the Kafka bridge; this form
+    exists so the ingestion path is testable over a live socket in the
+    sandbox.)"""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(F.from_json("value", CANDIDATE_SCHEMA).alias("c"))
+    # PERMISSIVE from_json maps malformed lines to an all-NULL struct
+    # (never a NULL struct), so gate on the NOT-NULL contract fields
+    return parsed.where(
+        F.col("c.hash").isNotNull() & F.col("c.number").isNotNull()
+    ).select("c.*")
+
+
 def finalized_only(candidates: DataFrame, finality_lag: str = "60 seconds") -> DataFrame:
     """X2: the finality watermark — candidates older than the lag are
     frozen; only finalized rows pass to publication."""
