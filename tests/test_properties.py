@@ -206,3 +206,27 @@ def test_bpe_encode_invariants(word):
     assert all(len(t) == 1 or t in products for t in toks)
     s = " " + " ".join(toks) + " "
     assert not any(f" {a} {b} " in s for _, a, b in merges)
+
+
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from([8, 16]),
+    st.integers(min_value=1, max_value=192000),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_any_shape(n_frames, n_ch, bits, rate):
+    """encode_wav/decode_wav round-trip for arbitrary frame counts,
+    channel counts, both bit widths, and any sample rate; 8-bit input
+    restricted to its representable signed range."""
+    import numpy as np
+
+    from polkadot_etl_spark.multimodal.codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(n_frames * 31 + n_ch * 7 + bits + rate % 97)
+    lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+    x = rng.randint(lo, hi, size=(n_frames, n_ch)).astype(np.int16)
+    dec, got_rate = decode_wav(encode_wav(x, rate, bits=bits))
+    assert got_rate == rate
+    assert dec.shape == (n_frames, n_ch)
+    assert (dec == x).all()
