@@ -240,6 +240,11 @@ SELECT '0x' || lpad(CAST(user_id AS VARCHAR), 64, '0') AS account,
        COUNT(era) AS n_with_era
 FROM filled
 WHERE event_type = 'purchase'
+  -- the published feed keeps strictly-positive amounts (indexer.js:3953;
+  -- reward_feed's amount > 0 gate): a value that floors to raw 0 is
+  -- dropped. Only sf0.1 contains such a row — caught by the full-registry
+  -- sf0.1 sweep, invisible at sf0.001/sf0.01.
+  AND FLOOR(value * 1e6) > 0
 GROUP BY 1
 """,
     doc="Per-address staking-rewards rollup over the feedreward surface "
