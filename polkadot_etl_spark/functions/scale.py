@@ -9,8 +9,11 @@ plans/wasm.py for every message whose argument types are primitive
 there the polkadot.js ContractPromise does this decode from uploaded ink
 metadata; here the registry carries the declared types).
 
-Compound user types (custom structs/enums) still require real ink
-metadata and remain behind NotImplementedError.
+Compound user types decode when their definitions are registered in a
+TypeRegistry — the in-repo equivalent of the uploaded ink metadata the
+reference reads (structs = field concatenation, enums = 1-byte variant
+index + payload, tuples structurally).  An UNREGISTERED custom type is
+the remaining honest boundary and still raises NotImplementedError.
 """
 
 from __future__ import annotations
@@ -29,6 +32,51 @@ _ALIASES = {
 
 class ScaleError(ValueError):
     pass
+
+
+class TypeRegistry:
+    """Custom compound type definitions — the shape ink! metadata
+    declares (reference: polkadot.js Abi from uploaded contract metadata,
+    substrateetl.js:2097-2140):
+
+    - ``register_struct(name, [(field, type), ...])`` — SCALE structs
+      are the plain concatenation of their fields;
+    - ``register_enum(name, [(variant, [payload types]), ...])`` — a
+      1-byte variant index followed by that variant's payload fields.
+
+    Definitions may reference other registered types, primitives, and
+    parametrics (Vec<T>, Option<T>, tuples) freely; cycles are the
+    caller's responsibility exactly as in real metadata."""
+
+    def __init__(self) -> None:
+        self._defs: dict[str, tuple[str, list]] = {}
+
+    def register_struct(self, name: str, fields: list[tuple[str, str]]) -> None:
+        self._defs[name] = ("struct", list(fields))
+
+    def register_enum(self, name: str, variants: list[tuple[str, list[str]]]) -> None:
+        self._defs[name] = ("enum", list(variants))
+
+    def get(self, name: str):
+        return self._defs.get(name)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a type-argument list on top-level commas, respecting
+    angle-bracket / paren / square-bracket nesting."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def decode_compact(data: bytes, offset: int = 0) -> tuple[int, int]:
@@ -53,11 +101,13 @@ def decode_compact(data: bytes, offset: int = 0) -> tuple[int, int]:
     return int.from_bytes(data[offset + 1 : offset + 1 + n], "little"), offset + 1 + n
 
 
-def decode_value(type_name: str, data: bytes, offset: int = 0):
+def decode_value(type_name: str, data: bytes, offset: int = 0, types: "TypeRegistry | None" = None):
     """Decode one SCALE value; returns (python value, next offset).
 
     Supported: uN/iN, bool, AccountId/H256/H160 (→ 0x hex), Vec<u8>
-    (→ 0x hex), String, Compact<T>, Option<T>, [u8; N], Vec<T>."""
+    (→ 0x hex), String, Compact<T>, Option<T>, [u8; N], Vec<T>, tuples
+    ``(A, B, ...)``, and any compound type registered in ``types``
+    (struct → field dict, enum → {"variant": name, "values": [...]})."""
     t = _ALIASES.get(type_name, type_name).strip()
 
     if t in _UINTS:
@@ -91,7 +141,7 @@ def decode_value(type_name: str, data: bytes, offset: int = 0):
             return None, offset + 1
         if data[offset] != 1:
             raise ScaleError(f"Option: invalid tag {data[offset]:#x}")
-        return decode_value(t[7:-1], data, offset + 1)
+        return decode_value(t[7:-1], data, offset + 1, types)
     if t in ("Vec<u8>", "Bytes"):
         ln, offset = decode_compact(data, offset)
         if offset + ln > len(data):
@@ -112,9 +162,35 @@ def decode_value(type_name: str, data: bytes, offset: int = 0):
         ln, offset = decode_compact(data, offset)
         out = []
         for _ in range(ln):
-            v, offset = decode_value(inner, data, offset)
+            v, offset = decode_value(inner, data, offset, types)
             out.append(v)
         return out, offset
+    if t.startswith("(") and t.endswith(")"):
+        out = []
+        for part in _split_top(t[1:-1]):
+            v, offset = decode_value(part, data, offset, types)
+            out.append(v)
+        return out, offset
+    d = types.get(t) if types is not None else None
+    if d is not None:
+        kind, body = d
+        if kind == "struct":
+            rec = {}
+            for fname, ftype in body:
+                rec[fname], offset = decode_value(ftype, data, offset, types)
+            return rec, offset
+        if offset >= len(data):
+            raise ScaleError(f"{t}: enum out of data")
+        idx = data[offset]
+        offset += 1
+        if idx >= len(body):
+            raise ScaleError(f"{t}: enum variant {idx} out of range")
+        vname, payload = body[idx]
+        values = []
+        for ftype in payload:
+            v, offset = decode_value(ftype, data, offset, types)
+            values.append(v)
+        return {"variant": vname, "values": values}, offset
     raise NotImplementedError(
         f"SCALE decode of compound/custom type {type_name!r} requires ink metadata"
     )
@@ -143,12 +219,17 @@ def fixed_width(type_name: str) -> tuple[int, str] | None:
     return None
 
 
-def decode_args(arg_types: tuple[str, ...] | list[str], data: bytes, offset: int = 0) -> list:
+def decode_args(
+    arg_types: tuple[str, ...] | list[str],
+    data: bytes,
+    offset: int = 0,
+    types: "TypeRegistry | None" = None,
+) -> list:
     """Decode a message's argument list; raises ScaleError on truncated
-    input and NotImplementedError on non-primitive types."""
+    input and NotImplementedError on UNREGISTERED compound types."""
     out = []
     for t in arg_types:
-        v, offset = decode_value(t, data, offset)
+        v, offset = decode_value(t, data, offset, types)
         out.append(v)
     if offset != len(data):
         raise ScaleError(f"{len(data) - offset} trailing bytes after args")

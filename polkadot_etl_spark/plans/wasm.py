@@ -9,7 +9,9 @@ SCALE-decoded by functions/scale.py — a from-spec pure-Python codec
 covering every primitive ink type (uN/iN, bool, AccountId, Vec<u8>,
 String, Compact<T>, Option<T>, fixed arrays). Only compound custom
 types (user structs/enums), which genuinely require the uploaded ink
-metadata, remain behind NotImplementedError.
+metadata, decode when their definitions are registered in a
+functions.scale TypeRegistry; UNREGISTERED ones remain behind
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -27,10 +29,17 @@ class InkMessage:
 
 
 class ContractRegistry:
-    """code_hash → declared messages (the uploaded-metadata store)."""
+    """code_hash → declared messages (the uploaded-metadata store).
 
-    def __init__(self) -> None:
+    ``types`` carries compound custom type definitions (functions.scale
+    TypeRegistry — the uploaded ink-metadata equivalent): messages whose
+    args use registered structs/enums/tuples decode through the Arrow
+    tier instead of NULLing out; unregistered compound types remain the
+    declared boundary."""
+
+    def __init__(self, types=None) -> None:
         self._by_hash: dict[str, dict[str, InkMessage]] = {}
+        self._types = types
 
     def register(self, code_hash: str, messages: list[InkMessage]) -> None:
         self._by_hash[code_hash.lower()] = {m.selector.lower(): m for m in messages}
@@ -45,15 +54,16 @@ class ContractRegistry:
     def decode_call(self, code_hash: str, data_hex: str) -> dict:
         """Match the selector of a contracts.call data payload and
         SCALE-decode the declared arguments (substrateetl.js:2104-2119).
-        Compound custom arg types raise NotImplementedError (they need
-        the uploaded ink metadata)."""
+        Compound arg types decode when registered in the type registry;
+        unregistered ones raise NotImplementedError (the uploaded-ink-
+        metadata boundary)."""
         data = data_hex[2:] if data_hex.startswith("0x") else data_hex
         selector = "0x" + data[:8].lower()
         msgs = self._by_hash.get(code_hash.lower(), {})
         m = msgs.get(selector)
         if m is None:
             return {"selector": selector, "label": None, "decoded": False}
-        values = decode_args(m.arg_types, bytes.fromhex(data[8:]))
+        values = decode_args(m.arg_types, bytes.fromhex(data[8:]), types=self._types)
         return {
             "selector": selector,
             "label": m.label,

@@ -2208,3 +2208,57 @@ def test_topn_window_group_limit_exact(spark):
     for k in by_grp.values():
         expect.extend(k)
     assert got == sorted(expect)
+
+
+class TestScaleCompound:
+    def test_compound_types_decode_with_registry(self):
+        """Registered structs/enums/tuples decode (the uploaded-metadata
+        equivalent); unregistered compounds stay the declared boundary."""
+        import pytest
+
+        from polkadot_etl_spark.functions.scale import (
+            ScaleError,
+            TypeRegistry,
+            decode_value,
+        )
+        from polkadot_etl_spark.plans.wasm import ContractRegistry, InkMessage
+
+        tr = TypeRegistry()
+        tr.register_struct("Point", [("x", "u32"), ("y", "u32")])
+        tr.register_enum(
+            "Action", [("Noop", []), ("Move", ["Point"]), ("Label", ["String"])]
+        )
+        pt = (7).to_bytes(4, "little") + (9).to_bytes(4, "little")
+        assert decode_value("Point", pt, 0, tr) == ({"x": 7, "y": 9}, 8)
+        assert decode_value("Action", b"\x00", 0, tr) == (
+            {"variant": "Noop", "values": []}, 1,
+        )
+        assert decode_value("Action", b"\x01" + pt, 0, tr) == (
+            {"variant": "Move", "values": [{"x": 7, "y": 9}]}, 9,
+        )
+        assert decode_value("Action", b"\x02" + bytes.fromhex("10696e6b21"), 0, tr) == (
+            {"variant": "Label", "values": ["ink!"]}, 6,
+        )
+        assert decode_value("Vec<Point>", b"\x08" + pt + pt, 0, tr)[0] == [
+            {"x": 7, "y": 9}, {"x": 7, "y": 9},
+        ]
+        assert decode_value("(u8, Point)", b"\x05" + pt, 0, tr) == (
+            [5, {"x": 7, "y": 9}], 9,
+        )
+        assert decode_value("Option<Point>", b"\x01" + pt, 0, tr) == (
+            {"x": 7, "y": 9}, 9,
+        )
+        with pytest.raises(ScaleError):
+            decode_value("Action", b"\x09", 0, tr)  # variant out of range
+
+        reg = ContractRegistry(types=tr)
+        reg.register("0xC0", [InkMessage("mv", "0xaabbccdd", ("Action",))])
+        got = reg.decode_call("0xc0", "0xaabbccdd01" + pt.hex())
+        assert got["decoded"] is True
+        assert got["args"]["arg0"] == {"variant": "Move", "values": [{"x": 7, "y": 9}]}
+
+        # without a type registry the same message is still the boundary
+        bare = ContractRegistry()
+        bare.register("0xC0", [InkMessage("mv", "0xaabbccdd", ("Action",))])
+        with pytest.raises(NotImplementedError):
+            bare.decode_call("0xc0", "0xaabbccdd00")
