@@ -141,7 +141,9 @@ _PRIORITY: list[str] = [
     # round-3 capability queries
     "dump_day_blocklog",
     "evm_decoded_transfers",
-    "rewards_rollup",
+    # rewards_rollup: green r3 (and re-verified at sf0.1 by the full
+    # oracle sweep this round), demoted mid-r4 for pallet_typed_views
+    "pallet_typed_views",
     "xcm_asset_registry",
     # evm_transfer_logs: green r3, demoted mid-r4 for video_scene_cuts
     # (EVM log decode also runs inside evm_decoded_transfers, in-window)

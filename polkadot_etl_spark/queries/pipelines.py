@@ -2642,3 +2642,106 @@ def skewed_hotkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic per-pallet typed views through the driver gate (plans/pallets.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pallet_typed_views",
+    oracle="""
+SELECT event_id,
+       '0x' || lpad(CAST(user_id AS VARCHAR), 64, '0') AS src,
+       '0x' || lpad(CAST(user_id % 83 AS VARCHAR), 64, '0') AS dst,
+       '1' || repeat('0', 12) || lpad(CAST(event_id AS VARCHAR), 18, '0')
+         AS amount_raw,
+       CAST('1' || repeat('0', 12) || lpad(CAST(event_id AS VARCHAR), 18, '0')
+            AS DOUBLE) AS amount
+FROM events WHERE event_type = 'purchase'
+""",
+    doc="The dynamic per-pallet schema registry driven through the "
+    "driver gate (SURVEY §4 custom work #4; reference setup_pallet "
+    "substrateetl.js:5651-5726 + generateDuneViews :5728): a "
+    "runtime-metadata-shaped dict builds the REAL "
+    "plans.pallets.PalletRegistry, mixed-kind synthetic events "
+    "(balances:Transfer carrying 31-digit u128 amounts past 2^64, "
+    "plus staking:Rewarded noise rows) flow through typed_events — "
+    "the (section, method) filter pushes to the scan, from_json "
+    "promotes the payload to the mapped StructType, and the u128 "
+    "field gets the dual exact-string column ({name}_raw, the "
+    "balances free_raw rule). The oracle recomputes every typed "
+    "column from the generator directly; amount emits as double (the "
+    "same correctly-rounded conversion both engines make from the "
+    "exact decimal), amount_raw stays the exact 31-digit string.",
+    tags=("pipeline", "scalar"),
+)
+def pallet_typed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.pallets import PalletRegistry
+
+    e = load_table(spark, sf_dir, "events")
+    pk_src = F.lpad(F.col("user_id").cast("string"), 64, "0")
+    pk_dst = F.lpad((F.col("user_id") % 83).cast("string"), 64, "0")
+    raw = F.concat(
+        F.lit("1" + "0" * 12), F.lpad(F.col("event_id").cast("string"), 18, "0")
+    )
+    transfer = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.lit("balances").alias("section"),
+        F.lit("Transfer").alias("method"),
+        F.concat(
+            F.lit('{"src":"0x'), pk_src,
+            F.lit('","dst":"0x'), pk_dst,
+            F.lit('","amount":'), raw, F.lit("}"),
+        ).alias("data_decoded"),
+    )
+    noise = e.where(F.col("event_type") == "click").select(
+        "event_id",
+        F.lit("staking").alias("section"),
+        F.lit("Rewarded").alias("method"),
+        F.concat(
+            F.lit('{"stash":"0x'), pk_src, F.lit('","amount":'), raw, F.lit("}")
+        ).alias("data_decoded"),
+    )
+    reg = PalletRegistry.from_metadata(
+        {
+            "pallets": [
+                {
+                    "name": "balances",
+                    "events": [
+                        {
+                            "name": "Transfer",
+                            "fields": [
+                                {"name": "src", "type": "AccountId32"},
+                                {"name": "dst", "type": "AccountId32"},
+                                {"name": "amount", "type": "Balance"},
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "staking",
+                    "events": [
+                        {
+                            "name": "Rewarded",
+                            "fields": [
+                                {"name": "stash", "type": "AccountId32"},
+                                {"name": "amount", "type": "Balance"},
+                            ],
+                        }
+                    ],
+                },
+            ]
+        }
+    )
+    typed = reg.typed_events(
+        transfer.unionByName(noise), "balances", "Transfer"
+    )
+    return typed.select(
+        "event_id",
+        "src",
+        "dst",
+        "amount_raw",
+        F.col("amount").cast("double").alias("amount"),
+    )

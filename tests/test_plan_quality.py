@@ -539,3 +539,13 @@ def test_audio_hash_dedup_shuffles_hash_not_samples(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "hashpartitioning(ehash" in plan
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_pallet_typed_view_filter_prunes(spark):
+    """typed_events must keep the (section, method) filter ahead of the
+    payload promotion and stay Python-free — the typed view is a pure
+    projection over the filtered event stream."""
+    plan = _plan(spark, "pallet_typed_views")
+    assert "EvalPython" not in plan
+    assert "from_json" in plan
+    assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
