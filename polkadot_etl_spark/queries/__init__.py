@@ -153,7 +153,9 @@ _PRIORITY: list[str] = [
     # rides the evm silver tables)
     "image_dhash_dedup",
     "wasm_contract_calls",
-    "identity_resolution",
+    # identity_resolution: green r3, demoted mid-r4 for merge_upsert_state
+    # (address labeling/attribution repped by users_tags_attribution)
+    "merge_upsert_state",
     # evmtxs_daily_gold: green r3, demoted mid-r4 for skewed_hotkey_rollup
     # (EVM surface keeps 4 in-window reps: decoded/logs/fees/accounts)
     "skewed_hotkey_rollup",

@@ -2745,3 +2745,76 @@ def pallet_typed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amount_raw",
         F.col("amount").cast("double").alias("amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed MERGE through the driver gate (operators/merge.py, J10/X6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_state",
+    oracle="""
+WITH base AS (
+  SELECT event_id AS k, ts, value FROM events WHERE event_id < 600
+),
+upd AS (
+  SELECT event_id AS k, ts, value * 2 AS value
+  FROM events WHERE event_id >= 512 AND event_id < 1024
+),
+merged AS (
+  SELECT b.k, b.ts, b.value FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)
+  UNION ALL
+  SELECT k, ts, value FROM upd
+)
+SELECT strftime(ts, '%Y-%m-%d') AS log_dt,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM merged GROUP BY 1
+""",
+    doc="The keyed MERGE (J10/X6 — the reference's INSERT .. ON "
+    "DUPLICATE KEY UPDATE on every MySQL write, substrateetl.js:6575, "
+    "upsertSQL xcmmanager.js:484-490) driven through the driver gate "
+    "with REAL writes: a base state materializes as day-partitioned "
+    "parquet in a fresh temp dir, an overlapping update batch (keys "
+    "512-599 replaced, 600-1023 inserted) MERGEs via operators/merge."
+    "upsert_day_partitioned — partition-scoped rewrite, anti-join "
+    "replace, dynamic overwrite — the merged table is REPLAYED with "
+    "the same batch (the X6 idempotence claim, now hash-checked, not "
+    "just asserted in pytest), and the read-back state rolls up per "
+    "day. The oracle recomputes the final state relationally; any "
+    "lost partition, duplicated key, or non-idempotent replay changes "
+    "the hash.",
+    tags=("pipeline", "merge"),
+)
+def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from polkadot_etl_spark.operators.merge import upsert_day_partitioned
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.where(F.col("event_id") < 600).select(
+        F.col("event_id").alias("k"), "ts", "value"
+    )
+    upd = e.where((F.col("event_id") >= 512) & (F.col("event_id") < 1024)).select(
+        F.col("event_id").alias("k"), "ts", (F.col("value") * 2).alias("value")
+    )
+    # child of the fresh temp dir: must NOT exist yet so the first
+    # upsert takes the bootstrap-write path
+    path = tempfile.mkdtemp(prefix="merge_state_") + "/state"
+    upsert_day_partitioned(spark, path, base, keys=["k"], time_col="ts")
+    upsert_day_partitioned(spark, path, upd, keys=["k"], time_col="ts")
+    # replay the same batch: X6 idempotence is part of the hashed result
+    upsert_day_partitioned(spark, path, upd, keys=["k"], time_col="ts")
+    state = spark.read.parquet(path)
+    return state.groupBy(
+        F.col("log_dt").cast("string").alias("log_dt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("sum_value"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
