@@ -159,7 +159,9 @@ _PRIORITY: list[str] = [
     # evmtxs_daily_gold: green r3, demoted mid-r4 for skewed_hotkey_rollup
     # (EVM surface keeps 4 in-window reps: decoded/logs/fees/accounts)
     "skewed_hotkey_rollup",
-    "dex_router_paths",
+    # dex_router_paths: green r3, demoted mid-r4 for dune_csv_roundtrip
+    # (locally oracle-verified every session like all demotions)
+    "dune_csv_roundtrip",
     "xcm_trace_spans",
     # round-4 capability queries (tpch_q2_min_cost_supplier /
     # tpch_q11_important_value_share / tpch_q16_supplier_count_by_part /

@@ -2818,3 +2818,63 @@ def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dune CSV export round-trip through the driver gate (S6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dune_csv_roundtrip",
+    oracle="""
+SELECT event_id,
+       '{"type":"' || event_type || '","msg":"a,b "q' ||
+         CAST(event_id % 7 AS VARCHAR) || '" end"}' AS payload,
+       value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM events WHERE event_id < 2000
+""",
+    doc="The Dune CSV export (S6, dump_dune_xcmtransfer fmt=csv, "
+    "substrateetl.js:526-601) gated on a REAL write + read-back: rows "
+    "whose payload column is JSON containing commas AND embedded "
+    "double quotes — the exact shape of the reference's xcm_info/asset "
+    "blobs — write to RFC-4180 CSV (escape = doubled quote, the "
+    "dialect Dune ingests, NOT Spark's backslash default) and read "
+    "back with the same dialect; the returned frame is the READ-BACK, "
+    "so any quoting, escaping, or double-formatting loss breaks the "
+    "hash against the oracle's direct relational definition. Doubles "
+    "survive because Spark writes shortest-round-trip "
+    "representations; timestamps export as formatted strings exactly "
+    "like the reference's NDJSON/CSV serialization.",
+    tags=("pipeline", "sink"),
+)
+def dune_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    payload = F.concat(
+        F.lit('{"type":"'),
+        F.col("event_type"),
+        F.lit('","msg":"a,b "q'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('" end"}'),
+    )
+    out = e.select(
+        "event_id",
+        payload.alias("payload"),
+        "value",
+        s_ts("ts").alias("ts_str"),
+    )
+    path = tempfile.mkdtemp(prefix="dune_csv_") + "/export"
+    (
+        out.write.option("header", True)
+        .option("escape", '"')  # RFC-4180 doubled quotes, not backslash
+        .csv(path)
+    )
+    return (
+        spark.read.schema("event_id bigint, payload string, value double, ts_str string")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )
