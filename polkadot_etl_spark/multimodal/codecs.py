@@ -253,6 +253,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + length > len(data):
+            # A declared chunk length that overruns the buffer means the
+            # blob is truncated — surface it as invalid, never a silent
+            # short decode.
+            raise ValueError("WAV chunk truncated (declared length exceeds buffer)")
         body = data[pos + 8 : pos + 8 + length]
         if cid == b"fmt ":
             fmt = body
@@ -261,6 +266,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # struct.unpack would raise struct.error, which the mapInPandas
+        # decode wrappers don't treat as "invalid blob" — keep the contract
+        # that undecodable bytes raise ValueError/NotImplementedError.
+        raise ValueError("WAV fmt chunk too short")
     audio_format, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
@@ -273,8 +283,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if bits == 8:
         x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int16) - 128
     else:
-        n = len(pcm) // 2
-        x = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.int16)
+        if len(pcm) % 2:
+            raise ValueError("WAV 16-bit data chunk has odd byte length")
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.int16)
     if x.size % n_ch:
         raise ValueError("WAV data length not a whole number of frames")
     return x.reshape(-1, n_ch), int(rate)

@@ -47,11 +47,26 @@ def test_approx_distinct_within_tolerance(spark):
 
 
 def test_ss58_codec_roundtrip_invariant(spark):
-    """The rows-only driver check can't see values — pin the invariant:
-    every derived pubkey round-trips through ss58 for every prefix."""
+    """The VALUES oracle pins totals/length bounds; pin the per-address
+    invariant here: every derived pubkey round-trips through ss58 for
+    every prefix (count equality is necessary but not sufficient for
+    per-row equality, which the VALUES oracle can't see)."""
     from polkadot_etl_spark.queries import QUERIES
 
     rows = QUERIES["ss58_codec_roundtrip"].build(spark, SF_DIR).collect()
     assert {r.prefix for r in rows} == {0, 2, 42}
     for r in rows:
         assert r.n_total == r.n_roundtrip_ok > 0, r
+
+
+def test_documents_corpus_is_ascii(oracle):
+    """The image_dhash_dedup / audio_energy_hash_dedup oracles compare
+    DuckDB code points (unicode(substr(...))) against Spark UTF-8 bytes
+    (encode(text,'utf-8')) — equivalent only while the corpus is ASCII.
+    Pin that property so a generator change surfaces here, not as a
+    silent hash divergence."""
+    (n,) = oracle.execute(
+        "SELECT count(*) FROM documents WHERE text != ''"
+        " AND octet_length(encode(text)) != length(text)"
+    ).fetchone()
+    assert n == 0, f"{n} non-ASCII documents break the byte==codepoint oracles"

@@ -78,6 +78,8 @@ def main() -> int:
         if not ok:
             fails.append(name)
             print(f"  {name}: FAIL")
+        else:
+            print(f"  {name}: PASS rows={len(spdf)}")
     print(
         f"{len(names)} queries in {time.time() - t0:.1f}s — "
         + ("ALL PASS" if not fails else f"FAILS: {fails}")
