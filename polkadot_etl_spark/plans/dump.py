@@ -136,7 +136,13 @@ def blocklog_gold(
     :9369-9428 update_blocklog metrics): block range, gap count, table
     cardinalities, fee/signer metrics, and the loaded flag that only goes
     green when no block is missing. Six tiny per-day aggregates joined on
-    log_dt — each input is touched once with a map-side partial agg."""
+    log_dt — each input is touched once with a map-side partial agg.
+
+    ``blocks`` only needs (number, block_time): pass the RAW blocks frame,
+    not the published one — the published frame embeds three child-count
+    joins that the per-day min/max/count here would silently re-execute
+    (published blocks are a 1:1 projection of raw, so the stats are
+    identical either way)."""
     day = lambda df, col="block_time": df.groupBy(F.to_date(col).alias("log_dt"))  # noqa: E731
 
     b = day(blocks).agg(
@@ -193,6 +199,7 @@ def dump_day(
     native_decimals: int = 10,
     ss58_prefix: int = 0,
     chain_id: int | None = None,
+    share_bronze: bool = False,
 ) -> dict[str, DataFrame]:
     """One chain-day of bronze → every published table + gold, the unit of
     (re)processing (dump_substrateetl, substrateetl.js:6171-6596).
@@ -204,10 +211,18 @@ def dump_day(
     processing. The explicit keyword config remains for chains with no
     registered parser.
 
+    ``share_bronze=True`` materializes the day-filtered bronze frames once
+    (eager localCheckpoint) before fan-out. Spark does not share common
+    subplans across the branches of one plan, so without it every derived
+    table re-executes the bronze read+parse — ~6 redundant passes when the
+    caller materializes blocklog (which folds in all six silvers). The
+    default stays lazy for callers that pick a single output table, where
+    Catalyst's column pruning into one scan is the better plan.
+
     Returns {blocks, extrinsics, events, calls, transfers, logs, blocklog,
-    gap_audit}. All frames are lazy — callers pick which to materialize or
-    hand the dict to write_dump() for the idempotent partition-replace
-    publish."""
+    gap_audit}. Frames are lazy unless share_bronze — callers pick which
+    to materialize or hand the dict to write_dump() for the idempotent
+    partition-replace publish."""
     braw = _day_filter(blocks_raw, log_dt)
     ext = _day_filter(extrinsics, log_dt)
     ev = _day_filter(events, log_dt)
@@ -220,6 +235,11 @@ def dump_day(
         & F.col("event_id").isNotNull()
     )
     ext_pub = ext.where(F.col("section").isNotNull() & F.col("method").isNotNull())
+
+    if share_bronze:
+        braw = braw.localCheckpoint(eager=True)
+        ext_pub = ext_pub.localCheckpoint(eager=True)
+        ev_pub = ev_pub.localCheckpoint(eager=True)
 
     calls = calls_from_extrinsics(ext_pub, ev_pub, relay_chain, para_id)
     if chain_id is not None:
@@ -235,7 +255,11 @@ def dump_day(
         )
     logs = logs_from_blocks(braw)
     blocks = published_blocks(braw, ext_pub, ev_pub, transfers)
-    gold = blocklog_gold(blocks, ext_pub, ev_pub, calls, transfers, logs)
+    # gold's block stats come from RAW blocks: the published frame embeds
+    # three child-count joins whose results gold never reads, and Spark
+    # has no rule to eliminate an unused left join — aggregating braw
+    # keeps those joins out of the gold plan entirely.
+    gold = blocklog_gold(braw, ext_pub, ev_pub, calls, transfers, logs)
     return {
         "blocks": blocks,
         "extrinsics": ext_pub,

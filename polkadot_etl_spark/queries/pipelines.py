@@ -195,6 +195,12 @@ def dump_day_blocklog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.plans.dump import dump_day
 
     blocks_raw, extrinsics, events = _synth_bronze(spark, sf_dir)
+    # Lazy fan-out (share_bronze=False): measured at sf0.1, an eager
+    # bronze checkpoint costs more than the per-branch re-scans here
+    # (Catalyst prunes each branch to a narrow column set; the checkpoint
+    # materializes full-width rows). The r4→r5 2.4× regression was the
+    # calls branch — fixed at the source (memoized flatten + shuffle-hash
+    # success semi-join in plans/decode.py), not by materialization.
     tables = dump_day(blocks_raw, extrinsics, events, relay_chain="polkadot", para_id=0)
     gold = tables["blocklog"]
     return gold.select(

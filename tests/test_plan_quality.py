@@ -549,3 +549,14 @@ def test_pallet_typed_view_filter_prunes(spark):
     assert "EvalPython" not in plan
     assert "from_json" in plan
     assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+
+
+def test_call_flatten_success_semi_join_is_hash_not_sort(spark):
+    """The success gate inside calls_from_extrinsics must plan as a
+    ShuffledHashJoin LeftSemi (dedup-free: semi-join semantics already
+    ignore right-side multiplicity), never a SortMergeJoin — sorting
+    both sides on string extrinsic ids measured ~2x slower at sf0.1 and
+    buys nothing for an existence probe."""
+    plan = _plan(spark, "dump_day_blocklog")
+    assert re.search(r"ShuffledHashJoin [^\n]*LeftSemi", plan), "semi join not hash"
+    assert not re.search(r"SortMergeJoin [^\n]*LeftSemi", plan), "semi join sorts"
