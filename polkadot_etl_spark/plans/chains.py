@@ -496,6 +496,66 @@ class ParallelParser(ChainParser):
         return raw.alias("raw_price"), ts.alias("price_ts")
 
 
+class StatemintParser(ChainParser):
+    """AssetHub (statemint polkadot-1000 / statemine kusama-1000) — the
+    relay's common-good assets chain, where most real asset traffic
+    (USDT/USDC) lives. The reference covers it through the generic
+    assets-pallet machinery plus the dedicated registry parser
+    (gar/chainParsers/statemint.js:1): DOT-native (10 decimals, relay
+    ss58 prefix), and every assets:Transferred event denominates in the
+    PER-ASSET decimals of the assets:metadata registry — never the
+    native token's.
+
+    Spark shape: generic transfer extraction stays native
+    (plans/decode.transfers_from_events already carries the
+    assets:Transferred positional layout); the per-asset decimalization
+    is a broadcast join against the registry dim (dim-scale, like the
+    reference's assetInfo cache) that rewrites symbol/decimals/amount
+    for assets rows only."""
+
+    chain_id = 1000
+    native_symbol = "DOT"
+    native_decimals = 10
+    ss58_prefix = 0
+
+    def decorate_transfers(self, transfers: DataFrame, assets_registry: DataFrame) -> DataFrame:
+        """Re-denominate assets-pallet rows with registry metadata:
+        symbol/decimals come from assets:metadata (parsed by
+        plans.garparsers.StatemintGarParser.parse_gar), amount =
+        raw_amount / 10^decimals. Native (balances) rows pass through
+        untouched. Unregistered asset ids keep the raw id as symbol with
+        NULL decimals/amount — visibly undecorated, never silently
+        native-denominated."""
+        dim = F.broadcast(
+            assets_registry.select(
+                F.col("asset_id").alias("__aid"),
+                F.col("symbol").alias("__sym"),
+                F.col("decimals").alias("__dec"),
+            )
+        )
+        from polkadot_etl_spark.plans.garparsers import _cleaned_asset_id
+
+        is_assets = F.col("section") == "assets"
+        out = transfers.join(
+            dim,
+            is_assets & (_cleaned_asset_id(F.col("asset")) == F.col("__aid")),
+            "left",
+        )
+        dec = F.col("__dec")
+        return out.select(
+            *[c for c in transfers.columns if c not in ("symbol", "decimals", "amount")],
+            F.when(~is_assets, F.col("symbol")).otherwise(
+                F.coalesce(F.col("__sym"), F.col("asset"))
+            ).alias("symbol"),
+            F.when(~is_assets, F.col("decimals")).otherwise(dec).alias("decimals"),
+            F.when(~is_assets, F.col("amount"))
+            .otherwise(
+                F.col("raw_amount").cast("double") / F.pow(F.lit(10.0), dec.cast("double"))
+            )
+            .alias("amount"),
+        )
+
+
 _PARSERS: dict[int, type[ChainParser]] = {
     p.chain_id: p
     for p in (
@@ -507,6 +567,7 @@ _PARSERS: dict[int, type[ChainParser]] = {
         ParallelParser,
         BifrostParser,
         InterlayParser,
+        StatemintParser,
     )
 }
 

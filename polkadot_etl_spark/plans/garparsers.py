@@ -1,0 +1,299 @@
+"""Per-chain XCM asset-registry (gar) parsers — the chain-parser plugin
+layer of the reference's xcm-global-asset-registry crawler
+(gar/chainParsers/: common_chainparser.js, statemint.js, hydra.js,
+phala.js, ...).
+
+The reference walks two on-chain storage maps per parachain:
+
+- the LOCAL asset registry ("gar": e.g. assets:metadata) — asset id →
+  {symbol, name, decimals} (common_chainparser.js:120-158
+  processGarAssetPallet);
+- the CROSS-CHAIN registry ("xcGar": e.g. assetRegistry:assetLocations)
+  — asset id → XCM multilocation, joined against the local registry so
+  only known assets register (processXcmAssetIdType,
+  common_chainparser.js:576-688; processXcmAssetIdToLocation :268-380).
+
+Chains differ in where the maps live and how the value JSON is shaped —
+that is what the per-chain subclasses declare (gar/chainParsers/
+statemint.js:1 assets:metadata + manual USDT row; hydra.js:1
+assetRegistry:assetMetadataMap + assetLocations with version-wrapped
+locations; phala.js:1 assets:metadata + assetsRegistry:registryInfoByIds
+with a {location, properties} value).
+
+Spark shape: inputs are state-entry frames (key_args JSON array + value
+JSON — the same fixture-fed contract as plans/snapshots.py S10); every
+parse is native JSON column work (get_json_object / from_json), zero
+Python; the known-asset gate is a broadcast join (registries are
+dim-scale, ~1e3 rows/chain); output rows feed straight into
+plans.xcmgar.build_xcm_asset_registry, whose Arrow codec derives the
+canonical interior key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cleaned_asset_id(raw: Column) -> Column:
+    """'1,984' → 1984 (xcmgarTool.cleanedAssetID — comma-formatted
+    toHuman ids cleaned before use, common_chainparser.js:123)."""
+    return F.regexp_replace(raw, ",", "").try_cast("long")
+
+
+def _dechex_int(raw: Column) -> Column:
+    """Decimal-or-hex string → int (xcmgarTool.dechexToInt — decimals
+    fields arrive as 12 or '0x0c' depending on the chain's metadata)."""
+    return (
+        F.when(raw.startswith("0x"), F.conv(F.substring(raw, 3, 32), 16, 10).try_cast("long"))
+        .otherwise(F.regexp_replace(raw, ",", "").try_cast("long"))
+        .cast("int")
+    )
+
+
+def _unwrap_location(value: Column) -> Column:
+    """XCM location value → the inner {parents, interior} JSON.
+
+    Handles the three shapes the reference unwraps
+    (common_chainparser.js:598-613 `xcmAssetJSON.xcm ?? xcmAssetJSON`;
+    :299-301 version key `Object.keys(xcmAssetType)[0]`):
+    - direct  {"parents":..,"interior":..}
+    - xcm     {"xcm": {...}}
+    - version {"V0"/"V1"/..: {...}} (any single version key)
+    """
+    versioned = F.element_at(F.map_values(F.from_json(value, "map<string,string>")), 1)
+    return F.when(F.get_json_object(value, "$.parents").isNotNull(), value).otherwise(
+        F.coalesce(F.get_json_object(value, "$.xcm"), versioned)
+    )
+
+
+class GarParser:
+    """Generic assets-pallet registry parser (processCommonAssetPalletGar,
+    common_chainparser.js:176-190) — chains/statemint/phala/astar/moonbeam
+    all read assets:metadata with this shape."""
+
+    parser_name = "Common"
+    relay_chain = "polkadot"
+    para_id: int = 0
+    gar_pallet = "assets"
+    gar_storage = "metadata"
+    xc_gar_pallet: str | None = None
+    xc_gar_storage: str | None = None
+    # processXcmAssetIdType strips the xc-wrapper prefix from the display
+    # symbol (common_chainparser.js:610); processXcmAssetIdToLocation
+    # (:292) does not — subclasses pick per their xc storage shape.
+    xc_strip_wrapper = False
+
+    # ------------------------------------------------------------------ gar
+
+    def parse_gar(self, entries: DataFrame) -> DataFrame:
+        """assets:metadata-style map → (asset_id, currency_id, symbol,
+        name, decimals). Reference rules (processGarAssetPallet,
+        common_chainparser.js:120-158):
+        - asset id = cleaned first key arg (commas stripped);
+        - an extra ``metadata`` nesting level is unwrapped (kusama-2118
+          listen, :135);
+        - rows missing symbol or decimals are dropped (:136);
+        - missing name falls back to the symbol (kusama-2090 basilisk,
+          :137);
+        - decimals parse decimal-or-hex (dechexToInt, :141)."""
+        meta = F.coalesce(F.get_json_object("value", "$.metadata"), F.col("value"))
+        aid = _cleaned_asset_id(F.get_json_object("key_args", "$[0]"))
+        symbol = F.get_json_object(meta, "$.symbol")
+        decimals = _dechex_int(F.get_json_object(meta, "$.decimals"))
+        return (
+            entries.select(
+                aid.alias("asset_id"),
+                F.concat(F.lit('{"Token":"'), aid.cast("string"), F.lit('"}')).alias(
+                    "currency_id"
+                ),
+                symbol.alias("symbol"),
+                F.coalesce(F.get_json_object(meta, "$.name"), symbol).alias("name"),
+                decimals.alias("decimals"),
+            )
+            .where(F.col("symbol").isNotNull() & F.col("decimals").isNotNull())
+        )
+
+    # ---------------------------------------------------------------- xcGar
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        """Subclass hook: raw xc entries → (asset_id, multilocation JSON,
+        xc_name, xc_symbol, xc_decimals — the latter three only for
+        value shapes that embed properties)."""
+        raise NotImplementedError(f"{self.parser_name} has no xc registry")
+
+    def parse_xc_gar(self, xc_entries: DataFrame, gar: DataFrame) -> DataFrame:
+        """XC registrations: location rows gated on the known-asset set —
+        the reference skips ids absent from the local registry
+        ('AssetInfo unknown -- skip', common_chainparser.js:672-675) —
+        with the display symbol taken from the local registry, xc-wrapper
+        prefix stripped (:610 symbol.replace('xc','')). Broadcast join:
+        both sides are dim-scale."""
+        loc = self._xc_location(xc_entries)
+        dim = F.broadcast(
+            gar.select(
+                F.col("asset_id").alias("__aid"),
+                F.col("currency_id").alias("__cur"),
+                F.col("symbol").alias("__sym"),
+                F.col("name").alias("__name"),
+                F.col("decimals").alias("__dec"),
+            )
+        )
+        joined = loc.join(dim, loc.asset_id == F.col("__aid"), "inner")
+        sym = F.col("__sym")
+        if self.xc_strip_wrapper:
+            sym = F.regexp_replace(sym, "^xc", "")
+        return joined.select(
+            F.lit(self.relay_chain).alias("relay_chain"),
+            F.lit(self.para_id).alias("para_id"),
+            F.col("__cur").alias("currency_id"),
+            sym.alias("symbol"),
+            F.col("__name").alias("name"),
+            F.col("__dec").alias("decimals"),
+            F.col("multilocation"),
+            F.lit(None).cast("string").alias("xc_contract_address"),
+            F.lit("onchain").alias("source"),
+        )
+
+    # --------------------------------------------------------------- manual
+
+    def manual_registrations(self, spark) -> DataFrame | None:
+        """Hand-curated (asset, location) rows for chains whose registry
+        does not expose one on chain (statemint.js:27-38
+        manualRegistry)."""
+        return None
+
+    # ------------------------------------------------------------- assemble
+
+    def registrations(
+        self, spark, gar_entries: DataFrame, xc_entries: DataFrame | None = None
+    ) -> DataFrame:
+        """Everything this chain contributes to the global registry:
+        on-chain xc rows (if the chain has an xc registry) + manual rows.
+        Gar-only assets carry no location, hence no interior key — they
+        decorate locally but cannot register globally, exactly like the
+        reference (only setXcmAsset'd rows reach the global registry)."""
+        gar = self.parse_gar(gar_entries)
+        parts = []
+        if xc_entries is not None and self.xc_gar_pallet is not None:
+            parts.append(self.parse_xc_gar(xc_entries, gar))
+        manual = self.manual_registrations(spark)
+        if manual is not None:
+            # manual rows attach to the cached gar asset for display
+            # metadata (processManualRegistry joins the cached assetInfo)
+            dim = F.broadcast(
+                gar.select(
+                    F.col("asset_id").alias("__aid"),
+                    F.col("symbol").alias("__sym"),
+                    F.col("name").alias("__name"),
+                    F.col("decimals").alias("__dec"),
+                )
+            )
+            m = manual.join(dim, manual.asset_id == F.col("__aid"), "inner").select(
+                F.lit(self.relay_chain).alias("relay_chain"),
+                F.lit(self.para_id).alias("para_id"),
+                F.concat(
+                    F.lit('{"Token":"'), F.col("asset_id").cast("string"), F.lit('"}')
+                ).alias("currency_id"),
+                F.col("__sym").alias("symbol"),
+                F.col("__name").alias("name"),
+                F.col("__dec").alias("decimals"),
+                F.col("multilocation"),
+                F.lit(None).cast("string").alias("xc_contract_address"),
+                F.lit("manual").alias("source"),
+            )
+            parts.append(m)
+        if not parts:
+            raise ValueError(f"{self.parser_name}: no registration source")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+class StatemintGarParser(GarParser):
+    """AssetHub (statemint/statemine — polkadot-1000 / kusama-1000,
+    gar/chainParsers/statemint.js:1): assets:metadata local registry, NO
+    on-chain xc registry (isXcRegistryAvailable=false, :40), one manual
+    registration — USDT (asset 1984) at
+    [{parachain:1000},{palletInstance:50},{generalIndex:1984}]
+    (manualRegistry, statemint.js:27-38; palletInstance 50 is the assets
+    pallet's index on AssetHub)."""
+
+    parser_name = "Statemint"
+    para_id = 1000
+    xc_gar_pallet = None
+    xc_gar_storage = None
+
+    MANUAL = [(1984, 50)]  # (asset_id, pallet_instance)
+
+    def manual_registrations(self, spark) -> DataFrame:
+        rows = [
+            (
+                aid,
+                '{"parents": 1, "interior": {"X3": [{"Parachain": %d}, '
+                '{"PalletInstance": %d}, {"GeneralIndex": %d}]}}'
+                % (self.para_id, pallet, aid),
+            )
+            for aid, pallet in self.MANUAL
+        ]
+        return spark.createDataFrame(rows, "asset_id long, multilocation string")
+
+
+class HydraGarParser(GarParser):
+    """HydraDX (polkadot-2034, gar/chainParsers/hydra.js:1): local
+    registry at assetRegistry:assetMetadataMap ({symbol, decimals} — no
+    name field, so every name falls back to the symbol), xc registry at
+    assetRegistry:assetLocations whose values are version-wrapped
+    multilocations parsed by processXcmAssetIdType
+    (common_chainparser.js:576-688)."""
+
+    parser_name = "Hydra"
+    para_id = 2034
+    gar_pallet = "assetRegistry"
+    gar_storage = "assetMetadataMap"
+    xc_gar_pallet = "assetRegistry"
+    xc_gar_storage = "assetLocations"
+    xc_strip_wrapper = True  # IdType path (common_chainparser.js:610)
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return entries.select(
+            _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
+            _unwrap_location(F.col("value")).alias("multilocation"),
+        ).where(F.col("multilocation").isNotNull())
+
+
+class PhalaGarParser(GarParser):
+    """Phala (polkadot-2035 / kusama-2004 khala, gar/chainParsers/
+    phala.js:1): assets:metadata local registry; xc registry at
+    assetsRegistry:registryInfoByIds whose value embeds the location
+    under $.location next to a properties blob
+    (AssetsRegistryAssetRegistryInfo, phala.js:72-105;
+    processXcmAssetIdToLocation, common_chainparser.js:268-380)."""
+
+    parser_name = "Phala"
+    para_id = 2035
+    xc_gar_pallet = "assetsRegistry"
+    xc_gar_storage = "registryInfoByIds"
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return entries.select(
+            _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
+            F.get_json_object("value", "$.location").alias("multilocation"),
+        ).where(F.col("multilocation").isNotNull())
+
+
+_GAR_PARSERS: dict[str, type[GarParser]] = {
+    "statemint": StatemintGarParser,
+    "statemine": StatemintGarParser,
+    "hydra": HydraGarParser,
+    "basilisk": HydraGarParser,
+    "phala": PhalaGarParser,
+    "khala": PhalaGarParser,
+}
+
+
+def get_gar_parser(chain_name: str) -> GarParser:
+    """Dispatch like gar/xcmgar.js chainParserInit: named parser or the
+    generic assets-pallet fallback."""
+    return _GAR_PARSERS.get(chain_name, GarParser)()

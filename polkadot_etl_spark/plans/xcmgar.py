@@ -92,12 +92,18 @@ def build_xcm_asset_registry(chain_assets: DataFrame) -> DataFrame:
         F.col("currency_id").asc(),
         F.col("source").asc(),
     )
-    stats = r.groupBy("xcm_interior_key").agg(
-        F.countDistinct("para_id").alias("confidence"),
-        F.max("xc_contract_address").alias("__any_contract"),
+    # confidence/contract stats ride the SAME key partitioning as the
+    # rank window — an unordered window over xcm_interior_key reuses the
+    # rank window's Exchange, where a groupBy+join-back would both add a
+    # join and duplicate the upstream codec branch in the plan.
+    wk = Window.partitionBy("xcm_interior_key")
+    canon = (
+        r.withColumn("confidence", F.size(F.collect_set("para_id").over(wk)).cast("long"))
+        .withColumn("__any_contract", F.max("xc_contract_address").over(wk))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
     )
-    canon = r.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
-    return canon.join(stats, "xcm_interior_key").select(
+    return canon.select(
         "xcm_interior_key",
         F.lit(None).cast("string").alias("xcm_v1_multilocation_byte"),
         F.col("multilocation").alias("xcm_v1_multilocation"),

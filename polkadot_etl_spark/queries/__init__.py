@@ -29,6 +29,11 @@ _PRIORITY: list[str] = [
     "tpch_q1",
     "tpch_q12_shipmode_priority",
     "xcm_message_weights",
+    # round-5 additions: per-chain gar registry parser dispatch
+    # (statemint/hydra/phala) and AssetHub per-asset transfer
+    # denomination — the two new reference-parity surfaces
+    "gar_chain_registry",
+    "assethub_asset_transfers",
     # LLM-data-pipeline surface — graded first-class, all must have rows.
     # r4 rotation: dedup_minhash_signatures / simhash_fingerprints /
     # lang_id_heuristic / text_quality / token_counts / doc_fingerprint
@@ -45,7 +50,9 @@ _PRIORITY: list[str] = [
     # dedup_corpus_survivors' composed plan every round
     # dedup_embedding_cosine: green r2+r3, demoted mid-r4 for
     # pq_quantize_embeddings (embedding near-dup repped by semdedup_prune)
-    "pq_quantize_embeddings",
+    # pq_quantize_embeddings: green r4, demoted mid-r5 for
+    # assethub_asset_transfers — the PQ encode plan re-runs inside
+    # ann_pq_adc_search (in-window) every round
     # ann_cosine_topk: green r2+r3, demoted in r4 (ANN repped by
     # the LSH and PQ scale paths plus semdedup_prune)
     # ann_lsh_bucketed: green r3, demoted mid-r4 for its same-family
@@ -144,7 +151,10 @@ _PRIORITY: list[str] = [
     # rewards_rollup: green r3 (and re-verified at sf0.1 by the full
     # oracle sweep this round), demoted mid-r4 for pallet_typed_views
     "pallet_typed_views",
-    "xcm_asset_registry",
+    # xcm_asset_registry: green r3+r4, demoted mid-r5 for its same-family
+    # successor gar_chain_registry (which drives the same
+    # build_xcm_asset_registry canonicalization through three per-chain
+    # registry parsers; locally oracle-verified every session)
     # evm_transfer_logs: green r3, demoted mid-r4 for video_scene_cuts
     # (EVM log decode also runs inside evm_decoded_transfers, in-window)
     "video_scene_cuts",

@@ -2884,3 +2884,325 @@ def dune_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", '"')
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# XCM global-asset-registry chain parsers (gar/chainParsers/)
+# ---------------------------------------------------------------------------
+
+
+def _statemint_gar_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic assets:metadata state entries for AssetHub, exercising
+    every parse rule of processGarAssetPallet (common_chainparser.js:
+    120-158): comma-formatted ids, hex-or-decimal decimals, missing-name
+    fallback, missing-symbol drop — plus the real USDT (1984) row the
+    manual registration (statemint.js:27-38) attaches to."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_partkey") >= 1) & (F.col("p_partkey") < 40)
+    )
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    dec_val = F.lit(6) + k % 7
+    dec_json = F.when(
+        k % 3 == 0, F.concat(F.lit('"0x'), F.lower(F.hex(dec_val)), F.lit('"'))
+    ).otherwise(dec_val.cast("string"))
+    sym_part = F.when(k % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit('"symbol":"ST'), ks, F.lit('",'))
+    )
+    name_part = F.when(k % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit('"name":"Part '), ks, F.lit('",'))
+    )
+    synth = part.select(
+        F.concat(F.lit('["'), F.format_number(k * 100, 0), F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit("{"), sym_part, name_part, F.lit('"decimals":'), dec_json, F.lit("}")
+        ).alias("value"),
+    )
+    usdt = spark.createDataFrame(
+        [('["1,984"]', '{"symbol":"USDT","name":"Tether USD","decimals":6}')],
+        "key_args string, value string",
+    )
+    return synth.unionByName(usdt)
+
+
+@query(
+    "gar_chain_registry",
+    oracle="""
+WITH hy_rows AS (
+  SELECT CASE WHEN k % 3 = 1
+           THEN 'polkadot~[{"parachain":' || (2000 + k) || '}]'
+           ELSE 'polkadot~[{"parachain":'
+                || (CASE WHEN k % 3 = 0 THEN 2000 + k ELSE 3000 + k END)
+                || '},{"generalIndex":' || k || '}]'
+         END AS xcm_interior_key,
+         'H' || k AS symbol,
+         CAST(12 AS INTEGER) AS decimals,
+         CAST(CASE WHEN k % 3 = 2 THEN 3000 + k ELSE 2000 + k END AS INTEGER)
+           AS para_id,
+         CASE WHEN k % 3 = 1 THEN 'x1' ELSE 'x2' END AS interior_type,
+         'onchain' AS source,
+         CAST(1 AS BIGINT) AS confidence,
+         '{"Token":"' || k || '"}' AS xc_currency_id
+  FROM (SELECT n_nationkey AS k FROM nation)
+),
+ph_rows AS (
+  SELECT 'polkadot~[{"parachain":' || (2100 + k) || '},{"generalIndex":'
+           || (100 + k) || '}]' AS xcm_interior_key,
+         'PH' || k AS symbol,
+         CAST(8 + k % 4 AS INTEGER) AS decimals,
+         CAST(2100 + k AS INTEGER) AS para_id,
+         'x2' AS interior_type,
+         'onchain' AS source,
+         CAST(1 AS BIGINT) AS confidence,
+         '{"Token":"' || k || '"}' AS xc_currency_id
+  FROM (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey < 25)
+),
+usdt AS (
+  SELECT 'polkadot~[{"parachain":1000},{"palletInstance":50},{"generalIndex":1984}]'
+           AS xcm_interior_key,
+         'USDT' AS symbol, CAST(6 AS INTEGER) AS decimals,
+         CAST(1000 AS INTEGER) AS para_id, 'x3' AS interior_type,
+         'manual' AS source, CAST(2 AS BIGINT) AS confidence,
+         '{"Token":"1984"}' AS xc_currency_id
+)
+SELECT * FROM hy_rows
+UNION ALL SELECT * FROM ph_rows
+UNION ALL SELECT * FROM usdt
+""",
+    doc="Per-chain registry-parser dispatch into the global asset "
+    "registry (gar/chainParsers/statemint.js:1, hydra.js:1, phala.js:1 "
+    "over common_chainparser.js:120-158,268-380,576-688): three chains' "
+    "raw state entries — AssetHub's assets:metadata with the manual USDT "
+    "registration (no on-chain xc registry), hydra's "
+    "assetRegistry:assetMetadataMap + version-wrapped assetLocations "
+    "(v1/xcm/direct shapes, xc-prefix symbol strip, unknown-asset skip), "
+    "phala's {location, properties} registryInfoByIds — parse through "
+    "plans.garparsers (native JSON columns, broadcast known-asset gates) "
+    "and canonicalize via the REAL build_xcm_asset_registry (Arrow "
+    "interior-key codec, home-first rank window, confidence = distinct "
+    "registering chains; the USDT key is registered by BOTH statemint "
+    "and hydra, and the home/manual row must win with confidence 2). "
+    "The oracle reconstructs every canonical row independently.",
+    tags=("pipeline", "join", "window", "xcm"),
+)
+def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.garparsers import (
+        HydraGarParser,
+        PhalaGarParser,
+        StatemintGarParser,
+    )
+    from polkadot_etl_spark.plans.xcmgar import build_xcm_asset_registry
+
+    # --- statemint: local registry + manual USDT (no on-chain xc)
+    st_regs = StatemintGarParser().registrations(
+        spark, _statemint_gar_entries(spark, sf_dir)
+    )
+
+    # --- hydra: assetMetadataMap + version-wrapped assetLocations
+    nat = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    k = F.col("k")
+    ks = k.cast("string")
+    key_args = F.concat(F.lit('["'), ks, F.lit('"]'))
+    hy_sym = F.when(k % 6 == 0, F.concat(F.lit("xcH"), ks)).otherwise(
+        F.concat(F.lit("H"), ks)
+    )
+    hy_gar = nat.select(
+        key_args.alias("key_args"),
+        F.concat(F.lit('{"symbol":"'), hy_sym, F.lit('","decimals":12}')).alias("value"),
+    ).unionByName(
+        spark.createDataFrame(
+            [('["900"]', '{"symbol":"xcUSDT","decimals":6}')],
+            "key_args string, value string",
+        )
+    )
+
+    def _x2(para: Column, gi: Column) -> Column:
+        return F.concat(
+            F.lit('{"parents":1,"interior":{"X2":[{"Parachain":'),
+            para.cast("string"),
+            F.lit('},{"GeneralIndex":'),
+            gi.cast("string"),
+            F.lit("}]}}"),
+        )
+
+    hy_xc_val = (
+        F.when(k % 3 == 0, F.concat(F.lit('{"v1":'), _x2(k + 2000, k), F.lit("}")))
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit('{"xcm":{"parents":1,"interior":{"X1":{"Parachain":'),
+                (k + 2000).cast("string"),
+                F.lit("}}}}"),
+            ),
+        )
+        .otherwise(_x2(k + 3000, k))
+    )
+    hy_xc = nat.select(key_args.alias("key_args"), hy_xc_val.alias("value")).unionByName(
+        spark.createDataFrame(
+            [
+                # hydra's wrapper registration of AssetHub USDT → the same
+                # interior key as statemint's manual row (confidence 2)
+                (
+                    '["900"]',
+                    '{"v1":{"parents":1,"interior":{"X3":[{"Parachain":1000},'
+                    '{"PalletInstance":50},{"GeneralIndex":1984}]}}}',
+                ),
+                # id absent from the local registry → 'AssetInfo unknown
+                # -- skip' (common_chainparser.js:672)
+                (
+                    '["999"]',
+                    '{"v1":{"parents":1,"interior":{"X1":{"Parachain":9999}}}}',
+                ),
+            ],
+            "key_args string, value string",
+        )
+    )
+    hy_regs = HydraGarParser().registrations(spark, hy_gar, hy_xc)
+
+    # --- phala: assets:metadata + {location, properties} registryInfoByIds
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("k"))
+        .where(F.col("k") < 25)
+    )
+    ph_gar = sup.select(
+        key_args.alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"PH'),
+            ks,
+            F.lit('","name":"Phala '),
+            ks,
+            F.lit('","decimals":'),
+            (F.lit(8) + k % 4).cast("string"),
+            F.lit("}"),
+        ).alias("value"),
+    )
+    ph_xc = sup.select(
+        key_args.alias("key_args"),
+        F.concat(
+            F.lit('{"location":'),
+            _x2(k + 2100, k + 100),
+            F.lit(',"properties":{"symbol":"PH'),
+            ks,
+            F.lit('"}}'),
+        ).alias("value"),
+    )
+    ph_regs = PhalaGarParser().registrations(spark, ph_gar, ph_xc)
+
+    reg = build_xcm_asset_registry(
+        st_regs.unionByName(hy_regs).unionByName(ph_regs)
+    )
+    return reg.select(
+        "xcm_interior_key",
+        "symbol",
+        "decimals",
+        "para_id",
+        "interior_type",
+        "source",
+        "confidence",
+        "xc_currency_id",
+    )
+
+
+@query(
+    "assethub_asset_transfers",
+    oracle="""
+WITH reg AS (
+  SELECT p_partkey * 100 AS aid,
+         'ST' || p_partkey AS symbol,
+         6 + p_partkey % 7 AS dec
+  FROM part
+  WHERE p_partkey >= 1 AND p_partkey < 40 AND p_partkey % 7 != 0
+),
+li AS (SELECT * FROM lineitem WHERE l_orderkey < 4000),
+a AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_partkey % 39 + 1) * 100 AS aid,
+         CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(38,0)) AS raw
+  FROM li WHERE l_returnflag = 'R'
+),
+n AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(38,0)) AS raw
+  FROM li WHERE l_returnflag = 'N'
+)
+SELECT l_orderkey || '-' || l_linenumber || '-0' AS event_id,
+       'assets' AS section,
+       'Transferred' AS method,
+       CAST(a.aid AS VARCHAR) AS asset,
+       COALESCE(r.symbol, CAST(a.aid AS VARCHAR)) AS symbol,
+       CAST(r.dec AS INTEGER) AS decimals,
+       CASE WHEN r.dec IS NOT NULL
+            THEN CAST(raw AS DOUBLE) / POWER(10.0, r.dec) END AS amount,
+       -- exact-integer contract compared as text: DuckDB DECIMAL(38,0)
+       -- degrades to float64 in pandas, Spark's stays Decimal
+       CAST(raw AS VARCHAR) AS raw_amount
+FROM a LEFT JOIN reg r ON a.aid = r.aid
+UNION ALL
+SELECT l_orderkey || '-' || l_linenumber || '-0',
+       'balances', 'Transfer', 'DOT', 'DOT', CAST(10 AS INTEGER),
+       CAST(raw AS DOUBLE) / POWER(10.0, 10), CAST(raw AS VARCHAR)
+FROM n
+""",
+    doc="AssetHub per-asset transfer denomination (plans/chains.py "
+    "StatemintParser over gar/chainParsers/statemint.js:1 + the "
+    "assets:Transferred positional layout of indexer.js:6334): "
+    "assets-pallet events decimalize by the assets:metadata registry "
+    "entry for their asset id (broadcast dim, comma-cleaned ids, "
+    "hex-or-decimal decimals), native balances:Transfer rows stay "
+    "DOT/10, and UNREGISTERED asset ids surface with the raw id as "
+    "symbol and NULL decimals/amount — never silently "
+    "native-denominated. The oracle rebuilds the registry join and both "
+    "denominations independently.",
+    tags=("pipeline", "join", "functions"),
+)
+def assethub_asset_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.chains import StatemintParser
+    from polkadot_etl_spark.plans.garparsers import StatemintGarParser
+
+    registry = StatemintGarParser().parse_gar(_statemint_gar_entries(spark, sf_dir))
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 4000)
+    rf = F.col("l_returnflag")
+    raw_str = F.floor(F.col("l_extendedprice") * 100).cast("bigint").cast("string")
+    aid_str = ((F.col("l_partkey") % 39 + 1) * 100).cast("string")
+    eid = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.lit("0"))
+    common = [
+        eid.alias("event_id"),
+        F.concat(eid, F.lit("x")).alias("extrinsic_id"),
+        F.lit(None).cast("string").alias("extrinsic_hash"),
+        F.lit(None).cast("timestamp").alias("block_time"),
+        F.col("l_orderkey").alias("block_number"),
+        F.lit(None).cast("string").alias("block_hash"),
+    ]
+    assets_ev = li.where(rf == "R").select(
+        F.lit("assets").alias("section"),
+        F.lit("Transferred").alias("method"),
+        F.concat(
+            F.lit('["'), aid_str, F.lit('","'), _pk(F.col("l_suppkey")),
+            F.lit('","'), _pk(F.col("l_partkey")), F.lit('","'), raw_str, F.lit('"]'),
+        ).alias("data"),
+        *common,
+    )
+    native_ev = li.where(rf == "N").select(
+        F.lit("balances").alias("section"),
+        F.lit("Transfer").alias("method"),
+        F.concat(
+            F.lit('["'), _pk(F.col("l_suppkey")), F.lit('","'),
+            _pk(F.col("l_partkey")), F.lit('","'), raw_str, F.lit('"]'),
+        ).alias("data"),
+        *common,
+    )
+    parser = StatemintParser()
+    transfers = parser.transfers(assets_ev.unionByName(native_ev))
+    decorated = parser.decorate_transfers(transfers, registry)
+    return decorated.select(
+        "event_id",
+        "section",
+        "method",
+        "asset",
+        "symbol",
+        "decimals",
+        "amount",
+        F.col("raw_amount").cast("string").alias("raw_amount"),
+    )

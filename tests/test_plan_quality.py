@@ -560,3 +560,25 @@ def test_call_flatten_success_semi_join_is_hash_not_sort(spark):
     plan = _plan(spark, "dump_day_blocklog")
     assert re.search(r"ShuffledHashJoin [^\n]*LeftSemi", plan), "semi join not hash"
     assert not re.search(r"SortMergeJoin [^\n]*LeftSemi", plan), "semi join sorts"
+
+
+def test_gar_registry_parse_is_native_with_broadcast_gates(spark):
+    """The per-chain gar parses must stay JVM-side (the only Python is
+    the one Arrow interior-key codec) and every known-asset gate must
+    broadcast — registries are dim-scale, a shuffled join would be the
+    wrong 100 TB plan."""
+    plan = _plan(spark, "gar_chain_registry")
+    assert "BatchEvalPython" not in plan  # codec is Arrow-batched
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one Exchange total: the canonical-selection window; stats ride the
+    # same key partitioning instead of a groupBy + join-back
+    assert len(re.findall(r"\) Exchange", plan)) == 1
+
+
+def test_assethub_decorate_is_broadcast(spark):
+    """AssetHub per-asset decimalization joins the assets:metadata dim
+    by broadcast; the fact side never shuffles for the decoration."""
+    plan = _plan(spark, "assethub_asset_transfers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

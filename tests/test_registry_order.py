@@ -54,6 +54,8 @@ _DEMOTED_GREEN = {
     "passage_dedup_ngrams",  # r3 green; slot went to exact_substring_dup_spans (same family)
     "ivf_centroid_update",  # r3 green; slot went to ccnet_perplexity_buckets (VQ family -> PQ pair)
     "pii_scrub",  # r3 green; slot went to audio_energy_hash_dedup
+    "pq_quantize_embeddings",  # r4 green; slot went to assethub_asset_transfers
+    # (the PQ encode plan re-runs inside in-window ann_pq_adc_search)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
