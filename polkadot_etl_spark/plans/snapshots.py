@@ -48,7 +48,9 @@ def snapshot_rows(
     track: Column | None = None,
     track_val: Column | None = None,
     kv: Column | None = None,
+    kv_str: Column | None = None,
     pv: Column | None = None,
+    pv_str: Column | None = None,
     address_ss58: Column | None = None,
     address_pubkey: Column | None = None,
     dedup_first_per_hour: bool = False,
@@ -77,8 +79,18 @@ def snapshot_rows(
         F.lit(storage).alias("storage"),
         (track if track is not None else null_s).alias("track"),
         (track_val if track_val is not None else null_s).alias("track_val"),
-        (F.to_json(kv) if kv is not None else null_s).alias("kv"),
-        (F.to_json(pv) if pv is not None else null_s).alias("pv"),
+        (
+            F.to_json(kv)
+            if kv is not None
+            else (kv_str if kv_str is not None else null_s)
+        ).alias("kv"),
+        # pv is a struct packed to JSON; pv_str is an already-scalar pv
+        # (e.g. a bare issuance string, snapshot/hydradx.js:192)
+        (
+            F.to_json(pv)
+            if pv is not None
+            else (pv_str if pv_str is not None else null_s)
+        ).alias("pv"),
         F.lit(source).alias("source"),
         *( [F.col(order_col).alias("__ord")] if order_col else [] ),
     )
@@ -92,3 +104,154 @@ def snapshot_rows(
     if order_col:
         out = out.drop("__ord")
     return out.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in SNAPSHOTS.fields])
+
+
+# ---------------------------------------------------------------------------
+# Per-chain snapshot track extractors (substrate/snapshot/*.js)
+# ---------------------------------------------------------------------------
+
+
+def _dechex_str(c: Column) -> Column:
+    """paraTool.dechexToIntStr: '0x1a2' → '418', decimal strings pass
+    through — full u128 range via the base-10^12 limb decode (the
+    snapshot pv contract keeps big balances as exact strings, e.g.
+    snapshot/hydradx.js:176-180)."""
+    from polkadot_etl_spark.plans.feeds import _u128_hex_to_str
+
+    hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
+    return F.when(c.startswith("0x"), _u128_hex_to_str(hex_body)).otherwise(c)
+
+
+class ChainSnapshotter:
+    """Base of the per-chain snapshot extractors (substrate/snapshot/
+    snapshotter.js): a chain identity + a set of track builders, each
+    turning one pallet's state entries (key_args JSON array + value JSON,
+    the fixture-fed S10 contract) into normalized snapshot rows.
+
+    Spark shape: every track is a pure projection (native JSON access +
+    to_json packing); ticker decoration joins the chain's asset registry
+    dim by broadcast — the reference's in-process assetMap
+    (snapshot/hydradx.js:45-66 readAssetsFromFile)."""
+
+    chain: dict = {"relay_chain": "polkadot", "para_id": 0, "id": "polkadot-0",
+                   "chain_name": "Polkadot"}
+    chain_decimals = 10
+    source = "polkaholic"  # setSnapshotSource (snapshot/hydradx.js:25)
+
+    def _rows(self, obs: DataFrame, *, section: str, storage: str, block: dict,
+              **kw) -> DataFrame:
+        return snapshot_rows(
+            obs,
+            section=section,
+            storage=storage,
+            source=self.source,
+            chain=self.chain,
+            block_number=F.lit(block["number"]),
+            block_hash=F.lit(block["hash"]),
+            ts=F.lit(block["ts"]).cast("timestamp"),
+            **kw,
+        )
+
+    @staticmethod
+    def _ticker(entries: DataFrame, asset_registry: DataFrame, id_col: Column) -> DataFrame:
+        """assetMap.get(assetID)?.symbol — broadcast dim decoration; ids
+        missing from the registry keep a NULL ticker exactly like the
+        reference's optional-chaining miss (hydradx.js:152)."""
+        dim = F.broadcast(
+            asset_registry.select(
+                F.col("asset_id").alias("__aid"), F.col("symbol").alias("__ticker")
+            )
+        )
+        return entries.join(dim, id_col == F.col("__aid"), "left")
+
+
+class HydradxSnapshotter(ChainSnapshotter):
+    """HydraDX (polkadot-2034, snapshot/hydradx.js): the omnipool AMM
+    tracks — per-asset omnipool liquidity ('omniasset'), LP position NFTs
+    ('liquidity'), and per-currency total issuance ('asset'); every u128
+    field normalizes through dechexToIntStr into the pv blob as an exact
+    decimal STRING."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 2034, "id": "polkadot-2034",
+             "chain_name": "HydraDx"}
+    chain_decimals = 12
+
+    def omnipool_assets(self, entries: DataFrame, asset_registry: DataFrame,
+                        block: dict) -> DataFrame:
+        """omnipool.assets → track 'omniasset' (hydradx.js:195-216):
+        track_val = asset id, kv = {id, ticker}, pv = state with
+        hubReserve/shares/protocolShares/cap dechex-normalized."""
+        aid = F.get_json_object("key_args", "$[0]").cast("long")
+        e = self._ticker(entries.withColumn("__id", aid), asset_registry, aid)
+        pv = F.struct(
+            _dechex_str(F.get_json_object("value", "$.hubReserve")).alias("hubReserve"),
+            _dechex_str(F.get_json_object("value", "$.shares")).alias("shares"),
+            _dechex_str(F.get_json_object("value", "$.protocolShares")).alias(
+                "protocolShares"
+            ),
+            _dechex_str(F.get_json_object("value", "$.cap")).alias("cap"),
+            F.get_json_object("value", "$.tradable").alias("tradable"),
+        )
+        return self._rows(
+            e,
+            section="omnipool",
+            storage="assets",
+            block=block,
+            track=F.lit("omniasset"),
+            track_val=F.col("__id").cast("string"),
+            kv=F.struct(F.col("__id").alias("id"), F.col("__ticker").alias("ticker")),
+            pv=pv,
+        )
+
+    def omnipool_positions(self, entries: DataFrame, asset_registry: DataFrame,
+                           block: dict) -> DataFrame:
+        """omnipool.positions → track 'liquidity' (hydradx.js:218-240):
+        keyed by position NFT id, track_val = the position's assetId, the
+        price pair splits into price_1/price_2 (both dechex-normalized,
+        array dropped)."""
+        pos_id = F.get_json_object("key_args", "$[0]").cast("long")
+        aid = F.get_json_object("value", "$.assetId").cast("long")
+        e = self._ticker(entries.withColumn("__pid", pos_id).withColumn("__aid2", aid),
+                         asset_registry, aid)
+        pv = F.struct(
+            F.col("__aid2").alias("assetId"),
+            _dechex_str(F.get_json_object("value", "$.amount")).alias("amount"),
+            _dechex_str(F.get_json_object("value", "$.shares")).alias("shares"),
+            _dechex_str(F.get_json_object("value", "$.price[0]")).alias("price_1"),
+            _dechex_str(F.get_json_object("value", "$.price[1]")).alias("price_2"),
+        )
+        return self._rows(
+            e,
+            section="omnipool",
+            storage="positions",
+            block=block,
+            track=F.lit("liquidity"),
+            track_val=F.col("__aid2").cast("string"),
+            kv=F.struct(F.col("__pid").alias("id"), F.col("__ticker").alias("ticker")),
+            pv=pv,
+        )
+
+    def total_issuance(self, entries: DataFrame, block: dict) -> DataFrame:
+        """tokens.totalIssuance → track 'asset' (hydradx.js:183-194):
+        track_val = the currency-id JSON itself, pv = the issuance as an
+        exact decimal string."""
+        cur = F.get_json_object("key_args", "$[0]")
+        return self._rows(
+            entries.withColumn("__cur", cur),
+            section="tokens",
+            storage="totalIssuance",
+            block=block,
+            track=F.lit("asset"),
+            track_val=F.col("__cur"),
+            kv_str=F.col("__cur"),
+            pv_str=_dechex_str(F.col("value")),
+        )
+
+
+_SNAPSHOTTERS: dict[str, type[ChainSnapshotter]] = {
+    "hydradx": HydradxSnapshotter,
+}
+
+
+def get_snapshotter(chain_name: str) -> ChainSnapshotter:
+    return _SNAPSHOTTERS.get(chain_name, ChainSnapshotter)()

@@ -182,7 +182,10 @@ _PRIORITY: list[str] = [
     "evm_accounts_daily",
     "balances_day_lifecycle",
     "xcm_messages_published",
-    "snapshots_pricefeed",
+    # snapshots_pricefeed: green r4, demoted mid-r5 for
+    # snapshots_hydradx_omnipool (the generic snapshot_rows contract it
+    # exercised runs inside both in-window snapshot queries)
+    "snapshots_hydradx_omnipool",
     # round-3 TPC-H completion rep kept in window
     "tpch_q21_waiting_suppliers",
     # round-4 reference-parity addition (dump_users_tags full_users)

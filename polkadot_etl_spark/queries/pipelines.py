@@ -3003,13 +3003,7 @@ def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("k")
     ks = k.cast("string")
     key_args = F.concat(F.lit('["'), ks, F.lit('"]'))
-    hy_sym = F.when(k % 6 == 0, F.concat(F.lit("xcH"), ks)).otherwise(
-        F.concat(F.lit("H"), ks)
-    )
-    hy_gar = nat.select(
-        key_args.alias("key_args"),
-        F.concat(F.lit('{"symbol":"'), hy_sym, F.lit('","decimals":12}')).alias("value"),
-    ).unionByName(
+    hy_gar = _hydra_gar_entries(spark, sf_dir).unionByName(
         spark.createDataFrame(
             [('["900"]', '{"symbol":"xcUSDT","decimals":6}')],
             "key_args string, value string",
@@ -3205,4 +3199,155 @@ def assethub_asset_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimals",
         "amount",
         F.col("raw_amount").cast("string").alias("raw_amount"),
+    )
+
+
+def _hydra_gar_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hydra assetRegistry:assetMetadataMap entries (no name field —
+    every name falls back to the symbol; k%6 rows carry the xc wrapper
+    prefix) — shared by the registry-parse and snapshot-track queries."""
+    nat = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    k = F.col("k")
+    ks = k.cast("string")
+    hy_sym = F.when(k % 6 == 0, F.concat(F.lit("xcH"), ks)).otherwise(
+        F.concat(F.lit("H"), ks)
+    )
+    return nat.select(
+        F.concat(F.lit('["'), ks, F.lit('"]')).alias("key_args"),
+        F.concat(F.lit('{"symbol":"'), hy_sym, F.lit('","decimals":12}')).alias("value"),
+    )
+
+
+@query(
+    "snapshots_hydradx_omnipool",
+    oracle="""
+WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier WHERE s_suppkey < 25),
+tick AS (
+  SELECT k, CASE WHEN k % 6 = 0 THEN 'xcH' || k ELSE 'H' || k END AS ticker
+  FROM nat
+),
+omniasset AS (
+  SELECT 'omnipool' AS section, 'assets' AS storage, 'omniasset' AS track,
+         CAST(k AS VARCHAR) AS track_val,
+         '{"id":' || k || ',"ticker":"' || t.ticker || '"}' AS kv,
+         '{"hubReserve":"' || (k * 1000000007 + 5)
+           || '","shares":"' || (k * 500 + 1)
+           || '","protocolShares":"' || (k * 7)
+           || '","cap":"500000000000000000","tradable":"ok' || (k % 3) || '"}'
+           AS pv
+  FROM nat JOIN tick t USING (k)
+),
+liquidity AS (
+  SELECT 'omnipool', 'positions', 'liquidity',
+         CAST(k % 25 AS VARCHAR),
+         '{"id":' || (9000 + k) || ',"ticker":"' || t.ticker || '"}',
+         '{"assetId":' || (k % 25)
+           || ',"amount":"' || (k * 1000000000000 + 11)
+           || '","shares":"' || (k * 13 + 1)
+           || '","price_1":"' || (k * 3 + 1)
+           || '","price_2":"' || (k * 5 + 2) || '"}'
+  FROM sup JOIN (SELECT k AS tk, ticker FROM tick) t ON t.tk = k % 25
+),
+asset AS (
+  SELECT 'tokens', 'totalIssuance', 'asset',
+         '{"token":' || k || '}',
+         '{"token":' || k || '}',
+         CAST(k * 11 + 3 AS VARCHAR)
+  FROM nat
+)
+SELECT section, storage, track, track_val, kv, pv,
+       TIMESTAMP '2023-06-01 12:00:00' AS ts,
+       CAST(5000000 AS BIGINT) AS block_number
+FROM (SELECT * FROM omniasset
+      UNION ALL SELECT * FROM liquidity
+      UNION ALL SELECT * FROM asset)
+""",
+    doc="HydraDX per-chain snapshot tracks (substrate/snapshot/"
+    "hydradx.js over snapshotter.js): the omnipool AMM state — per-asset "
+    "omnipool liquidity (track 'omniasset', hubReserve/shares/"
+    "protocolShares/cap dechexToIntStr-normalized into the pv blob, "
+    ":195-216), LP position NFTs (track 'liquidity', price array split "
+    "into price_1/price_2, :218-240) and per-currency totalIssuance "
+    "(track 'asset', :183-194) — through plans.snapshots."
+    "HydradxSnapshotter: native JSON projections, ticker decoration via "
+    "a broadcast join against the REAL HydraGarParser registry parse "
+    "(the reference's in-process assetMap, :45-66), canonical-hour "
+    "bucketing. Hex and decimal u128 inputs are mixed row-by-row; the "
+    "oracle reconstructs every blob from the integer formulas.",
+    tags=("pipeline", "snapshots", "functions"),
+)
+def snapshots_hydradx_omnipool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.garparsers import HydraGarParser
+    from polkadot_etl_spark.plans.snapshots import HydradxSnapshotter
+
+    registry = HydraGarParser().parse_gar(_hydra_gar_entries(spark, sf_dir))
+    block = {"number": 5000000, "hash": "0x5f", "ts": "2023-06-01 12:34:56"}
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    ks = k.cast("string")
+
+    def hexs(c: Column) -> Column:
+        return F.concat(F.lit("0x"), F.lower(F.hex(c)))
+
+    def dq(c: Column) -> Column:
+        return F.concat(F.lit('"'), c, F.lit('"'))
+
+    hub = k * 1000000007 + 5
+    omni_assets = nat.select(
+        F.concat(F.lit('["'), ks, F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit('{"hubReserve":'),
+            dq(F.when(k % 2 == 0, hexs(hub)).otherwise(hub.cast("string"))),
+            F.lit(',"shares":'),
+            dq((k * 500 + 1).cast("string")),
+            F.lit(',"protocolShares":'),
+            dq(F.when(k % 3 == 0, hexs(k * 7)).otherwise((k * 7).cast("string"))),
+            F.lit(',"cap":"500000000000000000","tradable":'),
+            dq(F.concat(F.lit("ok"), (k % 3).cast("string"))),
+            F.lit("}"),
+        ).alias("value"),
+    )
+
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").cast("long").alias("k"))
+        .where(F.col("k") < 25)
+    )
+    amount = k * 1000000000000 + 11
+    positions = sup.select(
+        F.concat(F.lit('["'), (k + 9000).cast("string"), F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit('{"assetId":'),
+            (k % 25).cast("string"),
+            F.lit(',"amount":'),
+            dq(F.when(k % 2 == 0, hexs(amount)).otherwise(amount.cast("string"))),
+            F.lit(',"shares":'),
+            dq((k * 13 + 1).cast("string")),
+            F.lit(',"price":['),
+            dq(F.when(k % 3 == 0, hexs(k * 3 + 1)).otherwise((k * 3 + 1).cast("string"))),
+            F.lit(","),
+            dq((k * 5 + 2).cast("string")),
+            F.lit("]}"),
+        ).alias("value"),
+    )
+
+    issuance = nat.select(
+        F.concat(F.lit('[{"token":'), ks, F.lit("}]")).alias("key_args"),
+        F.when(k % 2 == 0, hexs(k * 11 + 3))
+        .otherwise((k * 11 + 3).cast("string"))
+        .alias("value"),
+    )
+
+    snap = HydradxSnapshotter()
+    rows = (
+        snap.omnipool_assets(omni_assets, registry, block)
+        .unionByName(snap.omnipool_positions(positions, registry, block))
+        .unionByName(snap.total_issuance(issuance, block))
+    )
+    return rows.select(
+        "section", "storage", "track", "track_val", "kv", "pv", "ts", "block_number"
     )

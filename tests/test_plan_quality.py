@@ -582,3 +582,14 @@ def test_assethub_decorate_is_broadcast(spark):
     plan = _plan(spark, "assethub_asset_transfers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hydradx_tracks_are_mapside_with_broadcast_ticker(spark):
+    """The omnipool snapshot tracks are pure projections; the only joins
+    are broadcast ticker decorations against the registry dim — no
+    shuffle anywhere in the plan."""
+    plan = _plan(spark, "snapshots_hydradx_omnipool")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    assert "EvalPython" not in plan
