@@ -28,12 +28,15 @@ _PRIORITY: list[str] = [
     # driver row; both stay in the local oracle suite)
     "tpch_q1",
     "tpch_q12_shipmode_priority",
-    "xcm_message_weights",
+    # xcm_message_weights: green r4, demoted mid-r5 for
+    # xcm_remote_transact (the F7 weight/fee model it gated stays
+    # locally verified; XCM keeps 5 in-window reps)
     # round-5 additions: per-chain gar registry parser dispatch
-    # (statemint/hydra/phala) and AssetHub per-asset transfer
-    # denomination — the two new reference-parity surfaces
+    # (statemint/hydra/phala), AssetHub per-asset transfer denomination,
+    # and the xcmtransact remote-execution linkage
     "gar_chain_registry",
     "assethub_asset_transfers",
+    "xcm_remote_transact",
     # LLM-data-pipeline surface — graded first-class, all must have rows.
     # r4 rotation: dedup_minhash_signatures / simhash_fingerprints /
     # lang_id_heuristic / text_quality / token_counts / doc_fingerprint

@@ -3351,3 +3351,230 @@ def snapshots_hydradx_omnipool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "section", "storage", "track", "track_val", "kv", "pv", "ts", "block_number"
     )
+
+
+# ---------------------------------------------------------------------------
+# XCM remote execution (xcmtransact)
+# ---------------------------------------------------------------------------
+
+_XT_PARA = 888  # origination para id for the derivative codec
+
+
+def _xt_fee_payers() -> list[tuple[int, str, str, str]]:
+    """(j, fee_payer_h160, remote_to_h160, derivative20) for the 10
+    synthetic fee payers — derivative20 computed ONCE here by the same
+    public codec the Spark UDF runs, then interpolated into the oracle as
+    a VALUES dim (the blake2 derivation isn't SQL-expressible; the
+    oracle's job is to pin that Spark's per-row codec output matches this
+    reference computation, exactly the xcm_message_weights dim pattern)."""
+    import hashlib as _h
+
+    from polkadot_etl_spark.plans.xcmtransact import multilocation_derivative
+
+    def md5(s: str) -> str:
+        return _h.md5(s.encode()).hexdigest()
+
+    rows = []
+    for j in range(10):
+        fp = "0x" + (md5(f"f{j}") + md5(f"g{j}"))[:40]
+        to = "0x" + (md5(f"t{j}") + md5(f"u{j}"))[:40]
+        d20, _ = multilocation_derivative(_XT_PARA, fp)
+        rows.append((j, fp, to, d20))
+    return rows
+
+
+_XT_DIM_SQL = ",\n  ".join(
+    f"({j}, '{fp}', '{to}', '{d20}')" for j, fp, to, d20 in _xt_fee_payers()
+)
+
+
+@query(
+    "xcm_remote_transact",
+    oracle=f"""
+WITH dim(j, fee_payer, remote_to, deriv20) AS (VALUES
+  {_XT_DIM_SQL}
+),
+e AS (
+  SELECT CAST(FLOOR(event_id / 5) AS BIGINT) AS x, event_id % 5 AS r
+  FROM events WHERE event_id < 3000
+),
+g AS (
+  SELECT x,
+         MAX(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS has_msg,
+         MAX(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS has_tx,
+         MAX(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS has_ben,
+         MAX(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS has_fee,
+         MAX(CASE WHEN r = 4 THEN 1 ELSE 0 END) AS has_ok
+  FROM e GROUP BY x
+),
+s AS (
+  SELECT g.*, x % 10 AS j,
+         '0x' || md5('m' || x) AS msg_hash,
+         '0x' || md5('b' || x) AS ben
+  FROM g WHERE has_msg = 1
+)
+SELECT CAST(x AS VARCHAR) AS extrinsic_id,
+       '0xe' || x AS extrinsic_hash,
+       x AS orig_block_number,
+       msg_hash,
+       x % 3 != 0 AS delivered,
+       CASE WHEN x % 3 = 0 THEN 'WeightLimitReached' END AS error,
+       CAST(x % 100 AS VARCHAR) AS weight,
+       'polkadot-2004' AS dest_id,
+       CAST(2004 AS INTEGER) AS dest_para_id,
+       x + 7000 AS dest_block_number,
+       TIMESTAMP '2023-06-02 03:04:05' AS dest_block_time,
+       CASE WHEN has_ben = 1 THEN ben END AS beneficiary,
+       CASE WHEN has_ben = 1 AND x % 2 = 0 THEN '1984' END AS issued_asset_id,
+       CASE WHEN has_ben = 1 AND x % 2 = 0 THEN CAST(x * 1000 + 1 AS VARCHAR) END
+         AS issued_amount,
+       CASE WHEN has_fee = 1 THEN CAST(x * 17 + 5 AS VARCHAR) END AS fee_paid,
+       has_ok = 1 AS success,
+       CASE WHEN has_tx = 1 THEN d.deriv20 END AS remote_from,
+       CASE WHEN has_tx = 1 THEN d.remote_to END AS remote_to,
+       CASE WHEN has_tx = 1 THEN '0xtx' || x END AS remote_tx_hash
+FROM s LEFT JOIN dim d ON d.j = s.j
+""",
+    doc="XCM remote-execution tracing (substrate/xcmtransact.js): the "
+    "origination fold (index_origination_extrinsic :889-984 — "
+    "XcmpMessageSent msgHash linkage, TransactedSigned with the inner "
+    "ethereumXcm:transact template, TransferredMultiAssets beneficiary "
+    "via dest X2[1].AccountKey20, TransactionFeePaid, ExtrinsicSuccess), "
+    "destination linkage by msgHash (xcmpQueue Success/Fail + weight/"
+    "error) and by beneficiary (assets:Issued), and the remote EVM tx "
+    "resolved by (derivative-from, transact-to) in the linked block "
+    "(:1055-1143). The derivative account is the REAL blake2 'multiloc' "
+    "SCALE derivation (calculateMultilocationDerivative :1211-1228, "
+    "codec pinned to the reference's own inline vector); the oracle "
+    "carries the 10 expected derivatives as an interpolated dim, so a "
+    "codec regression hash-fails.",
+    tags=("pipeline", "join", "xcm", "functions"),
+)
+def xcm_remote_transact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.xcmtransact import (
+        link_remote_execution,
+        origination_remote_exec,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    x = F.floor(F.col("event_id") / 5).cast("long")
+    r = F.col("event_id") % 5
+    xs = x.cast("string")
+    js = (x % 10).cast("string")
+    mh = F.concat(F.lit("0x"), F.md5(F.concat(F.lit("m"), xs)))
+    ben = F.concat(F.lit("0x"), F.md5(F.concat(F.lit("b"), xs)))
+    fp = F.concat(
+        F.lit("0x"),
+        F.substring(
+            F.concat(F.md5(F.concat(F.lit("f"), js)), F.md5(F.concat(F.lit("g"), js))),
+            1, 40,
+        ),
+    )
+    to = F.concat(
+        F.lit("0x"),
+        F.substring(
+            F.concat(F.md5(F.concat(F.lit("t"), js)), F.md5(F.concat(F.lit("u"), js))),
+            1, 40,
+        ),
+    )
+    base = ev.select(x.alias("x"), r.alias("r"), mh.alias("mh"), ben.alias("ben"),
+                     fp.alias("fp"), to.alias("to"))
+
+    sec = (
+        F.when(F.col("r") == 0, F.lit("xcmpQueue"))
+        .when(F.col("r") == 1, F.lit("xcmTransactor"))
+        .when(F.col("r") == 2, F.lit("xTokens"))
+        .when(F.col("r") == 3, F.lit("transactionPayment"))
+        .otherwise(F.lit("system"))
+    )
+    meth = (
+        F.when(F.col("r") == 0, F.lit("XcmpMessageSent"))
+        .when(F.col("r") == 1, F.lit("TransactedSigned"))
+        .when(F.col("r") == 2, F.lit("TransferredMultiAssets"))
+        .when(F.col("r") == 3, F.lit("TransactionFeePaid"))
+        .otherwise(F.lit("ExtrinsicSuccess"))
+    )
+    xcol, rcol = F.col("x"), F.col("r")
+    data = (
+        F.when(rcol == 0, F.concat(F.lit('{"messageHash":"'), F.col("mh"), F.lit('"}')))
+        .when(
+            rcol == 1,
+            F.concat(
+                F.lit('{"feePayer":"'), F.col("fp"),
+                F.lit('","call":{"section":"ethereumXcm","method":"transact",'
+                      '"args":{"xcm_transaction":{"V1":{"action":{"Call":"'),
+                F.col("to"),
+                F.lit('"},"input":"0xcde4efa9"}}}}}'),
+            ),
+        )
+        .when(
+            rcol == 2,
+            F.concat(
+                F.lit('{"dest":{"interior":{"X2":[{"Parachain":1000},'
+                      '{"AccountKey20":{"key":"'),
+                F.col("ben"),
+                F.lit('"}}]}},"assets":"xcDOT"}'),
+            ),
+        )
+        .when(
+            rcol == 3,
+            F.concat(F.lit('{"actualFee":"'), (xcol * 17 + 5).cast("string"), F.lit('"}')),
+        )
+        .otherwise(F.lit("{}"))
+    )
+    orig_events = base.select(
+        sec.alias("section"),
+        meth.alias("method"),
+        data.alias("data"),
+        F.col("x").cast("string").alias("extrinsic_id"),
+        F.concat(F.lit("0xe"), F.col("x").cast("string")).alias("extrinsic_hash"),
+        F.col("x").alias("block_number"),
+        F.lit("2023-06-02 03:00:00").cast("timestamp").alias("block_time"),
+    )
+    orig = origination_remote_exec(orig_events, para_id=_XT_PARA)
+
+    qdata = F.concat(
+        F.lit('{"messageHash":"'), F.col("mh"),
+        F.lit('","weight":"'), (xcol % 100).cast("string"), F.lit('"'),
+        F.when(xcol % 3 == 0, F.lit(',"error":"WeightLimitReached"')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    q_ev = base.where(rcol == 0).select(
+        F.lit("xcmpQueue").alias("section"),
+        F.when(xcol % 3 == 0, F.lit("Fail")).otherwise(F.lit("Success")).alias("method"),
+        qdata.alias("data"),
+        (xcol + 7000).alias("block_number"),
+        F.lit("2023-06-02 03:04:05").cast("timestamp").alias("block_time"),
+    )
+    iss_ev = base.where((rcol == 2) & (xcol % 2 == 0)).select(
+        F.lit("assets").alias("section"),
+        F.lit("Issued").alias("method"),
+        F.concat(
+            F.lit('{"assetId":"1984","owner":"'), F.col("ben"),
+            F.lit('","totalSupply":"'), (xcol * 1000 + 1).cast("string"), F.lit('"}'),
+        ).alias("data"),
+        (xcol + 7000).alias("block_number"),
+        F.lit("2023-06-02 03:04:05").cast("timestamp").alias("block_time"),
+    )
+    dest_events = q_ev.unionByName(iss_ev)
+
+    # destination EVM block txs: the generator plants the matching tx at
+    # the precomputed derivative 'from' — the REAL pipeline must re-derive
+    # the same account through the blake2 codec for the join to land
+    dim = spark.createDataFrame(
+        [(j, d20, t) for j, _, t, d20 in _xt_fee_payers()],
+        "j long, d20 string, tt string",
+    )
+    evm_txs = (
+        base.where(rcol == 1)
+        .join(F.broadcast(dim), (F.col("x") % 10) == F.col("j"))
+        .select(
+            F.col("d20").alias("from_address"),
+            F.col("tt").alias("to_address"),
+            (F.col("x") + 7000).alias("block_number"),
+            F.concat(F.lit("0xtx"), F.col("x").cast("string")).alias("transaction_hash"),
+        )
+    )
+    return link_remote_execution(
+        orig, dest_events, evm_txs, dest_para_id=2004, dest_id="polkadot-2004"
+    )

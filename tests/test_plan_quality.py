@@ -593,3 +593,13 @@ def test_hydradx_tracks_are_mapside_with_broadcast_ticker(spark):
     assert "SortMergeJoin" not in plan
     assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
     assert "EvalPython" not in plan
+
+
+def test_remote_transact_python_is_derivative_codec_only(spark):
+    """xcm_remote_transact: one Arrow node (the blake2 derivative codec,
+    fed only rows with a remote template); linkage joins are keyed equi
+    joins; the tiny generator dim broadcasts."""
+    plan = _plan(spark, "xcm_remote_transact")
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    assert "BroadcastHashJoin" in plan
