@@ -37,6 +37,7 @@ _PRIORITY: list[str] = [
     "gar_chain_registry",
     "assethub_asset_transfers",
     "xcm_remote_transact",
+    "evm_precompile_calls",
     # LLM-data-pipeline surface — graded first-class, all must have rows.
     # r4 rotation: dedup_minhash_signatures / simhash_fingerprints /
     # lang_id_heuristic / text_quality / token_counts / doc_fingerprint
@@ -120,7 +121,9 @@ _PRIORITY: list[str] = [
     # bpe_encode_vocab — J12 broadcast decoration runs inside
     # xcmtransfers_wide, xcm_messages_published, wasm_contract_calls and
     # cluster_trace_reference every round (all in-window)
-    "bpe_encode_vocab",
+    # bpe_encode_vocab: green r4, demoted mid-r5 for evm_precompile_calls
+    # (BPE family keeps bpe_pair_counts in-window; the encode fixpoint
+    # stays locally oracle-verified every session)
     # per_block_stats / daily_history_series / work_queue_backoff /
     # validity_filter / json_field_access / intersect_except_users /
     # interval_sampling / noise_suppression: driver-green in r2, demoted

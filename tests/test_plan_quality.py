@@ -603,3 +603,13 @@ def test_remote_transact_python_is_derivative_codec_only(spark):
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_precompile_decoration_is_broadcast_codegen(spark):
+    """System-contract classification is one broadcast dim join plus
+    column expressions — no shuffle, no Python."""
+    plan = _plan(spark, "evm_precompile_calls")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)

@@ -56,6 +56,8 @@ _DEMOTED_GREEN = {
     "pii_scrub",  # r3 green; slot went to audio_energy_hash_dedup
     "pq_quantize_embeddings",  # r4 green; slot went to assethub_asset_transfers
     # (the PQ encode plan re-runs inside in-window ann_pq_adc_search)
+    "bpe_encode_vocab",  # r4 green; slot went to evm_precompile_calls
+    # (BPE family keeps bpe_pair_counts in-window)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
