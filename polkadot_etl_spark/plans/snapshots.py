@@ -255,3 +255,157 @@ _SNAPSHOTTERS: dict[str, type[ChainSnapshotter]] = {
 
 def get_snapshotter(chain_name: str) -> ChainSnapshotter:
     return _SNAPSHOTTERS.get(chain_name, ChainSnapshotter)()
+
+
+def pubkey_ascii_name(pk: Column) -> Column:
+    """paraTool.pubKeyHex2ASCII (paraTool.js:378-411): decode the
+    human-readable identity of SYSTEM accounts — pubkeys prefixed
+    'para' (0x70617261), 'sibl' or 'modl' whose bytes spell a name:
+    trailing zero bytes strip, [A-Za-z/] bytes append to the name,
+    other bytes accumulate (prepended — which exactly un-reverses a
+    little-endian id) and render as ':<int>' when ≤ 2 bytes remain.
+    '0x70617261d4070000…' → 'para:2004'. NULL for every non-system
+    pubkey.
+
+    Native higher-order fold over the byte pairs (≤ 32 elements — the
+    HOF re-evaluation cost is bounded), so classifying a holder table
+    stays in the JVM."""
+    h = F.regexp_replace(F.lower(F.regexp_replace(pk, "^0x", "")), "(00)+$", "")
+    prefix_ok = F.substring(h, 1, 8).isin("70617261", "7369626c", "6d6f646c")
+    n_pairs = (F.length(h) / 2).cast("int")
+    pairs = F.transform(
+        F.sequence(F.lit(0), n_pairs - 1), lambda i: F.substr(h, i * 2 + 1, F.lit(2))
+    )
+    zero = F.struct(F.lit("").alias("out"), F.lit("").alias("rem"))
+
+    def step(acc, p):
+        c = F.conv(p, 16, 10).cast("int")
+        is_name = (c == 47) | ((c >= 65) & (c <= 90)) | ((c >= 97) & (c <= 122))
+        return F.struct(
+            F.when(is_name, F.concat(acc["out"], F.char(c))).otherwise(acc["out"]).alias("out"),
+            F.when(is_name, acc["rem"]).otherwise(F.concat(p, acc["rem"])).alias("rem"),
+        )
+
+    folded = F.aggregate(pairs, zero, step)
+    tail = F.when(
+        (F.length(folded["rem"]) > 0) & (F.length(folded["rem"]) <= 4),
+        F.concat(F.lit(":"), F.conv(folded["rem"], 16, 10)),
+    ).otherwise(F.lit(""))
+    return F.when(
+        prefix_ok & (F.length(h) >= 8), F.concat(folded["out"], tail)
+    )
+
+
+class AssetHubSnapshotter(ChainSnapshotter):
+    """Polkadot AssetHub (polkadot-1000, snapshot/polkadot_assethub.js):
+    the stablecoin distribution snapshot — per-currency assets.asset
+    state (supply/deposit/minBalance/accounts/… comma-cleaned,
+    :46-63) and the assets.account holder walk with the reference's
+    selective-publish rule (:77-131): INDIVIDUAL rows for system-named
+    accounts (pubKeyHex2ASCII hits), for small assets (the asset
+    record's holder count ≤ the target), and for whales
+    (balance/totalIssuance > 0.25%); everything else folds into ONE
+    residual 'holders' row per currency with an exact big-int
+    balance_raw sum and a holder count.
+
+    Spark shape: the name decode and comma-cleaning are native column
+    work; asset state broadcasts onto the holder scan; the residual is
+    one partial-aggregated groupBy per currency — at 100 TB the holder
+    walk is one scan + one tiny shuffle. The residual float balance is
+    derived from the exact raw sum (the reference's incremental float
+    `+=` is order-dependent; same value, deterministic)."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 1000, "id": "polkadot-1000",
+             "chain_name": "Polkadot_AssetHub"}
+    chain_decimals = 10
+    TARGET_MAX_HOLDERS = 5000  # snapshot/polkadot_assethub.js:73
+    WHALE_SHARE = 0.0025  # :91
+
+    def stablecoin_assets(self, asset_entries: DataFrame) -> DataFrame:
+        """assets.asset rows → (currency_id, supply, holder_cnt + the
+        cleaned numeric fields) — the totalIssuanceMap."""
+        num = lambda f: F.regexp_replace(  # noqa: E731 — toNumWithoutComma
+            F.get_json_object("value", f"$.{f}"), ",", ""
+        )
+        return asset_entries.select(
+            F.get_json_object("key_args", "$[0]").cast("long").alias("currency_id"),
+            num("supply").try_cast("decimal(38,0)").alias("supply"),
+            num("deposit").try_cast("decimal(38,0)").alias("deposit"),
+            num("minBalance").try_cast("decimal(38,0)").alias("min_balance"),
+            num("accounts").try_cast("long").alias("holder_cnt"),
+            num("sufficients").try_cast("long").alias("sufficients"),
+            num("approvals").try_cast("long").alias("approvals"),
+        )
+
+    def stablecoin_holders(
+        self,
+        asset_entries: DataFrame,
+        account_entries: DataFrame,
+        currency_list: dict[int, tuple[str, int]],
+        target_max_holders: int | None = None,
+    ) -> DataFrame:
+        """The holder-walk publish (snapshot/polkadot_assethub.js:77-138).
+        currency_list: {currency_id: (symbol, decimals)} — the
+        reference's hard currencyList (:38-41)."""
+        tmh = self.TARGET_MAX_HOLDERS if target_max_holders is None else target_max_holders
+        assets = self.stablecoin_assets(asset_entries)
+        cur = F.create_map(
+            *[x for cid, (sym, _d) in sorted(currency_list.items())
+              for x in (F.lit(cid), F.lit(sym))]
+        )
+        dec = F.create_map(
+            *[x for cid, (_s, d) in sorted(currency_list.items())
+              for x in (F.lit(cid), F.lit(d))]
+        )
+        a = account_entries.select(
+            F.get_json_object("key_args", "$[0]").cast("long").alias("currency_id"),
+            F.get_json_object("key_args", "$[1]").alias("address_pubkey"),
+            F.regexp_replace(F.get_json_object("value", "$.balance"), ",", "")
+            .try_cast("decimal(38,0)")
+            .alias("balance_raw"),
+        ).where(F.col("balance_raw").isNotNull())
+        dim = F.broadcast(assets.select("currency_id", "supply", "holder_cnt"))
+        j = (
+            a.join(dim, "currency_id", "inner")
+            .withColumn("symbol", cur[F.col("currency_id")])
+            .withColumn("__dec", dec[F.col("currency_id")])
+            .where(F.col("symbol").isNotNull())
+            .withColumn("name", pubkey_ascii_name(F.col("address_pubkey")))
+        )
+        share = F.col("balance_raw").cast("double") / F.col("supply").cast("double")
+        keep = (
+            F.col("name").isNotNull()
+            | (F.col("holder_cnt") <= F.lit(tmh))
+            | (share > F.lit(self.WHALE_SHARE))
+        )
+        pow10 = F.pow(F.lit(10.0), F.col("__dec").cast("double"))
+        individual = j.where(keep).select(
+            "currency_id",
+            "symbol",
+            "name",
+            "address_pubkey",
+            (F.col("balance_raw").cast("double") / pow10).alias("balance"),
+            F.col("balance_raw").cast("string").alias("balance_raw"),
+            F.lit(None).cast("long").alias("holders"),
+        )
+        residual = (
+            j.where(~keep)
+            .groupBy("currency_id", "symbol", "__dec")
+            .agg(
+                F.sum("balance_raw").alias("__raw"),
+                F.count(F.lit(1)).alias("holders"),
+            )
+            .select(
+                "currency_id",
+                "symbol",
+                F.lit("holders").alias("name"),
+                F.lit(None).cast("string").alias("address_pubkey"),
+                (
+                    F.col("__raw").cast("string").cast("double")
+                    / F.pow(F.lit(10.0), F.col("__dec").cast("double"))
+                ).alias("balance"),
+                F.col("__raw").cast("string").alias("balance_raw"),
+                "holders",
+            )
+        )
+        return individual.unionByName(residual)

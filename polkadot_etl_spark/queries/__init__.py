@@ -100,7 +100,10 @@ _PRIORITY: list[str] = [
     # successor mixture_sample_corpus (md5-threshold sampling is the
     # shared mechanism; mixture_weights also stays in-window)
     "mixture_sample_corpus",
-    "multimodal_image_features",
+    # multimodal_image_features: green r4, demoted mid-r5 for
+    # snapshots_assethub_stablecoins — the real PNG encode→decode→resample
+    # path re-runs inside image_dhash_dedup (in-window) every round
+    "snapshots_assethub_stablecoins",
     # mid-r4 additions: real RIFF/WAV codec surface, the reference's
     # audit_substrateetl cross-check, and the 15-metric addressTopN
     "multimodal_audio_features",

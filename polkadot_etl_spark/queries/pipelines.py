@@ -3712,3 +3712,149 @@ def evm_precompile_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ierc20_method",
         F.lower(F.substring("input", 1, 10)).alias("selector"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AssetHub stablecoin snapshot
+# ---------------------------------------------------------------------------
+
+_AH_MODL_NAMES = ("py/trsry", "py/cfund", "assethub")
+_AH_MODL_PKS = tuple(
+    "0x" + ("modl" + n).encode().hex().ljust(64, "0") for n in _AH_MODL_NAMES
+)
+
+
+def _ah_oracle_sql() -> str:
+    modl_name = (
+        "CASE CAST(FLOOR(ck / 10) AS BIGINT) % 3 "
+        + " ".join(f"WHEN {i} THEN 'modl{n}'" for i, n in enumerate(_AH_MODL_NAMES))
+        + " END"
+    )
+    modl_pk = (
+        "CASE CAST(FLOOR(ck / 10) AS BIGINT) % 3 "
+        + " ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_AH_MODL_PKS))
+        + " END"
+    )
+    return f"""
+WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer WHERE c_custkey < 200),
+b AS (
+  SELECT ck,
+         CASE WHEN ck % 3 = 0 THEN 1337 ELSE 1984 END AS currency_id,
+         CASE WHEN ck % 3 = 0 THEN 'USDC' ELSE 'USDT' END AS symbol,
+         (ck * 937 + 1) * 100 AS raw,
+         CASE WHEN ck % 10 = 0 THEN {modl_name}
+              WHEN ck % 10 = 5 THEN 'para:' || (2000 + ck % 50)
+         END AS name,
+         CASE WHEN ck % 10 = 0 THEN {modl_pk}
+              WHEN ck % 10 = 5 THEN '0x70617261'
+                   || lpad(lower(hex((2000 + ck % 50) % 256)), 2, '0')
+                   || lpad(lower(hex(CAST(FLOOR((2000 + ck % 50) / 256) AS BIGINT))), 2, '0')
+                   || '0000' || repeat('0', 48)
+              ELSE '0x' || md5('pk' || ck) || md5('pq' || ck)
+         END AS address_pubkey
+  FROM c
+),
+cls AS (
+  SELECT *,
+         (name IS NOT NULL
+          OR currency_id = 1337
+          OR CAST(raw AS DOUBLE) / 4000000000.0 > 0.0025) AS keep
+  FROM b
+)
+SELECT CAST(currency_id AS BIGINT) AS currency_id, symbol, name, address_pubkey,
+       CAST(raw AS DOUBLE) / 1000000.0 AS balance,
+       CAST(raw AS VARCHAR) AS balance_raw,
+       CAST(NULL AS BIGINT) AS holders
+FROM cls WHERE keep
+UNION ALL
+SELECT CAST(currency_id AS BIGINT), symbol, 'holders', CAST(NULL AS VARCHAR),
+       CAST(CAST(SUM(raw) AS VARCHAR) AS DOUBLE) / 1000000.0,
+       CAST(SUM(raw) AS VARCHAR),
+       COUNT(*)
+FROM cls WHERE NOT keep GROUP BY currency_id, symbol
+"""
+
+
+@query(
+    "snapshots_assethub_stablecoins",
+    oracle=_ah_oracle_sql(),
+    doc="AssetHub stablecoin distribution snapshot (substrate/snapshot/"
+    "polkadot_assethub.js:34-138): assets.asset state (comma-cleaned "
+    "supply/accounts fields, :50-53) broadcast onto the assets.account "
+    "holder walk with the selective publish rule — INDIVIDUAL rows for "
+    "system-named accounts (the REAL pubKeyHex2ASCII decode: "
+    "para/sibl/modl prefixes, trailing-zero strip, ':<id>' little-endian "
+    "tail — paraTool.js:378-411, implemented as a native higher-order "
+    "fold), for small assets (asset-record holder count ≤ target) and "
+    "for whales (balance share > 0.25%); everything else folds into one "
+    "exact-raw-sum 'holders' residual per currency. USDC's asset record "
+    "says 15 holders (small → all individual); USDT says 100k (only "
+    "named + whales individual). The oracle rebuilds names from the "
+    "plaintext it planted, so a decoder regression hash-fails.",
+    tags=("pipeline", "snapshots", "agg", "functions"),
+)
+def snapshots_assethub_stablecoins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.snapshots import AssetHubSnapshotter
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    ck = F.col("c_custkey").cast("long")
+    cid = F.when(ck % 3 == 0, F.lit(1337)).otherwise(F.lit(1984))
+    raw = (ck * 937 + 1) * 100
+    pid = F.lit(2000) + ck % 50
+    modl_pk = F.element_at(
+        F.array(*[F.lit(p) for p in _AH_MODL_PKS]),
+        (F.floor(ck / 10).cast("long") % 3 + 1).cast("int"),
+    )
+    para_pk = F.concat(
+        F.lit("0x70617261"),
+        F.lpad(F.lower(F.hex(pid % 256)), 2, "0"),
+        F.lpad(F.lower(F.hex(F.floor(pid / 256).cast("long"))), 2, "0"),
+        F.lit("0000"),
+        F.repeat(F.lit("0"), 48),
+    )
+    rand_pk = F.concat(
+        F.lit("0x"),
+        F.md5(F.concat(F.lit("pk"), ck.cast("string"))),
+        F.md5(F.concat(F.lit("pq"), ck.cast("string"))),
+    )
+    pk = (
+        F.when(ck % 10 == 0, modl_pk).when(ck % 10 == 5, para_pk).otherwise(rand_pk)
+    )
+    account_entries = cust.select(
+        F.concat(
+            F.lit('["'), cid.cast("string"), F.lit('","'), pk, F.lit('"]')
+        ).alias("key_args"),
+        F.concat(
+            F.lit('{"balance":"'), F.format_number(raw, 0), F.lit('"}')
+        ).alias("value"),
+    )
+    asset_entries = spark.createDataFrame(
+        [
+            (
+                '["1984"]',
+                '{"supply":"4,000,000,000","deposit":"10","minBalance":"1",'
+                '"accounts":"100,000","sufficients":"5","approvals":"0"}',
+            ),
+            (
+                '["1337"]',
+                '{"supply":"1,000,000,000","deposit":"10","minBalance":"1",'
+                '"accounts":"15","sufficients":"2","approvals":"0"}',
+            ),
+        ],
+        "key_args string, value string",
+    )
+    snap = AssetHubSnapshotter()
+    return snap.stablecoin_holders(
+        asset_entries,
+        account_entries,
+        currency_list={1984: ("USDT", 6), 1337: ("USDC", 6)},
+        target_max_holders=20,
+    ).select(
+        F.col("currency_id").cast("bigint").alias("currency_id"),
+        "symbol",
+        "name",
+        "address_pubkey",
+        "balance",
+        "balance_raw",
+        "holders",
+    )

@@ -613,3 +613,14 @@ def test_precompile_decoration_is_broadcast_codegen(spark):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+
+
+def test_assethub_holders_walk_is_one_scan_one_residual_shuffle(spark):
+    """The stablecoin holder walk: asset state broadcasts onto the holder
+    scan; the name decode is a native HOF (no Python); the only hash
+    exchange is the per-currency residual aggregate."""
+    plan = _plan(spark, "snapshots_assethub_stablecoins")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # exactly one non-broadcast Exchange: the per-currency residual agg
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1

@@ -58,6 +58,9 @@ _DEMOTED_GREEN = {
     # (the PQ encode plan re-runs inside in-window ann_pq_adc_search)
     "bpe_encode_vocab",  # r4 green; slot went to evm_precompile_calls
     # (BPE family keeps bpe_pair_counts in-window)
+    "multimodal_image_features",  # r4 green (full hash); slot went to
+    # snapshots_assethub_stablecoins — the PNG codec path re-runs inside
+    # in-window image_dhash_dedup every round
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;

@@ -16,3 +16,22 @@ def test_multilocation_derivative_reference_vector():
     # 32-byte (AccountId32) payloads take the AccountId32 arm
     d20b, _ = multilocation_derivative(1000, "0x" + "11" * 32)
     assert d20b.startswith("0x") and len(d20b) == 42
+
+
+def test_pubkey_ascii_name_vectors(spark):
+    """paraTool.pubKeyHex2ASCII parity: prefix gate, zero-strip, the
+    little-endian ':<id>' tail, and NULL for ordinary pubkeys."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans.snapshots import pubkey_ascii_name
+
+    rows = [
+        ("0x70617261d4070000000000000000000000000000000000000000000000000000", "para:2004"),
+        ("0x6d6f646c70792f747273727900000000000000000000000000000000000000", "modlpy/trsry"),
+        ("0x7369626ce803000000000000000000000000000000000000000000000000", "sibl:1000"),
+        ("0xc30aa287059cd2bdd121662e18c200b4698ff6fa452b79f70ac63a40a3a690ee", None),
+        ("0x706172", None),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], "pk string")
+    got = [r.n for r in df.select(pubkey_ascii_name(F.col("pk")).alias("n")).collect()]
+    assert got == [e for _, e in rows]
