@@ -65,7 +65,11 @@ _PRIORITY: list[str] = [
     # embedding_bucket_stats: green r2+r3, demoted in r4 for
     # users_tags_attribution (similarity surface still repped by the two
     # ANN queries + semdedup_prune)
-    "lsh_dropped_buckets",
+    # lsh_dropped_buckets: green r4, demoted mid-r5 for
+    # token_metadata_maintenance — the LSH bucket-cap accounting rides
+    # the same capped-bucket pipeline that runs inside in-window
+    # dedup_corpus_survivors every round
+    "token_metadata_maintenance",
     # round-4 corpus ops (first driver window)
     "semdedup_prune",
     "dedup_corpus_survivors",

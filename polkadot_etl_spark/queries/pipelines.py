@@ -3858,3 +3858,154 @@ def snapshots_assethub_stablecoins(spark: SparkSession, sf_dir: str) -> DataFram
         "balance_raw",
         "holders",
     )
+
+
+@query(
+    "token_metadata_maintenance",
+    oracle="""
+WITH a0 AS (
+  SELECT CAST(p_partkey AS BIGINT) AS a,
+         '0xc' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS asset,
+         CASE WHEN p_partkey % 4 = 0 THEN 'ERC721' ELSE 'ERC20' END AS asset_type
+  FROM part WHERE p_partkey < 60
+),
+obs AS (
+  SELECT CAST(l_partkey % 60 AS BIGINT) AS a,
+         CAST(50 + l_orderkey % 200 AS BIGINT) AS bn
+  FROM lineitem WHERE l_orderkey < 2000
+),
+best AS (
+  SELECT a, MAX(bn) AS bn FROM obs GROUP BY a
+),
+supply AS (
+  SELECT 'supply' AS kind, a0.asset, CAST(NULL AS BIGINT) AS token_id,
+         CAST(CASE
+           WHEN b.bn IS NOT NULL AND b.bn > 100 AND b.bn % 7 = 0 THEN 0
+           WHEN b.bn IS NOT NULL AND b.bn > 100 THEN a0.a * 1000 + b.bn
+           ELSE a0.a * 1000 END AS VARCHAR) AS value_str,
+         CAST(CASE WHEN b.bn IS NOT NULL AND b.bn > 100 THEN b.bn
+                   ELSE 100 END AS BIGINT) AS last_update_bn
+  FROM a0 LEFT JOIN best b ON a0.a = b.a
+),
+nft_cur AS (
+  SELECT a, asset, CAST(a % 10 AS BIGINT) AS token_id,
+         'ipfs://base/' || a AS uri, 'h' || a AS holder,
+         CAST(50 AS BIGINT) AS bn
+  FROM a0 WHERE asset_type = 'ERC721'
+),
+nft_obs AS (
+  SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS a,
+         CAST(l_linenumber % 10 AS BIGINT) AS token_id,
+         CAST(40 + l_orderkey % 100 AS BIGINT) AS bn
+  FROM lineitem WHERE l_orderkey < 2000 AND (l_partkey % 60) % 4 = 0
+),
+nft_all AS (
+  SELECT a, token_id, uri, holder, bn FROM nft_cur
+  UNION ALL
+  SELECT o.a, o.token_id,
+         'ipfs://new/' || o.a || '/' || o.token_id || '/' || o.bn,
+         'h' || (o.a + o.token_id + o.bn), o.bn
+  FROM nft_obs o JOIN (SELECT DISTINCT a FROM nft_cur) c ON c.a = o.a
+),
+nft_best AS (
+  SELECT a, token_id, uri, holder, bn,
+         ROW_NUMBER() OVER (PARTITION BY a, token_id ORDER BY bn DESC) AS rn
+  FROM nft_all
+),
+nft AS (
+  SELECT 'nft' AS kind,
+         '0xc' || lpad(CAST(a AS VARCHAR), 4, '0') AS asset,
+         token_id, uri || '|' || holder AS value_str, bn AS last_update_bn
+  FROM nft_best WHERE rn = 1
+)
+SELECT * FROM supply UNION ALL SELECT * FROM nft
+""",
+    doc="Token-metadata maintenance crons (substrate/tools/"
+    "updateERC20TokenSupply + tools/indexTokenURI over indexer.js:"
+    "2779-2790,2936-2938 and ethTool.js:3198-3203): supply observations "
+    "fold into the asset dim with strictly-newer-block gating and the "
+    "validate_bigint junk guard (invalid supplies write 0 but still "
+    "refresh the stamp); NFT (asset, tokenID) metadata rows merge with "
+    "the lastUpdateBN-keyed replace — newest block wins, unseen tokens "
+    "insert, stale observations lose to the current row. Both folds are "
+    "one keyed window over the observation batch; the asset dim never "
+    "re-shuffles. The oracle replays both merge rules independently.",
+    tags=("pipeline", "merge", "window"),
+)
+def token_metadata_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.token_metadata import (
+        refresh_token_supply,
+        upsert_nft_metadata,
+    )
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 60)
+    p = F.col("p_partkey").cast("long")
+    asset = F.concat(F.lit("0xc"), F.lpad(p.cast("string"), 4, "0"))
+    assets = part.select(
+        asset.alias("asset"),
+        F.when(p % 4 == 0, F.lit("ERC721")).otherwise(F.lit("ERC20")).alias("asset_type"),
+        (p * 1000).cast("decimal(38,0)").alias("total_supply"),
+        F.lit(100).cast("long").alias("last_update_bn"),
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    a = (F.col("l_partkey") % 60).cast("long")
+    bn = (F.lit(50) + F.col("l_orderkey") % 200).cast("long")
+    supply_obs = li.select(
+        F.concat(F.lit("0xc"), F.lpad(a.cast("string"), 4, "0")).alias("asset"),
+        # bn%7==0 rows carry a junk negative supply — validate_bigint
+        # must zero it while the block stamp still advances
+        F.when(bn % 7 == 0, F.lit("-3"))
+        .otherwise((a * 1000 + bn).cast("string"))
+        .alias("total_supply"),
+        bn.alias("block_number"),
+    )
+    refreshed = refresh_token_supply(assets, supply_obs)
+    supply_rows = refreshed.select(
+        F.lit("supply").alias("kind"),
+        "asset",
+        F.lit(None).cast("long").alias("token_id"),
+        F.col("total_supply").cast("string").alias("value_str"),
+        F.col("last_update_bn"),
+    )
+
+    nft_current = assets.where(F.col("asset_type") == "ERC721").select(
+        "asset",
+        (F.conv(F.substring("asset", 4, 4), 10, 10).cast("long") % 10).alias("token_id"),
+        F.concat(F.lit("h"), F.conv(F.substring("asset", 4, 4), 10, 10)).alias("holder"),
+        F.lit("{}").alias("meta"),
+        F.concat(F.lit("ipfs://base/"), F.conv(F.substring("asset", 4, 4), 10, 10)).alias(
+            "token_uri"
+        ),
+        F.lit("1").alias("free"),
+        F.lit(50).cast("long").alias("last_update_bn"),
+    )
+    nbn = (F.lit(40) + F.col("l_orderkey") % 100).cast("long")
+    tid = (F.col("l_linenumber") % 10).cast("long")
+    nft_obs = (
+        li.where((F.col("l_partkey") % 60) % 4 == 0)
+        .select(
+            F.concat(F.lit("0xc"), F.lpad(a.cast("string"), 4, "0")).alias("asset"),
+            a.alias("__a"),
+            tid.alias("token_id"),
+            F.concat(F.lit("h"), (a + tid + nbn).cast("string")).alias("holder"),
+            F.lit("{}").alias("meta"),
+            F.concat(
+                F.lit("ipfs://new/"), a.cast("string"), F.lit("/"),
+                tid.cast("string"), F.lit("/"), nbn.cast("string"),
+            ).alias("token_uri"),
+            F.lit("1").alias("free"),
+            nbn.alias("last_update_bn"),
+        )
+        .dropDuplicates(["asset", "token_id", "last_update_bn"])
+        .drop("__a")
+    )
+    merged = upsert_nft_metadata(nft_current, nft_obs)
+    nft_rows = merged.select(
+        F.lit("nft").alias("kind"),
+        "asset",
+        "token_id",
+        F.concat(F.col("token_uri"), F.lit("|"), F.col("holder")).alias("value_str"),
+        "last_update_bn",
+    )
+    return supply_rows.unionByName(nft_rows)

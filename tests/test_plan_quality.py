@@ -624,3 +624,12 @@ def test_assethub_holders_walk_is_one_scan_one_residual_shuffle(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # exactly one non-broadcast Exchange: the per-currency residual agg
     assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
+
+
+def test_token_maintenance_folds_are_windowed_no_python(spark):
+    """Both maintenance merges are keyed windows over the observation
+    batch — no Python, no cartesian, and the asset dim joins by key."""
+    plan = _plan(spark, "token_metadata_maintenance")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.findall(r"^\(\d+\) Window", plan, re.M)

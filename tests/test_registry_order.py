@@ -61,6 +61,9 @@ _DEMOTED_GREEN = {
     "multimodal_image_features",  # r4 green (full hash); slot went to
     # snapshots_assethub_stablecoins — the PNG codec path re-runs inside
     # in-window image_dhash_dedup every round
+    "lsh_dropped_buckets",  # r4 green; slot went to
+    # token_metadata_maintenance (bucket-cap accounting rides the capped
+    # pipeline inside in-window dedup_corpus_survivors)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
