@@ -83,6 +83,9 @@ class GarParser:
     # symbol (common_chainparser.js:610); processXcmAssetIdToLocation
     # (:292) does not — subclasses pick per their xc storage shape.
     xc_strip_wrapper = False
+    # known-asset join key for the xc gate: numeric id for assets-pallet
+    # chains, CurrencyId JSON for ORML tokens-pallet chains
+    xc_join_on = "asset_id"
 
     # ------------------------------------------------------------------ gar
 
@@ -128,18 +131,20 @@ class GarParser:
         ('AssetInfo unknown -- skip', common_chainparser.js:672-675) —
         with the display symbol taken from the local registry, xc-wrapper
         prefix stripped (:610 symbol.replace('xc','')). Broadcast join:
-        both sides are dim-scale."""
+        both sides are dim-scale. The join key is ``xc_join_on`` —
+        numeric asset_id for assets-pallet chains, the CurrencyId JSON
+        for ORML chains whose registries key on currency objects."""
         loc = self._xc_location(xc_entries)
         dim = F.broadcast(
             gar.select(
-                F.col("asset_id").alias("__aid"),
+                F.col(self.xc_join_on).alias("__jk"),
                 F.col("currency_id").alias("__cur"),
                 F.col("symbol").alias("__sym"),
                 F.col("name").alias("__name"),
                 F.col("decimals").alias("__dec"),
             )
         )
-        joined = loc.join(dim, loc.asset_id == F.col("__aid"), "inner")
+        joined = loc.join(dim, loc[self.xc_join_on] == F.col("__jk"), "inner")
         sym = F.col("__sym")
         if self.xc_strip_wrapper:
             sym = F.regexp_replace(sym, "^xc", "")
@@ -283,6 +288,106 @@ class PhalaGarParser(GarParser):
         ).where(F.col("multilocation").isNotNull())
 
 
+class OrmlGarParser(GarParser):
+    """ORML tokens-pallet registries keyed by CurrencyId OBJECTS, not
+    numeric ids (gar/chainParsers/acala.js:1 assetRegistry:assetMetadatas
+    over processGarTokensPallet, common_chainparser.js:211-256): the
+    storage key is {"ForeignAssetId":"0"} / {"NativeAssetId":{"Token":
+    "BNC"}} / {"Erc20":"0x…"} / {"StableAssetId":"0"}; the 'Id' suffix
+    strips off the key name, NativeAssetId unwraps to the inner currency
+    (the bifrost case, :223-225), numeric values clean commas and stay
+    unquoted, and the xc registry (assetRegistry:foreignAssetLocations,
+    processXcmForeignAssetLocations :696-760) joins back on the
+    {"ForeignAsset": id} currency object."""
+
+    parser_name = "Orml"
+    para_id = 2000
+    gar_pallet = "assetRegistry"
+    gar_storage = "assetMetadatas"
+    xc_gar_pallet = "assetRegistry"
+    xc_gar_storage = "foreignAssetLocations"
+    xc_join_on = "currency_id"
+    # bifrost's VSToken symbol disambiguation (common_chainparser.js:
+    # 236-242) — off for acala/karura
+    vs_token_rule = False
+
+    def parse_gar(self, entries: DataFrame) -> DataFrame:
+        key0 = F.get_json_object("key_args", "$[0]")
+        kmap = F.from_json(key0, "map<string,string>")
+        kname = F.element_at(F.map_keys(kmap), 1)
+        kval = F.element_at(F.map_values(kmap), 1)
+        numeric = kval.rlike("^[0-9,]+$")
+        scalar_json = F.when(numeric, F.regexp_replace(kval, ",", "")).otherwise(
+            F.concat(F.lit('"'), kval, F.lit('"'))
+        )
+        currency = F.when(kname == "NativeAssetId", kval).otherwise(
+            F.concat(
+                F.lit('{"'),
+                F.regexp_replace(kname, "Id$", ""),
+                F.lit('":'),
+                scalar_json,
+                F.lit("}"),
+            )
+        )
+        symbol = F.get_json_object("value", "$.symbol")
+        name = F.get_json_object("value", "$.name")
+        if self.vs_token_rule:
+            is_vs = currency.startswith('{"VSToken"')
+            symbol = F.when(is_vs, F.concat(F.lit("VS"), symbol)).otherwise(symbol)
+            name = F.when(is_vs, F.concat(F.lit("Bifrost Voucher Slot "), name)).otherwise(
+                name
+            )
+        return (
+            entries.select(
+                F.lit(None).cast("long").alias("asset_id"),
+                currency.alias("currency_id"),
+                symbol.alias("symbol"),
+                name.alias("name"),
+                _dechex_int(F.get_json_object("value", "$.decimals")).alias("decimals"),
+            )
+            .where(F.col("symbol").isNotNull() & F.col("decimals").isNotNull())
+        )
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        # foreignAssetLocations keys on the bare ForeignAsset id
+        # (useForeignAssetPrefix, common_chainparser.js:714-718)
+        fa = _cleaned_asset_id(F.get_json_object("key_args", "$[0]"))
+        return entries.select(
+            F.concat(F.lit('{"ForeignAsset":'), fa.cast("string"), F.lit("}")).alias(
+                "currency_id"
+            ),
+            _unwrap_location(F.col("value")).alias("multilocation"),
+        ).where(F.col("multilocation").isNotNull())
+
+
+class AcalaGarParser(OrmlGarParser):
+    """acala polkadot-2000 / karura kusama-2000 (gar/chainParsers/
+    acala.js:1)."""
+
+    parser_name = "Acala"
+    para_id = 2000
+
+    @staticmethod
+    def erc20_general_key(erc20_address: Column) -> Column:
+        """acala's Erc20 CurrencyId → SCALE-encoded generalKey junction
+        value: 0x02 (the Erc20 enum index) ++ the h160
+        (isAcalaXcAsset, acala.js:128-147) — the local xcmInteriorKey
+        decoration for on-chain ERC-20s."""
+        return F.concat(F.lit("0x02"), F.substring(F.lower(erc20_address), 3, 40))
+
+
+class BifrostGarParser(OrmlGarParser):
+    """bifrost polkadot-2030 / kusama-2001 (gar/chainParsers/
+    bifrost.js): currencyMetadatas keyed by NativeAssetId-wrapped
+    currencies, with the VSToken symbol disambiguation."""
+
+    parser_name = "Bifrost"
+    para_id = 2030
+    gar_storage = "currencyMetadatas"
+    xc_gar_storage = "currencyIdToLocations"
+    vs_token_rule = True
+
+
 _GAR_PARSERS: dict[str, type[GarParser]] = {
     "statemint": StatemintGarParser,
     "statemine": StatemintGarParser,
@@ -290,6 +395,9 @@ _GAR_PARSERS: dict[str, type[GarParser]] = {
     "basilisk": HydraGarParser,
     "phala": PhalaGarParser,
     "khala": PhalaGarParser,
+    "acala": AcalaGarParser,
+    "karura": AcalaGarParser,
+    "bifrost": BifrostGarParser,
 }
 
 

@@ -2964,10 +2964,30 @@ usdt AS (
          CAST(1000 AS INTEGER) AS para_id, 'x3' AS interior_type,
          'manual' AS source, CAST(2 AS BIGINT) AS confidence,
          '{"Token":"1984"}' AS xc_currency_id
+),
+ac_rows AS (
+  SELECT 'polkadot~[{"parachain":' || (4000 + k) || '},{"generalIndex":'
+           || (900 + k) || '}]' AS xcm_interior_key,
+         'A' || k AS symbol,
+         CAST(12 AS INTEGER) AS decimals,
+         CAST(4000 + k AS INTEGER) AS para_id,
+         'x2' AS interior_type,
+         'onchain' AS source,
+         CAST(1 AS BIGINT) AS confidence,
+         '{"ForeignAsset":' || k || '}' AS xc_currency_id
+  FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        WHERE c_custkey < 20 AND c_custkey % 4 = 0)
+),
+ac_comma AS (
+  SELECT 'polkadot~[{"parachain":5900},{"generalIndex":99}]',
+         'AFA', CAST(12 AS INTEGER), CAST(5900 AS INTEGER), 'x2',
+         'onchain', CAST(1 AS BIGINT), '{"ForeignAsset":1900}'
 )
 SELECT * FROM hy_rows
 UNION ALL SELECT * FROM ph_rows
 UNION ALL SELECT * FROM usdt
+UNION ALL SELECT * FROM ac_rows
+UNION ALL SELECT * FROM ac_comma
 """,
     doc="Per-chain registry-parser dispatch into the global asset "
     "registry (gar/chainParsers/statemint.js:1, hydra.js:1, phala.js:1 "
@@ -3083,8 +3103,66 @@ def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ph_regs = PhalaGarParser().registrations(spark, ph_gar, ph_xc)
 
+    # --- acala: ORML tokens-pallet registry keyed by CurrencyId OBJECTS
+    # (ForeignAssetId / NativeAssetId-wrapped / Erc20 / StableAssetId) +
+    # foreignAssetLocations xc registry joined on {"ForeignAsset": id}
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .where(F.col("k") < 20)
+    )
+    ck = F.col("k")
+    cks = ck.cast("string")
+    ac_key = (
+        F.when(ck % 4 == 0, F.concat(F.lit('[{"ForeignAssetId":"'), cks, F.lit('"}]')))
+        .when(
+            ck % 4 == 1,
+            F.concat(F.lit('[{"NativeAssetId":{"Token":"T'), cks, F.lit('"}}]')),
+        )
+        .when(
+            ck % 4 == 2,
+            F.concat(
+                F.lit('[{"Erc20":"0x'),
+                F.substring(F.md5(F.concat(F.lit("e"), cks)), 1, 40).alias("h"),
+                F.lit('"}]'),
+            ),
+        )
+        .otherwise(F.concat(F.lit('[{"StableAssetId":"'), cks, F.lit('"}]')))
+    )
+    ac_gar = cu.select(
+        ac_key.alias("key_args"),
+        F.concat(
+            F.lit('{"name":"Acala '), cks, F.lit('","symbol":"A'), cks,
+            F.lit('","decimals":12}'),
+        ).alias("value"),
+    ).unionByName(
+        spark.createDataFrame(
+            [('[{"ForeignAssetId":"1,900"}]',
+              '{"name":"Acala FA","symbol":"AFA","decimals":12}')],
+            "key_args string, value string",
+        )
+    )
+    ac_xc = (
+        cu.where(ck % 4 == 0)
+        .select(
+            F.concat(F.lit('["'), cks, F.lit('"]')).alias("key_args"),
+            _x2(ck + 4000, ck + 900).alias("value"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [('["1,900"]',
+                  '{"parents":1,"interior":{"X2":[{"Parachain":5900},'
+                  '{"GeneralIndex":99}]}}')],
+                "key_args string, value string",
+            )
+        )
+    )
+    from polkadot_etl_spark.plans.garparsers import AcalaGarParser
+
+    ac_regs = AcalaGarParser().registrations(spark, ac_gar, ac_xc)
+
     reg = build_xcm_asset_registry(
-        st_regs.unionByName(hy_regs).unionByName(ph_regs)
+        st_regs.unionByName(hy_regs).unionByName(ph_regs).unionByName(ac_regs)
     )
     return reg.select(
         "xcm_interior_key",

@@ -35,3 +35,36 @@ def test_pubkey_ascii_name_vectors(spark):
     df = spark.createDataFrame([(a,) for a, _ in rows], "pk string")
     got = [r.n for r in df.select(pubkey_ascii_name(F.col("pk")).alias("n")).collect()]
     assert got == [e for _, e in rows]
+
+
+def test_orml_gar_currency_key_parse(spark):
+    """processGarTokensPallet parity: 'Id' suffix strip, NativeAssetId
+    unwrap, numeric-unquoted vs hex-quoted values, the bifrost VSToken
+    disambiguation, and acala's Erc20 generalKey encoding."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans.garparsers import AcalaGarParser, BifrostGarParser
+
+    rows = [
+        ('[{"ForeignAssetId":"1,234"}]', '{"name":"N","symbol":"S","decimals":8}'),
+        ('[{"NativeAssetId":{"Token":"BNC"}}]', '{"name":"Bifrost","symbol":"BNC","decimals":12}'),
+        ('[{"NativeAssetId":{"VSToken":"KSM"}}]', '{"name":"Slot KSM","symbol":"KSM","decimals":12}'),
+        ('[{"Erc20":"0xAb5801a7D398351b8bE11C439e05C5B3259aec9B"}]',
+         '{"name":"E","symbol":"WETH","decimals":18}'),
+        ('[{"StableAssetId":"0"}]', '{"name":"tDOT","symbol":"tDOT"}'),  # no decimals -> drop
+    ]
+    df = spark.createDataFrame(rows, "key_args string, value string")
+    got = {r.currency_id: (r.symbol, r.name, r.decimals)
+           for r in BifrostGarParser().parse_gar(df).collect()}
+    assert got['{"ForeignAsset":1234}'] == ("S", "N", 8)
+    assert got['{"Token":"BNC"}'] == ("BNC", "Bifrost", 12)
+    assert got['{"VSToken":"KSM"}'] == ("VSKSM", "Bifrost Voucher Slot Slot KSM", 12)
+    assert got['{"Erc20":"0xAb5801a7D398351b8bE11C439e05C5B3259aec9B"}'][0] == "WETH"
+    assert len(got) == 4  # the decimals-less row dropped
+
+    gk = spark.range(1).select(
+        AcalaGarParser.erc20_general_key(
+            F.lit("0xAb5801a7D398351b8bE11C439e05C5B3259aec9B")
+        ).alias("g")
+    ).head().g
+    assert gk == "0x02ab5801a7d398351b8be11c439e05c5b3259aec9b"
