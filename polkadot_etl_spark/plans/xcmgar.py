@@ -43,7 +43,7 @@ _LOC_INFO = T.StructType(
 
 
 @pandas_udf(_LOC_INFO)
-def _loc_info(multilocation: pd.Series, relay: pd.Series) -> pd.DataFrame:
+def _loc_info_fn(multilocation: pd.Series, relay: pd.Series) -> pd.DataFrame:
     keys, paras, njs = [], [], []
     for m, r in zip(multilocation, relay):
         try:
@@ -62,6 +62,15 @@ def _loc_info(multilocation: pd.Series, relay: pd.Series) -> pd.DataFrame:
     )
 
 
+# The codec IS deterministic, but Catalyst treats deterministic
+# expressions as free to duplicate and push around — measured: the
+# isNotNull(xcm_interior_key) gate got pushed below the repartition into
+# every union leg, re-running the Arrow stage once per near-empty file
+# split (each Python task pays a ~1.5 s worker-fork floor here).
+# Marking it nondeterministic pins ONE evaluation in ONE compact stage.
+_loc_info = _loc_info_fn.asNondeterministic()
+
+
 def build_xcm_asset_registry(chain_assets: DataFrame) -> DataFrame:
     """Per-chain registrations → one canonical row per xcm_interior_key.
 
@@ -76,9 +85,18 @@ def build_xcm_asset_registry(chain_assets: DataFrame) -> DataFrame:
     distinct chains that know the asset (schema/xcmassets.json
     confidence column).
     """
+    # One compact python stage for the codec: registrations are dim-scale
+    # but typically arrive as a union of many near-empty file splits, and
+    # every Arrow-UDF task pays a fixed Python-worker fork cost (~1.5 s in
+    # this environment) — re-balance to one wave of core-count tasks so
+    # the codec stage costs one fork wall-clock, not ceil(splits/cores).
+    # capped: on a large cluster defaultParallelism is thousands, and a
+    # ~1e3-row dim over thousands of codec tasks would be all fork cost
+    par = min(chain_assets.sparkSession.sparkContext.defaultParallelism, 64)
     info = _loc_info(F.col("multilocation"), F.col("relay_chain")).alias("__info")
     r = (
-        chain_assets.withColumn("__info", info)
+        chain_assets.repartition(par)
+        .withColumn("__info", info)
         .select("*", "__info.*")
         .drop("__info")
         .where(F.col("xcm_interior_key").isNotNull())

@@ -571,9 +571,14 @@ def test_gar_registry_parse_is_native_with_broadcast_gates(spark):
     assert "BatchEvalPython" not in plan  # codec is Arrow-batched
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # one Exchange total: the canonical-selection window; stats ride the
-    # same key partitioning instead of a groupBy + join-back
-    assert len(re.findall(r"\) Exchange", plan)) == 1
+    # two Exchanges: the codec-compaction round robin (one wave of
+    # Python tasks instead of one per file split) + the
+    # canonical-selection window; stats ride the window's partitioning
+    # instead of a groupBy + join-back
+    assert len(re.findall(r"\) Exchange", plan)) == 2
+    # the codec must be pinned to ONE Arrow stage — Catalyst duplicating
+    # it into the union legs is the regression this guards against
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
 
 
 def test_assethub_decorate_is_broadcast(spark):
