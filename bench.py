@@ -15,14 +15,16 @@ column pipelines a bench exists to watch. r4 sidecar deltas vs r3 on
 unchanged queries are therefore expected to read slightly HIGH, once,
 for queries whose output columns were previously prunable.
 
-Each query runs TWICE and the per-query sidecar records the MIN of the two
-iterations: 104 queries share one warm JVM, so single-shot timings absorb
-GC / AQE / scheduler noise from neighbors (r2→r3 showed 3× phantom
-"regressions" on unchanged plans).  min-of-2 makes round-over-round deltas
-signal.  The headline "value" is the SUM OF PER-QUERY MINS — the same
-metric shape as earlier rounds' single-iteration totals (those equaled
-sum-of-singles), now with the noise floor removed; raw both-iteration
-wall-clock goes to the sidecar as "wall_all".
+Each query runs TWICE — THREE times when the min is sub-second, where
+scheduler noise dominates (the r4 diff showed five phantom >1.5x
+"regressions", all sub-second queries touching no changed code) — and the
+per-query sidecar records the MIN: 140 queries share one warm JVM, so
+single-shot timings absorb GC / AQE / scheduler noise from neighbors
+(r2→r3 showed 3× phantom "regressions" on unchanged plans).  The headline
+"value" is the SUM OF PER-QUERY MINS — the same metric shape as earlier
+rounds' single-iteration totals (those equaled sum-of-singles), now with
+the noise floor removed; raw all-iteration wall-clock goes to the sidecar
+as "wall_all".
 """
 
 from __future__ import annotations
@@ -64,6 +66,14 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
+        # Sub-second queries sit at the scheduler-noise floor: one stray GC
+        # pause reads as a 3x "regression" (five such phantoms in the r4
+        # round-over-round diff). A third iteration for them costs little
+        # and makes the min a real signal.
+        if min(times) < 1.0:
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
         per_query[name] = round(min(times), 3)
         print(
             f"# {name}: min={per_query[name]:.3f}s "
@@ -83,7 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "iterations": 2,
+                "iterations": "2 (3 when min < 1s)",
                 "agg": "min",
                 "wall_all": wall_all,
                 "queries": per_query,

@@ -63,8 +63,16 @@ def get_spark(
         # executors and avoids shuffling the fact side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet scan parallelism: 128 MB splits are the right grain for
-        # multi-TB day partitions; harmless locally.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # multi-TB day partitions; harmless locally. (Probed: shrinking
+        # the split/advisory grains for the MB-scale local files does NOT
+        # help — the test parquet is single-row-group, so a scan cannot
+        # split below one task, and a 1 MB AQE advisory grain slowed the
+        # iterative CC queries; the env override below exists for real
+        # deployments with different storage grains.)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
