@@ -388,7 +388,39 @@ class BifrostGarParser(OrmlGarParser):
     vs_token_rule = True
 
 
+class MoonbeamGarParser(GarParser):
+    """moonbeam polkadot-2004 / moonriver kusama-2023 (gar/chainParsers/
+    moonbeam.js:1): assets:metadata (+ a localAssets:metadata extra
+    pallet, :85-99) with the assetManager:assetIdType xc registry parsed
+    IdType-style (xc prefix strips), and — the moonbeam-specific bit —
+    every xc registration also derives its XC-20 PRECOMPILE contract
+    address from the asset id (addXcmAssetLocalxcContractAddress,
+    :123; the 0xFFFFFFFF ++ u128 rule shared with plans/precompiles and
+    chains.MoonbeamParser.xc20_contract_address)."""
+
+    parser_name = "Moonbeam"
+    para_id = 2004
+    xc_gar_pallet = "assetManager"
+    xc_gar_storage = "assetIdType"
+    xc_strip_wrapper = True
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return entries.select(
+            _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
+            _unwrap_location(F.col("value")).alias("multilocation"),
+        ).where(F.col("multilocation").isNotNull())
+
+    def parse_xc_gar(self, xc_entries: DataFrame, gar: DataFrame) -> DataFrame:
+        out = super().parse_xc_gar(xc_entries, gar)
+        # xcContractAddress = 0xffffffff ++ 16-byte big-endian asset id
+        aid = _cleaned_asset_id(F.get_json_object("currency_id", "$.Token"))
+        xc20 = F.concat(F.lit("0xffffffff"), F.lpad(F.lower(F.hex(aid)), 32, "0"))
+        return out.withColumn("xc_contract_address", xc20)
+
+
 _GAR_PARSERS: dict[str, type[GarParser]] = {
+    "moonbeam": MoonbeamGarParser,
+    "moonriver": MoonbeamGarParser,
     "statemint": StatemintGarParser,
     "statemine": StatemintGarParser,
     "hydra": HydraGarParser,

@@ -2942,7 +2942,8 @@ WITH hy_rows AS (
          CASE WHEN k % 3 = 1 THEN 'x1' ELSE 'x2' END AS interior_type,
          'onchain' AS source,
          CAST(1 AS BIGINT) AS confidence,
-         '{"Token":"' || k || '"}' AS xc_currency_id
+         '{"Token":"' || k || '"}' AS xc_currency_id,
+         CAST(NULL AS VARCHAR) AS xc_contract_address
   FROM (SELECT n_nationkey AS k FROM nation)
 ),
 ph_rows AS (
@@ -2954,7 +2955,8 @@ ph_rows AS (
          'x2' AS interior_type,
          'onchain' AS source,
          CAST(1 AS BIGINT) AS confidence,
-         '{"Token":"' || k || '"}' AS xc_currency_id
+         '{"Token":"' || k || '"}' AS xc_currency_id,
+         CAST(NULL AS VARCHAR) AS xc_contract_address
   FROM (SELECT s_suppkey AS k FROM supplier WHERE s_suppkey < 25)
 ),
 usdt AS (
@@ -2963,7 +2965,8 @@ usdt AS (
          'USDT' AS symbol, CAST(6 AS INTEGER) AS decimals,
          CAST(1000 AS INTEGER) AS para_id, 'x3' AS interior_type,
          'manual' AS source, CAST(2 AS BIGINT) AS confidence,
-         '{"Token":"1984"}' AS xc_currency_id
+         '{"Token":"1984"}' AS xc_currency_id,
+         CAST(NULL AS VARCHAR) AS xc_contract_address
 ),
 ac_rows AS (
   SELECT 'polkadot~[{"parachain":' || (4000 + k) || '},{"generalIndex":'
@@ -2974,29 +2977,50 @@ ac_rows AS (
          'x2' AS interior_type,
          'onchain' AS source,
          CAST(1 AS BIGINT) AS confidence,
-         '{"ForeignAsset":' || k || '}' AS xc_currency_id
+         '{"ForeignAsset":' || k || '}' AS xc_currency_id,
+         CAST(NULL AS VARCHAR) AS xc_contract_address
   FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
         WHERE c_custkey < 20 AND c_custkey % 4 = 0)
 ),
 ac_comma AS (
   SELECT 'polkadot~[{"parachain":5900},{"generalIndex":99}]',
          'AFA', CAST(12 AS INTEGER), CAST(5900 AS INTEGER), 'x2',
-         'onchain', CAST(1 AS BIGINT), '{"ForeignAsset":1900}'
+         'onchain', CAST(1 AS BIGINT), '{"ForeignAsset":1900}',
+         CAST(NULL AS VARCHAR)
+),
+mb_rows AS (
+  SELECT 'polkadot~[{"parachain":' || (6000 + k) || '},{"generalIndex":'
+           || (77 + k) || '}]' AS xcm_interior_key,
+         'R' || k AS symbol,
+         CAST(10 AS INTEGER) AS decimals,
+         CAST(6000 + k AS INTEGER) AS para_id,
+         'x2' AS interior_type,
+         'onchain' AS source,
+         CAST(1 AS BIGINT) AS confidence,
+         '{"Token":"' || k || '"}' AS xc_currency_id,
+         '0xffffffff' || lpad(lower(hex(k)), 32, '0') AS xc_contract_address
+  FROM (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region)
 )
 SELECT * FROM hy_rows
 UNION ALL SELECT * FROM ph_rows
 UNION ALL SELECT * FROM usdt
 UNION ALL SELECT * FROM ac_rows
 UNION ALL SELECT * FROM ac_comma
+UNION ALL SELECT * FROM mb_rows
 """,
     doc="Per-chain registry-parser dispatch into the global asset "
-    "registry (gar/chainParsers/statemint.js:1, hydra.js:1, phala.js:1 "
-    "over common_chainparser.js:120-158,268-380,576-688): three chains' "
-    "raw state entries — AssetHub's assets:metadata with the manual USDT "
+    "registry (gar/chainParsers/statemint.js:1, hydra.js:1, phala.js:1, "
+    "acala.js:1, moonbeam.js:1 "
+    "over common_chainparser.js:120-158,211-256,268-380,576-760): five "
+    "chain shapes of raw state entries — AssetHub's assets:metadata with the manual USDT "
     "registration (no on-chain xc registry), hydra's "
     "assetRegistry:assetMetadataMap + version-wrapped assetLocations "
     "(v1/xcm/direct shapes, xc-prefix symbol strip, unknown-asset skip), "
-    "phala's {location, properties} registryInfoByIds — parse through "
+    "phala's {location, properties} registryInfoByIds, acala's ORML "
+    "tokens-pallet CurrencyId-object keys with the ForeignAsset xc join "
+    "(incl. a comma-formatted id), moonbeam's assetIdType registry with "
+    "the XC-20 precompile contract address derived per asset id — "
+    "parse through "
     "plans.garparsers (native JSON columns, broadcast known-asset gates) "
     "and canonicalize via the REAL build_xcm_asset_registry (Arrow "
     "interior-key codec, home-first rank window, confidence = distinct "
@@ -3157,12 +3181,38 @@ def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    from polkadot_etl_spark.plans.garparsers import AcalaGarParser
+    from polkadot_etl_spark.plans.garparsers import AcalaGarParser, MoonbeamGarParser
 
     ac_regs = AcalaGarParser().registrations(spark, ac_gar, ac_xc)
 
+    # --- moonbeam: assets:metadata + assetManager:assetIdType, with the
+    # XC-20 precompile contract address derived from every asset id
+    reg_t = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k")
+    )
+    rk = F.col("k")
+    rks = rk.cast("string")
+    mb_sym = F.when(rk % 2 == 0, F.concat(F.lit("xcR"), rks)).otherwise(
+        F.concat(F.lit("R"), rks)
+    )
+    mb_gar = reg_t.select(
+        F.concat(F.lit('["'), rks, F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"'), mb_sym,
+            F.lit('","name":"Region '), rks, F.lit('","decimals":10}'),
+        ).alias("value"),
+    )
+    mb_xc = reg_t.select(
+        F.concat(F.lit('["'), rks, F.lit('"]')).alias("key_args"),
+        _x2(rk + 6000, rk + 77).alias("value"),
+    )
+    mb_regs = MoonbeamGarParser().registrations(spark, mb_gar, mb_xc)
+
     reg = build_xcm_asset_registry(
-        st_regs.unionByName(hy_regs).unionByName(ph_regs).unionByName(ac_regs)
+        st_regs.unionByName(hy_regs)
+        .unionByName(ph_regs)
+        .unionByName(ac_regs)
+        .unionByName(mb_regs)
     )
     return reg.select(
         "xcm_interior_key",
@@ -3173,6 +3223,7 @@ def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "confidence",
         "xc_currency_id",
+        "xc_contract_address",
     )
 
 
