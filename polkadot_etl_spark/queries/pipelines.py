@@ -765,7 +765,10 @@ def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
         contractscall_table,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # generator fan-out: single-row-group test parquet would otherwise
+    # run the whole SCALE-hex synthesis as one task (see
+    # users_tags_attribution)
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)
     sup = load_table(spark, sf_dir, "supplier")
     u = F.col("l_suppkey")
     qty = F.col("l_quantity").cast("bigint")
@@ -2263,7 +2266,11 @@ FROM rolled
 def users_tags_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.plans.feeds import users_tags_table
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # generator fan-out (like passage_dedup_ngrams): the test parquet is
+    # single-row-group, so without this the whole synth (pubkey concat +
+    # broadcast probe over 600k rows at sf0.1) runs as ONE task —
+    # measured 2.4x (4.7s -> 2.0s). Real day partitions split naturally.
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     transfers = li.join(o, li.l_orderkey == o.o_orderkey).select(
         _pk(F.col("l_suppkey")).alias("from_pub_key"),
