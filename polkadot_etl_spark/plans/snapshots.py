@@ -409,3 +409,62 @@ class AssetHubSnapshotter(ChainSnapshotter):
             )
         )
         return individual.unionByName(residual)
+
+
+class AstarSnapshotter(ChainSnapshotter):
+    """Astar (polkadot-2006, snapshot/astar.js): the dApp-staking v3
+    tracks — per-(staker, dApp) stakerInfo (voting/buildAndEarn stakes
+    decimalized through dechexToInt / 10^18, dApp identity split into
+    type + address from the {"Evm"/"Wasm": addr} key, :174-208) and the
+    integratedDApps registry (:279-294). The float decimalization
+    parses the exact decimal STRING into a double before one IEEE
+    division, so both engines see identical values (decimal→double
+    direct casts differ by 1 ulp across engines)."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 2006, "id": "polkadot-2006",
+             "chain_name": "Astar"}
+    chain_decimals = 18
+
+    def _decimalized(self, c: Column) -> Column:
+        return _dechex_str(c).cast("double") / F.lit(float(10**self.chain_decimals))
+
+    def staker_info(self, entries: DataFrame) -> DataFrame:
+        """dappStaking.stakerInfo → one typed row per (staker, dApp):
+        key = [ss58, {"Evm"/"Wasm": address}], value = {staked:
+        {voting, buildAndEarn, era, period}, loyalStaker}."""
+        dapp = F.get_json_object("key_args", "$[1]")
+        dmap = F.from_json(dapp, "map<string,string>")
+        staked = F.get_json_object("value", "$.staked")
+        return entries.select(
+            F.get_json_object("key_args", "$[0]").alias("address_ss58"),
+            F.element_at(F.map_keys(dmap), 1).alias("dapp_type"),
+            F.element_at(F.map_values(dmap), 1).alias("dapp_address"),
+            self._decimalized(F.get_json_object(staked, "$.voting")).alias("voting"),
+            self._decimalized(F.get_json_object(staked, "$.buildAndEarn")).alias(
+                "build_and_earn"
+            ),
+            F.get_json_object(staked, "$.era").cast("int").alias("era"),
+            F.get_json_object(staked, "$.period").cast("int").alias("period"),
+            F.get_json_object("value", "$.loyalStaker").cast("boolean").alias("loyal"),
+        )
+
+    def integrated_dapps(self, entries: DataFrame) -> DataFrame:
+        """dappStaking.integratedDApps → the dApp registry: key =
+        [{"Evm"/"Wasm": address}], value = {owner, id, state}."""
+        dapp = F.get_json_object("key_args", "$[0]")
+        dmap = F.from_json(dapp, "map<string,string>")
+        from polkadot_etl_spark.plans.garparsers import _dechex_int
+
+        return entries.select(
+            F.get_json_object("value", "$.owner").alias("owner"),
+            F.element_at(F.map_keys(dmap), 1).alias("dapp_type"),
+            F.element_at(F.map_values(dmap), 1).alias("dapp_address"),
+            _dechex_int(F.get_json_object("value", "$.id")).alias("dapp_id"),
+            (F.get_json_object("value", "$.state") == "Registered").alias("registered"),
+        )
+
+
+_SNAPSHOTTERS.update({
+    "assethub": AssetHubSnapshotter,
+    "astar": AstarSnapshotter,
+})

@@ -118,7 +118,10 @@ _PRIORITY: list[str] = [
     # fuzzy_confidence_match: driver-green in r3; J2 is also exercised by
     # xcmtransfers_wide's match_transfers path every round — demoted in
     # r4 for snapshots_staking_era (the second snapshot producer)
-    "snapshots_staking_era",
+    # snapshots_staking_era: green r4, demoted mid-r5 for
+    # snapshots_astar_dappstaking — the generic snapshot_rows contract it
+    # exercised runs inside the in-window hydradx omnipool query
+    "snapshots_astar_dappstaking",
     # call_tree_flatten: driver-green in r3 AND exercised inside
     # dump_day_blocklog every round; demoted in r4 for
     # cluster_trace_reference (F4 decode, previously pytest-only)

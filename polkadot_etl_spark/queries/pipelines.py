@@ -4145,3 +4145,162 @@ def token_metadata_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_update_bn",
     )
     return supply_rows.unionByName(nft_rows)
+
+
+@query(
+    "snapshots_astar_dappstaking",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok, CAST(o_custkey AS BIGINT) AS ck
+  FROM orders WHERE o_orderkey < 3000
+),
+s AS (SELECT ok, ck, ok % 40 AS j FROM o),
+dapps AS (SELECT DISTINCT ok % 40 AS j FROM o),
+addr AS (
+  SELECT j,
+         CASE WHEN j % 3 = 0 THEN 'Wasm' ELSE 'Evm' END AS dapp_type,
+         CASE WHEN j % 3 = 0 THEN 'W' || md5('w' || j)
+              ELSE '0x' || substr(md5('d' || j) || md5('e' || j), 1, 40)
+         END AS dapp_address
+  FROM dapps
+)
+SELECT 'staker' AS kind,
+       'stk' || (ck % 500) AS address_ss58,
+       a.dapp_type, a.dapp_address,
+       CAST(CAST(ok * 1000000000000000 + 3 AS VARCHAR) AS DOUBLE) / 1e18
+         AS voting,
+       CAST(CAST(ok * 100000000000000 + 1 AS VARCHAR) AS DOUBLE) / 1e18
+         AS build_and_earn,
+       CAST(j + 100 AS INTEGER) AS era,
+       CAST(j % 5 AS INTEGER) AS period,
+       j % 2 = 0 AS loyal
+FROM s JOIN addr a USING (j)
+UNION ALL
+SELECT 'dapp', 'own' || j, dapp_type, dapp_address,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(j AS INTEGER), CAST(NULL AS INTEGER), j % 7 != 0
+FROM addr
+""",
+    doc="Astar dApp-staking v3 snapshot tracks (substrate/snapshot/"
+    "astar.js:174-208 stakerInfo, :279-294 integratedDApps): per-"
+    "(staker, dApp) stakes with the {Evm/Wasm} dApp identity split from "
+    "the storage key, voting/buildAndEarn decimalized through "
+    "dechexToIntStr / 10^18 (exact-decimal-string → double → one IEEE "
+    "division, mixed hex/decimal inputs row-by-row), and the dApp "
+    "registry with hex-or-decimal ids and the Registered state gate — "
+    "through plans.snapshots.AstarSnapshotter, all native JSON columns. "
+    "The oracle rebuilds every value from the integer formulas.",
+    tags=("pipeline", "snapshots", "functions"),
+)
+def snapshots_astar_dappstaking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.snapshots import AstarSnapshotter
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            F.col("o_orderkey").cast("long").alias("ok"),
+            F.col("o_custkey").cast("long").alias("ck"),
+        )
+    )
+    ok, ck = F.col("ok"), F.col("ck")
+    j = ok % 40
+    js = j.cast("string")
+    dapp_type = F.when(j % 3 == 0, F.lit("Wasm")).otherwise(F.lit("Evm"))
+    dapp_addr = F.when(
+        j % 3 == 0, F.concat(F.lit("W"), F.md5(F.concat(F.lit("w"), js)))
+    ).otherwise(
+        F.concat(
+            F.lit("0x"),
+            F.substring(
+                F.concat(F.md5(F.concat(F.lit("d"), js)), F.md5(F.concat(F.lit("e"), js))),
+                1, 40,
+            ),
+        )
+    )
+
+    def hexs(c: Column) -> Column:
+        return F.concat(F.lit("0x"), F.lower(F.hex(c)))
+
+    voting_raw = ok * 1000000000000000 + 3
+    bae_raw = ok * 100000000000000 + 1
+    staker_entries = o.select(
+        F.concat(
+            F.lit('["stk'), (ck % 500).cast("string"), F.lit('",{"'),
+            dapp_type, F.lit('":"'), dapp_addr, F.lit('"}]'),
+        ).alias("key_args"),
+        F.concat(
+            F.lit('{"staked":{"voting":"'),
+            F.when(ok % 2 == 0, hexs(voting_raw)).otherwise(voting_raw.cast("string")),
+            F.lit('","buildAndEarn":"'),
+            F.when(ok % 3 == 0, hexs(bae_raw)).otherwise(bae_raw.cast("string")),
+            F.lit('","era":'), (j + 100).cast("string"),
+            F.lit(',"period":'), (j % 5).cast("string"),
+            F.lit('},"loyalStaker":'),
+            F.when(j % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit("}"),
+        ).alias("value"),
+    )
+    dapp_entries = (
+        o.select(j.alias("jj")).dropDuplicates()
+        .select(
+            F.concat(
+                F.lit('[{"'),
+                F.when(F.col("jj") % 3 == 0, F.lit("Wasm")).otherwise(F.lit("Evm")),
+                F.lit('":"'),
+                F.when(
+                    F.col("jj") % 3 == 0,
+                    F.concat(F.lit("W"), F.md5(F.concat(F.lit("w"), F.col("jj").cast("string")))),
+                ).otherwise(
+                    F.concat(
+                        F.lit("0x"),
+                        F.substring(
+                            F.concat(
+                                F.md5(F.concat(F.lit("d"), F.col("jj").cast("string"))),
+                                F.md5(F.concat(F.lit("e"), F.col("jj").cast("string"))),
+                            ),
+                            1, 40,
+                        ),
+                    )
+                ),
+                F.lit('"}]'),
+            ).alias("key_args"),
+            F.concat(
+                F.lit('{"owner":"own'), F.col("jj").cast("string"),
+                F.lit('","id":'),
+                F.when(
+                    F.col("jj") % 2 == 1,
+                    F.concat(F.lit('"0x'), F.lower(F.hex(F.col("jj"))), F.lit('"')),
+                ).otherwise(F.col("jj").cast("string")),
+                F.lit(',"state":"'),
+                F.when(F.col("jj") % 7 == 0, F.lit("Unregistered")).otherwise(
+                    F.lit("Registered")
+                ),
+                F.lit('"}'),
+            ).alias("value"),
+        )
+    )
+    snap = AstarSnapshotter()
+    stakers = snap.staker_info(staker_entries).select(
+        F.lit("staker").alias("kind"),
+        "address_ss58",
+        "dapp_type",
+        "dapp_address",
+        "voting",
+        "build_and_earn",
+        "era",
+        "period",
+        "loyal",
+    )
+    dapps = snap.integrated_dapps(dapp_entries).select(
+        F.lit("dapp").alias("kind"),
+        F.col("owner").alias("address_ss58"),
+        "dapp_type",
+        "dapp_address",
+        F.lit(None).cast("double").alias("voting"),
+        F.lit(None).cast("double").alias("build_and_earn"),
+        F.col("dapp_id").cast("int").alias("era"),
+        F.lit(None).cast("int").alias("period"),
+        F.col("registered").alias("loyal"),
+    )
+    return stakers.unionByName(dapps)

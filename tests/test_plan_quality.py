@@ -638,3 +638,11 @@ def test_token_maintenance_folds_are_windowed_no_python(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert re.findall(r"^\(\d+\) Window", plan, re.M)
+
+
+def test_astar_dappstaking_is_pure_projection(spark):
+    """Both dApp-staking tracks are map-side JSON projections — zero
+    hash exchange, zero Python."""
+    plan = _plan(spark, "snapshots_astar_dappstaking")
+    assert "EvalPython" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
