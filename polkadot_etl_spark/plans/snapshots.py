@@ -152,6 +152,26 @@ class ChainSnapshotter:
             **kw,
         )
 
+    def total_issuance(self, entries: DataFrame, block: dict,
+                       section: str = "tokens", storage: str = "totalIssuance",
+                       track: str = "asset") -> DataFrame:
+        """Generic per-currency issuance track — the shape shared by
+        hydradx (snapshot/hydradx.js:183-194), interlay
+        (snapshot/interlay.js:31-47) and bifrost's tokens/vtokenMinting
+        maps (snapshot/bifrost.js:74-130): track_val = the currency-id
+        JSON itself, pv = the dechexToIntStr issuance string."""
+        cur = F.get_json_object("key_args", "$[0]")
+        return self._rows(
+            entries.withColumn("__cur", cur),
+            section=section,
+            storage=storage,
+            block=block,
+            track=F.lit(track),
+            track_val=F.col("__cur"),
+            kv_str=F.col("__cur"),
+            pv_str=_dechex_str(F.col("value")),
+        )
+
     @staticmethod
     def _ticker(entries: DataFrame, asset_registry: DataFrame, id_col: Column) -> DataFrame:
         """assetMap.get(assetID)?.symbol — broadcast dim decoration; ids
@@ -229,22 +249,6 @@ class HydradxSnapshotter(ChainSnapshotter):
             track_val=F.col("__aid2").cast("string"),
             kv=F.struct(F.col("__pid").alias("id"), F.col("__ticker").alias("ticker")),
             pv=pv,
-        )
-
-    def total_issuance(self, entries: DataFrame, block: dict) -> DataFrame:
-        """tokens.totalIssuance → track 'asset' (hydradx.js:183-194):
-        track_val = the currency-id JSON itself, pv = the issuance as an
-        exact decimal string."""
-        cur = F.get_json_object("key_args", "$[0]")
-        return self._rows(
-            entries.withColumn("__cur", cur),
-            section="tokens",
-            storage="totalIssuance",
-            block=block,
-            track=F.lit("asset"),
-            track_val=F.col("__cur"),
-            kv_str=F.col("__cur"),
-            pv_str=_dechex_str(F.col("value")),
         )
 
 
@@ -464,7 +468,35 @@ class AstarSnapshotter(ChainSnapshotter):
         )
 
 
+class InterlaySnapshotter(ChainSnapshotter):
+    """Interlay (polkadot-2032, snapshot/interlay.js): the per-currency
+    tokens.totalIssuance walk — entirely the generic issuance track."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 2032, "id": "polkadot-2032",
+             "chain_name": "Interlay"}
+    chain_decimals = 10
+
+
+class BifrostSnapshotter(ChainSnapshotter):
+    """Bifrost (polkadot-2030, snapshot/bifrost.js): native + per-token
+    issuance plus the vtokenMinting.tokenPool liquid-staking pools —
+    the same key/value shape on a different storage item, published
+    under track 'vtoken' (:110-130)."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 2030, "id": "polkadot-2030",
+             "chain_name": "Bifrost"}
+    chain_decimals = 12
+
+    def vtoken_pool(self, entries: DataFrame, block: dict) -> DataFrame:
+        return self.total_issuance(
+            entries, block, section="vtokenMinting", storage="tokenPool",
+            track="vtoken",
+        )
+
+
 _SNAPSHOTTERS.update({
     "assethub": AssetHubSnapshotter,
     "astar": AstarSnapshotter,
+    "interlay": InterlaySnapshotter,
+    "bifrost": BifrostSnapshotter,
 })

@@ -2262,3 +2262,30 @@ class TestScaleCompound:
         bare.register("0xC0", [InkMessage("mv", "0xaabbccdd", ("Action",))])
         with pytest.raises(NotImplementedError):
             bare.decode_call("0xc0", "0xaabbccdd00")
+
+
+def test_chain_snapshotter_dispatch_and_issuance_tracks(spark):
+    """The per-chain snapshotter registry dispatches interlay/bifrost to
+    the generic issuance machinery (snapshot/interlay.js:31-47,
+    bifrost.js:53-130): same key/value shape, different storage item and
+    track label; hex values normalize to exact decimal strings."""
+    from polkadot_etl_spark.plans.snapshots import (
+        BifrostSnapshotter,
+        get_snapshotter,
+    )
+
+    assert get_snapshotter("interlay").chain["para_id"] == 2032
+    assert get_snapshotter("bifrost").chain["para_id"] == 2030
+    assert get_snapshotter("nowhere").chain["para_id"] == 0  # generic fallback
+
+    entries = spark.createDataFrame(
+        [('[{"token":"BNC"}]', "0x2a"), ('[{"vToken":"DOT"}]', "7")],
+        "key_args string, value string",
+    )
+    block = {"number": 9, "hash": "0x9", "ts": "2023-06-01 05:59:59"}
+    rows = {r.track_val: r for r in BifrostSnapshotter().vtoken_pool(entries, block).collect()}
+    r1 = rows['{"token":"BNC"}']
+    assert (r1.section, r1.storage, r1.track) == ("vtokenMinting", "tokenPool", "vtoken")
+    assert r1.pv == "42" and r1.kv == '{"token":"BNC"}'
+    assert rows['{"vToken":"DOT"}'].pv == "7"
+    assert str(r1.ts) == "2023-06-01 05:00:00"  # canonical hour
