@@ -67,6 +67,17 @@ def _unwrap_location(value: Column) -> Column:
     )
 
 
+def _numeric_xc_location(entries: DataFrame) -> DataFrame:
+    """The common xc-map shape: numeric asset-id key, (possibly
+    version-wrapped) multilocation value — hydra assetLocations, moonbeam
+    assetIdType, calamari assetIdLocation, parallel assetIdType all read
+    this way."""
+    return entries.select(
+        _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
+        _unwrap_location(F.col("value")).alias("multilocation"),
+    ).where(F.col("multilocation").isNotNull())
+
+
 class GarParser:
     """Generic assets-pallet registry parser (processCommonAssetPalletGar,
     common_chainparser.js:176-190) — chains/statemint/phala/astar/moonbeam
@@ -262,10 +273,7 @@ class HydraGarParser(GarParser):
     xc_strip_wrapper = True  # IdType path (common_chainparser.js:610)
 
     def _xc_location(self, entries: DataFrame) -> DataFrame:
-        return entries.select(
-            _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
-            _unwrap_location(F.col("value")).alias("multilocation"),
-        ).where(F.col("multilocation").isNotNull())
+        return _numeric_xc_location(entries)
 
 
 class PhalaGarParser(GarParser):
@@ -405,10 +413,7 @@ class MoonbeamGarParser(GarParser):
     xc_strip_wrapper = True
 
     def _xc_location(self, entries: DataFrame) -> DataFrame:
-        return entries.select(
-            _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
-            _unwrap_location(F.col("value")).alias("multilocation"),
-        ).where(F.col("multilocation").isNotNull())
+        return _numeric_xc_location(entries)
 
     def parse_xc_gar(self, xc_entries: DataFrame, gar: DataFrame) -> DataFrame:
         out = super().parse_xc_gar(xc_entries, gar)
@@ -416,6 +421,126 @@ class MoonbeamGarParser(GarParser):
         aid = _cleaned_asset_id(F.get_json_object("currency_id", "$.Token"))
         xc20 = F.concat(F.lit("0xffffffff"), F.lpad(F.lower(F.hex(aid)), 32, "0"))
         return out.withColumn("xc_contract_address", xc20)
+
+
+class OrmlMetadataGarParser(GarParser):
+    """orml-asset-registry chains whose metadata value EMBEDS the
+    location (interlay/kintsugi, mangatax, oak, centrifuge — gar and xc
+    are the SAME storage walk, gar/chainParsers/interlay.js:16-21 +
+    processXcmAssetsRegistryAssetMetadata, common_chainparser.js:
+    381-470: location may be version-wrapped under $.location).
+    ``pad_prefix`` reproduces interlay's currency padding — numeric ids
+    publish as {"ForeignAsset":"<id>"} to match the chain's
+    tokens:account keys (padCurrencyID, interlay.js:111-127)."""
+
+    parser_name = "OrmlMetadata"
+    gar_pallet = "assetRegistry"
+    gar_storage = "metadata"
+    xc_gar_pallet = "assetRegistry"
+    xc_gar_storage = "metadata"
+    pad_prefix: str | None = None
+
+    def parse_gar(self, entries: DataFrame) -> DataFrame:
+        out = super().parse_gar(entries)
+        if self.pad_prefix:
+            cur = F.concat(
+                F.lit('{"%s":"' % self.pad_prefix),
+                F.col("asset_id").cast("string"),
+                F.lit('"}'),
+            )
+            out = out.withColumn(
+                "currency_id",
+                F.when(F.col("asset_id").isNotNull(), cur).otherwise(
+                    F.col("currency_id")
+                ),
+            )
+        return out
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return entries.select(
+            _cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias("asset_id"),
+            _unwrap_location(F.get_json_object("value", "$.location")).alias(
+                "multilocation"
+            ),
+        ).where(F.col("multilocation").isNotNull())
+
+
+class InterlayGarParser(OrmlMetadataGarParser):
+    """interlay polkadot-2032 / kintsugi kusama-2092 (interlay.js:1)."""
+
+    parser_name = "Interlay"
+    para_id = 2032
+    pad_prefix = "ForeignAsset"
+
+
+class MangataGarParser(OrmlMetadataGarParser):
+    """mangatax kusama-2110 (mangatax.js:1)."""
+
+    parser_name = "Mangata"
+    relay_chain = "kusama"
+    para_id = 2110
+
+
+class OakGarParser(OrmlMetadataGarParser):
+    """oak/turing kusama-2114 (oak.js:1)."""
+
+    parser_name = "Oak"
+    relay_chain = "kusama"
+    para_id = 2114
+
+
+class CentrifugeGarParser(OrmlMetadataGarParser):
+    """centrifuge polkadot-2031 (centrifuge.js:1) — same shape under the
+    ormlAssetRegistry pallet name."""
+
+    parser_name = "Centrifuge"
+    para_id = 2031
+    gar_pallet = "ormlAssetRegistry"
+    xc_gar_pallet = "ormlAssetRegistry"
+
+
+class ListenGarParser(HydraGarParser):
+    """listen kusama-2118 (listen.js:1): currencies:listenAssetsInfo gar
+    (the extra ``metadata`` nesting level the generic parse unwraps,
+    common_chainparser.js:135) + currencies:assetLocations xc — the
+    hydra IdType machinery under different storage names."""
+
+    parser_name = "Listen"
+    relay_chain = "kusama"
+    para_id = 2118
+    gar_pallet = "currencies"
+    gar_storage = "listenAssetsInfo"
+    xc_gar_pallet = "currencies"
+    xc_gar_storage = "assetLocations"
+
+
+class CalamariGarParser(GarParser):
+    """calamari kusama-2084 (calamari.js:1): assets:metadata +
+    assetManager:assetIdLocation parsed IdToLocation-style (no
+    xc-wrapper strip)."""
+
+    parser_name = "Calamari"
+    relay_chain = "kusama"
+    para_id = 2084
+    xc_gar_pallet = "assetManager"
+    xc_gar_storage = "assetIdLocation"
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return _numeric_xc_location(entries)
+
+
+class ParallelGarParser(GarParser):
+    """parallel polkadot-2012 / heiko kusama-2085 (parallel.js:1):
+    assets:metadata + assetRegistry:assetIdType, IdType-style."""
+
+    parser_name = "Parallel"
+    para_id = 2012
+    xc_gar_pallet = "assetRegistry"
+    xc_gar_storage = "assetIdType"
+    xc_strip_wrapper = True
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return _numeric_xc_location(entries)
 
 
 _GAR_PARSERS: dict[str, type[GarParser]] = {
@@ -430,6 +555,16 @@ _GAR_PARSERS: dict[str, type[GarParser]] = {
     "acala": AcalaGarParser,
     "karura": AcalaGarParser,
     "bifrost": BifrostGarParser,
+    "interlay": InterlayGarParser,
+    "kintsugi": InterlayGarParser,
+    "mangatax": MangataGarParser,
+    "oak": OakGarParser,
+    "turing": OakGarParser,
+    "centrifuge": CentrifugeGarParser,
+    "listen": ListenGarParser,
+    "calamari": CalamariGarParser,
+    "parallel": ParallelGarParser,
+    "heiko": ParallelGarParser,
 }
 
 

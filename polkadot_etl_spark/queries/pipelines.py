@@ -2995,6 +2995,20 @@ ac_comma AS (
          'onchain', CAST(1 AS BIGINT), '{"ForeignAsset":1900}',
          CAST(NULL AS VARCHAR)
 ),
+il_rows AS (
+  SELECT 'polkadot~[{"parachain":' || (7000 + k) || '},{"generalIndex":'
+           || (200 + k) || '}]' AS xcm_interior_key,
+         'I' || k AS symbol,
+         CAST(10 AS INTEGER) AS decimals,
+         CAST(7000 + k AS INTEGER) AS para_id,
+         'x2' AS interior_type,
+         'onchain' AS source,
+         CAST(1 AS BIGINT) AS confidence,
+         '{"ForeignAsset":"' || k || '"}' AS xc_currency_id,
+         CAST(NULL AS VARCHAR) AS xc_contract_address
+  FROM (SELECT CAST(p_partkey AS BIGINT) AS k FROM part
+        WHERE p_partkey >= 50 AND p_partkey < 70 AND p_partkey % 5 != 0)
+),
 mb_rows AS (
   SELECT 'polkadot~[{"parachain":' || (6000 + k) || '},{"generalIndex":'
            || (77 + k) || '}]' AS xcm_interior_key,
@@ -3013,6 +3027,7 @@ UNION ALL SELECT * FROM ph_rows
 UNION ALL SELECT * FROM usdt
 UNION ALL SELECT * FROM ac_rows
 UNION ALL SELECT * FROM ac_comma
+UNION ALL SELECT * FROM il_rows
 UNION ALL SELECT * FROM mb_rows
 """,
     doc="Per-chain registry-parser dispatch into the global asset "
@@ -3215,11 +3230,40 @@ def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mb_regs = MoonbeamGarParser().registrations(spark, mb_gar, mb_xc)
 
+    # --- interlay: orml-asset-registry — the metadata value EMBEDS the
+    # (version-wrapped) location, gar and xc are the SAME walk; numeric
+    # ids pad to {"ForeignAsset": id} currencies. k%5 rows omit the
+    # location (local-only assets: decorate but never register).
+    il = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_partkey") >= 50) & (F.col("p_partkey") < 70))
+        .select(F.col("p_partkey").cast("long").alias("k"))
+    )
+    ik = F.col("k")
+    iks = ik.cast("string")
+    loc_part = F.when(
+        ik % 5 != 0,
+        F.concat(
+            F.lit(',"location":{"v3":'), _x2(ik + 7000, ik + 200), F.lit("}")
+        ),
+    ).otherwise(F.lit(""))
+    il_entries = il.select(
+        F.concat(F.lit('["'), iks, F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"I'), iks, F.lit('","name":"IAsset '), iks,
+            F.lit('","decimals":10'), loc_part, F.lit("}"),
+        ).alias("value"),
+    )
+    from polkadot_etl_spark.plans.garparsers import InterlayGarParser
+
+    il_regs = InterlayGarParser().registrations(spark, il_entries, il_entries)
+
     reg = build_xcm_asset_registry(
         st_regs.unionByName(hy_regs)
         .unionByName(ph_regs)
         .unionByName(ac_regs)
         .unionByName(mb_regs)
+        .unionByName(il_regs)
     )
     return reg.select(
         "xcm_interior_key",

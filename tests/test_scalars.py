@@ -68,3 +68,54 @@ def test_orml_gar_currency_key_parse(spark):
         ).alias("g")
     ).head().g
     assert gk == "0x02ab5801a7d398351b8be11c439e05c5b3259aec9b"
+
+
+def test_gar_parser_shape_dispatch(spark):
+    """The remaining chain shapes reduce to shared mechanisms — pin the
+    per-chain configs: listen's nested-metadata gar (the extra
+    'metadata' level, common_chainparser.js:135), calamari's
+    IdToLocation xc (no xc-wrapper strip), parallel's IdType (strips),
+    and interlay's ForeignAsset currency padding."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from polkadot_etl_spark.plans.garparsers import (
+        CalamariGarParser,
+        InterlayGarParser,
+        ListenGarParser,
+        ParallelGarParser,
+        get_gar_parser,
+    )
+
+    assert type(get_gar_parser("kintsugi")) is InterlayGarParser
+    assert type(get_gar_parser("heiko")) is ParallelGarParser
+    assert get_gar_parser("listen").gar_storage == "listenAssetsInfo"
+    assert get_gar_parser("unknown-chain").parser_name == "Common"
+
+    # listen: nested metadata level unwraps
+    li = spark.createDataFrame(
+        [('["7"]', '{"metadata":{"symbol":"LT","name":"Listen","decimals":12}}')],
+        "key_args string, value string",
+    )
+    row = ListenGarParser().parse_gar(li).head()
+    assert (row.symbol, row.name, row.decimals) == ("LT", "Listen", 12)
+
+    # interlay: numeric ids pad to ForeignAsset currencies
+    it = spark.createDataFrame(
+        [('["3"]', '{"symbol":"IBTC","name":"interBTC","decimals":8}')],
+        "key_args string, value string",
+    )
+    assert InterlayGarParser().parse_gar(it).head().currency_id == '{"ForeignAsset":"3"}'
+
+    # calamari IdToLocation: symbol NOT stripped; parallel IdType: stripped
+    gar = spark.createDataFrame(
+        [('["9"]', '{"symbol":"xcKMA","name":"K","decimals":12}')],
+        "key_args string, value string",
+    )
+    xc = spark.createDataFrame(
+        [('["9"]', '{"v1":{"parents":1,"interior":{"X1":{"Parachain":2084}}}}')],
+        "key_args string, value string",
+    )
+    cal = CalamariGarParser()
+    assert cal.parse_xc_gar(xc, cal.parse_gar(gar)).head().symbol == "xcKMA"
+    par = ParallelGarParser()
+    assert par.parse_xc_gar(xc, par.parse_gar(gar)).head().symbol == "KMA"
