@@ -1062,7 +1062,9 @@ def xcm_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.operators.band import band_join_best_match
 
     k = F.col("o_orderkey")
-    o = load_table(spark, sf_dir, "orders").select(
+    # generator fan-out (single-row-group test parquet; see
+    # users_tags_attribution)
+    o = load_table(spark, sf_dir, "orders").repartition(32).select(
         F.concat(F.lit("x"), k.cast("string")).alias("extrinsic_id"),
         F.concat(F.lit("m"), (k % 1000).cast("string")).alias("msg_hash"),
         (k % 10000).alias("sent_at"),
