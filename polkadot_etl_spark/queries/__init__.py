@@ -99,7 +99,10 @@ _PRIORITY: list[str] = [
     # ivf_centroid_update: green r3, demoted mid-r4 for
     # ccnet_perplexity_buckets (vector-quantization family repped by
     # pq_quantize_embeddings + ann_pq_adc_search in-window)
-    "ccnet_perplexity_buckets",
+    # ccnet_perplexity_buckets: green r4, demoted mid-r5 for
+    # kmeans_corpus_clusters — its tercile stage composes the in-window
+    # unigram_perplexity plan every round
+    "kmeans_corpus_clusters",
     # stratified_sample: green r3, demoted mid-r4 for its same-family
     # successor mixture_sample_corpus (md5-threshold sampling is the
     # shared mechanism; mixture_weights also stays in-window)

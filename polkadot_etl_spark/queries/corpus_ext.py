@@ -1608,3 +1608,69 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cross_entropy").alias("min_ce"),
         F.max("cross_entropy").alias("max_ce"),
     )
+
+
+@query(
+    "kmeans_corpus_clusters",
+    oracle="""
+WITH t AS (
+  SELECT vec_id, CAST(vec_id % 5 AS INTEGER) AS cid,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS raw
+  FROM embeddings
+),
+v AS (
+  SELECT cid, pos - 1 AS pos,
+         CAST(raw AS DOUBLE) * 0.001
+           + CASE WHEN pos - 1 = cid THEN 1000.0 ELSE 0.0 END AS val
+  FROM t
+)
+SELECT cid, pos, COUNT(*) AS n_members,
+       CAST(CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR)
+            AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(2 AS INTEGER) AS n_iter
+FROM v GROUP BY cid, pos
+""",
+    doc="Lloyd's k-means driven to CONVERGENCE (operators/kmeans.py) — "
+    "the loop around the single assign+update step ivf_centroid_update "
+    "gates: corpus clustering for SemDeDup cells / IVF coarse-quantizer "
+    "training. Per round the assignment is zero-shuffle (driver-held "
+    "k x dim centroids inlined as literal squared-L2 scores, lowest-cid "
+    "tie-break) and the update is ONE (cid, dim)-keyed shuffle with "
+    "exact-decimal component means. Input vectors are the embeddings "
+    "displaced into five well-separated clusters (+1000 on dimension "
+    "vec_id%5), so convergence is provable: iteration 1 assigns every "
+    "vector to its generating cluster, iteration 2 reproduces identical "
+    "means (exact decimals) and terminates with shift == 0 — the oracle "
+    "pins the final centroids AND that the loop ran exactly 2 "
+    "iterations.",
+    tags=("similarity", "iterative", "agg"),
+)
+def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.kmeans import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    vecs = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * F.lit(0.001)
+            + F.when(i == (vid % 5).cast("int"), F.lit(1000.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    assigned, _centroids, n_iter = kmeans_lloyd(
+        vecs, vec_col="embedding", id_col="vec_id", k=5, max_iter=10, tol=0.0
+    )
+    return (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.col("val").cast("decimal(38,10)")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+        )
+        .withColumn("n_iter", F.lit(n_iter).cast("int"))
+    )

@@ -646,3 +646,13 @@ def test_astar_dappstaking_is_pure_projection(spark):
     plan = _plan(spark, "snapshots_astar_dappstaking")
     assert "EvalPython" not in plan
     assert not re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+
+
+def test_kmeans_assignment_is_shuffle_free_update_is_one_exchange(spark):
+    """Per k-means round the assignment is literal column math (no join,
+    no Python); the final centroid recompute is the single (cid, dim)
+    aggregate exchange."""
+    plan = _plan(spark, "kmeans_corpus_clusters")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1

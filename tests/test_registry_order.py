@@ -64,6 +64,9 @@ _DEMOTED_GREEN = {
     "lsh_dropped_buckets",  # r4 green; slot went to
     # token_metadata_maintenance (bucket-cap accounting rides the capped
     # pipeline inside in-window dedup_corpus_survivors)
+    "ccnet_perplexity_buckets",  # r4 green; slot went to
+    # kmeans_corpus_clusters (its tercile stage composes the in-window
+    # unigram_perplexity plan every round)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
