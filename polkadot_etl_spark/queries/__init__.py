@@ -87,7 +87,10 @@ _PRIORITY: list[str] = [
     "benchmark_contamination",
     # gopher_repetition: green r3, demoted mid-r4 for its same-family
     # successor intradoc_dup_ngrams (the Gopher duplicate-5-gram signal)
-    "intradoc_dup_ngrams",
+    # intradoc_dup_ngrams: green r4, demoted mid-r5 for
+    # url_domain_filter — the duplicate-n-gram signal is the within-doc
+    # complement of exact_substring_dup_spans (in-window)
+    "url_domain_filter",
     "quality_classifier_logit",
     # passage_dedup_ngrams: green r3, demoted mid-r4 for its same-family
     # successor exact_substring_dup_spans (cross-doc window dedup with

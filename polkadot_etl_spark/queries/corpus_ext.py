@@ -1674,3 +1674,117 @@ def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_iter", F.lit(n_iter).cast("int"))
     )
+
+
+_URL_DOMAINS = (
+    "example.com", "blogspam.net", "news.co.uk", "data.org", "tracker.io",
+    "pages.dev", "mirror.com.au", "wiki.org", "shop.net", "spam.co.uk",
+    "docs.io",
+)
+_URL_BLOCKLIST = ("blogspam.net", "tracker.io", "spam.co.uk")
+
+
+def _url_domain_case(col: str) -> str:
+    return (
+        f"CASE {col} % 11 "
+        + " ".join(f"WHEN {i} THEN '{d}'" for i, d in enumerate(_URL_DOMAINS))
+        + " END"
+    )
+
+
+@query(
+    "url_domain_filter",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id AS k,
+         CASE WHEN doc_id % 3 = 0 THEN 'www'
+              ELSE 'cdn' || (doc_id % 7) END AS sub,
+         {_url_domain_case('doc_id')} AS dom,
+         '/p/' || (doc_id % 50)
+           || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END AS path
+  FROM documents
+),
+c AS (
+  SELECT k, dom,
+         sub || '.' || dom
+           || CASE WHEN path = '/' THEN ''
+                   ELSE regexp_replace(path, '/$', '') END AS canonical,
+         dom IN ('{"','".join(_URL_BLOCKLIST)}') AS blocked
+  FROM d
+)
+SELECT dom AS domain,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE blocked) AS n_blocked,
+       COUNT(*) FILTER (WHERE NOT blocked) AS n_kept,
+       COUNT(DISTINCT CASE WHEN NOT blocked THEN canonical END) AS n_unique_urls,
+       CAST(MIN(CASE WHEN NOT blocked THEN k END) AS DOUBLE) AS min_doc_id
+FROM c GROUP BY dom
+""",
+    doc="URL-based corpus hygiene — the C4/RefinedWeb acquisition stage "
+    "this engine was missing: URL canonicalization (host lowercased, "
+    "query/fragment stripped, trailing slash trimmed), registrable-"
+    "domain extraction with multi-label public suffixes (co.uk/com.au "
+    "take three labels), broadcast domain-blocklist filtering with "
+    "per-domain drop ACCOUNTING (no silent filtering), and canonical-"
+    "URL dedup (distinct canonical per domain — C4 kept one document "
+    "per URL). Everything is native regex/string work: one shuffle for "
+    "the per-domain rollup, the blocklist folds into codegen as an IN "
+    "list. The oracle rebuilds canonicalization, suffix rules, "
+    "blocklist and dedup counts independently.",
+    tags=("corpus", "filter", "agg"),
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    sub = F.when(k % 3 == 0, F.lit("www")).otherwise(
+        F.concat(F.lit("cdn"), (k % 7).cast("string"))
+    )
+    dom = None
+    for i, d in enumerate(_URL_DOMAINS):
+        c = k % 11 == i
+        dom = F.when(c, F.lit(d)) if dom is None else dom.when(c, F.lit(d))
+    path = F.concat(
+        F.lit("/p/"), (k % 50).cast("string"),
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query_str = F.when(
+        k % 2 == 1, F.concat(F.lit("?utm_source=x&id="), (k % 9).cast("string"))
+    ).otherwise(F.lit(""))
+    # mixed-case host exercises the lowercase rule
+    host = F.concat(
+        F.when(k % 5 == 0, F.upper(sub)).otherwise(sub), F.lit("."), dom
+    )
+    url = F.concat(F.lit("https://"), host, path, query_str)
+
+    # --- the real pipeline: canonicalize → registrable domain →
+    # blocklist gate → per-domain rollup with URL dedup
+    raw_host = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
+    raw_path = F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
+    canonical = F.concat(
+        raw_host,
+        F.when(raw_path == "/", F.lit("")).otherwise(
+            F.regexp_replace(raw_path, r"/$", "")
+        ),
+    )
+    multi_suffix = raw_host.rlike(r"\.(co\.uk|com\.au|co\.jp)$")
+    domain = F.when(
+        multi_suffix, F.regexp_extract(raw_host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    ).otherwise(F.regexp_extract(raw_host, r"([^.]+\.[^.]+)$", 1))
+    staged = docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        canonical.alias("canonical"),
+        domain.isin(*_URL_BLOCKLIST).alias("blocked"),
+    )
+    return staged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("blocked"), 1)).alias("n_blocked"),
+        F.count(F.when(~F.col("blocked"), 1)).alias("n_kept"),
+        F.countDistinct(F.when(~F.col("blocked"), F.col("canonical"))).alias(
+            "n_unique_urls"
+        ),
+        F.min(F.when(~F.col("blocked"), F.col("doc_id")))
+        .cast("double")
+        .alias("min_doc_id"),
+    )

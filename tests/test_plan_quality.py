@@ -656,3 +656,12 @@ def test_kmeans_assignment_is_shuffle_free_update_is_one_exchange(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_url_filter_is_regex_codegen_one_rollup(spark):
+    """URL canonicalization/suffix/blocklist are pure string expressions;
+    the only exchange is the per-domain rollup."""
+    plan = _plan(spark, "url_domain_filter")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2  # distinct+final agg

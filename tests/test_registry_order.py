@@ -67,6 +67,8 @@ _DEMOTED_GREEN = {
     "ccnet_perplexity_buckets",  # r4 green; slot went to
     # kmeans_corpus_clusters (its tercile stage composes the in-window
     # unigram_perplexity plan every round)
+    "intradoc_dup_ngrams",  # r4 green; slot went to url_domain_filter
+    # (within-doc complement of in-window exact_substring_dup_spans)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
