@@ -177,9 +177,13 @@ def propagate_registry(local_assets: DataFrame, chain_assets: DataFrame, registr
 
 def build_registration_index(chain_assets: DataFrame) -> DataFrame:
     """(para_id, currency_id) → xcm_interior_key for every registration."""
+    # same codec-compaction as build_xcm_asset_registry: one wave of
+    # Python tasks, not one per file split
+    par = min(chain_assets.sparkSession.sparkContext.defaultParallelism, 64)
     info = _loc_info(F.col("multilocation"), F.col("relay_chain")).alias("__info")
     return (
-        chain_assets.withColumn("__info", info)
+        chain_assets.repartition(par)
+        .withColumn("__info", info)
         .select("para_id", "currency_id", F.col("__info.xcm_interior_key").alias("xcm_interior_key"))
         .where(F.col("xcm_interior_key").isNotNull())
         .dropDuplicates(["para_id", "currency_id"])
