@@ -5,19 +5,40 @@ Completes the vector-quantization family: ``ivf_centroid_update``
 uses literal seeds; real corpus clustering (SemDeDup's k≈√N cells, IVF
 coarse-quantizer training) needs the loop driven to convergence.
 
-Spark shape per round — the same discipline as the one-step version:
+Spark shape per round — the same discipline as the one-step version,
+with TWO assignment forms selected by k:
 
-- ASSIGN is zero-shuffle: the k×dim centroids live on the driver
-  (bounded state, exactly the reference-scale of an in-process model)
-  and inline as literal score expressions, so the nearest-centroid
-  argmax is pure generated column code. Scores build as ONE SQL string:
-  composing k×dim terms through the Column API costs thousands of py4j
-  round-trips (measured ~4 s/round at k=8, dim=64 — see
-  ivf_centroid_update's note).
+- small k (≤ ``K_LITERAL_MAX``): ASSIGN is zero-shuffle — the k×dim
+  centroids live on the driver (bounded state, exactly the
+  reference-scale of an in-process model) and inline as literal score
+  expressions, so the nearest-centroid argmax is pure generated column
+  code. Scores build as ONE SQL string: composing k×dim terms through
+  the Column API costs thousands of py4j round-trips (measured
+  ~4 s/round at k=8, dim=64 — see ivf_centroid_update's note).
+- large k: the literal form does NOT scale in k — a k×dim-term
+  expression tree blows up planning/codegen at the k≈√N / IVF-coarse
+  regime (k in 10³–10⁵) long before data size matters (semdedup_prune
+  measured a driver codegen OOM at k=45 already with a naive Column
+  chain; even the single-SQL-string form planups superlinearly).
+  Above the threshold the centroids become a k-row BROADCAST dim
+  instead: one BroadcastNestedLoopJoin fans each vector out to k
+  (vec, centroid) pairs — the sanctioned small-side broadcast cross,
+  never a CartesianProduct — a fold-left HOF computes the dot product,
+  and a groupBy(id) max(struct(score, -cid)) argmax reproduces
+  score DESC, cid ASC in one id-keyed shuffle. Expression size is O(1)
+  in k; the per-round cost is one broadcast of k×dim doubles plus that
+  one exchange. This is `semdedup_prune`'s assignment shape
+  (queries/corpus_ext.py _assigned_vectors), promoted into the
+  operator.
 - UPDATE is the one unavoidable shuffle: posexplode to (cid, dim) with
   map-side partial sums — k × dim × n_partitions rows cross the wire
   regardless of corpus size. Component means are exact decimal sums
   divided once (engine-stable).
+- EMPTY CLUSTERS: a cluster that loses every member keeps its PREVIOUS
+  centroid (no silent reset to the origin, which could capture
+  unrelated vectors or stall convergence). This mirrors the common
+  "carry-forward" policy; callers that prefer reseeding can re-init
+  from the returned centroids.
 - CONVERGENCE compares consecutive centroid matrices on the driver;
   with exact-decimal means, identical memberships reproduce identical
   doubles, so a stable partition terminates with shift == 0.0 — no
@@ -25,14 +46,21 @@ Spark shape per round — the same discipline as the one-step version:
 
 Nearest-centroid uses the squared-L2 decomposition
 argmin ||x-c||² = argmax (x·c − ||c||²/2): only the dot product touches
-the row, the −||c||²/2 constant folds into the literal. Ties break to
-the LOWEST cid (total order, reproducible).
+the row, the −||c||²/2 constant folds per centroid. Ties break to
+the LOWEST cid (total order, reproducible) in both forms.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Above this k the literal-inline SQL form is replaced by the
+# broadcast-centroid join form (O(1) expression size in k). 64×64 ≈ 4k
+# literal terms is comfortably inside codegen limits; beyond that the
+# plan/codegen cost grows superlinearly while the broadcast form stays
+# flat.
+K_LITERAL_MAX = 64
 
 
 def _score_array_sql(vec_col: str, centroids: list[list[float]]) -> str:
@@ -53,17 +81,79 @@ def _score_array_sql(vec_col: str, centroids: list[list[float]]) -> str:
     return "array(" + ", ".join(structs) + ")"
 
 
-def assign_nearest(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+def assign_nearest_literal(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
     """df + a ``cid`` column: index of the nearest centroid (squared-L2,
-    lowest-cid tie-break). Zero shuffle. The assignment is its OWN
-    projection — fused into a downstream Generate, the k×dim score
-    expression would re-evaluate once per exploded element (measured
-    4.4 s vs 0.8 s at sf0.1, see ivf_centroid_update)."""
+    lowest-cid tie-break). Zero shuffle; k×dim literal expression — the
+    small-k fast path. The assignment is its OWN projection — fused
+    into a downstream Generate, the k×dim score expression would
+    re-evaluate once per exploded element (measured 4.4 s vs 0.8 s at
+    sf0.1, see ivf_centroid_update)."""
     scores = F.expr(_score_array_sql(vec_col, centroids))
     return df.select("*", (-F.array_max(scores)["negcid"]).cast("int").alias("cid"))
 
 
-def _update_centroids(assigned: DataFrame, vec_col: str, k: int, dim: int) -> list[list[float]]:
+def assign_nearest_broadcast(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """df + ``cid`` via a broadcast-centroid crossJoin: O(1) expression
+    size in k, so it plans in constant time at k=10³–10⁵ where the
+    literal form blows up. One BroadcastNestedLoopJoin (k-row small
+    side, explicitly broadcast) + fold-left HOF dot + one id-keyed
+    argmax shuffle + one join back to df on ``id_col``. Same squared-L2
+    score and lowest-cid tie-break as the literal form (cross-validated
+    in tests/test_operators.py)."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(j, [float(v) for v in c]) for j, c in enumerate(centroids)],
+        "cent_cid INT, cent_vec ARRAY<DOUBLE>",
+    )
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, cent_vec, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    half_norm = F.expr("aggregate(cent_vec, 0D, (acc, v) -> acc + v * v) / 2")
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            F.struct(
+                (dot - half_norm).alias("score"), (-F.col("cent_cid")).alias("negcid")
+            ).alias("sc"),
+        )
+    )
+    assign = scored.groupBy(id_col).agg(
+        (-F.max("sc")["negcid"]).cast("int").alias("cid")
+    )
+    return df.join(assign, id_col)
+
+
+def assign_nearest(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Form-selecting assignment: literal-inline zero-shuffle expression
+    for k ≤ K_LITERAL_MAX, broadcast-centroid join above it. Both forms
+    produce identical (id, cid) results; only the physical plan
+    differs."""
+    if len(centroids) <= K_LITERAL_MAX:
+        return assign_nearest_literal(df, centroids, vec_col)
+    return assign_nearest_broadcast(df, centroids, vec_col, id_col)
+
+
+def _update_centroids(
+    assigned: DataFrame, vec_col: str, prev: list[list[float]]
+) -> list[list[float]]:
+    """Exact-decimal component means per (cid, dim). A cluster with NO
+    members this round carries its previous centroid forward (empty
+    clusters never relocate to the origin)."""
     rows = (
         assigned.select("cid", F.posexplode(vec_col).alias("pos", "val"))
         .groupBy("cid", "pos")
@@ -75,7 +165,7 @@ def _update_centroids(assigned: DataFrame, vec_col: str, k: int, dim: int) -> li
         )
         .collect()
     )
-    out = [[0.0] * dim for _ in range(k)]
+    out = [list(c) for c in prev]
     for r in rows:
         out[r.cid][r.pos] = r.m
     return out
@@ -93,9 +183,16 @@ def kmeans_lloyd(
     (deterministic, like the one-step IVF seeds). Returns (assignments
     DataFrame with the final ``cid`` column, centroids, iterations run).
 
-    Each round costs one corpus scan + one (cid, dim)-keyed shuffle; the
-    k×dim centroid state rides the driver — at 100 TB that is the same
-    bounded-model shape as broadcasting any trained quantizer."""
+    Empty-cluster policy: carry-forward — a cluster that loses all
+    members keeps its previous centroid for the next round (see
+    _update_centroids); it may re-acquire members later or simply stop
+    moving, which the shift test treats as converged for that cluster.
+
+    Each round costs one corpus scan + one (cid, dim)-keyed shuffle
+    (plus, above K_LITERAL_MAX, the broadcast-assign's id-keyed argmax
+    exchange); the k×dim centroid state rides the driver — at 100 TB
+    that is the same bounded-model shape as broadcasting any trained
+    quantizer."""
     seed_rows = sorted(
         df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect(),
         key=lambda r: r[0],
@@ -103,15 +200,14 @@ def kmeans_lloyd(
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
     centroids = [[float(v) for v in r[1]] for r in seed_rows]
-    dim = len(centroids[0])
     it = 0
     for it in range(1, max_iter + 1):
-        assigned = assign_nearest(df, centroids, vec_col)
-        new_centroids = _update_centroids(assigned, vec_col, k, dim)
+        assigned = assign_nearest(df, centroids, vec_col, id_col)
+        new_centroids = _update_centroids(assigned, vec_col, centroids)
         shift = max(
             abs(a - b) for ca, cb in zip(new_centroids, centroids) for a, b in zip(ca, cb)
         )
         centroids = new_centroids
         if shift <= tol:
             break
-    return assign_nearest(df, centroids, vec_col), centroids, it
+    return assign_nearest(df, centroids, vec_col, id_col), centroids, it

@@ -5,6 +5,7 @@ laws, independent recomputation in plain Python)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from polkadot_etl_spark.queries import QUERIES
 from tests.conftest import SF_DIR
@@ -227,3 +228,104 @@ def test_non_utc_driver_session_still_matches_oracle(spark, oracle):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# kmeans operator: two assignment forms, empty-cluster policy
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark, n=40, dim=4):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.col("id") % 5).cast("double") * 10.0 + i.cast("double") * 0.01,
+        ).alias("embedding"),
+    )
+
+
+def test_kmeans_broadcast_form_plans_at_k1024(spark):
+    """The r5 verdict's one scale-killer: the literal-inline assignment
+    is a k x dim SQL expression and cannot plan at IVF-coarse k. The
+    broadcast-centroid form must build and PLAN at k=1024, dim=64 with
+    O(1) expression size — the plan is a BroadcastNestedLoopJoin, never
+    a CartesianProduct, and planning completes in seconds."""
+    import time
+
+    from polkadot_etl_spark.operators.kmeans import K_LITERAL_MAX, assign_nearest
+
+    k, dim = 1024, 64
+    assert k > K_LITERAL_MAX
+    centroids = [[float((j * 31 + i) % 17) for i in range(dim)] for j in range(k)]
+    df = _toy_vectors(spark, n=8, dim=dim)
+    t0 = time.monotonic()
+    assigned = assign_nearest(df, centroids, "embedding", "vec_id")
+    plan = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    elapsed = time.monotonic() - t0
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert elapsed < 60, f"planning at k={k} took {elapsed:.1f}s - expression blowup"
+
+
+def test_kmeans_assignment_forms_agree(spark):
+    """Literal-inline and broadcast-join assignment are the same
+    operator: identical (vec_id, cid) output including the lowest-cid
+    tie-break, only the physical plan differs."""
+    from polkadot_etl_spark.operators.kmeans import (
+        assign_nearest_broadcast,
+        assign_nearest_literal,
+    )
+
+    df = _toy_vectors(spark, n=40, dim=4)
+    # 7 centroids: the 5 generating points plus one duplicate (tie ->
+    # lowest cid) and one far outlier (never wins).
+    cents = [[c * 10.0 + i * 0.01 for i in range(4)] for c in range(5)]
+    cents.append(list(cents[2]))  # exact duplicate of cid 2 -> cid 2 wins ties
+    cents.append([1e6] * 4)
+    lit = {
+        r.vec_id: r.cid
+        for r in assign_nearest_literal(df, cents, "embedding").collect()
+    }
+    bc = {
+        r.vec_id: r.cid
+        for r in assign_nearest_broadcast(df, cents, "embedding", "vec_id").collect()
+    }
+    assert lit == bc
+    assert set(lit.values()) == {0, 1, 2, 3, 4}
+    assert all(lit[v] == v % 5 for v in lit)
+
+
+def test_kmeans_empty_cluster_carries_previous_centroid(spark):
+    """A cluster that loses all members keeps its previous centroid
+    (carry-forward policy) instead of resetting to the origin: seeds 0
+    and 1 are identical, so cid 1 is empty from round 1 (ties break to
+    cid 0) and must stay at the seed vector, not [0, 0]."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.kmeans import kmeans_lloyd
+
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [5.0, 5.0]), (3, [5.2, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    # One round: every point ties-or-prefers cid 0, cluster 1 is empty.
+    _, centroids1, _ = kmeans_lloyd(
+        df, vec_col="embedding", id_col="vec_id", k=2, max_iter=1, tol=0.0
+    )
+    assert centroids1[1] == [1.0, 1.0], "empty cluster must carry forward, not zero"
+    assert centroids1[0] == [pytest.approx(3.05), pytest.approx(3.0)]
+    # Run to convergence: the carried-forward centroid RE-ACQUIRES the
+    # near points (exactly what an origin-reset could not guarantee) and
+    # the loop lands on the natural 2-clustering.
+    assigned, centroids, n_iter = kmeans_lloyd(
+        df, vec_col="embedding", id_col="vec_id", k=2, max_iter=10, tol=0.0
+    )
+    got = {r.vec_id: r.cid for r in assigned.collect()}
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+    assert centroids[1] == [1.0, 1.0]
+    assert centroids[0] == [pytest.approx(5.1), pytest.approx(5.0)]
+    assert n_iter <= 10
