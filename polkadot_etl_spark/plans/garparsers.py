@@ -97,6 +97,12 @@ class GarParser:
     # known-asset join key for the xc gate: numeric id for assets-pallet
     # chains, CurrencyId JSON for ORML tokens-pallet chains
     xc_join_on = "asset_id"
+    # native tokens seeded into the local asset map BEFORE parsing, keyed
+    # by SYMBOL — system.properties tokenSymbol/tokenDecimals
+    # (getSystemProperties, common_chainparser.js:68-101); this is what
+    # symbol-keyed manual registrations (astar.js:25-38 ASTR/SDN) attach
+    # to. (symbol, decimals) pairs, first entry = the native asset.
+    native_tokens: list[tuple[str, int]] = []
 
     # ------------------------------------------------------------------ gar
 
@@ -158,6 +164,13 @@ class GarParser:
         joined = loc.join(dim, loc[self.xc_join_on] == F.col("__jk"), "inner")
         sym = F.col("__sym")
         if self.xc_strip_wrapper:
+            # INTENTIONAL divergence: the reference strips the FIRST 'xc'
+            # occurrence anywhere (symbol.replace('xc',''),
+            # common_chainparser.js:610) so an interior 'xc' in a
+            # non-wrapper symbol would mangle ('FOxcBAR' → 'FOBAR'); the
+            # anchored form only strips the wrapper PREFIX, which is the
+            # rule's stated purpose. Symbols differing under the two
+            # rules are malformed registrations in the reference too.
             sym = F.regexp_replace(sym, "^xc", "")
         return joined.select(
             F.lit(self.relay_chain).alias("relay_chain"),
@@ -190,27 +203,46 @@ class GarParser:
         decorate locally but cannot register globally, exactly like the
         reference (only setXcmAsset'd rows reach the global registry)."""
         gar = self.parse_gar(gar_entries)
+        if self.native_tokens:
+            # system.properties seeding: native assets enter the local
+            # map symbol-keyed with no assets-pallet id
+            # (getSystemProperties, common_chainparser.js:80-95)
+            native = gar_entries.sparkSession.createDataFrame(
+                [
+                    (None, '{"Token":"%s"}' % s, s, s, d)
+                    for s, d in self.native_tokens
+                ],
+                "asset_id long, currency_id string, symbol string, "
+                "name string, decimals int",
+            )
+            gar = gar.unionByName(native)
         parts = []
         if xc_entries is not None and self.xc_gar_pallet is not None:
             parts.append(self.parse_xc_gar(xc_entries, gar))
         manual = self.manual_registrations(spark)
         if manual is not None:
             # manual rows attach to the cached gar asset for display
-            # metadata (processManualRegistry joins the cached assetInfo)
+            # metadata; rows whose asset key has no cached entry are
+            # DROPPED ('Asset=... NOT FOUND Skip', processManualRegistry,
+            # common_chainparser.js:1057-1075). Keyed by asset_id
+            # (statemint's {"Token":"1984"}) or by symbol (astar's
+            # native {"Token":"ASTR"}, which attaches to the
+            # system-properties seed).
+            by_symbol = "symbol" in manual.columns
             dim = F.broadcast(
                 gar.select(
-                    F.col("asset_id").alias("__aid"),
+                    (F.col("symbol") if by_symbol else F.col("asset_id")).alias("__jk"),
+                    F.col("currency_id").alias("__cur"),
                     F.col("symbol").alias("__sym"),
                     F.col("name").alias("__name"),
                     F.col("decimals").alias("__dec"),
                 )
             )
-            m = manual.join(dim, manual.asset_id == F.col("__aid"), "inner").select(
+            mkey = manual["symbol"] if by_symbol else manual["asset_id"]
+            m = manual.join(dim, mkey == F.col("__jk"), "inner").select(
                 F.lit(self.relay_chain).alias("relay_chain"),
                 F.lit(self.para_id).alias("para_id"),
-                F.concat(
-                    F.lit('{"Token":"'), F.col("asset_id").cast("string"), F.lit('"}')
-                ).alias("currency_id"),
+                F.col("__cur").alias("currency_id"),
                 F.col("__sym").alias("symbol"),
                 F.col("__name").alias("name"),
                 F.col("__dec").alias("decimals"),
@@ -543,6 +575,109 @@ class ParallelGarParser(GarParser):
         return _numeric_xc_location(entries)
 
 
+class AstarGarParser(GarParser):
+    """astar polkadot-2006 (gar/chainParsers/astar.js:1): assets:metadata
+    local registry + xcAssetConfig:assetIdToLocation xc registry parsed
+    IdToLocation-style (processXcmAssetIdToLocation, astar.js:94 — no
+    xc-wrapper strip), plus the manual NATIVE registration — ASTR at the
+    chain's own [{parachain:2006}] location (manualRegistry,
+    astar.js:25-31) — which attaches to the system-properties native
+    seed (symbol-keyed, never in assets:metadata)."""
+
+    parser_name = "Astar"
+    para_id = 2006
+    xc_gar_pallet = "xcAssetConfig"
+    xc_gar_storage = "assetIdToLocation"
+    native_tokens = [("ASTR", 18)]
+    NATIVE_LOCATION_X1 = True  # [{parachain:<self>}] manual interior
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return _numeric_xc_location(entries)
+
+    def manual_registrations(self, spark) -> DataFrame:
+        loc = (
+            '{"parents": 1, "interior": {"X1": [{"Parachain": %d}]}}' % self.para_id
+        )
+        return spark.createDataFrame(
+            [(s, loc) for s, _ in self.native_tokens[:1]],
+            "symbol string, multilocation string",
+        )
+
+
+class ShidenGarParser(AstarGarParser):
+    """shiden kusama-2007 — AstarParser's second chainkey (astar.js:9,
+    manualRegistry 'kusama-2007' SDN, :32-37)."""
+
+    parser_name = "Astar"
+    relay_chain = "kusama"
+    para_id = 2007
+    native_tokens = [("SDN", 18)]
+
+
+class CloverGarParser(GarParser):
+    """clover polkadot-2002 (gar/chainParsers/clover.js:1):
+    assets:metadata + assetConfig:assetIdLocation parsed
+    IdToLocation-style (clover.js:109, no strip). The file's first
+    manualRegistry literal is dead code — the second ``manualRegistry =
+    {}`` at clover.js:53 wins (last class-field assignment), so no
+    manual rows."""
+
+    parser_name = "Clover"
+    para_id = 2002
+    xc_gar_pallet = "assetConfig"
+    xc_gar_storage = "assetIdLocation"
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return _numeric_xc_location(entries)
+
+
+class OrigintrailGarParser(GarParser):
+    """origintrail polkadot-2043 (gar/chainParsers/origintrail.js:1):
+    assets:metadata + xcAssetConfig:assetIdToLocation — Astar's storage
+    layout (origintrail.js:21-22) without the manual native row
+    (manualRegistry = {}, :40)."""
+
+    parser_name = "OriginTrail"
+    para_id = 2043
+    xc_gar_pallet = "xcAssetConfig"
+    xc_gar_storage = "assetIdToLocation"
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return _numeric_xc_location(entries)
+
+
+class RobonomicsGarParser(GarParser):
+    """robonomics kusama-2048 (gar/chainParsers/robonomics.js:1):
+    assets:metadata ONLY — isXcRegistryAvailable = false
+    (robonomics.js:55, xcGarPallet = ''), no manual rows. Local assets
+    decorate the chain but never reach the global registry — the named
+    parser IS the generic assets-pallet fallback (crawlRegistry also
+    routes it through processCommonAssetPalletGar,
+    xcmgarManager.js:546-548)."""
+
+    parser_name = "Robonomics"
+    relay_chain = "kusama"
+    para_id = 2048
+
+
+class ShadowGarParser(GarParser):
+    """crust shadow kusama-2012 (gar/chainParsers/shadow.js:1):
+    assets:metadata + assetManager:assetIdType parsed IdTYPE-style
+    (processXcmAssetIdType, shadow.js:79) — the one long-tail chain
+    whose xc display symbols strip the xc-wrapper prefix
+    (common_chainparser.js:610)."""
+
+    parser_name = "Shadow"
+    relay_chain = "kusama"
+    para_id = 2012
+    xc_gar_pallet = "assetManager"
+    xc_gar_storage = "assetIdType"
+    xc_strip_wrapper = True
+
+    def _xc_location(self, entries: DataFrame) -> DataFrame:
+        return _numeric_xc_location(entries)
+
+
 _GAR_PARSERS: dict[str, type[GarParser]] = {
     "moonbeam": MoonbeamGarParser,
     "moonriver": MoonbeamGarParser,
@@ -565,7 +700,19 @@ _GAR_PARSERS: dict[str, type[GarParser]] = {
     "calamari": CalamariGarParser,
     "parallel": ParallelGarParser,
     "heiko": ParallelGarParser,
+    "astar": AstarGarParser,
+    "shiden": ShidenGarParser,
+    "clover": CloverGarParser,
+    "origintrail": OrigintrailGarParser,
+    "robonomics": RobonomicsGarParser,
+    "shadow": ShadowGarParser,
 }
+# Dispatch-completeness vs gar/chainParsers/*.js: every reference parser
+# file now has a named entry above (statemint, hydra, phala, acala,
+# bifrost, interlay, mangatax, oak, centrifuge, listen, calamari,
+# parallel, moonbeam, astar, clover, origintrail, robonomics, shadow) —
+# custom_parser_template.js is the fork template, common_chainparser.js
+# the base class; neither names a chain.
 
 
 def get_gar_parser(chain_name: str) -> GarParser:

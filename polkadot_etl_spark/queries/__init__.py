@@ -34,7 +34,12 @@ _PRIORITY: list[str] = [
     # round-5 additions: per-chain gar registry parser dispatch
     # (statemint/hydra/phala), AssetHub per-asset transfer denomination,
     # and the xcmtransact remote-execution linkage
-    "gar_chain_registry",
+    # gar_chain_registry: green r5, demoted mid-r6 for its same-family
+    # successor gar_longtail_registry (both drive the full
+    # build_xcm_asset_registry canonicalization through per-chain parser
+    # dispatch; the statemint/hydra/phala/acala/moonbeam/interlay shapes
+    # stay locally oracle-verified every session)
+    "gar_longtail_registry",
     "assethub_asset_transfers",
     "xcm_remote_transact",
     "evm_precompile_calls",

@@ -4350,3 +4350,243 @@ def snapshots_astar_dappstaking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("registered").alias("loyal"),
     )
     return stakers.unionByName(dapps)
+
+
+@query(
+    "gar_longtail_registry",
+    oracle="""
+WITH astar AS (
+  SELECT 'polkadot~[{"parachain":' || (2600 + k) || '},{"generalIndex":'
+           || k || '}]' AS xcm_interior_key,
+         'AS' || k AS symbol,
+         CAST(18 AS INTEGER) AS decimals,
+         CAST(2600 + k AS INTEGER) AS para_id,
+         'x2' AS interior_type,
+         'onchain' AS source,
+         CAST(CASE WHEN k = 6 THEN 2 ELSE 1 END AS BIGINT) AS confidence,
+         '{"Token":"' || k || '"}' AS xc_currency_id,
+         CAST(NULL AS VARCHAR) AS xc_contract_address
+  FROM (SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey < 20)
+),
+astar_native AS (
+  SELECT 'polkadot~[{"parachain":2006}]', 'ASTR', CAST(18 AS INTEGER),
+         CAST(2006 AS INTEGER), 'x1', 'manual', CAST(1 AS BIGINT),
+         '{"Token":"ASTR"}', CAST(NULL AS VARCHAR)
+),
+shiden AS (
+  SELECT 'kusama~[{"parachain":' || (2700 + k) || '},{"generalIndex":'
+           || (40 + k) || '}]',
+         'SH' || k, CAST(12 AS INTEGER), CAST(2700 + k AS INTEGER), 'x2',
+         'onchain', CAST(1 AS BIGINT), '{"Token":"' || k || '"}',
+         CAST(NULL AS VARCHAR)
+  FROM (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region)
+),
+shiden_native AS (
+  SELECT 'kusama~[{"parachain":2007}]', 'SDN', CAST(18 AS INTEGER),
+         CAST(2007 AS INTEGER), 'x1', 'manual', CAST(1 AS BIGINT),
+         '{"Token":"SDN"}', CAST(NULL AS VARCHAR)
+),
+clover AS (
+  SELECT 'polkadot~[{"parachain":' || (2200 + k) || '},{"generalIndex":'
+           || (10 + k) || '}]',
+         'CL' || k, CAST(10 AS INTEGER), CAST(2200 + k AS INTEGER), 'x2',
+         'onchain', CAST(1 AS BIGINT), '{"Token":"' || k || '"}',
+         CAST(NULL AS VARCHAR)
+  FROM (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+        WHERE s_suppkey < 15 AND s_suppkey % 3 != 0)
+),
+trail AS (
+  SELECT 'polkadot~[{"parachain":' || (2430 + k) || '},{"generalIndex":'
+           || (20 + k) || '}]',
+         'OT' || k, CAST(18 AS INTEGER), CAST(2430 + k AS INTEGER), 'x2',
+         'onchain', CAST(1 AS BIGINT), '{"Token":"' || k || '"}',
+         CAST(NULL AS VARCHAR)
+  FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        WHERE c_custkey < 12 AND c_custkey <= 10)
+),
+shadow AS (
+  SELECT 'kusama~[{"parachain":' || (2120 + k) || '},{"generalIndex":'
+           || (30 + k) || '}]',
+         'SD' || k, CAST(11 AS INTEGER), CAST(2120 + k AS INTEGER), 'x2',
+         'onchain', CAST(1 AS BIGINT), '{"Token":"' || k || '"}',
+         CAST(NULL AS VARCHAR)
+  FROM (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+        WHERE n_nationkey % 3 != 0)
+)
+SELECT * FROM astar
+UNION ALL SELECT * FROM astar_native
+UNION ALL SELECT * FROM shiden
+UNION ALL SELECT * FROM shiden_native
+UNION ALL SELECT * FROM clover
+UNION ALL SELECT * FROM trail
+UNION ALL SELECT * FROM shadow
+""",
+    doc="Long-tail gar chain-registry parsers — the five reference parser "
+    "files the r5 dispatch did not name (gar/chainParsers/astar.js:1, "
+    "clover.js:1, origintrail.js:1, robonomics.js:1, shadow.js:1), "
+    "dispatch-completing _GAR_PARSERS against the reference directory: "
+    "astar+shiden's xcAssetConfig:assetIdToLocation with the manual "
+    "NATIVE registration (ASTR/SDN attach to the system-properties "
+    "symbol-keyed seed, astar.js:25-38 + common_chainparser.js:68-101 "
+    "— a key shape the r5 manual path could not express), clover's "
+    "assetConfig:assetIdLocation, origintrail's astar-layout registry "
+    "including one cross-registration of an astar asset (tie-break "
+    "para_id asc -> astar wins, confidence 2), and crust shadow's "
+    "assetManager:assetIdType with the xc-wrapper symbol strip. "
+    "Version-wrap variety: {v1}/{xcm} on astar, direct on "
+    "clover/shiden, {v3} on origintrail, {v0}-or-direct on shadow; an "
+    "unregistered astar id 999 exercises the unknown-asset skip. "
+    "Robonomics (assets:metadata only, isXcRegistryAvailable=false) "
+    "contributes nothing global by design — its parser is "
+    "dispatch-tested in pytest. All parses are native JSON columns with "
+    "broadcast known-asset gates; canonicalization is the REAL "
+    "build_xcm_asset_registry (one compact Arrow codec wave, home-first "
+    "rank window).",
+    tags=("pipeline", "join", "window", "xcm"),
+)
+def gar_longtail_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.garparsers import (
+        AstarGarParser,
+        CloverGarParser,
+        OrigintrailGarParser,
+        ShadowGarParser,
+        ShidenGarParser,
+    )
+    from polkadot_etl_spark.plans.xcmgar import build_xcm_asset_registry
+
+    def _x2(para: Column, gi: Column) -> Column:
+        return F.concat(
+            F.lit('{"parents":1,"interior":{"X2":[{"Parachain":'),
+            para.cast("string"),
+            F.lit('},{"GeneralIndex":'),
+            gi.cast("string"),
+            F.lit("}]}}"),
+        )
+
+    def _keyed(df: DataFrame) -> Column:
+        return F.concat(F.lit('["'), F.col("k").cast("string"), F.lit('"]'))
+
+    k = F.col("k")
+    ks = k.cast("string")
+
+    # --- astar: assets:metadata + xcAssetConfig:assetIdToLocation
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 20)
+        .select(F.col("p_partkey").cast("long").alias("k"))
+    )
+    as_gar = pt.select(
+        _keyed(pt).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"AS'), ks, F.lit('","name":"Astar '), ks,
+            F.lit('","decimals":18}'),
+        ).alias("value"),
+    )
+    as_xc_val = F.when(
+        k % 2 == 0, F.concat(F.lit('{"v1":'), _x2(k + 2600, k), F.lit("}"))
+    ).otherwise(F.concat(F.lit('{"xcm":'), _x2(k + 2600, k), F.lit("}")))
+    as_xc = pt.select(_keyed(pt).alias("key_args"), as_xc_val.alias("value")).unionByName(
+        spark.createDataFrame(
+            # id 999 absent from assets:metadata → unknown-asset skip
+            [('["999"]', '{"parents":1,"interior":{"X1":{"Parachain":9999}}}')],
+            "key_args string, value string",
+        )
+    )
+    as_regs = AstarGarParser().registrations(spark, as_gar, as_xc)
+
+    # --- shiden: same parser class, kusama relay, SDN native
+    rg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k")
+    )
+    sh_gar = rg.select(
+        _keyed(rg).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"SH'), ks, F.lit('","name":"Shiden '), ks,
+            F.lit('","decimals":12}'),
+        ).alias("value"),
+    )
+    sh_xc = rg.select(_keyed(rg).alias("key_args"), _x2(k + 2700, k + 40).alias("value"))
+    sh_regs = ShidenGarParser().registrations(spark, sh_gar, sh_xc)
+
+    # --- clover: assets:metadata + assetConfig:assetIdLocation; k%3==0
+    # assets are local-only (no xc row)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 15)
+        .select(F.col("s_suppkey").cast("long").alias("k"))
+    )
+    cl_gar = sup.select(
+        _keyed(sup).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"CL'), ks, F.lit('","name":"Clover '), ks,
+            F.lit('","decimals":10}'),
+        ).alias("value"),
+    )
+    cl_xc = sup.where(k % 3 != 0).select(
+        _keyed(sup).alias("key_args"), _x2(k + 2200, k + 10).alias("value")
+    )
+    cl_regs = CloverGarParser().registrations(spark, cl_gar, cl_xc)
+
+    # --- origintrail: astar layout, {v3} wrap; asset 11 cross-registers
+    # astar's (2606, 6) location → confidence 2, astar home-rank wins
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 12)
+        .select(F.col("c_custkey").cast("long").alias("k"))
+    )
+    ot_gar = cu.select(
+        _keyed(cu).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"OT'), ks, F.lit('","name":"Trail '), ks,
+            F.lit('","decimals":18}'),
+        ).alias("value"),
+    )
+    ot_loc = F.when(k <= 10, _x2(k + 2430, k + 20)).otherwise(
+        _x2(F.lit(2606), F.lit(6))
+    )
+    ot_xc = cu.select(
+        _keyed(cu).alias("key_args"),
+        F.concat(F.lit('{"v3":'), ot_loc, F.lit("}")).alias("value"),
+    )
+    ot_regs = OrigintrailGarParser().registrations(spark, ot_gar, ot_xc)
+
+    # --- shadow: assetManager:assetIdType, xc-wrapper strip; k%3==0
+    # assets are local-only
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    sd_sym = F.when(k % 2 == 0, F.concat(F.lit("xcSD"), ks)).otherwise(
+        F.concat(F.lit("SD"), ks)
+    )
+    sd_gar = na.select(
+        _keyed(na).alias("key_args"),
+        F.concat(
+            F.lit('{"symbol":"'), sd_sym, F.lit('","name":"Shadow '), ks,
+            F.lit('","decimals":11}'),
+        ).alias("value"),
+    )
+    sd_xc_val = F.when(
+        k % 2 == 0, F.concat(F.lit('{"v0":'), _x2(k + 2120, k + 30), F.lit("}"))
+    ).otherwise(_x2(k + 2120, k + 30))
+    sd_xc = na.where(k % 3 != 0).select(
+        _keyed(na).alias("key_args"), sd_xc_val.alias("value")
+    )
+    sd_regs = ShadowGarParser().registrations(spark, sd_gar, sd_xc)
+
+    reg = build_xcm_asset_registry(
+        as_regs.unionByName(sh_regs)
+        .unionByName(cl_regs)
+        .unionByName(ot_regs)
+        .unionByName(sd_regs)
+    )
+    return reg.select(
+        "xcm_interior_key",
+        "symbol",
+        "decimals",
+        "para_id",
+        "interior_type",
+        "source",
+        "confidence",
+        "xc_currency_id",
+        "xc_contract_address",
+    )

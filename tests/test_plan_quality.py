@@ -665,3 +665,16 @@ def test_url_filter_is_regex_codegen_one_rollup(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2  # distinct+final agg
+
+
+def test_gar_longtail_parse_is_native_with_broadcast_gates(spark):
+    """The five long-tail chain parses (astar/shiden/clover/origintrail/
+    shadow) share gar_chain_registry's plan discipline: native JSON
+    columns, broadcast known-asset gates, ONE compact Arrow codec wave,
+    and exactly the codec-compaction + canonical-window Exchanges."""
+    plan = _plan(spark, "gar_longtail_registry")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\) Exchange", plan)) == 2
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1

@@ -119,3 +119,68 @@ def test_gar_parser_shape_dispatch(spark):
     assert cal.parse_xc_gar(xc, cal.parse_gar(gar)).head().symbol == "xcKMA"
     par = ParallelGarParser()
     assert par.parse_xc_gar(xc, par.parse_gar(gar)).head().symbol == "KMA"
+
+
+def test_gar_longtail_dispatch_completeness(spark):
+    """Every reference chain-parser file (gar/chainParsers/*.js minus the
+    base class and the fork template) has a named dispatch entry, and
+    the round-6 long-tail configs pin: robonomics is gar-only (no xc, no
+    manual — local assets never register globally), shadow strips the
+    xc wrapper, clover/origintrail are IdToLocation (no strip), and
+    astar's symbol-keyed manual native row attaches to the
+    system-properties seed while unseeded symbols NOT-FOUND-skip."""
+    import pytest
+
+    from polkadot_etl_spark.plans.garparsers import (
+        _GAR_PARSERS,
+        AstarGarParser,
+        RobonomicsGarParser,
+        ShadowGarParser,
+        get_gar_parser,
+    )
+
+    # one dispatch name per reference parser file
+    reference_files = {
+        "acala", "astar", "bifrost", "calamari", "centrifuge", "clover",
+        "hydra", "interlay", "listen", "mangatax", "moonbeam", "oak",
+        "origintrail", "parallel", "phala", "robonomics", "shadow",
+        "statemint",
+    }
+    assert reference_files <= set(_GAR_PARSERS), (
+        reference_files - set(_GAR_PARSERS)
+    )
+
+    # robonomics: generic assets-pallet walk, nothing registers globally
+    rb = get_gar_parser("robonomics")
+    assert type(rb) is RobonomicsGarParser
+    assert rb.xc_gar_pallet is None and rb.manual_registrations(spark) is None
+    gar = spark.createDataFrame(
+        [('["5"]', '{"symbol":"XRT","name":"Robonomics","decimals":9}')],
+        "key_args string, value string",
+    )
+    row = rb.parse_gar(gar).head()
+    assert (row.symbol, row.decimals) == ("XRT", 9)
+    with pytest.raises(ValueError, match="no registration source"):
+        rb.registrations(spark, gar)
+    with pytest.raises(NotImplementedError):
+        rb._xc_location(gar)
+
+    # shadow strips the xc wrapper; astar/clover IdToLocation do not
+    assert ShadowGarParser.xc_strip_wrapper is True
+    assert AstarGarParser.xc_strip_wrapper is False
+    assert get_gar_parser("clover").xc_strip_wrapper is False
+
+    # astar manual native: ASTR attaches via the system-properties seed;
+    # a manual symbol with no seed is dropped (NOT FOUND Skip)
+    class TwoManual(AstarGarParser):
+        def manual_registrations(self, sp):
+            loc = '{"parents": 1, "interior": {"X1": [{"Parachain": 2006}]}}'
+            return sp.createDataFrame(
+                [("ASTR", loc), ("GHOST", loc)],
+                "symbol string, multilocation string",
+            )
+
+    regs = TwoManual().registrations(spark, gar.limit(0)).collect()
+    assert [(r.symbol, r.source, r.currency_id, r.decimals) for r in regs] == [
+        ("ASTR", "manual", '{"Token":"ASTR"}', 18)
+    ]
