@@ -118,7 +118,11 @@ def _dechex_str(c: Column) -> Column:
     snapshot/hydradx.js:176-180)."""
     from polkadot_etl_spark.plans.feeds import _u128_hex_to_str
 
-    hex_body = F.lpad(F.regexp_replace(c, "^0x", ""), 32, "0")
+    # lpad TRUNCATES strings longer than its target length — a hex body
+    # wider than u128 must surface as NULL (visible bad data), never as
+    # a silently prefix-truncated number.
+    raw = F.regexp_replace(c, "^0x", "")
+    hex_body = F.when(F.length(raw) <= 32, F.lpad(raw, 32, "0"))
     return F.when(c.startswith("0x"), _u128_hex_to_str(hex_body)).otherwise(c)
 
 
@@ -499,4 +503,408 @@ _SNAPSHOTTERS.update({
     "astar": AstarSnapshotter,
     "interlay": InterlaySnapshotter,
     "bifrost": BifrostSnapshotter,
+})
+
+
+class MoonbeamSnapshotter(ChainSnapshotter):
+    """Moonbeam (polkadot-2004, snapshot/moonbeam.js:1-11): a pure
+    CONFIG subclass — the reference class sets chainName/chainDecimals/
+    wsEndpoint and inherits everything else, defining no custom
+    processSnapshot, so its snapshot surface is exactly the generic
+    tracks (total_issuance et al.) under the Moonbeam identity."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 2004, "id": "polkadot-2004",
+             "chain_name": "Moonbeam"}
+    chain_decimals = 18
+
+
+class ShibuyaSnapshotter(AstarSnapshotter):
+    """Shibuya (Astar's testnet, snapshot/shibuya.js): dApp-staking v3
+    with two singleton tracks on top of Astar's stakerInfo walk —
+    dappStaking.currentEraInfo (totalLocked/unlocking and the
+    current/next stake amounts, every balance dechexToInt / 10^18,
+    shibuya.js:40-66) and dappStaking.activeProtocolState (era,
+    dechex'd nextEraStart, periodInfo, maintenance, :68-88)."""
+
+    chain = {"relay_chain": "shibuya", "para_id": 0, "id": "shibuya-0",
+             "chain_name": "Shibuya"}
+    chain_decimals = 18
+
+    def current_era_info(self, entries: DataFrame) -> DataFrame:
+        """dappStaking.currentEraInfo singleton → one typed row:
+        {totalLocked, unlocking, currentStakeAmount: {voting,
+        buildAndEarn, era, period}, nextStakeAmount: {...}}."""
+        v = F.col("value")
+        cur = F.get_json_object(v, "$.currentStakeAmount")
+        nxt = F.get_json_object(v, "$.nextStakeAmount")
+        return entries.select(
+            self._decimalized(F.get_json_object(v, "$.totalLocked")).alias(
+                "total_locked"
+            ),
+            self._decimalized(F.get_json_object(v, "$.unlocking")).alias("unlocking"),
+            self._decimalized(F.get_json_object(cur, "$.voting")).alias("cur_voting"),
+            self._decimalized(F.get_json_object(cur, "$.buildAndEarn")).alias(
+                "cur_build_and_earn"
+            ),
+            F.get_json_object(cur, "$.era").cast("int").alias("cur_era"),
+            F.get_json_object(cur, "$.period").cast("int").alias("cur_period"),
+            self._decimalized(F.get_json_object(nxt, "$.voting")).alias("next_voting"),
+            self._decimalized(F.get_json_object(nxt, "$.buildAndEarn")).alias(
+                "next_build_and_earn"
+            ),
+            F.get_json_object(nxt, "$.era").cast("int").alias("next_era"),
+            F.get_json_object(nxt, "$.period").cast("int").alias("next_period"),
+        )
+
+    def active_protocol_state(self, entries: DataFrame) -> DataFrame:
+        """dappStaking.activeProtocolState singleton → (era,
+        next_era_start, period_number, subperiod,
+        next_subperiod_start_era, maintenance); nextEraStart arrives
+        comma-formatted or hex (dechexToInt, shibuya.js:85)."""
+        from polkadot_etl_spark.plans.garparsers import _dechex_int
+
+        v = F.col("value")
+        pi = F.get_json_object(v, "$.periodInfo")
+        return entries.select(
+            _dechex_int(F.get_json_object(v, "$.era")).alias("era"),
+            _dechex_int(F.get_json_object(v, "$.nextEraStart"))
+            .cast("long")
+            .alias("next_era_start"),
+            _dechex_int(F.get_json_object(pi, "$.number")).alias("period_number"),
+            F.get_json_object(pi, "$.subperiod").alias("subperiod"),
+            _dechex_int(F.get_json_object(pi, "$.nextSubperiodStartEra")).alias(
+                "next_subperiod_start_era"
+            ),
+            F.get_json_object(v, "$.maintenance").cast("boolean").alias("maintenance"),
+        )
+
+
+# OpenGov track registry + conviction lock scale (snapshot/polkadot.js:4-37)
+_OPENGOV_TRACKS = {
+    0: "Root", 1: "WhitelistedCaller", 2: "WishForChange", 10: "StakingAdmin",
+    11: "Treasurer", 12: "LeaseAdmin", 13: "FellowshipAdmin", 14: "GeneralAdmin",
+    15: "AuctionAdmin", 20: "ReferendumCanceller", 21: "ReferendumKiller",
+    30: "SmallTipper", 31: "BigTipper", 32: "SmallSpender", 33: "MediumSpender",
+    34: "BigSpender",
+}
+_CONVICTION_WEIGHTS = {"None": 0.1, "Locked1x": 1.0, "Locked2x": 2.0,
+                       "Locked3x": 3.0, "Locked4x": 4.0, "Locked5x": 5.0,
+                       "Locked6x": 6.0}
+
+
+def _map_lit(mapping: dict) -> Column:
+    pairs = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*pairs)
+
+
+class RelaySnapshotter(ChainSnapshotter):
+    """Polkadot relay (polkadot-0, snapshot/polkadot.js): the staking-era
+    rollup (computeTotalStaked, :374-416) plus the OpenGov surface —
+    convictionVoting.votingFor walk into per-(voter, track) casting and
+    delegating records with a delegatee rollup (process_voteStates,
+    :97-317), referenda.referendumInfoFor status decode
+    (process_referenda, :48-93), treasury.proposals with the hand-kept
+    blacklist (:488-506), and bounties.bounties with the status-embedded
+    curator (:509-525). KusamaSnapshotter is the same walks at 12
+    decimals (snapshot/kusama.js:1-11).
+
+    Spark shape: votingFor's heterogeneous [pollID, voteDetail] pairs
+    ride from_json's raw-capture (StringType schema field keeps nested
+    JSON verbatim) then explode; every balance decode and the vote-byte
+    rules (aye = byte >= 128, conviction weight = byte % 16 with the
+    0-means-0.1 floor, :129-131) are native column math; the delegatee
+    rollup is one groupBy over the delegating rows full-outer-merged
+    with the self-delegation stats carried on casting rows.
+
+    INTENTIONAL divergence: the reference's standard-vote branch writes
+    `voteAye: (voteType = "aye") ? ... : 0` (assignment, not
+    comparison, polkadot.js:137-138), which makes BOTH voteAye and
+    voteNay the balance for every standard vote; this module implements
+    the evident intent (balance lands on the voted side only)."""
+
+    chain = {"relay_chain": "polkadot", "para_id": 0, "id": "polkadot-0",
+             "chain_name": "Polkadot"}
+    chain_decimals = 10
+
+    def _decimalized(self, c: Column) -> Column:
+        return _dechex_str(c).cast("double") / F.lit(float(10**self.chain_decimals))
+
+    def _track_name(self, track_id: Column) -> Column:
+        return F.element_at(_map_lit(_OPENGOV_TRACKS), track_id.cast("int"))
+
+    # -------------------------------------------------------- votingFor
+
+    def _keyed(self, entries: DataFrame) -> DataFrame:
+        return entries.select(
+            F.get_json_object("key_args", "$[0]").alias("voter"),
+            F.get_json_object("key_args", "$[1]").cast("int").alias("track_id"),
+            F.col("value"),
+        )
+
+    def casting_votes(self, entries: DataFrame) -> DataFrame:
+        """casting.votes → one row per (voter, track, pollID): standard
+        votes decode the vote byte (aye >= 128; conviction = byte % 16,
+        0 → 0.1 'None'); split carries aye/nay at conviction None;
+        splitAbstain adds the abstain balance (polkadot.js:122-177)."""
+        k = self._keyed(entries)
+        votes = F.from_json(
+            F.get_json_object("value", "$.casting"),
+            "struct<votes: array<string>>",
+        )["votes"]
+        e = (
+            k.where(F.get_json_object("value", "$.casting").isNotNull())
+            .select("voter", "track_id", F.explode(votes).alias("pair"))
+            .select(
+                "voter",
+                "track_id",
+                F.get_json_object("pair", "$[0]").cast("long").alias("poll_id"),
+                F.get_json_object("pair", "$[1]").alias("detail"),
+            )
+        )
+        std = F.get_json_object("detail", "$.standard")
+        spl = F.get_json_object("detail", "$.split")
+        spa = F.get_json_object("detail", "$.splitAbstain")
+        byte = F.conv(
+            F.regexp_replace(F.get_json_object(std, "$.vote"), "^0x", ""), 16, 10
+        ).cast("int")
+        weight = F.when(byte % 16 == 0, F.lit(0.1)).otherwise(
+            (byte % 16).cast("double")
+        )
+        bal = self._decimalized(F.get_json_object(std, "$.balance"))
+        vote_type = F.when(
+            std.isNotNull(), F.when(byte >= 128, "aye").otherwise("nay")
+        ).when(spa.isNotNull(), F.lit("splitAbstain")).otherwise(F.lit("split"))
+        return e.select(
+            "voter",
+            "track_id",
+            self._track_name(F.col("track_id")).alias("track"),
+            "poll_id",
+            vote_type.alias("vote_type"),
+            F.when(std.isNotNull(), F.element_at(_map_lit({0.1: "None", 1.0: "Locked1x", 2.0: "Locked2x", 3.0: "Locked3x", 4.0: "Locked4x", 5.0: "Locked5x", 6.0: "Locked6x"}), weight))
+            .otherwise(F.lit("None"))
+            .alias("conviction"),
+            F.when(std.isNotNull(), weight).otherwise(F.lit(0.1)).alias(
+                "conviction_weight"
+            ),
+            F.when(std.isNotNull(), F.when(byte >= 128, bal).otherwise(F.lit(0.0)))
+            .otherwise(
+                self._decimalized(
+                    F.coalesce(
+                        F.get_json_object(spl, "$.aye"),
+                        F.get_json_object(spa, "$.aye"),
+                    )
+                )
+            )
+            .alias("aye"),
+            F.when(std.isNotNull(), F.when(byte < 128, bal).otherwise(F.lit(0.0)))
+            .otherwise(
+                self._decimalized(
+                    F.coalesce(
+                        F.get_json_object(spl, "$.nay"),
+                        F.get_json_object(spa, "$.nay"),
+                    )
+                )
+            )
+            .alias("nay"),
+            F.when(
+                spa.isNotNull(),
+                self._decimalized(F.get_json_object(spa, "$.abstain")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("abstain"),
+        )
+
+    def delegations(self, entries: DataFrame) -> DataFrame:
+        """delegating branch → (voter, track, target, balance,
+        conviction + weight via the name→scale map, prior lock)
+        (polkadot.js:228-265)."""
+        k = self._keyed(entries)
+        d = F.get_json_object("value", "$.delegating")
+        return k.where(d.isNotNull()).select(
+            "voter",
+            "track_id",
+            self._track_name(F.col("track_id")).alias("track"),
+            F.get_json_object(d, "$.target").alias("target"),
+            self._decimalized(F.get_json_object(d, "$.balance")).alias("balance"),
+            F.get_json_object(d, "$.conviction").alias("conviction"),
+            F.element_at(
+                _map_lit(_CONVICTION_WEIGHTS), F.get_json_object(d, "$.conviction")
+            ).alias("conviction_weight"),
+            F.get_json_object(d, "$.prior[0]").cast("long").alias("prior_bn"),
+            self._decimalized(F.get_json_object(d, "$.prior[1]")).alias(
+                "prior_balance"
+            ),
+        )
+
+    def delegatees(self, entries: DataFrame) -> DataFrame:
+        """The delegatee rollup (polkadot.js:183-206, 267-297): an
+        address becomes a delegatee row per track when (a) its OWN
+        votingFor entry carries delegations.votes > 0 (casting or
+        delegating — the stats live on the target's storage) or (b) at
+        least one delegator names it; delegators aggregate into a
+        sorted roster; average_conviction = round(votes/capital, 4)."""
+        k = self._keyed(entries)
+        own = F.coalesce(
+            F.get_json_object("value", "$.casting.delegations"),
+            F.get_json_object("value", "$.delegating.delegations"),
+        )
+        stats = (
+            k.withColumn("__d", own)
+            .where(F.col("__d").isNotNull())
+            .select(
+                F.col("voter").alias("delegatee"),
+                "track_id",
+                self._decimalized(F.get_json_object("__d", "$.votes")).alias("votes"),
+                self._decimalized(F.get_json_object("__d", "$.capital")).alias(
+                    "capital"
+                ),
+            )
+            .where(F.col("votes") > 0)
+        )
+        incoming = (
+            self.delegations(entries)
+            .groupBy(F.col("target").alias("delegatee"), "track_id")
+            .agg(
+                F.count(F.lit(1)).alias("delegators_cnt"),
+                F.array_join(F.array_sort(F.collect_list("voter")), ",").alias(
+                    "delegators"
+                ),
+            )
+        )
+        merged = stats.join(incoming, ["delegatee", "track_id"], "full_outer")
+        votes = F.coalesce(F.col("votes"), F.lit(0.0))
+        capital = F.coalesce(F.col("capital"), F.lit(0.0))
+        return merged.select(
+            "delegatee",
+            "track_id",
+            self._track_name(F.col("track_id")).alias("track"),
+            votes.alias("delegations_votes"),
+            capital.alias("delegations_capital"),
+            F.when(votes > 0, F.round(votes / capital, 4))
+            .otherwise(F.lit(0.0))
+            .alias("avg_conviction"),
+            F.coalesce(F.col("delegators_cnt"), F.lit(0)).cast("long").alias(
+                "delegators_cnt"
+            ),
+            F.coalesce(F.col("delegators"), F.lit("")).alias("delegators"),
+        )
+
+    # -------------------------------------------------------- referenda
+
+    def referenda(self, entries: DataFrame) -> DataFrame:
+        """referendumInfoFor → status via the single version key
+        (Object.keys[0]); non-ongoing/killed rows carry [moment,
+        {who, amount}]; ongoing rows carry submission/decision deposits
+        and the tally (polkadot.js:48-93)."""
+        ref_id = F.get_json_object("key_args", "$[0]").cast("long")
+        m = F.from_json(F.col("value"), "map<string,string>")
+        status = F.element_at(F.map_keys(m), 1)
+        detail = F.element_at(F.map_values(m), 1)
+        closed = status.isin("ongoing", "killed") == F.lit(False)
+        dep = F.get_json_object(detail, "$[1]")
+        sub = F.get_json_object(detail, "$.submissionDeposit")
+        dec = F.get_json_object(detail, "$.decisionDeposit")
+        tally = F.get_json_object(detail, "$.tally")
+        return entries.select(
+            ref_id.alias("ref_id"),
+            status.alias("status"),
+            F.when(closed, F.get_json_object(detail, "$[0]").cast("long")).alias(
+                "moment"
+            ),
+            F.when(closed, F.get_json_object(dep, "$.who"))
+            .otherwise(F.get_json_object(sub, "$.who"))
+            .alias("depositor"),
+            F.when(closed, self._decimalized(F.get_json_object(dep, "$.amount")))
+            .otherwise(self._decimalized(F.get_json_object(sub, "$.amount")))
+            .alias("submission_deposit"),
+            self._decimalized(F.get_json_object(dec, "$.amount")).alias(
+                "decision_deposit"
+            ),
+            self._decimalized(F.get_json_object(tally, "$.ayes")).alias("tally_ayes"),
+            self._decimalized(F.get_json_object(tally, "$.nays")).alias("tally_nays"),
+            self._decimalized(F.get_json_object(tally, "$.support")).alias(
+                "tally_support"
+            ),
+        )
+
+    # ------------------------------------------------ treasury / bounty
+
+    TREASURY_BLACKLIST = ("309", "359", "452", "456", "472")
+
+    def treasury_proposals(self, entries: DataFrame) -> DataFrame:
+        """treasury.proposals minus the hand-kept blacklist
+        (polkadot.js:491)."""
+        pid = F.get_json_object("key_args", "$[0]")
+        return entries.where(~pid.isin(*self.TREASURY_BLACKLIST)).select(
+            pid.cast("long").alias("proposal_id"),
+            F.get_json_object("value", "$.proposer").alias("proposer"),
+            F.get_json_object("value", "$.beneficiary").alias("beneficiary"),
+            self._decimalized(F.get_json_object("value", "$.value")).alias("value"),
+            self._decimalized(F.get_json_object("value", "$.bond")).alias("bond"),
+        )
+
+    def bounties(self, entries: DataFrame) -> DataFrame:
+        """bounties.bounties: value/fee/curatorDeposit decimalize; the
+        status is a single-key variant whose detail may carry curator
+        and updateDue (polkadot.js:232-254 process_bounties)."""
+        sm = F.from_json(F.get_json_object("value", "$.status"), "map<string,string>")
+        status = F.element_at(F.map_keys(sm), 1)
+        detail = F.element_at(F.map_values(sm), 1)
+        return entries.select(
+            F.get_json_object("key_args", "$[0]").cast("long").alias("bounty_id"),
+            F.get_json_object("value", "$.proposer").alias("proposer"),
+            self._decimalized(F.get_json_object("value", "$.value")).alias("value"),
+            self._decimalized(F.get_json_object("value", "$.fee")).alias("fee"),
+            self._decimalized(F.get_json_object("value", "$.curatorDeposit")).alias(
+                "curator_deposit"
+            ),
+            status.alias("bounty_status"),
+            F.get_json_object(detail, "$.curator").alias("curator"),
+            F.get_json_object(detail, "$.updateDue").cast("long").alias("update_due"),
+        )
+
+    # ---------------------------------------------------------- staking
+
+    def staking_info(self, singletons: DataFrame) -> DataFrame:
+        """computeTotalStaked (polkadot.js:374-416): the era singleton
+        walk — (metric, value) rows from a (name, value) frame where
+        balances decimalize and counters stay integral; era rides every
+        row. Input: rows (name string, value string) for currentEra,
+        erasTotalStake, totalIssuance, counterForNominators,
+        counterForValidators, validatorCount, counterForBondedPools,
+        counterForPoolMembers."""
+        era = singletons.where(F.col("name") == "currentEra").select(
+            F.col("value").cast("long").alias("__era")
+        )
+        balances = ("erasTotalStake", "totalIssuance")
+        metric = F.when(
+            F.col("name").isin(*balances), self._decimalized(F.col("value"))
+        ).otherwise(_dechex_str(F.col("value")).cast("double"))
+        return (
+            singletons.where(F.col("name") != "currentEra")
+            .crossJoin(F.broadcast(era))
+            .select(
+                F.col("name").alias("metric"),
+                metric.alias("value"),
+                F.col("__era").alias("era"),
+            )
+        )
+
+
+class KusamaSnapshotter(RelaySnapshotter):
+    """Kusama relay (snapshot/kusama.js:1-11): PolkadotSnapShotter at 12
+    decimals — a pure config subclass."""
+
+    chain = {"relay_chain": "kusama", "para_id": 0, "id": "kusama-0",
+             "chain_name": "Kusama"}
+    chain_decimals = 12
+
+
+_SNAPSHOTTERS.update({
+    "moonbeam": MoonbeamSnapshotter,
+    "shibuya": ShibuyaSnapshotter,
+    "polkadot": RelaySnapshotter,
+    "kusama": KusamaSnapshotter,
 })

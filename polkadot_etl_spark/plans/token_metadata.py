@@ -38,10 +38,16 @@ def validate_bigint(c: Column) -> Column:
 
 
 def _newest_per_key(obs: DataFrame, keys: list[str], bn_col: str) -> DataFrame:
-    """One surviving observation per key: highest block number wins
-    (ties break on the later arrival being irrelevant — equal BN means
-    equal state on a finalized chain; rank is pinned for determinism)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(bn_col).desc())
+    """One surviving observation per key: highest block number wins.
+    Equal-BN ties break on the payload columns themselves (name-sorted,
+    descending) — on a finalized chain equal BN means equal state, but
+    junk/duplicated RPC batches can carry CONFLICTING same-BN payloads,
+    and a bare row_number over BN alone would pick a partition-order-
+    dependent winner."""
+    payload = sorted(c for c in obs.columns if c not in keys and c != bn_col)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(bn_col).desc(), *[F.col(c).desc() for c in payload]
+    )
     return (
         obs.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

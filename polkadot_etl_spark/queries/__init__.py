@@ -132,7 +132,18 @@ _PRIORITY: list[str] = [
     # snapshots_staking_era: green r4, demoted mid-r5 for
     # snapshots_astar_dappstaking — the generic snapshot_rows contract it
     # exercised runs inside the in-window hydradx omnipool query
-    "snapshots_astar_dappstaking",
+    # snapshots_astar_dappstaking: green r5, demoted mid-r6 for its
+    # same-family successor snapshots_dappstaking_v3 — the Shibuya
+    # extractor INHERITS and re-runs Astar's stakerInfo walk in-window
+    # every round, adding the v3 singleton tracks
+    "snapshots_dappstaking_v3",
+    # r6: the relay (polkadot/kusama) snapshot tracks — OpenGov
+    # votingFor/delegatee/referenda/treasury/bounties + the
+    # computeTotalStaked era rollup
+    "snapshots_relay_opengov",
+    # r6: the assethublog.js Dune-CSV price ingest (last-wins keyed
+    # upsert)
+    "assethub_price_log",
     # call_tree_flatten: driver-green in r3 AND exercised inside
     # dump_day_blocklog every round; demoted in r4 for
     # cluster_trace_reference (F4 decode, previously pytest-only)
@@ -198,13 +209,18 @@ _PRIORITY: list[str] = [
     "skewed_hotkey_rollup",
     # dex_router_paths: green r3, demoted mid-r4 for dune_csv_roundtrip
     # (locally oracle-verified every session like all demotions)
-    "dune_csv_roundtrip",
+    # dune_csv_roundtrip: green r5, demoted mid-r6 for its Dune-CSV-
+    # boundary sibling assethub_price_log (the RFC-4180 quoting
+    # round-trip stays locally oracle-verified every session)
     "xcm_trace_spans",
     # round-4 capability queries (tpch_q2_min_cost_supplier /
     # tpch_q11_important_value_share / tpch_q16_supplier_count_by_part /
     # tpch_q20_excess_supply_semi: driver-green in r3, demoted to make
     # room; still in the local oracle suite)
-    "democracy_voting",
+    # democracy_voting: green r5, demoted mid-r6 for its governance-family
+    # successor snapshots_relay_opengov (conviction-vote decode, delegatee
+    # rollup, referenda/treasury/bounty walks; the democracy pallet query
+    # stays locally oracle-verified every session)
     "xcmtransfers_wide",
     "evm_accounts_daily",
     "balances_day_lifecycle",

@@ -4590,3 +4590,738 @@ def gar_longtail_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xc_currency_id",
         "xc_contract_address",
     )
+
+
+@query(
+    "snapshots_dappstaking_v3",
+    oracle="""
+WITH stakers AS (
+  SELECT 'staker' AS kind,
+         's' || k AS address_ss58,
+         CASE WHEN k % 2 = 0 THEN 'Evm' ELSE 'Wasm' END AS dapp_type,
+         '0x' || k AS dapp_address,
+         CAST(k AS DOUBLE) AS voting,
+         CAST(k AS DOUBLE) * 0.5 AS build_and_earn,
+         CAST(4300 + k AS INTEGER) AS era,
+         CAST(k % 5 AS INTEGER) AS period,
+         (k % 3 = 0) AS loyal,
+         CAST(NULL AS DOUBLE) AS total_locked,
+         CAST(NULL AS DOUBLE) AS unlocking,
+         CAST(NULL AS DOUBLE) AS next_voting,
+         CAST(NULL AS DOUBLE) AS next_build_and_earn,
+         CAST(NULL AS INTEGER) AS next_era,
+         CAST(NULL AS INTEGER) AS next_period,
+         CAST(NULL AS BIGINT) AS next_era_start,
+         CAST(NULL AS INTEGER) AS period_number,
+         CAST(NULL AS VARCHAR) AS subperiod,
+         CAST(NULL AS INTEGER) AS next_subperiod_start_era,
+         CAST(NULL AS BOOLEAN) AS maintenance
+  FROM (SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey < 25)
+),
+era_info AS (
+  SELECT 'era_info', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR),
+         CAST('340282366920938463463' AS DOUBLE) / POWER(10.0, 18),
+         CAST('12000000000000000000' AS DOUBLE) / POWER(10.0, 18),
+         CAST(4335 AS INTEGER), CAST(1 AS INTEGER), CAST(NULL AS BOOLEAN),
+         CAST('59853000000000000000000' AS DOUBLE) / POWER(10.0, 18),
+         CAST('930000000000000000' AS DOUBLE) / POWER(10.0, 18),
+         CAST('59000000000000000000000' AS DOUBLE) / POWER(10.0, 18),
+         CAST(0 AS DOUBLE),
+         CAST(4336 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+         CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN)
+),
+protocol AS (
+  SELECT 'protocol', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(4429 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+         CAST(5652415 AS BIGINT), CAST(7 AS INTEGER), 'Voting',
+         CAST(4430 AS INTEGER), false
+)
+SELECT * FROM stakers
+UNION ALL SELECT * FROM era_info
+UNION ALL SELECT * FROM protocol
+""",
+    doc="Shibuya dApp-staking v3 snapshot track (plans/snapshots.py "
+    "ShibuyaSnapshotter over substrate/snapshot/shibuya.js:28-118): the "
+    "two singleton tracks — dappStaking.currentEraInfo "
+    "(totalLocked/unlocking + current/next stake amounts, every balance "
+    "dechexToInt / 10^18) and dappStaking.activeProtocolState (era, "
+    "comma-formatted nextEraStart through the dechex cleaner, "
+    "periodInfo, maintenance) — plus the per-(staker, dApp) stakerInfo "
+    "walk inherited from the Astar extractor (the exact reuse the "
+    "reference gets from its class hierarchy; shibuya.js:91-117). "
+    "Moonbeam's snapshotter (snapshot/moonbeam.js:1-11) is a pure "
+    "config subclass with NO custom tracks — pinned in pytest, not "
+    "here. All three shapes are map-side JSON projections: zero "
+    "shuffle, zero Python.",
+    tags=("pipeline", "snapshot", "functions"),
+)
+def snapshots_dappstaking_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.snapshots import ShibuyaSnapshotter
+
+    snap = ShibuyaSnapshotter()
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_i = F.lit(None).cast("int")
+    null_l = F.lit(None).cast("long")
+    null_b = F.lit(None).cast("boolean")
+
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 25)
+        .select(F.col("p_partkey").cast("long").alias("k"))
+    )
+    k = F.col("k")
+    ks = k.cast("string")
+    dapp_type = F.when(k % 2 == 0, F.lit("Evm")).otherwise(F.lit("Wasm"))
+    staker_entries = pt.select(
+        F.concat(
+            F.lit('["s'), ks, F.lit('", {"'), dapp_type, F.lit('":"0x'), ks,
+            F.lit('"}]'),
+        ).alias("key_args"),
+        F.concat(
+            F.lit('{"staked":{"voting":"'), ks,
+            F.lit('000000000000000000","buildAndEarn":"'), (k * 5).cast("string"),
+            F.lit('00000000000000000","era":'), (k + 4300).cast("string"),
+            F.lit(',"period":'), (k % 5).cast("string"),
+            F.lit('},"loyalStaker":'),
+            F.when(k % 3 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit("}"),
+        ).alias("value"),
+    )
+    stakers = snap.staker_info(staker_entries).select(
+        F.lit("staker").alias("kind"),
+        "address_ss58", "dapp_type", "dapp_address", "voting", "build_and_earn",
+        "era", "period", "loyal",
+        null_d.alias("total_locked"), null_d.alias("unlocking"),
+        null_d.alias("next_voting"), null_d.alias("next_build_and_earn"),
+        null_i.alias("next_era"), null_i.alias("next_period"),
+        null_l.alias("next_era_start"), null_i.alias("period_number"),
+        null_s.alias("subperiod"), null_i.alias("next_subperiod_start_era"),
+        null_b.alias("maintenance"),
+    )
+
+    era_entries = spark.createDataFrame(
+        [(
+            '{"totalLocked":"59853000000000000000000",'
+            '"unlocking":"930000000000000000",'
+            '"currentStakeAmount":{"voting":"340282366920938463463",'
+            '"buildAndEarn":"12000000000000000000","era":4335,"period":1},'
+            '"nextStakeAmount":{"voting":"59000000000000000000000",'
+            '"buildAndEarn":0,"era":4336,"period":1}}',
+        )],
+        "value string",
+    )
+    ei = snap.current_era_info(era_entries).select(
+        F.lit("era_info").alias("kind"),
+        null_s.alias("address_ss58"), null_s.alias("dapp_type"),
+        null_s.alias("dapp_address"),
+        F.col("cur_voting").alias("voting"),
+        F.col("cur_build_and_earn").alias("build_and_earn"),
+        F.col("cur_era").alias("era"), F.col("cur_period").alias("period"),
+        null_b.alias("loyal"),
+        "total_locked", "unlocking", "next_voting", "next_build_and_earn",
+        "next_era", "next_period",
+        null_l.alias("next_era_start"), null_i.alias("period_number"),
+        null_s.alias("subperiod"), null_i.alias("next_subperiod_start_era"),
+        null_b.alias("maintenance"),
+    )
+
+    proto_entries = spark.createDataFrame(
+        [(
+            '{"era":"4,429","nextEraStart":"5,652,415",'
+            '"periodInfo":{"number":7,"subperiod":"Voting",'
+            '"nextSubperiodStartEra":"4,430"},"maintenance":false}',
+        )],
+        "value string",
+    )
+    ps = snap.active_protocol_state(proto_entries).select(
+        F.lit("protocol").alias("kind"),
+        null_s.alias("address_ss58"), null_s.alias("dapp_type"),
+        null_s.alias("dapp_address"), null_d.alias("voting"),
+        null_d.alias("build_and_earn"),
+        F.col("era").alias("era"), null_i.alias("period"), null_b.alias("loyal"),
+        null_d.alias("total_locked"), null_d.alias("unlocking"),
+        null_d.alias("next_voting"), null_d.alias("next_build_and_earn"),
+        null_i.alias("next_era"), null_i.alias("next_period"),
+        "next_era_start", "period_number", "subperiod",
+        "next_subperiod_start_era", "maintenance",
+    )
+    return stakers.unionByName(ei).unionByName(ps)
+
+
+@query(
+    "snapshots_relay_opengov",
+    oracle="""
+WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+              WHERE c_custkey < 60),
+trackmap AS (
+  SELECT * FROM (VALUES (0, 0, 'Root'), (1, 1, 'WhitelistedCaller'),
+                        (2, 10, 'StakingAdmin'), (3, 30, 'SmallTipper'),
+                        (4, 34, 'BigSpender')) AS t(m, track_id, track)
+),
+voters AS (SELECT k, 'v' || k AS voter, track_id, track
+           FROM cust JOIN trackmap ON k % 5 = m),
+-- casting voters (k % 3 = 0): one standard vote + one split/splitAbstain
+std AS (
+  SELECT 'voter' AS kind, track, CAST(k AS VARCHAR) AS track_val,
+         voter AS address,
+         CAST(NULL AS VARCHAR) AS target,
+         CASE WHEN k % 2 = 0 THEN 'aye' ELSE 'nay' END AS status,
+         CASE WHEN k % 7 = 0 THEN 'None' ELSE 'Locked' || (k % 7) || 'x' END
+           AS conviction,
+         CASE WHEN k % 7 = 0 THEN 0.1 ELSE CAST(k % 7 AS DOUBLE) END
+           AS conviction_weight,
+         CASE WHEN k % 2 = 0 THEN CAST(k AS DOUBLE) ELSE 0 END AS aye,
+         CASE WHEN k % 2 = 0 THEN 0 ELSE CAST(k AS DOUBLE) END AS nay,
+         CAST(0 AS DOUBLE) AS abstain,
+         CAST(NULL AS DOUBLE) AS support,
+         CAST(NULL AS DOUBLE) AS votes, CAST(NULL AS DOUBLE) AS capital,
+         CAST(NULL AS DOUBLE) AS avg_conviction,
+         CAST(NULL AS VARCHAR) AS delegators,
+         CAST(NULL AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS amount, CAST(NULL AS DOUBLE) AS deposit,
+         CAST(NULL AS DOUBLE) AS fee
+  FROM voters WHERE k % 3 = 0
+),
+second_vote AS (
+  SELECT 'voter', track, CAST(1000 + k AS VARCHAR), voter,
+         CAST(NULL AS VARCHAR),
+         CASE WHEN k % 6 = 0 THEN 'splitAbstain' ELSE 'split' END,
+         'None', 0.1,
+         CAST(k AS DOUBLE) / 10, CAST(k AS DOUBLE) / 20,
+         CASE WHEN k % 6 = 0 THEN CAST(k AS DOUBLE) / 5 ELSE 0 END,
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM voters WHERE k % 3 = 0
+),
+delegs AS (SELECT *, 'v' || (k % 10) AS target_v,
+                  CASE WHEN k % 11 = 0 THEN 'None'
+                       ELSE 'Locked' || (k % 6 + 1) || 'x' END AS conv,
+                  CASE WHEN k % 11 = 0 THEN 0.1
+                       ELSE CAST(k % 6 + 1 AS DOUBLE) END AS convw
+           FROM voters WHERE k % 3 != 0),
+delegator_rows AS (
+  SELECT 'delegator', track, track, voter, target_v, CAST(NULL AS VARCHAR),
+         conv, convw,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+         CAST(2 * k AS DOUBLE), CAST(0 AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM delegs
+),
+self_stats AS (
+  SELECT voter AS delegatee, track_id, track,
+         CAST(100 * k AS DOUBLE) AS votes, CAST(40 * k AS DOUBLE) AS capital
+  FROM voters WHERE k % 9 = 0 AND k % 3 = 0
+),
+incoming AS (
+  SELECT target_v AS delegatee, track_id, track,
+         COUNT(*) AS delegators_cnt,
+         string_agg(voter, ',' ORDER BY voter) AS delegators
+  FROM delegs GROUP BY target_v, track_id, track
+),
+delegatee_rows AS (
+  SELECT 'delegatee',
+         COALESCE(s.track, i.track),
+         COALESCE(s.track, i.track),
+         COALESCE(s.delegatee, i.delegatee), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE),
+         COALESCE(s.votes, 0), COALESCE(s.capital, 0),
+         CASE WHEN COALESCE(s.votes, 0) > 0
+              THEN ROUND(s.votes / s.capital, 4) ELSE 0 END,
+         COALESCE(i.delegators, ''), COALESCE(i.delegators_cnt, 0),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM self_stats s FULL OUTER JOIN incoming i
+    ON s.delegatee = i.delegatee AND s.track_id = i.track_id
+),
+refs AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+referendum_rows AS (
+  SELECT 'referendum', 'referenda', CAST(k AS VARCHAR),
+         CASE WHEN k % 4 = 3 THEN CAST(NULL AS VARCHAR) ELSE 'd' || k END,
+         CAST(NULL AS VARCHAR),
+         CASE k % 4 WHEN 0 THEN 'ongoing' WHEN 1 THEN 'approved'
+                    WHEN 2 THEN 'rejected' ELSE 'killed' END,
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CASE WHEN k % 4 = 0 THEN CAST(7 * k AS DOUBLE) END,
+         CASE WHEN k % 4 = 0 THEN CAST(3 * k AS DOUBLE) END,
+         CAST(NULL AS DOUBLE),
+         CASE WHEN k % 4 = 0 THEN CAST(5 * k AS DOUBLE) END,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR),
+         CASE WHEN k % 4 IN (1, 2) THEN 100000 + k END,
+         CASE WHEN k % 4 = 0 THEN CAST(k AS DOUBLE) + 0.5
+              WHEN k % 4 IN (1, 2) THEN CAST(k AS DOUBLE) END,
+         CASE WHEN k % 4 = 0 THEN CAST(2 * k AS DOUBLE) END,
+         CAST(NULL AS DOUBLE)
+  FROM refs
+),
+treas AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+          WHERE s_suppkey < 30
+          UNION ALL SELECT 309),
+treasury_rows AS (
+  SELECT 'treasury', 'treasury', CAST(k AS VARCHAR), 'b' || k, 'p' || k,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(k AS DOUBLE), CAST(k * 1000000000 AS DOUBLE) / 10000000000,
+         CAST(NULL AS DOUBLE)
+  FROM treas WHERE k != 309
+),
+bounty_rows AS (
+  SELECT 'bounty', 'bounty', CAST(k AS VARCHAR), 'p' || k,
+         CASE WHEN k % 3 = 0 THEN CAST(NULL AS VARCHAR) ELSE 'c' || k END,
+         CASE k % 3 WHEN 0 THEN 'proposed' WHEN 1 THEN 'active'
+                    ELSE 'pendingPayout' END,
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR),
+         CASE WHEN k % 3 = 1 THEN 300000 + k END,
+         CAST(5 * k AS DOUBLE),
+         CAST(k * 5000000000 AS DOUBLE) / 10000000000,
+         CAST(k AS DOUBLE)
+  FROM (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region)
+),
+staking_rows AS (
+  SELECT 'staking', 'era', m.name, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(1477 AS BIGINT), m.v,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM (VALUES ('erasTotalStake',
+                CAST('8200000000000000000' AS DOUBLE) / POWER(10.0, 10)),
+               ('totalIssuance',
+                CAST('15000000000000000000' AS DOUBLE) / POWER(10.0, 10)),
+               ('counterForNominators', CAST(21000 AS DOUBLE)),
+               ('counterForValidators', CAST(1200 AS DOUBLE)),
+               ('validatorCount', CAST(600 AS DOUBLE)),
+               ('counterForBondedPools', CAST(250 AS DOUBLE)),
+               ('counterForPoolMembers', CAST(31000 AS DOUBLE)))
+       AS m(name, v)
+)
+SELECT * FROM std
+UNION ALL SELECT * FROM second_vote
+UNION ALL SELECT * FROM delegator_rows
+UNION ALL SELECT * FROM delegatee_rows
+UNION ALL SELECT * FROM referendum_rows
+UNION ALL SELECT * FROM treasury_rows
+UNION ALL SELECT * FROM bounty_rows
+UNION ALL SELECT * FROM staking_rows
+""",
+    doc="Polkadot/Kusama relay snapshot tracks (plans/snapshots.py "
+    "RelaySnapshotter over substrate/snapshot/polkadot.js; kusama.js is "
+    "the same walks at 12 decimals): the OpenGov surface — "
+    "convictionVoting.votingFor decoded into per-(voter, track, poll) "
+    "casting rows (standard vote-byte rules: aye = byte >= 128, "
+    "conviction = byte % 16 with the 0-means-0.1 'None' floor; "
+    "split and splitAbstain balances at conviction None), delegating "
+    "rows (conviction name -> lock weight), and the delegatee rollup "
+    "(self-side delegations stats where votes > 0, incoming delegator "
+    "roster sorted + counted, average_conviction = round(votes/capital, "
+    "4)) — plus referenda.referendumInfoFor (version-key status unwrap; "
+    "moment + submission deposit on closed rows, deposits + tally on "
+    "ongoing, killed carries neither), treasury.proposals minus the "
+    "hand-kept blacklist (309 injected and dropped), bounties.bounties "
+    "with the status-embedded curator/updateDue, and the "
+    "computeTotalStaked era rollup as (metric, value, era) rows. "
+    "Heterogeneous [pollID, detail] vote pairs ride from_json's "
+    "raw-capture into one explode; everything else is native JSON "
+    "projection; the only shuffles are the delegatee groupBy + its "
+    "full-outer stats merge. NOTE the reference's voteAye/voteNay "
+    "assignment-in-ternary bug (polkadot.js:137-138) is corrected, not "
+    "reproduced — documented in RelaySnapshotter.",
+    tags=("pipeline", "snapshot", "window", "functions"),
+)
+def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.snapshots import RelaySnapshotter
+
+    snap = RelaySnapshotter()
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 60)
+        .select(F.col("c_custkey").cast("long").alias("k"))
+    )
+    k = F.col("k")
+    ks = k.cast("string")
+    track_id = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(10), F.lit(30), F.lit(34)),
+        (k % 5).cast("int") + 1,
+    )
+    voter = F.concat(F.lit("v"), ks)
+    key_args = F.concat(
+        F.lit('["'), voter, F.lit('", '), track_id.cast("string"), F.lit("]")
+    )
+
+    # casting value: standard vote byte 128+k%7 (aye) or k%7 (nay), then
+    # a split (k%6!=0) or splitAbstain (k%6==0) second vote; plancks are
+    # k-scaled integrals so every /1e10 is exact
+    byte = F.when(k % 2 == 0, k % 7 + 128).otherwise(k % 7)
+    vote_hex = F.concat(F.lit("0x"), F.lower(F.hex(byte)))
+    second = F.when(
+        k % 6 == 0,
+        F.concat(
+            F.lit('{"splitAbstain":{"aye":'), (k * 1000000000).cast("string"),
+            F.lit(',"nay":'), (k * 500000000).cast("string"),
+            F.lit(',"abstain":'), (k * 2000000000).cast("string"), F.lit("}}"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"split":{"aye":'), (k * 1000000000).cast("string"),
+            F.lit(',"nay":'), (k * 500000000).cast("string"), F.lit("}}"),
+        )
+    )
+    deleg_stats = F.when(
+        k % 9 == 0,
+        F.concat(
+            F.lit('{"votes":'), (k * 100 * 10000000000).cast("string"),
+            F.lit(',"capital":'), (k * 40 * 10000000000).cast("string"),
+            F.lit("}"),
+        ),
+    ).otherwise(F.lit('{"votes":0,"capital":0}'))
+    casting_val = F.concat(
+        F.lit('{"casting":{"votes":[['), ks,
+        F.lit(',{"standard":{"vote":"'), vote_hex, F.lit('","balance":'),
+        (k * 10000000000).cast("string"), F.lit("}}],["),
+        (k + 1000).cast("string"), F.lit(","), second,
+        F.lit(']],"delegations":'), deleg_stats,
+        F.lit(',"prior":['), ks, F.lit(","), (k * 10000000000).cast("string"),
+        F.lit("]}}"),
+    )
+    conv_name = F.when(k % 11 == 0, F.lit("None")).otherwise(
+        F.concat(F.lit("Locked"), (k % 6 + 1).cast("string"), F.lit("x"))
+    )
+    delegating_val = F.concat(
+        F.lit('{"delegating":{"balance":'), (k * 2 * 10000000000).cast("string"),
+        F.lit(',"target":"v'), (k % 10).cast("string"),
+        F.lit('","conviction":"'), conv_name,
+        F.lit('","delegations":{"votes":0,"capital":0},"prior":[0,0]}}'),
+    )
+    voting_for = cu.select(
+        key_args.alias("key_args"),
+        F.when(k % 3 == 0, casting_val).otherwise(delegating_val).alias("value"),
+    )
+
+    votes_df = snap.casting_votes(voting_for).select(
+        F.lit("voter").alias("kind"),
+        F.col("track"),
+        F.col("poll_id").cast("string").alias("track_val"),
+        F.col("voter").alias("address"),
+        null_s.alias("target"),
+        F.col("vote_type").alias("status"),
+        "conviction", "conviction_weight", "aye", "nay", "abstain",
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        null_l.alias("n"), null_d.alias("amount"), null_d.alias("deposit"),
+        null_d.alias("fee"),
+    )
+    delegators_df = snap.delegations(voting_for).select(
+        F.lit("delegator").alias("kind"),
+        F.col("track"),
+        F.col("track").alias("track_val"),
+        F.col("voter").alias("address"),
+        F.col("target"),
+        null_s.alias("status"),
+        "conviction", "conviction_weight",
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("prior_bn").alias("n"),
+        F.col("balance").alias("amount"),
+        F.col("prior_balance").alias("deposit"),
+        null_d.alias("fee"),
+    )
+    delegatees_df = snap.delegatees(voting_for).select(
+        F.lit("delegatee").alias("kind"),
+        F.col("track"),
+        F.col("track").alias("track_val"),
+        F.col("delegatee").alias("address"),
+        null_s.alias("target"), null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"),
+        F.col("delegations_votes").alias("votes"),
+        F.col("delegations_capital").alias("capital"),
+        "avg_conviction", "delegators",
+        F.col("delegators_cnt").alias("n"),
+        null_d.alias("amount"), null_d.alias("deposit"), null_d.alias("fee"),
+    )
+
+    # referenda: status by k % 4 over the nation keys
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    ongoing_val = F.concat(
+        F.lit('{"ongoing":{"submissionDeposit":{"who":"d'), ks,
+        F.lit('","amount":'), (k * 10000000000 + 5000000000).cast("string"),
+        F.lit('},"decisionDeposit":{"who":"d'), ks, F.lit('","amount":'),
+        (k * 2 * 10000000000).cast("string"),
+        F.lit('},"tally":{"ayes":'), (k * 7 * 10000000000).cast("string"),
+        F.lit(',"nays":'), (k * 3 * 10000000000).cast("string"),
+        F.lit(',"support":'), (k * 5 * 10000000000).cast("string"),
+        F.lit("}}}"),
+    )
+    closed_val = F.concat(
+        F.when(k % 4 == 1, F.lit('{"approved":[')).otherwise(
+            F.lit('{"rejected":[')
+        ),
+        (k + 100000).cast("string"),
+        F.lit(',{"who":"d'), ks, F.lit('","amount":'),
+        (k * 10000000000).cast("string"), F.lit("},null]}"),
+    )
+    killed_val = F.concat(
+        F.lit('{"killed":['), (k + 200000).cast("string"), F.lit("]}")
+    )
+    ref_entries = na.select(
+        F.concat(F.lit("["), ks, F.lit("]")).alias("key_args"),
+        F.when(k % 4 == 0, ongoing_val)
+        .when(k % 4 == 3, killed_val)
+        .otherwise(closed_val)
+        .alias("value"),
+    )
+    refs_df = snap.referenda(ref_entries).select(
+        F.lit("referendum").alias("kind"),
+        F.lit("referenda").alias("track"),
+        F.col("ref_id").cast("string").alias("track_val"),
+        F.col("depositor").alias("address"),
+        null_s.alias("target"),
+        F.col("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        F.col("tally_ayes").alias("aye"), F.col("tally_nays").alias("nay"),
+        null_d.alias("abstain"), F.col("tally_support").alias("support"),
+        null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("moment").alias("n"),
+        F.col("submission_deposit").alias("amount"),
+        F.col("decision_deposit").alias("deposit"),
+        null_d.alias("fee"),
+    )
+
+    # treasury: suppliers < 30 plus the blacklisted 309 (must drop)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 30)
+        .select(F.col("s_suppkey").cast("long").alias("k"))
+        .unionByName(spark.createDataFrame([(309,)], "k long"))
+    )
+    treas_entries = sup.select(
+        F.concat(F.lit('["'), ks, F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit('{"proposer":"p'), ks, F.lit('","value":'),
+            (k * 10000000000).cast("string"),
+            F.lit(',"beneficiary":"b'), ks, F.lit('","bond":'),
+            (k * 1000000000).cast("string"), F.lit("}"),
+        ).alias("value"),
+    )
+    treas_df = snap.treasury_proposals(treas_entries).select(
+        F.lit("treasury").alias("kind"),
+        F.lit("treasury").alias("track"),
+        F.col("proposal_id").cast("string").alias("track_val"),
+        F.col("beneficiary").alias("address"),
+        F.col("proposer").alias("target"),
+        null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        null_l.alias("n"),
+        F.col("value").alias("amount"),
+        F.col("bond").alias("deposit"),
+        null_d.alias("fee"),
+    )
+
+    # bounties over region keys: status variant embeds curator/updateDue
+    rg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k")
+    )
+    status_json = (
+        F.when(k % 3 == 0, F.lit('{"proposed":{}}'))
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit('{"active":{"curator":"c'), ks, F.lit('","updateDue":'),
+                (k + 300000).cast("string"), F.lit("}}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"pendingPayout":{"curator":"c'), ks,
+                F.lit('","unlockAt":9}}'),
+            )
+        )
+    )
+    bounty_entries = rg.select(
+        F.concat(F.lit("["), ks, F.lit("]")).alias("key_args"),
+        F.concat(
+            F.lit('{"proposer":"p'), ks, F.lit('","value":'),
+            (k * 5 * 10000000000).cast("string"),
+            F.lit(',"fee":'), (k * 10000000000).cast("string"),
+            F.lit(',"curatorDeposit":'), (k * 5000000000).cast("string"),
+            F.lit(',"bond":'), (k * 1000000000).cast("string"),
+            F.lit(',"status":'), status_json, F.lit("}"),
+        ).alias("value"),
+    )
+    bounty_df = snap.bounties(bounty_entries).select(
+        F.lit("bounty").alias("kind"),
+        F.lit("bounty").alias("track"),
+        F.col("bounty_id").cast("string").alias("track_val"),
+        F.col("proposer").alias("address"),
+        F.col("curator").alias("target"),
+        F.col("bounty_status").alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("update_due").alias("n"),
+        F.col("value").alias("amount"),
+        F.col("curator_deposit").alias("deposit"),
+        F.col("fee"),
+    )
+
+    # computeTotalStaked era rollup (literal singleton frame)
+    singles = spark.createDataFrame(
+        [
+            ("currentEra", "1477"),
+            ("erasTotalStake", "8200000000000000000"),
+            ("totalIssuance", "15000000000000000000"),
+            ("counterForNominators", "21000"),
+            ("counterForValidators", "1200"),
+            ("validatorCount", "600"),
+            ("counterForBondedPools", "250"),
+            ("counterForPoolMembers", "31000"),
+        ],
+        "name string, value string",
+    )
+    staking_df = snap.staking_info(singles).select(
+        F.lit("staking").alias("kind"),
+        F.lit("era").alias("track"),
+        F.col("metric").alias("track_val"),
+        null_s.alias("address"), null_s.alias("target"), null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("era").alias("n"),
+        F.col("value").alias("amount"),
+        null_d.alias("deposit"), null_d.alias("fee"),
+    )
+
+    return (
+        votes_df.unionByName(delegators_df)
+        .unionByName(delegatees_df)
+        .unionByName(refs_df)
+        .unionByName(treas_df)
+        .unionByName(bounty_df)
+        .unionByName(staking_df)
+    )
+
+
+@query(
+    "assethub_price_log",
+    oracle="""
+WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+             WHERE o_orderkey < 3000),
+rows_ AS (
+  SELECT k, k % 168 AS g,
+         CAST(FLOOR(epoch(CAST('1998-03-01 ' || lpad(CAST(k % 24 AS VARCHAR), 2, '0')
+              || ':00:00.000' AS TIMESTAMP))) AS BIGINT) AS index_ts,
+         'A' || (k % 7) AS asset,
+         CAST((k % 977) AS DOUBLE) + 0.5 AS price_usd,
+         CAST(3 * k AS DOUBLE) + 0.25 AS volume_usd,
+         CAST((k % 50) AS DOUBLE) + 0.125 AS price_dot
+  FROM src
+),
+win AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY k DESC) AS rn
+        FROM rows_)
+SELECT index_ts, asset, price_usd, volume_usd, price_dot
+FROM win WHERE rn = 1
+""",
+    doc="AssetHub price/volume log ingest (substrate/assethublog.js:1-42): "
+    "the reference pulls a Dune CSV of AssetHub DEX prices, skips the "
+    "header, drops malformed rows (fewer than 5 fields or an empty "
+    "asset, :30-31), takes columns 0/1/2/4/5 (column 3 is unused), "
+    "keys each row on (floor(unix_timestamp(blockTime)), asset) and "
+    "MySQL-upserts with ON DUPLICATE KEY UPDATE — last row in feed "
+    "order wins (:32). Spark form: one line-frame -> split/guard "
+    "projection (native string ops, zero Python), last-wins dedup as a "
+    "row_number window over the key ordered by line number descending — "
+    "the same keyed-MERGE semantics as operators/merge.py J10. The "
+    "fixture feeds a header line, a short line and an empty-asset line "
+    "(all three must drop) plus colliding keys across the feed; the "
+    "oracle rebuilds the surviving rows independently.",
+    tags=("pipeline", "window", "functions"),
+)
+def assethub_price_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+    )
+    k = F.col("k")
+    line = F.concat(
+        F.lit("1998-03-01 "),
+        F.lpad((k % 24).cast("string"), 2, "0"),
+        F.lit(":00:00.000 UTC,A"),
+        (k % 7).cast("string"),
+        F.lit(","),
+        ((k % 977).cast("string")),
+        F.lit(".5,x,"),
+        (k * 3).cast("string"),
+        F.lit(".25,"),
+        (k % 50).cast("string"),
+        F.lit(".125"),
+    )
+    feed = od.select(k.alias("line_no"), line.alias("line")).unionByName(
+        spark.createDataFrame(
+            [
+                (0, "blockTime,asset,priceUSD,unused,volumeUSD,priceDOT"),
+                (3001, "1998-03-01 00:00:00.000 UTC,,1,x,2,3"),
+                (3002, "shortrow,y"),
+            ],
+            "line_no long, line string",
+        )
+    )
+    p = F.split(F.col("line"), ",")
+    parsed = (
+        feed.where(F.col("line_no") > 0)  # slice(1): header row skipped
+        .select("line_no", p.alias("p"))
+        .where((F.size("p") > 4) & (F.length(F.element_at("p", 2)) > 0))
+        .select(
+            "line_no",
+            F.unix_timestamp(
+                F.regexp_replace(F.element_at("p", 1), " UTC$", "").cast("timestamp")
+            ).alias("index_ts"),
+            F.element_at("p", 2).alias("asset"),
+            F.element_at("p", 3).cast("double").alias("price_usd"),
+            F.element_at("p", 5).cast("double").alias("volume_usd"),
+            F.element_at("p", 6).cast("double").alias("price_dot"),
+        )
+    )
+    w = Window.partitionBy("index_ts", "asset").orderBy(F.col("line_no").desc())
+    return (
+        parsed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("index_ts", "asset", "price_usd", "volume_usd", "price_dot")
+    )

@@ -678,3 +678,32 @@ def test_gar_longtail_parse_is_native_with_broadcast_gates(spark):
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\) Exchange", plan)) == 2
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+
+
+def test_dappstaking_v3_is_pure_projection(spark):
+    """Shibuya's three track shapes (stakerInfo walk + two singletons)
+    are map-side JSON projections — zero Exchange, zero Python."""
+    plan = _plan(spark, "snapshots_dappstaking_v3")
+    assert "EvalPython" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
+def test_relay_opengov_two_exchanges_no_python(spark):
+    """The relay OpenGov walk is native JSON end-to-end; the only
+    shuffles are the delegatee rollup (groupBy + the full-outer stats
+    merge, which cannot broadcast) and the only nested-loop join is the
+    broadcast 1-row era frame under computeTotalStaked."""
+    plan = _plan(spark, "snapshots_relay_opengov")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
+
+
+def test_assethub_price_log_one_window_exchange(spark):
+    """The Dune-CSV parse is pure string codegen; the last-wins keyed
+    dedup is the single Exchange (its row_number window)."""
+    plan = _plan(spark, "assethub_price_log")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1

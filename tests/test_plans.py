@@ -2289,3 +2289,75 @@ def test_chain_snapshotter_dispatch_and_issuance_tracks(spark):
     assert r1.pv == "42" and r1.kv == '{"token":"BNC"}'
     assert rows['{"vToken":"DOT"}'].pv == "7"
     assert str(r1.ts) == "2023-06-01 05:00:00"  # canonical hour
+
+
+def test_moonbeam_kusama_snapshotters_are_config_subclasses(spark):
+    """snapshot/moonbeam.js:1-11 and kusama.js:1-11 define ONLY
+    chainName/chainDecimals/wsEndpoint — their snapshot surface is the
+    inherited generic tracks. Pin the configs and run the generic
+    issuance track under the Moonbeam identity."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans.snapshots import (
+        KusamaSnapshotter,
+        MoonbeamSnapshotter,
+        RelaySnapshotter,
+        get_snapshotter,
+    )
+
+    mb = get_snapshotter("moonbeam")
+    assert type(mb) is MoonbeamSnapshotter
+    assert mb.chain_decimals == 18 and mb.chain["para_id"] == 2004
+    # no custom extractor beyond ChainSnapshotter's generic surface
+    extra = set(dir(MoonbeamSnapshotter)) - set(dir(type(mb).__mro__[1]))
+    assert not extra, f"moonbeam must stay config-only, found {extra}"
+
+    ks = get_snapshotter("kusama")
+    assert type(ks) is KusamaSnapshotter
+    assert issubclass(KusamaSnapshotter, RelaySnapshotter)
+    assert ks.chain_decimals == 12
+
+    entries = spark.createDataFrame(
+        [('["42"]', "0x0de0b6b3a7640000")],  # 1e18 wei hex
+        "key_args string, value string",
+    )
+    block = {"number": 5, "hash": "0xabc", "ts": "2024-01-01 00:00:00"}
+    row = mb.total_issuance(entries, block, section="assets",
+                            storage="totalIssuance").head()
+    assert row.pv == "1000000000000000000"
+    assert row.chain_name == "Moonbeam"
+
+
+def test_dechex_str_over_width_hex_is_null_not_truncated(spark):
+    """lpad truncates long strings — a hex body wider than u128 must
+    surface as NULL, never as a prefix-truncated number."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans.snapshots import _dechex_str
+
+    df = spark.createDataFrame(
+        [("0x" + "ff" * 16,), ("0x" + "01" + "00" * 16,), ("123",)],
+        "v string",
+    )
+    got = [r.d for r in df.select(_dechex_str(F.col("v")).alias("d")).collect()]
+    assert got[0] == str((1 << 128) - 1)  # max u128 still decodes
+    assert got[1] is None  # 17-byte hex: NULL, not a mangled prefix
+    assert got[2] == "123"
+
+
+def test_newest_per_key_same_bn_conflict_is_deterministic(spark):
+    """Two observations for one key at the SAME block with different
+    payloads must pick a stable winner (payload-desc tiebreak), not a
+    partition-order-dependent one."""
+    from polkadot_etl_spark.plans.token_metadata import _newest_per_key
+
+    obs = spark.createDataFrame(
+        [("a", "x", 10), ("a", "z", 10), ("a", "y", 10), ("b", "q", 7)],
+        "asset string, payload string, bn long",
+    )
+    for n_parts in (1, 7):
+        got = {
+            r.asset: r.payload
+            for r in _newest_per_key(obs.repartition(n_parts), ["asset"], "bn").collect()
+        }
+        assert got == {"a": "z", "b": "q"}
