@@ -31,13 +31,19 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true", help="run the whole registry")
     ap.add_argument("--tz", default=None, help="driver session timezone override")
+    ap.add_argument(
+        "--shuffle-partitions",
+        default="32",
+        help="partition-invariance probe: results must not depend on "
+        "parallelism (pair with SPARK_GRAFT_CPUS=8 for the local[8] sweep)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     b = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", args.shuffle_partitions)
         .config("spark.ui.enabled", "false")
     )
     if args.tz:
