@@ -2361,3 +2361,80 @@ def test_newest_per_key_same_bn_conflict_is_deterministic(spark):
             for r in _newest_per_key(obs.repartition(n_parts), ["asset"], "bn").collect()
         }
         assert got == {"a": "z", "b": "q"}
+
+
+def test_relay_vote_byte_decode_all_256(spark):
+    """Exhaustive vote-byte table: for every byte 0..255 the casting
+    decode must agree with an independent Python model of the rules
+    (aye = byte >= 128, conviction weight = byte % 16 with the 0 -> 0.1
+    'None' floor, balance lands ONLY on the voted side — the corrected
+    semantics, not the reference's assignment-in-ternary bug)."""
+    from polkadot_etl_spark.plans.snapshots import RelaySnapshotter
+
+    rows = [
+        (
+            f'["v{b}", {b % 5}]',
+            '{"casting":{"votes":[[%d,{"standard":{"vote":"0x%02x",'
+            '"balance":50000000000}}]],'
+            '"delegations":{"votes":0,"capital":0},"prior":[0,0]}}' % (b, b),
+        )
+        for b in range(256)
+    ]
+    df = spark.createDataFrame(rows, "key_args string, value string")
+    got = {r.poll_id: r for r in RelaySnapshotter().casting_votes(df).collect()}
+    assert len(got) == 256
+    for b in range(256):
+        r = got[b]
+        w = 0.1 if b % 16 == 0 else float(b % 16)
+        # conviction names exist only for the on-chain-valid nibbles
+        # (0 -> None, 1..6 -> LockedNx); 7..15 cannot occur on chain and
+        # the reference's convictionMap lookup is undefined there too —
+        # our decode surfaces NULL for them
+        name = (
+            "None" if b % 16 == 0 else (f"Locked{b % 16}x" if b % 16 <= 6 else None)
+        )
+        assert r.vote_type == ("aye" if b >= 128 else "nay"), b
+        assert r.conviction_weight == w, b
+        assert r.conviction == name, b
+        voted, other = (r.aye, r.nay) if b >= 128 else (r.nay, r.aye)
+        assert voted == 5.0 and other == 0.0, b
+        assert r.abstain == 0.0
+
+
+def test_relay_delegatee_rollup_merge_shapes(spark):
+    """The three delegatee shapes merge correctly: self-stats only
+    (casting with delegations, no incoming), incoming only (pure
+    target), and both — with the roster sorted and avg conviction
+    rounded to 4 places."""
+    from polkadot_etl_spark.plans.snapshots import RelaySnapshotter
+
+    rows = [
+        # vA: casting voter with its own delegations stats, no incoming
+        ('["vA", 1]',
+         '{"casting":{"votes":[],"delegations":{"votes":70000000000,'
+         '"capital":30000000000},"prior":[0,0]}}'),
+        # vB, vC delegate to vT (incoming only — vT has no entry)
+        ('["vB", 1]',
+         '{"delegating":{"balance":10000000000,"target":"vT",'
+         '"conviction":"Locked2x","delegations":{"votes":0,"capital":0},'
+         '"prior":[0,0]}}'),
+        ('["vC", 1]',
+         '{"delegating":{"balance":20000000000,"target":"vT",'
+         '"conviction":"None","delegations":{"votes":0,"capital":0},'
+         '"prior":[0,0]}}'),
+        # vD: delegating AND carries its own delegations (intermediate
+        # delegatee) -> self-stats row for vD
+        ('["vD", 1]',
+         '{"delegating":{"balance":5000000000,"target":"vT",'
+         '"conviction":"Locked6x","delegations":{"votes":90000000000,'
+         '"capital":60000000000},"prior":[0,0]}}'),
+    ]
+    df = spark.createDataFrame(rows, "key_args string, value string")
+    got = {r.delegatee: r for r in RelaySnapshotter().delegatees(df).collect()}
+    assert got["vA"].delegations_votes == 7.0
+    assert got["vA"].avg_conviction == round(7.0 / 3.0, 4)
+    assert got["vA"].delegators == "" and got["vA"].delegators_cnt == 0
+    assert got["vT"].delegations_votes == 0.0 and got["vT"].avg_conviction == 0.0
+    assert got["vT"].delegators == "vB,vC,vD" and got["vT"].delegators_cnt == 3
+    assert got["vD"].delegations_votes == 9.0
+    assert got["vD"].avg_conviction == 1.5
