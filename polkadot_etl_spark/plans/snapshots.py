@@ -716,6 +716,36 @@ class RelaySnapshotter(ChainSnapshotter):
             .alias("abstain"),
         )
 
+    def casting_summary(self, entries: DataFrame) -> DataFrame:
+        """One row per (voter, track) casting record — the granularity
+        of the reference's cvVotingForRec (castingStruct: the voted poll
+        list + count, the voter's own delegations stats, and the prior
+        lock [bn, balance]; polkadot.js:214-226, 439-448). The per-poll
+        decode lives in casting_votes; this is the record-level
+        summary."""
+        k = self._keyed(entries)
+        c = F.get_json_object("value", "$.casting")
+        votes = F.from_json(c, "struct<votes: array<string>>")["votes"]
+        voted = F.transform(votes, lambda p: F.get_json_object(p, "$[0]"))
+        d = F.get_json_object(c, "$.delegations")
+        return k.where(c.isNotNull()).select(
+            "voter",
+            "track_id",
+            self._track_name(F.col("track_id")).alias("track"),
+            F.size(votes).cast("long").alias("voted_cnt"),
+            F.array_join(voted, ",").alias("voted"),
+            self._decimalized(F.get_json_object(d, "$.votes")).alias(
+                "delegations_votes"
+            ),
+            self._decimalized(F.get_json_object(d, "$.capital")).alias(
+                "delegations_capital"
+            ),
+            F.get_json_object(c, "$.prior[0]").cast("long").alias("prior_bn"),
+            self._decimalized(F.get_json_object(c, "$.prior[1]")).alias(
+                "prior_balance"
+            ),
+        )
+
     def delegations(self, entries: DataFrame) -> DataFrame:
         """delegating branch → (voter, track, target, balance,
         conviction + weight via the name→scale map, prior lock)

@@ -4801,6 +4801,19 @@ second_vote AS (
          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
   FROM voters WHERE k % 3 = 0
 ),
+caster_rows AS (
+  SELECT 'caster', track, track, voter, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS DOUBLE),
+         CASE WHEN k % 9 = 0 THEN CAST(100 * k AS DOUBLE) ELSE 0 END,
+         CASE WHEN k % 9 = 0 THEN CAST(40 * k AS DOUBLE) ELSE 0 END,
+         CAST(NULL AS DOUBLE),
+         k || ',' || (1000 + k), CAST(2 AS BIGINT),
+         CAST(k AS DOUBLE), CAST(k AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM voters WHERE k % 3 = 0
+),
 delegs AS (SELECT *, 'v' || (k % 10) AS target_v,
                   CASE WHEN k % 11 = 0 THEN 'None'
                        ELSE 'Locked' || (k % 6 + 1) || 'x' END AS conv,
@@ -4918,6 +4931,7 @@ staking_rows AS (
 )
 SELECT * FROM std
 UNION ALL SELECT * FROM second_vote
+UNION ALL SELECT * FROM caster_rows
 UNION ALL SELECT * FROM delegator_rows
 UNION ALL SELECT * FROM delegatee_rows
 UNION ALL SELECT * FROM referendum_rows
@@ -4931,7 +4945,10 @@ UNION ALL SELECT * FROM staking_rows
     "convictionVoting.votingFor decoded into per-(voter, track, poll) "
     "casting rows (standard vote-byte rules: aye = byte >= 128, "
     "conviction = byte % 16 with the 0-means-0.1 'None' floor; "
-    "split and splitAbstain balances at conviction None), delegating "
+    "split and splitAbstain balances at conviction None), record-level "
+    "casting summaries at the reference's cvVotingForRec granularity "
+    "(voted-poll roster + count, own delegations stats, prior lock), "
+    "delegating "
     "rows (conviction name -> lock weight), and the delegatee rollup "
     "(self-side delegations stats where votes > 0, incoming delegator "
     "roster sorted + counted, average_conviction = round(votes/capital, "
@@ -5033,6 +5050,27 @@ def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
         null_d.alias("avg_conviction"), null_s.alias("delegators"),
         null_l.alias("n"), null_d.alias("amount"), null_d.alias("deposit"),
+        null_d.alias("fee"),
+    )
+    # record-level casting summary: kind='caster', one row per (voter,
+    # track) — delegators carries the voted-poll csv, n the vote count,
+    # amount/deposit the prior lock [bn, balance]
+    casters_df = snap.casting_summary(voting_for).select(
+        F.lit("caster").alias("kind"),
+        F.col("track"),
+        F.col("track").alias("track_val"),
+        F.col("voter").alias("address"),
+        null_s.alias("target"), null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"),
+        F.col("delegations_votes").alias("votes"),
+        F.col("delegations_capital").alias("capital"),
+        null_d.alias("avg_conviction"),
+        F.col("voted").alias("delegators"),
+        F.col("voted_cnt").alias("n"),
+        F.col("prior_bn").cast("double").alias("amount"),
+        F.col("prior_balance").alias("deposit"),
         null_d.alias("fee"),
     )
     delegators_df = snap.delegations(voting_for).select(
@@ -5227,7 +5265,8 @@ def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        votes_df.unionByName(delegators_df)
+        votes_df.unionByName(casters_df)
+        .unionByName(delegators_df)
         .unionByName(delegatees_df)
         .unionByName(refs_df)
         .unionByName(treas_df)
