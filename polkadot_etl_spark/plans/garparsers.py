@@ -151,7 +151,11 @@ class GarParser:
         both sides are dim-scale. The join key is ``xc_join_on`` —
         numeric asset_id for assets-pallet chains, the CurrencyId JSON
         for ORML chains whose registries key on currency objects."""
-        loc = self._xc_location(xc_entries)
+        return self._gated_registrations(self._xc_location(xc_entries), gar, "onchain")
+
+    def _gated_registrations(
+        self, loc: DataFrame, gar: DataFrame, source: str
+    ) -> DataFrame:
         dim = F.broadcast(
             gar.select(
                 F.col(self.xc_join_on).alias("__jk"),
@@ -181,8 +185,87 @@ class GarParser:
             F.col("__dec").alias("decimals"),
             F.col("multilocation"),
             F.lit(None).cast("string").alias("xc_contract_address"),
-            F.lit("onchain").alias("source"),
+            F.lit(source).alias("source"),
         )
+
+    # -------------------------------------------------------------- augment
+
+    def augment_from_xtokens(self, extrinsics: DataFrame, gar: DataFrame) -> DataFrame:
+        """The optional AUGMENT step: infer (local currency id → XCM
+        location) linkage from outgoing xTokens extrinsics when a chain
+        publishes no (or an incomplete) xc registry
+        (processOutgoingXTokens, common_chainparser.js:1093-1207; wired
+        by clover.js:137-152 / origintrail.js:124-139 / robonomics'
+        comment block).
+
+        Reference rules reproduced:
+        - only xTokens:transfer / xTokens:transferMulticurrencies carry
+          an inferable local side (:1127-1130);
+        - the extrinsic must have EXACTLY ONE
+          xTokens(TransferredMultiAssets) event (:1119-1122);
+        - the local currencies zip POSITIONALLY against the event's
+          Vec<MultiAsset> (:1190-1203 — invalid entries on either side
+          keep their slot as `false` placeholders, so the zip never
+          misaligns; we zip first and drop after, same alignment);
+        - only concrete fungible assets yield a location (:1171-1180);
+          a `here`/null id is the native asset and not actionable
+          (:1222-1226);
+        - inferred rows still gate on the known local registry (the
+          assetChainkey lookup) — unknown currencies drop.
+
+        Input extrinsics frame: (section, method, params JSON, events
+        JSON array of {section, method, data}). Everything is native
+        JSON column work; the gate is the same broadcast dim as
+        parse_xc_gar; rows publish with source='augment'."""
+        ev_arr = F.from_json(F.col("events"), "array<string>")
+        xt = F.filter(
+            ev_arr,
+            lambda e: (F.get_json_object(e, "$.section") == "xTokens")
+            & (F.get_json_object(e, "$.method") == "TransferredMultiAssets"),
+        )
+        sm = F.concat(F.col("section"), F.lit(":"), F.col("method"))
+        base = (
+            extrinsics.where(
+                sm.isin("xTokens:transfer", "xTokens:transferMulticurrencies")
+            )
+            .withColumn("__xt", xt)
+            .where(F.size("__xt") == 1)
+        )
+        # local side: one currency for transfer, the [currency, amount]
+        # pair list's first elements for transferMulticurrencies
+        currencies = F.when(
+            F.col("method") == "transfer",
+            F.array(F.get_json_object("params", "$.currency_id")),
+        ).otherwise(
+            F.transform(
+                F.from_json(
+                    F.get_json_object("params", "$.currencies"), "array<string>"
+                ),
+                lambda c: F.get_json_object(c, "$[0]"),
+            )
+        )
+        # global side: the event's Vec<MultiAsset> (data[1])
+        assets = F.from_json(
+            F.get_json_object(F.element_at("__xt", 1), "$.data[1]"),
+            "array<string>",
+        )
+        z = (
+            base.select(
+                F.explode(F.arrays_zip(currencies.alias("cur"), assets.alias("ast"))).alias("z")
+            )
+            .select(F.col("z.cur").alias("cur"), F.col("z.ast").alias("ast"))
+        )
+        loc = F.get_json_object("ast", "$.id.concrete")
+        fungible = F.get_json_object("ast", "$.fun.fungible")
+        aid = _cleaned_asset_id(
+            F.coalesce(F.get_json_object("cur", "$.Token"), F.col("cur"))
+        )
+        pairs = (
+            z.where(loc.isNotNull() & fungible.isNotNull() & aid.isNotNull())
+            .select(aid.alias("asset_id"), loc.alias("multilocation"))
+            .distinct()
+        )
+        return self._gated_registrations(pairs, gar, "augment")
 
     # --------------------------------------------------------------- manual
 

@@ -4404,6 +4404,15 @@ trail AS (
   FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
         WHERE c_custkey < 12 AND c_custkey <= 10)
 ),
+clover_aug AS (
+  SELECT 'polkadot~[{"parachain":' || (2290 + k) || '},{"generalIndex":'
+           || (50 + k) || '}]',
+         'CL' || k, CAST(10 AS INTEGER), CAST(2290 + k AS INTEGER), 'x2',
+         'augment', CAST(1 AS BIGINT), '{"Token":"' || k || '"}',
+         CAST(NULL AS VARCHAR)
+  FROM (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+        WHERE s_suppkey < 15 AND s_suppkey % 3 = 0 AND s_suppkey != 12)
+),
 shadow AS (
   SELECT 'kusama~[{"parachain":' || (2120 + k) || '},{"generalIndex":'
            || (30 + k) || '}]',
@@ -4418,6 +4427,7 @@ UNION ALL SELECT * FROM astar_native
 UNION ALL SELECT * FROM shiden
 UNION ALL SELECT * FROM shiden_native
 UNION ALL SELECT * FROM clover
+UNION ALL SELECT * FROM clover_aug
 UNION ALL SELECT * FROM trail
 UNION ALL SELECT * FROM shadow
 """,
@@ -4429,7 +4439,13 @@ UNION ALL SELECT * FROM shadow
     "NATIVE registration (ASTR/SDN attach to the system-properties "
     "symbol-keyed seed, astar.js:25-38 + common_chainparser.js:68-101 "
     "— a key shape the r5 manual path could not express), clover's "
-    "assetConfig:assetIdLocation, origintrail's astar-layout registry "
+    "assetConfig:assetIdLocation PLUS its fetchAugments step — the "
+    "k%3==0 assets the xc registry missed get locations INFERRED from "
+    "outgoing xTokens extrinsics (processOutgoingXTokens: exactly-one "
+    "TransferredMultiAssets event, positional currency<->MultiAsset zip, "
+    "concrete-fungible only, known-asset gate; one two-event extrinsic "
+    "must skip), publishing with source='augment' — origintrail's "
+    "astar-layout registry "
     "including one cross-registration of an astar asset (tie-break "
     "para_id asc -> astar wins, confidence 2), and crust shadow's "
     "assetManager:assetIdType with the xc-wrapper symbol strip. "
@@ -4525,7 +4541,36 @@ def gar_longtail_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl_xc = sup.where(k % 3 != 0).select(
         _keyed(sup).alias("key_args"), _x2(k + 2200, k + 10).alias("value")
     )
-    cl_regs = CloverGarParser().registrations(spark, cl_gar, cl_xc)
+    clover = CloverGarParser()
+    cl_regs = clover.registrations(spark, cl_gar, cl_xc)
+    # fetchAugments: the k%3==0 assets the xc registry missed get their
+    # locations INFERRED from outgoing xTokens extrinsics
+    # (processOutgoingXTokens); k=12 carries TWO TransferredMultiAssets
+    # events and must skip
+    aug_src = sup.where(k % 3 == 0)
+    asset_json = F.concat(
+        F.lit('[{"id":{"concrete":'), _x2(k + 2290, k + 50),
+        F.lit('},"fun":{"fungible":77}}]'),
+    )
+    ev = F.concat(
+        F.lit('{"section":"xTokens","method":"TransferredMultiAssets",'
+              '"data":["s",'), asset_json, F.lit(",{},{}]}"),
+    )
+    cl_ext = aug_src.select(
+        F.lit("xTokens").alias("section"),
+        F.when(k % 2 == 1, F.lit("transfer"))
+        .otherwise(F.lit("transferMulticurrencies"))
+        .alias("method"),
+        F.when(k % 2 == 1, F.concat(F.lit('{"currency_id":'), ks, F.lit("}")))
+        .otherwise(F.concat(F.lit('{"currencies":[['), ks, F.lit(",100]]}")))
+        .alias("params"),
+        F.when(k == 12, F.concat(F.lit("["), ev, F.lit(","), ev, F.lit("]")))
+        .otherwise(F.concat(F.lit("["), ev, F.lit("]")))
+        .alias("events"),
+    )
+    cl_regs = cl_regs.unionByName(
+        clover.augment_from_xtokens(cl_ext, clover.parse_gar(cl_gar))
+    )
 
     # --- origintrail: astar layout, {v3} wrap; asset 11 cross-registers
     # astar's (2606, 6) location → confidence 2, astar home-rank wins

@@ -671,12 +671,13 @@ def test_gar_longtail_parse_is_native_with_broadcast_gates(spark):
     """The five long-tail chain parses (astar/shiden/clover/origintrail/
     shadow) share gar_chain_registry's plan discipline: native JSON
     columns, broadcast known-asset gates, ONE compact Arrow codec wave,
-    and exactly the codec-compaction + canonical-window Exchanges."""
+    and only the codec-compaction + canonical-window Exchanges plus the
+    xTokens-augment dedup (the augmentedXcMap keyed-map semantics)."""
     plan = _plan(spark, "gar_longtail_registry")
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert len(re.findall(r"\) Exchange", plan)) == 2
+    assert len(re.findall(r"\) Exchange", plan)) == 3
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
 
 

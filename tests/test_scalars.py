@@ -184,3 +184,59 @@ def test_gar_longtail_dispatch_completeness(spark):
     assert [(r.symbol, r.source, r.currency_id, r.decimals) for r in regs] == [
         ("ASTR", "manual", '{"Token":"ASTR"}', 18)
     ]
+
+
+def test_xtokens_augment_rules(spark):
+    """processOutgoingXTokens parity (common_chainparser.js:1093-1207):
+    exactly-one-TransferredMultiAssets gate, positional zip of the
+    params currencies against the event MultiAssets, concrete-fungible
+    only (here/null ids drop), unknown-currency gate, and the
+    source='augment' publish."""
+    from polkadot_etl_spark.plans.garparsers import CloverGarParser
+
+    gar = spark.createDataFrame(
+        [
+            ('["3"]', '{"symbol":"CL3","name":"Clover 3","decimals":10}'),
+            ('["6"]', '{"symbol":"CL6","name":"Clover 6","decimals":10}'),
+        ],
+        "key_args string, value string",
+    )
+    x2 = (
+        '{"parents":1,"interior":{"X2":[{"Parachain":%d},'
+        '{"GeneralIndex":%d}]}}'
+    )
+    conc = '{"id":{"concrete":%s},"fun":{"fungible":10}}'
+    ev = (
+        '{"section":"xTokens","method":"TransferredMultiAssets",'
+        '"data":["s",[%s],{},{}]}'
+    )
+    rows = [
+        # transfer: links currency 3 to its concrete location
+        ("xTokens", "transfer", '{"currency_id":3}',
+         "[%s]" % (ev % (conc % (x2 % (2293, 53))))),
+        # multicurrencies: [6, 999] zip [concrete, here-null]; 999 is
+        # unknown AND the here-asset is not actionable -> only 6 links
+        ("xTokens", "transferMulticurrencies",
+         '{"currencies":[[6,100],[999,5]]}',
+         "[%s]" % (ev % (
+             conc % (x2 % (2296, 56))
+             + ',{"id":{"null":null},"fun":{"fungible":1}}'
+         ))),
+        # two TransferredMultiAssets events -> whole extrinsic skips
+        ("xTokens", "transfer", '{"currency_id":6}',
+         "[%s,%s]" % (ev % "", ev % "")),
+        # non-xTokens call -> ignored
+        ("balances", "transfer", '{"currency_id":3}', "[]"),
+    ]
+    ext = spark.createDataFrame(
+        rows, "section string, method string, params string, events string"
+    )
+    p = CloverGarParser()
+    out = sorted(
+        (r.currency_id, r.symbol, r.multilocation, r.source)
+        for r in p.augment_from_xtokens(ext, p.parse_gar(gar)).collect()
+    )
+    assert out == [
+        ('{"Token":"3"}', "CL3", x2 % (2293, 53), "augment"),
+        ('{"Token":"6"}', "CL6", x2 % (2296, 56), "augment"),
+    ]
