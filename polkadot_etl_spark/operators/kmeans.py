@@ -178,10 +178,14 @@ def kmeans_lloyd(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 0.0,
+    init: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]], int]:
     """Lloyd's loop to convergence. Init = the k lowest-id vectors
-    (deterministic, like the one-step IVF seeds). Returns (assignments
-    DataFrame with the final ``cid`` column, centroids, iterations run).
+    (deterministic, like the one-step IVF seeds), or an explicit seed
+    matrix via ``init`` — e.g. kmeans_parallel_init's k-means|| seeds,
+    which avoid the naive init's empty/duplicate-cluster pathologies on
+    skewed id layouts. Returns (assignments DataFrame with the final
+    ``cid`` column, centroids, iterations run).
 
     Empty-cluster policy: carry-forward — a cluster that loses all
     members keeps its previous centroid for the next round (see
@@ -193,13 +197,18 @@ def kmeans_lloyd(
     exchange); the k×dim centroid state rides the driver — at 100 TB
     that is the same bounded-model shape as broadcasting any trained
     quantizer."""
-    seed_rows = sorted(
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect(),
-        key=lambda r: r[0],
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
-    centroids = [[float(v) for v in r[1]] for r in seed_rows]
+    if init is not None:
+        if len(init) != k:
+            raise ValueError(f"init has {len(init)} seeds, need k={k}")
+        centroids = [[float(v) for v in c] for c in init]
+    else:
+        seed_rows = sorted(
+            df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect(),
+            key=lambda r: r[0],
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+        centroids = [[float(v) for v in r[1]] for r in seed_rows]
     it = 0
     for it in range(1, max_iter + 1):
         assigned = assign_nearest(df, centroids, vec_col, id_col)
@@ -211,3 +220,101 @@ def kmeans_lloyd(
         if shift <= tol:
             break
     return assign_nearest(df, centroids, vec_col, id_col), centroids, it
+
+
+def _sq_dist_to_nearest(df: DataFrame, centroids: list[list[float]],
+                        vec_col: str, id_col: str) -> DataFrame:
+    """df + ``d2`` = squared L2 distance to the nearest current centroid
+    (broadcast-centroid form, O(1) expression size in |centroids|)."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(j, [float(v) for v in c]) for j, c in enumerate(centroids)],
+        "cent_cid INT, cent_vec ARRAY<DOUBLE>",
+    )
+    d2 = F.expr(
+        f"aggregate(zip_with({vec_col}, cent_vec, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(F.min(d2).alias("d2"))
+    )
+    return df.join(scored, id_col)
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    rounds: int = 3,
+    oversample: float = 2.0,
+) -> list[list[float]]:
+    """Scalable k-means|| initialization (Bahmani et al., VLDB 2012):
+    instead of k sequential k-means++ draws (k passes over the data),
+    run ``rounds`` passes that each sample ~``oversample * k`` points
+    with probability proportional to d²(x, C), then prune the
+    oversampled candidate set back to k.
+
+    Determinism contract: the per-point coin flip is the repo's standard
+    md5-threshold draw — md5(round || id) as a uniform in [0, 1) —
+    so the same inputs produce the same seeds at ANY partitioning
+    (a rand()-based draw would not be reproducible). The final prune is
+    a weighted farthest-first traversal over the ≤ rounds·oversample·k
+    candidates on the driver (bounded state, like the centroid matrix
+    itself).
+
+    Per round: one broadcast-centroid distance pass + one bounded
+    collect of new candidates — no shuffle grows with k, no k passes.
+    """
+    seed_row = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_row:
+        raise ValueError("empty input")
+    cands: list[list[float]] = [[float(v) for v in seed_row[0][1]]]
+    for r in range(1, rounds + 1):
+        scored = _sq_dist_to_nearest(df, cands, vec_col, id_col)
+        # cost = sum d2; P(pick x) = min(1, oversample*k*d2/cost);
+        # md5 draw: first 12 hex chars of md5("<round>|<id>") / 16^12
+        draw = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(str(r)), F.col(id_col))), 1, 12),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**12))
+        )
+        total = scored.agg(F.sum("d2").alias("c")).collect()[0]["c"]
+        if not total or total <= 0.0:
+            break  # every point coincides with a candidate
+        p = F.least(F.lit(1.0), F.lit(oversample * k) * F.col("d2") / F.lit(float(total)))
+        new = (
+            scored.where(draw < p)
+            .orderBy(F.col(id_col).asc())
+            .select(id_col, vec_col)
+            .limit(int(oversample * k) * 4)  # bounded driver state
+            .collect()
+        )
+        cands.extend([float(v) for v in row[1]] for row in new)
+    # prune to k: farthest-first traversal (deterministic; ties -> the
+    # earlier candidate), the standard reclustering stand-in at this
+    # candidate scale
+    chosen = [cands[0]]
+    while len(chosen) < k and len(chosen) < len(cands):
+        best, best_d = None, -1.0
+        for c in cands:
+            d = min(
+                sum((a - b) * (a - b) for a, b in zip(c, ch)) for ch in chosen
+            )
+            if d > best_d + 1e-15:
+                best, best_d = c, d
+        if best is None or best_d <= 0.0:
+            break
+        chosen.append(best)
+    if len(chosen) < k:
+        raise ValueError(
+            f"k-means|| produced {len(chosen)} distinct candidates < k={k}"
+        )
+    return chosen

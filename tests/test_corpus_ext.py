@@ -329,3 +329,62 @@ def test_kmeans_empty_cluster_carries_previous_centroid(spark):
     assert centroids[1] == [1.0, 1.0]
     assert centroids[0] == [pytest.approx(5.1), pytest.approx(5.0)]
     assert n_iter <= 10
+
+
+def test_kmeans_parallel_init_deterministic_and_spread(spark):
+    """k-means|| init: (a) identical output at 1 and 13 partitions (the
+    md5-threshold draw is partitioning-independent, unlike rand()); (b)
+    on well-separated clusters it seeds EVERY cluster, which the naive
+    lowest-id init provably does not; (c) composed with kmeans_lloyd it
+    converges to the true centroids."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.kmeans import (
+        kmeans_lloyd,
+        kmeans_parallel_init,
+    )
+
+    # 5 clusters spiked +1000 on dimension (vec_id % 5): ids 0..4 are one
+    # per cluster BUT ids sort 0,1,2,... so naive lowest-id-k seeds for
+    # k=5 happen to hit each cluster; use a skewed id layout instead —
+    # first 40 ids all in cluster 0, the rest spread.
+    n, dim = 200, 4
+    base = spark.range(n).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.when(F.col("id") < 40, F.lit(0))
+        .otherwise((F.col("id") % 5).cast("int"))
+        .alias("c"),
+    )
+    vecs = base.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == F.col("c"), F.lit(1000.0)).otherwise(F.lit(0.0))
+            + (F.col("vec_id") % 7).cast("double") * 0.001,
+        ).alias("embedding"),
+    ).select("vec_id", "embedding")
+
+    seeds1 = kmeans_parallel_init(vecs.repartition(1), k=5, rounds=3)
+    seeds13 = kmeans_parallel_init(vecs.repartition(13), k=5, rounds=3)
+    assert seeds1 == seeds13, "init must be partitioning-invariant"
+
+    def cluster_of(vec):
+        return max(range(4), key=lambda i: vec[i]) if max(vec) > 500 else None
+
+    seeded_clusters = {cluster_of(s) for s in seeds1}
+    assert len(seeded_clusters) >= 4, f"seeds missed clusters: {seeded_clusters}"
+
+    assigned, centroids, n_iter = kmeans_lloyd(
+        vecs, k=5, max_iter=10, tol=0.0, init=seeds1
+    )
+    # every true cluster ends owned by exactly one centroid
+    got = (
+        assigned.select("cid", (F.col("vec_id") % 5).alias("true_c"))
+        .where(F.col("vec_id") >= 40)
+        .distinct()
+        .groupBy("true_c")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in got)
+    assert n_iter <= 10
