@@ -222,7 +222,14 @@ _PRIORITY: list[str] = [
     # rollup, referenda/treasury/bounty walks; the democracy pallet query
     # stays locally oracle-verified every session)
     "xcmtransfers_wide",
-    "evm_accounts_daily",
+    # evm_accounts_daily: green r5, demoted mid-r6 for
+    # ann_ivf_trained_search — its J9 anti-join shape stays repped
+    # in-window by tpch_q21_waiting_suppliers and the EVM surface keeps
+    # evm_decoded_transfers + evm_precompile_calls; locally
+    # oracle-verified every session
+    # r6: end-to-end trained-IVF ANN (kmeans_lloyd quantizer training ->
+    # cell assignment -> nprobe probe -> raw-cosine rerank)
+    "ann_ivf_trained_search",
     "balances_day_lifecycle",
     "xcm_messages_published",
     # snapshots_pricefeed: green r4, demoted mid-r5 for

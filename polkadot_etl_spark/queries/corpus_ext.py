@@ -1788,3 +1788,157 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("min_doc_id"),
     )
+
+
+@query(
+    "ann_ivf_trained_search",
+    oracle=f"""
+WITH delt AS (
+  SELECT vec_id, CAST(vec_id % 5 AS INTEGER) AS cid, pos - 1 AS pos,
+         CAST(raw AS DOUBLE) * 0.001
+           + CASE WHEN pos - 1 = vec_id % 5 THEN 1000.0 ELSE 0.0 END AS val
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS raw FROM embeddings)
+),
+cent AS (
+  SELECT cid, pos,
+         CAST(CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS c
+  FROM delt GROUP BY cid, pos
+),
+dist AS (
+  SELECT q.vec_id AS query_id, c.cid AS cell,
+         SUM((q.val - c.c) * (q.val - c.c)) AS d2
+  FROM delt q JOIN cent c ON q.pos = c.pos
+  WHERE q.vec_id < 8
+  GROUP BY q.vec_id, c.cid
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, cell ASC)
+             AS prn
+    FROM dist) WHERE prn <= 2
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         CAST(e.vec_id % 5 AS INTEGER) AS cell
+  FROM probe p JOIN embeddings e ON CAST(e.vec_id % 5 AS INTEGER) = p.cell
+  WHERE e.vec_id != p.query_id
+),
+scored AS (
+  SELECT t.query_id, t.neighbor_id, t.cell,
+         ROUND({_DOT} / SQRT({_QN} * {_CN}), 6) AS cosine
+  FROM (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+               q.embedding AS q_emb, n.embedding AS c_emb
+        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                  JOIN embeddings n ON n.vec_id = cand.neighbor_id) t
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rnk,
+       neighbor_id, cell, cosine, CAST(2 AS INTEGER) AS n_iter
+FROM scored
+QUALIFY rnk <= 3
+""",
+    doc="End-to-end trained-IVF ANN search — the composition the "
+    "one-step pieces gate separately (ivf_centroid_update assign+"
+    "update, ann_lsh_bucketed bucket probing, semdedup_prune cell "
+    "structure): TRAIN the coarse quantizer by running "
+    "operators.kmeans.kmeans_lloyd to convergence on the displaced "
+    "corpus (the oracle pins n_iter=2, so convergence regressions "
+    "fail), ASSIGN every vector to its cell, PROBE the nprobe=2 "
+    "nearest cells per query (squared-L2 against the trained "
+    "centroids, cell-asc tie-break), and RERANK candidates inside the "
+    "probed cells with the TRUE metric — cosine over the raw "
+    "embeddings, the standard IVF re-scoring step — keeping top-3 per "
+    "query on (round-6 cosine DESC, neighbor ASC). 100 TB shape: "
+    "centroids are bounded driver state broadcast per round; the probe "
+    "is a broadcast crossJoin against a k-row dim; candidates form a "
+    "broadcast-gated equi-join on cell id so the quadratic term is "
+    "bounded by nprobe x cell size, never corpus x corpus; the rerank "
+    "windows partition per query.",
+    tags=("similarity", "iterative", "pipeline"),
+)
+def ann_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.kmeans import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    disp = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * F.lit(0.001)
+            + F.when(i == (vid % 5).cast("int"), F.lit(1000.0)).otherwise(F.lit(0.0)),
+        ).alias("demb"),
+    )
+    assigned, centroids, n_iter = kmeans_lloyd(
+        disp, vec_col="demb", id_col="vec_id", k=5, max_iter=10, tol=0.0
+    )
+
+    cents = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)], "cell INT, cvec ARRAY<DOUBLE>"
+    )
+    q = disp.where(vid < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("qd")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qd, cvec, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "cell", d2.alias("d2"))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= 2)
+        .select("query_id", "cell")
+    )
+
+    cand = (
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "cid")
+        .join(F.broadcast(probed), F.col("cid") == F.col("cell"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell")
+    )
+    qraw = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    nraw = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    j = cand.join(F.broadcast(qraw.where(F.col("query_id") < 8)), "query_id").join(
+        nraw, "neighbor_id"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    cn = F.expr(
+        "aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        "cell",
+        F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            "cell",
+            "cosine",
+            F.lit(n_iter).cast("int").alias("n_iter"),
+        )
+    )

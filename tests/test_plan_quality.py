@@ -708,3 +708,16 @@ def test_assethub_price_log_one_window_exchange(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_ann_ivf_trained_search_is_broadcast_gated(spark):
+    """The trained-IVF search never forms corpus x corpus: the probe is
+    a broadcast cross against the k-row centroid dim, candidate
+    selection is a broadcast-gated equi-join on cell id, and the
+    queries' raw vectors broadcast into the rerank — no
+    CartesianProduct, no Python, no SortMergeJoin."""
+    plan = _plan(spark, "ann_ivf_trained_search")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
