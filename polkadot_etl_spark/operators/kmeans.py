@@ -106,7 +106,12 @@ def assign_nearest_broadcast(
     side, explicitly broadcast) + fold-left HOF dot + one id-keyed
     argmax shuffle + one join back to df on ``id_col``. Same squared-L2
     score and lowest-cid tie-break as the literal form (cross-validated
-    in tests/test_operators.py)."""
+    in tests/test_corpus_ext.py test_kmeans_assignment_forms_agree).
+
+    CONTRACT: ``id_col`` must be a unique, non-null row key (it is the
+    join-back key) — a NULL id would silently drop its row here while
+    the literal form keeps it, and duplicate ids would fan out. The
+    same contract a vector primary key already satisfies."""
     spark = df.sparkSession
     cents = spark.createDataFrame(
         [(j, [float(v) for v in c]) for j, c in enumerate(centroids)],
@@ -142,7 +147,9 @@ def assign_nearest(
     """Form-selecting assignment: literal-inline zero-shuffle expression
     for k ≤ K_LITERAL_MAX, broadcast-centroid join above it. Both forms
     produce identical (id, cid) results; only the physical plan
-    differs."""
+    differs. ``id_col`` must be a unique non-null key (see
+    assign_nearest_broadcast's contract — the literal form ignores it,
+    the broadcast form joins on it)."""
     if len(centroids) <= K_LITERAL_MAX:
         return assign_nearest_literal(df, centroids, vec_col)
     return assign_nearest_broadcast(df, centroids, vec_col, id_col)
@@ -267,15 +274,21 @@ def kmeans_parallel_init(
     candidates on the driver (bounded state, like the centroid matrix
     itself).
 
-    Per round: one broadcast-centroid distance pass + one bounded
+    Per round: ONE broadcast-centroid distance pass (persisted — the
+    cost total and the candidate filter both read it) + one bounded
     collect of new candidates — no shuffle grows with k, no k passes.
+    The driver-side prune is an UNWEIGHTED farthest-first traversal —
+    a documented simplification of the paper's weighted reclustering,
+    adequate at the <= rounds*oversample*k candidate scale because the
+    traversal only needs spread, not balance; the Lloyd iterations
+    that follow own refinement.
     """
     seed_row = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(1).collect()
     if not seed_row:
         raise ValueError("empty input")
     cands: list[list[float]] = [[float(v) for v in seed_row[0][1]]]
     for r in range(1, rounds + 1):
-        scored = _sq_dist_to_nearest(df, cands, vec_col, id_col)
+        scored = _sq_dist_to_nearest(df, cands, vec_col, id_col).persist()
         # cost = sum d2; P(pick x) = min(1, oversample*k*d2/cost);
         # md5 draw: first 12 hex chars of md5("<round>|<id>") / 16^12
         draw = (
@@ -288,6 +301,7 @@ def kmeans_parallel_init(
         )
         total = scored.agg(F.sum("d2").alias("c")).collect()[0]["c"]
         if not total or total <= 0.0:
+            scored.unpersist()
             break  # every point coincides with a candidate
         p = F.least(F.lit(1.0), F.lit(oversample * k) * F.col("d2") / F.lit(float(total)))
         new = (
@@ -297,10 +311,11 @@ def kmeans_parallel_init(
             .limit(int(oversample * k) * 4)  # bounded driver state
             .collect()
         )
+        scored.unpersist()
         cands.extend([float(v) for v in row[1]] for row in new)
-    # prune to k: farthest-first traversal (deterministic; ties -> the
-    # earlier candidate), the standard reclustering stand-in at this
-    # candidate scale
+    # prune to k: unweighted farthest-first traversal (deterministic;
+    # ties -> the earlier candidate) — see the docstring for why this
+    # stands in for the paper's weighted reclustering here
     chosen = [cands[0]]
     while len(chosen) < k and len(chosen) < len(cands):
         best, best_d = None, -1.0

@@ -216,7 +216,17 @@ class GarParser:
         Input extrinsics frame: (section, method, params JSON, events
         JSON array of {section, method, data}). Everything is native
         JSON column work; the gate is the same broadcast dim as
-        parse_xc_gar; rows publish with source='augment'."""
+        parse_xc_gar; rows publish with source='augment'.
+
+        Assets-pallet chains only (numeric currency ids — the chains the
+        reference wires augment on: clover, origintrail, robonomics's
+        comment block); ORML CurrencyId-object chains would need a
+        currency-canonicalizing local side and are rejected loudly."""
+        if self.xc_join_on != "asset_id":
+            raise NotImplementedError(
+                f"{self.parser_name}: xTokens augment supports "
+                "assets-pallet (numeric id) chains only"
+            )
         ev_arr = F.from_json(F.col("events"), "array<string>")
         xt = F.filter(
             ev_arr,
@@ -672,7 +682,6 @@ class AstarGarParser(GarParser):
     xc_gar_pallet = "xcAssetConfig"
     xc_gar_storage = "assetIdToLocation"
     native_tokens = [("ASTR", 18)]
-    NATIVE_LOCATION_X1 = True  # [{parachain:<self>}] manual interior
 
     def _xc_location(self, entries: DataFrame) -> DataFrame:
         return _numeric_xc_location(entries)

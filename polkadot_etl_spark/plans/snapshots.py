@@ -142,6 +142,13 @@ class ChainSnapshotter:
     chain_decimals = 10
     source = "polkaholic"  # setSnapshotSource (snapshot/hydradx.js:25)
 
+    def _decimalized(self, c: Column) -> Column:
+        """dechexToInt(v) / 10**chainDecimals as a double. The exact
+        decimal STRING parses into a double before ONE IEEE division,
+        so both engines see identical values (decimal→double direct
+        casts differ by 1 ulp across engines)."""
+        return _dechex_str(c).cast("double") / F.lit(float(10**self.chain_decimals))
+
     def _rows(self, obs: DataFrame, *, section: str, storage: str, block: dict,
               **kw) -> DataFrame:
         return snapshot_rows(
@@ -433,9 +440,6 @@ class AstarSnapshotter(ChainSnapshotter):
              "chain_name": "Astar"}
     chain_decimals = 18
 
-    def _decimalized(self, c: Column) -> Column:
-        return _dechex_str(c).cast("double") / F.lit(float(10**self.chain_decimals))
-
     def staker_info(self, entries: DataFrame) -> DataFrame:
         """dappStaking.stakerInfo → one typed row per (staker, dApp):
         key = [ss58, {"Evm"/"Wasm": address}], value = {staked:
@@ -628,9 +632,6 @@ class RelaySnapshotter(ChainSnapshotter):
              "chain_name": "Polkadot"}
     chain_decimals = 10
 
-    def _decimalized(self, c: Column) -> Column:
-        return _dechex_str(c).cast("double") / F.lit(float(10**self.chain_decimals))
-
     def _track_name(self, track_id: Column) -> Column:
         return F.element_at(_map_lit(_OPENGOV_TRACKS), track_id.cast("int"))
 
@@ -812,7 +813,9 @@ class RelaySnapshotter(ChainSnapshotter):
             self._track_name(F.col("track_id")).alias("track"),
             votes.alias("delegations_votes"),
             capital.alias("delegations_capital"),
-            F.when(votes > 0, F.round(votes / capital, 4))
+            # guard capital > 0 too: junk delegations {votes>0,
+            # capital:0} would otherwise emit Infinity
+            F.when((votes > 0) & (capital > 0), F.round(votes / capital, 4))
             .otherwise(F.lit(0.0))
             .alias("avg_conviction"),
             F.coalesce(F.col("delegators_cnt"), F.lit(0)).cast("long").alias(
@@ -832,6 +835,10 @@ class RelaySnapshotter(ChainSnapshotter):
         m = F.from_json(F.col("value"), "map<string,string>")
         status = F.element_at(F.map_keys(m), 1)
         detail = F.element_at(F.map_values(m), 1)
+        # killed rows deliberately carry NO moment: the reference's
+        # closed-branch guard excludes killed too (polkadot.js:61
+        # `referendumStatus != 'ongoing' && != 'killed'`), so the kill
+        # block at detail[0] is dropped there as well — parity, not loss
         closed = status.isin("ongoing", "killed") == F.lit(False)
         dep = F.get_json_object(detail, "$[1]")
         sub = F.get_json_object(detail, "$.submissionDeposit")
@@ -905,8 +912,13 @@ class RelaySnapshotter(ChainSnapshotter):
         erasTotalStake, totalIssuance, counterForNominators,
         counterForValidators, validatorCount, counterForBondedPools,
         counterForPoolMembers."""
-        era = singletons.where(F.col("name") == "currentEra").select(
-            F.col("value").cast("long").alias("__era")
+        # aggregate to exactly ONE era row: a missing currentEra yields a
+        # NULL era (metrics still surface, visibly era-less) and
+        # duplicated singleton fetches cannot double the metric rows
+        era = singletons.agg(
+            F.max(
+                F.when(F.col("name") == "currentEra", F.col("value").cast("long"))
+            ).alias("__era")
         )
         balances = ("erasTotalStake", "totalIssuance")
         metric = F.when(

@@ -37,16 +37,25 @@ def validate_bigint(c: Column) -> Column:
     return F.when(ok, dec).otherwise(F.lit(0).cast("decimal(38,0)"))
 
 
-def _newest_per_key(obs: DataFrame, keys: list[str], bn_col: str) -> DataFrame:
+def _newest_per_key(
+    obs: DataFrame, keys: list[str], bn_col: str, prefer: tuple[str, ...] = ()
+) -> DataFrame:
     """One surviving observation per key: highest block number wins.
-    Equal-BN ties break on the payload columns themselves (name-sorted,
-    descending) — on a finalized chain equal BN means equal state, but
+    ``prefer`` columns rank immediately after the block number (e.g. an
+    origin flag so the CURRENT stored row survives an equal-BN
+    observation — "replace only when newer"). Remaining equal ties
+    break on the payload columns themselves (name-sorted, descending) —
+    on a finalized chain equal BN means equal state, but
     junk/duplicated RPC batches can carry CONFLICTING same-BN payloads,
     and a bare row_number over BN alone would pick a partition-order-
     dependent winner."""
-    payload = sorted(c for c in obs.columns if c not in keys and c != bn_col)
+    payload = sorted(
+        c for c in obs.columns if c not in keys and c != bn_col and c not in prefer
+    )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(bn_col).desc(), *[F.col(c).desc() for c in payload]
+        F.col(bn_col).desc(),
+        *[F.col(c).desc() for c in prefer],
+        *[F.col(c).desc() for c in payload],
     )
     return (
         obs.withColumn("__rn", F.row_number().over(w))
@@ -96,5 +105,14 @@ def upsert_nft_metadata(current: DataFrame, observations: DataFrame) -> DataFram
     indexer.js:2936-2938). Columns: asset, token_id, holder, meta,
     token_uri, free, last_update_bn."""
     cols = ["asset", "token_id", "holder", "meta", "token_uri", "free", "last_update_bn"]
-    unioned = current.select(*cols).unionByName(observations.select(*cols))
-    return _newest_per_key(unioned, ["asset", "token_id"], "last_update_bn")
+    # origin flag: an observation at the SAME block as the stored row
+    # must NOT replace it (replace only when strictly newer); the flag
+    # ranks right after the block number in the survivor window
+    unioned = (
+        current.select(*cols)
+        .withColumn("__origin", F.lit(1))
+        .unionByName(observations.select(*cols).withColumn("__origin", F.lit(0)))
+    )
+    return _newest_per_key(
+        unioned, ["asset", "token_id"], "last_update_bn", prefer=("__origin",)
+    ).drop("__origin")

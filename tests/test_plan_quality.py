@@ -697,7 +697,10 @@ def test_relay_opengov_two_exchanges_no_python(spark):
     plan = _plan(spark, "snapshots_relay_opengov")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    # 3 = delegatee groupBy + the full-outer stats merge + the
+    # currentEra singleton aggregate (one-row agg so a missing or
+    # duplicated era fetch can't erase or double the metric rows)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
 
 

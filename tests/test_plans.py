@@ -2438,3 +2438,58 @@ def test_relay_delegatee_rollup_merge_shapes(spark):
     assert got["vT"].delegators == "vB,vC,vD" and got["vT"].delegators_cnt == 3
     assert got["vD"].delegations_votes == 9.0
     assert got["vD"].avg_conviction == 1.5
+
+
+def test_nft_upsert_equal_bn_keeps_current(spark):
+    """Replace only when strictly newer: an observation at the SAME
+    block as the stored row must not replace it, regardless of how its
+    payload sorts; a strictly newer observation still wins."""
+    from polkadot_etl_spark.plans.token_metadata import upsert_nft_metadata
+
+    schema = ("asset string, token_id long, holder string, meta string, "
+              "token_uri string, free string, last_update_bn long")
+    cur = spark.createDataFrame([("a", 1, "x", "m", "u", "f", 10)], schema)
+    obs = spark.createDataFrame(
+        [("a", 1, "z", "m2", "u2", "f2", 10),   # same bn: must lose
+         ("a", 2, "w", "m3", "u3", "f3", 5)],   # unseen token: inserts
+        schema,
+    )
+    got = {r.token_id: r.holder for r in upsert_nft_metadata(cur, obs).collect()}
+    assert got == {1: "x", 2: "w"}
+    newer = spark.createDataFrame([("a", 1, "z", "m2", "u2", "f2", 11)], schema)
+    got2 = {r.token_id: r.holder for r in upsert_nft_metadata(cur, newer).collect()}
+    assert got2 == {1: "z"}
+
+
+def test_relay_staking_info_missing_or_duplicate_era(spark):
+    """A missing currentEra singleton must surface metrics with a NULL
+    era (not silently drop the whole track); a duplicated fetch must
+    not double the rows; and junk delegations {votes>0, capital:0}
+    yield avg_conviction 0, never Infinity."""
+    from polkadot_etl_spark.plans.snapshots import RelaySnapshotter
+
+    snap = RelaySnapshotter()
+    no_era = spark.createDataFrame(
+        [("totalIssuance", "50000000000"), ("validatorCount", "600")],
+        "name string, value string",
+    )
+    rows = {r.metric: r for r in snap.staking_info(no_era).collect()}
+    assert set(rows) == {"totalIssuance", "validatorCount"}
+    assert all(r.era is None for r in rows.values())
+
+    dup_era = spark.createDataFrame(
+        [("currentEra", "7"), ("currentEra", "7"), ("validatorCount", "600")],
+        "name string, value string",
+    )
+    out = snap.staking_info(dup_era).collect()
+    assert len(out) == 1 and out[0].era == 7
+
+    junk = spark.createDataFrame(
+        [('["vJ", 1]',
+          '{"casting":{"votes":[],"delegations":{"votes":"50000000000",'
+          '"capital":"0"},"prior":[0,0]}}')],
+        "key_args string, value string",
+    )
+    d = snap.delegatees(junk).collect()
+    assert len(d) == 1
+    assert d[0].avg_conviction == 0.0 and d[0].delegations_votes == 5.0
