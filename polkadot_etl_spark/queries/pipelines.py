@@ -5079,10 +5079,14 @@ def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('","conviction":"'), conv_name,
         F.lit('","delegations":{"votes":0,"capital":0},"prior":[0,0]}}'),
     )
+    # materialize the synthesized votingFor walk ONCE: four consumers
+    # (per-poll votes, casting summaries, delegating rows, and the
+    # delegatee rollup's two branches) would otherwise each re-run the
+    # scan + JSON synthesis subtree (semdedup_prune precedent)
     voting_for = cu.select(
         key_args.alias("key_args"),
         F.when(k % 3 == 0, casting_val).otherwise(delegating_val).alias("value"),
-    )
+    ).localCheckpoint(eager=True)
 
     votes_df = snap.casting_votes(voting_for).select(
         F.lit("voter").alias("kind"),
