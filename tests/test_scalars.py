@@ -240,3 +240,55 @@ def test_xtokens_augment_rules(spark):
         ('{"Token":"3"}', "CL3", x2 % (2293, 53), "augment"),
         ('{"Token":"6"}', "CL6", x2 % (2296, 56), "augment"),
     ]
+
+
+def test_xtokens_augment_zip_alignment_matrix(spark):
+    """Positional-zip alignment under every slot-validity combination in
+    ONE multicurrencies extrinsic: a slot links iff BOTH its currency
+    parses to a known id AND its event asset is concrete fungible —
+    and invalid slots never shift later pairs (the reference keeps
+    `false` placeholders for exactly this reason,
+    common_chainparser.js:1148-1203)."""
+    from polkadot_etl_spark.plans.garparsers import CloverGarParser
+
+    gar = spark.createDataFrame(
+        [(f'["{i}"]', '{"symbol":"CL%d","name":"C","decimals":10}' % i)
+         for i in (1, 2, 3, 4, 5)],
+        "key_args string, value string",
+    )
+    x2 = ('{"parents":1,"interior":{"X2":[{"Parachain":%d},'
+          '{"GeneralIndex":%d}]}}')
+    conc = '{"id":{"concrete":%s},"fun":{"fungible":9}}'
+    # slots:           currency side          asset side           links?
+    # 0: known 1       concrete (2401,1)                           yes
+    # 1: UNKNOWN 99    concrete (2402,2)                           no (gate)
+    # 2: known 2       here/null id                                no (native)
+    # 3: known {"Token":"3"}  concrete (2404,4)                    yes (object form)
+    # 4: null currency concrete (2405,5)                           no
+    # 5: known 4       NON-fungible (no fun.fungible)              no
+    # 6: known 5       MISSING asset slot (shorter array)          no
+    currencies = '[[1,9],[99,9],[2,9],[{"Token":"3"},9],[null,9],[4,9],[5,9]]'
+    assets = "[%s]" % ",".join([
+        conc % (x2 % (2401, 1)),
+        conc % (x2 % (2402, 2)),
+        '{"id":{"null":null},"fun":{"fungible":1}}',
+        conc % (x2 % (2404, 4)),
+        conc % (x2 % (2405, 5)),
+        '{"id":{"concrete":%s},"fun":{"nonFungible":1}}' % (x2 % (2406, 6)),
+    ])
+    ev = ('{"section":"xTokens","method":"TransferredMultiAssets",'
+          '"data":["s",%s,{},{}]}' % assets)
+    ext = spark.createDataFrame(
+        [("xTokens", "transferMulticurrencies",
+          '{"currencies":%s}' % currencies, "[%s]" % ev)],
+        "section string, method string, params string, events string",
+    )
+    p = CloverGarParser()
+    got = sorted(
+        (r.currency_id, r.multilocation)
+        for r in p.augment_from_xtokens(ext, p.parse_gar(gar)).collect()
+    )
+    assert got == [
+        ('{"Token":"1"}', x2 % (2401, 1)),
+        ('{"Token":"3"}', x2 % (2404, 4)),
+    ]
