@@ -2493,3 +2493,53 @@ def test_relay_staking_info_missing_or_duplicate_era(spark):
     d = snap.delegatees(junk).collect()
     assert len(d) == 1
     assert d[0].avg_conviction == 0.0 and d[0].delegations_votes == 5.0
+
+
+def test_bigquery_publish_contract(spark):
+    """The bq load / bq query command contract matches the reference's
+    invocations byte-for-byte in shape (substrateetl.js:713, 1513,
+    3837, 298): NDJSON source format, day partition decorator,
+    hourly-grain partitioning flags, --replace idempotence — and the
+    live connector binding env-gates with a clear error."""
+    import pytest
+
+    from polkadot_etl_spark.sources.bigquery import (
+        bq_load_command,
+        bq_query_command,
+        connector_available,
+        partition_decorator,
+        read_table,
+    )
+
+    assert partition_decorator("chains.blocks0", "2024-01-31") == (
+        "chains.blocks0$20240131"
+    )
+    cmd = bq_load_command(
+        "substrate.balances0",
+        "/tmp/balances.json",
+        "schema/substrateetl/balances.json",
+        project_id="p1",
+        day="2024-01-31",
+    )
+    assert cmd == [
+        "bq", "load", "--project_id=p1", "--max_bad_records=10",
+        "--source_format=NEWLINE_DELIMITED_JSON", "--replace=true",
+        "substrate.balances0$20240131", "/tmp/balances.json",
+        "schema/substrateetl/balances.json",
+    ]
+    hourly = bq_load_command(
+        "polkadot_hourly.t", "f", "s", project_id="p1",
+        time_partitioning_field="ts", hourly=True,
+    )
+    assert "--time_partitioning_type=HOUR" in hourly
+    assert "--time_partitioning_field=ts" in hourly
+    q = bq_query_command(
+        "d.balances0$20240131", "select *\n from t\n where x = 1",
+        project_id="p1", time_partitioning_field="ts",
+    )
+    assert "--replace" in q and "--use_legacy_sql=false" in q
+    assert q[-1] == "select * from t where x = 1"  # removeNewLine parity
+
+    assert connector_available(spark) is False  # sandbox has no jar
+    with pytest.raises(NotImplementedError, match="connector"):
+        read_table(spark, "d.t", "p1")
