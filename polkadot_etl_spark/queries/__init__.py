@@ -231,7 +231,12 @@ _PRIORITY: list[str] = [
     # cell assignment -> nprobe probe -> raw-cosine rerank)
     "ann_ivf_trained_search",
     "balances_day_lifecycle",
-    "xcm_messages_published",
+    # xcm_messages_published: green r4+r5, demoted mid-r6 for
+    # dune_freshness_alerts (XCM keeps xcm_remote_transact,
+    # xcm_trace_spans and xcmtransfers_wide in-window; the published
+    # contract stays locally oracle-verified every session)
+    # r6: the Dune freshness monitor (sources/dune.py staleness_report)
+    "dune_freshness_alerts",
     # snapshots_pricefeed: green r4, demoted mid-r5 for
     # snapshots_hydradx_omnipool (the generic snapshot_rows contract it
     # exercised runs inside both in-window snapshot queries)

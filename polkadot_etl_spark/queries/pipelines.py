@@ -5413,3 +5413,88 @@ def assethub_price_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("index_ts", "asset", "price_usd", "volume_usd", "price_dot")
     )
+
+
+@query(
+    "dune_freshness_alerts",
+    oracle="""
+WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+             WHERE o_orderkey < 200),
+f AS (
+  SELECT k,
+         CASE k % 4 WHEN 0 THEN 'stakings' WHEN 1 THEN 'ingestions'
+                    WHEN 2 THEN 'snapshots' ELSE 'balances' END AS feed,
+         CASE WHEN k % 4 = 0 THEN
+                CASE k % 3 WHEN 0 THEN 'kusama' WHEN 1 THEN 'polkadot'
+                           ELSE 'chain' || (k % 7) END
+              ELSE 'chain' || (k % 7) END AS chain_id,
+         -- lag = (k%120) hours + 40min (even k, rounds UP) or 20min
+         -- (odd k, rounds DOWN): the analytic form of Math.round(lag/1h)
+         (k % 120) + (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS hours_stale
+  FROM src WHERE k % 31 != 0
+),
+a AS (
+  SELECT *,
+         CASE WHEN feed = 'stakings' THEN
+                CASE chain_id WHEN 'kusama' THEN 24
+                              WHEN 'polkadot' THEN 72 END
+              WHEN feed = 'ingestions' THEN 3
+              WHEN feed = 'snapshots' THEN 27
+              ELSE 25 END AS thr
+  FROM f
+)
+SELECT feed, chain_id, CAST(hours_stale AS BIGINT) AS hours_stale,
+       CASE WHEN feed IN ('stakings', 'ingestions')
+            THEN chain_id || ' (' || hours_stale || ' hrs)'
+            ELSE chain_id || ' (' || hours_stale || ' hours old)'
+       END AS message
+FROM a WHERE thr IS NOT NULL AND hours_stale > thr
+""",
+    doc="The Dune freshness monitor (substrate/dune.js:21-159 "
+    "get_slowStakings/Ingestions/Snapshots/Balances via "
+    "sources/dune.py staleness_report): four pulled feeds become "
+    "per-chain staleness checks — hours = Math.round of the lag "
+    "(half-up pinned by 40-vs-20-minute offsets), stakings alerts ONLY "
+    "for kusama > 24h / polkadot > 72h (other chains in that feed "
+    "never alert), flat thresholds for ingestions (3h) / snapshots "
+    "(27h) / balances (25h), NULL last-seen rows skipped, and the "
+    "reference's TWO message formats preserved ('(N hrs)' vs '(N "
+    "hours old)'). The wall-clock `currentTime` is an explicit as_of "
+    "so the check replays deterministically. Pure column math, zero "
+    "shuffle; the oracle derives every alert analytically.",
+    tags=("pipeline", "filter", "functions"),
+)
+def dune_freshness_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.sources.dune import staleness_report
+
+    as_of = "1998-06-01 00:00:00"
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+    )
+    k = F.col("k")
+    feed = (
+        F.when(k % 4 == 0, F.lit("stakings"))
+        .when(k % 4 == 1, F.lit("ingestions"))
+        .when(k % 4 == 2, F.lit("snapshots"))
+        .otherwise(F.lit("balances"))
+    )
+    other_chain = F.concat(F.lit("chain"), (k % 7).cast("string"))
+    chain = F.when(
+        k % 4 == 0,
+        F.when(k % 3 == 0, F.lit("kusama"))
+        .when(k % 3 == 1, F.lit("polkadot"))
+        .otherwise(other_chain),
+    ).otherwise(other_chain)
+    lag_s = (k % 120) * 3600 + F.when(k % 2 == 0, F.lit(2400)).otherwise(F.lit(1200))
+    last_seen = F.when(
+        k % 31 != 0,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit(as_of).cast("timestamp")) - lag_s
+        ),
+    )  # k%31==0 rows carry NULL: the monitor must skip them
+    feeds = od.select(
+        feed.alias("feed"), chain.alias("chain_id"), last_seen.alias("last_block_time")
+    )
+    return staleness_report(feeds, as_of)

@@ -724,3 +724,12 @@ def test_ann_ivf_trained_search_is_broadcast_gated(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dune_freshness_is_pure_column_math(spark):
+    """The staleness monitor is a map-side projection + filter — zero
+    Exchange, zero Python, zero Join."""
+    plan = _plan(spark, "dune_freshness_alerts")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)

@@ -2543,3 +2543,23 @@ def test_bigquery_publish_contract(spark):
     assert connector_available(spark) is False  # sandbox has no jar
     with pytest.raises(NotImplementedError, match="connector"):
         read_table(spark, "d.t", "p1")
+
+
+def test_dune_connector_contracts(spark):
+    """The result-pull URL and the CSV upload payload match the
+    reference's invocations (dune.js:24, test/dune_upload.js:16-30)."""
+    from polkadot_etl_spark.sources.dune import (
+        dune_result_csv_url,
+        upload_payload,
+    )
+
+    assert dune_result_csv_url(4004540) == (
+        "https://api.dune.com/api/v1/query/4004540/results/csv?limit=1000"
+    )
+    p = upload_payload("polkadot_stakings", "Polkadot stakings info", "a,b\n1,2")
+    assert p == {
+        "table_name": "polkadot_stakings",
+        "description": "Polkadot stakings info",
+        "is_private": False,
+        "data": "a,b\n1,2",
+    }
