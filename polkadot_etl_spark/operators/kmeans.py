@@ -270,9 +270,10 @@ def kmeans_parallel_init(
     md5-threshold draw — md5(round || id) as a uniform in [0, 1) —
     so the same inputs produce the same seeds at ANY partitioning
     (a rand()-based draw would not be reproducible). The final prune is
-    a weighted farthest-first traversal over the ≤ rounds·oversample·k
-    candidates on the driver (bounded state, like the centroid matrix
-    itself).
+    an UNWEIGHTED farthest-first traversal over the
+    ≤ rounds·oversample·k candidates on the driver (bounded state, like
+    the centroid matrix itself) — see below for why unweighted
+    suffices here.
 
     Per round: ONE broadcast-centroid distance pass (persisted — the
     cost total and the candidate filter both read it) + one bounded

@@ -84,7 +84,10 @@ def bq_query_command(
         cmd += ["--time_partitioning_field", time_partitioning_field]
     if replace:
         cmd.append("--replace")
-    cmd += ["--use_legacy_sql=false", " ".join(sql.split())]
+    # newline replacement ONLY (paraTool.removeNewLine parity) — a
+    # whitespace-collapsing normalization would also rewrite runs of
+    # spaces INSIDE quoted SQL string literals
+    cmd += ["--use_legacy_sql=false", sql.replace("\r", " ").replace("\n", " ")]
     return cmd
 
 
@@ -93,9 +96,12 @@ def connector_available(spark: SparkSession) -> bool:
     classpath (it is not in this sandbox — same environment gate as
     jdbc.py's live-DB path)."""
     try:
-        # Class.forName raises for a missing jar; a bare _jvm attribute
-        # access would lazily return a JavaPackage and never fail
-        spark._jvm.java.lang.Class.forName(
+        # resolve through the CONTEXT classloader: jars added at runtime
+        # (--jars / --packages / spark.jars) are visible there but NOT
+        # to java.lang.Class.forName's system classloader; a bare _jvm
+        # attribute access would lazily return a JavaPackage and never
+        # fail at all
+        spark._jvm.Thread.currentThread().getContextClassLoader().loadClass(
             "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
         )
         return True

@@ -2534,11 +2534,13 @@ def test_bigquery_publish_contract(spark):
     assert "--time_partitioning_type=HOUR" in hourly
     assert "--time_partitioning_field=ts" in hourly
     q = bq_query_command(
-        "d.balances0$20240131", "select *\n from t\n where x = 1",
+        "d.balances0$20240131", "select *\n from t\n where name = 'a  b'",
         project_id="p1", time_partitioning_field="ts",
     )
     assert "--replace" in q and "--use_legacy_sql=false" in q
-    assert q[-1] == "select * from t where x = 1"  # removeNewLine parity
+    # removeNewLine parity: newlines -> spaces ONLY; spacing inside the
+    # quoted literal must survive untouched
+    assert q[-1] == "select *  from t  where name = 'a  b'"
 
     assert connector_available(spark) is False  # sandbox has no jar
     with pytest.raises(NotImplementedError, match="connector"):
