@@ -185,7 +185,11 @@ _PRIORITY: list[str] = [
     # pivot_event_counts: driver-green in r2, demoted for dedup_clusters
     # round-3 capability queries
     "dump_day_blocklog",
-    "evm_decoded_transfers",
+    # evm_decoded_transfers: green r3+r4+r5, demoted mid-r6 for its
+    # same-family successor evm_tx_jsonld — the REAL
+    # decode_token_calldata round trip runs INSIDE the JSON-LD export
+    # every round, which adds the EthOn document surface on top
+    "evm_tx_jsonld",
     # rewards_rollup: green r3 (and re-verified at sf0.1 by the full
     # oracle sweep this round), demoted mid-r4 for pallet_typed_views
     "pallet_typed_views",

@@ -735,3 +735,14 @@ def test_dune_freshness_is_pure_column_math(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
+def test_evm_jsonld_is_pure_projection(spark):
+    """The JSON-LD export is document formatting only — zero Exchange,
+    zero Join, zero Python. (Its oversized to_json projection falls
+    back to interpreted eval — documented in the query — but never to
+    row-pickling Python.)"""
+    plan = _plan(spark, "evm_tx_jsonld")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
