@@ -121,7 +121,10 @@ _PRIORITY: list[str] = [
     "snapshots_assethub_stablecoins",
     # mid-r4 additions: real RIFF/WAV codec surface, the reference's
     # audit_substrateetl cross-check, and the 15-metric addressTopN
-    "multimodal_audio_features",
+    # multimodal_audio_features: green r4+r5, demoted mid-r6 for
+    # winnowing_fingerprints — the real RIFF/WAV codec path re-runs
+    # inside audio_energy_hash_dedup (in-window) every round
+    "winnowing_fingerprints",
     "audit_row_counts",
     "address_topn_metrics",
     "ss58_codec_roundtrip",

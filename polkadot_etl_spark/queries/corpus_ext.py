@@ -1942,3 +1942,170 @@ def ann_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_iter).cast("int").alias("n_iter"),
         )
     )
+
+
+WINNOW_K = 4   # gram size (words)
+WINNOW_W = 5   # window of consecutive gram hashes
+WINNOW_CAP = 50        # max docs sharing a fingerprint before the
+WINNOW_MIN_SHARED = 3  # bucket drops (LSH-cap discipline); pair floor
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH wd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         len(words) - {WINNOW_K} + 1 AS n_grams,
+         i - 1 AS pos,
+         substr(md5(array_to_string(words[i:i + {WINNOW_K} - 1], ' ')), 1, 16)
+           AS h
+  FROM wd, UNNEST(range(1, len(words) - {WINNOW_K} + 2)) AS t(i)
+  WHERE len(words) >= {WINNOW_K}
+),
+keyed AS (
+  SELECT doc_id, n_grams, pos,
+         h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS k
+  FROM g
+),
+sel AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS sk
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         substr(sk, 1, 16) AS h,
+         1000000000 - CAST(substr(sk, 17, 10) AS BIGINT) AS fp_pos
+  FROM sel
+  WHERE pos <= n_grams - {WINNOW_W} OR (n_grams < {WINNOW_W} AND pos = 0)
+),
+doc_rows AS (
+  SELECT 'doc' AS kind, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM fp GROUP BY doc_id
+),
+bucket AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY h
+),
+ok AS (
+  SELECT fp.doc_id, fp.h FROM fp JOIN bucket USING (h)
+  WHERE bucket.n_docs <= {WINNOW_CAP}
+),
+pair_rows AS (
+  SELECT 'pair', a.doc_id, b.doc_id, CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT DISTINCT doc_id, h FROM ok) a
+  JOIN (SELECT DISTINCT doc_id, h FROM ok) b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+),
+dropped_rows AS (
+  SELECT 'dropped_bucket', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM bucket WHERE n_docs > {WINNOW_CAP}
+)
+SELECT * FROM doc_rows
+UNION ALL SELECT * FROM pair_rows
+UNION ALL SELECT * FROM dropped_rows
+""",
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson, Aiken "
+    "— SIGMOD 2003, the MOSS algorithm): hash overlapping word "
+    f"{WINNOW_K}-grams, slide a window of {WINNOW_W} consecutive "
+    "hashes, and select each window's minimum with the RIGHTMOST "
+    "tie-break — the guarantee is every shared substring of length "
+    "k+w-1 shares a fingerprint, with far fewer stored hashes than "
+    "full shingling (the local-algorithm complement of "
+    "doc_fingerprint's global rolling hash and passage_dedup's exact "
+    "grams). The rightmost-min selection encodes as ONE min over "
+    "(hash ++ inverted-position) strings in a row-frame window, "
+    "identical in both engines; matching pairs join fingerprints on "
+    "hash under the LSH bucket-cap discipline (buckets wider than "
+    f"{WINNOW_CAP} docs drop VISIBLY as a dropped_bucket count row, "
+    "never silently). Output: per-doc fingerprint counts, doc pairs "
+    f"sharing >= {WINNOW_MIN_SHARED} fingerprints, and the dropped-"
+    "bucket audit row. 100 TB shape: selection is per-doc window math "
+    "(one doc-keyed Exchange), the pair join is bucket-capped "
+    "hash-equi — never corpus x corpus.",
+    tags=("dedup", "window", "functions"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    K, W = WINNOW_K, WINNOW_W
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    grams = F.expr(
+        f"transform(sequence(1, size(__w) - {K} + 1),"
+        f" i -> substring(md5(array_join(slice(__w, i, {K}), ' ')), 1, 16))"
+    )
+    g = (
+        d.select("doc_id", words.alias("__w"))
+        .where(F.size("__w") >= K)
+        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    )
+    key = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(1000000000) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    wcnt = Window.partitionBy("doc_id")
+    sel = g.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wcnt).alias("n_grams"),
+        F.min(key).over(wdoc).alias("sk"),
+    )
+    fp = (
+        sel.where(
+            (F.col("pos") <= F.col("n_grams") - W)
+            | ((F.col("n_grams") < W) & (F.col("pos") == 0))
+        )
+        .select(
+            "doc_id",
+            F.substring("sk", 1, 16).alias("h"),
+            (F.lit(1000000000) - F.substring("sk", 17, 10).cast("bigint")).alias(
+                "fp_pos"
+            ),
+        )
+        .distinct()
+    )
+    null_l = F.lit(None).cast("bigint")
+    doc_rows = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").alias("doc_a"),
+        null_l.alias("doc_b"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    bucket = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    ok = (
+        fp.join(F.broadcast(bucket.where(F.col("n_docs") <= WINNOW_CAP)), "h")
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a = ok.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ok.select(F.col("doc_id").alias("doc_b"), "h")
+    pair_rows = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= WINNOW_MIN_SHARED)
+        .select(
+            F.lit("pair").alias("kind"), "doc_a", "doc_b",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    dropped = (
+        bucket.where(F.col("n_docs") > WINNOW_CAP)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("dropped_bucket").alias("kind"),
+            null_l.alias("doc_a"), null_l.alias("doc_b"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    return doc_rows.unionByName(pair_rows).unionByName(dropped)

@@ -388,3 +388,78 @@ def test_kmeans_parallel_init_deterministic_and_spread(spark):
     )
     assert all(r["count"] == 1 for r in got)
     assert n_iter <= 10
+
+
+def test_winnowing_guarantee_and_rightmost_tiebreak(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a word run of length >= k + w - 1 MUST share at least one
+    fingerprint; and the selection is the RIGHTMOST minimal hash of
+    each window (pinned by comparing against an independent Python
+    winnower over the same md5 gram hashes)."""
+    import hashlib
+
+    from polkadot_etl_spark.queries import QUERIES
+    from polkadot_etl_spark.queries.corpus_ext import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+    import re as _re
+
+    pdf = QUERIES["winnowing_fingerprints"].build(spark, SF_DIR).toPandas()
+    pairs = {
+        (int(r.doc_a), int(r.doc_b)): int(r.n)
+        for r in pdf[pdf.kind == "pair"].itertuples()
+    }
+
+    def winnow(text):
+        ws = _re.findall(r"[a-z]+", text.lower())
+        grams = [
+            " ".join(ws[i : i + WINNOW_K])
+            for i in range(len(ws) - WINNOW_K + 1)
+        ]
+        hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+        if not hs:
+            return set()
+        sel = set()
+        n = len(hs)
+        starts = range(max(1, n - WINNOW_W + 1))
+        for s in starts:
+            win = hs[s : s + WINNOW_W]
+            m = min(win)
+            # rightmost occurrence of the minimum
+            j = max(i for i, h in enumerate(win) if h == m)
+            sel.add((s + j, m))
+        return sel
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    fps = {d: winnow(t) for d, t in docs.items()}
+    # per-doc counts match the independent winnower exactly
+    got_counts = {
+        int(r.doc_a): int(r.n) for r in pdf[pdf.kind == "doc"].itertuples()
+    }
+    expect_counts = {d: len(s) for d, s in fps.items() if s}
+    assert got_counts == expect_counts
+    # guarantee: any two docs sharing a (k+w-1)-word run share a hash
+    run_len = WINNOW_K + WINNOW_W - 1
+    doc_ids = sorted(docs)
+    runs = {}
+    for d in doc_ids:
+        ws = _re.findall(r"[a-z]+", docs[d].lower())
+        for i in range(len(ws) - run_len + 1):
+            runs.setdefault(" ".join(ws[i : i + run_len]), set()).add(d)
+    shared_hashes = lambda a, b: {h for _, h in fps[a]} & {h for _, h in fps[b]}  # noqa: E731
+    checked = 0
+    for run, ds in runs.items():
+        if len(ds) > 1:
+            ds = sorted(ds)
+            for x in ds[1:]:
+                assert shared_hashes(ds[0], x), (run, ds[0], x)
+                checked += 1
+        if checked > 50:
+            break
+    assert checked > 0, "fixture produced no shared runs to check"

@@ -746,3 +746,12 @@ def test_evm_jsonld_is_pure_projection(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
+def test_winnowing_selection_is_one_doc_exchange(spark):
+    """Fingerprint selection is per-doc window math (one doc-keyed
+    Exchange feeding both the count and the frame-min); the pair join
+    is a bucket-capped hash equi-join — no Python, no cartesian."""
+    plan = _plan(spark, "winnowing_fingerprints")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

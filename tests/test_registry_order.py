@@ -58,6 +58,9 @@ _DEMOTED_GREEN = {
     # (the PQ encode plan re-runs inside in-window ann_pq_adc_search)
     "bpe_encode_vocab",  # r4 green; slot went to evm_precompile_calls
     # (BPE family keeps bpe_pair_counts in-window)
+    "multimodal_audio_features",  # r4+r5 green; slot went to
+    # winnowing_fingerprints mid-r6 (the WAV codec path re-runs inside
+    # in-window audio_energy_hash_dedup every round)
     "multimodal_image_features",  # r4 green (full hash); slot went to
     # snapshots_assethub_stablecoins — the PNG codec path re-runs inside
     # in-window image_dhash_dedup every round
