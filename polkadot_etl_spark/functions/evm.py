@@ -247,12 +247,18 @@ def classify_evm_log(topics: list[str]) -> str | None:
 # ---------------------------------------------------------------------------
 
 # 4-byte selectors, equal to the reference's published literals
-# (ethTool.js:241-249, :270-282, :305-312) — asserted in tests.
-ERC20_SELECTORS = {
-    "transfer": compute_selector("transfer(address,uint256)"),  # 0xa9059cbb
-    "transferFrom": compute_selector("transferFrom(address,address,uint256)"),  # 0x23b872dd
-    "approve": compute_selector("approve(address,uint256)"),  # 0x095ea7b3
+# (ethTool.js:241-249, :270-282, :305-312) — asserted in tests. The
+# canonical signature strings are exported too (the JSON-LD export
+# emits byteSignature AND canonicalSignature; deriving both from ONE
+# dict keeps them drift-free).
+ERC20_SIGNATURES = {
+    "transfer": "transfer(address,uint256)",
+    "transferFrom": "transferFrom(address,address,uint256)",
+    "approve": "approve(address,uint256)",
 }
+ERC20_SELECTORS = {
+    m: compute_selector(sig) for m, sig in ERC20_SIGNATURES.items()
+}  # 0xa9059cbb / 0x23b872dd / 0x095ea7b3
 ERC721_SELECTORS = {
     "safeTransferFrom": compute_selector("safeTransferFrom(address,address,uint256)"),  # 0x42842e0e
     "safeTransferFromData": compute_selector(

@@ -2081,8 +2081,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
     )
     bucket = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # NO broadcast hint: the sub-cap bucket dim is ~one row per distinct
+    # fingerprint — corpus-sized at 100 TB. AQE broadcasts it at bench
+    # scale on its own; forcing it would OOM the driver at the scale the
+    # docstring promises.
     ok = (
-        fp.join(F.broadcast(bucket.where(F.col("n_docs") <= WINNOW_CAP)), "h")
+        fp.join(bucket.where(F.col("n_docs") <= WINNOW_CAP), "h")
         .select("doc_id", "h")
         .distinct()
     )

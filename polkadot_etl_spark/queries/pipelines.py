@@ -5500,11 +5500,8 @@ def dune_freshness_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staleness_report(feeds, as_of)
 
 
-_JSONLD_SIGS = {
-    "transfer": "transfer(address,uint256)",
-    "transferFrom": "transferFrom(address,address,uint256)",
-    "approve": "approve(address,uint256)",
-}
+# canonical signatures come from functions/evm.py (one source for
+# selector AND signature — no drift between the two document fields)
 
 
 @query(
@@ -5516,6 +5513,7 @@ WITH e AS (
   FROM events
   WHERE event_id < 2000
     AND event_type IN ('purchase', 'click', 'view', 'error')
+    AND user_id IS NOT NULL AND value IS NOT NULL
 ),
 b AS (
   SELECT *,
@@ -5628,16 +5626,24 @@ FROM d
 def evm_tx_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.functions.evm import (
         ERC20_SELECTORS,
+        ERC20_SIGNATURES,
         TRANSFER_TOPIC,
         decode_token_calldata,
     )
     from polkadot_etl_spark.plans.jsonld import account_node, kv_node, log_node, tx_jsonld
 
+    _JSONLD_SIGS = ERC20_SIGNATURES
     e = (
         load_table(spark, sf_dir, "events")
         .where(
             (F.col("event_id") < 2000)
             & F.col("event_type").isin("purchase", "click", "view", "error")
+            # NULL user_id/value rows are undecodable fixtures, not txs:
+            # to_json would emit a hollow partial document while the
+            # oracle's string assembly NULL-propagates — exclude on BOTH
+            # sides (review-confirmed divergence otherwise)
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
         )
     )
     k = F.col("user_id").cast("long")

@@ -400,9 +400,10 @@ def test_winnowing_guarantee_and_rightmost_tiebreak(spark):
 
     from polkadot_etl_spark.queries import QUERIES
     from polkadot_etl_spark.queries.corpus_ext import (
+        WINNOW_CAP,
         WINNOW_K,
+        WINNOW_MIN_SHARED,
         WINNOW_W,
-        winnowing_fingerprints,
     )
     from polkadot_etl_spark.sources.tables import load_table
     import re as _re
@@ -444,6 +445,25 @@ def test_winnowing_guarantee_and_rightmost_tiebreak(spark):
     }
     expect_counts = {d: len(s) for d, s in fps.items() if s}
     assert got_counts == expect_counts
+    # pair rows match an independent recomputation (bucket cap +
+    # min-shared floor applied the same way)
+    from collections import defaultdict
+
+    by_hash = defaultdict(set)
+    for d, sel in fps.items():
+        for _, h in sel:
+            by_hash[h].add(d)
+    shared = defaultdict(int)
+    for h, ds in by_hash.items():
+        if len(ds) <= WINNOW_CAP:
+            ds = sorted(ds)
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    shared[(a, b)] += 1
+    expect_pairs = {k: v for k, v in shared.items() if v >= WINNOW_MIN_SHARED}
+    assert pairs == expect_pairs
+    n_dropped = sum(1 for ds in by_hash.values() if len(ds) > WINNOW_CAP)
+    assert int(pdf[pdf.kind == "dropped_bucket"].n.iloc[0]) == n_dropped
     # guarantee: any two docs sharing a (k+w-1)-word run share a hash
     run_len = WINNOW_K + WINNOW_W - 1
     doc_ids = sorted(docs)

@@ -748,10 +748,16 @@ def test_evm_jsonld_is_pure_projection(spark):
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
 
 
-def test_winnowing_selection_is_one_doc_exchange(spark):
-    """Fingerprint selection is per-doc window math (one doc-keyed
-    Exchange feeding both the count and the frame-min); the pair join
-    is a bucket-capped hash equi-join — no Python, no cartesian."""
+def test_winnowing_selection_is_bounded_exchanges(spark):
+    """Fingerprint selection is per-doc window math; everything after
+    is keyed aggregation/equi-join work. Pin the Exchange budget (the
+    doc window + fp distinct + bucket agg + ok distinct + pair agg +
+    doc-count agg across the three union legs) so a refactor cannot
+    silently add shuffles — and never Python or a cartesian."""
     plan = _plan(spark, "winnowing_fingerprints")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # 10 = the fp subtree's window + distinct exchanges re-planned per
+    # union leg (doc counts, bucket agg, the capped pair join's two
+    # sides) — the ratchet ceiling, not a target
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 10
