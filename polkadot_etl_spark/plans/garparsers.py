@@ -198,7 +198,13 @@ class GarParser:
         by clover.js:137-152 / origintrail.js:124-139 / robonomics'
         comment block).
 
-        Reference rules reproduced:
+        Reference rules reproduced (the transferMulticurrencies branch
+        is an evident-intent reconstruction: in the reference that
+        ``case`` is UNREACHABLE — processOutgoingXTokens has a duplicate
+        ``case "xTokens:transfer":`` label (common_chainparser.js:1131
+        and :1141), so transferMulticurrencies falls through to default
+        and the positional loop dereferences undefined localXcAssetArr
+        entries; we implement what the dead branch plainly meant):
         - only xTokens:transfer / xTokens:transferMulticurrencies carry
           an inferable local side (:1127-1130);
         - the extrinsic must have EXACTLY ONE
@@ -698,7 +704,14 @@ class AstarGarParser(GarParser):
 
 class ShidenGarParser(AstarGarParser):
     """shiden kusama-2007 — AstarParser's second chainkey (astar.js:9,
-    manualRegistry 'kusama-2007' SDN, :32-37)."""
+    manualRegistry 'kusama-2007' SDN, :32-37).
+
+    INTENTIONAL DIVERGENCE: the reference's kusama-2007 manual entry
+    pins xcmInteriorKey ``[{"network":"polkadot"},{"parachain":2007}]``
+    (astar.js:32-38) — network *polkadot* on a *kusama* registration, an
+    evident copy-paste typo from the astar entry above it. We publish
+    the SDN row under the chain's actual relay (kusama), matching how
+    every other kusama-side parser keys its registrations."""
 
     parser_name = "Astar"
     relay_chain = "kusama"

@@ -70,12 +70,20 @@ def log_node(
 ) -> Column:
     """log_to_jsonld (jsonld.js:25-44): indexed topics, the emitting
     account, the canonical signature, the selector-keyed abi URL and
-    the decoded event kvs."""
+    the decoded event kvs.
+
+    The loggedBy node is typed ``evm:Account`` — the reference INLINES
+    that @type in log_to_jsonld (jsonld.js:32-36) instead of reusing
+    account_to_jsonld's ``ethon:Account``; we reproduce the published
+    byte format, inconsistency included."""
     return F.struct(
         F.lit("ethon:LogEntry").alias("@type"),
         F.transform(topics, lambda t, i: topic_node(t, i)).alias("ethon:hasLogTopic"),
         log_data.alias("ethon:logData"),
-        account_node(logged_by).alias("ethon:loggedBy"),
+        F.struct(
+            F.lit("evm:Account").alias("@type"),
+            logged_by.alias("ethon:address"),
+        ).alias("ethon:loggedBy"),
         signature.alias("ethon:canonicalSignature"),
         F.concat(
             F.lit(ABI_URL_PREFIX), F.element_at(topics, 1), F.lit("/")

@@ -5566,7 +5566,7 @@ d AS (
            || lpad(CAST(k + 5 AS VARCHAR), 64, '0') || '"},'
            || '{"ethon:logTopicIndex":2,"ethon:logTopicData":"0x' || to64
            || '"}],"ethon:logData":"0x' || amt64
-           || '","ethon:loggedBy":{"@type":"ethon:Account","ethon:address":"0x'
+           || '","ethon:loggedBy":{"@type":"evm:Account","ethon:address":"0x'
            || lpad(CAST(k * 3 AS VARCHAR), 40, '0')
            || '"},"ethon:canonicalSignature":"Transfer(address,address,uint256)",'
            || '"evm:abi":"https://evm.colorfulnotion.com/0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef/",'
