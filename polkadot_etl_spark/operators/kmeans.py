@@ -270,19 +270,23 @@ def kmeans_parallel_init(
     md5-threshold draw — md5(round || id) as a uniform in [0, 1) —
     so the same inputs produce the same seeds at ANY partitioning
     (a rand()-based draw would not be reproducible). The final prune is
-    an UNWEIGHTED farthest-first traversal over the
-    ≤ rounds·oversample·k candidates on the driver (bounded state, like
-    the centroid matrix itself) — see below for why unweighted
-    suffices here.
+    the paper's WEIGHTED reclustering (Bahmani et al. §3.3, step 7-8):
+    one extra distributed pass assigns every input point to its nearest
+    candidate, the per-candidate assignment counts become weights, and
+    the ≤ rounds·oversample·k weighted candidates are reclustered to k
+    on the driver (bounded state, like the centroid matrix itself) —
+    deterministic greedy weighted k-means++ init followed by weighted
+    Lloyd to convergence. An unweighted farthest-first traversal here
+    would be outlier-seeking: a candidate pool holding one dense
+    cluster plus a few moderately-far strays would spend seeds on the
+    strays (weight ~1 each) before covering the mass — pinned by
+    test_kmeans_parallel_init_weighted_prune_ignores_strays.
 
     Per round: ONE broadcast-centroid distance pass (persisted — the
     cost total and the candidate filter both read it) + one bounded
     collect of new candidates — no shuffle grows with k, no k passes.
-    The driver-side prune is an UNWEIGHTED farthest-first traversal —
-    a documented simplification of the paper's weighted reclustering,
-    adequate at the <= rounds*oversample*k candidate scale because the
-    traversal only needs spread, not balance; the Lloyd iterations
-    that follow own refinement.
+    The weighting pass adds ONE more corpus scan (broadcast-candidate
+    assignment + a |candidates|-row count collect) at the very end.
     """
     seed_row = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(1).collect()
     if not seed_row:
@@ -314,23 +318,77 @@ def kmeans_parallel_init(
         )
         scored.unpersist()
         cands.extend([float(v) for v in row[1]] for row in new)
-    # prune to k: unweighted farthest-first traversal (deterministic;
-    # ties -> the earlier candidate) — see the docstring for why this
-    # stands in for the paper's weighted reclustering here
-    chosen = [cands[0]]
-    while len(chosen) < k and len(chosen) < len(cands):
-        best, best_d = None, -1.0
-        for c in cands:
-            d = min(
-                sum((a - b) * (a - b) for a, b in zip(c, ch)) for ch in chosen
-            )
-            if d > best_d + 1e-15:
-                best, best_d = c, d
-        if best is None or best_d <= 0.0:
-            break
-        chosen.append(best)
-    if len(chosen) < k:
+    # Weighting pass (paper step 7): w_i = |{x : nearest candidate = i}|.
+    # One broadcast-candidate assignment scan + a bounded |cands|-row
+    # collect. Candidates that win no point (dominated duplicates) get 0.
+    if len(cands) < k:
         raise ValueError(
-            f"k-means|| produced {len(chosen)} distinct candidates < k={k}"
+            f"k-means|| produced {len(cands)} distinct candidates < k={k}"
         )
-    return chosen
+    counts = {
+        r.cid: r.n
+        for r in assign_nearest(df, cands, vec_col, id_col)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = [float(counts.get(i, 0)) for i in range(len(cands))]
+    return _weighted_recluster(cands, weights, k)
+
+
+def _weighted_recluster(
+    cands: list[list[float]], weights: list[float], k: int, max_iter: int = 25
+) -> list[list[float]]:
+    """Driver-side weighted reclustering of the k-means|| candidate set
+    (Bahmani et al. step 8): deterministic greedy weighted k-means++
+    init — first seed = heaviest candidate, then argmax w_i · d²(c_i,
+    chosen), ties to the earlier candidate — followed by weighted Lloyd
+    to convergence. Zero-weight candidates never attract seeds on their
+    own but still snap to their nearest seed (weight 0 contributes
+    nothing to the mean). O(|cands|² + |cands|·k·iter) floats; |cands|
+    is ≤ rounds·oversample·k·4 + 1 by construction."""
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # greedy weighted k-means++ init
+    first = max(range(len(cands)), key=lambda i: (weights[i], -i))
+    seeds = [list(cands[first])]
+    while len(seeds) < k:
+        best, best_s = None, 0.0
+        for i, c in enumerate(cands):
+            s = weights[i] * min(d2(c, ch) for ch in seeds)
+            if s > best_s + 1e-15:
+                best, best_s = i, s
+        if best is None:
+            # all remaining weighted scores are 0 (zero-weight or
+            # coincident candidates): fall back to pure spread so k
+            # distinct seeds still come out when they exist
+            best, best_d = None, 0.0
+            for i, c in enumerate(cands):
+                d = min(d2(c, ch) for ch in seeds)
+                if d > best_d + 1e-15:
+                    best, best_d = i, d
+            if best is None:
+                raise ValueError(
+                    f"k-means|| candidates collapse to {len(seeds)} "
+                    f"distinct points < k={k}"
+                )
+        seeds.append(list(cands[best]))
+    # weighted Lloyd on the candidate set; empty clusters carry forward
+    for _ in range(max_iter):
+        sums = [[0.0] * len(s) for s in seeds]
+        mass = [0.0] * k
+        for i, c in enumerate(cands):
+            j = min(range(k), key=lambda j: (d2(c, seeds[j]), j))
+            mass[j] += weights[i]
+            for p, v in enumerate(c):
+                sums[j][p] += weights[i] * v
+        new_seeds = [
+            [v / mass[j] for v in sums[j]] if mass[j] > 0 else list(seeds[j])
+            for j in range(k)
+        ]
+        if new_seeds == seeds:
+            break
+        seeds = new_seeds
+    return seeds

@@ -390,6 +390,82 @@ def test_kmeans_parallel_init_deterministic_and_spread(spark):
     assert n_iter <= 10
 
 
+def test_weighted_recluster_ignores_stray_outliers():
+    """The adversarial candidate distribution from the r6 review: a
+    pool holding 5 dense cluster centers (heavy d²-mass) plus 3
+    moderately-far stray candidates (weight 1 each). An UNWEIGHTED
+    farthest-first traversal provably spends seeds on the strays
+    (stray min-d² 3.25e6 > inter-cluster 2e6); the paper's weighted
+    reclustering must cover every dense cluster instead."""
+    from polkadot_etl_spark.operators.kmeans import _weighted_recluster
+
+    dim = 5
+    clusters = []
+    for c in range(5):
+        v = [0.0] * dim
+        v[c] = 1000.0
+        clusters.append(v)
+    strays = []
+    for s in range(3):
+        v = [0.0] * dim
+        v[s] = -1500.0
+        strays.append(v)
+    cands = clusters + strays
+    weights = [40.0] * 5 + [1.0] * 3
+
+    # the unweighted failure mode really exists on this pool: strays are
+    # farther from every cluster (3.25e6) than clusters are from each
+    # other (2e6), so spread-only selection grabs all three first
+    assert min(
+        sum((a - b) ** 2 for a, b in zip(strays[0], c)) for c in clusters
+    ) > max(
+        sum((a - b) ** 2 for a, b in zip(clusters[0], c)) for c in clusters[1:]
+    )
+
+    seeds = _weighted_recluster(cands, weights, k=5)
+    covered = {max(range(dim), key=lambda i: s[i]) for s in seeds}
+    assert covered == {0, 1, 2, 3, 4}, f"seeds missed dense clusters: {seeds}"
+    for s in seeds:
+        assert max(s) > 500.0, f"a seed landed on a stray: {s}"
+
+
+def test_kmeans_parallel_init_weighted_prune_ignores_strays(spark):
+    """End-to-end k-means|| with stray outliers in the DATA: 5 dense
+    clusters (40 points each, +1000 spike on their dim) plus 3 stray
+    points at -1500 on distinct dims. The strays enter the candidate
+    pool (their d² is the largest in the corpus, so the proportional
+    draw picks them with probability ~1) but carry weight 1; the
+    weighted prune must still seed every dense cluster."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.kmeans import kmeans_parallel_init
+
+    dim = 5
+    base = spark.range(203).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.when(F.col("id") < 200, (F.col("id") % 5).cast("int"))
+        .otherwise((F.col("id") - 200).cast("int"))
+        .alias("c"),
+        (F.col("id") >= 200).alias("stray"),
+    )
+    vecs = base.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                i == F.col("c"),
+                F.when(F.col("stray"), F.lit(-1500.0)).otherwise(F.lit(1000.0)),
+            ).otherwise(F.lit(0.0))
+            + (F.col("vec_id") % 7).cast("double") * 0.001,
+        ).alias("embedding"),
+    )
+    seeds = kmeans_parallel_init(vecs, k=5, rounds=3)
+    covered = {max(range(dim), key=lambda i: s[i]) for s in seeds}
+    assert covered == {0, 1, 2, 3, 4}, f"seeds missed dense clusters: {seeds}"
+    for s in seeds:
+        assert max(s) > 500.0, f"a seed landed on a stray: {s}"
+
+
 def test_winnowing_guarantee_and_rightmost_tiebreak(spark):
     """The winnowing guarantee (Schleimer et al. 2003): two documents
     sharing a word run of length >= k + w - 1 MUST share at least one
