@@ -2113,3 +2113,91 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return doc_rows.unionByName(pair_rows).unionByName(dropped)
+
+
+_RECALL_K = 3  # audited depth: both approximate paths return top-3
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+WITH truth AS (
+  SELECT q_id, c_id FROM ({QUERIES["ann_cosine_topk"].oracle}) WHERE rn <= {_RECALL_K}
+),
+lshr AS (
+  SELECT q_id, c_id FROM ({QUERIES["ann_lsh_bucketed"].oracle})
+),
+ivfr AS (
+  SELECT query_id AS q_id, neighbor_id AS c_id
+  FROM ({QUERIES["ann_ivf_trained_search"].oracle})
+),
+m AS (
+  SELECT 'lsh' AS method, q_id, c_id FROM lshr
+  UNION ALL
+  SELECT 'ivf' AS method, q_id, c_id FROM ivfr
+),
+hits AS (
+  SELECT m.method, t.q_id, COUNT(*) AS n_hits
+  FROM truth t JOIN m ON m.q_id = t.q_id AND m.c_id = t.c_id
+  GROUP BY m.method, t.q_id
+),
+tr_n AS (SELECT q_id, COUNT(*) AS n_truth FROM truth GROUP BY q_id),
+grid AS (
+  SELECT v.method, tn.q_id, tn.n_truth
+  FROM tr_n tn CROSS JOIN (VALUES ('lsh'), ('ivf')) v(method)
+)
+SELECT g.method, g.q_id AS query_id, g.n_truth,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(g.n_truth AS DOUBLE), 6) AS recall
+FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.q_id = g.q_id
+""",
+    doc="Recall accounting for the approximate ANN ladder — the "
+    "no-silent-caps discipline extended to result QUALITY: recall@3 of "
+    "ann_lsh_bucketed (sign-bucket LSH) and ann_ivf_trained_search "
+    "(trained coarse quantizer, nprobe=2) against the brute-force "
+    "ann_cosine_topk truth on the same queries, computed by COMPOSING "
+    "the three real registry plans (not reimplementations). IVF with "
+    "nprobe=2 and LSH with one band both trade recall for candidate "
+    "shrinkage; at 100 TB that tradeoff must be a measured per-query "
+    "number, not an assumption. Output: one row per (method, query) "
+    "with exact hit/truth counts and the recall ratio. Scale shape: "
+    "the truth and method result sets are top-k per query — bounded by "
+    "|queries| x k rows end to end — so every audit join is a "
+    "broadcast-able dim join regardless of corpus size.",
+    tags=("similarity", "audit", "pipeline"),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.queries.llmdata import ann_cosine_topk, ann_lsh_bucketed
+
+    truth = (
+        ann_cosine_topk(spark, sf_dir)
+        .where(F.col("rn") <= _RECALL_K)
+        .select("q_id", "c_id")
+    )
+    lsh = ann_lsh_bucketed(spark, sf_dir).select("q_id", "c_id")
+    ivf = ann_ivf_trained_search(spark, sf_dir).select(
+        F.col("query_id").alias("q_id"), F.col("neighbor_id").alias("c_id")
+    )
+    m = lsh.withColumn("method", F.lit("lsh")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+    hits = (
+        truth.join(m, ["q_id", "c_id"])
+        .groupBy("method", "q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tr_n = truth.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method STRING")
+    grid = tr_n.crossJoin(F.broadcast(methods))
+    return (
+        grid.join(F.broadcast(hits), ["method", "q_id"], "left")
+        .select(
+            "method",
+            F.col("q_id").alias("query_id"),
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_truth").cast("double"), 6
+            ).alias("recall"),
+        )
+    )

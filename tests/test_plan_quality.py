@@ -761,3 +761,14 @@ def test_winnowing_selection_is_bounded_exchanges(spark):
     # union leg (doc counts, bucket agg, the capped pair join's two
     # sides) — the ratchet ceiling, not a target
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 10
+
+
+def test_ann_recall_audit_is_broadcast_dim_joins(spark):
+    """The recall audit composes three real ANN plans; everything the
+    AUDIT adds on top (truth x method hits, the method grid, the final
+    left join) operates on |queries| x k-row frames and must stay
+    broadcast — no cartesian, no Python anywhere in the composition."""
+    plan = _plan(spark, "ann_recall_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
