@@ -983,6 +983,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_col() -> F.Column:
+    """Per-doc split assignment (md5 hex-prefix range on doc_id) — the
+    one rule behind train_val_split and corpus_release_funnel's final
+    stage; factored so every consumer runs the identical REAL
+    expression."""
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+
+
 @query(
     "train_val_split",
     oracle="""
@@ -1009,10 +1018,7 @@ FROM assigned GROUP BY split
 )
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
-    )
+    split = _split_col()
     return (
         d.select("doc_id", split.alias("split"))
         .groupBy("split")
@@ -1143,6 +1149,20 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_grams(words, n: int = 5):
+    """Array of word n-grams (space-joined) over an already-split word
+    array — the passage unit shared by passage_dedup_ngrams and
+    corpus_release_funnel's decontamination gate. Docs shorter than n
+    words yield an empty array."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @query(
     "passage_dedup_ngrams",
     oracle="""
@@ -1170,13 +1190,7 @@ def passage_dedup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     words = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(words) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 4),
-            lambda i: F.array_join(F.slice(words, i, 5), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_grams(words)
     return (
         d.select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", F.md5("gram").alias("gram_hash"))

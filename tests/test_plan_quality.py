@@ -772,3 +772,19 @@ def test_ann_recall_audit_is_broadcast_dim_joins(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_release_funnel_composition_keeps_stage_shapes(spark):
+    """The release funnel fuses six REAL stage plans; composition must
+    not degrade any stage's physical shape: the passage-decontamination
+    bench dim and the small flag dims stay BROADCAST, nothing falls
+    back to a cartesian or Python, and fusion adds no unkeyed shuffle —
+    the Exchange budget stays at the sum of the stages' own keyed
+    shuffles (gopher/exact windows, LSH signature aggregates, CC
+    lineage, the funnel's final 1-row aggregate)."""
+    plan = _plan(spark, "corpus_release_funnel")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)) <= 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 8
