@@ -373,7 +373,7 @@ def xcm_asset_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("xcN"), ks),
         "onchain",
     )
-    reg = build_xcm_asset_registry(origins.unionByName(remotes))
+    reg = build_xcm_asset_registry(origins.unionByName(remotes), codec="native")
     return reg.select(
         "xcm_interior_key",
         "symbol",
@@ -3265,7 +3265,8 @@ def gar_chain_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ph_regs)
         .unionByName(ac_regs)
         .unionByName(mb_regs)
-        .unionByName(il_regs)
+        .unionByName(il_regs),
+        codec="native",
     )
     return reg.select(
         "xcm_interior_key",
@@ -4622,7 +4623,8 @@ def gar_longtail_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_regs.unionByName(sh_regs)
         .unionByName(cl_regs)
         .unionByName(ot_regs)
-        .unionByName(sd_regs)
+        .unionByName(sd_regs),
+        codec="native",
     )
     return reg.select(
         "xcm_interior_key",

@@ -563,22 +563,25 @@ def test_call_flatten_success_semi_join_is_hash_not_sort(spark):
 
 
 def test_gar_registry_parse_is_native_with_broadcast_gates(spark):
-    """The per-chain gar parses must stay JVM-side (the only Python is
-    the one Arrow interior-key codec) and every known-asset gate must
+    """The per-chain gar parses are now FULLY JVM-side: the r7 native
+    interior-key codec (plans/xcmgar.py native_loc_cols — one
+    let-chained expression evaluated once per row inside a Generate)
+    replaces the Arrow wave, removing both the Python stage AND its
+    codec-compaction repartition Exchange. Every known-asset gate must
     broadcast — registries are dim-scale, a shuffled join would be the
     wrong 100 TB plan."""
     plan = _plan(spark, "gar_chain_registry")
-    assert "BatchEvalPython" not in plan  # codec is Arrow-batched
+    assert "EvalPython" not in plan  # codec is native column work now
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # two Exchanges: the codec-compaction round robin (one wave of
-    # Python tasks instead of one per file split) + the
-    # canonical-selection window; stats ride the window's partitioning
-    # instead of a groupBy + join-back
-    assert len(re.findall(r"\) Exchange", plan)) == 2
-    # the codec must be pinned to ONE Arrow stage — Catalyst duplicating
-    # it into the union legs is the regression this guards against
-    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    # ONE Exchange: the canonical-selection window (stats ride its
+    # partitioning instead of a groupBy + join-back); the arrow-era
+    # codec-compaction round robin is gone
+    assert len(re.findall(r"\) Exchange", plan)) == 1
+    # the codec evaluates ONCE: a single explode_outer Generate — a
+    # refactor that re-inlines the codec per consumer would multiply
+    # the expression tree (measured 1.1 MB plan / executor OOM)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
 
 
 def test_assethub_decorate_is_broadcast(spark):
@@ -670,15 +673,19 @@ def test_url_filter_is_regex_codegen_one_rollup(spark):
 def test_gar_longtail_parse_is_native_with_broadcast_gates(spark):
     """The five long-tail chain parses (astar/shiden/clover/origintrail/
     shadow) share gar_chain_registry's plan discipline: native JSON
-    columns, broadcast known-asset gates, ONE compact Arrow codec wave,
-    and only the codec-compaction + canonical-window Exchanges plus the
-    xTokens-augment dedup (the augmentedXcMap keyed-map semantics)."""
+    columns, broadcast known-asset gates, the r7 zero-Python native
+    interior-key codec (one Generate per input branch), and only the
+    canonical-window Exchange plus the xTokens-augment dedup (the
+    augmentedXcMap keyed-map semantics)."""
     plan = _plan(spark, "gar_longtail_registry")
-    assert "BatchEvalPython" not in plan
+    assert "EvalPython" not in plan  # r7: native codec, zero Python
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert len(re.findall(r"\) Exchange", plan)) == 3
-    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    # 2 = canonical window + the xTokens-augment dedup; the arrow-era
+    # codec-compaction Exchange is gone
+    assert len(re.findall(r"\) Exchange", plan)) == 2
+    # one codec Generate per input branch (registrations + augment)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
 
 
 def test_dappstaking_v3_is_pure_projection(spark):
