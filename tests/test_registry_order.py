@@ -72,6 +72,28 @@ _DEMOTED_GREEN = {
     # unigram_perplexity plan every round)
     "intradoc_dup_ngrams",  # r4 green; slot went to url_domain_filter
     # (within-doc complement of in-window exact_substring_dup_spans)
+    # --- mid-r7 demotions (the verdict's re-green rotation): slots went
+    # to the two new r7 queries plus six stale entries whose CODE
+    # changed after their last driver-green row; every demotee below is
+    # r6-green (see CORRECTNESS_r06.json) and most have 2-3 green rows
+    "semdedup_prune",  # r4+r5+r6 green; assign_nearest_broadcast shape
+    # runs inside the in-window ANN family every round
+    "dedup_corpus_survivors",  # r4+r5+r6 green; the full
+    # LSH->Jaccard->CC->roster pipeline re-runs inside in-window
+    # corpus_release_funnel (stage 4) every round
+    "corpus_filter_funnel",  # r4+r5+r6 green; funnel accounting
+    # repped by successor corpus_release_funnel
+    "url_domain_filter",  # r5+r6 green; _url_staged re-runs inside
+    # corpus_release_funnel (stage 1) every round
+    "kmeans_corpus_clusters",  # r5+r6 green; kmeans_lloyd convergence
+    # re-runs inside ann_recall_audit's composed trained-IVF leg
+    "mixture_sample_corpus",  # r5+r6 green; md5-threshold sampling
+    # runs inside in-window split_leakage_audit + mixture_weights
+    "ann_ivf_trained_search",  # r6 green; the ENTIRE trained search
+    # re-runs inside its successor ann_recall_audit every round
+    # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
+    # their r7 refactors made code newer than their r3 green rows; the
+    # set entries above are now vacuous for them but kept for history)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
