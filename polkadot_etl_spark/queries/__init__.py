@@ -127,11 +127,21 @@ _PRIORITY: list[str] = [
     # its gram construction was refactored through _word_grams in r7
     # (code newer than green)
     "passage_dedup_ngrams",
-    "quality_classifier_logit",
+    # quality_classifier_logit: green r4+r5+r6, demoted late-r7 for
+    # dedup_incremental_batch — its hashed-unigram (md5-bucket) feature
+    # fold is the same map-side HOF mechanism in-window dsir_importance
+    # runs every round; the weight-vector scoring stays locally
+    # oracle-verified every session
+    "dedup_incremental_batch",
     # passage_dedup_ngrams: green r3, demoted mid-r4 for its same-family
     # successor exact_substring_dup_spans (cross-doc window dedup with
     # span merging — the Lee et al. 2021 remove-the-span semantics)
-    "exact_substring_dup_spans",
+    # exact_substring_dup_spans: green r4+r5+r6, demoted late-r7 for its
+    # same-family successor cdc_chunk_dedup — cross-doc duplicated-text
+    # detection stays in-window with content-defined (offset-robust)
+    # boundaries; the fixed-gram span-merge form stays locally
+    # oracle-verified every session
+    "cdc_chunk_dedup",
     # pii_scrub: green r3, demoted mid-r4 for audio_energy_hash_dedup
     # (locally oracle-verified every session like all demotions)
     "audio_energy_hash_dedup",
@@ -171,7 +181,11 @@ _PRIORITY: list[str] = [
     # winnowing_fingerprints — the real RIFF/WAV codec path re-runs
     # inside audio_energy_hash_dedup (in-window) every round
     "winnowing_fingerprints",
-    "audit_row_counts",
+    # audit_row_counts: green r4+r6 (X7 audit), demoted late-r7 for
+    # corpus_shard_shuffle — the same dump tables' day-grain counts are
+    # re-aggregated inside in-window dump_day_blocklog every round; the
+    # comparator form stays locally oracle-verified every session
+    "corpus_shard_shuffle",
     "address_topn_metrics",
     "ss58_codec_roundtrip",
     # survey_ext operator ids with no other representative

@@ -2430,3 +2430,275 @@ def corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_kept AS BIGINT) AS n_kept",
         "CAST(n_in - n_kept AS BIGINT) AS n_dropped",
     )
+
+
+# --- round-7 additions: CDC chunk dedup, incremental batch dedup, and a
+# deterministic training-order shard shuffle -------------------------------
+
+CDC_W = 16  # content-defined-chunking hash window (chars)
+CDC_MASK = "0"  # boundary when the first md5 nibble is '0' (p=1/16 -> ~16-char chunks)
+_BATCH_MIN_SRC = 10  # sources src10..src19 are "today's crawl"; src0..src9 the corpus
+N_SHARDS = 16
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+WITH l AS (SELECT doc_id, text, length(text) AS len FROM documents),
+pos AS (
+  SELECT doc_id, text, len,
+         unnest(range(1, greatest(len - {CDC_W - 1}, 1) + 1)) AS p
+  FROM l
+),
+cuts AS (
+  SELECT doc_id, p FROM pos
+  WHERE substr(md5(substr(text, p, {CDC_W})), 1, 1) = '{CDC_MASK}'
+),
+allcuts AS (
+  SELECT doc_id, p FROM cuts
+  UNION ALL SELECT doc_id, len + 1 AS p FROM l
+),
+spans AS (
+  SELECT doc_id,
+         COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 1) AS s,
+         p AS e
+  FROM allcuts
+),
+occ AS (
+  SELECT sp.doc_id, sp.s, sp.e - sp.s AS clen,
+         md5(substr(l.text, sp.s, sp.e - sp.s)) AS h
+  FROM spans sp JOIN l USING (doc_id) WHERE sp.e > sp.s
+),
+mk AS (
+  SELECT occ.*, l.len,
+         MIN(doc_id * 1024 + s) OVER (PARTITION BY h) AS canon
+  FROM occ JOIN l USING (doc_id)
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(COALESCE(SUM(CASE WHEN doc_id * 1024 + s <> canon THEN 1 END), 0)
+            AS BIGINT) AS n_dup_chunks,
+       CAST(COALESCE(SUM(CASE WHEN doc_id * 1024 + s <> canon THEN clen END), 0)
+            AS BIGINT) AS dup_chars,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN doc_id * 1024 + s <> canon THEN clen END), 0)
+                  AS DOUBLE) / MAX(len), 6) AS dup_ratio
+FROM mk GROUP BY doc_id
+""",
+    doc="Content-defined chunking (CDC) dedup — the rsync/LBFS/data-lake "
+    "chunking strategy applied to corpus text: cut points wherever the "
+    f"md5 of the {CDC_W}-char window starting at a position opens with "
+    "nibble '0' (expected chunk ~16 chars), so identical passages chunk "
+    "identically REGARDLESS of their byte offset — the property fixed-"
+    "stride passage dedup lacks (one inserted word shifts every "
+    "downstream fixed window, but CDC boundaries resynchronize). Every "
+    "per-position digest, the span assembly (lag over cut points + "
+    "sentinel), and the chunk hashes are computed ROW-LOCAL via "
+    "higher-order functions — the text never shuffles; the only "
+    "exchanges are the 16-byte chunk-hash window and the per-doc "
+    "rollup. Canonical occurrence = min (doc_id, start) per hash; all "
+    "other occurrences count as duplicate chars. At 100 TB the "
+    "hash-window shuffle carries ~len/16 digests per doc (comparable "
+    "to shingle minhash) and the per-position md5 cost is the "
+    "documented CPU tradeoff vs a cheaper rolling polynomial (Rabin) "
+    "hash, which production would swap in per-partition without "
+    "changing the shuffle shape. Oracle rebuilds cuts/spans/dedup "
+    "independently via explode + window. doc_id*1024+s keying is safe: "
+    "max doc length 577 < 1024 (asserted in tests).",
+    tags=("corpus", "dedup"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    # cut points + sentinel, all row-local (one md5 per position)
+    cuts = F.expr(
+        f"concat(filter(transform(sequence(1, greatest(length(text) - {CDC_W - 1}, 1)),"
+        f" p -> if(substring(md5(substring(text, p, {CDC_W})), 1, 1) = '{CDC_MASK}',"
+        " p, cast(null as int))), x -> x is not null), array(length(text) + 1))"
+    )
+    staged = d.select("doc_id", "len", "text", cuts.alias("cuts"))
+    # spans [s, e) between consecutive cuts; chunk hash computed before the
+    # ONE Generate so nothing downstream re-evaluates the md5 chain
+    occ = staged.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.expr(
+                "transform(filter(zip_with("
+                " concat(array(1), slice(cuts, 1, size(cuts) - 1)), cuts,"
+                " (s, e) -> struct(s as s, e as e)), sp -> sp.e > sp.s),"
+                " sp -> struct(sp.s as s, sp.e - sp.s as clen,"
+                " md5(substring(text, sp.s, sp.e - sp.s)) as h))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "len", F.col("c.s").alias("s"), F.col("c.clen").alias("clen"), F.col("c.h").alias("h"))
+    okey = F.col("doc_id") * 1024 + F.col("s")
+    marked = occ.select(
+        "doc_id", "len", "clen", okey.alias("okey"), "h"
+    ).withColumn("canon", F.min("okey").over(Window.partitionBy("h")))
+    dup = F.col("okey") != F.col("canon")
+    dup_chars = F.sum(F.when(dup, F.col("clen")).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        dup_chars.cast("long").alias("dup_chars"),
+        F.round(dup_chars.cast("double") / F.max("len"), 6).alias("dup_ratio"),
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS src_n,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), ' +'))), ' ')) AS h
+  FROM documents
+),
+ex AS (SELECT DISTINCT h FROM d WHERE src_n < {_BATCH_MIN_SRC}),
+b AS (
+  SELECT d.doc_id, d.source, d.h,
+         d.h IN (SELECT h FROM ex) AS in_corpus,
+         MIN(d.doc_id) OVER (PARTITION BY d.h) AS min_batch_id
+  FROM d WHERE src_n >= {_BATCH_MIN_SRC}
+),
+s AS (
+  SELECT source, doc_id,
+         CASE WHEN in_corpus THEN 'dup_existing'
+              WHEN doc_id <> min_batch_id THEN 'dup_in_batch'
+              ELSE 'kept' END AS status
+  FROM b
+)
+SELECT source,
+       COUNT(*) AS n_in,
+       COUNT(*) FILTER (WHERE status = 'dup_existing') AS n_dup_existing,
+       COUNT(*) FILTER (WHERE status = 'dup_in_batch') AS n_dup_in_batch,
+       COUNT(*) FILTER (WHERE status = 'kept') AS n_kept,
+       MIN(CASE WHEN status = 'kept' THEN doc_id END) AS first_kept_doc
+FROM s GROUP BY source
+""",
+    doc="Incremental (snapshot-delta) dedup — the DAILY production form "
+    "of dedup: a new crawl batch (sources src10+) deduplicated "
+    "first against the STANDING corpus (sources src0-9) and then "
+    "within itself, with per-source accounting. The key here is the "
+    "VOCABULARY fingerprint (md5 of the sorted distinct word set — "
+    "the cheapest bag-of-words near-dup signal, catching word-order "
+    "permutations that exact hashing misses; swap key=md5(text) for "
+    "the exact form, same plan — that form is dedup_exact's). Both "
+    "legs key on a 16-byte digest computed map-side, so raw text "
+    "never shuffles. The membership join carries NO broadcast hint "
+    "(same call as split_leakage_audit): the ledger side is "
+    "corpus-sized at 100 TB, where Spark's own sizing keeps the join "
+    "hash-keyed shuffle — at fixture scale AQE legitimately "
+    "broadcasts the tiny distinct-digest dim instead; intra-batch "
+    "canonicalization is one window-min over the same key, reusing the "
+    "exchange. Rule order matters and is pinned: a batch doc whose "
+    "hash exists in the corpus counts dup_existing even when it is "
+    "also duplicated within the batch. In production the 'existing' "
+    "side is the accumulated hash ledger (a parquet table of digests, "
+    "16 bytes/doc), which is what makes daily increments O(batch), "
+    "not O(corpus rescan).",
+    tags=("corpus", "dedup", "join"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("int").alias("src_n"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))
+                ),
+            )
+        ).alias("h"),
+    )
+    existing = (
+        d.where(F.col("src_n") < _BATCH_MIN_SRC).select("h").distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = d.where(F.col("src_n") >= _BATCH_MIN_SRC)
+    flagged = batch.join(existing, "h", "left").withColumn(
+        "min_batch_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    status = (
+        F.when(F.col("in_corpus"), F.lit("dup_existing"))
+        .when(F.col("doc_id") != F.col("min_batch_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    staged = flagged.select("source", "doc_id", status.alias("status"))
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum((F.col("status") == "dup_existing").cast("long")).alias("n_dup_existing"),
+        F.sum((F.col("status") == "dup_in_batch").cast("long")).alias("n_dup_in_batch"),
+        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+        F.min(F.when(F.col("status") == "kept", F.col("doc_id"))).alias("first_kept_doc"),
+    )
+
+
+@query(
+    "corpus_shard_shuffle",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, n_chars,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, n_chars, okey,
+         CAST(strpos('0123456789abcdef', substr(okey, 1, 1)) - 1 AS BIGINT) AS shard_id
+  FROM a
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       arg_min(doc_id, okey) AS first_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY okey)) AS order_sig
+FROM sh GROUP BY shard_id
+""",
+    doc="Deterministic training-order shuffle — the last step before a "
+    "corpus feeds a trainer: assign every doc a pseudo-random but "
+    "REPRODUCIBLE position via okey = md5('shard:'||doc_id), shard on "
+    "the first hex nibble (16 shards), order within a shard by the "
+    "full okey. This is the scale-correct global shuffle: one "
+    "hash-partitioned exchange + a LOCAL per-shard sort, never a "
+    "global orderBy; identical output for any input partitioning, "
+    "executor count, or engine (unlike seeded rand(), which is "
+    "partition-order-dependent — same argument as train_val_split). "
+    "order_sig = md5 of the comma-joined doc_id sequence in shard "
+    "order pins the BYTE-EXACT training order in the correctness "
+    "gate: a re-run that changes consumption order (the thing that "
+    "silently breaks training reproducibility) flips the signature "
+    "even when the per-shard counts are unchanged. The struct-sorted "
+    "collect_list is per-shard (~N/16 ids) — bounded in shard count, "
+    "not corpus size; production emits the ordered docs themselves "
+    "via the same okey sortWithinPartitions.",
+    tags=("corpus", "sampling"),
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    okey = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    staged = d.select("doc_id", "n_chars", okey.alias("okey")).select(
+        "doc_id",
+        "n_chars",
+        "okey",
+        (F.expr("instr('0123456789abcdef', substring(okey, 1, 1))") - 1)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    ordered_ids = F.expr(
+        "transform(array_sort(collect_list(struct(okey, cast(doc_id as string) as ds))),"
+        " x -> x.ds)"
+    )
+    return staged.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.min_by("doc_id", "okey").alias("first_doc"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("order_sig"),
+    )

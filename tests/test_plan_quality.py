@@ -795,3 +795,40 @@ def test_corpus_release_funnel_composition_keeps_stage_shapes(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)) <= 2
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 8
+
+
+def test_cdc_chunk_dedup_is_row_local_until_hash_window(spark):
+    """CDC chunking computes cuts, spans and chunk hashes row-local via
+    higher-order functions in ONE Generate — the text column must never
+    reach an Exchange; the only shuffles are the 16-byte chunk-hash
+    window and the per-doc rollup."""
+    plan = _plan(spark, "cdc_chunk_dedup")
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) == 2, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_dedup_incremental_batch_digest_keyed(spark):
+    """The incremental dedup joins/windows on the 16-byte digest only:
+    no raw text in any Exchange, no forced broadcast (AQE sizes the
+    ledger side — broadcast here at fixture scale, shuffle join at
+    100 TB), and the whole pipeline fits in a bounded Exchange budget
+    (ledger distinct + window key + per-source rollup)."""
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_corpus_shard_shuffle_is_one_exchange(spark):
+    """The training-order shuffle is ONE hash-partitioned exchange on
+    shard_id plus local per-shard work — never a global sort."""
+    plan = _plan(spark, "corpus_shard_shuffle")
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "rangepartitioning" not in plan  # a global orderBy would show one
+    assert "TakeOrderedAndProject" not in plan

@@ -91,6 +91,14 @@ _DEMOTED_GREEN = {
     # runs inside in-window split_leakage_audit + mixture_weights
     "ann_ivf_trained_search",  # r6 green; the ENTIRE trained search
     # re-runs inside its successor ann_recall_audit every round
+    # --- late-r7 demotions for the three new late-r7 queries
+    # (cdc_chunk_dedup / dedup_incremental_batch / corpus_shard_shuffle)
+    "exact_substring_dup_spans",  # r4+r5+r6 green; slot went to
+    # same-family successor cdc_chunk_dedup (cross-doc duplicated-text
+    # detection with content-defined boundaries)
+    "quality_classifier_logit",  # r4+r5+r6 green; the hashed-unigram
+    # md5-bucket feature fold is the same map-side HOF mechanism
+    # in-window dsir_importance runs every round
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
