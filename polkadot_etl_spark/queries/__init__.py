@@ -114,7 +114,11 @@ _PRIORITY: list[str] = [
     # connected-components stage re-runs inside dedup_corpus_survivors
     # train_val_split: green r3, demoted mid-r4 for address_topn_metrics —
     # the md5-range split assignment re-runs inside split_leakage_audit
-    "benchmark_contamination",
+    # benchmark_contamination: green r4+r5+r6, demoted late-r7 for
+    # bloom_dedup_membership — its broadcast-shingle decontamination
+    # semi-join re-runs inside in-window corpus_release_funnel (the
+    # decontamination stage) every round; locally oracle-verified
+    "bloom_dedup_membership",
     # gopher_repetition: green r3, demoted mid-r4 for its same-family
     # successor intradoc_dup_ngrams (the Gopher duplicate-5-gram signal)
     # intradoc_dup_ngrams: green r4, demoted mid-r5 for

@@ -2702,3 +2702,190 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "okey").alias("first_doc"),
         F.md5(F.concat_ws(",", ordered_ids)).alias("order_sig"),
     )
+
+
+# --- Bloom-filter membership dedup -----------------------------------------
+
+BLOOM_M = 512  # filter bits; tiny on purpose so the fixture MEASURES a real
+# false-positive rate (expected fill ~77%, FP ~45% at k=3) — production sizes
+# m ~ 10 bits/key for ~1% FP, same plan
+BLOOM_WORD = 32  # bits per ledger word (word id = pos div 32)
+_BLOOM_OFFS = (1, 9, 17)  # md5 nibble-triple offsets -> k=3 hash positions
+
+
+def _bloom_positions_expr(col: str) -> str:
+    """k bit positions from non-overlapping md5 nibble triples (Spark SQL).
+
+    Each position is a 12-bit integer assembled from three hex nibbles via
+    instr arithmetic (the engine-portable hex->int used across the
+    registry), reduced mod BLOOM_M. Pure column math — one md5 per row,
+    computed map-side."""
+    offs = ", ".join(str(o) for o in _BLOOM_OFFS)
+    return (
+        f"transform(array({offs}), o -> ("
+        f" (instr('0123456789abcdef', substring({col}, o, 1)) - 1) * 256"
+        f" + (instr('0123456789abcdef', substring({col}, o + 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substring({col}, o + 2, 1)) - 1)"
+        f") % {BLOOM_M})"
+    )
+
+
+_BLOOM_POS_SQL = (
+    "list_transform([" + ", ".join(str(o) for o in _BLOOM_OFFS) + "], o -> ("
+    " (strpos('0123456789abcdef', substr(h, o, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(h, o + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(h, o + 2, 1)) - 1)"
+    f") % {BLOOM_M})"
+)
+
+
+@query(
+    "bloom_dedup_membership",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS src_n,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), ' +'))), ' ')) AS h
+  FROM documents
+),
+corpus AS (SELECT * FROM d WHERE src_n < {_BATCH_MIN_SRC}),
+batch AS (SELECT * FROM d WHERE src_n >= {_BATCH_MIN_SRC}),
+cpos AS (SELECT unnest({_BLOOM_POS_SQL}) AS pos FROM corpus),
+words AS (
+  SELECT pos // {BLOOM_WORD} AS word,
+         bit_or(1::BIGINT << (pos % {BLOOM_WORD})) AS wval
+  FROM cpos GROUP BY pos // {BLOOM_WORD}
+),
+fill AS (SELECT CAST(SUM(bit_count(wval)) AS BIGINT) AS bits FROM words),
+bpos AS (
+  SELECT doc_id, source, h, unnest({_BLOOM_POS_SQL}) AS pos FROM batch
+),
+hits AS (
+  SELECT b.doc_id, b.source, b.h,
+         COALESCE((w.wval & (1::BIGINT << (b.pos % {BLOOM_WORD}))) <> 0,
+                  FALSE) AS hit
+  FROM bpos b LEFT JOIN words w ON b.pos // {BLOOM_WORD} = w.word
+),
+perdoc AS (
+  SELECT doc_id, source, h, bool_and(hit) AS bloom_maybe
+  FROM hits GROUP BY doc_id, source, h
+),
+truth AS (SELECT DISTINCT h FROM corpus),
+cls AS (
+  SELECT p.source, p.bloom_maybe, (t.h IS NOT NULL) AS in_corpus
+  FROM perdoc p LEFT JOIN truth t USING (h)
+)
+SELECT source,
+       COUNT(*) AS n_probes,
+       CAST(COALESCE(SUM(CASE WHEN in_corpus THEN 1 END), 0) AS BIGINT)
+           AS n_true_dup,
+       CAST(COALESCE(SUM(CASE WHEN bloom_maybe THEN 1 END), 0) AS BIGINT)
+           AS n_bloom_maybe,
+       CAST(COALESCE(SUM(CASE WHEN bloom_maybe AND NOT in_corpus THEN 1 END),
+                     0) AS BIGINT) AS n_false_pos,
+       CAST(COALESCE(SUM(CASE WHEN in_corpus AND NOT bloom_maybe THEN 1 END),
+                     0) AS BIGINT) AS n_missed,
+       CAST((COALESCE(SUM(CASE WHEN bloom_maybe AND NOT in_corpus THEN 1 END),
+        0) * 1000000) // NULLIF(COUNT(*) - COALESCE(SUM(CASE WHEN in_corpus
+        THEN 1 END), 0), 0) AS BIGINT) AS fp_ppm,
+       (SELECT bits FROM fill) AS bloom_bits_set,
+       ((SELECT bits FROM fill) * 1000000) // {BLOOM_M} AS fill_ppm
+FROM cls GROUP BY source
+""",
+    doc="Distributed Bloom-filter membership dedup — the O(k-bits-per-key) "
+    "crawl-frontier / dedup-ledger primitive: the standing corpus "
+    "(src0-9) is folded into a PARTITIONED bit array (word id = "
+    "position div 32, one bit_or aggregate per word — the build is "
+    "distributed, unlike Spark's driver-side df.stat.bloomFilter), and "
+    "today's batch (src10+) probes it with k=3 md5-nibble hash "
+    "positions over the same bag-of-words vocabulary fingerprint "
+    "dedup_incremental_batch ledgers (so the fixture exercises real "
+    "cross-boundary hits). Per-source accounting classifies every probe against "
+    "EXACT truth (the distinct-digest join): true duplicates, Bloom "
+    "maybes, FALSE POSITIVES — the rate a Bloom deployment must "
+    "measure, not assume (same discipline as ann_recall_audit) — and "
+    "n_missed, which the Bloom no-false-negative guarantee pins to 0 "
+    "INSIDE the hash gate. m=512 bits keeps the fixture's FP rate "
+    "measurably large (~45%); production sizes m ~ 10 bits/key for "
+    "~1%. All ratios are ppm via integer division — no float rounding "
+    "anywhere. Scale: the digest is computed map-side (text never "
+    "shuffles); the word ledger is m/32 rows — broadcastable here, a "
+    "word-keyed shuffle join at 100 TB (no broadcast hint: AQE "
+    "decides, same call as dedup_incremental_batch); the probe side "
+    "shuffles k 4-byte positions per doc. The fill count "
+    "(sum of bit_count) rides along as a 1-row broadcast.",
+    tags=("corpus", "dedup", "join"),
+)
+def bloom_dedup_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("int").alias("src_n"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))
+                ),
+            )
+        ).alias("h"),
+    )
+    corpus = d.where(F.col("src_n") < _BATCH_MIN_SRC)
+    batch = d.where(F.col("src_n") >= _BATCH_MIN_SRC)
+    words = (
+        corpus.select(F.explode(F.expr(_bloom_positions_expr("h"))).alias("pos"))
+        .groupBy(F.expr(f"pos div {BLOOM_WORD}").alias("word"))
+        .agg(
+            F.bit_or(F.expr(f"shiftleft(1L, pos % {BLOOM_WORD})")).alias("wval")
+        )
+    )
+    # genuinely 1 row, always — the broadcast hint is the honest plan
+    fill = F.broadcast(
+        words.agg(F.sum(F.bit_count("wval")).cast("long").alias("bloom_bits_set"))
+    )
+    probes = batch.select(
+        "doc_id",
+        "source",
+        "h",
+        F.explode(F.expr(_bloom_positions_expr("h"))).alias("pos"),
+    ).withColumn("word", F.expr(f"pos div {BLOOM_WORD}"))
+    hit = (F.col("wval").isNotNull()) & (
+        F.expr(f"wval & shiftleft(1L, pos % {BLOOM_WORD})") != 0
+    )
+    perdoc = (
+        probes.join(words, "word", "left")
+        .select("doc_id", "source", "h", hit.alias("hit"))
+        .groupBy("doc_id", "source", "h")
+        .agg(F.bool_and("hit").alias("bloom_maybe"))
+    )
+    truth = corpus.select("h").distinct().withColumn("in_corpus_", F.lit(True))
+    cls = perdoc.join(truth, "h", "left").select(
+        "source",
+        "bloom_maybe",
+        F.coalesce(F.col("in_corpus_"), F.lit(False)).alias("in_corpus"),
+    )
+    agg = cls.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("in_corpus").cast("long")).alias("n_true_dup"),
+        F.sum(F.col("bloom_maybe").cast("long")).alias("n_bloom_maybe"),
+        F.sum((F.col("bloom_maybe") & ~F.col("in_corpus")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.sum((F.col("in_corpus") & ~F.col("bloom_maybe")).cast("long")).alias(
+            "n_missed"
+        ),
+    )
+    return agg.crossJoin(fill).select(
+        "source",
+        "n_probes",
+        "n_true_dup",
+        "n_bloom_maybe",
+        "n_false_pos",
+        "n_missed",
+        F.expr(
+            "(n_false_pos * 1000000L) div nullif(n_probes - n_true_dup, 0)"
+        ).alias("fp_ppm"),
+        "bloom_bits_set",
+        F.expr(f"(bloom_bits_set * 1000000L) div {BLOOM_M}").alias("fill_ppm"),
+    )

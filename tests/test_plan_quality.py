@@ -832,3 +832,19 @@ def test_corpus_shard_shuffle_is_one_exchange(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "rangepartitioning" not in plan  # a global orderBy would show one
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_bloom_dedup_membership_digest_keyed(spark):
+    """The Bloom build/probe moves only 16-byte digests and 4-byte bit
+    positions: no raw text in any Exchange, no Python, no cartesian
+    fallback (the 1-row fill frame is explicitly broadcast), and the
+    whole build+probe+truth composition fits a bounded Exchange budget
+    (word groupBy, per-doc bool_and, digest-distinct, truth join,
+    per-source rollup)."""
+    plan = _plan(spark, "bloom_dedup_membership")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 7, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row fill attach

@@ -99,6 +99,9 @@ _DEMOTED_GREEN = {
     "quality_classifier_logit",  # r4+r5+r6 green; the hashed-unigram
     # md5-bucket feature fold is the same map-side HOF mechanism
     # in-window dsir_importance runs every round
+    "benchmark_contamination",  # r4+r5+r6 green; slot went to
+    # bloom_dedup_membership — the broadcast-shingle decontamination
+    # semi-join re-runs inside in-window corpus_release_funnel every round
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
