@@ -77,7 +77,12 @@ _PRIORITY: list[str] = [
     # the LSH and PQ scale paths plus semdedup_prune)
     # ann_lsh_bucketed: green r3, demoted mid-r4 for its same-family
     # successor ann_pq_adc_search (the PQ compressed-scan path)
-    "ann_pq_adc_search",
+    # ann_pq_adc_search: green r4+r5+r6, demoted late-r7 for its
+    # same-family successor ann_ivfpq_residual_search (IVFADC — the
+    # full FAISS production config): the ADC table-lookup scoring and
+    # the formula codebook re-run INSIDE the residual search every
+    # round; the flat (non-IVF) ADC form stays locally oracle-verified
+    "ann_ivfpq_residual_search",
     # embedding_bucket_stats: green r2+r3, demoted in r4 for
     # users_tags_attribution (similarity surface still repped by the two
     # ANN queries + semdedup_prune)

@@ -2889,3 +2889,221 @@ def bloom_dedup_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_bits_set",
         F.expr(f"(bloom_bits_set * 1000000L) div {BLOOM_M}").alias("fill_ppm"),
     )
+
+
+# --- IVF-PQ with residual encoding (IVFADC, Jegou et al. 2011 sec. V) -------
+
+IVFPQ_NCELL = 4  # coarse cells; formula-derived like the PQ codebook
+IVFPQ_NPROBE = 2
+IVFPQ_NQ = 5  # query set: vec_id < 5
+IVFPQ_TOPK = 10
+
+# coarse(c, d) = (((c*13 + d*5) % 21) - 10) / 50.0 — range [-.2, .2] step
+# .02, matched to the fixture embeddings' scale (values in ±0.5, mean |x|
+# ~0.1) so cell assignment and residual codes actually discriminate
+
+
+def _coarse_vec_spark(c: int) -> str:
+    return f"transform(sequence(0, 63), d -> ((({c} * 13 + d * 5) % 21) - 10) / 50D)"
+
+
+def _coarse_vec_duck(c: int) -> str:
+    return f"list_transform(range(0, 64), d -> ((({c} * 13 + d * 5) % 21) - 10) / 50.0)"
+
+
+def _coarse_dist_spark(emb: str, c: int) -> str:
+    x = f"cast(element_at({emb}, d + 1) as double)"
+    cb = f"((({c} * 13 + d * 5) % 21) - 10) / 50D"
+    return (
+        f"round(aggregate(sequence(0, 63), 0D,"
+        f" (acc, d) -> acc + ({x} - {cb}) * ({x} - {cb})), 6)"
+    )
+
+
+def _coarse_dist_duck(emb: str, c: int) -> str:
+    x = f"{emb}[d + 1]::DOUBLE"
+    cb = f"((({c} * 13 + d * 5) % 21) - 10) / 50.0"
+    return (
+        f"round(list_sum(list_transform(range(0, 64),"
+        f" d -> ({x} - {cb}) * ({x} - {cb}))), 6)"
+    )
+
+
+_IVFPQ_CDIST_D = "[" + ", ".join(
+    _coarse_dist_duck("embedding", c) for c in range(IVFPQ_NCELL)
+) + "]"
+_IVFPQ_COARSE_D = "[" + ", ".join(
+    _coarse_vec_duck(c) for c in range(IVFPQ_NCELL)
+) + "]"
+# residual over an already-materialized cvec column: the coarse table and
+# the residual must each land in their OWN CTE projection — textually
+# substituting the residual list into the 8x4x8x2 subdist references made
+# the oracle parse/evaluate a megabyte-scale expression (minutes, not ms)
+_IVFPQ_RES_D = "list_transform(range(1, 65), i -> embedding[i]::DOUBLE - cvec[i])"
+# per-subspace ADC table entries for the query residual, s-major flat list
+_IVFPQ_TAB_D = "[" + ", ".join(
+    _pq_subdist_duck("qres", s, c) for s in range(PQ_SUB) for c in range(PQ_K)
+) + "]"
+_IVFPQ_ADC_D = "round(" + " + ".join(
+    f"tab[{s * PQ_K} + codes[{s + 1}]]" for s in range(PQ_SUB)
+) + ", 6)"
+
+
+@query(
+    "ann_ivfpq_residual_search",
+    oracle=f"""
+WITH celled AS (
+  SELECT vec_id, embedding,
+         list_position({_IVFPQ_CDIST_D},
+                       list_min({_IVFPQ_CDIST_D})) AS cell
+  FROM embeddings
+),
+resd AS (
+  SELECT vec_id, cell, {_IVFPQ_RES_D} AS res
+  FROM (SELECT vec_id, embedding, cell, ({_IVFPQ_COARSE_D})[cell] AS cvec
+        FROM celled)
+),
+db AS (
+  SELECT vec_id AS db_id, cell, {_pq_codes_duck('res')[0]} AS codes
+  FROM resd
+),
+qd AS (
+  SELECT vec_id AS q_id, embedding, unnest(range(1, {IVFPQ_NCELL} + 1)) AS cell
+  FROM embeddings WHERE vec_id < {IVFPQ_NQ}
+),
+qscore AS (
+  SELECT q_id, embedding, cell,
+         ({_IVFPQ_CDIST_D})[cell] AS cdist
+  FROM qd
+),
+probe AS (
+  SELECT q_id, embedding, cell FROM (
+    SELECT q_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cdist ASC, cell ASC)
+             AS prn
+    FROM qscore) WHERE prn <= {IVFPQ_NPROBE}
+),
+qresd AS (
+  SELECT q_id, cell,
+         list_transform(range(1, 65), i -> embedding[i]::DOUBLE - cvec[i])
+           AS qres
+  FROM (SELECT q_id, cell, embedding, ({_IVFPQ_COARSE_D})[cell] AS cvec
+        FROM probe)
+),
+ptab AS (SELECT q_id, cell, {_IVFPQ_TAB_D} AS tab FROM qresd),
+scored AS (
+  SELECT p.q_id, d.db_id, p.cell, {_IVFPQ_ADC_D} AS adc_dist
+  FROM ptab p JOIN db d USING (cell)
+  WHERE d.db_id <> p.q_id
+),
+r AS (
+  SELECT q_id, db_id, cell, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc_dist, db_id) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT q_id, db_id, cell, adc_dist, rn FROM r WHERE rn <= {IVFPQ_TOPK}
+""",
+    doc="IVF-PQ with RESIDUAL encoding (IVFADC, Jegou et al. 2011 §V — "
+    "the FAISS production configuration, composing the ladder's two "
+    "halves): every database vector is assigned to its nearest of 4 "
+    "formula-derived coarse cells (argmin over round-6 squared L2, "
+    "first-min tie-break), its RESIDUAL x - coarse(cell) is "
+    "PQ-encoded with the 8x4 formula codebook — residuals are what "
+    "make PQ codes sharp, since they drop the coarse component the "
+    "cell id already stores — and each query probes its nprobe=2 "
+    "nearest cells, builds ONE 32-entry ADC table from its OWN "
+    "residual against that cell, and scores candidates with 8 table "
+    "lookups per pair. Both the coarse centroids and the PQ codebook "
+    "derive from integer formulas, so no dim table can drift between "
+    "engines (pq_quantize_embeddings' discipline). 100 TB shape: cell "
+    "assignment + residual encode are one embarrassingly parallel "
+    "map pass (zero shuffle); the probe set is |Q| x nprobe rows "
+    "BROADCAST onto a cell-keyed equi-join, bounding candidates by "
+    "cell size, never corpus x corpus; the per-query top-10 is a "
+    "rank window with WindowGroupLimit pushdown. The ADC table is "
+    "materialized ONCE per (query, cell) row as a flat 32-double "
+    "array BEFORE the join — per pair the distance really is 8 "
+    "element_at lookups, not 8 recomputed aggregates.",
+    tags=("similarity", "pipeline"),
+)
+def ann_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cdists = "array(" + ", ".join(
+        _coarse_dist_spark("embedding", c) for c in range(IVFPQ_NCELL)
+    ) + ")"
+    coarse_all = "array(" + ", ".join(
+        _coarse_vec_spark(c) for c in range(IVFPQ_NCELL)
+    ) + ")"
+    # The residual feeds 8x4x8x2 = 512 subdist references; a plain column
+    # projection does NOT protect it — CollapseProject re-inlines the
+    # residual transform into every reference (measured: 1.1 MB task
+    # binary). Real let-bindings via element_at(transform(array(v),
+    # x -> body), 1) pin ONE evaluation: Catalyst never substitutes
+    # across lambda boundaries (the r7 native-codec lesson).
+    def _let(value_expr: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
+
+    res_of_cvec = (
+        "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+        " - element_at(cvec, i))"
+    )
+    celled = e.select(
+        F.col("vec_id").alias("db_id"),
+        "embedding",
+        F.expr(f"cast(array_position({cdists}, array_min({cdists})) as int)").alias(
+            "cell"
+        ),
+    )
+    codes_expr, _ = _pq_codes_spark("res")
+    codes_let = _let(
+        f"element_at({coarse_all}, cell)",
+        "cvec",
+        _let(res_of_cvec, "res", codes_expr),
+    )
+    db = celled.select("db_id", "cell", F.expr(codes_let).alias("codes"))
+
+    # query side: nprobe cells selected ROW-LOCAL (sorted struct slice,
+    # (dist asc, cell asc) tie-break) — no window needed before the join
+    q = e.where(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probed = (
+        q.withColumn("cdists", F.expr(cdists))
+        .select(
+            "q_id",
+            "embedding",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(sequence(1, {IVFPQ_NCELL}),"
+                    " c -> struct(element_at(cdists, c) as d, c as cell))),"
+                    f" 1, {IVFPQ_NPROBE})"
+                )
+            ).alias("pc"),
+        )
+        .select("q_id", "embedding", F.col("pc.cell").alias("cell"))
+    )
+    tab_expr = "array(" + ", ".join(
+        _pq_subdist_spark("qres", s, c) for s in range(PQ_SUB) for c in range(PQ_K)
+    ) + ")"
+    tab_let = _let(
+        f"element_at({coarse_all}, cell)",
+        "cvec",
+        _let(res_of_cvec, "qres", tab_expr),
+    )
+    ptab = probed.select("q_id", "cell", F.expr(tab_let).alias("tab"))
+
+    adc = "round(" + " + ".join(
+        f"element_at(tab, {s * PQ_K} + element_at(codes, {s + 1}))"
+        for s in range(PQ_SUB)
+    ) + ", 6)"
+    scored = (
+        db.join(F.broadcast(ptab), "cell")
+        .where(F.col("db_id") != F.col("q_id"))
+        .select("q_id", "db_id", "cell", F.expr(adc).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("db_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= IVFPQ_TOPK)
+    )

@@ -848,3 +848,19 @@ def test_bloom_dedup_membership_digest_keyed(spark):
     assert len(exchanges) <= 7, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row fill attach
+
+
+def test_ann_ivfpq_residual_search_shape(spark):
+    """IVFADC: cell assignment + residual PQ encode are one map pass;
+    the probe set broadcasts onto a cell-keyed equi-join (never
+    corpus x corpus); the only Exchange is the per-query rank window.
+    The residual/codes/ADC-table expressions are let-bound (lambda
+    boundaries), so the plan must stay bounded — a re-inlining
+    regression blows the formatted plan past ~1 MB (measured failure
+    mode of the unprotected form elsewhere in r7)."""
+    plan = _plan(spark, "ann_ivfpq_residual_search")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(plan) < 300_000, f"plan blew up to {len(plan)} chars"

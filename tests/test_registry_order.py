@@ -102,6 +102,9 @@ _DEMOTED_GREEN = {
     "benchmark_contamination",  # r4+r5+r6 green; slot went to
     # bloom_dedup_membership — the broadcast-shingle decontamination
     # semi-join re-runs inside in-window corpus_release_funnel every round
+    "ann_pq_adc_search",  # r4+r5+r6 green; slot went to same-family
+    # successor ann_ivfpq_residual_search (IVFADC) — the ADC scoring and
+    # formula codebook re-run inside the residual search every round
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
