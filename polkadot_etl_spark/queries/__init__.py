@@ -90,7 +90,11 @@ _PRIORITY: list[str] = [
     # token_metadata_maintenance — the LSH bucket-cap accounting rides
     # the same capped-bucket pipeline that runs inside in-window
     # dedup_corpus_survivors every round
-    "token_metadata_maintenance",
+    # token_metadata_maintenance: green r5+r6, demoted late-r7 for
+    # datacard_source_stats — its J10 newer-block-gated MERGE semantics
+    # re-run inside in-window merge_upsert_state (keyed MERGE + replay)
+    # and assethub_price_log (last-wins window form) every round
+    "datacard_source_stats",
     # round-4 corpus ops (first driver window)
     # semdedup_prune: green r4+r5+r6, demoted mid-r7 for
     # xcm_asset_registry (below) — its broadcast-seed cell assignment

@@ -3107,3 +3107,137 @@ def ann_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= IVFPQ_TOPK)
     )
+
+
+# --- per-source data card ----------------------------------------------------
+
+DATACARD_SHORT = 200  # "short doc" threshold (chars)
+
+
+@query(
+    "datacard_source_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(text) AS h,
+         CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+           AS toks
+  FROM documents
+),
+c AS (
+  SELECT *, (doc_id <> MIN(doc_id) OVER (PARTITION BY h)) AS is_dup FROM d
+),
+m AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM c
+),
+s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN is_dup THEN 1 END), 0) AS BIGINT)
+           AS n_dup_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS median_chars,
+         MAX(n_chars) AS max_chars,
+         CAST(COALESCE(SUM(CASE WHEN n_chars < {DATACARD_SHORT} THEN 1 END),
+                       0) AS BIGINT) AS n_short_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM m GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS lcnt FROM d GROUP BY source, lang
+),
+tl AS (
+  SELECT source, lang AS top_lang, lcnt FROM (
+    SELECT source, lang, lcnt,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY lcnt DESC, lang ASC) AS lrn
+    FROM lc) WHERE lrn = 1
+)
+SELECT s.source, n_docs, n_dup_docs,
+       (n_dup_docs * 1000000) // n_docs AS dup_ppm,
+       n_tokens,
+       (n_tokens * 100) // n_docs AS mean_tokens_x100,
+       median_chars, max_chars, n_short_docs, n_langs,
+       top_lang,
+       (lcnt * 1000000) // n_docs AS top_lang_ppm
+FROM s JOIN tl ON s.source = tl.source
+""",
+    doc="Per-source DATA CARD — the release report a dataset ships "
+    "(HF dataset cards / Dolma's per-source tables): doc and exact-"
+    "duplicate counts (global md5 canonicality, so cross-source dups "
+    "attribute to the non-canonical source), BPE-ish token totals, "
+    "deterministic LOWER-median and max doc length, short-doc count, "
+    "language count and the dominant language with its share. Every "
+    "ratio is integer ppm / x100 fixed-point via integer division and "
+    "the median is the rank-(n+1)/2 element under a (n_chars, doc_id) "
+    "total order — no percentile interpolation, no float rounding, "
+    "engine-exact by construction. Scale: the digest and token count "
+    "are map-side (text never shuffles); shuffles are the 16-byte "
+    "digest window, ONE source-keyed exchange reused by the median "
+    "window and the rollup (same partition key), and the tiny "
+    "(source, lang) rollup joined back source-keyed — at 100 TB every "
+    "key is low-cardinality-friendly (sources ~ thousands) with "
+    "map-side partial aggregation.",
+    tags=("corpus", "agg"),
+)
+def datacard_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+        .cast("long")
+        .alias("toks"),
+    )
+    c = d.withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    wsrc = Window.partitionBy("source")
+    m = c.withColumn(
+        "rn",
+        F.row_number().over(wsrc.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())),
+    ).withColumn("cnt", F.count(F.lit(1)).over(wsrc))
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n_chars"))
+        ).alias("median_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum((F.col("n_chars") < DATACARD_SHORT).cast("long")).alias("n_short_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("lcnt"))
+    tl = (
+        lc.withColumn(
+            "lrn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("lcnt").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .where(F.col("lrn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "lcnt")
+    )
+    return s.join(tl, "source").select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        F.expr("(n_dup_docs * 1000000L) div n_docs").alias("dup_ppm"),
+        "n_tokens",
+        F.expr("(n_tokens * 100L) div n_docs").alias("mean_tokens_x100"),
+        "median_chars",
+        "max_chars",
+        "n_short_docs",
+        "n_langs",
+        "top_lang",
+        F.expr("(lcnt * 1000000L) div n_docs").alias("top_lang_ppm"),
+    )

@@ -864,3 +864,18 @@ def test_ann_ivfpq_residual_search_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(plan) < 300_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_datacard_source_stats_keyed_exchanges_only(spark):
+    """The data card's digest and token count are map-side: raw text
+    never reaches an Exchange. The shuffles are the 16-byte digest
+    window, the source-keyed exchange (median window + rollup share
+    it), the (source, lang) rollup, and the source join — all keyed,
+    nothing global."""
+    plan = _plan(spark, "datacard_source_stats")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 5, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+    assert "rangepartitioning" not in plan  # no global sort anywhere
