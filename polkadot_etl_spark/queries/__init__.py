@@ -117,7 +117,13 @@ _PRIORITY: list[str] = [
     "corpus_release_funnel",
     "bpe_pair_counts",
     "unigram_perplexity",
-    "split_leakage_audit",
+    # split_leakage_audit: green r4+r5+r6, demoted late-r7 for
+    # domain_pagerank — BOTH its mechanisms stay in-window: the
+    # md5-range split rule via train_val_split (rotated back in mid-r7)
+    # and the word-5-gram overlap probe via corpus_release_funnel's
+    # decontamination + split stages (shared _word_grams / _split_col
+    # helpers); the audit composition stays locally oracle-verified
+    "domain_pagerank",
     "mixture_weights",
     # dedup_clusters: green r3, demoted mid-r4 for audit_row_counts — the
     # connected-components stage re-runs inside dedup_corpus_survivors

@@ -3241,3 +3241,155 @@ def datacard_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         F.expr("(lcnt * 1000000L) div n_docs").alias("top_lang_ppm"),
     )
+
+
+# --- domain-graph PageRank ---------------------------------------------------
+
+PR_ITERS = 4
+PR_SCALE = 1_000_000_000_000  # rank fixed-point: 10^12 per node at init
+# damping 0.85 as the integer pair (85, 100); teleport = 15% of SCALE
+
+
+def _pr_oracle() -> str:
+    """Unrolled integer-PageRank CTE chain (same math as the Spark loop,
+    rebuilt independently over the url_domain_filter domain derivation)."""
+    ctes = [
+        f"""staged AS (
+  SELECT doc_id, {_url_domain_case('doc_id')} AS domain FROM documents
+),
+ed AS (
+  SELECT a.domain AS src, b.domain AS dst
+  FROM (SELECT doc_id, domain,
+               (doc_id * 31 + 7) % (SELECT MAX(doc_id) + 1 FROM documents)
+                 AS tgt
+        FROM staged) a
+  JOIN staged b ON b.doc_id = a.tgt
+  WHERE a.domain <> b.domain
+),
+edges AS (SELECT src, dst, COUNT(*) AS w FROM ed GROUP BY src, dst),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+inw AS (SELECT dst, CAST(SUM(w) AS BIGINT) AS iw FROM edges GROUP BY dst),
+nodes AS (SELECT src AS d FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT d, {PR_SCALE}::BIGINT AS rank FROM nodes)"""
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT n.d,
+         CAST({PR_SCALE * 15 // 100}::BIGINT
+              + COALESCE(SUM((r.rank * 85 * e.w) // (100 * o.ow)), 0)
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.d
+  LEFT JOIN r{i} r ON r.d = e.src
+  LEFT JOIN outw o ON o.src = e.src
+  GROUP BY n.d
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.d AS domain,
+       COALESCE(o.ow, 0) AS out_w,
+       COALESCE(i.iw, 0) AS in_w,
+       r.rank AS rank_fp,
+       CAST({PR_ITERS} AS INTEGER) AS n_iter
+FROM nodes n
+JOIN r{PR_ITERS} r ON r.d = n.d
+LEFT JOIN outw o ON o.src = n.d
+LEFT JOIN inw i ON i.dst = n.d
+"""
+    )
+
+
+@query(
+    "domain_pagerank",
+    oracle=_pr_oracle(),
+    doc="Weighted PageRank over the registrable-domain link graph — the "
+    "crawl-quality centrality signal (Common Crawl publishes exactly "
+    "this kind of host/domain rank, and quality pipelines consume it "
+    "as a prior). Nodes/edges come from the REAL _url_staged domain "
+    "derivation; each page links to the domain of a deterministically "
+    "derived target page, resolved through a doc_id-keyed equi-join "
+    "against the page table (the actual 100 TB shape of link "
+    "resolution), multi-edges collapse into integer weights, and "
+    f"{PR_ITERS} power iterations run with ALL-INTEGER fixed-point "
+    "arithmetic: rank starts at 10^12 per node, each edge contributes "
+    "floor(rank*85*w / (100*outw)), teleport adds 15% of scale — no "
+    "float ever exists, so the result is bit-identical across engines, "
+    "partitionings, and iteration-internal orderings (the kmeans/CC "
+    "determinism discipline applied to link analysis). Scale: each "
+    "iteration is one src-keyed join + one dst-keyed aggregate (the "
+    "canonical iterative-DataFrame shape); ranks/outw stay "
+    "co-partitioned on the domain key across iterations; production "
+    "checkpoints lineage every few rounds exactly like "
+    "operators/graph.py's CC loop. The oracle rebuilds the graph and "
+    "all iterations as an unrolled CTE chain.",
+    tags=("corpus", "iterative", "join"),
+)
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = _url_staged(docs).select("doc_id", "domain")
+    max_id = docs.agg(F.max("doc_id").alias("m"))  # genuinely 1 row
+    ed = (
+        staged.crossJoin(F.broadcast(max_id))
+        .select("domain", (F.expr("(doc_id * 31 + 7) % (m + 1)")).alias("tgt"))
+        .alias("a")
+        .join(staged.alias("b"), F.col("tgt") == F.col("b.doc_id"))
+        .where(F.col("a.domain") != F.col("b.domain"))
+        .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
+    )
+    # materialize the graph ONCE: edges feed every iteration's join plus
+    # outw/inw/nodes — without the checkpoint Spark re-runs the staged
+    # self-join per consumer (measured ~10s -> ~3s at sf0.01; the
+    # semdedup_prune / operators/graph.py lineage-cut precedent)
+    edges = (
+        ed.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # outw and nodes are ALSO per-iteration consumers (out-degree join,
+    # dangling-node left join) — checkpoint the two tiny dims so each
+    # iteration references a materialized table instead of re-running
+    # the rollup/union-distinct (plan dropped 20 -> ~14 Exchanges)
+    outw = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("long").alias("ow"))
+        .localCheckpoint(eager=True)
+    )
+    inw = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("iw"))
+    nodes = (
+        edges.select(F.col("src").alias("d"))
+        .union(edges.select(F.col("dst").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("d", F.lit(PR_SCALE).cast("long").alias("rank"))
+    base = PR_SCALE * 15 // 100
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["d"])
+            .join(outw, "src")
+            .select("dst", F.expr("(rank * 85 * w) div (100 * ow)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = nodes.join(contribs, nodes["d"] == contribs["dst"], "left").select(
+            "d",
+            (F.lit(base).cast("long") + F.coalesce(F.col("cs"), F.lit(0))).alias(
+                "rank"
+            ),
+        )
+    return (
+        nodes.join(ranks, "d")
+        .join(outw, nodes["d"] == outw["src"], "left")
+        .join(inw, nodes["d"] == inw["dst"], "left")
+        .select(
+            F.col("d").alias("domain"),
+            F.coalesce(F.col("ow"), F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce(F.col("iw"), F.lit(0)).cast("long").alias("in_w"),
+            F.col("rank").alias("rank_fp"),
+            F.lit(PR_ITERS).cast("int").alias("n_iter"),
+        )
+    )

@@ -879,3 +879,21 @@ def test_datacard_source_stats_keyed_exchanges_only(spark):
     assert len(exchanges) <= 5, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
     assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_domain_pagerank_iterations_stay_keyed(spark):
+    """Each PageRank power iteration is one src-keyed join + one
+    dst-keyed aggregate over the checkpointed edge table — all-keyed
+    exchanges with a bounded count, no cartesian, no global sort, no
+    Python. The graph build itself (staged self-join + edge rollup)
+    sits behind the lineage-cut checkpoint. The static plan carries
+    ~5 keyed exchanges per unrolled iteration (join sides + rollup);
+    at runtime AQE converts the 11-row rank/degree sides to broadcasts
+    — the bound guards against an accidental extra shuffle per
+    iteration, not the AQE end state."""
+    plan = _plan(spark, "domain_pagerank")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 22, exchanges

@@ -105,6 +105,10 @@ _DEMOTED_GREEN = {
     "ann_pq_adc_search",  # r4+r5+r6 green; slot went to same-family
     # successor ann_ivfpq_residual_search (IVFADC) — the ADC scoring and
     # formula codebook re-run inside the residual search every round
+    "split_leakage_audit",  # r4+r5+r6 green; slot went to
+    # domain_pagerank — both its mechanisms stay in-window (md5-range
+    # split via train_val_split; word-5-gram overlap via
+    # corpus_release_funnel's shared _word_grams/_split_col stages)
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
