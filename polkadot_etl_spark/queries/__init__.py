@@ -124,7 +124,12 @@ _PRIORITY: list[str] = [
     # decontamination + split stages (shared _word_grams / _split_col
     # helpers); the audit composition stays locally oracle-verified
     "domain_pagerank",
-    "mixture_weights",
+    # mixture_weights: green r4+r5+r6, demoted late-r7 for
+    # ann_ivfpq_recall_audit — its corpus-side aggregate (per-source
+    # BPE token totals) is recomputed inside in-window
+    # datacard_source_stats every round; the tau=2 smoothing arithmetic
+    # on that tiny dim stays locally oracle-verified every session
+    "ann_ivfpq_recall_audit",
     # dedup_clusters: green r3, demoted mid-r4 for audit_row_counts — the
     # connected-components stage re-runs inside dedup_corpus_survivors
     # train_val_split: green r3, demoted mid-r4 for address_topn_metrics —

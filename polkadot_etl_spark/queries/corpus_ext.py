@@ -1131,32 +1131,37 @@ PQ_K = 4  # centroids per subspace
 #   cb(s, c, d) = (((s*31 + c*17 + d*7) % 19) - 9) / 10.0
 
 
-def _pq_subdist_spark(emb: str, s: int, c: int) -> str:
+def _pq_subdist_spark(emb: str, s: int, c: int, div: int = 10) -> str:
     """Spark SQL: rounded squared L2 distance between subvector s of
-    ``emb`` and codebook centroid (s, c)."""
+    ``emb`` and codebook centroid (s, c). ``div`` sets the codebook's
+    dynamic range (entries in ±9/div): 10 for raw embeddings (the
+    original PQ queries), 100 for IVFPQ residuals, whose magnitude is
+    ~10x smaller — a production IVFPQ trains codebooks on residuals,
+    and a 10x-wrong dynamic range quantizes to noise (measured: IVFPQ
+    recall@10 fell to 0-10% under the div=10 book)."""
     base = s * 31 + c * 17
     x = f"cast(element_at({emb}, {s * 8} + d + 1) as double)"
-    cb = f"((({base} + d * 7) % 19) - 9) / 10D"
+    cb = f"((({base} + d * 7) % 19) - 9) / {div}D"
     return (
         f"round(aggregate(sequence(0, 7), 0D, (acc, d) -> acc + ({x} - {cb}) * ({x} - {cb})), 6)"
     )
 
 
-def _pq_subdist_duck(emb: str, s: int, c: int) -> str:
+def _pq_subdist_duck(emb: str, s: int, c: int, div: int = 10) -> str:
     base = s * 31 + c * 17
     x = f"{emb}[{s * 8} + d + 1]::DOUBLE"
-    cb = f"((({base} + d * 7) % 19) - 9) / 10.0"
+    cb = f"((({base} + d * 7) % 19) - 9) / {div}.0"
     return (
         f"round(list_sum(list_transform(range(0, 8), d -> ({x} - {cb}) * ({x} - {cb}))), 6)"
     )
 
 
-def _pq_codes_spark(emb: str) -> tuple[str, str]:
+def _pq_codes_spark(emb: str, div: int = 10) -> tuple[str, str]:
     """(codes_expr, qerror_expr): per-subspace argmin centroid ids
     (1-based, first-min tie-break) and the summed quantization error."""
     codes, errs = [], []
     for s in range(PQ_SUB):
-        dists = f"array({', '.join(_pq_subdist_spark(emb, s, c) for c in range(PQ_K))})"
+        dists = f"array({', '.join(_pq_subdist_spark(emb, s, c, div) for c in range(PQ_K))})"
         codes.append(f"array_position({dists}, array_min({dists}))")
         errs.append(f"array_min({dists})")
     return (
@@ -1165,10 +1170,10 @@ def _pq_codes_spark(emb: str) -> tuple[str, str]:
     )
 
 
-def _pq_codes_duck(emb: str) -> tuple[str, str]:
+def _pq_codes_duck(emb: str, div: int = 10) -> tuple[str, str]:
     codes, errs = [], []
     for s in range(PQ_SUB):
-        dists = f"[{', '.join(_pq_subdist_duck(emb, s, c) for c in range(PQ_K))}]"
+        dists = f"[{', '.join(_pq_subdist_duck(emb, s, c, div) for c in range(PQ_K))}]"
         codes.append(f"list_position({dists}, list_min({dists}))")
         errs.append(f"list_min({dists})")
     return (
@@ -2942,11 +2947,71 @@ _IVFPQ_COARSE_D = "[" + ", ".join(
 _IVFPQ_RES_D = "list_transform(range(1, 65), i -> embedding[i]::DOUBLE - cvec[i])"
 # per-subspace ADC table entries for the query residual, s-major flat list
 _IVFPQ_TAB_D = "[" + ", ".join(
-    _pq_subdist_duck("qres", s, c) for s in range(PQ_SUB) for c in range(PQ_K)
+    _pq_subdist_duck("qres", s, c, div=100) for s in range(PQ_SUB) for c in range(PQ_K)
 ) + "]"
 _IVFPQ_ADC_D = "round(" + " + ".join(
     f"tab[{s * PQ_K} + codes[{s + 1}]]" for s in range(PQ_SUB)
 ) + ", 6)"
+
+
+def _ivfpq_let(value_expr: str, var: str, body: str) -> str:
+    """Real let-binding: Catalyst never substitutes across lambda
+    boundaries, so ``value_expr`` is evaluated exactly once however many
+    times ``var`` appears in ``body`` (the r7 native-codec lesson; a
+    plain column projection does NOT protect it — CollapseProject
+    re-inlines, measured 1.1 MB task binary on the unprotected form)."""
+    return f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
+
+
+_IVFPQ_CDISTS_S = "array(" + ", ".join(
+    _coarse_dist_spark("embedding", c) for c in range(IVFPQ_NCELL)
+) + ")"
+_IVFPQ_COARSE_S = "array(" + ", ".join(
+    _coarse_vec_spark(c) for c in range(IVFPQ_NCELL)
+) + ")"
+_IVFPQ_RES_S = (
+    "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+    " - element_at(cvec, i))"
+)
+
+
+def _ivfpq_celled(e: DataFrame) -> DataFrame:
+    """(db_id, embedding, cell): nearest formula-coarse-cell assignment
+    (argmin over round-6 squared L2, first-min tie-break). Shared by the
+    search (residual encode) and the recall audit (pruning ceiling)."""
+    return e.select(
+        F.col("vec_id").alias("db_id"),
+        "embedding",
+        F.expr(
+            f"cast(array_position({_IVFPQ_CDISTS_S},"
+            f" array_min({_IVFPQ_CDISTS_S})) as int)"
+        ).alias("cell"),
+    )
+
+
+def _ivfpq_probed(e: DataFrame) -> DataFrame:
+    """(q_id, embedding, cell): the nprobe nearest cells per query,
+    selected ROW-LOCAL (sorted struct slice, (dist asc, cell asc)
+    tie-break) — no window needed before any join."""
+    q = e.where(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return (
+        q.withColumn("cdists", F.expr(_IVFPQ_CDISTS_S))
+        .select(
+            "q_id",
+            "embedding",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(sequence(1, {IVFPQ_NCELL}),"
+                    " c -> struct(element_at(cdists, c) as d, c as cell))),"
+                    f" 1, {IVFPQ_NPROBE})"
+                )
+            ).alias("pc"),
+        )
+        .select("q_id", "embedding", F.col("pc.cell").alias("cell"))
+    )
+
 
 
 @query(
@@ -2964,7 +3029,7 @@ resd AS (
         FROM celled)
 ),
 db AS (
-  SELECT vec_id AS db_id, cell, {_pq_codes_duck('res')[0]} AS codes
+  SELECT vec_id AS db_id, cell, {_pq_codes_duck('res', div=100)[0]} AS codes
   FROM resd
 ),
 qd AS (
@@ -3029,69 +3094,25 @@ SELECT q_id, db_id, cell, adc_dist, rn FROM r WHERE rn <= {IVFPQ_TOPK}
 )
 def ann_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cdists = "array(" + ", ".join(
-        _coarse_dist_spark("embedding", c) for c in range(IVFPQ_NCELL)
-    ) + ")"
-    coarse_all = "array(" + ", ".join(
-        _coarse_vec_spark(c) for c in range(IVFPQ_NCELL)
-    ) + ")"
-    # The residual feeds 8x4x8x2 = 512 subdist references; a plain column
-    # projection does NOT protect it — CollapseProject re-inlines the
-    # residual transform into every reference (measured: 1.1 MB task
-    # binary). Real let-bindings via element_at(transform(array(v),
-    # x -> body), 1) pin ONE evaluation: Catalyst never substitutes
-    # across lambda boundaries (the r7 native-codec lesson).
-    def _let(value_expr: str, var: str, body: str) -> str:
-        return f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
-
-    res_of_cvec = (
-        "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
-        " - element_at(cvec, i))"
-    )
-    celled = e.select(
-        F.col("vec_id").alias("db_id"),
-        "embedding",
-        F.expr(f"cast(array_position({cdists}, array_min({cdists})) as int)").alias(
-            "cell"
-        ),
-    )
-    codes_expr, _ = _pq_codes_spark("res")
-    codes_let = _let(
-        f"element_at({coarse_all}, cell)",
+    celled = _ivfpq_celled(e)
+    codes_expr, _ = _pq_codes_spark("res", div=100)
+    codes_let = _ivfpq_let(
+        f"element_at({_IVFPQ_COARSE_S}, cell)",
         "cvec",
-        _let(res_of_cvec, "res", codes_expr),
+        _ivfpq_let(_IVFPQ_RES_S, "res", codes_expr),
     )
     db = celled.select("db_id", "cell", F.expr(codes_let).alias("codes"))
 
-    # query side: nprobe cells selected ROW-LOCAL (sorted struct slice,
-    # (dist asc, cell asc) tie-break) — no window needed before the join
-    q = e.where(F.col("vec_id") < IVFPQ_NQ).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    probed = (
-        q.withColumn("cdists", F.expr(cdists))
-        .select(
-            "q_id",
-            "embedding",
-            F.explode(
-                F.expr(
-                    f"slice(array_sort(transform(sequence(1, {IVFPQ_NCELL}),"
-                    " c -> struct(element_at(cdists, c) as d, c as cell))),"
-                    f" 1, {IVFPQ_NPROBE})"
-                )
-            ).alias("pc"),
-        )
-        .select("q_id", "embedding", F.col("pc.cell").alias("cell"))
-    )
     tab_expr = "array(" + ", ".join(
-        _pq_subdist_spark("qres", s, c) for s in range(PQ_SUB) for c in range(PQ_K)
+        _pq_subdist_spark("qres", s, c, div=100)
+        for s in range(PQ_SUB) for c in range(PQ_K)
     ) + ")"
-    tab_let = _let(
-        f"element_at({coarse_all}, cell)",
+    tab_let = _ivfpq_let(
+        f"element_at({_IVFPQ_COARSE_S}, cell)",
         "cvec",
-        _let(res_of_cvec, "qres", tab_expr),
+        _ivfpq_let(_IVFPQ_RES_S, "qres", tab_expr),
     )
-    ptab = probed.select("q_id", "cell", F.expr(tab_let).alias("tab"))
+    ptab = _ivfpq_probed(e).select("q_id", "cell", F.expr(tab_let).alias("tab"))
 
     adc = "round(" + " + ".join(
         f"element_at(tab, {s * PQ_K} + element_at(codes, {s + 1}))"
@@ -3393,3 +3414,171 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PR_ITERS).cast("int").alias("n_iter"),
         )
     )
+
+
+# --- IVFPQ recall accounting -------------------------------------------------
+
+_L2_D = (
+    "round(list_sum(list_transform(range(1, len(q_emb) + 1),"
+    " i -> (q_emb[i]::DOUBLE - c_emb[i]::DOUBLE)"
+    " * (q_emb[i]::DOUBLE - c_emb[i]::DOUBLE))), 6)"
+)
+
+
+@query(
+    "ann_ivfpq_recall_audit",
+    oracle=f"""
+WITH approx AS (
+  SELECT q_id, db_id FROM ({{IVFPQ_ORACLE}})
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {IVFPQ_NQ}),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS db_id, {_L2_D} AS l2
+  FROM q CROSS JOIN (SELECT vec_id, embedding AS c_emb FROM embeddings) e
+  WHERE q.q_id <> e.vec_id
+),
+truth AS (
+  SELECT q_id, db_id FROM (
+    SELECT q_id, db_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2, db_id) AS rn
+    FROM pairs) WHERE rn <= {IVFPQ_TOPK}
+),
+hits AS (
+  SELECT t.q_id, COUNT(*) AS n_hits
+  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.db_id = a.db_id
+  GROUP BY t.q_id
+),
+na AS (SELECT q_id, COUNT(*) AS n_approx FROM approx GROUP BY q_id),
+celled2 AS (
+  SELECT vec_id AS db_id,
+         list_position({_IVFPQ_CDIST_D}, list_min({_IVFPQ_CDIST_D})) AS cell
+  FROM embeddings
+),
+qs2 AS (
+  SELECT vec_id AS q_id, cell, ({_IVFPQ_CDIST_D})[cell] AS cdist
+  FROM (SELECT vec_id, embedding, unnest(range(1, {IVFPQ_NCELL} + 1)) AS cell
+        FROM embeddings WHERE vec_id < {IVFPQ_NQ})
+),
+probe2 AS (
+  SELECT q_id, cell FROM (
+    SELECT q_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cdist, cell) AS prn
+    FROM qs2) WHERE prn <= {IVFPQ_NPROBE}
+),
+cellcand AS (
+  SELECT p.q_id, c.db_id FROM probe2 p JOIN celled2 c USING (cell)
+  WHERE c.db_id <> p.q_id
+),
+chits AS (
+  SELECT t.q_id, COUNT(*) AS n_cell_hits
+  FROM truth t JOIN cellcand cc ON t.q_id = cc.q_id AND t.db_id = cc.db_id
+  GROUP BY t.q_id
+)
+SELECT q.q_id AS query_id,
+       CAST({IVFPQ_TOPK} AS BIGINT) AS n_truth,
+       CAST(COALESCE(ch.n_cell_hits, 0) AS BIGINT) AS n_cell_hits,
+       (COALESCE(ch.n_cell_hits, 0) * 1000000) // {IVFPQ_TOPK} AS ceiling_ppm,
+       CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (COALESCE(h.n_hits, 0) * 1000000) // {IVFPQ_TOPK} AS recall_ppm
+FROM (SELECT DISTINCT q_id FROM q) q
+LEFT JOIN hits h ON h.q_id = q.q_id
+LEFT JOIN chits ch ON ch.q_id = q.q_id
+LEFT JOIN na ON na.q_id = q.q_id
+""",
+    doc="Recall accounting for the COMPRESSED index — ann_recall_audit's "
+    "measure-don't-assume discipline applied to IVF-PQ: recall@10 of "
+    "ann_ivfpq_residual_search (the REAL registry plan, composed, not "
+    "reimplemented) against brute-force exact squared-L2 truth on the "
+    "raw embeddings — the same metric family ADC approximates, so the "
+    "number isolates what the compression ladder loses (cell pruning "
+    "at nprobe=2 + residual quantization at 8x4 codes), not a metric "
+    "mismatch. n_cell_hits is the PRUNING CEILING — |truth ∩ probed cells| "
+    "via the shared _ivfpq_celled/_ivfpq_probed plans — so the output "
+    "separates what nprobe=2 pruning loses from what the deliberately "
+    "tiny 2-bit-per-subspace residual codes lose (production uses 8-bit "
+    "books; the fixture's near-floor recall under a measured ~50% "
+    "ceiling is the honest statement of that config, not a bug). All "
+    "ratios are integer ppm (no float rounding). Scale shape: "
+    "truth is a broadcast-query crossJoin scored map-side with a "
+    "per-query rank window; every audit join after that is bounded by "
+    "|queries| x k rows.",
+    tags=("similarity", "audit", "pipeline"),
+)
+def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    db = e.select(F.col("vec_id").alias("db_id"), F.col("embedding").alias("c_emb"))
+    l2 = F.expr(
+        "round(aggregate(zip_with(q_emb, c_emb,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v), 6)"
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(db)
+        .where(F.col("q_id") != F.col("db_id"))
+        .select("q_id", "db_id", l2.alias("l2"))
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("l2").asc(), F.col("db_id").asc())
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(tw))
+        .where(F.col("rn") <= IVFPQ_TOPK)
+        .select("q_id", "db_id")
+    )
+    approx = ann_ivfpq_residual_search(spark, sf_dir).select("q_id", "db_id")
+    hits = truth.join(approx, ["q_id", "db_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    na = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    # pruning CEILING: |truth ∩ probed cells| — what recall could be if
+    # quantization were lossless; the gap to n_hits is what the 2-bit
+    # residual codes cost (shared _ivfpq_celled/_ivfpq_probed helpers,
+    # the same cell/probe plans the search runs)
+    cellcand = (
+        _ivfpq_celled(e)
+        .select("db_id", "cell")
+        .join(F.broadcast(_ivfpq_probed(e).select("q_id", "cell")), "cell")
+        .where(F.col("db_id") != F.col("q_id"))
+        .select("q_id", "db_id")
+    )
+    chits = truth.join(cellcand, ["q_id", "db_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_cell_hits")
+    )
+    qd = q.select("q_id").distinct()
+    return (
+        qd.join(F.broadcast(hits), "q_id", "left")
+        .join(F.broadcast(chits), "q_id", "left")
+        .join(F.broadcast(na), "q_id", "left")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.lit(IVFPQ_TOPK).cast("long").alias("n_truth"),
+            F.coalesce(F.col("n_cell_hits"), F.lit(0)).cast("long").alias(
+                "n_cell_hits"
+            ),
+            F.expr(
+                f"(coalesce(n_cell_hits, 0) * 1000000L) div {IVFPQ_TOPK}"
+            ).alias("ceiling_ppm"),
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"(coalesce(n_hits, 0) * 1000000L) div {IVFPQ_TOPK}"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+# the IVFPQ oracle text is registered one query earlier — interpolate it
+# into the audit's subquery slot (dataclasses.replace keeps the frozen
+# QuerySpec contract intact)
+import dataclasses as _dc  # noqa: E402
+
+QUERIES["ann_ivfpq_recall_audit"] = _dc.replace(
+    QUERIES["ann_ivfpq_recall_audit"],
+    oracle=QUERIES["ann_ivfpq_recall_audit"].oracle.replace(
+        "{IVFPQ_ORACLE}", QUERIES["ann_ivfpq_residual_search"].oracle
+    ),
+)

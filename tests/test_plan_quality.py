@@ -897,3 +897,17 @@ def test_domain_pagerank_iterations_stay_keyed(spark):
     assert "rangepartitioning" not in plan
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 22, exchanges
+
+
+def test_ann_ivfpq_recall_audit_bounded_joins(spark):
+    """The recall audit composes the real IVFPQ plan plus a brute-force
+    truth pass; everything the audit adds (truth x approx hits, the
+    pruning-ceiling join, the final left joins) operates on
+    |queries| x k frames and must stay broadcast — no cartesian, no
+    Python, and the plan-size bound guards the let-binding discipline
+    of the composed IVFPQ legs."""
+    plan = _plan(spark, "ann_ivfpq_recall_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(plan) < 600_000, f"plan blew up to {len(plan)} chars"

@@ -109,6 +109,9 @@ _DEMOTED_GREEN = {
     # domain_pagerank — both its mechanisms stay in-window (md5-range
     # split via train_val_split; word-5-gram overlap via
     # corpus_release_funnel's shared _word_grams/_split_col stages)
+    "mixture_weights",  # r4+r5+r6 green; slot went to
+    # ann_ivfpq_recall_audit — the per-source token aggregate re-runs
+    # inside in-window datacard_source_stats every round
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
