@@ -339,7 +339,12 @@ _PRIORITY: list[str] = [
     # snapshots_pricefeed: green r4, demoted mid-r5 for
     # snapshots_hydradx_omnipool (the generic snapshot_rows contract it
     # exercised runs inside both in-window snapshot queries)
-    "snapshots_hydradx_omnipool",
+    # snapshots_hydradx_omnipool: green r5+r6, demoted late-r7 for
+    # quality_signal_spearman — the generic snapshot_rows machinery
+    # re-runs inside snapshots_dappstaking_v3 + snapshots_relay_opengov
+    # (both in-window) every round; the omnipool-specific walk stays
+    # locally oracle-verified every session
+    "quality_signal_spearman",
     # round-3 TPC-H completion rep kept in window
     "tpch_q21_waiting_suppliers",
     # round-4 reference-parity addition (dump_users_tags full_users)

@@ -3582,3 +3582,147 @@ QUERIES["ann_ivfpq_recall_audit"] = _dc.replace(
         "{IVFPQ_ORACLE}", QUERIES["ann_ivfpq_residual_search"].oracle
     ),
 )
+
+
+# --- quality-signal correlation ---------------------------------------------
+
+_SPEAR_SIGS = ("chars", "tokens", "distinct_words", "top_word")
+_SPEAR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_SPEAR_SIGS)
+    for b in _SPEAR_SIGS[i + 1 :]
+]
+
+
+def _spear_rho_sql(a: str, b: str) -> str:
+    """Exact Pearson-on-ranks (= tie-corrected Spearman) from the integer
+    sums; one sqrt product + one division in IEEE, identical in both
+    engines given identical integer inputs."""
+    return (
+        f"round(cast(n * sxy_{a}_{b} - sx_{a} * sx_{b} as double)"
+        f" / nullif(sqrt(cast(n * sxx_{a} - sx_{a} * sx_{a} as double))"
+        f" * sqrt(cast(n * sxx_{b} - sx_{b} * sx_{b} as double)), 0.0), 6)"
+    )
+
+
+@query(
+    "quality_signal_spearman",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+           AS tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS distinct_words,
+         (SELECT CAST(MAX(cnt) AS BIGINT) FROM (
+            SELECT COUNT(*) AS cnt
+            FROM unnest(string_split(text, ' ')) AS t(word) GROUP BY word))
+           AS top_word
+  FROM documents
+),
+u AS (
+  SELECT doc_id, 'chars' AS sg, chars AS val FROM sig
+  UNION ALL SELECT doc_id, 'tokens', tokens FROM sig
+  UNION ALL SELECT doc_id, 'distinct_words', distinct_words FROM sig
+  UNION ALL SELECT doc_id, 'top_word', top_word FROM sig
+),
+r AS (
+  SELECT doc_id, sg,
+         2 * RANK() OVER (PARTITION BY sg ORDER BY val)
+           + COUNT(*) OVER (PARTITION BY sg, val) - 1 AS r2
+  FROM u
+),
+wide AS (
+  SELECT doc_id,
+         {", ".join(f"MAX(CASE WHEN sg = '{s}' THEN r2 END) AS r_{s}" for s in _SPEAR_SIGS)}
+  FROM r GROUP BY doc_id
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+         {", ".join(f"CAST(SUM(r_{s}) AS BIGINT) AS sx_{s}, CAST(SUM(r_{s} * r_{s}) AS BIGINT) AS sxx_{s}" for s in _SPEAR_SIGS)},
+         {", ".join(f"CAST(SUM(r_{a} * r_{b}) AS BIGINT) AS sxy_{a}_{b}" for a, b in _SPEAR_PAIRS)}
+  FROM wide
+)
+{" UNION ALL ".join(
+    f"SELECT '{a}~{b}' AS pair, CAST(n AS BIGINT) AS n_docs, "
+    + _spear_rho_sql(a, b) + " AS rho FROM agg"
+    for a, b in _SPEAR_PAIRS)}
+""",
+    doc="Quality-signal REDUNDANCY analysis — exact tie-corrected "
+    "Spearman correlation between the four cheap per-doc quality "
+    "signals (chars, BPE tokens, distinct words, top-word count): the "
+    "number a curation team needs before stacking filters, since two "
+    "rank-correlated gates drop the same documents twice. Exactness "
+    "discipline: ranks are 2x AVERAGE ranks as INTEGERS "
+    "(2*RANK + ties - 1 = first_rank + last_rank), all sums are exact "
+    "BIGINT, and rho is Pearson on those integer ranks — one sqrt "
+    "product and one division in IEEE double, identical cross-engine "
+    "(the tie-corrected form, not the 6Σd² shortcut that is wrong "
+    "under ties). Scale: signals are map-side HOF/regex work (the "
+    "gopher top-word sorted-run fold — no word shuffle); shuffles are "
+    "ONE rank window on the 4n unpivoted (sig, val) rows, the per-doc "
+    "pivot-back, and a single global aggregate whose map-side partials "
+    "reduce everything to one 25-column row; the 6 output pairs "
+    "unstack from that row with zero further movement.",
+    tags=("corpus", "agg", "audit"),
+)
+def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(st, wd):
+        run = F.when(wd.eqNullSafe(st["prev"]), st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            wd.alias("prev"), run.alias("run"), F.greatest(st["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(words), state0, step, lambda st: st["best"])
+    sig = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+        .cast("long")
+        .alias("tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("distinct_words"),
+        top.cast("long").alias("top_word"),
+    )
+    unpiv = sig.select(
+        "doc_id",
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"'{s}', {s}" for s in _SPEAR_SIGS)
+            + ") as (sg, val)"
+        ),
+    )
+    r2 = (
+        F.lit(2) * F.rank().over(Window.partitionBy("sg").orderBy("val"))
+        + F.count(F.lit(1)).over(Window.partitionBy("sg", "val"))
+        - 1
+    )
+    ranked = unpiv.select("doc_id", "sg", r2.cast("long").alias("r2"))
+    wide = ranked.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("sg") == s, F.col("r2"))).alias(f"r_{s}")
+            for s in _SPEAR_SIGS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for s in _SPEAR_SIGS:
+        aggs.append(F.sum(F.col(f"r_{s}")).alias(f"sx_{s}"))
+        aggs.append(F.sum(F.col(f"r_{s}") * F.col(f"r_{s}")).alias(f"sxx_{s}"))
+    for a, b in _SPEAR_PAIRS:
+        aggs.append(F.sum(F.col(f"r_{a}") * F.col(f"r_{b}")).alias(f"sxy_{a}_{b}"))
+    one = wide.agg(*aggs)
+    rows = ", ".join(
+        f"'{a}~{b}', cast(n as bigint), " + _spear_rho_sql(a, b)
+        for a, b in _SPEAR_PAIRS
+    )
+    return one.select(
+        F.expr(f"stack({len(_SPEAR_PAIRS)}, {rows}) as (pair, n_docs, rho)")
+    )

@@ -911,3 +911,16 @@ def test_ann_ivfpq_recall_audit_bounded_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(plan) < 600_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_quality_signal_spearman_three_keyed_exchanges(spark):
+    """Signals are map-side HOF/regex work (no word shuffle); the plan
+    is ONE rank-window exchange over the unpivoted (sig, val) rows, the
+    per-doc pivot-back, and a single global aggregate — the 6 output
+    pairs unstack from one row with no further movement."""
+    plan = _plan(spark, "quality_signal_spearman")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
