@@ -204,7 +204,13 @@ _PRIORITY: list[str] = [
     # multimodal_audio_features: green r4+r5, demoted mid-r6 for
     # winnowing_fingerprints — the real RIFF/WAV codec path re-runs
     # inside audio_energy_hash_dedup (in-window) every round
-    "winnowing_fingerprints",
+    # winnowing_fingerprints: green r6, demoted late-r7 for
+    # contamination_containment — offset-robust local-fingerprint
+    # overlap stays in-window via cdc_chunk_dedup (content-defined
+    # boundaries) and the capped gram-pair join via the containment
+    # query; the MOSS rightmost-min selection stays locally
+    # oracle-verified every session
+    "contamination_containment",
     # audit_row_counts: green r4+r6 (X7 audit), demoted late-r7 for
     # corpus_shard_shuffle — the same dump tables' day-grain counts are
     # re-aggregated inside in-window dump_day_blocklog every round; the

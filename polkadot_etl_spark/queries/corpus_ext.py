@@ -3726,3 +3726,138 @@ def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.expr(f"stack({len(_SPEAR_PAIRS)}, {rows}) as (pair, n_docs, rho)")
     )
+
+
+# --- graded contamination: containment score ---------------------------------
+
+CONT_GRAM_N = 5
+CONT_CAP = 1  # drop grams shared by > CAP train docs. CAP=1 keeps only
+# TRAIN-UNIQUE grams — the strictest attribution evidence (a gram in many
+# train docs is boilerplate, not a copy trail) and the hot-gram scale
+# guard; capping makes the reported containment a LOWER bound, which the
+# n_capped accounting makes visible (the sf0.1 fixture exercises the
+# drop: one df=2 boilerplate gram; sf0.01 has none)
+_CONT_BENCH_MAX = 20  # doc_id < 20 is the benchmark set (as in the funnel)
+
+
+@query(
+    "contamination_containment",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, md5(gram) AS h FROM (
+    SELECT DISTINCT doc_id, array_to_string(words[i:i + {CONT_GRAM_N} - 1], ' ')
+             AS gram
+    FROM w, UNNEST(range(1, len(words) - {CONT_GRAM_N} + 2)) AS t(i)
+    WHERE len(words) >= {CONT_GRAM_N})
+),
+bg AS (SELECT doc_id AS b_doc, h FROM g WHERE doc_id < {_CONT_BENCH_MAX}),
+tg AS (SELECT doc_id AS t_doc, h FROM g WHERE doc_id >= {_CONT_BENCH_MAX}),
+freq AS (SELECT h, COUNT(*) AS df FROM tg GROUP BY h),
+bstats AS (
+  SELECT b_doc,
+         COUNT(*) AS n_grams,
+         CAST(COALESCE(SUM(CASE WHEN f.df > {CONT_CAP} THEN 1 END), 0)
+              AS BIGINT) AS n_capped
+  FROM bg LEFT JOIN freq f USING (h) GROUP BY b_doc
+),
+shared AS (
+  SELECT bg.b_doc, tg.t_doc, COUNT(*) AS n_shared
+  FROM bg JOIN freq f USING (h) JOIN tg USING (h)
+  WHERE f.df <= {CONT_CAP}
+  GROUP BY bg.b_doc, tg.t_doc
+),
+top AS (
+  SELECT b_doc, t_doc, n_shared FROM (
+    SELECT b_doc, t_doc, n_shared,
+           ROW_NUMBER() OVER (PARTITION BY b_doc
+                              ORDER BY n_shared DESC, t_doc ASC) AS rn
+    FROM shared) WHERE rn = 1
+)
+SELECT b.b_doc AS bench_doc,
+       b.n_grams,
+       b.n_capped,
+       t.t_doc AS top_train_doc,
+       CAST(COALESCE(t.n_shared, 0) AS BIGINT) AS n_shared,
+       (COALESCE(t.n_shared, 0) * 1000000) // NULLIF(b.n_grams, 0)
+         AS containment_ppm
+FROM bstats b LEFT JOIN top t USING (b_doc)
+""",
+    doc="GRADED decontamination — the containment score "
+    "|grams(bench) ∩ grams(train_doc)| / |grams(bench)| that GPT-3/"
+    "Llama-style contamination reports use, upgrading "
+    "benchmark_contamination's boolean overlap to a per-(benchmark, "
+    "worst-train-doc) ratio: containment (not Jaccard) is the right "
+    "asymmetric metric when a short benchmark item hides inside a long "
+    "training document. Word-5-grams hash to 16-byte digests map-side "
+    "(the shared passage unit); grams shared by more than "
+    f"{CONT_CAP} train docs are dropped from the pair join with "
+    "PER-BENCHMARK accounting (n_capped) — the LSH bucket-cap "
+    "discipline, which also makes the reported score an explicit lower "
+    "bound (n_capped counts the bench doc's grams lost to the cap). All "
+    "ratios integer ppm. Scale: "
+    "the digest-keyed gram join is bounded by the cap (never a hot-gram "
+    "pair explosion); the benchmark side is small by definition but "
+    "carries NO broadcast hint — at a 10^5-item benchmark suite AQE "
+    "still broadcasts it, and nothing breaks if it ever stops fitting.",
+    tags=("corpus", "audit", "join"),
+)
+def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.queries.llmdata import _word_grams
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_grams(words, CONT_GRAM_N))).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("h"))
+    bg = g.where(F.col("doc_id") < _CONT_BENCH_MAX).select(
+        F.col("doc_id").alias("b_doc"), "h"
+    )
+    tg = g.where(F.col("doc_id") >= _CONT_BENCH_MAX).select(
+        F.col("doc_id").alias("t_doc"), "h"
+    )
+    freq = tg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    bstats = (
+        bg.join(freq, "h", "left")
+        .groupBy("b_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") > CONT_CAP).cast("long")).alias("n_capped_"),
+        )
+        .select(
+            "b_doc",
+            "n_grams",
+            F.coalesce(F.col("n_capped_"), F.lit(0)).cast("long").alias("n_capped"),
+        )
+    )
+    shared = (
+        bg.join(freq.where(F.col("df") <= CONT_CAP), "h")
+        .join(tg, "h")
+        .groupBy("b_doc", "t_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    top = (
+        shared.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("b_doc").orderBy(
+                    F.col("n_shared").desc(), F.col("t_doc").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("b_doc", "t_doc", "n_shared")
+    )
+    return bstats.join(top, "b_doc", "left").select(
+        F.col("b_doc").alias("bench_doc"),
+        "n_grams",
+        "n_capped",
+        F.col("t_doc").alias("top_train_doc"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        F.expr(
+            "(coalesce(n_shared, 0) * 1000000L) div nullif(n_grams, 0)"
+        ).alias("containment_ppm"),
+    )

@@ -924,3 +924,16 @@ def test_quality_signal_spearman_three_keyed_exchanges(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 4, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_contamination_containment_digest_keyed(spark):
+    """The containment pair join moves only 16-byte gram digests; the
+    frequency cap bounds the join fan-out (no hot-gram pair explosion),
+    no broadcast hint is forced (AQE sizes the benchmark side), and raw
+    text never reaches an Exchange."""
+    plan = _plan(spark, "contamination_containment")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 8, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"

@@ -112,6 +112,9 @@ _DEMOTED_GREEN = {
     "mixture_weights",  # r4+r5+r6 green; slot went to
     # ann_ivfpq_recall_audit — the per-source token aggregate re-runs
     # inside in-window datacard_source_stats every round
+    "winnowing_fingerprints",  # r6 green; slot went to
+    # contamination_containment — offset-robust fingerprint overlap
+    # stays in-window via cdc_chunk_dedup + the capped containment join
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
