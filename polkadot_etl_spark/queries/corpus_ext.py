@@ -3429,7 +3429,7 @@ _L2_D = (
     "ann_ivfpq_recall_audit",
     oracle=f"""
 WITH approx AS (
-  SELECT q_id, db_id FROM ({{IVFPQ_ORACLE}})
+  SELECT q_id, db_id FROM ({QUERIES["ann_ivfpq_residual_search"].oracle})
 ),
 q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
       WHERE vec_id < {IVFPQ_NQ}),
@@ -3498,8 +3498,9 @@ LEFT JOIN na ON na.q_id = q.q_id
     "via the shared _ivfpq_celled/_ivfpq_probed plans — so the output "
     "separates what nprobe=2 pruning loses from what the deliberately "
     "tiny 2-bit-per-subspace residual codes lose (production uses 8-bit "
-    "books; the fixture's near-floor recall under a measured ~50% "
-    "ceiling is the honest statement of that config, not a bug). All "
+    "books; the fixture's near-floor recall under a measured 70-80% "
+    "pruning ceiling is the honest statement of that config, not a "
+    "bug). All "
     "ratios are integer ppm (no float rounding). Scale shape: "
     "truth is a broadcast-query crossJoin scored map-side with a "
     "per-query rank window; every audit join after that is bounded by "
@@ -3570,18 +3571,6 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# the IVFPQ oracle text is registered one query earlier — interpolate it
-# into the audit's subquery slot (dataclasses.replace keeps the frozen
-# QuerySpec contract intact)
-import dataclasses as _dc  # noqa: E402
-
-QUERIES["ann_ivfpq_recall_audit"] = _dc.replace(
-    QUERIES["ann_ivfpq_recall_audit"],
-    oracle=QUERIES["ann_ivfpq_recall_audit"].oracle.replace(
-        "{IVFPQ_ORACLE}", QUERIES["ann_ivfpq_residual_search"].oracle
-    ),
-)
 
 
 # --- quality-signal correlation ---------------------------------------------
