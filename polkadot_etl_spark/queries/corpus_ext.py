@@ -2718,23 +2718,6 @@ BLOOM_WORD = 32  # bits per ledger word (word id = pos div 32)
 _BLOOM_OFFS = (1, 9, 17)  # md5 nibble-triple offsets -> k=3 hash positions
 
 
-def _bloom_positions_expr(col: str) -> str:
-    """k bit positions from non-overlapping md5 nibble triples (Spark SQL).
-
-    Each position is a 12-bit integer assembled from three hex nibbles via
-    instr arithmetic (the engine-portable hex->int used across the
-    registry), reduced mod BLOOM_M. Pure column math — one md5 per row,
-    computed map-side."""
-    offs = ", ".join(str(o) for o in _BLOOM_OFFS)
-    return (
-        f"transform(array({offs}), o -> ("
-        f" (instr('0123456789abcdef', substring({col}, o, 1)) - 1) * 256"
-        f" + (instr('0123456789abcdef', substring({col}, o + 1, 1)) - 1) * 16"
-        f" + (instr('0123456789abcdef', substring({col}, o + 2, 1)) - 1)"
-        f") % {BLOOM_M})"
-    )
-
-
 _BLOOM_POS_SQL = (
     "list_transform([" + ", ".join(str(o) for o in _BLOOM_OFFS) + "], o -> ("
     " (strpos('0123456789abcdef', substr(h, o, 1)) - 1) * 256"
@@ -2836,33 +2819,21 @@ def bloom_dedup_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    from polkadot_etl_spark.operators.bloom import bloom_build, bloom_probe
+
     corpus = d.where(F.col("src_n") < _BATCH_MIN_SRC)
     batch = d.where(F.col("src_n") >= _BATCH_MIN_SRC)
-    words = (
-        corpus.select(F.explode(F.expr(_bloom_positions_expr("h"))).alias("pos"))
-        .groupBy(F.expr(f"pos div {BLOOM_WORD}").alias("word"))
-        .agg(
-            F.bit_or(F.expr(f"shiftleft(1L, pos % {BLOOM_WORD})")).alias("wval")
-        )
+    words = bloom_build(
+        corpus, key_col="h", m_bits=BLOOM_M, word_bits=BLOOM_WORD,
+        offsets=_BLOOM_OFFS,
     )
     # genuinely 1 row, always — the broadcast hint is the honest plan
     fill = F.broadcast(
         words.agg(F.sum(F.bit_count("wval")).cast("long").alias("bloom_bits_set"))
     )
-    probes = batch.select(
-        "doc_id",
-        "source",
-        "h",
-        F.explode(F.expr(_bloom_positions_expr("h"))).alias("pos"),
-    ).withColumn("word", F.expr(f"pos div {BLOOM_WORD}"))
-    hit = (F.col("wval").isNotNull()) & (
-        F.expr(f"wval & shiftleft(1L, pos % {BLOOM_WORD})") != 0
-    )
-    perdoc = (
-        probes.join(words, "word", "left")
-        .select("doc_id", "source", "h", hit.alias("hit"))
-        .groupBy("doc_id", "source", "h")
-        .agg(F.bool_and("hit").alias("bloom_maybe"))
+    perdoc = bloom_probe(
+        batch.select("doc_id", "source", "h"), words, key_col="h",
+        m_bits=BLOOM_M, word_bits=BLOOM_WORD, offsets=_BLOOM_OFFS,
     )
     truth = corpus.select("h").distinct().withColumn("in_corpus_", F.lit(True))
     cls = perdoc.join(truth, "h", "left").select(
@@ -3350,6 +3321,8 @@ LEFT JOIN inw i ON i.dst = n.d
     tags=("corpus", "iterative", "join"),
 )
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.pagerank import pagerank
+
     docs = load_table(spark, sf_dir, "documents")
     staged = _url_staged(docs).select("doc_id", "domain")
     max_id = docs.agg(F.max("doc_id").alias("m"))  # genuinely 1 row
@@ -3361,47 +3334,24 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.domain") != F.col("b.domain"))
         .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
     )
-    # materialize the graph ONCE: edges feed every iteration's join plus
-    # outw/inw/nodes — without the checkpoint Spark re-runs the staged
-    # self-join per consumer (measured ~10s -> ~3s at sf0.01; the
-    # semdedup_prune / operators/graph.py lineage-cut precedent)
+    # materialize the graph ONCE here (the operator would do it too, but
+    # the query ALSO consumes edges for the out/in-weight output columns)
     edges = (
         ed.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint(eager=True)
     )
-    # outw and nodes are ALSO per-iteration consumers (out-degree join,
-    # dangling-node left join) — checkpoint the two tiny dims so each
-    # iteration references a materialized table instead of re-running
-    # the rollup/union-distinct (plan dropped 20 -> ~14 Exchanges)
-    outw = (
-        edges.groupBy("src")
-        .agg(F.sum("w").cast("long").alias("ow"))
-        .localCheckpoint(eager=True)
+    ranks = pagerank(
+        edges, iters=PR_ITERS, scale=PR_SCALE, d_num=85, d_den=100,
+        checkpoint=False,
     )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
     inw = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("iw"))
     nodes = (
         edges.select(F.col("src").alias("d"))
         .union(edges.select(F.col("dst").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    ranks = nodes.select("d", F.lit(PR_SCALE).cast("long").alias("rank"))
-    base = PR_SCALE * 15 // 100
-    for _ in range(PR_ITERS):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["d"])
-            .join(outw, "src")
-            .select("dst", F.expr("(rank * 85 * w) div (100 * ow)").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("cs"))
-        )
-        ranks = nodes.join(contribs, nodes["d"] == contribs["dst"], "left").select(
-            "d",
-            (F.lit(base).cast("long") + F.coalesce(F.col("cs"), F.lit(0))).alias(
-                "rank"
-            ),
-        )
     return (
         nodes.join(ranks, "d")
         .join(outw, nodes["d"] == outw["src"], "left")
