@@ -107,7 +107,12 @@ _PRIORITY: list[str] = [
     # codec was replaced with the native form in r7 — re-green on the
     # new implementation
     "xcm_asset_registry",
-    "sequence_packing",
+    # sequence_packing: green r4+r5+r6, demoted late-r7 for its
+    # same-family successor rag_chunk_documents — context-window
+    # assembly stays in-window with the sentence-ALIGNED (retrieval-
+    # side) form; the per-shard cumsum packing form stays locally
+    # oracle-verified every session
+    "rag_chunk_documents",
     "dsir_importance",
     # corpus_filter_funnel: green r4+r5+r6, demoted mid-r7 for its
     # same-family successor corpus_release_funnel — the end-to-end

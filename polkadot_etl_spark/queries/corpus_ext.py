@@ -3800,3 +3800,134 @@ def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(coalesce(n_shared, 0) * 1000000L) div nullif(n_grams, 0)"
         ).alias("containment_ppm"),
     )
+
+
+# --- RAG document chunking ----------------------------------------------------
+
+RAG_CHUNK_MAX = 24  # max whitespace tokens per chunk (small on purpose so
+# fixture docs split into several chunks; production ~512 BPE tokens)
+
+
+@query(
+    "rag_chunk_documents",
+    oracle=f"""
+WITH RECURSIVE w0 AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         CASE WHEN doc_id % 17 = 0 THEN 40
+              ELSE 4 + CAST(doc_id % 5 AS INTEGER) END AS k
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, len(words) + 1),
+             i -> CASE WHEN i % k = 0 THEN words[i] || '.'
+                       ELSE words[i] END), ' ') AS ptext
+  FROM w0
+),
+s0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_extract_all(ptext, '[^.!?]+[.!?]?'), x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM p0
+),
+srows AS (
+  SELECT doc_id, i, sents[i] AS sent,
+         len(string_split_regex(sents[i], ' +')) AS tok
+  FROM s0, UNNEST(range(1, len(sents) + 1)) AS t(i)
+),
+rec AS (
+  SELECT doc_id, i, sent, tok, 1 AS chunk_idx, tok AS run
+  FROM srows WHERE i = 1
+  UNION ALL
+  SELECT s.doc_id, s.i, s.sent, s.tok,
+         CASE WHEN r.run + s.tok <= {RAG_CHUNK_MAX}
+              THEN r.chunk_idx ELSE r.chunk_idx + 1 END,
+         CASE WHEN r.run + s.tok <= {RAG_CHUNK_MAX}
+              THEN r.run + s.tok ELSE s.tok END
+  FROM rec r JOIN srows s ON s.doc_id = r.doc_id AND s.i = r.i + 1
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(MIN(i) AS INTEGER) AS first_sent,
+       CAST(COUNT(*) AS INTEGER) AS n_sents,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(sent, ' ' ORDER BY i)) AS chunk_hash
+FROM rec GROUP BY doc_id, chunk_idx
+""",
+    doc="RAG document chunking — the retrieval-side sibling of "
+    "sequence_packing: split each document into SENTENCE-ALIGNED chunks "
+    f"of at most {RAG_CHUNK_MAX} whitespace tokens (greedy fill, a "
+    "sentence never splits mid-way; an over-long single sentence forms "
+    "its own chunk), emitting per chunk the sentence span, token count "
+    "and an md5 over the exact chunk text — the unit a vector store "
+    "indexes. The fixture corpus has no punctuation, so boundaries are "
+    "synthesized deterministically (period every k-th word, k per doc; "
+    "every 17th doc gets a 40-token run-on) and the REAL extraction "
+    "regex runs on that text — multi-sentence fill, boundary scan AND "
+    "the overlong-sentence path all have coverage. "
+    "The ENTIRE chunking is row-local: sentence extraction is "
+    "one RE2-and-Java-compatible regexp_extract_all (no lookbehind), "
+    "and the greedy boundary scan is a higher-order aggregate whose "
+    "state is the chunk array — zero Exchange until the (tiny) output "
+    "itself, so at 100 TB this is one embarrassingly parallel map pass "
+    "over the corpus. The oracle rebuilds the same sequential scan as a "
+    "per-document recursive CTE — an intentionally different mechanism "
+    "agreeing on every chunk boundary and hash.",
+    tags=("corpus", "text"),
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # the fixture corpus carries no sentence punctuation — synthesize
+    # deterministic boundaries (a period after every k-th word, k varying
+    # per doc; every 17th doc gets one 40-token run-on sentence so the
+    # overlong-own-chunk path has coverage) and then run the REAL
+    # sentence-extraction regex on the punctuated text — the pii_scrub
+    # synthesize-then-exercise precedent
+    punct = (
+        "array_join(transform(sequence(1, size(split(text, ' '))),"
+        " i -> if(i % (case when doc_id % 17 = 0 then 40"
+        " else 4 + cast(doc_id % 5 as int) end) = 0,"
+        " concat(element_at(split(text, ' '), i), '.'),"
+        " element_at(split(text, ' '), i))), ' ')"
+    )
+    sents = (
+        "filter(transform(regexp_extract_all(ptext, '[^.!?]+[.!?]?', 0),"
+        " x -> trim(x)), x -> x != '')"
+    )
+    # greedy fold: state = array<struct<s,e,t>>; sentence i either tops up
+    # the last chunk or opens a new one — all inside ONE aggregate HOF
+    fold = (
+        "aggregate(sequence(1, size(sents)),"
+        " cast(array() as array<struct<s: int, e: int, t: int>>),"
+        " (st, i) -> case"
+        "   when size(st) > 0"
+        f"    and element_at(st, -1).t + element_at(toks, i) <= {RAG_CHUNK_MAX}"
+        "   then concat(slice(st, 1, size(st) - 1),"
+        "               array(struct(element_at(st, -1).s as s, i as e,"
+        "                 element_at(st, -1).t + element_at(toks, i) as t)))"
+        "   else concat(st, array(struct(i as s, i as e,"
+        "                 element_at(toks, i) as t))) end)"
+    )
+    staged = d.select("doc_id", F.expr(punct).alias("ptext")).select(
+        "doc_id", F.expr(sents).alias("sents")
+    ).select(
+        "doc_id",
+        "sents",
+        F.expr("transform(sents, x -> size(split(x, ' +')))").alias("toks"),
+    )
+    chunks = staged.select(
+        "doc_id",
+        "sents",
+        F.posexplode(F.expr(fold)).alias("ci0", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("ci0") + 1).cast("int").alias("chunk_idx"),
+        F.col("c.s").cast("int").alias("first_sent"),
+        (F.col("c.e") - F.col("c.s") + 1).cast("int").alias("n_sents"),
+        F.col("c.t").cast("long").alias("n_tokens"),
+        F.md5(
+            F.expr("array_join(slice(sents, c.s, c.e - c.s + 1), ' ')")
+        ).alias("chunk_hash"),
+    )

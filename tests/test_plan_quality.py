@@ -937,3 +937,13 @@ def test_contamination_containment_digest_keyed(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 8, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_rag_chunk_documents_zero_exchange(spark):
+    """The whole chunking pipeline — boundary synthesis, sentence
+    extraction, the greedy chunk fold, hashing — is row-local: one
+    embarrassingly parallel map pass with NO Exchange at all."""
+    plan = _plan(spark, "rag_chunk_documents")
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1

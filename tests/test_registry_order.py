@@ -115,6 +115,9 @@ _DEMOTED_GREEN = {
     "winnowing_fingerprints",  # r6 green; slot went to
     # contamination_containment — offset-robust fingerprint overlap
     # stays in-window via cdc_chunk_dedup + the capped containment join
+    "sequence_packing",  # r4+r5+r6 green; slot went to same-family
+    # successor rag_chunk_documents (sentence-aligned context-window
+    # assembly, the retrieval-side form)
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
