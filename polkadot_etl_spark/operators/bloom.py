@@ -5,10 +5,13 @@ O(k-bits-per-key) membership ledger a crawl frontier / daily dedup needs
 Unlike Spark's built-in ``DataFrame.stat.bloomFilter`` (which aggregates
 the whole filter onto the driver), the filter here is a DataFrame of
 (word, wval) rows — word id = bit position div ``word_bits``, value =
-bit_or of the members' bits — so the BUILD is distributed and the filter
-itself can be arbitrarily large (m/word_bits rows), stored as a table,
-and probed with an ordinary keyed join. AQE broadcasts it while it is
-small and falls back to a shuffle join when it is not; no code change.
+bit_or of the members' bits — so the BUILD is distributed, the ledger is
+an ordinary table, and probing is an ordinary keyed join. The position
+space of THIS hash family is 12 bits (three md5 nibbles), so ``m_bits``
+is validated to a power-of-two divisor of 4096; scaling m beyond that
+means widening the nibble window (4 nibbles -> 65536 positions), not
+changing the plan shape. AQE broadcasts the ledger while it is small and
+falls back to a shuffle join when it is not; no code change.
 
 Hash functions: k bit positions per key derived from non-overlapping
 md5 nibble triples (the engine-portable hex→int used across the repo),
@@ -38,6 +41,13 @@ def bloom_positions_expr(
     Each position is a 12-bit integer assembled from three hex nibbles
     via instr arithmetic, reduced mod ``m_bits``. Pure column math —
     computed map-side, one md5 per row upstream."""
+    if not (0 < m_bits <= 4096 and 4096 % m_bits == 0):
+        raise ValueError(
+            f"m_bits={m_bits}: the 3-nibble position space is 4096 — m_bits"
+            " must be a power-of-two divisor of 4096 (a larger m would"
+            " silently never set bits >= 4096, and a non-divisor would bias"
+            " positions low); widen the nibble window to scale m"
+        )
     offs = ", ".join(str(o) for o in offsets)
     return (
         f"transform(array({offs}), o -> ("
@@ -80,20 +90,29 @@ def bloom_probe(
 
     Probe rows must carry an md5-hex ``key_col``; every other column is
     preserved through the k-position explode + word-keyed left join +
-    bool_and regroup. No broadcast hint — AQE sizes the ledger side."""
+    bool_and regroup (internal columns are __bloom_-prefixed so caller
+    columns named ``word``/``pos``/``hit`` pass through untouched). No
+    broadcast hint — AQE sizes the ledger side."""
+    reserved = {"__bloom_pos", "__bloom_word", "__bloom_wval", "__bloom_hit"}
+    clash = reserved & set(probes.columns)
+    if clash:
+        raise ValueError(f"probe columns collide with internals: {sorted(clash)}")
     carry = [c for c in probes.columns]
     exploded = probes.select(
         *carry,
         F.explode(F.expr(bloom_positions_expr(key_col, m_bits, offsets))).alias(
-            "pos"
+            "__bloom_pos"
         ),
-    ).withColumn("word", F.expr(f"pos div {word_bits}"))
-    hit = (F.col("wval").isNotNull()) & (
-        F.expr(f"wval & shiftleft(1L, pos % {word_bits})") != 0
+    ).withColumn("__bloom_word", F.expr(f"__bloom_pos div {word_bits}"))
+    ledger = words.select(
+        F.col("word").alias("__bloom_word"), F.col("wval").alias("__bloom_wval")
+    )
+    hit = (F.col("__bloom_wval").isNotNull()) & (
+        F.expr(f"__bloom_wval & shiftleft(1L, __bloom_pos % {word_bits})") != 0
     )
     return (
-        exploded.join(words, "word", "left")
-        .select(*carry, hit.alias("hit"))
+        exploded.join(ledger, "__bloom_word", "left")
+        .select(*carry, hit.alias("__bloom_hit"))
         .groupBy(*carry)
-        .agg(F.bool_and("hit").alias("bloom_maybe"))
+        .agg(F.bool_and("__bloom_hit").alias("bloom_maybe"))
     )

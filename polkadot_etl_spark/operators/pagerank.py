@@ -53,12 +53,18 @@ def pagerank(
     d_num: int = 85,
     d_den: int = 100,
     checkpoint: bool = True,
-) -> DataFrame:
+    return_dims: bool = False,
+):
     """Run ``iters`` integer power iterations over ``edges``.
 
     ``edges`` must have columns (src, dst, w) with positive integer
     weights and no self-loops. Returns (d, rank) — one row per node
     (union of srcs and dsts), rank in fixed-point ``scale`` units.
+    With ``return_dims=True`` returns (ranks, nodes, outw) so callers
+    needing the node roster / out-weights for their own output reuse
+    the SAME materialized dims instead of re-deriving them (the dims
+    are eagerly checkpointed here either way — recomputing them caller-
+    side doubles the rollup and union-distinct work).
     """
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
@@ -95,4 +101,6 @@ def pagerank(
                 "rank"
             ),
         )
+    if return_dims:
+        return ranks, nodes, outw
     return ranks

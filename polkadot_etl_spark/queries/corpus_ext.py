@@ -3341,17 +3341,11 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint(eager=True)
     )
-    ranks = pagerank(
+    ranks, nodes, outw = pagerank(
         edges, iters=PR_ITERS, scale=PR_SCALE, d_num=85, d_den=100,
-        checkpoint=False,
+        checkpoint=False, return_dims=True,
     )
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
     inw = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("iw"))
-    nodes = (
-        edges.select(F.col("src").alias("d"))
-        .union(edges.select(F.col("dst").alias("d")))
-        .distinct()
-    )
     return (
         nodes.join(ranks, "d")
         .join(outw, nodes["d"] == outw["src"], "left")
@@ -3884,12 +3878,14 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlong-own-chunk path has coverage) and then run the REAL
     # sentence-extraction regex on the punctuated text — the pii_scrub
     # synthesize-then-exercise precedent
+    # operate on a STAGED words column — split(text) inside the lambda
+    # would re-evaluate per element (the _spark_shingles O(len^2) rule)
     punct = (
-        "array_join(transform(sequence(1, size(split(text, ' '))),"
+        "array_join(transform(sequence(1, size(words)),"
         " i -> if(i % (case when doc_id % 17 = 0 then 40"
         " else 4 + cast(doc_id % 5 as int) end) = 0,"
-        " concat(element_at(split(text, ' '), i), '.'),"
-        " element_at(split(text, ' '), i))), ' ')"
+        " concat(element_at(words, i), '.'),"
+        " element_at(words, i))), ' ')"
     )
     sents = (
         "filter(transform(regexp_extract_all(ptext, '[^.!?]+[.!?]?', 0),"
@@ -3897,8 +3893,13 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # greedy fold: state = array<struct<s,e,t>>; sentence i either tops up
     # the last chunk or opens a new one — all inside ONE aggregate HOF
+    # sequence(1, 0) counts DOWN ([1, 0]) — an empty sentence array must
+    # short-circuit or element_at(toks, 0) aborts the job (empty or
+    # whitespace-only docs; none in the fixture, real at 100 TB)
     fold = (
-        "aggregate(sequence(1, size(sents)),"
+        "case when size(sents) = 0"
+        " then cast(array() as array<struct<s: int, e: int, t: int>>)"
+        " else aggregate(sequence(1, size(sents)),"
         " cast(array() as array<struct<s: int, e: int, t: int>>),"
         " (st, i) -> case"
         "   when size(st) > 0"
@@ -3907,9 +3908,11 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "               array(struct(element_at(st, -1).s as s, i as e,"
         "                 element_at(st, -1).t + element_at(toks, i) as t)))"
         "   else concat(st, array(struct(i as s, i as e,"
-        "                 element_at(toks, i) as t))) end)"
+        "                 element_at(toks, i) as t))) end) end"
     )
-    staged = d.select("doc_id", F.expr(punct).alias("ptext")).select(
+    staged = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).select("doc_id", F.expr(punct).alias("ptext")).select(
         "doc_id", F.expr(sents).alias("sents")
     ).select(
         "doc_id",

@@ -98,3 +98,40 @@ def test_partition_invariance(spark):
     w1 = {(r["word"], r["wval"]) for r in bloom_build(df1).collect()}
     w13 = {(r["word"], r["wval"]) for r in bloom_build(df13).collect()}
     assert w1 == w13
+
+
+def test_probe_tolerates_caller_word_column(spark):
+    """Internal probe columns are __bloom_-prefixed: a caller column
+    named 'word' (or 'pos'/'hit') must pass through untouched instead of
+    being clobbered into per-bit garbage groups."""
+    members = spark.createDataFrame([(h,) for h in _md5s(0, 10)], "h STRING")
+    probes = spark.createDataFrame(
+        [("W1", _md5s(0, 1)[0]), ("W2", _md5s(500, 501)[0])],
+        "word STRING, h STRING",
+    )
+    out = bloom_probe(probes, bloom_build(members)).collect()
+    assert len(out) == 2  # one row per probe, not per bit
+    got = {r["word"]: r["bloom_maybe"] for r in out}
+    assert got["W1"] is True  # member
+
+
+def test_probe_rejects_reserved_columns(spark):
+    import pytest
+
+    members = spark.createDataFrame([(h,) for h in _md5s(0, 5)], "h STRING")
+    probes = spark.createDataFrame(
+        [(1, _md5s(0, 1)[0])], "__bloom_pos INT, h STRING"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        bloom_probe(probes, bloom_build(members))
+
+
+def test_m_bits_outside_position_space_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(h,) for h in _md5s(0, 5)], "h STRING")
+    with pytest.raises(ValueError, match="position space"):
+        bloom_build(df, m_bits=65536)  # would silently act as 4096
+    with pytest.raises(ValueError, match="position space"):
+        bloom_build(df, m_bits=1000)  # non-divisor would bias low
+    bloom_build(df, m_bits=4096)  # the full space is fine

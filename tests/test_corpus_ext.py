@@ -559,3 +559,31 @@ def test_winnowing_guarantee_and_rightmost_tiebreak(spark):
         if checked > 50:
             break
     assert checked > 0, "fixture produced no shared runs to check"
+
+
+def test_rag_chunk_documents_survives_empty_docs(spark, tmp_path):
+    """The greedy chunk fold must short-circuit on an empty sentence
+    array: Spark's sequence(1, 0) counts DOWN ([1, 0]), so without the
+    size guard element_at(toks, 0) aborts the whole job on the first
+    empty or whitespace-only document (none exist in the fixture; they
+    are routine in a real crawl)."""
+    import pandas as pd
+
+    from polkadot_etl_spark.queries.corpus_ext import rag_chunk_documents
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["", "   ", "alpha beta gamma delta epsilon zeta"],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [0, 3, 36],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = rag_chunk_documents(spark, str(tmp_path)).collect()
+    # empty docs contribute no chunks; the real doc chunks normally
+    assert {r["doc_id"] for r in out} == {2}
+    assert all(r["n_tokens"] > 0 for r in out)

@@ -69,3 +69,14 @@ def test_zero_iterations_is_uniform_init(spark):
 def test_damping_pair_is_respected(spark):
     got = _spark_ranks(spark, EDGES, iters=2, d_num=50, d_den=100)
     assert got == _model(EDGES, iters=2, d_num=50, d_den=100)
+
+
+def test_return_dims_shares_materialized_tables(spark):
+    ranks, nodes, outw = pagerank(
+        spark.createDataFrame(EDGES, "src STRING, dst STRING, w LONG"),
+        iters=2,
+        return_dims=True,
+    )
+    assert {r["d"] for r in nodes.collect()} == {"a", "b", "c", "d"}
+    assert {r["src"]: r["ow"] for r in outw.collect()} == {"a": 6, "b": 2, "c": 6}
+    assert {r["d"]: r["rank"] for r in ranks.collect()} == _model(EDGES, iters=2)
