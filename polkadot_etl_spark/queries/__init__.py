@@ -301,7 +301,13 @@ _PRIORITY: list[str] = [
     # evm_txn_fees: green r3, demoted mid-r4 for image_dhash_dedup (EVM
     # keeps decoded/logs/accounts reps in-window; fee economics also
     # rides the evm silver tables)
-    "image_dhash_dedup",
+    # image_dhash_dedup: green r5+r6, demoted late-r7 for its
+    # same-family successor image_dhash_hamming_lsh — the ENTIRE PNG
+    # encode -> decode -> resample -> gradient-hash plan COMPOSES inside
+    # the successor every round (fp = image_dhash_dedup(...)), which
+    # adds the banded Hamming near-dup layer its own doc named as the
+    # scale path; the exact-grouping form stays locally oracle-verified
+    "image_dhash_hamming_lsh",
     "wasm_contract_calls",
     # identity_resolution: green r3, demoted mid-r4 for merge_upsert_state
     # (address labeling/attribution repped by users_tags_attribution)

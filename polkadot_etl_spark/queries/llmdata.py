@@ -1818,3 +1818,147 @@ def audio_energy_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).alias("group_size"),
     )
+
+
+IMG_LSH_BANDS = 4  # 4 bands x 16 bits (4 hex chars) over the 64-bit dHash
+IMG_LSH_CAP = 16  # max members per band bucket (drops the fixture's two
+# hot buckets — 64 and 31 members — with accounting; a hot band value is
+# boilerplate structure, and C(64,2) pairs from one bucket is exactly the
+# explosion the cap exists to stop)
+IMG_LSH_HAM_T = 8  # near-dup verdict: <= 8 of 64 bits differ
+
+
+def _hex32(col: str, start: int) -> str:
+    return f"cast(conv(substring({col}, {start}, 8), 16, 10) as bigint)"
+
+
+def _hex32_duck(col: str, start: int) -> str:
+    return f"CAST(('0x' || substr({col}, {start}, 8)) AS BIGINT)"
+
+
+@query(
+    "image_dhash_hamming_lsh",
+    oracle=f"""
+WITH fp AS (
+  SELECT media_id, dhash FROM ({QUERIES["image_dhash_dedup"].oracle})
+),
+bands AS (
+  SELECT media_id, dhash, b AS band_id,
+         substr(dhash, 1 + 4 * b, 4) AS bval
+  FROM fp, UNNEST(range({IMG_LSH_BANDS})) AS t(b)
+),
+bsz AS (
+  SELECT band_id, bval, COUNT(*) AS cnt FROM bands GROUP BY band_id, bval
+),
+kept AS (
+  SELECT bands.* FROM bands JOIN bsz USING (band_id, bval)
+  WHERE bsz.cnt <= {IMG_LSH_CAP}
+),
+cand AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         a.dhash AS ha, b.dhash AS hb,
+         COUNT(*) AS n_shared_bands
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.bval = b.bval
+   AND a.media_id < b.media_id
+  GROUP BY a.media_id, b.media_id, a.dhash, b.dhash
+),
+pairs AS (
+  SELECT 'pair' AS kind, id_a, id_b,
+         CAST(n_shared_bands AS BIGINT) AS m,
+         CAST(bit_count(xor({_hex32_duck('ha', 1)}, {_hex32_duck('hb', 1)}))
+              + bit_count(xor({_hex32_duck('ha', 9)}, {_hex32_duck('hb', 9)}))
+              AS BIGINT) AS n
+  FROM cand
+)
+SELECT kind, id_a, id_b, m, n, (n <= {IMG_LSH_HAM_T}) AS is_near FROM pairs
+UNION ALL
+SELECT 'dropped_buckets', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(COALESCE(COUNT(*), 0) AS BIGINT),
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT),
+       CAST(NULL AS BOOLEAN)
+FROM bsz WHERE cnt > {IMG_LSH_CAP}
+""",
+    doc="Image NEAR-dup pairs via Hamming-band LSH — the scale path "
+    "image_dhash_dedup's own doc names: the 64-bit perceptual dHash "
+    "(produced by COMPOSING the real PNG encode -> decode -> 9x8 "
+    "resample -> gradient-hash plan, not a reimplementation) splits "
+    f"into {IMG_LSH_BANDS} 16-bit bands; images sharing ANY band "
+    "become candidates (banding catches near matches exact-hash "
+    "grouping misses — one flipped gradient bit changes the full hash "
+    "but leaves 3 of 4 bands intact), candidates verify by EXACT "
+    "Hamming distance (two 32-bit conv/xor/bit_count lookups per "
+    f"pair, never pixels), is_near = distance <= {IMG_LSH_HAM_T}. "
+    f"Band buckets over {IMG_LSH_CAP} members drop with an accounting "
+    "row (kind='dropped_buckets': m = buckets, n = members) — the "
+    "fixture's two hot buckets (64 and 31 members) exercise the cap, "
+    "and C(64,2) pairs from one boilerplate band is exactly the "
+    "explosion it stops. 100 TB shape: fingerprints are one Arrow "
+    "codec wave (checkpointed so the self-join's two sides share it), "
+    "the candidate join is band-bucket-keyed and cap-bounded, and the "
+    "verify moves 16 hex chars per side. The oracle composes the "
+    "dhash oracle verbatim and rebuilds banding/cap/Hamming "
+    "independently.",
+    tags=("multimodal", "dedup", "join"),
+)
+def image_dhash_hamming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE Arrow codec wave: the dhash plan is checkpointed because the
+    # band self-join consumes it on both sides (the semdedup precedent)
+    fp = (
+        image_dhash_dedup(spark, sf_dir)
+        .select("media_id", "dhash")
+        .localCheckpoint(eager=True)
+    )
+    bands = fp.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {IMG_LSH_BANDS - 1}),"
+                " b -> struct(b as band_id,"
+                " substring(dhash, 1 + 4 * b, 4) as bval))"
+            )
+        ).alias("bb"),
+    ).select("media_id", "dhash", F.col("bb.band_id").alias("band_id"), F.col("bb.bval").alias("bval"))
+    bsz = bands.groupBy("band_id", "bval").agg(F.count(F.lit(1)).alias("cnt"))
+    kept = bands.join(
+        bsz.where(F.col("cnt") <= IMG_LSH_CAP), ["band_id", "bval"]
+    ).select("media_id", "dhash", "band_id", "bval")
+    a = kept.select(
+        F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"),
+        "band_id", "bval",
+    )
+    b = kept.select(
+        F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"),
+        F.col("band_id").alias("band_id_b"), F.col("bval").alias("bval_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("bval") == F.col("bval_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b", "ha", "hb")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    ham = F.expr(
+        f"bit_count({_hex32('ha', 1)} ^ {_hex32('hb', 1)})"
+        f" + bit_count({_hex32('ha', 9)} ^ {_hex32('hb', 9)})"
+    ).cast("long")
+    pairs = cand.select(
+        F.lit("pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("n_shared_bands").cast("long").alias("m"),
+        ham.alias("n"),
+    ).withColumn("is_near", F.col("n") <= IMG_LSH_HAM_T)
+    audit = bsz.where(F.col("cnt") > IMG_LSH_CAP).agg(
+        F.lit("dropped_buckets").alias("kind"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.lit(None).cast("boolean").alias("is_near"),
+    )
+    return pairs.unionByName(audit)

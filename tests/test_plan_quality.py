@@ -947,3 +947,16 @@ def test_rag_chunk_documents_zero_exchange(spark):
     assert "EvalPython" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+
+
+def test_image_dhash_hamming_lsh_bounded_candidates(spark):
+    """The banded near-dup layer on top of the composed dhash plan must
+    stay bucket-keyed: no cartesian, no row-at-a-time Python (the codec
+    stages are Arrow), and the verify moves 16 hex chars per side — no
+    pixel content in any Exchange."""
+    plan = _plan(spark, "image_dhash_hamming_lsh")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert not any("content" in e for e in exchanges), "pixel bytes shuffled"
+    assert len(exchanges) <= 8, exchanges

@@ -118,6 +118,9 @@ _DEMOTED_GREEN = {
     "sequence_packing",  # r4+r5+r6 green; slot went to same-family
     # successor rag_chunk_documents (sentence-aligned context-window
     # assembly, the retrieval-side form)
+    "image_dhash_dedup",  # r5+r6 green; slot went to same-family
+    # successor image_dhash_hamming_lsh, which COMPOSES the entire
+    # codec->dhash plan and adds the banded Hamming near-dup layer
     # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
     # their r7 refactors made code newer than their r3 green rows; the
     # set entries above are now vacuous for them but kept for history)
