@@ -104,6 +104,20 @@ class GarParser:
     # to. (symbol, decimals) pairs, first entry = the native asset.
     native_tokens: list[tuple[str, int]] = []
 
+    def __init__(self, reference_byte_compat: bool = False):
+        # Reproduce the reference's PUBLISHED bytes even where they are
+        # documented typos (see DIVERGENCES below) — for consumers doing
+        # byte-level comparison against reference-derived data. Default
+        # False publishes the corrected form.
+        self.reference_byte_compat = reference_byte_compat
+
+    @property
+    def manual_relay_chain(self) -> str:
+        """Relay under which MANUAL registrations are keyed — equals
+        ``relay_chain`` everywhere except documented reference typos
+        (ShidenGarParser overrides under byte-compat)."""
+        return self.relay_chain
+
     # ------------------------------------------------------------------ gar
 
     def parse_gar(self, entries: DataFrame) -> DataFrame:
@@ -339,7 +353,7 @@ class GarParser:
             )
             mkey = manual["symbol"] if by_symbol else manual["asset_id"]
             m = manual.join(dim, mkey == F.col("__jk"), "inner").select(
-                F.lit(self.relay_chain).alias("relay_chain"),
+                F.lit(self.manual_relay_chain).alias("relay_chain"),
                 F.lit(self.para_id).alias("para_id"),
                 F.col("__cur").alias("currency_id"),
                 F.col("__sym").alias("symbol"),
@@ -706,17 +720,24 @@ class ShidenGarParser(AstarGarParser):
     """shiden kusama-2007 — AstarParser's second chainkey (astar.js:9,
     manualRegistry 'kusama-2007' SDN, :32-37).
 
-    INTENTIONAL DIVERGENCE: the reference's kusama-2007 manual entry
-    pins xcmInteriorKey ``[{"network":"polkadot"},{"parachain":2007}]``
-    (astar.js:32-38) — network *polkadot* on a *kusama* registration, an
-    evident copy-paste typo from the astar entry above it. We publish
-    the SDN row under the chain's actual relay (kusama), matching how
-    every other kusama-side parser keys its registrations."""
+    INTENTIONAL DIVERGENCE (DIVERGENCES['shiden-manual-relay']): the
+    reference's kusama-2007 manual entry pins xcmInteriorKey
+    ``[{"network":"polkadot"},{"parachain":2007}]`` (astar.js:32-38) —
+    network *polkadot* on a *kusama* registration, an evident copy-paste
+    typo from the astar entry above it. We publish the SDN row under the
+    chain's actual relay (kusama), matching how every other kusama-side
+    parser keys its registrations; construct the parser with
+    ``reference_byte_compat=True`` to reproduce the reference's
+    published bytes instead."""
 
     parser_name = "Astar"
     relay_chain = "kusama"
     para_id = 2007
     native_tokens = [("SDN", 18)]
+
+    @property
+    def manual_relay_chain(self) -> str:
+        return "polkadot" if self.reference_byte_compat else self.relay_chain
 
 
 class CloverGarParser(GarParser):
@@ -820,7 +841,36 @@ _GAR_PARSERS: dict[str, type[GarParser]] = {
 # the base class; neither names a chain.
 
 
-def get_gar_parser(chain_name: str) -> GarParser:
+# Machine-readable registry of every documented divergence from the
+# reference's published bytes, so byte-compat consumers know exactly what
+# differs and which knob (if any) restores reference output. Each entry:
+# (where, ours, reference, restore).
+DIVERGENCES: dict[str, dict[str, str]] = {
+    "shiden-manual-relay": {
+        "where": "ShidenGarParser manual SDN registration (astar.js:32-38)",
+        "ours": "relay_chain='kusama' (the chain's actual relay)",
+        "reference": "network 'polkadot' — copy-paste typo from the astar entry",
+        "restore": "get_gar_parser('shiden', reference_byte_compat=True)",
+    },
+    "xc-strip-anchored": {
+        "where": "xc_strip_wrapper symbol strip (common_chainparser.js:610)",
+        "ours": "anchored ^xc prefix strip",
+        "reference": "first-occurrence replace('xc','') — mangles interior 'xc'",
+        "restore": "none — symbols differing under the two rules are malformed"
+        " registrations in the reference too (see _gated_registrations)",
+    },
+    "xtokens-multicurrencies": {
+        "where": "augment_from_xtokens transferMulticurrencies"
+        " (common_chainparser.js processOutgoingXTokens)",
+        "ours": "not inferred (the reference arm is unreachable dead code)",
+        "reference": "nominally handled, never executes",
+        "restore": "none — no reference output exists to reproduce",
+    },
+}
+
+
+def get_gar_parser(chain_name: str, **kwargs) -> GarParser:
     """Dispatch like gar/xcmgar.js chainParserInit: named parser or the
-    generic assets-pallet fallback."""
-    return _GAR_PARSERS.get(chain_name, GarParser)()
+    generic assets-pallet fallback. ``kwargs`` forward to the parser
+    constructor (e.g. ``reference_byte_compat=True``)."""
+    return _GAR_PARSERS.get(chain_name, GarParser)(**kwargs)

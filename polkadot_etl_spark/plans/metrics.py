@@ -87,34 +87,41 @@ def accounts_passive(transfers: DataFrame, active: DataFrame) -> DataFrame:
     ).withColumn("account_type", F.lit("Passive"))
 
 
-def accounts_new_reaped(balances: DataFrame) -> DataFrame:
+def accounts_new_reaped(balances: DataFrame, chain_col: str | None = None) -> DataFrame:
     """New/reaped accounts from consecutive daily balance snapshots
     (DEFINITIONS.md:205-238): new = present today, absent yesterday;
     reaped = present yesterday, absent today.
 
     Implemented with ONE shuffle: per (address, day) presence, then a lag
     over the per-address day sequence — no self-join per day pair.
+    Multi-chain inputs pass ``chain_col``: the same address on two chains
+    has independent lifecycles, so the presence key and the day-sequence
+    window both carry the chain.
     """
+    extra = [chain_col] if chain_col else []
     present = (
         balances.select(
+            *extra,
             F.col("address_pubkey"),
             F.col("address_ss58"),
             F.to_date("ts").alias("log_dt"),
         )
         .dropDuplicates()
     )
-    w = Window.partitionBy("address_pubkey").orderBy("log_dt")
+    w = Window.partitionBy(*extra, "address_pubkey").orderBy("log_dt")
     seq = present.withColumn("prev_dt", F.lag("log_dt").over(w)).withColumn(
         "next_dt", F.lead("log_dt").over(w)
     )
     new = seq.where(
         F.col("prev_dt").isNull() | (F.datediff("log_dt", F.col("prev_dt")) > 1)
     ).select(
-        "address_pubkey", "address_ss58", "log_dt", F.lit("New").alias("account_type")
+        *extra, "address_pubkey", "address_ss58", "log_dt",
+        F.lit("New").alias("account_type"),
     )
     reaped = seq.where(
         F.col("next_dt").isNull() | (F.datediff(F.col("next_dt"), "log_dt") > 1)
     ).select(
+        *extra,
         "address_pubkey",
         "address_ss58",
         F.date_add("log_dt", 1).alias("log_dt"),
@@ -123,7 +130,7 @@ def accounts_new_reaped(balances: DataFrame) -> DataFrame:
     return new.unionByName(reaped)
 
 
-def balances_day_rollup(balances: DataFrame) -> DataFrame:
+def balances_day_rollup(balances: DataFrame, chain_col: str | None = None) -> DataFrame:
     """The balances-day publish: numAddresses / numNewAccounts /
     numReapedAccounts per day from daily balance snapshots, with the
     NULLIFY sanity rule applied to both lifecycle counts — the
@@ -133,32 +140,41 @@ def balances_day_rollup(balances: DataFrame) -> DataFrame:
 
     Scale shape: lifecycle detection is the one-shuffle lag/lead window
     of accounts_new_reaped; the per-day aggregates are map-side-partial
-    counts. The final lag(numAddresses) window is ordered over the DAY
-    axis — one row per day, so the single-partition sort is bounded by
-    calendar length, not data volume."""
-    lifecycle = accounts_new_reaped(balances)
-    counts = lifecycle.groupBy("log_dt").agg(
+    counts. The reference's blocklog is PER-CHAIN (substrateetl.js:
+    9369-9428) — multi-chain callers pass ``chain_col`` so the prior-day
+    lag partitions by chain (and the rollup keys carry it). With the
+    default single-chain input the final lag(numAddresses) window is
+    ordered over the DAY axis alone — one row per day, so the
+    single-partition sort is bounded by calendar length, not data
+    volume (pinned in tests/test_plan_quality.py)."""
+    keys = ([chain_col] if chain_col else []) + ["log_dt"]
+    lifecycle = accounts_new_reaped(balances, chain_col)
+    counts = lifecycle.groupBy(*keys).agg(
         F.count(F.when(F.col("account_type") == "New", 1)).alias("num_new_accounts"),
         F.count(F.when(F.col("account_type") == "Reaped", 1)).alias("num_reaped_accounts"),
     )
     addresses = (
-        balances.select(F.to_date("ts").alias("log_dt"), "address_pubkey")
+        balances.select(*([chain_col] if chain_col else []),
+                        F.to_date("ts").alias("log_dt"), "address_pubkey")
         .dropDuplicates()
-        .groupBy("log_dt")
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("num_addresses"))
     )
+    lag_w = (
+        Window.partitionBy(chain_col).orderBy("log_dt")
+        if chain_col
+        else Window.orderBy("log_dt")
+    )
     daily = (
-        addresses.join(counts, "log_dt", "full_outer")
+        addresses.join(counts, keys, "full_outer")
         .withColumn("num_new_accounts", F.coalesce("num_new_accounts", F.lit(0)))
         .withColumn("num_reaped_accounts", F.coalesce("num_reaped_accounts", F.lit(0)))
-        .withColumn(
-            "__prior", F.lag("num_addresses").over(Window.orderBy("log_dt"))
-        )
+        .withColumn("__prior", F.lag("num_addresses").over(lag_w))
     )
     daily = sanity_nullify_counts(daily, "num_new_accounts", "__prior")
     daily = sanity_nullify_counts(daily, "num_reaped_accounts", "__prior")
     return daily.select(
-        "log_dt", "num_addresses", "num_new_accounts", "num_reaped_accounts"
+        *keys, "num_addresses", "num_new_accounts", "num_reaped_accounts"
     )
 
 

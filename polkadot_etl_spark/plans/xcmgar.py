@@ -150,6 +150,13 @@ def native_loc_cols(
     expression a handful of times without the multiplicative blowup a
     nested-reference form produces. ANSI-safe (get / try_cast /
     try_element_at everywhere a malformed row could throw)."""
+    reserved = {"__nloc", "xcm_interior_key", "origin_para_id", "n_junctions"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # same contract as operators.bloom.bloom_probe: a caller column
+        # named like an output would silently produce duplicate/ambiguous
+        # columns after the explode — fail loudly instead
+        raise ValueError(f"input columns collide with codec outputs: {sorted(clash)}")
     # inner lets: keys / canonical name / value text each bind once
     # per junction (the inline form re-ran json_object_keys ~6x per
     # junction per evaluation)

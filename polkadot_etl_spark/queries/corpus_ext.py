@@ -2353,6 +2353,59 @@ SELECT * FROM (
     tags=("pipeline", "filter", "dedup", "headline"),
 )
 def corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _release_stage_parts(spark, sf_dir)
+    base = parts["base"]
+    gopher = parts["gopher_quality"]
+    exact = parts["exact_dedup"]
+    near = parts["lsh_near_dedup"]
+    contam = parts["decontamination"]
+    flags = (
+        base.join(gopher, "doc_id")
+        .join(exact, "doc_id")
+        .join(near, "doc_id")
+        .join(contam, "doc_id", "left")
+    )
+    p1 = F.col("f_url")
+    p2 = p1 & F.col("f_gopher")
+    p3 = p2 & F.col("f_exact")
+    p4 = p3 & F.col("f_near")
+    p5 = (
+        p4
+        & ~F.coalesce(F.col("contaminated"), F.lit(False))
+        & (F.col("doc_id") >= 20)
+    )
+    p6 = p5 & F.col("f_train")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(p1.cast("long")).alias("k1"),
+        F.sum(p2.cast("long")).alias("k2"),
+        F.sum(p3.cast("long")).alias("k3"),
+        F.sum(p4.cast("long")).alias("k4"),
+        F.sum(p5.cast("long")).alias("k5"),
+        F.sum(p6.cast("long")).alias("k6"),
+    )
+    return agg.selectExpr(
+        "stack(6,"
+        " 1, 'url_blocklist',   total, k1,"
+        " 2, 'gopher_quality',  k1,    k2,"
+        " 3, 'exact_dedup',     k2,    k3,"
+        " 4, 'lsh_near_dedup',  k3,    k4,"
+        " 5, 'decontamination', k4,    k5,"
+        " 6, 'train_split',     k5,    k6"
+        ") AS (stage, stage_name, n_in, n_kept)"
+    ).selectExpr(
+        "stage", "stage_name", "CAST(n_in AS BIGINT) AS n_in",
+        "CAST(n_kept AS BIGINT) AS n_kept",
+        "CAST(n_in - n_kept AS BIGINT) AS n_dropped",
+    )
+
+
+def _release_stage_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """The funnel's flag plans: 'base' carries f_url + f_train in ONE
+    fused _url_staged pass (both are row-local functions of doc_id);
+    the other four keys are the gate plans. Shared by the funnel (which
+    joins them) and release_funnel_stage_plans (bench attribution), so
+    neither can drift from what the release runs."""
     from polkadot_etl_spark.queries.llmdata import _split_col, _word_grams
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -2396,45 +2449,34 @@ def corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
-    flags = (
-        base.join(gopher, "doc_id")
-        .join(exact, "doc_id")
-        .join(near, "doc_id")
-        .join(contam, "doc_id", "left")
-    )
-    p1 = F.col("f_url")
-    p2 = p1 & F.col("f_gopher")
-    p3 = p2 & F.col("f_exact")
-    p4 = p3 & F.col("f_near")
-    p5 = (
-        p4
-        & ~F.coalesce(F.col("contaminated"), F.lit(False))
-        & (F.col("doc_id") >= 20)
-    )
-    p6 = p5 & F.col("f_train")
-    agg = flags.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(p1.cast("long")).alias("k1"),
-        F.sum(p2.cast("long")).alias("k2"),
-        F.sum(p3.cast("long")).alias("k3"),
-        F.sum(p4.cast("long")).alias("k4"),
-        F.sum(p5.cast("long")).alias("k5"),
-        F.sum(p6.cast("long")).alias("k6"),
-    )
-    return agg.selectExpr(
-        "stack(6,"
-        " 1, 'url_blocklist',   total, k1,"
-        " 2, 'gopher_quality',  k1,    k2,"
-        " 3, 'exact_dedup',     k2,    k3,"
-        " 4, 'lsh_near_dedup',  k3,    k4,"
-        " 5, 'decontamination', k4,    k5,"
-        " 6, 'train_split',     k5,    k6"
-        ") AS (stage, stage_name, n_in, n_kept)"
-    ).selectExpr(
-        "stage", "stage_name", "CAST(n_in AS BIGINT) AS n_in",
-        "CAST(n_kept AS BIGINT) AS n_kept",
-        "CAST(n_in - n_kept AS BIGINT) AS n_dropped",
-    )
+    return {
+        "base": base,
+        "gopher_quality": gopher,
+        "exact_dedup": exact,
+        "lsh_near_dedup": near,
+        "decontamination": contam,
+    }
+
+
+def release_funnel_stage_plans(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """The funnel's six per-stage flag plans, keyed by _RELEASE_STAGES
+    name — bench.py times each through the noop sink so a regression in
+    ONE gate is attributable without re-profiling the composed funnel
+    (r7 verdict task: stage-grain entries in the bench sidecar). Built
+    from the SAME _release_stage_parts the funnel composes; the fused
+    url+split pass is split into its two flag views here (each still
+    runs the one row-local _url_staged derivation)."""
+    parts = _release_stage_parts(spark, sf_dir)
+    return {
+        "url_blocklist": parts["base"].select("doc_id", "f_url"),
+        "gopher_quality": parts["gopher_quality"],
+        "exact_dedup": parts["exact_dedup"],
+        "lsh_near_dedup": parts["lsh_near_dedup"],
+        "decontamination": parts["decontamination"],
+        "train_split": parts["base"].select("doc_id", "f_train"),
+    }
 
 
 # --- round-7 additions: CDC chunk dedup, incremental batch dedup, and a

@@ -239,7 +239,14 @@ def test_balances_lifecycle_is_window_not_selfjoin(spark):
     over the per-address day sequence, never a per-day-pair self-join:
     the plan stays Python-free and its shuffle count is bounded (window +
     day aggs + the day-axis rollup), independent of how many days the
-    snapshot spans."""
+    snapshot spans.
+
+    PINNED: the final lag(numAddresses) window in the default
+    single-chain form is deliberately unpartitioned — its input is the
+    DAY-GRAIN rollup (one row per day, bounded by calendar length, not
+    data volume; substrateetl.js:9369-9428 runs per-chain). Multi-chain
+    callers pass chain_col so the lag partitions by chain (behavior
+    pinned in tests/test_plans.py::test_balances_rollup_chain_partition)."""
     plan = _plan(spark, "balances_day_lifecycle")
     assert "EvalPython" not in plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))

@@ -221,6 +221,46 @@ def test_accounts_new_reaped_oracle(fx):
     compare_frames(out.toPandas(), oracle, "accounts_new_reaped")
 
 
+def test_balances_rollup_chain_partition(spark):
+    """Multi-chain balances_day_rollup(chain_col=...): the prior-day lag
+    and the per-address lifecycle window both key by chain — the same
+    address on two chains has independent lifecycles, and a chain's
+    FIRST day sees a NULL prior (nullified counts) regardless of what
+    other chains published that day (r7 verdict task #6; the reference's
+    blocklog is per-chain, substrateetl.js:9369-9428)."""
+    from polkadot_etl_spark.plans.metrics import balances_day_rollup
+
+    rows = [
+        # chain X: 2 addrs on d1; same 2 + 1 new on d2 (rat 1/3 <= 0.5)
+        ("X", "a1", "sa1", "2024-01-01 01:00:00"),
+        ("X", "a2", "sa2", "2024-01-01 01:00:00"),
+        ("X", "a1", "sa1", "2024-01-02 01:00:00"),
+        ("X", "a2", "sa2", "2024-01-02 01:00:00"),
+        ("X", "a3", "sa3", "2024-01-02 01:00:00"),
+        # chain Y: first day is d2 — prior NULL, lifecycle counts nullify;
+        # address a1 also exists on Y (independent of X's a1)
+        ("Y", "a1", "sa1", "2024-01-02 01:00:00"),
+    ]
+    balances = spark.createDataFrame(
+        rows, "chain_id string, address_pubkey string, address_ss58 string, ts_s string"
+    ).select("chain_id", "address_pubkey", "address_ss58", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        (r.chain_id, str(r.log_dt)): (
+            r.num_addresses, r.num_new_accounts, r.num_reaped_accounts
+        )
+        for r in balances_day_rollup(balances, chain_col="chain_id").collect()
+    }
+    # X d1: first day -> both lifecycle counts nullified
+    assert out[("X", "2024-01-01")][0] == 2
+    assert out[("X", "2024-01-01")][1] is None
+    # X d2: 3 addrs, 1 new kept (1 <= (1+2)*0.5), 0 reaped
+    assert out[("X", "2024-01-02")] == (3, 1, 0)
+    # Y d2: chain's own first day -> prior NULL -> nullified, even though
+    # chain X has a d1 row (an unpartitioned lag would leak X's prior)
+    assert out[("Y", "2024-01-02")][0] == 1
+    assert out[("Y", "2024-01-02")][1] is None
+
+
 # ---------------------------------------------------------------------------
 # J1/W2/U3: XCM message matching — vs oracle
 # ---------------------------------------------------------------------------

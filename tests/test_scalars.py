@@ -186,6 +186,34 @@ def test_gar_longtail_dispatch_completeness(spark):
     ]
 
 
+def test_shiden_manual_relay_byte_compat(spark):
+    """DIVERGENCES['shiden-manual-relay']: by default the SDN manual row
+    publishes under the chain's ACTUAL relay (kusama); with
+    reference_byte_compat=True it reproduces the reference's published
+    bytes (astar.js:32-38 carries network 'polkadot' — the documented
+    copy-paste typo). On-chain rows are unaffected by the flag."""
+    from polkadot_etl_spark.plans.garparsers import DIVERGENCES, get_gar_parser
+
+    empty = spark.createDataFrame([], "key_args string, value string")
+
+    corrected = get_gar_parser("shiden").registrations(spark, empty).collect()
+    assert [(r.symbol, r.source, r.relay_chain) for r in corrected] == [
+        ("SDN", "manual", "kusama")
+    ]
+
+    compat = (
+        get_gar_parser("shiden", reference_byte_compat=True)
+        .registrations(spark, empty)
+        .collect()
+    )
+    assert [(r.symbol, r.source, r.relay_chain) for r in compat] == [
+        ("SDN", "manual", "polkadot")
+    ]
+
+    # the divergence registry names the restore knob for this entry
+    assert "reference_byte_compat=True" in DIVERGENCES["shiden-manual-relay"]["restore"]
+
+
 def test_xtokens_augment_rules(spark):
     """processOutgoingXTokens parity (common_chainparser.js:1093-1207):
     exactly-one-TransferredMultiAssets gate, positional zip of the

@@ -112,3 +112,20 @@ def test_registry_identical_under_both_codecs(spark):
     n = sorted(map(tuple, build_xcm_asset_registry(regs, codec="native").collect()))
     assert a == n
     assert len(a) == 3  # DOT(here) canonical para 0, USDT conf 2, SDN
+
+
+def test_native_codec_rejects_reserved_output_columns(spark):
+    """A caller DataFrame already carrying a codec output column would
+    silently produce duplicate/ambiguous columns after the explode —
+    native_loc_cols must refuse (same contract as bloom_probe)."""
+    import pytest
+
+    from polkadot_etl_spark.plans.xcmgar import native_loc_cols
+
+    for clash in ("__nloc", "xcm_interior_key", "origin_para_id", "n_junctions"):
+        df = spark.createDataFrame(
+            [("{}", "polkadot", 1)],
+            f"multilocation string, relay_chain string, `{clash}` int",
+        )
+        with pytest.raises(ValueError, match=clash):
+            native_loc_cols(df)
