@@ -778,14 +778,34 @@ def test_winnowing_selection_is_bounded_exchanges(spark):
 
 
 def test_ann_recall_audit_is_broadcast_dim_joins(spark):
-    """The recall audit composes three real ANN plans; everything the
-    AUDIT adds on top (truth x method hits, the method grid, the final
-    left join) operates on |queries| x k-row frames and must stay
-    broadcast — no cartesian, no Python anywhere in the composition."""
+    """The recall audit composes four real ANN plans plus their
+    candidate-count stages; everything the AUDIT adds on top (truth x
+    method hits, the candidate rollups, the method grid, the final left
+    joins) operates on |queries| x k-row or per-query-count frames and
+    must stay broadcast — no cartesian, no Python anywhere in the
+    composition."""
     plan = _plan(spark, "ann_recall_audit")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_sketch_prefilter_scan_is_compressed(spark):
+    """The tuned ANN operating point: the Hamming scan must be the
+    COMPRESSED form — raw embeddings never enter the top-m window's
+    exchange (only ids + the 8-word sketch + ham cross the scan), the
+    per-query top-m pushes down as WindowGroupLimit, the query sides
+    broadcast, and nothing is Python or cartesian."""
+    plan = _plan(spark, "ann_sketch_prefilter")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
+    assert not any("embedding" in e or "ws#" in e for e in exchanges), (
+        "raw vectors or sketches crossed the prefilter shuffle: " + str(exchanges)
+    )
 
 
 def test_corpus_release_funnel_composition_keeps_stage_shapes(spark):

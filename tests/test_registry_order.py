@@ -121,9 +121,15 @@ _DEMOTED_GREEN = {
     "image_dhash_dedup",  # r5+r6 green; slot went to same-family
     # successor image_dhash_hamming_lsh, which COMPOSES the entire
     # codec->dhash plan and adds the banded Hamming near-dup layer
-    # (train_val_split + passage_dedup_ngrams ROTATED BACK IN mid-r7 —
-    # their r7 refactors made code newer than their r3 green rows; the
-    # set entries above are now vacuous for them but kept for history)
+    # (train_val_split + passage_dedup_ngrams rotated back in mid-r7 to
+    # re-green on their refactors, DEMOTED AGAIN in r8 now r3+r7 green —
+    # the shared _split_col/_word_grams stages run inside in-window
+    # corpus_release_funnel every round; their set entries above apply
+    # again. url_domain_filter / pq_quantize_embeddings /
+    # ann_pq_adc_search / benchmark_contamination / ann_ivf_trained_search
+    # rotated back IN for r8 per the staleness rule — their r7
+    # shared-helper refactors post-date their green rows — making their
+    # entries above vacuous while in-window.)
     # (evm_txn_fees is pipelines-module, outside this llmdata guard; its
     # r3-green demotion for image_dhash_dedup is noted in queries/__init__.py)
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
