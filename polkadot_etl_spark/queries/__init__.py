@@ -138,8 +138,18 @@ _PRIORITY: list[str] = [
     # url/gopher/exact/LSH/decontamination/split plans; the five-gate
     # cascade stays locally oracle-verified every session
     "corpus_release_funnel",
-    "bpe_pair_counts",
-    "unigram_perplexity",
+    # bpe_pair_counts: green r4+r5+r6+r7, demoted in r8 for its
+    # same-family successor bpe_merge_train_steps — step 1 of the
+    # training loop IS the pair count (seg0 symbols are single chars,
+    # vocab-weighted totals identical), re-run every round; the top-50
+    # ranking form stays locally oracle-verified
+    "bpe_merge_train_steps",
+    # unigram_perplexity: green r4+r5+r6+r7, demoted in r8 for its
+    # same-family successor bigram_perplexity_backoff — the shared
+    # _unigram_lm_dim construction re-runs inside the backoff branch
+    # every round; the corpus-LM cross-entropy/OOV form stays locally
+    # oracle-verified
+    "bigram_perplexity_backoff",
     # split_leakage_audit: green r4+r5+r6, demoted late-r7 for
     # domain_pagerank — BOTH its mechanisms stay in-window: the
     # md5-range split rule via train_val_split (rotated back in mid-r7)
@@ -188,7 +198,13 @@ _PRIORITY: list[str] = [
     # detection stays in-window with content-defined (offset-robust)
     # boundaries; the fixed-gram span-merge form stays locally
     # oracle-verified every session
-    "cdc_chunk_dedup",
+    # cdc_chunk_dedup: green r7, demoted in r8 for its same-family
+    # successor paragraph_dedup_rewrite — the ENTIRE cut-point/span/
+    # chunk-hash stage (_cdc_occurrences) composes inside the rewrite
+    # every round, which adds the document REBUILD (kept-span
+    # concatenation, post-dedup byte hash) on top; the dup-ratio
+    # accounting form stays locally oracle-verified every session
+    "paragraph_dedup_rewrite",
     # pii_scrub: green r3, demoted mid-r4 for audio_energy_hash_dedup
     # (locally oracle-verified every session like all demotions)
     "audio_energy_hash_dedup",

@@ -636,11 +636,146 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 50)
 
 
+BPE_STEPS = 6  # merge rounds of the training loop
+
+
+def _bpe_oracle_steps() -> str:
+    """Unrolled DuckDB layers of the BPE training loop — each step is
+    (pair count over current segmentation) -> (top-1 merge, count DESC /
+    lhs ASC / rhs ASC) -> (apply merge via the double-space replace).
+    Generated by the same constants as the Spark loop."""
+    layers = ["""seg0 AS (
+  SELECT w, cnt,
+         ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                                               i -> substr(w, i, 1)), '  ')
+             || ' ' AS seg
+  FROM vocab
+)"""]
+    for k in range(1, BPE_STEPS + 1):
+        layers.append(f"""pc{k} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (SELECT cnt, string_split(trim(seg), '  ') AS s FROM seg{k - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) t
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT a, b, n FROM pc{k} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+seg{k} AS (
+  SELECT w, cnt,
+         replace(seg, ' ' || m.a || '  ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS seg
+  FROM seg{k - 1}, m{k} m
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged,"
+        f" n AS pair_count FROM m{k}"
+        for k in range(1, BPE_STEPS + 1)
+    )
+    return ",\n".join(layers) + f"\nSELECT * FROM ({union}) ORDER BY step"
+
+
+@query(
+    "bpe_merge_train_steps",
+    oracle=f"""
+WITH wd AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM wd WHERE len(w) >= 2 GROUP BY w),
+{_bpe_oracle_steps()}
+""",
+    doc=f"BPE tokenizer TRAINING (Sennrich et al. 2016) — the full merge "
+    f"loop bpe_pair_counts is step 1 of: {BPE_STEPS} rounds of (count "
+    "adjacent symbol pairs over the current segmentation, weighted by "
+    "word frequency) -> (pick the top pair on the count DESC / lhs ASC "
+    "/ rhs ASC total order) -> (merge it corpus-wide), emitting the "
+    "learned merge table — the artifact a tokenizer ships. Greedy "
+    "non-overlapping merge semantics are CANONICAL (runs like "
+    "[a,a,a,a] -> [aa,aa]) in both engines via the double-space "
+    "separator encoding: every symbol is flanked by two-space "
+    "separators and the pattern ' a  b ' consumes one space from each "
+    "side, so back-to-back merge sites stay matchable — plain "
+    "first-match replace() reproduces the reference BPE fold with no "
+    "regex lookarounds (RE2/DuckDB has none). Scale shape: the loop "
+    "runs on the (word, count) VOCAB dim, never the corpus stream "
+    "(bpe_encode_vocab's discipline) — ONE corpus pass builds the "
+    "vocab, then each step is a pair-explode + <=|symbols|^2-key "
+    "aggregate + a 1-row driver collect (the kmeans-centroid class of "
+    "bounded driver state) + a map-side replace, with a lineage cut "
+    "per step.",
+    tags=("text", "iterative", "pipeline"),
+)
+def bpe_merge_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    vocab = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(words).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg0 = F.expr(
+        "concat(' ', array_join(transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), '  '), ' ')"
+    )
+    seg = vocab.select("w", "cnt", seg0.alias("seg")).localCheckpoint(eager=True)
+    pair_expr = F.expr(
+        "case when size(syms) < 2 then"
+        " cast(array() as array<struct<a: string, b: string>>)"
+        " else transform(sequence(1, size(syms) - 1), i ->"
+        " struct(element_at(syms, i) as a, element_at(syms, i + 1) as b)) end"
+    )
+    merges: list[tuple] = []
+    for step in range(1, BPE_STEPS + 1):
+        top = (
+            seg.select("cnt", F.split(F.trim("seg"), "  ").alias("syms"))
+            .select("cnt", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocabulary fully merged before BPE_STEPS rounds
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((step, a, b, a + b, n))
+        # symbols are [a-z]+ by construction — safe as SQL literals
+        seg = seg.withColumn(
+            "seg", F.expr(f"replace(seg, ' {a}  {b} ', ' {a}{b} ')")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+    )
+
+
 # --------------------------------------------------------------------------
 # CCNet-style perplexity scoring + OOV rate
 # --------------------------------------------------------------------------
 
 VOCAB_TOP_K = 200  # "known vocabulary" = top-K corpus words
+
+
+def _unigram_lm_dim(wd: DataFrame) -> DataFrame:
+    """(w, c, tot, logp, in_vocab): the corpus unigram LM dim from a
+    word-stream DataFrame with column ``w`` — one word-count aggregate,
+    round-6 log-probs as exact DECIMALs, top-K vocabulary flag. Shared
+    by unigram_perplexity (logp + OOV scoring) and
+    bigram_perplexity_backoff (whose stupid-backoff branch re-runs this
+    construction on the seed subset)."""
+    cnt = wd.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    rnk = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    return cnt.select(
+        "w",
+        "c",
+        F.sum("c").over(wall).alias("tot"),
+        F.round(
+            F.log(F.col("c").cast("double") / F.sum("c").over(wall).cast("double")), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("logp"),
+        (F.row_number().over(rnk) <= VOCAB_TOP_K).alias("in_vocab"),
+    )
 
 
 @query(
@@ -701,18 +836,7 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(words).alias("w")
     )
-    cnt = wd.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    wall = Window.partitionBy()
-    rnk = Window.orderBy(F.col("c").desc(), F.col("w").asc())
-    dim = cnt.select(
-        "w",
-        F.round(
-            F.log(F.col("c").cast("double") / F.sum("c").over(wall).cast("double")), 6
-        )
-        .cast("decimal(12,6)")
-        .alias("logp"),
-        (F.row_number().over(rnk) <= VOCAB_TOP_K).alias("in_vocab"),
-    )
+    dim = _unigram_lm_dim(wd).select("w", "logp", "in_vocab")
     perdoc = (
         wd.join(F.broadcast(dim), "w")
         .groupBy("doc_id")
@@ -732,6 +856,172 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("n_oov"), F.lit(0)).cast("double") / nz, 6).alias(
             "oov_rate"
         ),
+    )
+
+
+BIGRAM_SEED_SOURCE = "src0"  # the curated seed corpus (CCNet's Wikipedia role)
+BACKOFF_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+@query(
+    "bigram_perplexity_backoff",
+    oracle=f"""
+WITH dws AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+  FROM dws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+),
+scnt AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT UNNEST(ws) AS w FROM dws WHERE source = '{BIGRAM_SEED_SOURCE}')
+  GROUP BY w
+),
+uni AS (SELECT w, c, SUM(c) OVER () AS tot FROM scnt),
+totd AS (SELECT MAX(tot) AS tot FROM uni),
+bcnt AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bg
+  WHERE source = '{BIGRAM_SEED_SOURCE}' GROUP BY w1, w2
+),
+scored AS (
+  SELECT bg.doc_id,
+         CASE WHEN bc.cb IS NOT NULL
+              THEN CAST(ROUND(ln(CAST(bc.cb AS DOUBLE) / CAST(u1.c AS DOUBLE)),
+                              6) AS DECIMAL(12,6))
+              ELSE CAST(ROUND(ln({BACKOFF_ALPHA} * (CAST(COALESCE(u2.c, 1)
+                                 AS DOUBLE) / CAST(td.tot AS DOUBLE))),
+                              6) AS DECIMAL(12,6)) END AS logp,
+         CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS backed
+  FROM bg
+  LEFT JOIN bcnt bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+  LEFT JOIN uni u1 ON u1.w = bg.w1
+  LEFT JOIN uni u2 ON u2.w = bg.w2
+  CROSS JOIN totd td
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n,
+         CAST(-SUM(logp) * 1000000 AS BIGINT) AS s_micro,
+         SUM(backed) AS nb
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams,
+       -- integer micro-nats (datacard's ppm discipline): a ROUND(-s/n, 6)
+       -- here lands EXACTLY on half boundaries (-s is a 1e-6 multiple,
+       -- n a small integer) and the two engines break the tie
+       -- differently (hit 3 docs at sf0.1) — floored integer division
+       -- of exact integers is engine-identical by construction
+       COALESCE(p.s_micro, 0) // GREATEST(COALESCE(p.n, 0), 1)
+         AS ce_micronats,
+       (CAST(COALESCE(p.nb, 0) AS BIGINT) * 1000000)
+         // GREATEST(COALESCE(p.n, 0), 1) AS backoff_ppm
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+""",
+    doc="Bigram LM perplexity with STUPID BACKOFF (Brants et al. 2007) — "
+    "the step from unigram_perplexity toward CCNet's actual KenLM "
+    "setup, including its defining asymmetry: the LM is trained on the "
+    f"curated seed corpus ('{BIGRAM_SEED_SOURCE}', the Wikipedia role) "
+    "and scores the WHOLE crawl, so unseen-bigram positions exercise "
+    f"the backoff branch S(w2|w1) = {BACKOFF_ALPHA} * p_uni(w2) for "
+    "real (19.6% of positions at sf0.01 — a same-corpus LM would never "
+    "back off and the branch would be dead fixture weight). Per-doc "
+    "cross-entropy = mean of round-6 log scores summed as exact "
+    "DECIMALs, emitted as INTEGER micro-nats via floored integer "
+    "division — a ROUND(-s/n, 6) double division lands EXACTLY on half "
+    "boundaries here (-s is a 1e-6 multiple over a small n) and the "
+    "engines break those ties differently (hit 3 docs at sf0.1); "
+    "backoff_ppm is the per-doc unseen-bigram fraction in ppm — the "
+    "second thresholdable novelty signal. Unseen unigrams floor at "
+    "count 1. The seed "
+    "unigram dim re-runs the SHARED _unigram_lm_dim construction. "
+    "100 TB shape: the bigram stream is row-local adjacency from the "
+    "words array (no position shuffle); the seed dims are "
+    "seed-corpus-sized (broadcast here; hash-keyed joins when the seed "
+    "is large); the stream-side joins key on words/bigrams with "
+    "map-side partial aggregation into the per-doc rollup.",
+    tags=("text", "filter", "pipeline"),
+)
+def bigram_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    dws = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", "source", words.alias("ws")
+    )
+    bg_expr = F.expr(
+        "case when size(ws) < 2 then"
+        " cast(array() as array<struct<w1: string, w2: string>>)"
+        " else transform(sequence(1, size(ws) - 1), i ->"
+        " struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2)) end"
+    )
+    bg = dws.select("doc_id", "source", F.explode(bg_expr).alias("p")).select(
+        "doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    seed_ws = dws.where(F.col("source") == BIGRAM_SEED_SOURCE).select(
+        F.explode("ws").alias("w")
+    )
+    uni = _unigram_lm_dim(seed_ws).select("w", "c", "tot")
+    totd = uni.agg(F.max("tot").alias("tot"))
+    bcnt = (
+        bg.where(F.col("source") == BIGRAM_SEED_SOURCE)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    joined = (
+        bg.join(F.broadcast(bcnt), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totd))
+    )
+    logp = (
+        F.when(
+            F.col("cb").isNotNull(),
+            F.round(F.log(F.col("cb").cast("double") / F.col("c1").cast("double")), 6),
+        )
+        .otherwise(
+            F.round(
+                F.log(
+                    F.lit(BACKOFF_ALPHA)
+                    * (
+                        F.coalesce(F.col("c2"), F.lit(1)).cast("double")
+                        / F.col("tot").cast("double")
+                    )
+                ),
+                6,
+            )
+        )
+        .cast("decimal(12,6)")
+    )
+    scored = joined.select(
+        "doc_id", logp.alias("logp"),
+        F.when(F.col("cb").isNull(), 1).otherwise(0).alias("backed"),
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (-F.sum("logp") * 1000000).cast("long").alias("s_micro"),
+        F.sum("backed").alias("nb"),
+    )
+    nz = F.greatest(F.coalesce(F.col("n"), F.lit(0)), F.lit(1))
+    return d.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.expr("coalesce(s_micro, 0L)").alias("__sm"),
+        F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("__nb"),
+        nz.alias("__nz"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("__sm div __nz").alias("ce_micronats"),
+        F.expr("(__nb * 1000000L) div __nz").alias("backoff_ppm"),
     )
 
 
@@ -2783,10 +3073,11 @@ _BATCH_MIN_SRC = 10  # sources src10..src19 are "today's crawl"; src0..src9 the 
 N_SHARDS = 16
 
 
-@query(
-    "cdc_chunk_dedup",
-    oracle=f"""
-WITH l AS (SELECT doc_id, text, length(text) AS len FROM documents),
+# The CDC cut-point/span/occurrence CTEs — shared by cdc_chunk_dedup and
+# paragraph_dedup_rewrite's oracle so the rewrite dedups exactly the
+# chunks the audit counts. Yields occ(doc_id, s, clen, h) + l(doc_id,
+# text, len).
+_CDC_OCC_CTES_D = f"""l AS (SELECT doc_id, text, length(text) AS len FROM documents),
 pos AS (
   SELECT doc_id, text, len,
          unnest(range(1, greatest(len - {CDC_W - 1}, 1) + 1)) AS p
@@ -2810,7 +3101,50 @@ occ AS (
   SELECT sp.doc_id, sp.s, sp.e - sp.s AS clen,
          md5(substr(l.text, sp.s, sp.e - sp.s)) AS h
   FROM spans sp JOIN l USING (doc_id) WHERE sp.e > sp.s
-),
+)"""
+
+
+def _cdc_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, len, s, clen, h): every content-defined chunk occurrence,
+    computed ROW-LOCAL (cut points + spans + chunk md5 inside one
+    Generate — the text never shuffles). Shared by cdc_chunk_dedup (the
+    dup-accounting audit) and paragraph_dedup_rewrite (the corpus
+    transformation), so the rewrite drops exactly the chunks the audit
+    counts."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    # cut points + sentinel, all row-local (one md5 per position)
+    cuts = F.expr(
+        f"concat(filter(transform(sequence(1, greatest(length(text) - {CDC_W - 1}, 1)),"
+        f" p -> if(substring(md5(substring(text, p, {CDC_W})), 1, 1) = '{CDC_MASK}',"
+        " p, cast(null as int))), x -> x is not null), array(length(text) + 1))"
+    )
+    staged = d.select("doc_id", "len", "text", cuts.alias("cuts"))
+    # spans [s, e) between consecutive cuts; chunk hash computed before the
+    # ONE Generate so nothing downstream re-evaluates the md5 chain
+    return staged.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.expr(
+                "transform(filter(zip_with("
+                " concat(array(1), slice(cuts, 1, size(cuts) - 1)), cuts,"
+                " (s, e) -> struct(s as s, e as e)), sp -> sp.e > sp.s),"
+                " sp -> struct(sp.s as s, sp.e - sp.s as clen,"
+                " md5(substring(text, sp.s, sp.e - sp.s)) as h))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id", "len", F.col("c.s").alias("s"),
+        F.col("c.clen").alias("clen"), F.col("c.h").alias("h"),
+    )
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+WITH {_CDC_OCC_CTES_D},
 mk AS (
   SELECT occ.*, l.len,
          MIN(doc_id * 1024 + s) OVER (PARTITION BY h) AS canon
@@ -2849,31 +3183,7 @@ FROM mk GROUP BY doc_id
     tags=("corpus", "dedup"),
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").alias("len")
-    )
-    # cut points + sentinel, all row-local (one md5 per position)
-    cuts = F.expr(
-        f"concat(filter(transform(sequence(1, greatest(length(text) - {CDC_W - 1}, 1)),"
-        f" p -> if(substring(md5(substring(text, p, {CDC_W})), 1, 1) = '{CDC_MASK}',"
-        " p, cast(null as int))), x -> x is not null), array(length(text) + 1))"
-    )
-    staged = d.select("doc_id", "len", "text", cuts.alias("cuts"))
-    # spans [s, e) between consecutive cuts; chunk hash computed before the
-    # ONE Generate so nothing downstream re-evaluates the md5 chain
-    occ = staged.select(
-        "doc_id",
-        "len",
-        F.explode(
-            F.expr(
-                "transform(filter(zip_with("
-                " concat(array(1), slice(cuts, 1, size(cuts) - 1)), cuts,"
-                " (s, e) -> struct(s as s, e as e)), sp -> sp.e > sp.s),"
-                " sp -> struct(sp.s as s, sp.e - sp.s as clen,"
-                " md5(substring(text, sp.s, sp.e - sp.s)) as h))"
-            )
-        ).alias("c"),
-    ).select("doc_id", "len", F.col("c.s").alias("s"), F.col("c.clen").alias("clen"), F.col("c.h").alias("h"))
+    occ = _cdc_occurrences(spark, sf_dir)
     okey = F.col("doc_id") * 1024 + F.col("s")
     marked = occ.select(
         "doc_id", "len", "clen", okey.alias("okey"), "h"
@@ -2885,6 +3195,90 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
         dup_chars.cast("long").alias("dup_chars"),
         F.round(dup_chars.cast("double") / F.max("len"), 6).alias("dup_ratio"),
+    )
+
+
+@query(
+    "paragraph_dedup_rewrite",
+    oracle=f"""
+WITH {_CDC_OCC_CTES_D},
+mk AS (
+  SELECT occ.*,
+         (doc_id * 1024 + s) = MIN(doc_id * 1024 + s) OVER (PARTITION BY h)
+           AS keep
+  FROM occ
+),
+rw AS (
+  SELECT mk.doc_id,
+         COUNT(*) AS n_chunks,
+         CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+           AS n_kept,
+         CAST(COALESCE(SUM(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+           AS n_dropped,
+         CAST(COALESCE(SUM(CASE WHEN NOT keep THEN clen END), 0) AS BIGINT)
+           AS chars_dropped,
+         CAST(COALESCE(SUM(CASE WHEN keep THEN clen END), 0) AS BIGINT)
+           AS rewritten_chars,
+         md5(COALESCE(string_agg(CASE WHEN keep
+                                      THEN substr(l.text, mk.s, mk.clen) END,
+                                 '' ORDER BY mk.s), '')) AS rewritten_hash
+  FROM mk JOIN l USING (doc_id)
+  GROUP BY mk.doc_id
+)
+SELECT * FROM rw
+""",
+    doc="Paragraph-level dedup with DOCUMENT REWRITE — the Dolma/CCNet "
+    "paragraph-dedup production step, distinct from cdc_chunk_dedup's "
+    "accounting audit: duplicated units are REMOVED (corpus-wide "
+    "canonical occurrence = min (doc_id, start) keeps; every later "
+    "occurrence drops) and each document is REBUILT from its kept "
+    "spans in order, emitting the rewritten text's md5 + exact "
+    "kept/dropped char accounting, so the hash gate pins the actual "
+    "post-dedup bytes a release would train on. The unit is the "
+    "content-defined chunk from the SHARED _cdc_occurrences stage "
+    "(this corpus has no newline paragraphs; CDC boundaries are the "
+    "offset-robust equivalent — identical passages chunk identically "
+    "at any offset, which is what makes cross-doc paragraph hashing "
+    "work at all), so the rewrite drops exactly the chunks the audit "
+    "counts. 100 TB shape: occurrences are row-local in ONE Generate; "
+    "the keep flag is the 16-byte hash-keyed window; the rebuild joins "
+    "span lists back to the text DOC-KEYED (one join, text never in a "
+    "wide shuffle) and concatenates kept substrings row-local.",
+    tags=("corpus", "dedup", "pipeline"),
+)
+def paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = _cdc_occurrences(spark, sf_dir)
+    okey = F.col("doc_id") * 1024 + F.col("s")
+    marked = occ.select("doc_id", "s", "clen", okey.alias("okey"), "h").withColumn(
+        "keep", okey == F.min("okey").over(Window.partitionBy("h"))
+    )
+    spans = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "clen", "keep"))).alias("sp"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(~F.col("keep"), F.col("clen")).otherwise(0))
+        .cast("long")
+        .alias("chars_dropped"),
+        F.sum(F.when(F.col("keep"), F.col("clen")).otherwise(0))
+        .cast("long")
+        .alias("rewritten_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rebuilt = F.md5(
+        F.expr(
+            "array_join(transform(filter(sp, x -> x.keep),"
+            " x -> substring(text, x.s, x.clen)), '')"
+        )
+    )
+    return spans.join(d, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        "n_dropped",
+        "chars_dropped",
+        "rewritten_chars",
+        rebuilt.alias("rewritten_hash"),
     )
 
 

@@ -790,6 +790,43 @@ def test_ann_recall_audit_is_broadcast_dim_joins(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_paragraph_rewrite_text_stays_out_of_hash_shuffle(spark):
+    """The rewrite composes the shared _cdc_occurrences stage (ONE
+    Generate, text row-local), flags canonicality over the 16-byte
+    chunk-hash window, and re-touches text only through the single
+    doc_id-keyed join for the rebuild — no Python, no cartesian, and
+    the hash-window exchange never carries text."""
+    plan = _plan(spark, "paragraph_dedup_rewrite")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 5, exchanges
+    assert not any("text" in e for e in exchanges), exchanges
+
+
+def test_bpe_training_result_is_bounded_driver_state(spark):
+    """The BPE training loop runs vocab-side jobs with a 1-row driver
+    collect per step (kmeans-centroid-class bounded state); the QUERY's
+    final plan is therefore a LocalTableScan of the learned merge
+    table — the corpus never appears in the result plan and no Python
+    stage exists anywhere."""
+    plan = _plan(spark, "bpe_merge_train_steps")
+    assert "EvalPython" not in plan
+    # createDataFrame of the K merge rows plans as a local/RDD scan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_bigram_backoff_dims_broadcast(spark):
+    """The seed-LM dims (bigram counts, unigram counts, the 1-row total)
+    broadcast onto the row-local bigram stream; no Python, no cartesian,
+    and the per-doc rollup is the only corpus-keyed aggregate."""
+    plan = _plan(spark, "bigram_perplexity_backoff")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
+
+
 def test_ann_sketch_prefilter_scan_is_compressed(spark):
     """The tuned ANN operating point: the Hamming scan must be the
     COMPRESSED form — raw embeddings never enter the top-m window's

@@ -118,6 +118,15 @@ _DEMOTED_GREEN = {
     "sequence_packing",  # r4+r5+r6 green; slot went to same-family
     # successor rag_chunk_documents (sentence-aligned context-window
     # assembly, the retrieval-side form)
+    "bpe_pair_counts",  # r4+r5+r6+r7 green; slot went to same-family
+    # successor bpe_merge_train_steps (r8) — step 1 of the training loop
+    # is exactly the pair count, re-run every round
+    "unigram_perplexity",  # r4+r5+r6+r7 green; slot went to same-family
+    # successor bigram_perplexity_backoff (r8) — the shared
+    # _unigram_lm_dim construction re-runs inside the backoff branch
+    "cdc_chunk_dedup",  # r7 green; slot went to same-family successor
+    # paragraph_dedup_rewrite (r8) — the shared _cdc_occurrences stage
+    # (cuts/spans/chunk hashes) re-runs inside the rewrite every round
     "image_dhash_dedup",  # r5+r6 green; slot went to same-family
     # successor image_dhash_hamming_lsh, which COMPOSES the entire
     # codec->dhash plan and adds the banded Hamming near-dup layer
