@@ -131,7 +131,12 @@ _PRIORITY: list[str] = [
     # side) form; the per-shard cumsum packing form stays locally
     # oracle-verified every session
     "rag_chunk_documents",
-    "dsir_importance",
+    # dsir_importance: green r4+r5+r6+r7, demoted in r8 for
+    # hard_negative_mining — DSIR's mechanism (broadcast LM weight dim +
+    # decimal-exact per-doc fold) re-runs inside in-window
+    # bigram_perplexity_backoff every round; the target-vs-raw ratio
+    # form stays locally oracle-verified
+    "hard_negative_mining",
     # corpus_filter_funnel: green r4+r5+r6, demoted mid-r7 for its
     # same-family successor corpus_release_funnel — the end-to-end
     # release composition with per-stage accounting over the REAL
@@ -207,7 +212,12 @@ _PRIORITY: list[str] = [
     "paragraph_dedup_rewrite",
     # pii_scrub: green r3, demoted mid-r4 for audio_energy_hash_dedup
     # (locally oracle-verified every session like all demotions)
-    "audio_energy_hash_dedup",
+    # audio_energy_hash_dedup: green r4+r5+r6+r7, demoted in r8 for its
+    # codec-family successor audio_silence_trim — the real 8-bit WAV
+    # encode->RIFF-parse path re-runs inside the trim every round (the
+    # same argument that demoted multimodal_audio_features for it in
+    # r6); the contour-hash canonical grouping stays locally verified
+    "audio_silence_trim",
     # ivf_centroid_update: green r3, demoted mid-r4 for
     # ccnet_perplexity_buckets (vector-quantization family repped by
     # pq_quantize_embeddings + ann_pq_adc_search in-window)
@@ -338,7 +348,12 @@ _PRIORITY: list[str] = [
     # registry parsers; locally oracle-verified every session)
     # evm_transfer_logs: green r3, demoted mid-r4 for video_scene_cuts
     # (EVM log decode also runs inside evm_decoded_transfers, in-window)
-    "video_scene_cuts",
+    # video_scene_cuts: green r4+r5+r6+r7, demoted in r8 for its
+    # same-family successor video_keyframe_sample — the ENTIRE
+    # synthesize->sample->pair->diff cut plan COMPOSES inside the
+    # keyframe query every round (the strongest demotion form), which
+    # adds scene-start selection + per-keyframe extraction on top
+    "video_keyframe_sample",
     # evm_txn_fees: green r3, demoted mid-r4 for image_dhash_dedup (EVM
     # keeps decoded/logs/accounts reps in-window; fee economics also
     # rides the evm silver tables)

@@ -2641,6 +2641,98 @@ def ann_sketch_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARDNEG_K = 3  # hard negatives kept per query
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH {_SKETCH_CTES_D},
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+  SELECT spref.q_id, spref.c_id, spref.ham,
+         sq.source AS q_source, sc.source AS c_source
+  FROM spref
+  JOIN src sq ON sq.doc_id = spref.q_id
+  JOIN src sc ON sc.doc_id = spref.c_id
+  WHERE sq.source <> sc.source
+),
+rr AS (
+  SELECT t.q_id, t.c_id, t.ham, t.q_source, t.c_source,
+         ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS cosine
+  FROM (SELECT labeled.*, q.embedding AS q_emb, c.embedding AS c_emb
+        FROM labeled JOIN embeddings q ON q.vec_id = labeled.q_id
+                     JOIN embeddings c ON c.vec_id = labeled.c_id) t
+)
+SELECT q_id, c_id, q_source, c_source, ham, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id ASC) AS INTEGER)
+         AS rn
+FROM rr QUALIFY rn <= {HARDNEG_K}
+""",
+    doc="HARD-NEGATIVE MINING for retrieval/embedding training "
+    "(DPR/Contriever-style): for each query, the most-similar "
+    "candidates that are NOT positives — positives proxied by the "
+    "document's source (same-source pairs are presumed related and "
+    "excluded), negatives ranked by true cosine among the tuned sketch "
+    "prefilter's candidates. COMPOSES the real _sketch_prefiltered "
+    "stage (the 0.958-recall operating point) with a broadcast "
+    "doc->source dim, so the miner inherits the audited candidate "
+    "budget: per query the work is the 8-word Hamming scan + "
+    f"{SKETCH_M} rerank pairs, never corpus x corpus. Output: top-"
+    f"{HARDNEG_K} cross-source negatives per query with both source "
+    "labels, the sketch Hamming distance, and the exact rerank cosine "
+    "— the training-pair table a contrastive run consumes. 100 TB "
+    "shape: everything downstream of the prefilter is |Q| x m rows; "
+    "the source dim joins doc-keyed (broadcast here, hash join at "
+    "scale).",
+    tags=("similarity", "pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _sketch_prefiltered(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        cand.join(
+            F.broadcast(
+                src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source"))
+            ),
+            "q_id",
+        )
+        .join(
+            F.broadcast(
+                src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("c_source"))
+            ),
+            "c_id",
+        )
+        .where(F.col("q_source") != F.col("c_source"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qraw = e.where(F.col("vec_id") < SKETCH_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    craw = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    j = labeled.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    cn = F.expr(
+        "aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    scored = j.select(
+        "q_id", "c_id", "q_source", "c_source", "ham",
+        F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= HARDNEG_K)
+    )
+
+
 _RECALL_K = 3  # audited depth: every approximate path returns top-3
 
 

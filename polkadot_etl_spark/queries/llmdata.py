@@ -1538,6 +1538,51 @@ _VID_W = _VID_H = 8  # frame raster
 _VID_FRAMES = 8
 
 
+def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, frame_index, content): the synthesized 8-frame clips
+    (frames after the per-doc cut point are the photometric inverse)
+    through the REAL multimodal.sample_frames fan-out — shared by
+    video_scene_cuts (consecutive-frame diffs) and video_keyframe_sample
+    (keyframe extraction at the detected cuts)."""
+    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA, sample_frames
+
+    W, H, NF = _VID_W, _VID_H, _VID_FRAMES
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    seed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.substring(
+            F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(W * H))), 1, W * H
+        ).alias("content"),  # base frame raster; full clip built in Arrow below
+        F.named_struct(
+            F.lit("width"), F.lit(W).cast("int"),
+            F.lit("height"), F.lit(H).cast("int"),
+            F.lit("channels"), F.lit(1).cast("int"),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(NF).cast("int"),
+            F.lit("fps"), F.lit(8.0).cast("double"),
+        ).alias("meta"),
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                base = np.frombuffer(content, dtype=np.uint8)
+                cut = 3 + mid % 3
+                frames = [base if f < cut else (255 - base) for f in range(NF)]
+                out.append(np.concatenate(frames).tobytes())
+            pdf["content"] = out
+            yield pdf
+
+    clips = seed.mapInPandas(_synth, MEDIA_SCHEMA)
+    return sample_frames(clips, every_n=1)
+
+
+
 @query(
     "video_scene_cuts",
     oracle=f"""
@@ -1584,42 +1629,7 @@ FROM f
     tags=("multimodal",),
 )
 def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA, sample_frames
-
-    W, H, NF = _VID_W, _VID_H, _VID_FRAMES
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    seed = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.substring(
-            F.concat(F.encode(F.col("text"), "utf-8"), F.lit(bytes(W * H))), 1, W * H
-        ).alias("content"),  # base frame raster; full clip built in Arrow below
-        F.named_struct(
-            F.lit("width"), F.lit(W).cast("int"),
-            F.lit("height"), F.lit(H).cast("int"),
-            F.lit("channels"), F.lit(1).cast("int"),
-            F.lit("sample_rate"), F.lit(None).cast("int"),
-            F.lit("n_frames"), F.lit(NF).cast("int"),
-            F.lit("fps"), F.lit(8.0).cast("double"),
-        ).alias("meta"),
-    )
-
-    def _synth(batches):
-        import numpy as np
-
-        for pdf in batches:
-            pdf = pdf.copy()
-            out = []
-            for mid, content in zip(pdf.media_id, pdf.content):
-                base = np.frombuffer(content, dtype=np.uint8)
-                cut = 3 + mid % 3
-                frames = [base if f < cut else (255 - base) for f in range(NF)]
-                out.append(np.concatenate(frames).tobytes())
-            pdf["content"] = out
-            yield pdf
-
-    clips = seed.mapInPandas(_synth, MEDIA_SCHEMA)
-    frames = sample_frames(clips, every_n=1)
+    frames = _video_frames(spark, sf_dir)
     a = frames.select(
         "media_id",
         F.col("frame_index").alias("fa"),
@@ -1672,6 +1682,112 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         (F.col("mad_sum") > 32 * F.col("n_pixels")).alias("is_cut"),
     )
+
+
+@query(
+    "video_keyframe_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_VID_W * _VID_H}) AS t,
+         3 + doc_id % 3 AS cut_at
+  FROM documents WHERE doc_id < 100
+),
+st AS (
+  SELECT doc_id, cut_at,
+         (SELECT SUM(CASE WHEN k.k < len(d.t)
+                          THEN unicode(substr(d.t, k.k + 1, 1)) ELSE 0 END)
+          FROM (SELECT unnest(range({_VID_W * _VID_H})) AS k) k) AS base_sum,
+         (SELECT SUM(ABS(2 * (CASE WHEN k.k < len(d.t)
+                                   THEN unicode(substr(d.t, k.k + 1, 1))
+                                   ELSE 0 END) - 255))
+          FROM (SELECT unnest(range({_VID_W * _VID_H})) AS k) k) AS cut_mad
+  FROM d
+),
+kf AS (
+  SELECT doc_id, 0 AS frame_index, FALSE AS at_cut, base_sum AS pixel_sum
+  FROM st
+  UNION ALL
+  SELECT doc_id, cut_at, TRUE, 255 * {_VID_W * _VID_H} - base_sum
+  FROM st WHERE cut_mad > 32 * {_VID_W * _VID_H}
+)
+SELECT doc_id AS media_id, CAST(frame_index AS INTEGER) AS frame_index,
+       at_cut, CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       CAST({_VID_W * _VID_H} AS INTEGER) AS n_pixels
+FROM kf
+""",
+    doc="Video KEYFRAME extraction — the sampling step after scene "
+    "segmentation (caption/embed one representative frame per scene, "
+    "not every frame): keyframes are frame 0 plus the first frame of "
+    "every scene video_scene_cuts detects (the REAL composed plan — "
+    "cut rows at frame_index f mark a new scene at f+1), joined back "
+    "to the SHARED _video_frames fan-out, with each keyframe's exact "
+    "integer brightness (pixel-byte sum) computed in the Arrow stage — "
+    "the cheap photometric stat a sampling pipeline logs per kept "
+    "frame. The oracle recomputes the cut decision AND both frame "
+    "brightnesses from the raster formula (inverse frame = 255*n - "
+    "base), so detection + selection + extraction hash-verify end to "
+    "end. Scale shape: the keyframe roster is a (media_id, frame) "
+    "equi-join against the frame fan-out (frames-per-scene bounded), "
+    "pixels never aggregate globally, and the frame synthesis runs "
+    "ONCE per plan leg through the shared helper.",
+    tags=("multimodal", "pipeline"),
+)
+def video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = _video_frames(spark, sf_dir)
+    cuts = video_scene_cuts(spark, sf_dir)
+    starts = cuts.where(F.col("is_cut")).select(
+        "media_id",
+        (F.col("frame_index") + 1).cast("int").alias("frame_index"),
+        F.lit(True).alias("at_cut"),
+    )
+    zero = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit(0).cast("int").alias("frame_index"),
+            F.lit(False).alias("at_cut"),
+        )
+    )
+    keyframes = zero.unionByName(starts)
+    j = frames.select("media_id", "frame_index", "content").join(
+        keyframes, ["media_id", "frame_index"]
+    )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("at_cut", T.BooleanType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("n_pixels", T.IntegerType()),
+        ]
+    )
+
+    def _brightness(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, fi, ac, content in zip(
+                pdf.media_id, pdf.frame_index, pdf.at_cut, pdf.content
+            ):
+                x = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_index": int(fi),
+                        "at_cut": bool(ac),
+                        "pixel_sum": int(x.sum()),
+                        "n_pixels": int(x.size),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return j.mapInPandas(_brightness, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1818,6 +1934,162 @@ def audio_energy_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence trim (Whisper-style prep) through the real WAV round trip
+# ---------------------------------------------------------------------------
+
+_TRIM_T = 2  # |signed sample| <= T counts as silence; corpus chars are
+# [a-z ] -> signed b-128 in [-96, -6], so only the synthesized 128-pads
+# are silent (the signal is deterministic, never dead fixture weight)
+_TRIM_MAXLEAD = 24
+_TRIM_TRAILSTEP = 6
+
+
+@query(
+    "audio_silence_trim",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {_TRIM_MAXLEAD} AS lead_n,
+         (doc_id % 5) * {_TRIM_TRAILSTEP} AS trail_n,
+         substr(text || repeat('a', {_AUD_N}), 1,
+                {_AUD_N} - (doc_id % {_TRIM_MAXLEAD})
+                         - (doc_id % 5) * {_TRIM_TRAILSTEP}) AS body
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id, lead_n, trail_n, body,
+         list_transform(range(1, len(body) + 1),
+                        i -> unicode(substr(body, i, 1)) - 128) AS bv
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST({_AUD_N} AS BIGINT) AS n_samples,
+       CAST(lead_n AS BIGINT) AS lead_silence,
+       CAST(trail_n AS BIGINT) AS trail_silence,
+       CAST(len(body) AS BIGINT) AS kept_len,
+       CAST(list_sum(list_transform(bv, v -> v * v)) AS BIGINT) AS kept_energy
+FROM s
+""",
+    doc="Audio SILENCE TRIM — the Whisper-style preprocessing step that "
+    "strips leading/trailing silence before feature extraction: 8-bit "
+    "PCM clips (deterministic 128-valued silence pads of doc_id-derived "
+    "lengths around the text-derived body) encode as REAL RIFF/WAV "
+    "files and the Arrow stage decodes them back (the same u8 storage + "
+    "signed re-center path audio_energy_hash_dedup exercises), then "
+    f"MEASURES the maximal |sample| <= {_TRIM_T} runs at each end and "
+    "the kept range's exact integer energy. The corpus alphabet "
+    "([a-z ]) maps to signed values in [-96, -6], so silence can only "
+    "be the synthesized pads — the measured trim lengths equal the "
+    "synthesis parameters and the oracle recomputes both from the clip "
+    "formula, hash-verifying the encode->RIFF-parse->scan path end to "
+    "end. Scale shape: one compact Arrow wave (fork-floor rule), "
+    "everything per-clip, zero shuffle beyond the scan.",
+    tags=("multimodal",),
+)
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.codecs import decode_wav, encode_wav
+    from polkadot_etl_spark.multimodal.media import MEDIA_SCHEMA
+
+    N = _AUD_N
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    body_len = (
+        F.lit(N)
+        - (F.col("doc_id") % _TRIM_MAXLEAD)
+        - (F.col("doc_id") % 5) * _TRIM_TRAILSTEP
+    ).cast("int")
+    body = F.substring(
+        F.concat(
+            F.encode(F.col("text"), "utf-8"),
+            F.encode(F.expr(f"repeat('a', {N})"), "utf-8"),
+        ),
+        1,
+        N,  # upper bound; exact body slice applied in the Arrow stage
+    )
+    seed = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        body.alias("content"),
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("channels"), F.lit(1).cast("int"),
+            F.lit("sample_rate"), F.lit(8000).cast("int"),
+            F.lit("n_frames"), body_len.alias("n_frames"),
+            F.lit("fps"), F.lit(None).cast("double"),
+        ).alias("meta"),
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for mid, content, meta in zip(pdf.media_id, pdf.content, pdf.meta):
+                blen = int(meta["n_frames"])
+                lead = int(mid) % _TRIM_MAXLEAD
+                trail = (int(mid) % 5) * _TRIM_TRAILSTEP
+                clip = bytes([128] * lead) + bytes(content[:blen]) + bytes(
+                    [128] * trail
+                )
+                assert len(clip) == N, (mid, len(clip))
+                out.append(
+                    encode_wav(
+                        np.frombuffer(clip, dtype=np.uint8).astype(np.int16) - 128,
+                        8000,
+                        bits=8,
+                    )
+                )
+            pdf["content"] = out
+            yield pdf
+
+    wav = seed.mapInPandas(_synth, MEDIA_SCHEMA)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("lead_silence", T.LongType()),
+            T.StructField("trail_silence", T.LongType()),
+            T.StructField("kept_len", T.LongType()),
+            T.StructField("kept_energy", T.LongType()),
+        ]
+    )
+
+    def _trim(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf.media_id, pdf.content):
+                x, _rate = decode_wav(bytes(content))
+                v = x.reshape(-1).astype(np.int64)
+                loud = np.abs(v) > _TRIM_T
+                if loud.any():
+                    first = int(np.argmax(loud))
+                    last = int(len(v) - 1 - np.argmax(loud[::-1]))
+                    kept = v[first : last + 1]
+                else:
+                    first, last, kept = len(v), -1, v[:0]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": int(len(v)),
+                        "lead_silence": int(first),
+                        "trail_silence": int(len(v) - 1 - last),
+                        "kept_len": int(kept.size),
+                        "kept_energy": int((kept * kept).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return wav.mapInPandas(_trim, out_schema)
 
 
 IMG_LSH_BANDS = 4  # 4 bands x 16 bits (4 hex chars) over the 64-bit dHash

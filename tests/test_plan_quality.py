@@ -827,6 +827,37 @@ def test_bigram_backoff_dims_broadcast(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
 
 
+def test_audio_silence_trim_is_one_arrow_wave_pair(spark):
+    """The trim is per-clip work: the WAV synth + decode/scan stages are
+    Arrow-batched mapInPandas (never row-at-a-time Python) and the doc_id
+    predicate reaches the parquet scan; no shuffle exists at all."""
+    plan = _plan(spark, "audio_silence_trim")
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython|^\(\d+\) MapInPandas", plan, re.M)) >= 1
+    assert "Exchange" not in plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or "LessThan(doc_id,200)" in plan
+
+
+def test_video_keyframe_composes_cut_plan(spark):
+    """Keyframe extraction composes the REAL scene-cut plan plus the
+    shared frame fan-out: Arrow stages only, the keyframe roster joins
+    (media_id, frame) keyed, no cartesian anywhere."""
+    plan = _plan(spark, "video_keyframe_sample")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_mining_inherits_prefilter_budget(spark):
+    """The miner composes _sketch_prefiltered: the compressed Hamming
+    scan's shape survives composition (WindowGroupLimit, no vectors in
+    the prefilter exchange), the source dims broadcast, no Python."""
+    plan = _plan(spark, "hard_negative_mining")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
+
+
 def test_ann_sketch_prefilter_scan_is_compressed(spark):
     """The tuned ANN operating point: the Hamming scan must be the
     COMPRESSED form — raw embeddings never enter the top-m window's

@@ -118,6 +118,15 @@ _DEMOTED_GREEN = {
     "sequence_packing",  # r4+r5+r6 green; slot went to same-family
     # successor rag_chunk_documents (sentence-aligned context-window
     # assembly, the retrieval-side form)
+    "dsir_importance",  # r4+r5+r6+r7 green; slot went to
+    # hard_negative_mining (r8) — the broadcast-LM-dim + decimal-exact
+    # per-doc fold mechanism re-runs inside bigram_perplexity_backoff
+    "audio_energy_hash_dedup",  # r4+r5+r6+r7 green; slot went to
+    # codec-family successor audio_silence_trim (r8) — the 8-bit WAV
+    # encode->RIFF-parse path re-runs inside the trim every round
+    "video_scene_cuts",  # r4+r5+r6+r7 green; slot went to same-family
+    # successor video_keyframe_sample (r8), which COMPOSES the entire
+    # synthesize->sample->pair->diff cut plan every round
     "bpe_pair_counts",  # r4+r5+r6+r7 green; slot went to same-family
     # successor bpe_merge_train_steps (r8) — step 1 of the training loop
     # is exactly the pair count, re-run every round
