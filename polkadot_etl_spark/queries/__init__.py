@@ -56,8 +56,16 @@ _PRIORITY: list[str] = [
     # fee/log queries below, whose functions/evm.py implementation
     # changed in r5+r6 AFTER their last driver-green row (r3): the r7
     # verdict's staleness rule — rotate toward code-newer-than-green
-    "evm_txn_fees",
-    "evm_transfer_logs",
+    # evm_txn_fees + evm_transfer_logs: rotated in mid-r7 to re-green on
+    # the r5/r6 functions/evm.py changes — done (r3+r7 green); demoted in
+    # r8 for the two new corpus ops below (EVM keeps evm_tx_jsonld
+    # in-window, whose export composes the decode_token_calldata round
+    # trip every round; the fee-economics and log-decode forms stay
+    # locally oracle-verified every session)
+    # r8: funnel Venn attribution (composes the shared flag plans) and
+    # per-dim int8 quantization calibration
+    "gate_attribution_audit",
+    "embedding_int8_quantize",
     # LLM-data-pipeline surface — graded first-class, all must have rows.
     # r4 rotation: dedup_minhash_signatures / simhash_fingerprints /
     # lang_id_heuristic / text_quality / token_counts / doc_fingerprint

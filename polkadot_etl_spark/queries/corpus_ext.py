@@ -2641,6 +2641,76 @@ def ann_sketch_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INT8_DIMS = 64  # embedding dimensionality (fixture)
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, d, embedding[d]::DOUBLE AS x
+  FROM embeddings, LATERAL (SELECT unnest(range(1, {INT8_DIMS} + 1)) AS d) t
+),
+sc AS (SELECT d, MAX(ABS(x)) AS scale FROM e GROUP BY d),
+q AS (
+  SELECT e.d, sc.scale,
+         CASE WHEN sc.scale = 0 THEN 0
+              ELSE CAST(floor(e.x / sc.scale * 127 + 0.5) AS BIGINT) END AS qv
+  FROM e JOIN sc ON sc.d = e.d
+)
+SELECT d AS dim, scale,
+       CAST(SUM(qv) AS BIGINT) AS sum_q,
+       CAST(SUM(ABS(qv)) AS BIGINT) AS sum_abs_q,
+       CAST(COALESCE(SUM(CASE WHEN ABS(qv) = 127 THEN 1 END), 0) AS BIGINT)
+         AS n_sat
+FROM q GROUP BY d, scale
+""",
+    doc="Embedding INT8 quantization with per-dimension absmax "
+    "calibration — the storage/serving compression step (llama.cpp Q8 / "
+    "faiss SQ8 style): scale_d = max |x_d| over the corpus, code = "
+    "floor(x/scale*127 + 0.5) clamping naturally to [-127, 127]. "
+    "Determinism: the scale is a raw parquet value (exact float->double, "
+    "a MAX — no arithmetic), and the code expression is the identical "
+    "IEEE op sequence in both engines, so floor() sees the same double "
+    "bits; all OUTPUT aggregates are exact integers (code sums, |code| "
+    "sums, saturation counts per dim) — nothing float crosses the hash "
+    "gate except the raw scale itself. The per-dim card (scale, mass, "
+    "saturation) is what a quantization rollout reviews before "
+    "switching the serving index. Scale shape: the unnest is map-side "
+    "fan-out; shuffles are the 64-key scale aggregate + the 64-key "
+    "stats rollup — dimension-bounded regardless of corpus size, with "
+    "the scale dim broadcast back onto the stream.",
+    tags=("similarity", "corpus"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    stream = e.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "d0", "x"
+        ),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    sc = stream.groupBy("d").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    q = stream.join(F.broadcast(sc), "d").select(
+        "d",
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("x") / F.col("scale") * 127 + F.lit(0.5)).cast("long")
+        )
+        .alias("qv"),
+    )
+    return q.groupBy("d", "scale").agg(
+        F.sum("qv").cast("long").alias("sum_q"),
+        F.sum(F.abs(F.col("qv"))).cast("long").alias("sum_abs_q"),
+        F.sum(F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sat"),
+    ).select(
+        F.col("d").alias("dim"), "scale", "sum_q", "sum_abs_q", "n_sat"
+    )
+
+
 HARDNEG_K = 3  # hard negatives kept per query
 
 
@@ -2904,10 +2974,12 @@ _RELEASE_STAGES = (
 )
 
 
-@query(
-    "corpus_release_funnel",
-    oracle=f"""
-WITH RECURSIVE {_DUCK_JACCARD_EDGES},
+# The funnel's per-doc flag CTEs (url/gopher/exact/near-dup CC/
+# decontamination/split -> flags) — shared by corpus_release_funnel
+# (cascade accounting) and gate_attribution_audit (Venn attribution),
+# so both adjudicate exactly the same gate decisions. Needs WITH
+# RECURSIVE (the connected-components reach CTE).
+_FUNNEL_FLAGS_CTES_D = f"""{_DUCK_JACCARD_EDGES},
 edges AS (
   SELECT doc_a AS a, doc_b AS bb FROM jedges
   UNION ALL SELECT doc_b, doc_a FROM jedges
@@ -2968,7 +3040,14 @@ flags AS (
   JOIN gk USING (doc_id) JOIN ex USING (doc_id) JOIN nk USING (doc_id)
   JOIN spl USING (doc_id)
   LEFT JOIN cont ON cont.doc_id = u.doc_id
-),
+)
+"""
+
+
+@query(
+    "corpus_release_funnel",
+    oracle=f"""
+WITH RECURSIVE {_FUNNEL_FLAGS_CTES_D},
 casc AS (
   SELECT f_url AS p1,
          f_url AND f_gopher AS p2,
@@ -3154,6 +3233,100 @@ def release_funnel_stage_plans(
         "decontamination": parts["decontamination"],
         "train_split": parts["base"].select("doc_id", "f_train"),
     }
+
+
+@query(
+    "gate_attribution_audit",
+    oracle=f"""
+WITH RECURSIVE {_FUNNEL_FLAGS_CTES_D},
+fl AS (
+  SELECT NOT f_url AS x1, NOT f_gopher AS x2, NOT f_exact AS x3,
+         NOT f_near AS x4, NOT f_clean AS x5, NOT f_train AS x6
+  FROM flags
+),
+n AS (
+  SELECT *, CAST(x1 AS INT) + CAST(x2 AS INT) + CAST(x3 AS INT)
+          + CAST(x4 AS INT) + CAST(x5 AS INT) + CAST(x6 AS INT) AS nf
+  FROM fl
+),
+agg AS (
+  SELECT COUNT(*) AS total,
+         {", ".join(
+             f"CAST(COALESCE(SUM(CASE WHEN x{k} THEN 1 END), 0) AS BIGINT)"
+             f" AS f{k},"
+             f" CAST(COALESCE(SUM(CASE WHEN x{k} AND nf = 1 THEN 1 END), 0)"
+             f" AS BIGINT) AS u{k}"
+             for k in range(1, 7))}
+  FROM n
+)
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS stage, '{name}' AS stage_name, f{k} AS n_fail,"
+      f" u{k} AS n_unique_fail, f{k} - u{k} AS n_shared_fail FROM agg"
+      for k, name in enumerate(_RELEASE_STAGES, start=1))}
+)
+""",
+    doc="Gate ATTRIBUTION (Venn) audit over the release funnel's six "
+    "gates — the marginal-value question the cascade accounting cannot "
+    "answer: corpus_release_funnel reports docs dropped AT each stage, "
+    "which under-credits later gates (a doc failing url AND gopher "
+    "only ever counts against url). Here every doc evaluates every "
+    "gate independently (the SAME _release_stage_parts flag plans / "
+    "shared flags CTEs, so the decisions cannot drift from the "
+    "release): n_fail = docs failing the gate at all, n_unique_fail = "
+    "docs ONLY that gate catches — a gate with n_unique_fail = 0 is "
+    "fully redundant and a curation team can drop it; n_shared_fail "
+    "is the overlap the cascade hides. Scale shape: identical to the "
+    "funnel (the flag joins are doc_id-keyed), plus one 1-row "
+    "aggregate fanned to 6 stage rows.",
+    tags=("pipeline", "filter", "audit"),
+)
+def gate_attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _release_stage_parts(spark, sf_dir)
+    flags = (
+        parts["base"]
+        .join(parts["gopher_quality"], "doc_id")
+        .join(parts["exact_dedup"], "doc_id")
+        .join(parts["lsh_near_dedup"], "doc_id")
+        .join(parts["decontamination"], "doc_id", "left")
+    )
+    fails = flags.select(
+        (~F.col("f_url")).alias("x1"),
+        (~F.col("f_gopher")).alias("x2"),
+        (~F.col("f_exact")).alias("x3"),
+        (~F.col("f_near")).alias("x4"),
+        (~(
+            ~F.coalesce(F.col("contaminated"), F.lit(False))
+            & (F.col("doc_id") >= 20)
+        )).alias("x5"),
+        (~F.col("f_train")).alias("x6"),
+    )
+    nf = sum(F.col(f"x{k}").cast("int") for k in range(1, 7))
+    n = fails.withColumn("nf", nf)
+    agg = n.agg(
+        *[
+            c
+            for k in range(1, 7)
+            for c in (
+                F.sum(F.when(F.col(f"x{k}"), 1).otherwise(0)).cast("long").alias(f"f{k}"),
+                F.sum(F.when(F.col(f"x{k}") & (F.col("nf") == 1), 1).otherwise(0))
+                .cast("long")
+                .alias(f"u{k}"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"{k}, '{name}', f{k}, u{k}, f{k} - u{k}"
+        for k, name in enumerate(_RELEASE_STAGES, start=1)
+    )
+    return agg.selectExpr(
+        f"stack(6, {stack}) AS (stage, stage_name, n_fail, n_unique_fail,"
+        " n_shared_fail)"
+    ).selectExpr(
+        "stage", "stage_name", "CAST(n_fail AS BIGINT) AS n_fail",
+        "CAST(n_unique_fail AS BIGINT) AS n_unique_fail",
+        "CAST(n_shared_fail AS BIGINT) AS n_shared_fail",
+    )
 
 
 # --- round-7 additions: CDC chunk dedup, incremental batch dedup, and a

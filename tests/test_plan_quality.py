@@ -827,6 +827,28 @@ def test_bigram_backoff_dims_broadcast(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
 
 
+def test_gate_attribution_shares_funnel_shapes(spark):
+    """The Venn attribution composes the same _release_stage_parts flag
+    plans as the funnel: broadcasts survive, no cartesian, no Python,
+    and the only new work is the 1-row aggregate fanned to 6 rows."""
+    plan = _plan(spark, "gate_attribution_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 8
+
+
+def test_int8_quantize_shuffles_are_dim_bounded(spark):
+    """Quantization stats shuffle on the 64-key dim only: the scale dim
+    broadcasts back onto the stream, no Python, and the exchange count
+    is the two dim-keyed aggregates."""
+    plan = _plan(spark, "embedding_int8_quantize")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 4
+
+
 def test_audio_silence_trim_is_one_arrow_wave_pair(spark):
     """The trim is per-clip work: the WAV synth + decode/scan stages are
     Arrow-batched mapInPandas (never row-at-a-time Python) and the doc_id
