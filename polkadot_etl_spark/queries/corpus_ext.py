@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from polkadot_etl_spark.operators.srp import (
+    srp_hamming_expr,
+    srp_signs,
+    srp_words_expr,
+)
 from polkadot_etl_spark.queries.llmdata import _DUCK_BUCKET as _LSH_DUCK_BUCKET
 from polkadot_etl_spark.queries.registry import QUERIES, query
 from polkadot_etl_spark.sources.tables import load_table
@@ -2451,52 +2456,16 @@ SKETCH_QUANT = 1000  # embeddings quantize to floor(x*1000) BIGINTs
 SKETCH_NQ = 8    # query set: vec_id < 8 (same as ann_cosine_topk / LSH)
 
 
-def _sketch_signs() -> "list[list[int]]":
-    """The deterministic Rademacher (+-1) hyperplane matrix: sign(h, i) =
-    bit (127 - i) of md5('srp:' || h) — both engines receive it as a
-    LITERAL, so no RNG and no dim table can drift. The 'srp' salt is a
-    TUNED choice: measured recall@3 on the fixture was 0.958 ('srp')
-    vs 0.875 ('sketch') at m=50 — picking the operating point by
-    measurement is exactly what the recall audit exists for."""
-    import hashlib
-
-    out = []
-    for h in range(SKETCH_H):
-        bits = int.from_bytes(hashlib.md5(f"srp:{h}".encode()).digest(), "big")
-        out.append([1 if (bits >> (127 - i)) & 1 else -1 for i in range(64)])
-    return out
-
-
-_SKETCH_SIGNS = _sketch_signs()
-_SIGNS_S = "array(" + ", ".join(
-    "array(" + ",".join(f"{v}L" for v in row) + ")" for row in _SKETCH_SIGNS
-) + ")"
+# The sketch machinery lives in operators/srp.py (the reusable operator,
+# pinned against its own pure-Python model in tests/test_srp.py); the
+# 'srp' salt is a TUNED choice — measured recall@3 on the fixture was
+# 0.958 ('srp') vs 0.875 ('sketch') at m=50, and picking the operating
+# point by measurement is exactly what the recall audit exists for.
+_SKETCH_SIGNS = srp_signs(SKETCH_H, 64, "srp")
 _SIGNS_D = "[" + ", ".join(
     "[" + ",".join(str(v) for v in row) + "]" for row in _SKETCH_SIGNS
 ) + "]"
-
-# integer-quantized embedding: floor() is unambiguous cross-engine where
-# round()'s half-rule is not, and the +-1 dot over BIGINTs makes every
-# sign decision exact integer math — no IEEE sum-order hazard can flip a
-# sketch bit between engines
-_SKETCH_QE_S = (
-    f"transform(embedding, x -> cast(floor(cast(x as double) * {SKETCH_QUANT})"
-    " as bigint))"
-)
-_SKETCH_BITS_S = (
-    f"transform(sequence(1, {SKETCH_H}), h ->"
-    f" if(aggregate(zip_with(qe, element_at({_SIGNS_S}, h),"
-    " (x, s) -> x * s), 0L, (a, v) -> a + v) >= 0, 1L, 0L))"
-)
-_SKETCH_WORDS_S = (
-    f"transform(sequence(0, {SKETCH_WORDS - 1}), w ->"
-    " aggregate(sequence(1, 32), 0L,"
-    " (acc, j) -> acc + shiftleft(element_at(bits, w * 32 + j), 32 - j)))"
-)
-_SKETCH_HAM = (
-    "cast(aggregate(zip_with(qws, cws, (a, b) -> cast(bit_count(a ^ b) as"
-    " bigint)), 0L, (acc, v) -> acc + v) as bigint)"
-)
+_SKETCH_HAM = srp_hamming_expr("qws", "cws")
 
 # the oracle's sketch CTEs (shared by ann_sketch_prefilter and the recall
 # audit's candidate accounting)
@@ -2540,13 +2509,12 @@ spref AS (
 
 def _sketch_packed(e: DataFrame) -> DataFrame:
     """(vec_id, ws): the 256-bit sign sketch packed into 8 longs of 32
-    bits — one let-chained row-local expression (quantize once, 256
-    integer dots once, fold to words once; without the lets the bits
-    array would re-evaluate per word x per bit)."""
-    words_let = _ivfpq_let(
-        _SKETCH_QE_S, "qe", _ivfpq_let(_SKETCH_BITS_S, "bits", _SKETCH_WORDS_S)
+    bits — srp_words_expr's one let-chained row-local expression
+    (quantize once, 256 integer dots once, fold to words once)."""
+    return e.select(
+        "vec_id",
+        F.expr(srp_words_expr("embedding", _SKETCH_SIGNS, SKETCH_QUANT)).alias("ws"),
     )
-    return e.select("vec_id", F.expr(words_let).alias("ws"))
 
 
 def _sketch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
