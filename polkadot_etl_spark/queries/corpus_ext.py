@@ -973,18 +973,15 @@ def bigram_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
+    # NO broadcast hints on the seed dims: the seed corpus is
+    # Wikipedia-scale in production, so its bigram dim can exceed any
+    # sane broadcast threshold — AQE broadcasts them at fixture scale on
+    # its own and falls back to hash-keyed joins when it should; only
+    # the 1-row total is forced
     joined = (
-        bg.join(F.broadcast(bcnt), ["w1", "w2"], "left")
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
-            "w1",
-            "left",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
-            "w2",
-            "left",
-        )
+        bg.join(bcnt, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2", "left")
         .crossJoin(F.broadcast(totd))
     )
     logp = (
@@ -2728,18 +2725,18 @@ FROM rr QUALIFY rn <= {HARDNEG_K}
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _sketch_prefiltered(spark, sf_dir)
+    # NO broadcast hint on the doc->source dim: it is corpus-sized at
+    # 100 TB (forcing it would OOM the driver); the |Q| x m candidate
+    # side is the provably small side, which the planner broadcasts on
+    # its own — here and at scale
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labeled = (
         cand.join(
-            F.broadcast(
-                src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source"))
-            ),
+            src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source")),
             "q_id",
         )
         .join(
-            F.broadcast(
-                src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("c_source"))
-            ),
+            src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("c_source")),
             "c_id",
         )
         .where(F.col("q_source") != F.col("c_source"))

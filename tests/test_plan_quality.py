@@ -819,8 +819,10 @@ def test_bpe_training_result_is_bounded_driver_state(spark):
 
 def test_bigram_backoff_dims_broadcast(spark):
     """The seed-LM dims (bigram counts, unigram counts, the 1-row total)
-    broadcast onto the row-local bigram stream; no Python, no cartesian,
-    and the per-doc rollup is the only corpus-keyed aggregate."""
+    broadcast onto the row-local bigram stream — SIZING-driven, not
+    forced (the seed is Wikipedia-scale in production and must be free
+    to fall back to hash-keyed joins); no Python, no cartesian, and the
+    per-doc rollup is the only corpus-keyed aggregate."""
     plan = _plan(spark, "bigram_perplexity_backoff")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -872,7 +874,9 @@ def test_video_keyframe_composes_cut_plan(spark):
 def test_hard_negative_mining_inherits_prefilter_budget(spark):
     """The miner composes _sketch_prefiltered: the compressed Hamming
     scan's shape survives composition (WindowGroupLimit, no vectors in
-    the prefilter exchange), the source dims broadcast, no Python."""
+    the prefilter exchange) and the joins broadcast the provably small
+    candidate/query sides — sizing-driven, never a forced hint on the
+    corpus-sized doc->source dim; no Python."""
     plan = _plan(spark, "hard_negative_mining")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
