@@ -129,10 +129,15 @@ _PRIORITY: list[str] = [
     # dedup_corpus_survivors: green r4+r5+r6, demoted mid-r7 — the
     # FULL LSH→Jaccard→CC→roster pipeline re-runs inside in-window
     # corpus_release_funnel every round (stage 4)
-    # xcm_asset_registry: last driver-green r4; its plans/xcmgar.py
-    # codec was replaced with the native form in r7 — re-green on the
-    # new implementation
-    "xcm_asset_registry",
+    # xcm_asset_registry: rotated in mid-r7 to re-green on the native
+    # codec — done (r3+r4+r7 green); demoted in r8 for the planned
+    # banded-minhash configuration below (in-window gar_longtail_registry
+    # drives the same build_xcm_asset_registry canonicalization through
+    # five parser legs every round)
+    # r8: the lsh_planner recommendation executed — (b=4, r=2) banded
+    # MinHash at the t*=0.5 operating point, same measured recall as the
+    # r=1 family at 4.9x fewer verify candidates
+    "dedup_minhash_banded_r2",
     # sequence_packing: green r4+r5+r6, demoted late-r7 for its
     # same-family successor rag_chunk_documents — context-window
     # assembly stays in-window with the sentence-ALIGNED (retrieval-

@@ -2221,8 +2221,18 @@ QUALIFY rnk <= 3
     tags=("similarity", "iterative", "pipeline"),
 )
 def ann_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
     assigned, probed, n_iter = _ivf_trained_parts(spark, sf_dir)
+    return _ivf_rerank(spark, sf_dir, assigned, probed, n_iter)
+
+
+def _ivf_rerank(
+    spark: SparkSession, sf_dir: str, assigned, probed, n_iter
+) -> DataFrame:
+    """Raw-cosine rerank inside the probed cells — shared by
+    ann_ivf_trained_search and the recall audit (which reuses ONE
+    _ivf_trained_parts result for results + candidate counts, so the
+    kmeans quantizer trains once per audit, not twice)."""
+    e = load_table(spark, sf_dir, "embeddings")
 
     cand = (
         assigned.select(F.col("vec_id").alias("neighbor_id"), "cid")
@@ -2537,6 +2547,38 @@ def _sketch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact cosine rerank of a (q_id, c_id, ham) candidate frame, top
+    SKETCH_TOPK per query — shared by ann_sketch_prefilter and the
+    recall audit (which reuses ONE prefilter frame for both the method
+    results and the candidate counts, so the Hamming scan never runs
+    twice per audit)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qraw = e.where(F.col("vec_id") < SKETCH_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    craw = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    j = cand.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    cn = F.expr(
+        "aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    scored = j.select(
+        "q_id", "c_id", "ham", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= SKETCH_TOPK)
+    )
+
+
 @query(
     "ann_sketch_prefilter",
     oracle=f"""
@@ -2579,31 +2621,7 @@ FROM rr QUALIFY rn <= {SKETCH_TOPK}
     tags=("similarity", "headline"),
 )
 def ann_sketch_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _sketch_prefiltered(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    qraw = e.where(F.col("vec_id") < SKETCH_NQ).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    craw = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-    j = cand.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
-    dot = F.expr(
-        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-    qn = F.expr(
-        "aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
-    )
-    cn = F.expr(
-        "aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
-    )
-    scored = j.select(
-        "q_id", "c_id", "ham", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= SKETCH_TOPK)
-    )
+    return _sketch_rerank(spark, sf_dir, _sketch_prefiltered(spark, sf_dir))
 
 
 INT8_DIMS = 64  # embedding dimensionality (fixture)
@@ -2860,10 +2878,17 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
     lsh = ann_lsh_bucketed(spark, sf_dir).select("q_id", "c_id")
-    ivf = ann_ivf_trained_search(spark, sf_dir).select(
+    # train the IVF quantizer ONCE and reuse the parts for both the
+    # method results and the candidate counts (composing the two public
+    # queries here would train kmeans twice per audit — measured ~2x on
+    # the audit's bench cost); same for the sketch scan, whose |Q| x m
+    # candidate frame is checkpointed once (bounded at any corpus size)
+    assigned, probed, n_iter = _ivf_trained_parts(spark, sf_dir)
+    ivf = _ivf_rerank(spark, sf_dir, assigned, probed, n_iter).select(
         F.col("query_id").alias("q_id"), F.col("neighbor_id").alias("c_id")
     )
-    sk = ann_sketch_prefilter(spark, sf_dir).select("q_id", "c_id")
+    sk_cand = _sketch_prefiltered(spark, sf_dir).localCheckpoint(eager=True)
+    sk = _sketch_rerank(spark, sf_dir, sk_cand).select("q_id", "c_id")
     m = (
         lsh.withColumn("method", F.lit("lsh"))
         .unionByName(ivf.withColumn("method", F.lit("ivf")))
@@ -2891,7 +2916,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bc), "bucket")
         .select(F.col("vec_id").alias("q_id"), (F.col("bn") - 1).alias("n_cand"))
     )
-    assigned, probed, _ = _ivf_trained_parts(spark, sf_dir)
     ivfc = (
         assigned.select(F.col("vec_id").alias("neighbor_id"), "cid")
         .join(F.broadcast(probed), F.col("cid") == F.col("cell"))
@@ -2900,11 +2924,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cand"))
         .select(F.col("query_id").alias("q_id"), "n_cand")
     )
-    skc = (
-        _sketch_prefiltered(spark, sf_dir)
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_cand"))
-    )
+    skc = sk_cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
     cands = (
         lshc.withColumn("method", F.lit("lsh"))
         .unionByName(ivfc.withColumn("method", F.lit("ivf")))

@@ -829,6 +829,21 @@ def test_bigram_backoff_dims_broadcast(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
 
 
+def test_banded_minhash_pairs_stay_inside_bucket_shuffle(spark):
+    """The (b=4, r=2) configuration keeps the r=1 family's audited
+    shape: signatures computed once, the pair blowup happens inside the
+    (band, key) groupBy via the collect_list explode (never a signature
+    self-join), the verify joins move one shingle-set array per doc,
+    and nothing is Python or cartesian."""
+    plan = _plan(spark, "dedup_minhash_banded_r2")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 6
+    # one Generate for the shingle explode per signature/set leg + the
+    # pair explode — no quadratic structure outside them
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 4
+
+
 def test_gate_attribution_shares_funnel_shapes(spark):
     """The Venn attribution composes the same _release_stage_parts flag
     plans as the funnel: broadcasts survive, no cartesian, no Python,
