@@ -1259,7 +1259,24 @@ FROM m JOIN t ON m.doc_id = t.doc_id
 )
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    return gopher_signals(d).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
+        "top_word_frac",
+        "repeated_word_frac",
+        "keep",
+    )
+
+
+def gopher_signals(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """``d`` + the Gopher repetition signals and keep flag — ROW-LOCAL
+    column math (the shuffle-free sorted-run fold), so the SAME gate
+    applies to a batch frame and a readStream frame unmodified
+    (streaming/corpus.py runs it inside the ingest micro-batches).
+    Input columns pass through."""
+    words = F.split(F.col(text_col), " ")
     state0 = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -1274,17 +1291,14 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = F.aggregate(F.array_sort(words), state0, step, lambda st: st["best"])
     base = d.select(
-        "doc_id",
+        "*",
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
         top.cast("bigint").alias("top_word_count"),
     )
     twf = F.col("top_word_count").cast("double") / F.col("n_words")
     return base.select(
-        "doc_id",
-        "n_words",
-        "n_distinct_words",
-        "top_word_count",
+        "*",
         F.round(twf, 6).alias("top_word_frac"),
         F.round(
             F.lit(1.0) - F.col("n_distinct_words").cast("double") / F.col("n_words"), 6

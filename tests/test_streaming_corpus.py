@@ -1,0 +1,142 @@
+"""streaming/corpus.py — the streaming ingest must apply the EXACT batch
+quality gate, dedup first-occurrence against digest state across
+micro-batches, match the batch dedup_exact rule under in-order arrival,
+and land idempotent per-batch accounting."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import functions as F
+
+from polkadot_etl_spark.streaming.corpus import (
+    corpus_ingest_stream,
+    dedup_first_occurrence,
+    document_stream,
+    quality_gated,
+)
+
+GOOD = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # keep=True
+SPAM = "spam spam spam spam spam spam spam spam spam spam"  # top_word_frac=1.0
+OTHER = "one two three four five six seven eight nine ten eleven"
+
+
+def _write_ndjson(path: pathlib.Path, rows: list[dict]) -> None:
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _mk_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return src, str(tmp_path / "chk"), str(tmp_path / "acct")
+
+
+def _run_to_memory(spark, src_dir, name, ttl_ms=None):
+    q = (
+        dedup_first_occurrence(
+            quality_gated(document_stream(spark, str(src_dir))), ttl_ms
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {
+        r["doc_id"]: r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_stream_dedup_matches_batch_rule_in_order(spark, tmp_path):
+    src, _, _ = _mk_dirs(tmp_path)
+    # batch 1 (file order = lexicographic): intra-batch dup pair + spam
+    _write_ndjson(
+        src / "a.json",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s0"},
+            {"doc_id": 2, "text": GOOD, "lang": "en", "source": "s0"},
+            {"doc_id": 3, "text": SPAM, "lang": "en", "source": "s0"},
+        ],
+    )
+    # batch 2: cross-batch dup of GOOD + a fresh doc
+    _write_ndjson(
+        src / "b.json",
+        [
+            {"doc_id": 10, "text": GOOD, "lang": "en", "source": "s1"},
+            {"doc_id": 11, "text": OTHER, "lang": "en", "source": "s1"},
+        ],
+    )
+    out = _run_to_memory(spark, src, "corpus_inorder")
+    assert len(out) == 5
+    # intra-batch: 1 canonical, 2 duplicate-of-1
+    assert out[1]["is_first"] and out[1]["canonical_id"] == 1
+    assert not out[2]["is_first"] and out[2]["canonical_id"] == 1
+    # cross-batch: state remembers digest -> canonical 1
+    assert not out[10]["is_first"] and out[10]["canonical_id"] == 1
+    assert out[11]["is_first"] and out[11]["canonical_id"] == 11
+    # the SHARED batch gate: spam fails, everything else keeps
+    assert not out[3]["keep"]
+    assert all(out[i]["keep"] for i in (1, 2, 10, 11))
+
+    # equals the batch dedup_exact rule (min doc_id per digest) on the
+    # union of both files — in-order arrival, so the rules coincide
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in
+         [(1, GOOD), (2, GOOD), (3, SPAM), (10, GOOD), (11, OTHER)]],
+        "doc_id LONG, text STRING",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    batch = {
+        r["doc_id"]: r["canonical_id"]
+        for r in docs.select(
+            "doc_id", F.min("doc_id").over(w).alias("canonical_id")
+        ).collect()
+    }
+    assert {i: out[i]["canonical_id"] for i in out} == batch
+
+
+def test_out_of_order_arrival_is_first_arrival_wins(spark, tmp_path):
+    src, _, _ = _mk_dirs(tmp_path)
+    _write_ndjson(src / "a.json", [{"doc_id": 7, "text": GOOD, "source": "s0", "lang": "en"}])
+    _write_ndjson(src / "b.json", [{"doc_id": 4, "text": GOOD, "source": "s0", "lang": "en"}])
+    out = _run_to_memory(spark, src, "corpus_ooo")
+    # 7 arrived first -> canonical stays 7 (NOT batch's min id 4): the
+    # documented streaming-native divergence a backfill must account for
+    assert out[7]["is_first"] and out[7]["canonical_id"] == 7
+    assert not out[4]["is_first"] and out[4]["canonical_id"] == 7
+
+
+def test_ingest_accounting_sink_counts_and_shape(spark, tmp_path):
+    src, chk, acct = _mk_dirs(tmp_path)
+    _write_ndjson(
+        src / "a.json",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s0"},
+            {"doc_id": 2, "text": GOOD, "lang": "en", "source": "s0"},
+            {"doc_id": 3, "text": SPAM, "lang": "en", "source": "s1"},
+        ],
+    )
+    q = corpus_ingest_stream(spark, str(src), chk, acct)
+    q.processAllAvailable()
+    q.stop()
+    files = sorted(pathlib.Path(acct).glob("batch-*.json"))
+    assert files, "no accounting files written"
+    payload = json.loads(files[-1].read_text())
+    assert payload["sources"]["s0"] == {"n_in": 2, "n_quality": 2, "n_unique": 1}
+    assert payload["sources"]["s1"] == {"n_in": 1, "n_quality": 0, "n_unique": 1}
+    # idempotence: re-applying the same batch overwrites to identical bytes
+    before = files[-1].read_text()
+    from polkadot_etl_spark.streaming.corpus import ingest_accounting_sink
+
+    batch_df = spark.createDataFrame(
+        [(1, "d", "s0", True, True, 1), (2, "d", "s0", True, False, 1),
+         (3, "e", "s1", False, True, 3)],
+        "doc_id LONG, digest STRING, source STRING, keep BOOLEAN,"
+        " is_first BOOLEAN, canonical_id LONG",
+    )
+    ingest_accounting_sink(acct)(batch_df, payload["batch_id"])
+    assert files[-1].read_text() == before
