@@ -99,6 +99,62 @@ def test_stream_dedup_matches_batch_rule_in_order(spark, tmp_path):
     assert {i: out[i]["canonical_id"] for i in out} == batch
 
 
+def test_dedup_timeout_path_removes_state():
+    """hasTimedOut → state.remove() (the TTL'd-frontier semantics: an
+    expired digest re-admits). Driven directly — same rationale as
+    stateful.py's timeout test: an availableNow run with
+    ProcessingTimeTimeout never terminates while timeouts are pending."""
+    from polkadot_etl_spark.streaming.corpus import make_dedup
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (7, 3)
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(make_dedup(state_ttl_ms=1000)(("deadbeef",), iter([]), st))
+    assert st.removed and out == []
+
+
+def test_dedup_state_ttl_is_rearmed_per_batch():
+    """With a TTL configured, every processed batch re-arms the timeout
+    (setTimeoutDuration) and updates the ledger tuple."""
+    import pandas as pd
+
+    from polkadot_etl_spark.streaming.corpus import make_dedup
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+        updated = None
+        ttl = None
+
+        def update(self, v):
+            self.updated = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            self.ttl = ms
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": 9, "digest": "d", "source": "s0", "keep": True},
+            {"doc_id": 5, "digest": "d", "source": "s0", "keep": True},
+        ]
+    )
+    out = pd.concat(list(make_dedup(state_ttl_ms=250)(("d",), iter([pdf]), st)))
+    # rows process in doc_id order: 5 is canonical even though listed second
+    assert list(out.sort_values("doc_id")["canonical_id"]) == [5, 5]
+    assert list(out.sort_values("doc_id")["is_first"]) == [True, False]
+    assert st.updated == (5, 2)
+    assert st.ttl == 250
+
+
 def test_out_of_order_arrival_is_first_arrival_wins(spark, tmp_path):
     src, _, _ = _mk_dirs(tmp_path)
     _write_ndjson(src / "a.json", [{"doc_id": 7, "text": GOOD, "source": "s0", "lang": "en"}])
