@@ -61,24 +61,34 @@ _ROSTER_STATE_SCHEMA = T.StructType([T.StructField("roster", T.StringType(), Tru
 
 
 def signed_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """docs + (sig, one row per band with its bucket key). The signature
-    is the r=1 family's (4 disjoint 8-hex slices of md5-per-shingle
-    minima) computed row-local — streaming-legal."""
+    """(doc_id, band, bkey, sig): one row per band with its bucket key.
+    The signature is the r=1 family's (4 disjoint 8-hex slices of
+    md5-per-shingle minima) computed row-local — streaming-legal. The
+    whole chain lives inside ONE let-bound Generate: CollapseProject
+    would re-inline a staged mins column into the explode's projection
+    and re-evaluate the digest chain per band element (the r7
+    native-codec lesson), so the mins array binds inside the exploded
+    expression instead."""
     staged = docs.select(
-        "*", F.array_distinct(_spark_shingles("lt")).alias("__sh")
+        "doc_id", F.array_distinct(_spark_shingles("lt")).alias("__sh")
     )
-    mins = "transform(array(transform(__sh, s -> md5(s))), hh -> array(" + ", ".join(
+    mins = "array(" + ", ".join(
         f"array_min(transform(hh, h -> substring(h, {1 + 8 * b}, 8)))"
         for b in range(N_BANDS)
-    ) + "))"
-    signed = staged.select(
-        "*", F.expr(f"element_at({mins}, 1)").alias("__ms")
-    ).select(
-        "*",
-        F.expr("array_join(__ms, '')").alias("sig"),
-        F.posexplode(F.col("__ms")).alias("band", "bkey"),
+    ) + ")"
+    bands = (
+        f"explode(element_at(transform(array(transform(__sh, s -> md5(s))),"
+        f" hh -> element_at(transform(array({mins}), ms ->"
+        f" transform(sequence(0, {N_BANDS - 1}), b -> struct("
+        " b as band, element_at(ms, b + 1) as bkey,"
+        " array_join(ms, '') as sig))), 1)), 1))"
     )
-    return signed.select("doc_id", "band", "bkey", "sig")
+    return staged.select("doc_id", F.expr(bands).alias("r")).select(
+        "doc_id",
+        F.col("r.band").cast("int").alias("band"),
+        F.col("r.bkey").alias("bkey"),
+        F.col("r.sig").alias("sig"),
+    )
 
 
 def make_band_matcher(cap: int = BUCKET_CAP, min_agree: int = MIN_AGREE,
