@@ -72,12 +72,16 @@ def bloom_positions_expr(
             f" {_MD5_HEX_LEN}-char md5 hex (1 <= o <= {_MD5_HEX_LEN - nibbles + 1})"
         )
     offs = ", ".join(str(o) for o in offsets)
+    # coefficients as BIGINT literals: at nibbles >= 8 the 16^(n-1)
+    # coefficient still fits INT but (15 * coeff) does not — an INT*INT
+    # plan under ANSI throws ARITHMETIC_OVERFLOW (caught by the grid
+    # sweep in tests/test_bloom.py)
     terms = " + ".join(
         f"(instr('0123456789abcdef', substring({col}, o + {j}, 1)) - 1)"
-        f" * {16 ** (nibbles - 1 - j)}"
+        f" * {16 ** (nibbles - 1 - j)}L"
         for j in range(nibbles)
     )
-    return f"transform(array({offs}), o -> ({terms}) % {m_bits})"
+    return f"transform(array({offs}), o -> ({terms}) % {m_bits}L)"
 
 
 def bloom_build(

@@ -204,6 +204,40 @@ def test_widened_family_matches_model_m_65536(spark):
     assert n_fp <= 1, f"{n_fp} false positives at 1.8% fill"
 
 
+def test_position_family_grid_matches_model(spark):
+    """Grid sweep over the (nibbles, m_bits, offsets) family — every
+    valid configuration's Spark positions must equal the Python model
+    bit-for-bit (the widened-window generalization holds across widths,
+    not just the two widths the dedicated tests use)."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.bloom import bloom_positions_expr
+
+    keys = _md5s(0, 40)
+    df = spark.createDataFrame([(k,) for k in keys], "h STRING")
+    grid = [
+        (1, 16, (1, 16, 32)),
+        (2, 256, (1, 9, 17)),
+        (3, 512, (1, 9, 17)),
+        (4, 4096, (1, 9, 29)),       # windows touch the digest end
+        (5, 2 ** 16, (2, 12, 28)),
+        (6, 2 ** 20, (1, 9, 17)),
+        (8, 2 ** 24, (1, 9, 25)),    # m smaller than the space
+        (15, 2 ** 32, (1, 18, 18)),  # overlapping windows are legal
+    ]
+    for nibbles, m_bits, offsets in grid:
+        got = {
+            r["h"]: list(r["p"])
+            for r in df.select(
+                "h",
+                F.expr(bloom_positions_expr("h", m_bits, offsets, nibbles)).alias("p"),
+            ).collect()
+        }
+        for k in keys:
+            want = _positions(k, m_bits, offsets, nibbles)
+            assert got[k] == want, (nibbles, m_bits, offsets, k)
+
+
 def test_widened_family_partition_invariance(spark):
     kw = dict(m_bits=2 ** 20, offsets=(2, 12, 22), nibbles=6)
     keys = _md5s(0, 150)
