@@ -126,6 +126,16 @@ def test_dangling_redistribution_is_integer_exact(spark):
     assert got7 == got
 
 
+def test_scale_and_damping_grid_matches_model(spark):
+    """Fixed-point grid: small scales and unusual damping pairs all
+    match the model exactly (the floor arithmetic has no
+    scale-dependent shortcuts)."""
+    for scale, d_num, d_den in [(10**6, 85, 100), (10**9, 1, 2), (10**12, 99, 100)]:
+        got = _spark_ranks(spark, EDGES, iters=3, scale=scale, d_num=d_num, d_den=d_den)
+        want, _ = _model(EDGES, iters=3, scale=scale, d_num=d_num, d_den=d_den)
+        assert got == want, (scale, d_num, d_den)
+
+
 def test_non_ansi_session_rejected(spark):
     """ADVICE r7: under non-ANSI configs the rank*d_num*w product wraps
     silently on int64 overflow — the operator must refuse to run."""

@@ -90,6 +90,27 @@ def test_quant_changes_bits_only_through_the_model(spark):
         assert list(got) == model_words(v, signs, quant)
 
 
+def test_production_and_boundary_configs_match_model(spark):
+    """The registry's production config (256 planes x 64 dims) and the
+    md5 boundary (128 dims — one digest's full sign capacity) both
+    match the model; extra dims beyond the plane width are ignored by
+    the slice (a 96-dim embedding under 64-dim planes)."""
+    for n_planes, dims, n_vec_dims in [(256, 64, 64), (32, 128, 128), (64, 64, 96)]:
+        signs = srp_signs(n_planes, dims, "bound")
+        vecs = _vectors(6, n_vec_dims)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vid INT, embedding ARRAY<DOUBLE>"
+        )
+        got = {
+            r["vid"]: list(r["ws"])
+            for r in df.select(
+                "vid", F.expr(srp_words_expr("embedding", signs)).alias("ws")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            assert got[i] == model_words(v, signs), (n_planes, dims, i)
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="multiple of 32"):
         srp_signs(100, 64)
