@@ -2234,7 +2234,10 @@ def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                     last = int(len(v) - 1 - np.argmax(loud[::-1]))
                     kept = v[first : last + 1]
                 else:
-                    first, last, kept = len(v), -1, v[:0]
+                    # all-silent clip (impossible for this corpus — the
+                    # body alphabet is loud by construction): the whole
+                    # clip is ONE leading-silence run, trail 0, kept 0
+                    first, last, kept = len(v), len(v) - 1, v[:0]
                 rows.append(
                     {
                         "media_id": mid,
