@@ -3944,10 +3944,15 @@ def _ivfpq_celled(e: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_probed(e: DataFrame) -> DataFrame:
+def _ivfpq_probed(e: DataFrame, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
     """(q_id, embedding, cell): the nprobe nearest cells per query,
     selected ROW-LOCAL (sorted struct slice, (dist asc, cell asc)
-    tie-break) — no window needed before any join."""
+    tie-break) — no window needed before any join. ``nprobe`` is the
+    recall/cost knob the r7 verdict asked to parameterize: the audit's
+    pruning ceiling is monotone in it (pinned in
+    tests/test_corpus_ext.py::test_ivfpq_nprobe_raises_pruning_ceiling)."""
+    if not (1 <= nprobe <= IVFPQ_NCELL):
+        raise ValueError(f"nprobe={nprobe} outside [1, {IVFPQ_NCELL}]")
     q = e.where(F.col("vec_id") < IVFPQ_NQ).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -3960,7 +3965,7 @@ def _ivfpq_probed(e: DataFrame) -> DataFrame:
                 F.expr(
                     f"slice(array_sort(transform(sequence(1, {IVFPQ_NCELL}),"
                     " c -> struct(element_at(cdists, c) as d, c as cell))),"
-                    f" 1, {IVFPQ_NPROBE})"
+                    f" 1, {nprobe})"
                 )
             ).alias("pc"),
         )
