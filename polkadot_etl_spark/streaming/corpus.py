@@ -110,10 +110,16 @@ def make_dedup(state_ttl_ms: int | None = None):
             state.remove()
             return
         canonical, n_seen = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # concat the chunk iterator BEFORE sorting: a group spanning
+        # multiple Arrow chunks sorted per-chunk would pin the FIRST
+        # CHUNK's min as canonical, not the batch min — breaking the
+        # in-order batch-rule equivalence for large duplicate groups
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values("doc_id")
             out = []
-            for row in pdf.itertuples(index=False):
+            for row in batch.itertuples(index=False):
                 first = canonical is None
                 if first:
                     canonical = int(row.doc_id)

@@ -105,8 +105,11 @@ def make_band_matcher(cap: int = BUCKET_CAP, min_agree: int = MIN_AGREE,
             json.loads(state.get[0]) if state.exists else []
         )
         band = int(key[0])
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # concat before sorting — per-chunk sorting would admit a later
+        # chunk's lower doc_id AFTER a higher one (same hazard as the
+        # corpus dedup's canonical pin)
+        chunks = list(pdfs)
+        for pdf in ([pd.concat(chunks).sort_values("doc_id")] if chunks else []):
             out = []
             for row in pdf.itertuples(index=False):
                 sig = row.sig

@@ -155,6 +155,33 @@ def test_dedup_state_ttl_is_rearmed_per_batch():
     assert st.ttl == 250
 
 
+def test_dedup_multi_chunk_group_uses_batch_min():
+    """A group spanning multiple Arrow chunks must pin the BATCH min as
+    canonical — per-chunk sorting would pin the first chunk's min (the
+    hazard fixed in make_dedup; same fix in neardedup's matcher)."""
+    import pandas as pd
+
+    from polkadot_etl_spark.streaming.corpus import make_dedup
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+        updated = None
+
+        def update(self, v):
+            self.updated = v
+            self.exists = True
+
+    chunk1 = pd.DataFrame([{"doc_id": 9, "digest": "d", "source": "s", "keep": True}])
+    chunk2 = pd.DataFrame([{"doc_id": 4, "digest": "d", "source": "s", "keep": True}])
+    st = FakeState()
+    out = pd.concat(list(make_dedup()(("d",), iter([chunk1, chunk2]), st)))
+    rows = {int(r.doc_id): r for r in out.itertuples(index=False)}
+    assert rows[4].is_first and rows[4].canonical_id == 4
+    assert not rows[9].is_first and rows[9].canonical_id == 4
+    assert st.updated == (4, 2)
+
+
 def test_out_of_order_arrival_is_first_arrival_wins(spark, tmp_path):
     src, _, _ = _mk_dirs(tmp_path)
     _write_ndjson(src / "a.json", [{"doc_id": 7, "text": GOOD, "source": "s0", "lang": "en"}])
