@@ -115,12 +115,20 @@ def main() -> None:
     funnel_stages: dict[str, float] = {}
     if "corpus_release_funnel" in per_query:
         from polkadot_etl_spark.queries.corpus_ext import (  # noqa: PLC0415
+            _RELEASE_STAGES,
             release_funnel_stage_plans,
         )
 
-        for stage, plan in release_funnel_stage_plans(spark, sf_dir).items():
+        for stage in _RELEASE_STAGES:
+            # build ONE stage inside the timer: the near-dup gate does
+            # its CC work eagerly at plan-construction time, so timing
+            # only the write would read ~0s for the most expensive gate
+            # (and building all six per stage would attribute that CC
+            # cost to every gate)
             t0 = time.perf_counter()
-            plan.write.format("noop").mode("overwrite").save()
+            release_funnel_stage_plans(spark, sf_dir, only=stage)[
+                stage
+            ].write.format("noop").mode("overwrite").save()
             funnel_stages[stage] = round(time.perf_counter() - t0, 3)
         print(f"# funnel stages: {funnel_stages}", file=sys.stderr)
     wall_all = round(time.perf_counter() - t_all, 3)
