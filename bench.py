@@ -64,6 +64,77 @@ def _budget_of(min_time: float) -> float:
     return round(max(1.5 * min_time, min_time + 0.75), 2)
 
 
+def reconcile_budgets(
+    per_query: "dict[str, float]",
+    budget_path: str,
+    write_budgets: bool,
+    at_budget_sf: bool,
+    sf: float,
+):
+    """The budget mechanism, separated from the run loop so the
+    self-heal contract is unit-testable (tests/test_bench_budgets.py):
+
+    - write_budgets: rewrite the whole file from this run (idle-box
+      regeneration; clears provisional flags);
+    - else at the budgets' own scale factor: report breaches, and WRITE
+      a provisional ceiling for any query with no budget (absent keys
+      only — existing budgets are never touched) so the newest query
+      can never ship unguarded.
+
+    Returns (over_budget, no_budget) — no_budget lists the queries that
+    were self-healed this run (empty next run by construction)."""
+    over_budget: dict[str, dict[str, float]] = {}
+    no_budget: list[str] = []
+    budget_doc: dict = {}
+    if os.path.exists(budget_path):
+        with open(budget_path) as fh:
+            budget_doc = json.load(fh)
+    budgets: dict[str, float] = budget_doc.get("budgets", {})
+    provisional: dict[str, bool] = budget_doc.get("provisional", {})
+    if write_budgets:
+        with open(budget_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "rule": "1.5x idle-box min with a +0.75s floor",
+                    "budgets": {n: _budget_of(t) for n, t in sorted(per_query.items())},
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+        print(f"# wrote {len(per_query)} budgets to {budget_path}", file=sys.stderr)
+        return over_budget, no_budget
+    if not (budgets and at_budget_sf):
+        return over_budget, no_budget
+    for name, t in per_query.items():
+        b = budgets.get(name)
+        if b is None:
+            no_budget.append(name)
+        elif t > b:
+            over_budget[name] = {"min": t, "budget": b}
+    for name, d in sorted(over_budget.items()):
+        print(
+            f"# OVER BUDGET: {name} min={d['min']:.3f}s > budget={d['budget']:.2f}s",
+            file=sys.stderr,
+        )
+    if no_budget:
+        for name in no_budget:
+            budgets[name] = _budget_of(per_query[name])
+            provisional[name] = True
+        budget_doc["budgets"] = dict(sorted(budgets.items()))
+        budget_doc["provisional"] = dict(sorted(provisional.items()))
+        with open(budget_path, "w") as fh:
+            json.dump(budget_doc, fh, indent=1)
+            fh.write("\n")
+        print(
+            "# provisional budgets written (re-baseline on an idle box): "
+            f"{sorted(no_budget)}",
+            file=sys.stderr,
+        )
+    return over_budget, no_budget
+
+
 def main() -> None:
     write_budgets = "--write-budgets" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,56 +208,9 @@ def main() -> None:
     # Budget check: breaches are loud (sidecar + stderr), silence means
     # every query is inside its checked-in ceiling. Only meaningful at
     # the budgets' own scale factor (sf0.1).
-    over_budget: dict[str, dict[str, float]] = {}
-    no_budget: list[str] = []
-    budget_doc: dict = {}
-    if os.path.exists(_BUDGET_PATH):
-        with open(_BUDGET_PATH) as fh:
-            budget_doc = json.load(fh)
-    budgets: dict[str, float] = budget_doc.get("budgets", {})
-    provisional: dict[str, bool] = budget_doc.get("provisional", {})
-    if write_budgets:
-        with open(_BUDGET_PATH, "w") as fh:
-            json.dump(
-                {
-                    "sf": sf,
-                    "rule": "1.5x idle-box min with a +0.75s floor",
-                    "budgets": {n: _budget_of(t) for n, t in sorted(per_query.items())},
-                },
-                fh,
-                indent=1,
-            )
-            fh.write("\n")
-        print(f"# wrote {len(per_query)} budgets to {_BUDGET_PATH}", file=sys.stderr)
-    elif budgets and abs(sf - 0.1) < 1e-9:
-        for name, t in per_query.items():
-            b = budgets.get(name)
-            if b is None:
-                no_budget.append(name)
-            elif t > b:
-                over_budget[name] = {"min": t, "budget": b}
-        for name, d in sorted(over_budget.items()):
-            print(
-                f"# OVER BUDGET: {name} min={d['min']:.3f}s > budget={d['budget']:.2f}s",
-                file=sys.stderr,
-            )
-        if no_budget:
-            # self-heal: write a provisional ceiling from THIS run for
-            # every unguarded query (absent keys only — existing budgets
-            # are never touched here)
-            for name in no_budget:
-                budgets[name] = _budget_of(per_query[name])
-                provisional[name] = True
-            budget_doc["budgets"] = dict(sorted(budgets.items()))
-            budget_doc["provisional"] = dict(sorted(provisional.items()))
-            with open(_BUDGET_PATH, "w") as fh:
-                json.dump(budget_doc, fh, indent=1)
-                fh.write("\n")
-            print(
-                "# provisional budgets written (re-baseline on an idle box): "
-                f"{sorted(no_budget)}",
-                file=sys.stderr,
-            )
+    over_budget, no_budget = reconcile_budgets(
+        per_query, _BUDGET_PATH, write_budgets, abs(sf - 0.1) < 1e-9, sf
+    )
 
     # Sidecar carries the full per-query breakdown (too long for one stdout
     # line without the harness truncating it).

@@ -1,0 +1,69 @@
+"""bench.reconcile_budgets — the self-healing budget contract (the gap
+the r6 AND r7 verdicts flagged: the newest query shipped unguarded after
+every manual regeneration). Pure file/dict logic, no Spark."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+from bench import _budget_of, reconcile_budgets  # noqa: E402
+
+
+def _write(path, budgets, provisional=None):
+    doc = {"sf": 0.1, "rule": "1.5x idle-box min with a +0.75s floor",
+           "budgets": budgets}
+    if provisional is not None:
+        doc["provisional"] = provisional
+    path.write_text(json.dumps(doc))
+
+
+def test_missing_query_self_heals_with_provisional_flag(tmp_path):
+    p = tmp_path / "b.json"
+    _write(p, {"old_query": 2.0})
+    over, no_budget = reconcile_budgets(
+        {"old_query": 1.5, "new_query": 3.0}, str(p), False, True, 0.1
+    )
+    assert no_budget == ["new_query"] and over == {}
+    doc = json.loads(p.read_text())
+    # provisional ceiling from THIS run, flagged; existing budget untouched
+    assert doc["budgets"]["new_query"] == _budget_of(3.0) == 4.5
+    assert doc["budgets"]["old_query"] == 2.0
+    assert doc["provisional"] == {"new_query": True}
+    # the file's header keys survive the merge
+    assert doc["sf"] == 0.1 and "rule" in doc
+
+    # next run: the healed query is guarded — silence
+    over2, no2 = reconcile_budgets(
+        {"old_query": 1.5, "new_query": 3.1}, str(p), False, True, 0.1
+    )
+    assert no2 == [] and over2 == {}
+
+
+def test_breach_detection_and_wrong_sf_noop(tmp_path):
+    p = tmp_path / "b.json"
+    _write(p, {"q": 1.0})
+    over, _ = reconcile_budgets({"q": 1.4}, str(p), False, True, 0.1)
+    assert over == {"q": {"min": 1.4, "budget": 1.0}}
+    # at a different scale factor nothing is checked or written
+    before = p.read_text()
+    over2, no2 = reconcile_budgets({"q": 9.9, "x": 1.0}, str(p), False, False, 0.001)
+    assert over2 == {} and no2 == [] and p.read_text() == before
+
+
+def test_write_budgets_regenerates_and_clears_provisional(tmp_path):
+    p = tmp_path / "b.json"
+    _write(p, {"stale": 9.0, "q": 1.0}, provisional={"q": True})
+    over, no_budget = reconcile_budgets({"q": 2.0}, str(p), True, True, 0.1)
+    assert over == {} and no_budget == []
+    doc = json.loads(p.read_text())
+    assert doc["budgets"] == {"q": _budget_of(2.0)}
+    assert "provisional" not in doc  # idle regeneration clears the flags
+    assert "stale" not in doc["budgets"]
+
+
+def test_no_budget_file_is_silent(tmp_path):
+    p = tmp_path / "none.json"
+    over, no_budget = reconcile_budgets({"q": 1.0}, str(p), False, True, 0.1)
+    assert over == {} and no_budget == [] and not p.exists()
