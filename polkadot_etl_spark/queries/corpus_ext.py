@@ -4949,3 +4949,142 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_join(slice(sents, c.s, c.e - c.s + 1), ' ')")
         ).alias("chunk_hash"),
     )
+
+# --------------------------------------------------------------------------
+# Sparse retrieval: exact fixed-point BM25 top-k over an inverted index
+# --------------------------------------------------------------------------
+
+BM25_QUERIES = 8  # query docs (doc_id < 8), terms = first 8 sorted distinct
+BM25_TERMS = 8  # query terms per query doc
+BM25_K = 5  # results per query
+# k1 = 6/5 and b = 3/4 folded into integer coefficients: with T = total
+# corpus tokens, N = docs, dl = doc length,
+#   tf_part = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/T)
+#           = 22*tf*T / (10*T*tf + 3*T + 9*dl*N)
+# so ONE BIGINT floor division yields the saturation term exactly — no
+# float exists anywhere in the score.
+
+
+@query(
+    "bm25_topk_retrieval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n, SUM(len(ts)) AS t FROM toks),
+post AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(ts) AS dl, UNNEST(ts) AS term FROM toks)
+  GROUP BY doc_id, dl, term
+),
+pdf AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM post
+),
+q AS (
+  SELECT query_id, substr(UNNEST(keyed), 34) AS term FROM (
+    SELECT doc_id AS query_id,
+           (list_sort(list_transform(list_distinct(ts),
+              w -> md5(w || CAST(doc_id AS VARCHAR)) || ':' || w))
+           )[1:{BM25_TERMS}] AS keyed
+    FROM toks WHERE doc_id < {BM25_QUERIES})
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ((2 * tot.n - 2 * p.df + 1) * 1000) // (2 * p.df + 1) AS idf_milli,
+         (22 * p.tf * tot.t * 1000000)
+           // (10 * tot.t * p.tf + 3 * tot.t + 9 * p.dl * tot.n) AS tfp_micro
+  FROM q JOIN pdf p USING (term) CROSS JOIN tot
+  WHERE p.doc_id <> q.query_id
+),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         CAST(SUM(idf_milli * tfp_micro) AS BIGINT) AS bm25_nano
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, n_terms_hit, bm25_nano
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY bm25_nano DESC, doc_id ASC) AS rn FROM agg)
+WHERE rn <= {BM25_K}
+""",
+    doc="Sparse retrieval over the corpus: BM25 top-k through a real "
+    "inverted index (postings = one explode + one (doc, term) groupBy; "
+    "document frequency = a COUNT window over the term partition, reusing "
+    "the postings rather than a second scan+join). Query docs are the "
+    f"first {BM25_QUERIES} documents, each querying its first "
+    f"{BM25_TERMS} alphabetically-sorted distinct terms (self excluded). "
+    "The ENTIRE score is exact fixed-point BIGINT: idf and the k1/b "
+    "saturation term are each ONE integer floor-division with k1=1.2, "
+    "b=0.75 folded into integer coefficients — no logarithm, no float, "
+    "so the hash gate pins every score bit. (Fixture-scale BIGINT "
+    "headroom is ~2.2e17 at sf0.1; a 100 TB corpus lifts the two "
+    "products into DECIMAL(38,0) intermediates, same plan.) "
+    "Scale shape: terms shuffle, text never does; the query-term dim is "
+    f"<= {BM25_QUERIES}x{BM25_TERMS} rows by construction and broadcasts; "
+    "the per-query top-k plans as a WindowGroupLimit pair (partial "
+    "per-partition top-k before the exchange), so no query key can skew.",
+    tags=("corpus", "retrieval"),
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ts"),
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).cast("long").alias("t")
+    )
+    post = (
+        toks.select(
+            "doc_id", F.size("ts").cast("long").alias("dl"),
+            F.explode("ts").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    # per-query term draw: md5(term || query_id) orders the distinct
+    # vocabulary differently for every query doc (first-N-alphabetical
+    # picked the SAME terms for all queries on the shared-vocabulary
+    # fixture — no per-query signal); the 32-char digest prefix sorts as
+    # ASCII in both engines and the term is sliced back off after ':'
+    q = toks.where(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(
+            "slice(array_sort(transform(array_distinct(ts),"
+            " w -> concat(md5(concat(w, cast(doc_id as string))), ':', w))),"
+            f" 1, {BM25_TERMS})"
+        ).alias("keyed"),
+    ).select(
+        "query_id", F.explode("keyed").alias("kt")
+    ).select("query_id", F.expr("substring(kt, 34)").alias("term"))
+    scored = (
+        post.join(F.broadcast(q), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("((2 * n - 2 * df + 1) * 1000L) div (2 * df + 1)").alias(
+                "idf_milli"
+            ),
+            F.expr(
+                "(22 * tf * t * 1000000L)"
+                " div (10 * t * tf + 3 * t + 9 * dl * n)"
+            ).alias("tfp_micro"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum(F.col("idf_milli") * F.col("tfp_micro")).cast("long").alias("bm25_nano"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_K)
+        .select("query_id", F.col("rank").cast("int"), "doc_id",
+                "n_terms_hit", "bm25_nano")
+    )

@@ -1096,3 +1096,18 @@ def test_image_dhash_hamming_lsh_bounded_candidates(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert not any("content" in e for e in exchanges), "pixel bytes shuffled"
     assert len(exchanges) <= 8, exchanges
+
+
+def test_bm25_topk_retrieval_inverted_index_shape(spark):
+    """BM25 shuffles terms, never text: postings groupBy + the df COUNT
+    window reuse the term key; the query-term dim (<= 64 rows by
+    construction) and the 1-row totals broadcast; the per-query top-k
+    plans as a WindowGroupLimit pair so no query key can skew. The whole
+    score is BIGINT div arithmetic — no Python stage exists."""
+    plan = _plan(spark, "bm25_topk_retrieval")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 6, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
