@@ -5088,3 +5088,194 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("rank").cast("int"), "doc_id",
                 "n_terms_hit", "bm25_nano")
     )
+
+# --------------------------------------------------------------------------
+# Diversified retrieval: greedy Maximal Marginal Relevance re-ranking
+# --------------------------------------------------------------------------
+
+MMR_QUERIES = 4  # query vectors (vec_id < 4)
+MMR_CAND = 12  # exact-cosine candidate pool per query (the reranker input)
+MMR_K = 5  # diversified selections per query
+_MMR_PAIR_KEY = 100000  # smap key = a * KEY + b (vec_ids < KEY by fixture)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-selection oracle (the bpe_merge_train_steps
+    precedent): layer i picks, per query, the argmax of
+    0.7*rel - 0.3*max_sim_to_selected among unselected candidates."""
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+    layers = [
+        f"""base AS (
+  SELECT vec_id, embedding,
+         {dot.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
+      FROM base WHERE vec_id < {MMR_QUERIES}),
+rels AS (
+  SELECT q.query_id, b.vec_id AS d,
+         ROUND({dot.format(a='q.qe', b='b.embedding')}
+               / SQRT(q.qn2 * b.n2), 6) AS r
+  FROM q JOIN base b ON b.vec_id <> q.query_id
+),
+cand12 AS (
+  SELECT query_id, d, r FROM (
+    SELECT query_id, d, r,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY r DESC, d ASC) AS rn
+    FROM rels) WHERE rn <= {MMR_CAND}
+),
+cemb AS (
+  SELECT c.query_id, c.d, b.embedding AS e, b.n2
+  FROM cand12 c JOIN base b ON b.vec_id = c.d
+),
+pairs AS (
+  SELECT a.query_id, a.d AS da, b2.d AS db,
+         ROUND({dot.format(a='a.e', b='b2.e')}
+               / SQRT(a.n2 * b2.n2), 6) AS sim
+  FROM cemb a JOIN cemb b2
+    ON b2.query_id = a.query_id AND b2.d <> a.d
+),
+sall0 AS (SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS d
+          WHERE 1 = 0)"""
+    ]
+    for i in range(1, MMR_K + 1):
+        layers.append(f"""s{i} AS (
+  SELECT query_id, d, r, m FROM (
+    SELECT query_id, d, r, m,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY m DESC, d ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.d, c.r,
+             0.7 * c.r - 0.3 * COALESCE(
+               (SELECT MAX(p.sim) FROM pairs p
+                JOIN sall{i - 1} sx
+                  ON sx.query_id = p.query_id AND sx.d = p.db
+                WHERE p.query_id = c.query_id AND p.da = c.d), 0) AS m
+      FROM cand12 c
+      WHERE NOT EXISTS (SELECT 1 FROM sall{i - 1} sy
+                        WHERE sy.query_id = c.query_id AND sy.d = c.d))
+  ) WHERE rn = 1
+),
+sall{i} AS (SELECT query_id, d FROM sall{i - 1}
+            UNION ALL SELECT query_id, d FROM s{i})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT query_id, {i} AS rank, d AS cand_id,"
+        f" CAST(FLOOR(r * 1000000) AS BIGINT) AS rel_micro,"
+        f" CAST(FLOOR(m * 1000000) AS BIGINT) AS mmr_micro FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(layers)
+        + f"\nSELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,"
+        f" rel_micro, mmr_micro FROM ({finals})"
+    )
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="Diversified retrieval: greedy Maximal Marginal Relevance "
+    "(Carbonell & Goldstein 1998) re-ranking of an exact-cosine candidate "
+    f"pool — per query, {MMR_K} selections maximizing 0.7*relevance - "
+    "0.3*max-similarity-to-already-selected. The production shape: the "
+    "candidate pool comes from an ANN prefilter (bounded per query); here "
+    f"it is the exact top-{MMR_CAND} so the oracle can pin every step. "
+    "Cosines are ROUND(.,6) (the cross-engine fold contract) and every "
+    "downstream comparison/argmax runs on those identical doubles, so the "
+    "greedy path is bit-deterministic; outputs are FLOOR-micro units "
+    "(floor of identical doubles cannot disagree — no half-boundary "
+    "rounding hazard, the bigram lesson). "
+    "Scale shape: the top-k window plans as a WindowGroupLimit pair (each "
+    f"input partition emits <= {MMR_CAND}/query before the exchange); the "
+    f"{MMR_QUERIES}-row query dim broadcasts; candidate pair sims are a "
+    "query-keyed equi-join bounded at CAND^2 rows/query; the greedy loop "
+    "itself is ONE row-local HOF fold over the collected per-query "
+    "candidate array + pair-sim map — selection adds ZERO iterations of "
+    "cluster work. The oracle replays the same greedy path as "
+    f"{MMR_K} unrolled correlated-subquery layers — an intentionally "
+    "different mechanism agreeing on every pick.",
+    tags=("corpus", "retrieval"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    base = e.select("vec_id", "embedding", n2.alias("n2"))
+    q = base.where(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    dot_qe = F.expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    rels = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("d"),
+            F.round(dot_qe / F.sqrt(F.col("qn2") * F.col("n2")), 6).alias("r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("r").desc(), F.col("d").asc())
+    cand12 = (
+        rels.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_CAND)
+        .select("query_id", "d", "r")
+    )
+    cemb = cand12.join(base, cand12["d"] == base["vec_id"]).select(
+        "query_id", "d", "r", F.col("embedding").alias("e"), "n2"
+    )
+    a, b = cemb.alias("a"), cemb.alias("b")
+    dot_ab = F.expr(
+        "aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id")) & (F.col("a.d") != F.col("b.d")))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            (F.col("a.d") * _MMR_PAIR_KEY + F.col("b.d")).alias("pkey"),
+            F.round(dot_ab / F.sqrt(F.col("a.n2") * F.col("b.n2")), 6).alias("sim"),
+        )
+    )
+    carr = cemb.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "r"))).alias("cands")
+    )
+    smap = pairs.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pkey", "sim"))).alias("smap")
+    )
+    # greedy fold: state = selections so far; each step argmaxes
+    # (mmr DESC, cand ASC) over unselected candidates via array_max on
+    # (m, -d) structs, with max-sim-to-selected as pair-map lookups —
+    # the whole loop is row-local (zero cluster iterations)
+    fold = f"""aggregate(sequence(1, {MMR_K}),
+ cast(array() as array<struct<d: bigint, r: double, m: double>>),
+ (st, it) -> concat(st,
+   transform(
+     array(array_max(transform(
+       filter(cands, c -> !exists(st, s -> s.d = c.d)),
+       c -> struct(
+         0.7D * c.r - 0.3D * coalesce(array_max(transform(st,
+             s -> element_at(smap, c.d * {_MMR_PAIR_KEY}L + s.d))), 0D) as m,
+         -c.d as negd,
+         c.r as r)))),
+     bst -> struct(-bst.negd as d, bst.r as r, bst.m as m))))"""
+    return (
+        carr.join(smap, "query_id")
+        .select("query_id", F.posexplode(F.expr(fold)).alias("i0", "s"))
+        .select(
+            "query_id",
+            (F.col("i0") + 1).cast("int").alias("rank"),
+            F.col("s.d").alias("cand_id"),
+            F.expr("cast(floor(s.r * 1000000D) as bigint)").alias("rel_micro"),
+            F.expr("cast(floor(s.m * 1000000D) as bigint)").alias("mmr_micro"),
+        )
+    )

@@ -1111,3 +1111,18 @@ def test_bm25_topk_retrieval_inverted_index_shape(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 6, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_mmr_diversified_topk_greedy_is_row_local(spark):
+    """The MMR reranker's cluster work is candidate construction only:
+    the top-candidate window plans as a WindowGroupLimit pair, the pair
+    sims stay a query-keyed equi-join, and the greedy selection loop is
+    ONE row-local HOF fold over collected arrays — 3 keyed Exchanges
+    total, no Python, no cartesian, and selection adds zero iterations
+    of distributed work."""
+    plan = _plan(spark, "mmr_diversified_topk")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
