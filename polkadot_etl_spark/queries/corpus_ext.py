@@ -5279,3 +5279,117 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(s.m * 1000000D) as bigint)").alias("mmr_micro"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Per-source vocabulary drift card (domain-shift accounting)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_vocab_drift",
+    oracle="""
+WITH csw AS (
+  SELECT source, tok AS word, COUNT(*) AS c_sw
+  FROM (SELECT source, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  GROUP BY source, word
+),
+cw AS (SELECT *, SUM(c_sw) OVER (PARTITION BY word) AS c_w FROM csw),
+tot AS (SELECT SUM(c_sw) AS t, COUNT(DISTINCT word) AS v FROM csw),
+sdim AS (SELECT source, SUM(c_sw) AS t_s, COUNT(*) AS v_s FROM csw GROUP BY source),
+ranked AS (
+  SELECT cw.*, s.t_s, s.v_s,
+         ROW_NUMBER() OVER (PARTITION BY cw.source
+           ORDER BY cw.c_sw DESC, cw.word ASC) AS rn
+  FROM cw JOIN sdim s USING (source)
+),
+rolled AS (
+  SELECT source,
+         MAX(t_s) AS t_s, MAX(v_s) AS v_s,
+         SUM(ABS(c_sw * tot.t - c_w * t_s)) AS tv_in,
+         SUM(c_w) AS cw_vs,
+         MAX(CASE WHEN rn = 1 THEN word END) AS top_word,
+         MAX(CASE WHEN rn = 1 THEN c_sw END) AS c_top
+  FROM ranked CROSS JOIN tot GROUP BY source
+)
+SELECT source,
+       CAST(t_s AS BIGINT) AS n_tokens,
+       CAST(v_s AS BIGINT) AS n_vocab,
+       CAST((v_s * 1000000) // tot.v AS BIGINT) AS vocab_containment_ppm,
+       CAST(((tv_in + (tot.t - cw_vs) * t_s) * 1000000)
+            // (2 * t_s * tot.t) AS BIGINT) AS tv_distance_ppm,
+       top_word,
+       CAST((c_top * 1000000) // t_s AS BIGINT) AS top_word_ppm
+FROM rolled CROSS JOIN tot
+""",
+    doc="Per-source vocabulary-drift card — the domain-shift number a "
+    "mixture decision needs next to datacard_source_stats' volume stats: "
+    "total-variation distance between each source's unigram distribution "
+    "and the corpus-wide one, vocabulary containment, and the dominant "
+    "token. TV = (1/2) sum_w |p_sw - p_w| over the UNION vocabulary, but "
+    "the words a source never uses need no outer join: their mass is the "
+    "closed form (T - sum_{w in V_s} c_w) * T_s, so the plan touches only "
+    "the source's own rows. Everything is exact BIGINT ppm via integer "
+    "division — no float exists (the datacard discipline). "
+    "Scale shape: words shuffle (never text) — one (source, word) "
+    "groupBy, one word-partition SUM window for global counts, a "
+    "source-count dim join and one source rollup; the corpus-wide "
+    "totals are a 1-row broadcast. BIGINT headroom: tv terms are "
+    "<= 2*T_s*T*1e6 — at true crawl scale the two products lift into "
+    "DECIMAL(38,0), same plan.",
+    tags=("corpus", "text"),
+)
+def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # three consumers (global word counts, the totals row, the source dim)
+    # would each re-scan + re-explode the corpus — checkpoint the
+    # vocab x source counts ONCE (tiny relative to the corpus; the
+    # pagerank/image-LSH shared-stage idiom) so the corpus is read once
+    csw = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    cw = csw.withColumn("c_w", F.sum("c_sw").over(Window.partitionBy("word")))
+    tot = csw.agg(
+        F.sum("c_sw").cast("long").alias("t"),
+        F.countDistinct("word").cast("long").alias("v"),
+    )
+    sdim = csw.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("t_s"), F.count(F.lit(1)).alias("v_s")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c_sw").desc(), F.col("word").asc()
+    )
+    ranked = (
+        cw.join(F.broadcast(sdim), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    rolled = ranked.groupBy("source").agg(
+        F.max("t_s").alias("t_s"),
+        F.max("v_s").alias("v_s"),
+        F.max("t").alias("t"),
+        F.max("v").alias("v"),
+        F.sum(F.abs(F.col("c_sw") * F.col("t") - F.col("c_w") * F.col("t_s"))).alias("tv_in"),
+        F.sum("c_w").alias("cw_vs"),
+        F.max(F.when(F.col("rn") == 1, F.col("word"))).alias("top_word"),
+        F.max(F.when(F.col("rn") == 1, F.col("c_sw"))).alias("c_top"),
+    )
+    return rolled.select(
+        "source",
+        F.col("t_s").alias("n_tokens"),
+        F.col("v_s").cast("long").alias("n_vocab"),
+        F.expr("(v_s * 1000000L) div v").alias("vocab_containment_ppm"),
+        F.expr(
+            "((tv_in + (t - cw_vs) * t_s) * 1000000L) div (2 * t_s * t)"
+        ).alias("tv_distance_ppm"),
+        "top_word",
+        F.expr("(c_top * 1000000L) div t_s").alias("top_word_ppm"),
+    )

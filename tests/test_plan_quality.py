@@ -1126,3 +1126,18 @@ def test_mmr_diversified_topk_greedy_is_row_local(spark):
     assert "WindowGroupLimit" in plan
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 4, exchanges
+
+
+def test_source_vocab_drift_single_corpus_pass(spark):
+    """The drift card reads the corpus ONCE: the (source, word) counts
+    are checkpointed and all three consumers (word-partition window,
+    totals row, source dim) derive from the cut — no re-scan, no
+    re-explode. Words shuffle, text never does; the missing-vocabulary
+    mass is closed-form so no outer join exists."""
+    plan = _plan(spark, "source_vocab_drift")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan, "corpus re-scanned past the checkpoint"
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 5, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
