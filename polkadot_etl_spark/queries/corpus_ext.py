@@ -5393,3 +5393,69 @@ def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_word",
         F.expr("(c_top * 1000000L) div t_s").alias("top_word_ppm"),
     )
+
+# --------------------------------------------------------------------------
+# Per-domain quota sampling (FineWeb-style domain caps)
+# --------------------------------------------------------------------------
+
+DOMAIN_QUOTA_CAP = 3  # kept docs per registrable domain
+
+
+@query(
+    "domain_quota_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id AS k, {_url_domain_case('doc_id')} AS dom FROM documents
+),
+r AS (
+  SELECT k, dom, dom IN ('{"','".join(_URL_BLOCKLIST)}') AS blocked,
+         ROW_NUMBER() OVER (PARTITION BY dom
+           ORDER BY md5(CAST(k AS VARCHAR)), k) AS rn
+  FROM d
+)
+SELECT dom AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE NOT blocked AND rn <= {DOMAIN_QUOTA_CAP})
+            AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE blocked OR rn > {DOMAIN_QUOTA_CAP})
+            AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(
+         CASE WHEN NOT blocked AND rn <= {DOMAIN_QUOTA_CAP}
+              THEN CAST(k AS VARCHAR) END, ',' ORDER BY k), '')
+         AS kept_ids_csv
+FROM r GROUP BY dom
+""",
+    doc="Per-domain quota sampling — the FineWeb/C4 anti-concentration "
+    f"gate: at most {DOMAIN_QUOTA_CAP} documents per registrable domain, "
+    "selected in deterministic md5 order (reshard-stable, the "
+    "train_val_split discipline), with blocked domains retained as "
+    "zero-kept ACCOUNTING rows (no silent drop) and the kept ids pinned "
+    "in the hash gate. Composes the REAL _url_staged acquisition stage "
+    "(canonicalize -> registrable domain -> blocklist), so the quota "
+    "gate exercises the same plan the release funnel runs. "
+    "Scale shape: one domain-partition rank window + the per-domain "
+    "rollup — two keyed Exchanges, no text movement; the md5 rank "
+    "replaces any need for a global sort or per-domain collect.",
+    tags=("corpus", "filter"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = _url_staged(d)
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = staged.withColumn("rn", F.row_number().over(w)).withColumn(
+        "kept", (~F.col("blocked")) & (F.col("rn") <= DOMAIN_QUOTA_CAP)
+    )
+    return ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("kept"), F.col("doc_id")))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("kept_ids_csv"),
+    )

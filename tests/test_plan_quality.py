@@ -1141,3 +1141,15 @@ def test_source_vocab_drift_single_corpus_pass(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 5, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_domain_quota_sample_two_keyed_exchanges(spark):
+    """The quota gate is one domain-partition rank window plus the
+    per-domain rollup — two keyed Exchanges, composing the real
+    _url_staged derivation with no Python stage and no text movement."""
+    plan = _plan(spark, "domain_quota_sample")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 2, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
