@@ -139,6 +139,11 @@ _DEMOTED_GREEN = {
     "image_dhash_dedup",  # r5+r6 green; slot went to same-family
     # successor image_dhash_hamming_lsh, which COMPOSES the entire
     # codec->dhash plan and adds the banded Hamming near-dup layer
+    "ss58_codec_roundtrip",  # r5+r6+r7 green; demoted late-r8 for the
+    # retrieval/accounting block — its literal-VALUES oracle is
+    # SF-invariant, so the local suite runs the IDENTICAL comparison
+    # every session, and the codec stays pinned by the hypothesis
+    # round-trip + Substrate public vectors
     # (train_val_split + passage_dedup_ngrams rotated back in mid-r7 to
     # re-green on their refactors, DEMOTED AGAIN in r8 now r3+r7 green —
     # the shared _split_col/_word_grams stages run inside in-window
