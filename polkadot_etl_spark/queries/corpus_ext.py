@@ -5459,3 +5459,76 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("kept_ids_csv"),
     )
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix (who copies from whom)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(trim(text)), ' +'))), ' ')) AS h
+  FROM documents
+),
+g AS (SELECT h, source, COUNT(*) AS c FROM d GROUP BY h, source)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_digests,
+       CAST(SUM(a.c) AS BIGINT) AS n_docs_a,
+       CAST(SUM(b.c) AS BIGINT) AS n_docs_b
+FROM g a JOIN g b ON b.h = a.h AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    doc="Cross-source duplication matrix — the provenance question a "
+    "mixture decision asks after the per-source cards: which source "
+    "pairs share content, and how much. Keys on the same bag-of-words "
+    "vocabulary fingerprint as dedup_incremental_batch (the fixture "
+    "carries no byte-exact dups; the fingerprint is the standing dedup "
+    "ledger's key), so the matrix measures exactly what the incremental "
+    "dedup would collide on. "
+    "Scale shape: the fingerprint is map-side; Spark expands source "
+    "pairs ROW-LOCALLY from each digest's sorted per-source count array "
+    "(fan-out bounded by sources^2, never doc multiplicity), then one "
+    "pair-keyed rollup — 3 keyed Exchanges, no text movement, no "
+    "digest self-join. The oracle intentionally uses the OPPOSITE "
+    "mechanism (a relational self-join on the digest) and must agree "
+    "on every pair count.",
+    tags=("corpus", "dedup"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))
+                ),
+            )
+        ).alias("h"),
+    )
+    g = d.groupBy("h", "source").agg(F.count(F.lit(1)).alias("c"))
+    per_h = g.groupBy("h").agg(
+        F.array_sort(F.collect_list(F.struct("source", "c"))).alias("arr")
+    ).where(F.size("arr") > 1)
+    pairs = per_h.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(arr) - 1),"
+                " i -> transform(slice(arr, i + 1, size(arr) - i),"
+                " y -> struct(element_at(arr, i).source as src_a,"
+                " y.source as src_b,"
+                " element_at(arr, i).c as ca, y.c as cb))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_digests"),
+        F.sum("p.ca").cast("long").alias("n_docs_a"),
+        F.sum("p.cb").cast("long").alias("n_docs_b"),
+    )

@@ -1153,3 +1153,17 @@ def test_domain_quota_sample_two_keyed_exchanges(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 2, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_source_overlap_matrix_row_local_pairs(spark):
+    """The matrix expands source pairs row-locally from each digest's
+    sorted count array (fan-out bounded by sources^2) — no digest
+    self-join exists in the plan: 3 keyed Exchanges, map-side
+    fingerprints, no text movement, no Python."""
+    plan = _plan(spark, "source_overlap_matrix")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "pair fan-out must be row-local, not a self-join"
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 3, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
