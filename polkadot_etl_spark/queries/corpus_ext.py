@@ -644,11 +644,11 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_STEPS = 6  # merge rounds of the training loop
 
 
-def _bpe_oracle_steps() -> str:
-    """Unrolled DuckDB layers of the BPE training loop — each step is
-    (pair count over current segmentation) -> (top-1 merge, count DESC /
-    lhs ASC / rhs ASC) -> (apply merge via the double-space replace).
-    Generated by the same constants as the Spark loop."""
+def _bpe_oracle_layers() -> str:
+    """The CTE layers of the unrolled BPE training oracle (seg0 ..
+    seg{BPE_STEPS} from a ``vocab(w, cnt)`` CTE) — shared by
+    bpe_merge_train_steps' oracle and bpe_fertility_audit's, which reads
+    the FINAL segmentation the training produced."""
     layers = ["""seg0 AS (
   SELECT w, cnt,
          ' ' || array_to_string(list_transform(range(1, len(w) + 1),
@@ -670,12 +670,20 @@ seg{k} AS (
                  ' ' || m.a || m.b || ' ') AS seg
   FROM seg{k - 1}, m{k} m
 )""")
+    return ",\n".join(layers)
+
+
+def _bpe_oracle_steps() -> str:
+    """Unrolled DuckDB layers of the BPE training loop — each step is
+    (pair count over current segmentation) -> (top-1 merge, count DESC /
+    lhs ASC / rhs ASC) -> (apply merge via the double-space replace).
+    Generated by the same constants as the Spark loop."""
     union = "\nUNION ALL ".join(
         f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged,"
         f" n AS pair_count FROM m{k}"
         for k in range(1, BPE_STEPS + 1)
     )
-    return ",\n".join(layers) + f"\nSELECT * FROM ({union}) ORDER BY step"
+    return _bpe_oracle_layers() + f"\nSELECT * FROM ({union}) ORDER BY step"
 
 
 @query(
@@ -709,6 +717,17 @@ vocab AS (SELECT w, COUNT(*) AS cnt FROM wd WHERE len(w) >= 2 GROUP BY w),
     tags=("text", "iterative", "pipeline"),
 )
 def bpe_merge_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _seg = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(merges, final seg) of the BPE training loop — shared by
+    bpe_merge_train_steps (which ships the merge table) and
+    bpe_fertility_audit (which scores the FINAL segmentation the loop
+    produced against per-source word streams)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     vocab = (
@@ -748,9 +767,7 @@ def bpe_merge_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg = seg.withColumn(
             "seg", F.expr(f"replace(seg, ' {a}  {b} ', ' {a}{b} ')")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
-    )
+    return merges, seg
 
 
 # --------------------------------------------------------------------------
@@ -5531,4 +5548,105 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_shared_digests"),
         F.sum("p.ca").cast("long").alias("n_docs_a"),
         F.sum("p.cb").cast("long").alias("n_docs_b"),
+    )
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility audit (tokens-per-word of the trained BPE)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bpe_fertility_audit",
+    oracle=f"""
+WITH wd AS (
+  SELECT source, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM wd WHERE len(w) >= 2 GROUP BY w),
+{_bpe_oracle_layers()},
+syms AS (
+  SELECT w, len(string_split(trim(seg), '  ')) AS nsym FROM seg{BPE_STEPS}
+),
+swc AS (SELECT source, w, COUNT(*) AS c FROM wd WHERE len(w) >= 2
+        GROUP BY source, w),
+merged AS (
+  SELECT s.source,
+         SUM(s.c) AS nw_long, SUM(s.c * y.nsym) AS nt_long,
+         SUM(CASE WHEN y.nsym < len(s.w) THEN s.c ELSE 0 END) AS n_compressed
+  FROM swc s JOIN syms y USING (w) GROUP BY s.source
+),
+ones AS (SELECT source, COUNT(*) AS n1 FROM wd WHERE len(w) = 1
+         GROUP BY source)
+SELECT m.source,
+       CAST(m.nw_long + COALESCE(o.n1, 0) AS BIGINT) AS n_words,
+       CAST(m.nt_long + COALESCE(o.n1, 0) AS BIGINT) AS n_tokens_bpe,
+       CAST(((m.nt_long + COALESCE(o.n1, 0)) * 1000000)
+            // (m.nw_long + COALESCE(o.n1, 0)) AS BIGINT) AS fertility_ppm,
+       CAST((m.n_compressed * 1000000) // m.nw_long AS BIGINT)
+         AS compressed_word_ppm
+FROM merged m LEFT JOIN ones o USING (source)
+""",
+    doc="Tokenizer fertility audit — the number that decides whether a "
+    f"trained tokenizer ships: tokens-per-word (x1e6) of the {BPE_STEPS}-"
+    "merge BPE from bpe_merge_train_steps, measured per SOURCE so domain "
+    "mismatch is visible (a tokenizer trained on the mixture tokenizes "
+    "drifted sources worse — read next to source_vocab_drift). COMPOSES "
+    "the REAL training loop (_bpe_train) and scores its FINAL "
+    "segmentation: per-source word streams join the per-word symbol "
+    "count on the vocabulary dim, single-letter words count as one "
+    "token each, and compressed_word_ppm reports how many word "
+    "occurrences the merge table actually shortened. All ratios are "
+    "integer ppm. Scale shape: the training loop runs on the vocab dim "
+    "(never the corpus stream); the audit adds one (source, word) "
+    "groupBy, a word-keyed join onto the final segmentation and a "
+    "source rollup — words shuffle, text never does.",
+    tags=("text", "pipeline"),
+)
+def bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, seg = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    wd = d.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    syms = seg.select(
+        "w", F.size(F.split(F.trim("seg"), "  ")).cast("long").alias("nsym")
+    )
+    swc = (
+        wd.where(F.length("w") >= 2)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = (
+        swc.join(syms, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("nw_long"),
+            F.sum(F.col("c") * F.col("nsym")).alias("nt_long"),
+            F.sum(
+                F.when(F.col("nsym") < F.length("w"), F.col("c")).otherwise(F.lit(0))
+            ).alias("n_compressed"),
+        )
+    )
+    ones = (
+        wd.where(F.length("w") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    return (
+        merged.join(ones, "source", "left")
+        .select(
+            "source",
+            F.expr("cast(nw_long + coalesce(n1, 0L) as bigint)").alias("n_words"),
+            F.expr("cast(nt_long + coalesce(n1, 0L) as bigint)").alias(
+                "n_tokens_bpe"
+            ),
+            F.expr(
+                "((nt_long + coalesce(n1, 0L)) * 1000000L)"
+                " div (nw_long + coalesce(n1, 0L))"
+            ).alias("fertility_ppm"),
+            F.expr("(n_compressed * 1000000L) div nw_long").alias(
+                "compressed_word_ppm"
+            ),
+        )
     )

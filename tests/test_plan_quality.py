@@ -1167,3 +1167,17 @@ def test_source_overlap_matrix_row_local_pairs(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 3, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_bpe_fertility_audit_word_keyed(spark):
+    """The fertility audit composes the trained segmentation (the loop
+    runs on the checkpointed vocab dim, outside this plan) and adds one
+    (source, word) groupBy, a word-keyed join and the source rollup —
+    3 keyed Exchanges past the training cut, words shuffle, text never
+    does, no Python stage."""
+    plan = _plan(spark, "bpe_fertility_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
