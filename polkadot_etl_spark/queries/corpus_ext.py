@@ -5650,3 +5650,112 @@ def bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# --------------------------------------------------------------------------
+# Embedding-space isotropy / cluster-compactness card
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_isotropy_card",
+    oracle="""
+WITH t AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS c
+  FROM t GROUP BY label, pos
+),
+carr AS (
+  SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+),
+cosr AS (
+  SELECT e.label,
+         CAST(FLOOR(ROUND(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * a.cvec[i]))
+           / SQRT(
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             * list_sum(list_transform(range(1, len(a.cvec) + 1),
+               i -> a.cvec[i] * a.cvec[i]))), 6) * 1000000)
+           AS BIGINT) AS cos_micro,
+         CAST(FLOOR(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) * 1000)
+           AS BIGINT) AS n2v_milli
+  FROM embeddings e JOIN carr a USING (label)
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(cos_micro) // COUNT(*) AS BIGINT) AS mean_cos_micro,
+       CAST(MIN(cos_micro) AS BIGINT) AS min_cos_micro,
+       CAST(SUM(n2v_milli) // COUNT(*) AS BIGINT) AS mean_norm2_milli
+FROM cosr GROUP BY label
+""",
+    doc="Embedding-space geometry card — the representation-quality "
+    "numbers a curation team reads before trusting cosine-based dedup "
+    "and ANN gates: per label, the mean/min cosine to the label centroid "
+    "(cluster compactness; a mean near 1 with a low min flags outliers, "
+    "a low mean flags anisotropic spread) and the mean squared norm. "
+    "Centroids are EXACT decimal per-dimension means (the kmeans oracle "
+    "discipline: double -> VARCHAR -> DECIMAL(38,10) sums, one division "
+    "at the end), cosines follow the round-6 cross-engine fold contract, "
+    "and every output is integer micro/milli units via floor + BIGINT "
+    "division — no float aggregate ordering can leak. "
+    "Scale shape: the centroid is one (label, pos)-keyed aggregate over "
+    "the exploded vectors; the cosine pass re-joins on the same keys; "
+    "per-label rollup ends it — embeddings shuffle by (label, pos) "
+    "pairs, never as whole rows, and no pairwise O(n^2) term exists "
+    "(compactness to the CENTROID, not all-pairs — the SemDeDup "
+    "complement).",
+    tags=("similarity", "agg"),
+)
+def embedding_isotropy_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        "label", "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = t.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,10)")).cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    # all per-vector arithmetic is ROW-LOCAL fold-left over arrays (the
+    # cross-engine fold contract) — a groupBy SUM of doubles would leak
+    # partial-aggregation order into the cosine
+    carr = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
+            "cvec"
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, cvec,"
+        " (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+    )
+    n2v = F.expr(
+        "aggregate(embedding, 0D,"
+        " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    n2c = F.expr("aggregate(cvec, 0D, (acc, v) -> acc + v * v)")
+    cosr = e.join(F.broadcast(carr), "label").select(
+        "label",
+        F.floor(F.round(dot / F.sqrt(n2v * n2c), 6) * 1000000).cast("long").alias(
+            "cos_micro"
+        ),
+        F.floor(n2v * 1000).cast("long").alias("n2v_milli"),
+    )
+    return cosr.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.expr("sum(cos_micro) div count(1)").alias("mean_cos_micro"),
+        F.min("cos_micro").cast("long").alias("min_cos_micro"),
+        F.expr("sum(n2v_milli) div count(1)").alias("mean_norm2_milli"),
+    )

@@ -1181,3 +1181,16 @@ def test_bpe_fertility_audit_word_keyed(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 4, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_embedding_isotropy_card_no_pairwise_term(spark):
+    """Compactness is measured to the CENTROID, never all-pairs: the
+    plan is one (label, pos)-keyed centroid aggregate, the per-label
+    centroid-array collect (broadcast back), and the label rollup — no
+    join fan-out in |vectors|^2, no Python, and every per-vector term is
+    a row-local fold."""
+    plan = _plan(spark, "embedding_isotropy_card")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
