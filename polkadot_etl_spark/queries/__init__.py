@@ -49,8 +49,16 @@ _PRIORITY: list[str] = [
     # dispatch; the statemint/hydra/phala/acala/moonbeam/interlay shapes
     # stay locally oracle-verified every session)
     "gar_longtail_registry",
-    "assethub_asset_transfers",
-    "xcm_remote_transact",
+    # assethub_asset_transfers: green r5+r6+r7, demoted late-r8 — its
+    # mechanism (broadcast asset-decimals dim decoration) is the same
+    # J12 broadcast-dim shape xcmtransfers_wide and
+    # cluster_trace_reference run in-window every round; the
+    # StatemintParser stays locally oracle-verified every session
+    # xcm_remote_transact: green r5+r6+r7, demoted late-r8 — XCM keeps
+    # three in-window reps (gar_longtail_registry, xcm_trace_spans,
+    # xcmtransfers_wide); the remote-transact linkage and its
+    # multilocation-derivative vector stay locally oracle-verified +
+    # pytest-pinned every session
     # evm_precompile_calls: green r5+r6, demoted mid-r7 — the EVM
     # surface keeps evm_tx_jsonld in-window and re-greens the two
     # fee/log queries below, whose functions/evm.py implementation
@@ -300,6 +308,9 @@ _PRIORITY: list[str] = [
     "mmr_diversified_topk",
     "source_vocab_drift",
     "domain_quota_sample",
+    "source_overlap_matrix",
+    "bpe_fertility_audit",
+    "embedding_isotropy_card",
     # survey_ext operator ids with no other representative
     # fuzzy_confidence_match: driver-green in r3; J2 is also exercised by
     # xcmtransfers_wide's match_transfers path every round — demoted in
@@ -448,13 +459,16 @@ _PRIORITY: list[str] = [
     # (both in-window) every round; the omnipool-specific walk stays
     # locally oracle-verified every session
     "quality_signal_spearman",
+    # users_tags_attribution: green r4+r5+r6+r7, demoted late-r8 for the
+    # corpus-card block above — the attribution chain's window/merge
+    # mechanisms (min-first-wins rank, broadcast label dim) run inside
+    # in-window assethub_price_log + merge_upsert_state every round; the
+    # full_users rollup stays locally oracle-verified every session
     # tpch_q21_waiting_suppliers: green r3+r4+r5+r6+r7, demoted late-r8 —
     # TPC-H stays repped in-window by tpch_q1, and the EXISTS/NOT-EXISTS
     # anti/semi shapes re-run in the local oracle suite every session
     # (tpch_q4/q16/q20/q22); five consecutive driver-green rounds make
     # this the registry's most-verified demotion
-    # round-4 reference-parity addition (dump_users_tags full_users)
-    "users_tags_attribution",
 ]
 
 
