@@ -338,7 +338,13 @@ _PRIORITY: list[str] = [
     # dump_day_blocklog every round; demoted in r4 for
     # cluster_trace_reference (F4 decode, previously pytest-only)
     "cluster_trace_reference",
-    "asof_broadcast_version",
+    # asof_broadcast_version: green r2+r3+r4+r5+r6+r7 — SIX consecutive
+    # rounds, the registry's most-verified entry — demoted late-r8 for
+    # html_boilerplate_extract; the J4 mechanism (ordered when-chain
+    # over a driver-collected tiny dim) is zero-shuffle and SF-stable,
+    # and the as-of family (operators/asof.py, J3) stays locally
+    # oracle-verified every session via asof_join_last_purchase
+    "html_boilerplate_extract",
     # broadcast_dim_decoration: green r3, demoted mid-r4 for
     # bpe_encode_vocab — J12 broadcast decoration runs inside
     # xcmtransfers_wide, xcm_messages_published, wasm_contract_calls and

@@ -1194,3 +1194,16 @@ def test_embedding_isotropy_card_no_pairwise_term(spark):
     assert "CartesianProduct" not in plan
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 4, exchanges
+
+
+def test_html_boilerplate_extract_one_map_pass(spark):
+    """Markup synthesis, block segmentation, link-density scoring and
+    the keep verdict are all row-local: ONE Generate, and the only
+    Exchange is the per-doc rollup — no Python, no text in any wide
+    shuffle beyond the per-doc group itself."""
+    plan = _plan(spark, "html_boilerplate_extract")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 1, exchanges
