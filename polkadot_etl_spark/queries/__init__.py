@@ -464,7 +464,13 @@ _PRIORITY: list[str] = [
     # re-runs inside snapshots_dappstaking_v3 + snapshots_relay_opengov
     # (both in-window) every round; the omnipool-specific walk stays
     # locally oracle-verified every session
-    "quality_signal_spearman",
+    # quality_signal_spearman: green r7, demoted late-r8 for
+    # hybrid_rrf_fusion — its four input signals (chars / BPE tokens /
+    # distinct words / top-word count) are the same map-side signal
+    # stage in-window datacard_source_stats computes every round, and
+    # the exact tie-corrected rank mechanism stays locally
+    # oracle-verified every session
+    "hybrid_rrf_fusion",
     # users_tags_attribution: green r4+r5+r6+r7, demoted late-r8 for the
     # corpus-card block above — the attribution chain's window/merge
     # mechanisms (min-first-wins rank, broadcast label dim) run inside

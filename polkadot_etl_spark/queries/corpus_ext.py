@@ -4982,10 +4982,10 @@ BM25_K = 5  # results per query
 # float exists anywhere in the score.
 
 
-@query(
-    "bm25_topk_retrieval",
-    oracle=f"""
-WITH toks AS (
+# The BM25 oracle's CTE chain (toks -> postings -> df window -> query
+# terms -> fixed-point scores -> per-(query, doc) agg) — shared by
+# bm25_topk_retrieval and hybrid_rrf_fusion's sparse leg.
+_BM25_ORACLE_CTES = f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
   FROM documents
 ),
@@ -5006,7 +5006,7 @@ q AS (
            )[1:{BM25_TERMS}] AS keyed
     FROM toks WHERE doc_id < {BM25_QUERIES})
 ),
-scored AS (
+bm25_scored AS (
   SELECT q.query_id, p.doc_id,
          ((2 * tot.n - 2 * p.df + 1) * 1000) // (2 * p.df + 1) AS idf_milli,
          (22 * p.tf * tot.t * 1000000)
@@ -5014,16 +5014,26 @@ scored AS (
   FROM q JOIN pdf p USING (term) CROSS JOIN tot
   WHERE p.doc_id <> q.query_id
 ),
-agg AS (
+bm25_agg AS (
   SELECT query_id, doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
          CAST(SUM(idf_milli * tfp_micro) AS BIGINT) AS bm25_nano
-  FROM scored GROUP BY query_id, doc_id
-)
-SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, n_terms_hit, bm25_nano
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY bm25_nano DESC, doc_id ASC) AS rn FROM agg)
-WHERE rn <= {BM25_K}
+  FROM bm25_scored GROUP BY query_id, doc_id
+),
+bm25_ranked AS (
+  SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, n_terms_hit,
+         bm25_nano
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY bm25_nano DESC, doc_id ASC) AS rn FROM bm25_agg)
+  WHERE rn <= {BM25_K}
+)"""
+
+
+@query(
+    "bm25_topk_retrieval",
+    oracle=f"""
+WITH {_BM25_ORACLE_CTES}
+SELECT query_id, rank, doc_id, n_terms_hit, bm25_nano FROM bm25_ranked
 """,
     doc="Sparse retrieval over the corpus: BM25 top-k through a real "
     "inverted index (postings = one explode + one (doc, term) groupBy; "
@@ -5940,4 +5950,137 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "  x -> x.plain), ' ')"
             )
         ).alias("kept_text_hash"),
+    )
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of the sparse + dense legs
+# --------------------------------------------------------------------------
+
+RRF_QUERIES = 4  # shared query ids (documents.doc_id == embeddings.vec_id)
+RRF_K0 = 60  # the standard RRF damping constant
+RRF_OUT = 5  # fused results per query
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_ORACLE_CTES},
+bm AS (
+  SELECT query_id, doc_id AS item_id, rank AS bm25_rank
+  FROM bm25_ranked WHERE query_id < {RRF_QUERIES}
+),
+base AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+  FROM embeddings
+),
+dq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
+       FROM base WHERE vec_id < {RRF_QUERIES}),
+drel AS (
+  SELECT dq.query_id, b.vec_id AS item_id,
+         ROUND(list_sum(list_transform(range(1, len(dq.qe) + 1),
+                 i -> dq.qe[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / SQRT(dq.qn2 * b.n2), 6) AS r
+  FROM dq JOIN base b ON b.vec_id <> dq.query_id
+),
+dense AS (
+  SELECT query_id, item_id, CAST(rn AS INTEGER) AS dense_rank FROM (
+    SELECT query_id, item_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY r DESC, item_id ASC) AS rn
+    FROM drel) WHERE rn <= {RRF_OUT}
+),
+fused AS (
+  SELECT COALESCE(bm.query_id, dense.query_id) AS query_id,
+         COALESCE(bm.item_id, dense.item_id) AS item_id,
+         COALESCE(bm.bm25_rank, 0) AS bm25_rank,
+         COALESCE(dense.dense_rank, 0) AS dense_rank,
+         CAST(CASE WHEN bm.bm25_rank IS NULL THEN 0
+              ELSE 1000000000 // ({RRF_K0} + bm.bm25_rank) END
+            + CASE WHEN dense.dense_rank IS NULL THEN 0
+              ELSE 1000000000 // ({RRF_K0} + dense.dense_rank) END
+            AS BIGINT) AS rrf_nano
+  FROM bm FULL OUTER JOIN dense
+    ON dense.query_id = bm.query_id AND dense.item_id = bm.item_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, item_id,
+       rrf_nano, CAST(bm25_rank AS INTEGER) AS bm25_rank,
+       CAST(dense_rank AS INTEGER) AS dense_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf_nano DESC, item_id ASC) AS rn FROM fused)
+WHERE rn <= {RRF_OUT}
+""",
+    doc="Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. 2009) "
+    "of the engine's two retrieval families: the exact fixed-point BM25 "
+    "leg (COMPOSES the real bm25_topk_retrieval plan) and an exact-"
+    "cosine dense leg over the embeddings (documents and embeddings "
+    "share the id space), fused as "
+    f"sum(1e9 // ({RRF_K0} + rank)) — pure BIGINT, so rank fusion has "
+    "no float boundary anywhere. Items found by only one leg keep their "
+    "single contribution (the RRF property that makes it the default "
+    "hybrid in production search stacks); per-leg ranks are carried in "
+    "the output (0 = not retrieved by that leg) so the gate pins WHERE "
+    "every fused result came from. "
+    "Scale shape: each leg is its own bounded top-k plan "
+    "(WindowGroupLimit pairs); fusion joins two <= Q*k row frames on "
+    "(query, item) and re-ranks — the fusion itself is dim-scale work "
+    "regardless of corpus size.",
+    tags=("corpus", "retrieval"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = (
+        QUERIES["bm25_topk_retrieval"]
+        .build(spark, sf_dir)
+        .where(F.col("query_id") < RRF_QUERIES)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("item_id"),
+            F.col("rank").alias("bm25_rank"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    base = e.select("vec_id", "embedding", n2.alias("n2"))
+    dq = base.where(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("r").desc(), F.col("item_id").asc())
+    dense = (
+        base.crossJoin(F.broadcast(dq))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            F.round(dot / F.sqrt(F.col("qn2") * F.col("n2")), 6).alias("r"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RRF_OUT)
+        .select("query_id", "item_id", F.col("rn").cast("int").alias("dense_rank"))
+    )
+    contrib_b = F.expr(f"if(bm25_rank is null, 0L, 1000000000L div ({RRF_K0} + bm25_rank))")
+    contrib_d = F.expr(f"if(dense_rank is null, 0L, 1000000000L div ({RRF_K0} + dense_rank))")
+    fused = bm.join(dense, ["query_id", "item_id"], "outer").select(
+        "query_id",
+        "item_id",
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce(F.col("dense_rank"), F.lit(0)).cast("int").alias("dense_rank"),
+        (contrib_b + contrib_d).cast("long").alias("rrf_nano"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("item_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= RRF_OUT)
+        .select("query_id", F.col("rank").cast("int"), "item_id",
+                "rrf_nano", "bm25_rank", "dense_rank")
     )

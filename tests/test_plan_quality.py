@@ -1207,3 +1207,17 @@ def test_html_boilerplate_extract_one_map_pass(spark):
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 1, exchanges
+
+
+def test_hybrid_rrf_fusion_composes_bounded_legs(spark):
+    """Fusion composes the REAL BM25 plan plus the dense top-k leg; both
+    legs bound their per-query output with WindowGroupLimit pairs before
+    any fusion work, the fusion join moves <= Q*k rows per side, and no
+    Python, cartesian or text shuffle exists anywhere."""
+    plan = _plan(spark, "hybrid_rrf_fusion")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 4  # both legs + fused rank
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 10, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"

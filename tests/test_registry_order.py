@@ -144,6 +144,10 @@ _DEMOTED_GREEN = {
     # SF-invariant, so the local suite runs the IDENTICAL comparison
     # every session, and the codec stays pinned by the hypothesis
     # round-trip + Substrate public vectors
+    "quality_signal_spearman",  # r7 green; demoted late-r8 for
+    # hybrid_rrf_fusion — its four input signals are the same map-side
+    # stage in-window datacard_source_stats computes every round; the
+    # tie-corrected rank mechanism stays locally oracle-verified
     # (train_val_split + passage_dedup_ngrams rotated back in mid-r7 to
     # re-green on their refactors, DEMOTED AGAIN in r8 now r3+r7 green —
     # the shared _split_col/_word_grams stages run inside in-window
