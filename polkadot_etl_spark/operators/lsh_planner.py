@@ -64,14 +64,20 @@ def plan_bands(threshold: float, n_hashes: int) -> "tuple[int, int]":
         raise ValueError(f"threshold={threshold} outside (0, 1)")
     if n_hashes < 1:
         raise ValueError(f"n_hashes={n_hashes} < 1")
-    best = None
+    candidates = []
     for r in range(1, n_hashes + 1):
         for b in range(1, n_hashes // r + 1):
-            t = curve_threshold(b, r)
-            _, fn = false_rates(threshold, b, r) if 0 < threshold < 1 else (0.0, 0.0)
-            key = (abs(t - threshold), fn, b * r, -b)
-            if best is None or key < best[0]:
-                best = (key, (b, r))
+            candidates.append((abs(curve_threshold(b, r) - threshold), b, r))
+    # the fn-mass integration only matters for ties on the primary
+    # |t* - threshold| key — compute it lazily for the tied front only
+    best_dist = min(c[0] for c in candidates)
+    tied = [c for c in candidates if c[0] == best_dist]
+    best = None
+    for dist, b, r in tied:
+        _, fn = false_rates(threshold, b, r) if len(tied) > 1 else (0.0, 0.0)
+        key = (fn, b * r, -b)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
     return best[1]
 
 

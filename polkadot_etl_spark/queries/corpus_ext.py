@@ -5886,8 +5886,10 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             """concat(
   '<div class="nav"><a href="/">home</a> <a href="/x">more</a></div>',
   array_join(transform(sequence(0, 3), k ->
-    if(size(slice(words, k*q+1, if(k = 3, n - 3*q, q))) > 0,
-       concat('<p>', array_join(slice(words, k*q+1, if(k = 3, n - 3*q, q)), ' '),
+    if(size(slice(words, k*q+1, if(k = 3, greatest(n - 3*q, 0), q))) > 0,
+       concat('<p>',
+              array_join(slice(words, k*q+1,
+                               if(k = 3, greatest(n - 3*q, 0), q)), ' '),
               '</p>'),
        '')), ''),
   if(doc_id % 3 = 0,

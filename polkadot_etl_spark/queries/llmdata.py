@@ -368,8 +368,8 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
     "budget, plan_bands returns (b=4, r=2), whose S-curve threshold is "
     "exactly 0.5 — the PRECISION-leaning configuration, vs the "
     "registry's (b=4, r=1) recall-leaning t*=0.25 family. Mechanism: 8 "
-    "minhashes as disjoint 4-hex-char slices of ONE md5 per shingle "
-    "(no extra digests), band key = concatenation of 2 minhashes, "
+    "minhashes as disjoint 8-hex-char (32-bit) slices of TWO md5 "
+    "digests per shingle, band key = concatenation of 2 minhashes, "
     "capped buckets, exact shingle-set Jaccard verify on every "
     "candidate with the verdict column kept — candidates are EMITTED "
     "with their verify outcome rather than filtered, so the "

@@ -178,7 +178,10 @@ def ingest_accounting_sink(state_dir: str):
         payload = {
             "batch_id": batch_id,
             "sources": {
-                r["source"]: {
+                # source is nullable (DOC_STREAM_SCHEMA): a None key next
+                # to string keys makes json.dump(sort_keys=True) raise
+                # TypeError and kill the streaming query — sentinel it
+                (r["source"] if r["source"] is not None else "__null__"): {
                     "n_in": r["n_in"],
                     "n_quality": r["n_quality"],
                     "n_unique": r["n_unique"],

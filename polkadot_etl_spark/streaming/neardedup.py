@@ -170,11 +170,17 @@ def near_dedup_stream(
     )
 
 
-def consolidate_verdicts(band_rows: DataFrame) -> DataFrame:
+def consolidate_verdicts(
+    band_rows: DataFrame, min_agree: int = MIN_AGREE
+) -> DataFrame:
     """Per-doc verdict from the band rows (run inside foreachBatch):
     the matched partner with the HIGHEST agreement, ties to the lowest
     partner id; dropped_bands counts hot buckets that refused
-    admission (cap accounting, never silent)."""
+    admission (cap accounting, never silent).
+
+    ``min_agree`` must match the matcher's: a hardcoded module default
+    here with a caller-tuned matcher (e.g. min_agree=1) would report
+    matches upstream that consolidation then silently discards."""
     w = F.struct(
         F.coalesce(F.col("n_agree"), F.lit(0)).alias("a"),
         (-F.coalesce(F.col("matched_id"), F.lit(2**62))).alias("nid"),
@@ -186,7 +192,7 @@ def consolidate_verdicts(band_rows: DataFrame) -> DataFrame:
         ),
     ).select(
         "doc_id",
-        F.expr("CASE WHEN __best.a >= " + str(MIN_AGREE) + " THEN -__best.nid END")
+        F.expr("CASE WHEN __best.a >= " + str(int(min_agree)) + " THEN -__best.nid END")
         .cast("long")
         .alias("near_dup_of"),
         F.col("__best.a").cast("int").alias("n_agree"),

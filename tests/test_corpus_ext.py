@@ -589,6 +589,43 @@ def test_rag_chunk_documents_survives_empty_docs(spark, tmp_path):
     assert all(r["n_tokens"] > 0 for r in out)
 
 
+def test_html_boilerplate_survives_short_docs(spark, tmp_path):
+    """Docs with 1-2 words have q = greatest(n div 4, 1) = 1, so the
+    k=3 quarter-slice length n - 3*q goes negative; Spark's slice()
+    THROWS on a negative length (DuckDB's list slice returns empty) —
+    a data-dependent crash on valid short documents that the fixture
+    happens to avoid. greatest(n - 3*q, 0) clamps it to the oracle's
+    graceful empty-slice behavior."""
+    import pandas as pd
+
+    from polkadot_etl_spark.queries.corpus_ext import html_boilerplate_extract
+
+    pdf = pd.DataFrame(
+        {
+            # 1 and 2 words (the negative-length class) next to a
+            # normal doc; ids avoid %3 == 0 / %7 == 0 so the zoo arms
+            # that index words[1..8] (NULL-propagating on short docs)
+            # stay out of the way of what this test pins.
+            "doc_id": [1, 2, 4],
+            "text": ["solo", "two words", "alpha beta gamma delta epsilon"],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [4, 9, 30],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in html_boilerplate_extract(spark, str(tmp_path)).collect()
+    }
+    # every doc segments (nav + footer blocks always exist); short docs
+    # simply contribute fewer/no content blocks rather than crashing
+    assert set(out) == {1, 2, 4}
+    assert all(r["n_blocks"] >= 2 for r in out.values())
+
+
 def test_ivfpq_nprobe_raises_pruning_ceiling(spark):
     """The parameterized nprobe knob: the pruning ceiling (|exact-L2
     truth ∩ probed cells|) is monotone in nprobe, reaches totality at

@@ -86,6 +86,25 @@ def test_near_dup_flags_online_across_batches(spark, tmp_path):
     assert all(r["dropped_bands"] == 0 for r in v.values())
 
 
+def test_consolidate_threads_min_agree(spark):
+    """A matcher tuned to min_agree=1 must see its matches SURVIVE
+    consolidation: with the module default hardcoded there, a 1-slice
+    agreement was reported upstream then silently discarded
+    (near_dup_of null despite n_agree=1)."""
+    band_rows = spark.createDataFrame(
+        [(7, 3, 1, True), (7, None, None, True),
+         (7, None, None, True), (7, None, None, True)],
+        "doc_id long, matched_id long, n_agree int, admitted boolean",
+    )
+    strict = {r["doc_id"]: r for r in consolidate_verdicts(band_rows).collect()}
+    loose = {
+        r["doc_id"]: r
+        for r in consolidate_verdicts(band_rows, min_agree=1).collect()
+    }
+    assert strict[7]["near_dup_of"] is None  # default MIN_AGREE=2 gate
+    assert loose[7]["near_dup_of"] == 3 and loose[7]["n_agree"] == 1
+
+
 def test_band_matcher_direct_cap_and_order():
     import pandas as pd
 
