@@ -4974,6 +4974,14 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_QUERIES = 8  # query docs (doc_id < 8), terms = first 8 sorted distinct
 BM25_TERMS = 8  # query terms per query doc
 BM25_K = 5  # results per query
+# df cap: a query term present in more than this fraction of the corpus is
+# SKIPPED (with per-query accounting), because its postings join emits one
+# candidate per posting — a stopword term degenerates to a per-query corpus
+# scan, the classic top-k retrieval scale-killer. 78% is fixture-visible at
+# every SF (this stopword-soup corpus packs all dfs into 75-80%; a real
+# corpus sits well below any sane cap). Pure-integer comparison:
+# df * 1e6 > CAP_PPM * n — no division, no float boundary.
+BM25_DF_CAP_PPM = 780_000
 # k1 = 6/5 and b = 3/4 folded into integer coefficients: with T = total
 # corpus tokens, N = docs, dl = doc length,
 #   tf_part = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/T)
@@ -4995,9 +5003,7 @@ post AS (
   FROM (SELECT doc_id, len(ts) AS dl, UNNEST(ts) AS term FROM toks)
   GROUP BY doc_id, dl, term
 ),
-pdf AS (
-  SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM post
-),
+tdf AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
 q AS (
   SELECT query_id, substr(UNNEST(keyed), 34) AS term FROM (
     SELECT doc_id AS query_id,
@@ -5006,13 +5012,26 @@ q AS (
            )[1:{BM25_TERMS}] AS keyed
     FROM toks WHERE doc_id < {BM25_QUERIES})
 ),
+qann AS (
+  SELECT q.query_id, q.term, t.df, tot.n, tot.t
+  FROM q JOIN tdf t USING (term) CROSS JOIN tot
+),
+qkept AS (
+  SELECT * FROM qann WHERE df * 1000000 <= {BM25_DF_CAP_PPM} * n
+),
+qdrops AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN df * 1000000 > {BM25_DF_CAP_PPM} * n
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_dropped
+  FROM qann GROUP BY query_id
+),
 bm25_scored AS (
-  SELECT q.query_id, p.doc_id,
-         ((2 * tot.n - 2 * p.df + 1) * 1000) // (2 * p.df + 1) AS idf_milli,
-         (22 * p.tf * tot.t * 1000000)
-           // (10 * tot.t * p.tf + 3 * tot.t + 9 * p.dl * tot.n) AS tfp_micro
-  FROM q JOIN pdf p USING (term) CROSS JOIN tot
-  WHERE p.doc_id <> q.query_id
+  SELECT k.query_id, p.doc_id,
+         ((2 * k.n - 2 * k.df + 1) * 1000) // (2 * k.df + 1) AS idf_milli,
+         (22 * p.tf * k.t * 1000000)
+           // (10 * k.t * p.tf + 3 * k.t + 9 * p.dl * k.n) AS tfp_micro
+  FROM qkept k JOIN post p USING (term)
+  WHERE p.doc_id <> k.query_id
 ),
 bm25_agg AS (
   SELECT query_id, doc_id,
@@ -5033,24 +5052,40 @@ bm25_ranked AS (
     "bm25_topk_retrieval",
     oracle=f"""
 WITH {_BM25_ORACLE_CTES}
-SELECT query_id, rank, doc_id, n_terms_hit, bm25_nano FROM bm25_ranked
+SELECT d.query_id, r.rank, r.doc_id, r.n_terms_hit, r.bm25_nano,
+       d.n_terms_dropped
+FROM qdrops d LEFT JOIN bm25_ranked r USING (query_id)
 """,
     doc="Sparse retrieval over the corpus: BM25 top-k through a real "
     "inverted index (postings = one explode + one (doc, term) groupBy; "
-    "document frequency = a COUNT window over the term partition, reusing "
-    "the postings rather than a second scan+join). Query docs are the "
-    f"first {BM25_QUERIES} documents, each querying its first "
-    f"{BM25_TERMS} alphabetically-sorted distinct terms (self excluded). "
+    "document frequencies = one term-keyed count over the postings — "
+    "the lexicon a production index materializes once). Query docs are "
+    f"the first {BM25_QUERIES} documents, each querying {BM25_TERMS} "
+    "md5-drawn distinct terms (self excluded). Terms present in more "
+    f"than {BM25_DF_CAP_PPM} ppm of the corpus are SKIPPED — a "
+    "stopword term's postings join emits one candidate per posting, "
+    "i.e. a per-query corpus scan, the classic top-k retrieval "
+    "scale-killer — and the skip is never silent: n_terms_dropped is a "
+    "per-query accounting column pinned in the hash gate, and a query "
+    "whose terms ALL drop still surfaces as an accounting row (LEFT "
+    "join from the per-query drop dim, the BUCKET_CAP discipline). "
     "The ENTIRE score is exact fixed-point BIGINT: idf and the k1/b "
     "saturation term are each ONE integer floor-division with k1=1.2, "
     "b=0.75 folded into integer coefficients — no logarithm, no float, "
-    "so the hash gate pins every score bit. (Fixture-scale BIGINT "
-    "headroom is ~2.2e17 at sf0.1; a 100 TB corpus lifts the two "
-    "products into DECIMAL(38,0) intermediates, same plan.) "
-    "Scale shape: terms shuffle, text never does; the query-term dim is "
-    f"<= {BM25_QUERIES}x{BM25_TERMS} rows by construction and broadcasts; "
-    "the per-query top-k plans as a WindowGroupLimit pair (partial "
-    "per-partition top-k before the exchange), so no query key can skew.",
+    "so the hash gate pins every score bit; the df cap itself is the "
+    "pure-integer comparison df * 1e6 <=> CAP_PPM * n. (Fixture-scale "
+    "BIGINT headroom is ~2.2e17 at sf0.1; a 100 TB corpus lifts the "
+    "two products into DECIMAL(38,0) intermediates, same plan.) "
+    "Scale shape: terms shuffle, text never does; the df-annotated "
+    f"query-term dim is <= {BM25_QUERIES}x{BM25_TERMS} rows by "
+    "construction — collected once (bounded driver state, the "
+    "asof_broadcast_version discipline) so the kept-term dim and the "
+    "drop accounting share one evaluation and the postings join "
+    "broadcasts a LocalRelation: capped terms never match the hash "
+    "table, so their candidates are never GENERATED (cheaper than "
+    "filtering fan-out after the fact); the per-query top-k plans as a "
+    "WindowGroupLimit pair (partial per-partition top-k before the "
+    "exchange), so no query key can skew.",
     tags=("corpus", "retrieval"),
 )
 def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5069,8 +5104,11 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )
+    # the lexicon: per-term document frequency as ONE map-combined count
+    # (replaces the r8 COUNT-window over the full postings, which sorted
+    # every term partition just to annotate 64 query terms)
+    term_df = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # per-query term draw: md5(term || query_id) orders the distinct
     # vocabulary differently for every query doc (first-N-alphabetical
     # picked the SAME terms for all queries on the shared-vocabulary
@@ -5086,21 +5124,34 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", F.explode("keyed").alias("kt")
     ).select("query_id", F.expr("substring(kt, 34)").alias("term"))
-    scored = (
-        post.join(F.broadcast(q), "term")
-        .where(F.col("doc_id") != F.col("query_id"))
+    # df-annotated query dim: <= QUERIES*TERMS rows by construction —
+    # collect once so the kept-term dim and the drop accounting share one
+    # evaluation (two lazy consumers would re-run the lexicon count) and
+    # both downstream joins broadcast a plan-time LocalRelation
+    q_ann = spark.createDataFrame(
+        term_df.join(F.broadcast(q), "term")
         .crossJoin(F.broadcast(tot))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr("((2 * n - 2 * df + 1) * 1000L) div (2 * df + 1)").alias(
-                "idf_milli"
-            ),
-            F.expr(
-                "(22 * tf * t * 1000000L)"
-                " div (10 * t * tf + 3 * t + 9 * dl * n)"
-            ).alias("tfp_micro"),
-        )
+        .select("query_id", "term", "df", "n", "t")
+        .collect(),
+        "query_id LONG, term STRING, df LONG, n LONG, t LONG",
+    )
+    keep = F.expr(f"df * 1000000 <= {BM25_DF_CAP_PPM} * n")
+    q_kept = q_ann.where(keep)
+    drops = q_ann.groupBy("query_id").agg(
+        F.sum((~keep).cast("long")).cast("long").alias("n_terms_dropped")
+    )
+    scored = post.join(F.broadcast(q_kept), "term").where(
+        F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.expr("((2 * n - 2 * df + 1) * 1000L) div (2 * df + 1)").alias(
+            "idf_milli"
+        ),
+        F.expr(
+            "(22 * tf * t * 1000000L)"
+            " div (10 * t * tf + 3 * t + 9 * dl * n)"
+        ).alias("tfp_micro"),
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
@@ -5109,11 +5160,18 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25_nano").desc(), F.col("doc_id").asc()
     )
-    return (
+    ranked = (
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= BM25_K)
-        .select("query_id", F.col("rank").cast("int"), "doc_id",
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id",
                 "n_terms_hit", "bm25_nano")
+    )
+    # LEFT join from the drop dim: an all-terms-dropped query surfaces as
+    # an accounting row (null rank) instead of vanishing; ranked is
+    # <= QUERIES*K rows by the rank filter, so it broadcasts
+    return drops.join(F.broadcast(ranked), "query_id", "left").select(
+        "query_id", "rank", "doc_id", "n_terms_hit", "bm25_nano",
+        "n_terms_dropped",
     )
 
 # --------------------------------------------------------------------------
@@ -6034,7 +6092,10 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = (
         QUERIES["bm25_topk_retrieval"]
         .build(spark, sf_dir)
+        # drop the accounting-only rows of all-terms-dropped queries
+        # (null rank — BM25's LEFT-join drop discipline, not results)
         .where(F.col("query_id") < RRF_QUERIES)
+        .where(F.col("rank").isNotNull())
         .select(
             "query_id",
             F.col("doc_id").alias("item_id"),

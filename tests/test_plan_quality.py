@@ -1099,18 +1099,30 @@ def test_image_dhash_hamming_lsh_bounded_candidates(spark):
 
 
 def test_bm25_topk_retrieval_inverted_index_shape(spark):
-    """BM25 shuffles terms, never text: postings groupBy + the df COUNT
-    window reuse the term key; the query-term dim (<= 64 rows by
-    construction) and the 1-row totals broadcast; the per-query top-k
-    plans as a WindowGroupLimit pair so no query key can skew. The whole
-    score is BIGINT div arithmetic — no Python stage exists."""
+    """BM25 shuffles terms, never text: postings groupBy keys on term;
+    the df-ANNOTATED query-term dim (<= 64 rows by construction,
+    collected once) joins as a broadcast LocalRelation so capped
+    stopword terms never match the hash table — their candidates are
+    never generated, not filtered after the fact; the per-query top-k
+    plans as a WindowGroupLimit pair so no query key can skew; the
+    drop-accounting join broadcasts the <= Q*K ranked side. The whole
+    score is BIGINT div arithmetic — no Python stage, and the r8
+    COUNT-window over the full postings is GONE (no sort of every term
+    partition just to annotate 64 query terms)."""
     plan = _plan(spark, "bm25_topk_retrieval")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+    # the collected query-term dim (createDataFrame from collected rows)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
-    assert len(exchanges) <= 6, exchanges
+    assert len(exchanges) <= 4, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+    # exactly one Window node (the top-k rank; formatted explain prints
+    # tree + detail, so <= 2 lines) — the df window is gone
+    assert len(re.findall(r"^\(\d+\) Window(?!GroupLimit)", plan, re.M)) <= 2, (
+        "df window back?"
+    )
 
 
 def test_mmr_diversified_topk_greedy_is_row_local(spark):
