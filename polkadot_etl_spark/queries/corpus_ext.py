@@ -2564,12 +2564,14 @@ def _sketch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sketch_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+def _sketch_rerank(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, topk: int = SKETCH_TOPK
+) -> DataFrame:
     """Exact cosine rerank of a (q_id, c_id, ham) candidate frame, top
-    SKETCH_TOPK per query — shared by ann_sketch_prefilter and the
-    recall audit (which reuses ONE prefilter frame for both the method
-    results and the candidate counts, so the Hamming scan never runs
-    twice per audit)."""
+    ``topk`` per query — shared by ann_sketch_prefilter, the recall
+    audit (which reuses ONE prefilter frame for both the method results
+    and the candidate counts, so the Hamming scan never runs twice per
+    audit) and hybrid_rrf_fusion's dense leg (topk=RRF_OUT)."""
     e = load_table(spark, sf_dir, "embeddings")
     qraw = e.where(F.col("vec_id") < SKETCH_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -2592,7 +2594,7 @@ def _sketch_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFra
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= SKETCH_TOPK)
+        .where(F.col("rn") <= topk)
     )
 
 
@@ -3196,6 +3198,22 @@ def _release_stage_parts(
             .select("doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("f_exact"))
         )
     if want("lsh_near_dedup"):
+        # MEASURED DECISION (r9, the lsh_planner question): the release
+        # gate stays on the recall-leaning (b=4, r=1) family, NOT the
+        # planner's cost-optimal (4, 2), because the gate VERIFIES at
+        # Jaccard >= 0.5 and a candidate-generation miss is a SHIPPED
+        # DUPLICATE while a false candidate only costs one bounded
+        # verify. At s = 0.5 exactly, P(collide | 4, 1) = 0.9375 vs
+        # P(collide | 4, 2) = 0.6836 — a 32% miss rate right at the
+        # release boundary — and the integrated miss mass above 0.5 is
+        # 6.4x higher (false_rates(0.5): fn 0.0795 vs 0.0125). The r8
+        # "identical recall at 4.9x fewer candidates" measurement for
+        # (4, 2) holds because the FIXTURE's true pairs all sit well
+        # above 0.5 where both configs collide >93%; it does not
+        # transfer to boundary pairs. (4, 2)'s saving is verify work
+        # only (fp mass 0.27 vs 0.61), which BUCKET_CAP already bounds
+        # — the wrong trade for a release path, the right one for the
+        # interactive dedup_minhash_banded_r2 configuration.
         parts["lsh_near_dedup"] = (
             QUERIES["dedup_corpus_survivors"].build(spark, sf_dir)
             .select("doc_id", F.col("is_kept").alias("f_near"))
@@ -6021,79 +6039,78 @@ RRF_K0 = 60  # the standard RRF damping constant
 RRF_OUT = 5  # fused results per query
 
 
-@query(
-    "hybrid_rrf_fusion",
-    oracle=f"""
-WITH {_BM25_ORACLE_CTES},
-bm AS (
-  SELECT query_id, doc_id AS item_id, rank AS bm25_rank
-  FROM bm25_ranked WHERE query_id < {RRF_QUERIES}
-),
-base AS (
+# Sketch-prefiltered dense leg as oracle SQL (composes _SKETCH_CTES_D's
+# spref): exact-cosine rerank of the Hamming candidates, top RRF_OUT.
+_RRF_DENSE_SKETCH_SQL = f"""dsk AS (
+  SELECT t.q_id AS query_id, t.c_id AS item_id,
+         ROUND({_DOT} / SQRT(({_QN}) * ({_CN})), 6) AS r
+  FROM (SELECT spref.q_id, spref.c_id,
+               q.embedding AS q_emb, c.embedding AS c_emb
+        FROM spref JOIN embeddings q ON q.vec_id = spref.q_id
+                   JOIN embeddings c ON c.vec_id = spref.c_id
+        WHERE spref.q_id < {RRF_QUERIES}) t
+)"""
+
+# Exact brute-force dense leg as oracle SQL — the audit truth baseline.
+_RRF_DENSE_EXACT_SQL = f"""dbase AS (
   SELECT vec_id, embedding,
          list_sum(list_transform(range(1, len(embedding) + 1),
            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
   FROM embeddings
 ),
 dq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
-       FROM base WHERE vec_id < {RRF_QUERIES}),
-drel AS (
+       FROM dbase WHERE vec_id < {RRF_QUERIES}),
+dex AS (
   SELECT dq.query_id, b.vec_id AS item_id,
          ROUND(list_sum(list_transform(range(1, len(dq.qe) + 1),
                  i -> dq.qe[i]::DOUBLE * b.embedding[i]::DOUBLE))
                / SQRT(dq.qn2 * b.n2), 6) AS r
-  FROM dq JOIN base b ON b.vec_id <> dq.query_id
-),
-dense AS (
+  FROM dq JOIN dbase b ON b.vec_id <> dq.query_id
+)"""
+
+
+def _rrf_fused_sql(rel_cte: str, dense_cte: str, out: str) -> str:
+    """RRF fusion CTE pair: top-RRF_OUT dense ranks from ``rel_cte``
+    (query_id, item_id, r), full-outer fuse with bm, re-rank — emitted
+    twice by the audit (sketch path + exact path) so both fusions are
+    the IDENTICAL mechanism."""
+    return f"""{dense_cte} AS (
   SELECT query_id, item_id, CAST(rn AS INTEGER) AS dense_rank FROM (
     SELECT query_id, item_id,
            ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY r DESC, item_id ASC) AS rn
-    FROM drel) WHERE rn <= {RRF_OUT}
+    FROM {rel_cte}) WHERE rn <= {RRF_OUT}
 ),
-fused AS (
-  SELECT COALESCE(bm.query_id, dense.query_id) AS query_id,
-         COALESCE(bm.item_id, dense.item_id) AS item_id,
+{out}_pre AS (
+  SELECT COALESCE(bm.query_id, d.query_id) AS query_id,
+         COALESCE(bm.item_id, d.item_id) AS item_id,
          COALESCE(bm.bm25_rank, 0) AS bm25_rank,
-         COALESCE(dense.dense_rank, 0) AS dense_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank,
          CAST(CASE WHEN bm.bm25_rank IS NULL THEN 0
               ELSE 1000000000 // ({RRF_K0} + bm.bm25_rank) END
-            + CASE WHEN dense.dense_rank IS NULL THEN 0
-              ELSE 1000000000 // ({RRF_K0} + dense.dense_rank) END
+            + CASE WHEN d.dense_rank IS NULL THEN 0
+              ELSE 1000000000 // ({RRF_K0} + d.dense_rank) END
             AS BIGINT) AS rrf_nano
-  FROM bm FULL OUTER JOIN dense
-    ON dense.query_id = bm.query_id AND dense.item_id = bm.item_id
-)
-SELECT query_id, CAST(rn AS INTEGER) AS rank, item_id,
-       rrf_nano, CAST(bm25_rank AS INTEGER) AS bm25_rank,
-       CAST(dense_rank AS INTEGER) AS dense_rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY rrf_nano DESC, item_id ASC) AS rn FROM fused)
-WHERE rn <= {RRF_OUT}
-""",
-    doc="Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. 2009) "
-    "of the engine's two retrieval families: the exact fixed-point BM25 "
-    "leg (COMPOSES the real bm25_topk_retrieval plan) and an exact-"
-    "cosine dense leg over the embeddings (documents and embeddings "
-    "share the id space), fused as "
-    f"sum(1e9 // ({RRF_K0} + rank)) — pure BIGINT, so rank fusion has "
-    "no float boundary anywhere. Items found by only one leg keep their "
-    "single contribution (the RRF property that makes it the default "
-    "hybrid in production search stacks); per-leg ranks are carried in "
-    "the output (0 = not retrieved by that leg) so the gate pins WHERE "
-    "every fused result came from. "
-    "Scale shape: each leg is its own bounded top-k plan "
-    "(WindowGroupLimit pairs); fusion joins two <= Q*k row frames on "
-    "(query, item) and re-ranks — the fusion itself is dim-scale work "
-    "regardless of corpus size.",
-    tags=("corpus", "retrieval"),
-)
-def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bm = (
+  FROM bm FULL OUTER JOIN {dense_cte} d
+    ON d.query_id = bm.query_id AND d.item_id = bm.item_id
+),
+{out} AS (
+  SELECT query_id, CAST(rn AS INTEGER) AS rank, item_id,
+         rrf_nano, CAST(bm25_rank AS INTEGER) AS bm25_rank,
+         CAST(dense_rank AS INTEGER) AS dense_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_nano DESC, item_id ASC) AS rn FROM {out}_pre)
+  WHERE rn <= {RRF_OUT}
+)"""
+
+
+def _rrf_bm_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse leg: the REAL bm25_topk_retrieval plan, accounting
+    rows (null rank — the all-terms-dropped LEFT-join discipline)
+    filtered out."""
+    return (
         QUERIES["bm25_topk_retrieval"]
         .build(spark, sf_dir)
-        # drop the accounting-only rows of all-terms-dropped queries
-        # (null rank — BM25's LEFT-join drop discipline, not results)
         .where(F.col("query_id") < RRF_QUERIES)
         .where(F.col("rank").isNotNull())
         .select(
@@ -6102,6 +6119,24 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("bm25_rank"),
         )
     )
+
+
+def _rrf_dense_leg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense leg at scale: the audited sketch prefilter (measured
+    recall@3 0.958 sf0.01 / 0.875 sf0.1 at 50 candidates) + exact
+    rerank — no corpus-wide raw-vector crossJoin anywhere."""
+    cand = _sketch_prefiltered(spark, sf_dir).where(F.col("q_id") < RRF_QUERIES)
+    return _sketch_rerank(spark, sf_dir, cand, topk=RRF_OUT).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("item_id"),
+        F.col("rn").alias("dense_rank"),
+    )
+
+
+def _rrf_dense_leg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force dense leg (broadcast-query crossJoin over the
+    corpus) — correct at any scale but scans every vector; kept ONLY as
+    the audit's truth baseline."""
     e = load_table(spark, sf_dir, "embeddings")
     n2 = F.expr(
         "aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
@@ -6117,7 +6152,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 0D, (acc, v) -> acc + v)"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("r").desc(), F.col("item_id").asc())
-    dense = (
+    return (
         base.crossJoin(F.broadcast(dq))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -6129,6 +6164,11 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= RRF_OUT)
         .select("query_id", "item_id", F.col("rn").cast("int").alias("dense_rank"))
     )
+
+
+def _rrf_fuse(bm: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion of two (query_id, item_id, *_rank) legs — full-outer
+    join, pure-BIGINT reciprocal-rank sum, top-RRF_OUT re-rank."""
     contrib_b = F.expr(f"if(bm25_rank is null, 0L, 1000000000L div ({RRF_K0} + bm25_rank))")
     contrib_d = F.expr(f"if(dense_rank is null, 0L, 1000000000L div ({RRF_K0} + dense_rank))")
     fused = bm.join(dense, ["query_id", "item_id"], "outer").select(
@@ -6144,6 +6184,290 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.withColumn("rank", F.row_number().over(wf))
         .where(F.col("rank") <= RRF_OUT)
-        .select("query_id", F.col("rank").cast("int"), "item_id",
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "item_id",
                 "rrf_nano", "bm25_rank", "dense_rank")
     )
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_ORACLE_CTES},
+bm AS (
+  SELECT query_id, doc_id AS item_id, rank AS bm25_rank
+  FROM bm25_ranked WHERE query_id < {RRF_QUERIES}
+),
+{_SKETCH_CTES_D},
+{_RRF_DENSE_SKETCH_SQL},
+{_rrf_fused_sql("dsk", "dense", "fused_out")}
+SELECT query_id, rank, item_id, rrf_nano, bm25_rank, dense_rank
+FROM fused_out
+""",
+    doc="Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. 2009) "
+    "of the engine's two retrieval families: the exact fixed-point BM25 "
+    "leg (COMPOSES the real bm25_topk_retrieval plan, df cap included) "
+    "and a dense leg that COMPOSES the audited sketch prefilter "
+    "(_sketch_prefiltered: 256-bit Hamming scan, 50-candidate budget, "
+    "measured recall@3 0.958 at sf0.01 / 0.875 at sf0.1) + exact-cosine "
+    "rerank — the r8 brute-force corpus crossJoin is GONE from the "
+    "production path and survives only as hybrid_fusion_recall_audit's "
+    "truth baseline, where the sketch-vs-exact fusion divergence is a "
+    f"measured per-query number. Fused as sum(1e9 // ({RRF_K0} + rank)) "
+    "— pure BIGINT, so rank fusion has no float boundary anywhere. "
+    "Items found by only one leg keep their single contribution (the "
+    "RRF property that makes it the default hybrid in production "
+    "search stacks); per-leg ranks are carried in the output (0 = not "
+    "retrieved by that leg) so the gate pins WHERE every fused result "
+    "came from. Scale shape: the sparse leg bounds per-query work via "
+    "the df cap + WindowGroupLimit; the dense leg shuffles only (ids, "
+    "8 packed words, ham) through its top-m scan and reranks |Q| x m "
+    "rows; fusion joins two <= Q*k row frames on (query, item) — "
+    "dim-scale work regardless of corpus size.",
+    tags=("corpus", "retrieval"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rrf_fuse(
+        _rrf_bm_leg(spark, sf_dir), _rrf_dense_leg_sketch(spark, sf_dir)
+    )
+
+
+@query(
+    "hybrid_fusion_recall_audit",
+    oracle=f"""
+WITH {_BM25_ORACLE_CTES},
+bm AS (
+  SELECT query_id, doc_id AS item_id, rank AS bm25_rank
+  FROM bm25_ranked WHERE query_id < {RRF_QUERIES}
+),
+{_SKETCH_CTES_D},
+{_RRF_DENSE_SKETCH_SQL},
+{_rrf_fused_sql("dsk", "dense_sk", "fused_sk")},
+{_RRF_DENSE_EXACT_SQL},
+{_rrf_fused_sql("dex", "dense_ex", "fused_ex")},
+ncand AS (
+  SELECT q_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_dense_candidates
+  FROM spref WHERE q_id < {RRF_QUERIES} GROUP BY q_id
+),
+ov AS (
+  SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM fused_sk s JOIN fused_ex e
+    ON e.query_id = s.query_id AND e.item_id = s.item_id
+  GROUP BY s.query_id
+),
+csk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_fused
+        FROM fused_sk GROUP BY query_id),
+cex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM fused_ex GROUP BY query_id)
+SELECT c.query_id, c.n_fused, x.n_exact,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       COALESCE(o.n_overlap, 0) * 1000000 // x.n_exact AS fusion_recall_ppm,
+       n.n_dense_candidates
+FROM csk c
+JOIN cex x ON x.query_id = c.query_id
+LEFT JOIN ov o ON o.query_id = c.query_id
+JOIN ncand n ON n.query_id = c.query_id
+""",
+    doc="Fusion-recall audit for hybrid_rrf_fusion — the ann_recall_audit "
+    "discipline applied to the composed hybrid: the PRODUCTION fusion "
+    "(sketch-prefiltered dense leg) and a truth fusion (exact "
+    "brute-force dense leg, the r8 hybrid's old path) run through the "
+    "IDENTICAL RRF mechanism (_rrf_fuse / one shared fused-CTE "
+    "template), and the per-query overlap of their top-"
+    f"{RRF_OUT} fused sets lands in the hash gate as an exact-integer "
+    "ppm — the cost of replacing the corpus scan with the 50-candidate "
+    "sketch budget is a pinned, measured number, not a hope. "
+    "n_dense_candidates reports the prefilter budget actually consumed "
+    "per query (the cost next to the recall, as ann_recall_audit "
+    "does). The bm leg and the prefilter candidate frame are "
+    "localCheckpointed so each evaluates ONCE per audit even with two "
+    "fusion consumers. Scale shape: both fusions are dim-scale over "
+    "<= Q*k frames; the exact leg's corpus scan is the audit's "
+    "deliberate truth cost (bounded by |Q| broadcast), exactly like "
+    "the brute-force truth stage of ann_recall_audit.",
+    tags=("corpus", "retrieval", "audit"),
+)
+def hybrid_fusion_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _rrf_bm_leg(spark, sf_dir).localCheckpoint(eager=True)
+    cand = (
+        _sketch_prefiltered(spark, sf_dir)
+        .where(F.col("q_id") < RRF_QUERIES)
+        .localCheckpoint(eager=True)
+    )
+    sk_leg = _sketch_rerank(spark, sf_dir, cand, topk=RRF_OUT).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("item_id"),
+        F.col("rn").alias("dense_rank"),
+    )
+    fs = _rrf_fuse(bm, sk_leg)
+    fe = _rrf_fuse(bm, _rrf_dense_leg_exact(spark, sf_dir))
+    ncand = cand.groupBy(F.col("q_id").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dense_candidates")
+    )
+    ov = (
+        fs.select("query_id", "item_id")
+        .join(fe.select("query_id", "item_id"), ["query_id", "item_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    csk = fs.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fused")
+    )
+    cex = fe.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        csk.join(cex, "query_id")
+        .join(ov, "query_id", "left")
+        .join(ncand, "query_id")
+        .select(
+            "query_id",
+            "n_fused",
+            "n_exact",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+            F.expr(
+                "coalesce(n_overlap, 0L) * 1000000L div n_exact"
+            ).alias("fusion_recall_ppm"),
+            "n_dense_candidates",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming corpus ingest, driver-gated: replay a bounded NDJSON stream
+# through the REAL streaming state machine and hash the result
+# --------------------------------------------------------------------------
+
+REPLAY_DOCS = 120  # bounded stream: doc_id < 120 at every SF
+REPLAY_BATCHES = 3  # monotone-id micro-batches (the batch-rule contract)
+
+
+@query(
+    "streaming_corpus_replay",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id < {REPLAY_DOCS}
+),
+w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words,
+         md5(lower(trim(text))) AS digest
+  FROM src
+),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY doc_id, word),
+t AS (SELECT doc_id, MAX(cnt) AS top_word_count FROM c GROUP BY doc_id),
+gate AS (
+  SELECT w.doc_id, w.digest, w.source,
+         ((CAST(t.top_word_count AS DOUBLE) / len(w.words)) <= 0.2
+          AND len(w.words) >= 10) AS keep
+  FROM w JOIN t ON t.doc_id = w.doc_id
+),
+canon AS (
+  SELECT doc_id, digest, source, keep,
+         MIN(doc_id) OVER (PARTITION BY digest) AS canonical_id
+  FROM gate
+)
+SELECT doc_id, digest, source, keep,
+       (doc_id = canonical_id) AS is_first, canonical_id
+FROM canon
+""",
+    doc="The streaming corpus-ingest state machine under the SAME "
+    "oracle-gate discipline as the batch surface (the X-family "
+    "equivalent of merge_upsert_state's real-write gate): a bounded "
+    f"NDJSON stream (doc_id < {REPLAY_DOCS}, materialized from the "
+    f"fixture into {REPLAY_BATCHES} monotone-id micro-batch files with "
+    "forced-distinct mtimes so FileStreamSource's order is pinned) "
+    "REPLAYS through the real streaming/corpus.py pipeline — "
+    "document_stream NDJSON parse, the SHARED row-local Gopher gate "
+    "(gopher_signals, streaming-legal by construction), and the "
+    "per-digest first-occurrence dedup as applyInPandasWithState — "
+    "collected via foreachBatch into a deterministic frame. Under "
+    "monotone-id arrival the streaming first-arrival rule provably "
+    "equals the batch min-doc_id-per-digest rule (the equivalence "
+    "contract pytest pins in tests/test_streaming_corpus.py), so the "
+    "DuckDB oracle recomputes the whole thing as one batch window — "
+    "every streaming output bit (digest, gate verdict, canonical "
+    "assignment, first-arrival flag) is hash-matched. Scale shape: "
+    "state is one (canonical_id, n_seen) pair per distinct digest, "
+    "digest-keyed — the same shuffle key the batch dedup uses; the "
+    "gate is map-side; accounting is per-batch-bounded. The replay "
+    "harness itself is fixture plumbing (bounded collect, temp NDJSON, "
+    "local checkpoint dir), not the operator.",
+    tags=("streaming", "corpus"),
+)
+def streaming_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pandas as _pd
+
+    from polkadot_etl_spark.streaming.corpus import (
+        DEDUP_OUT_SCHEMA,
+        dedup_first_occurrence,
+        document_stream,
+        quality_gated,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < REPLAY_DOCS)
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    work = _tempfile.mkdtemp(prefix="corpus_replay_")
+    try:
+        src_dir = _os.path.join(work, "src")
+        _os.makedirs(src_dir)
+        per = max(1, (len(rows) + REPLAY_BATCHES - 1) // REPLAY_BATCHES)
+        base_t = _time.time() - 3600
+        for b in range(REPLAY_BATCHES):
+            chunk = rows[b * per : (b + 1) * per]
+            if not chunk:
+                continue
+            path = _os.path.join(src_dir, f"batch-{b:03d}.json")
+            with open(path, "w") as fh:
+                for r in chunk:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": r["doc_id"],
+                                "text": r["text"],
+                                "lang": r["lang"],
+                                "source": r["source"],
+                            }
+                        )
+                        + "\n"
+                    )
+            # monotone mtimes pin FileStreamSource's batch order (the
+            # monotone-id arrival the oracle's batch rule requires)
+            _os.utime(path, (base_t + b, base_t + b))
+        acc: "list[_pd.DataFrame]" = []
+
+        def _collect(batch_df: DataFrame, _batch_id: int) -> None:
+            acc.append(batch_df.toPandas())
+
+        q = (
+            dedup_first_occurrence(
+                quality_gated(document_stream(spark, src_dir))
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", _os.path.join(work, "chk"))
+            .foreachBatch(_collect)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    out = [p for p in acc if len(p)]
+    pdf = (
+        _pd.concat(out, ignore_index=True)
+        if out
+        else _pd.DataFrame(columns=[f.name for f in DEDUP_OUT_SCHEMA.fields])
+    )
+    return spark.createDataFrame(pdf, DEDUP_OUT_SCHEMA)

@@ -1222,14 +1222,31 @@ def test_html_boilerplate_extract_one_map_pass(spark):
 
 
 def test_hybrid_rrf_fusion_composes_bounded_legs(spark):
-    """Fusion composes the REAL BM25 plan plus the dense top-k leg; both
-    legs bound their per-query output with WindowGroupLimit pairs before
-    any fusion work, the fusion join moves <= Q*k rows per side, and no
-    Python, cartesian or text shuffle exists anywhere."""
+    """Fusion composes the REAL BM25 plan plus the SKETCH-PREFILTERED
+    dense leg (the r8 brute-force corpus crossJoin over raw embeddings
+    is gone from the production path): the xor/bit_count Hamming scan
+    must be IN the plan, both legs bound their per-query output with
+    WindowGroupLimit pairs before any fusion work, the fusion join
+    moves <= Q*k rows per side, and no Python, cartesian or text
+    shuffle exists anywhere."""
     plan = _plan(spark, "hybrid_rrf_fusion")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+    assert "bit_count" in plan, "sketch prefilter stage missing from dense leg"
     assert plan.count("WindowGroupLimit") >= 4  # both legs + fused rank
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 10, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_hybrid_fusion_recall_audit_shape(spark):
+    """The audit runs two full fusions (sketch path + exact truth) over
+    ONE checkpointed bm leg and ONE checkpointed prefilter frame — no
+    Python, no cartesian, no text shuffle; the fan-in joins are all
+    query-keyed dims."""
+    plan = _plan(spark, "hybrid_fusion_recall_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 22, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
