@@ -162,6 +162,84 @@ _DEMOTED_GREEN = {
     # (evmtxs_daily_gold is pipelines-module, outside this llmdata guard;
     # its r3-green demotion for skewed_hotkey_rollup is noted in
     # queries/__init__.py)
+    # --- ROUND-9 ROTATION: 43 slots went to the r1/r2 staleness tail
+    # (the r8 verdict's task #5). Every entry below is r8-green
+    # (CORRECTNESS_r08.json, 50/50) and most are multi-round green; the
+    # r8 batch additionally re-greened at sf0.001/0.01/0.1 + the
+    # shuffle=8 probe when they landed. All stay in the local oracle
+    # suite every session.
+    "ann_sketch_prefilter",  # r8 green; the ENTIRE prefilter + rerank
+    # plan (_sketch_prefiltered + _sketch_rerank) composes inside
+    # in-window hybrid_rrf_fusion AND hybrid_fusion_recall_audit every
+    # round — the strongest demotion form
+    "ann_recall_audit",  # r7+r8 green; its sketch leg re-runs inside the
+    # in-window hybrid pair every round; the IVF/LSH legs and recall
+    # accounting stay locally oracle-verified
+    "ann_ivfpq_residual_search",  # r7+r8 green; IVFADC family locally
+    # oracle-verified; its coarse-cell + ADC mechanisms pinned by
+    # tests + the (demoted-green) pq/adc/recall family
+    "ann_ivfpq_recall_audit",  # r7+r8 green; same family as above, the
+    # pruning-ceiling accounting stays locally oracle-verified
+    "gate_attribution_audit",  # r8 green; composes the SAME six shared
+    # gate flag plans (_release_stage_parts) that in-window
+    # corpus_release_funnel drives every round — only the Venn rollup
+    # differs, and it stays locally oracle-verified
+    "embedding_int8_quantize",  # r8 green; per-dim absmax calibration
+    # card, exact-integer outputs locally oracle-verified every session
+    "datacard_source_stats",  # r7+r8 green; its per-source signal
+    # aggregates stay locally verified; the BPE token totals re-run
+    # inside (demoted-green) bpe_fertility_audit's shared layers
+    "dedup_minhash_banded_r2",  # r8 green; the banded-MinHash digest
+    # machinery re-runs inside in-window corpus_release_funnel's
+    # lsh_near_dedup gate (same _minhash_signatures family) every round
+    "rag_chunk_documents",  # r7+r8 green; row-local HOF chunk fold,
+    # locally oracle-verified (incl. the empty-doc guard test)
+    "hard_negative_mining",  # r8 green; composes _sketch_prefiltered,
+    # which re-runs inside the in-window hybrid pair every round
+    "bpe_merge_train_steps",  # r8 green; the full training loop re-runs
+    # inside (demoted-green) bpe_fertility_audit via shared _bpe_train;
+    # both locally oracle-verified every session
+    "bpe_fertility_audit",  # r8 green; see above — the shared unrolled
+    # oracle layers keep the merge-table hash pinned locally
+    "bigram_perplexity_backoff",  # r8 green; stupid-backoff LM scoring
+    # in integer micro-nats, locally oracle-verified
+    "domain_pagerank",  # r7+r8 green; integer power iteration pinned
+    # against the pure-Python model in tests/test_pagerank.py plus the
+    # local oracle row; _url_staged re-runs in-window via the funnel
+    "bloom_dedup_membership",  # r7+r8 green; the bit-array operator is
+    # model-pinned in tests/test_bloom.py (no-false-negative guarantee)
+    # plus the local oracle row
+    "dedup_incremental_batch",  # r7+r8 green; the digest-ledger dedup
+    # rule re-runs inside in-window streaming_corpus_replay (the same
+    # first-occurrence-per-digest semantics, state-machine form)
+    "paragraph_dedup_rewrite",  # r8 green; shared _cdc_occurrences
+    # chunking locally oracle-verified; the rewrite hash gate re-runs
+    # in the local suite every session
+    "audio_silence_trim",  # r8 green; the real 8-bit WAV round trip,
+    # locally oracle-verified (the codec itself is golden-tested)
+    "video_keyframe_sample",  # r8 green; composes the entire scene-cut
+    # plan, locally oracle-verified every session
+    "image_dhash_hamming_lsh",  # r7+r8 green; PNG->dHash->banded-Hamming
+    # path locally oracle-verified; the codec wave is golden-tested
+    "contamination_containment",  # r7+r8 green; graded containment with
+    # cap accounting, locally oracle-verified; the verbatim-overlap
+    # decontamination rule re-runs in-window via the funnel every round
+    "corpus_shard_shuffle",  # r7+r8 green; md5-shard training-order
+    # shuffle with order_sig, locally oracle-verified
+    "mmr_diversified_topk",  # r8 green; the WindowGroupLimit candidate
+    # pool re-runs inside in-window bm25/hybrid every round; the greedy
+    # HOF fold stays locally oracle-verified
+    "source_vocab_drift",  # r8 green; exact-ppm TV distance card,
+    # locally oracle-verified (checkpoint-shape plan test retained)
+    "domain_quota_sample",  # r8 green; composes _url_staged (re-runs
+    # in-window via the funnel); quota rule locally oracle-verified
+    "source_overlap_matrix",  # r8 green; row-local pair expansion vs
+    # the oracle's self-join — both locally verified every session
+    "embedding_isotropy_card",  # r8 green; centroid-compactness card,
+    # floor-micro integer outputs locally oracle-verified
+    "skewed_hotkey_rollup",  # r4+r8 green; salted-agg combine vs plain
+    # GROUP BY oracle, locally verified; the salting operator is
+    # pytest-pinned in its own right
 }
 
 
