@@ -71,6 +71,15 @@ _PRIORITY: list[str] = [
     "html_boilerplate_extract",
     "corpus_release_funnel",
     "streaming_corpus_replay",
+    # late-r9 additions (new queries MUST be in-window; four r2-tail
+    # slots deferred to r10 to make room — see the r2 block below):
+    # the SECOND streaming machine driver-gated, RM3 feedback expansion
+    # composing the real BM25, the Matryoshka truncation-recall card,
+    # and the serving padding-waste card
+    "streaming_neardedup_replay",
+    "bm25_rm3_expansion",
+    "ann_dim_truncation_audit",
+    "inference_batch_padding_card",
     # --- the r1 tail (26): last driver-green row is round 1
     "asof_join_last_purchase",
     "channel_daily_summary",
@@ -98,10 +107,15 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
     "trailing_rollups",
-    # --- the r2 tail (17 of 24): last driver-green row is round 2
+    # --- the r2 tail (13 of 24): last driver-green row is round 2
     # (left for r10: session_window_native, topk_paging,
     # tpch_q4_order_priority, tpch_q5_regional_revenue,
-    # tpch_q6_forecast_revenue, unpivot_roundtrip, work_queue_backoff)
+    # tpch_q6_forecast_revenue, unpivot_roundtrip, work_queue_backoff,
+    # plus four deferred late-r9 for the new-query block above —
+    # like_filter, noise_suppression, validity_filter,
+    # pivot_event_counts: all P-family filter/pivot shapes whose
+    # predicates re-run inside in-window relational plans and the local
+    # oracle suite every session)
     "active_accounts_union",
     "anti_join_no_urgent",
     "best_by_rank",
@@ -113,12 +127,8 @@ _PRIORITY: list[str] = [
     "interval_sampling",
     "json_field_access",
     "left_join_dim_agg",
-    "like_filter",
     "monthly_rollup_having",
-    "noise_suppression",
     "per_block_stats",
-    "pivot_event_counts",
-    "validity_filter",
 ]
 
 

@@ -5107,6 +5107,23 @@ FROM qdrops d LEFT JOIN bm25_ranked r USING (query_id)
     tags=("corpus", "retrieval"),
 )
 def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _bm25_parts(spark, sf_dir)
+    # LEFT join from the drop dim: an all-terms-dropped query surfaces as
+    # an accounting row (null rank) instead of vanishing; ranked is
+    # <= QUERIES*K rows by the rank filter, so it broadcasts
+    return parts["drops"].join(
+        F.broadcast(parts["ranked"]), "query_id", "left"
+    ).select(
+        "query_id", "rank", "doc_id", "n_terms_hit", "bm25_nano",
+        "n_terms_dropped",
+    )
+
+
+def _bm25_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """The BM25 stage plans, shared by bm25_topk_retrieval (which joins
+    drops + ranked), hybrid_rrf_fusion's sparse leg, and
+    bm25_rm3_expansion (which feeds the ranked top back as relevance
+    feedback) — one source of truth for postings/lexicon/cap/scoring."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -5184,13 +5201,16 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id",
                 "n_terms_hit", "bm25_nano")
     )
-    # LEFT join from the drop dim: an all-terms-dropped query surfaces as
-    # an accounting row (null rank) instead of vanishing; ranked is
-    # <= QUERIES*K rows by the rank filter, so it broadcasts
-    return drops.join(F.broadcast(ranked), "query_id", "left").select(
-        "query_id", "rank", "doc_id", "n_terms_hit", "bm25_nano",
-        "n_terms_dropped",
-    )
+    return {
+        "toks": toks,
+        "tot": tot,
+        "post": post,
+        "term_df": term_df,
+        "q_ann": q_ann,
+        "q_kept": q_kept,
+        "drops": drops,
+        "ranked": ranked,
+    }
 
 # --------------------------------------------------------------------------
 # Diversified retrieval: greedy Maximal Marginal Relevance re-ranking
@@ -6341,6 +6361,78 @@ def hybrid_fusion_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REPLAY_DOCS = 120  # bounded stream: doc_id < 120 at every SF
 REPLAY_BATCHES = 3  # monotone-id micro-batches (the batch-rule contract)
+REPLAY_ROSTER_CAP = 10_000  # near-dedup replay: no admission drops at 120 docs
+
+
+def _replay_ndjson_batches(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Materialize the bounded fixture stream (doc_id < REPLAY_DOCS) as
+    REPLAY_BATCHES monotone-id NDJSON files under ``work`` with
+    forced-distinct mtimes, so FileStreamSource's batch order is pinned
+    to doc_id order — the monotone-arrival contract both streaming
+    replays' batch-window oracles rely on. Returns the source dir."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < REPLAY_DOCS)
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir)
+    per = max(1, (len(rows) + REPLAY_BATCHES - 1) // REPLAY_BATCHES)
+    base_t = _time.time() - 3600
+    for b in range(REPLAY_BATCHES):
+        chunk = rows[b * per : (b + 1) * per]
+        if not chunk:
+            continue
+        path = _os.path.join(src_dir, f"batch-{b:03d}.json")
+        with open(path, "w") as fh:
+            for r in chunk:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "source": r["source"],
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(path, (base_t + b, base_t + b))
+    return src_dir
+
+
+def _replay_stream_collect(stream_df: DataFrame, work: str, out_schema):
+    """Run a bounded stream to completion, collecting every micro-batch
+    via foreachBatch into one pandas frame (the replay harness both
+    streaming gate queries share). Returns the concatenated pandas
+    frame (possibly empty, schema-named)."""
+    import os as _os
+
+    import pandas as _pd
+
+    acc: "list[_pd.DataFrame]" = []
+
+    def _collect(batch_df: DataFrame, _batch_id: int) -> None:
+        acc.append(batch_df.toPandas())
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", _os.path.join(work, "chk"))
+        .foreachBatch(_collect)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = [p for p in acc if len(p)]
+    if out:
+        return _pd.concat(out, ignore_index=True)
+    return _pd.DataFrame(columns=[f.name for f in out_schema.fields])
 
 
 @query(
@@ -6397,13 +6489,8 @@ FROM canon
     tags=("streaming", "corpus"),
 )
 def streaming_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
-    import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
-    import time as _time
-
-    import pandas as _pd
 
     from polkadot_etl_spark.streaming.corpus import (
         DEDUP_OUT_SCHEMA,
@@ -6412,62 +6499,503 @@ def streaming_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_gated,
     )
 
-    rows = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < REPLAY_DOCS)
-        .select("doc_id", "text", "lang", "source")
-        .collect()
-    )
-    rows.sort(key=lambda r: r["doc_id"])
     work = _tempfile.mkdtemp(prefix="corpus_replay_")
     try:
-        src_dir = _os.path.join(work, "src")
-        _os.makedirs(src_dir)
-        per = max(1, (len(rows) + REPLAY_BATCHES - 1) // REPLAY_BATCHES)
-        base_t = _time.time() - 3600
-        for b in range(REPLAY_BATCHES):
-            chunk = rows[b * per : (b + 1) * per]
-            if not chunk:
-                continue
-            path = _os.path.join(src_dir, f"batch-{b:03d}.json")
-            with open(path, "w") as fh:
-                for r in chunk:
-                    fh.write(
-                        _json.dumps(
-                            {
-                                "doc_id": r["doc_id"],
-                                "text": r["text"],
-                                "lang": r["lang"],
-                                "source": r["source"],
-                            }
-                        )
-                        + "\n"
-                    )
-            # monotone mtimes pin FileStreamSource's batch order (the
-            # monotone-id arrival the oracle's batch rule requires)
-            _os.utime(path, (base_t + b, base_t + b))
-        acc: "list[_pd.DataFrame]" = []
-
-        def _collect(batch_df: DataFrame, _batch_id: int) -> None:
-            acc.append(batch_df.toPandas())
-
-        q = (
+        src_dir = _replay_ndjson_batches(spark, sf_dir, work)
+        pdf = _replay_stream_collect(
             dedup_first_occurrence(
                 quality_gated(document_stream(spark, src_dir))
-            )
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", _os.path.join(work, "chk"))
-            .foreachBatch(_collect)
-            .start()
+            ),
+            work,
+            DEDUP_OUT_SCHEMA,
         )
-        q.processAllAvailable()
-        q.stop()
     finally:
         _shutil.rmtree(work, ignore_errors=True)
-    out = [p for p in acc if len(p)]
-    pdf = (
-        _pd.concat(out, ignore_index=True)
-        if out
-        else _pd.DataFrame(columns=[f.name for f in DEDUP_OUT_SCHEMA.fields])
-    )
     return spark.createDataFrame(pdf, DEDUP_OUT_SCHEMA)
+
+
+@query(
+    "streaming_neardedup_replay",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, lower(text) AS ltext FROM documents
+  WHERE doc_id < {REPLAY_DOCS}
+),
+sh2 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(ltext) - 4, 1) + 1),
+                i -> substr(ltext, i, 5))) AS shingle
+  FROM src
+),
+hs2 AS (SELECT doc_id, md5(shingle) AS h FROM sh2),
+mins2 AS (
+  SELECT doc_id,
+         MIN(substr(h, 1, 8)) AS m0, MIN(substr(h, 9, 8)) AS m1,
+         MIN(substr(h, 17, 8)) AS m2, MIN(substr(h, 25, 8)) AS m3
+  FROM hs2 GROUP BY doc_id
+),
+bandt AS (SELECT UNNEST(range(0, 4)) AS band),
+pb AS (
+  SELECT bandt.band, a.doc_id AS d, e.doc_id AS e,
+         (CAST(a.m0 = e.m0 AS INTEGER) + CAST(a.m1 = e.m1 AS INTEGER)
+          + CAST(a.m2 = e.m2 AS INTEGER) + CAST(a.m3 = e.m3 AS INTEGER))
+           AS n
+  FROM mins2 a JOIN mins2 e ON e.doc_id < a.doc_id
+  CROSS JOIN bandt
+  WHERE CASE bandt.band WHEN 0 THEN a.m0 = e.m0 WHEN 1 THEN a.m1 = e.m1
+        WHEN 2 THEN a.m2 = e.m2 ELSE a.m3 = e.m3 END
+),
+fb AS (
+  SELECT d, band, e AS matched_id, n FROM (
+    SELECT d, band, e, n,
+           ROW_NUMBER() OVER (PARTITION BY d, band ORDER BY e ASC) AS rn
+    FROM pb WHERE n >= 2) WHERE rn = 1
+),
+allb AS (
+  SELECT m.doc_id, bandt.band, fb.matched_id,
+         COALESCE(fb.n, 0) AS n_agree
+  FROM mins2 m CROSS JOIN bandt
+  LEFT JOIN fb ON fb.d = m.doc_id AND fb.band = bandt.band
+),
+verd AS (
+  SELECT doc_id, matched_id, n_agree,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY n_agree DESC,
+                    COALESCE(matched_id, 4611686018427387904) ASC,
+                    band ASC) AS rn
+  FROM allb
+)
+SELECT doc_id,
+       CASE WHEN n_agree >= 2 THEN matched_id END AS near_dup_of,
+       CAST(n_agree AS INTEGER) AS n_agree,
+       CAST(0 AS BIGINT) AS dropped_bands
+FROM verd WHERE rn = 1
+""",
+    doc="The SECOND streaming state machine under the oracle gate — "
+    "online near-duplicate detection (streaming/neardedup.py) replayed "
+    "over the same bounded monotone NDJSON stream as "
+    "streaming_corpus_replay: row-local banded-MinHash signatures, "
+    "per-(band, bucket) rosters as applyInPandasWithState, first-"
+    "agreeing-roster-partner matching (>= 2 of 4 slices), per-doc "
+    "consolidation (highest agreement, ties to lowest partner id) in "
+    "the foreachBatch collector. Under monotone-id arrival the "
+    "streaming first-in-roster rule provably equals the batch rule "
+    "'lowest earlier doc sharing the band bucket with >= 2 agreeing "
+    "slices', which the DuckDB oracle recomputes relationally "
+    "(earlier-doc self-join per band — deliberately the OPPOSITE "
+    "mechanism of the roster state machine). The replay roster cap is "
+    "raised above the stream size so no admission drop can occur, and "
+    "dropped_bands is pinned to 0 IN the hash gate — any future "
+    "admission drop (or cap regression) hash-mismatches loudly instead "
+    "of silently changing verdicts. Scale shape: state per distinct "
+    "band bucket is O(min(size, cap)) signatures; the only stream "
+    "shuffle is the (band, bkey) grouping — identical to the batch "
+    "bucket key.",
+    tags=("streaming", "dedup"),
+)
+def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from polkadot_etl_spark.streaming.corpus import DOC_STREAM_SCHEMA
+    from polkadot_etl_spark.streaming.neardedup import (
+        BAND_OUT_SCHEMA,
+        consolidate_verdicts,
+        near_dedup_stream,
+    )
+
+    work = _tempfile.mkdtemp(prefix="neardedup_replay_")
+    try:
+        src_dir = _replay_ndjson_batches(spark, sf_dir, work)
+        docs = (
+            spark.readStream.schema(DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+            .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        )
+        pdf = _replay_stream_collect(
+            near_dedup_stream(docs, cap=REPLAY_ROSTER_CAP),
+            work,
+            BAND_OUT_SCHEMA,
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    # pandas renders the nullable matched_id as float NaN, which the
+    # row-wise createDataFrame verifier rejects for LongType (and the
+    # Int64 extension dtype hits the same path) — convert explicitly
+    import pandas as _pd
+
+    rows = [
+        (
+            int(r.doc_id),
+            int(r.band),
+            None if _pd.isna(r.matched_id) else int(r.matched_id),
+            int(r.n_agree),
+            bool(r.admitted),
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    band_rows = spark.createDataFrame(rows, BAND_OUT_SCHEMA)
+    return consolidate_verdicts(band_rows).select(
+        "doc_id",
+        "near_dup_of",
+        F.col("n_agree").cast("int").alias("n_agree"),
+        F.col("dropped_bands").cast("long").alias("dropped_bands"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding dimension-truncation recall (the Matryoshka serving question)
+# --------------------------------------------------------------------------
+
+TRUNC_DIMS = (8, 16, 32, 64)  # prefix lengths audited (64 = full = truth)
+TRUNC_K = 10  # recall@10
+TRUNC_NQ = 8  # query set: vec_id < 8 (the ANN-family convention)
+
+
+@query(
+    "ann_dim_truncation_audit",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(ARRAY{list(TRUNC_DIMS)}) AS td),
+sl AS (
+  SELECT d.td, e.vec_id, e.embedding[1:d.td] AS e
+  FROM embeddings e CROSS JOIN dims d
+),
+qs AS (SELECT td, vec_id AS query_id, e AS qe FROM sl
+       WHERE vec_id < {TRUNC_NQ}),
+rel AS (
+  SELECT q.td, q.query_id, c.vec_id AS cand_id,
+         ROUND(list_sum(list_transform(range(1, q.td + 1),
+                 i -> q.qe[i]::DOUBLE * c.e[i]::DOUBLE))
+               / SQRT(list_sum(list_transform(range(1, q.td + 1),
+                        i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))
+                      * list_sum(list_transform(range(1, q.td + 1),
+                          i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE))), 6) AS r
+  FROM qs q JOIN sl c ON c.td = q.td AND c.vec_id <> q.query_id
+),
+topk AS (
+  SELECT td, query_id, cand_id FROM (
+    SELECT td, query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY td, query_id
+             ORDER BY r DESC, cand_id ASC) AS rn
+    FROM rel) WHERE rn <= {TRUNC_K}
+),
+truth AS (SELECT query_id, cand_id FROM topk WHERE td = {TRUNC_DIMS[-1]}),
+ov AS (
+  SELECT t.td, t.query_id, CAST(COUNT(x.cand_id) AS BIGINT) AS n_overlap
+  FROM topk t LEFT JOIN truth x
+    ON x.query_id = t.query_id AND x.cand_id = t.cand_id
+  GROUP BY t.td, t.query_id
+)
+SELECT CAST(td AS INTEGER) AS trunc_dim, query_id, n_overlap,
+       n_overlap * 1000000 // {TRUNC_K} AS recall_ppm
+FROM ov
+""",
+    doc="Dimension-truncation recall card — the Matryoshka/MRL serving "
+    "question ('how many dims does THIS corpus actually need?') as a "
+    "measured per-query number: exact-cosine top-10 over each prefix "
+    f"length {TRUNC_DIMS} vs the full-dimension truth, overlap as "
+    "exact-integer ppm. The 64-dim leg audits itself (recall 1.0 by "
+    "construction — a harness pin, the ann_recall_audit discipline); "
+    "on this near-random fixture the short prefixes measure the "
+    "worst-case story (no MRL training concentrated mass in the "
+    "prefix), which is exactly what the card is for: quantifying the "
+    "loss BEFORE switching the serving index to truncated vectors. "
+    "Determinism: cosines are the same fold-left IEEE op sequence in "
+    "both engines, rounded to 6 before ranking (the ANN-family "
+    "discipline); every output is an exact integer. "
+    "Scale shape: one corpus scan fanned x|dims| map-side (the slice "
+    "is row-local), the query dim is |Q|x|dims| rows and broadcasts, "
+    "top-k plans as WindowGroupLimit pairs keyed (dim, query), and "
+    "every audit join is bounded by |Q| x k rows. The brute-force scan "
+    "is the audit's deliberate truth cost, exactly like "
+    "ann_recall_audit's.",
+    tags=("similarity", "audit"),
+)
+def ann_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = F.array(*[F.lit(d) for d in TRUNC_DIMS])
+    sl = e.select(
+        "vec_id", F.explode(dims).alias("td"), "embedding"
+    ).select("vec_id", "td", F.expr("slice(embedding, 1, td)").alias("e"))
+    qs = sl.where(F.col("vec_id") < TRUNC_NQ).select(
+        F.col("td").alias("qtd"),
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qe, e, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(qe, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    cn = F.expr(
+        "aggregate(e, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    w = Window.partitionBy("td", "query_id").orderBy(
+        F.col("r").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        sl.join(
+            F.broadcast(qs),
+            (F.col("td") == F.col("qtd")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "td",
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(dot / F.sqrt(qn * cn), 6).alias("r"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TRUNC_K)
+        .select("td", "query_id", "cand_id")
+        # two consumers (per-dim legs + the dim-64 truth) would re-run
+        # the brute-force scan; the frame is <= |dims|*|Q|*k rows
+        .localCheckpoint(eager=True)
+    )
+    truth = topk.where(F.col("td") == TRUNC_DIMS[-1]).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        topk.join(F.broadcast(truth), ["query_id", "cand_id"], "left")
+        .groupBy(F.col("td").cast("int").alias("trunc_dim"), "query_id")
+        .agg(F.count("hit").cast("long").alias("n_overlap"))
+        .select(
+            "trunc_dim",
+            "query_id",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000000L div {TRUNC_K}").alias("recall_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Inference batching: length-bucket padding-waste card
+# --------------------------------------------------------------------------
+
+PAD_BINS = (16, 32, 64, 128, 256, 512, 1024)  # power-of-two serving bins
+
+
+def _pad_bin_case(col: str) -> str:
+    """Smallest power-of-two bin >= token count as a CASE chain (pure
+    integer — no log2 float boundary); docs beyond the largest bin land
+    in the visible -1 oversize row, never silently."""
+    arms = " ".join(f"WHEN {col} <= {b} THEN {b}" for b in PAD_BINS)
+    return f"CASE {arms} ELSE -1 END"
+
+
+@query(
+    "inference_batch_padding_card",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_tokens
+  FROM documents
+),
+b AS (SELECT doc_id, n_tokens, {_pad_bin_case("n_tokens")} AS bin_max FROM t)
+SELECT CAST(bin_max AS INTEGER) AS bin_max,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(CASE WHEN bin_max > 0
+            THEN COUNT(*) * bin_max - SUM(n_tokens) ELSE 0 END AS BIGINT)
+         AS n_padded_tokens,
+       CAST(CASE WHEN bin_max > 0
+            THEN (COUNT(*) * bin_max - SUM(n_tokens)) * 1000000
+                 // (COUNT(*) * bin_max)
+            ELSE 0 END AS BIGINT) AS waste_ppm
+FROM b GROUP BY bin_max
+""",
+    doc="Inference length-bucket padding card — the serving-efficiency "
+    "question every batched-inference stack (vLLM-style continuous "
+    "batching vs static power-of-two bins) answers before picking a "
+    "strategy: docs bucket to the smallest power-of-two bin holding "
+    f"their BPE-ish token count (bins {PAD_BINS}; the CASE chain is "
+    "pure integer, no log2 float boundary), and each bin reports doc "
+    "count, real tokens, padded tokens and waste as exact-integer ppm "
+    "— the number you compare against sequence_packing's zero-padding "
+    "alternative. Oversize docs land in a visible bin_max = -1 "
+    "accounting row (the no-silent-caps discipline), never dropped. "
+    "Scale shape: token count and bin are row-local map work; the only "
+    "shuffle is the |bins|-key rollup with map-side partial "
+    "aggregation — dimension-bounded at any corpus size.",
+    tags=("corpus", "audit"),
+)
+def inference_batch_padding_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE)).alias("n_tokens")
+    ).select("n_tokens", F.expr(_pad_bin_case("n_tokens")).alias("bin_max"))
+    return staged.groupBy(F.col("bin_max").cast("int").alias("bin_max")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    ).select(
+        "bin_max",
+        "n_docs",
+        "sum_tokens",
+        F.expr(
+            "cast(if(bin_max > 0, n_docs * bin_max - sum_tokens, 0L) as long)"
+        ).alias("n_padded_tokens"),
+        F.expr(
+            "cast(if(bin_max > 0,"
+            " (n_docs * bin_max - sum_tokens) * 1000000L"
+            " div (n_docs * bin_max), 0L) as long)"
+        ).alias("waste_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback: query expansion composing the real BM25
+# --------------------------------------------------------------------------
+
+RM3_FDOCS = 3  # feedback depth: BM25 top-3 per query
+RM3_EXP = 4  # expansion terms per query
+RM3_ALPHA_MILLI = 600  # original-term weight (0.6)
+RM3_BETA_MILLI = 400  # expansion-term weight (0.4)
+
+
+@query(
+    "bm25_rm3_expansion",
+    oracle=f"""
+WITH {_BM25_ORACLE_CTES},
+fb AS (
+  SELECT query_id, doc_id AS fdoc FROM bm25_ranked WHERE rank <= {RM3_FDOCS}
+),
+rc AS (
+  SELECT f.query_id, p.term,
+         CAST(SUM(p.tf * 1000000 // p.dl) AS BIGINT) AS w_micro
+  FROM fb f JOIN post p ON p.doc_id = f.fdoc
+  GROUP BY f.query_id, p.term
+),
+rx AS (
+  SELECT rc.* FROM rc
+  WHERE NOT EXISTS (SELECT 1 FROM qann a
+                    WHERE a.query_id = rc.query_id AND a.term = rc.term)
+),
+re0 AS (
+  SELECT rx.query_id, rx.term, t.df, tot.n, tot.t, rx.w_micro
+  FROM rx JOIN tdf t USING (term) CROSS JOIN tot
+  WHERE t.df * 1000000 <= {BM25_DF_CAP_PPM} * tot.n
+),
+rtop AS (
+  SELECT query_id, term, df, n, t FROM (
+    SELECT query_id, term, df, n, t,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY w_micro DESC, term ASC) AS rn
+    FROM re0) WHERE rn <= {RM3_EXP}
+),
+allt AS (
+  SELECT query_id, term, df, n, t,
+         {RM3_ALPHA_MILLI} AS w, TRUE AS is_orig FROM qkept
+  UNION ALL
+  SELECT query_id, term, df, n, t,
+         {RM3_BETA_MILLI} AS w, FALSE AS is_orig FROM rtop
+),
+rsc AS (
+  SELECT a.query_id, p.doc_id, a.is_orig,
+         a.w * (((2 * a.n - 2 * a.df + 1) * 1000) // (2 * a.df + 1))
+             * ((22 * p.tf * a.t * 1000000)
+                // (10 * a.t * p.tf + 3 * a.t + 9 * p.dl * a.n)) AS contrib
+  FROM allt a JOIN post p USING (term)
+  WHERE p.doc_id <> a.query_id
+),
+ragg AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CASE WHEN is_orig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orig_terms_hit,
+         CAST(SUM(CASE WHEN NOT is_orig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exp_terms_hit,
+         CAST(SUM(contrib) AS BIGINT) AS rm3_nano
+  FROM rsc GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id,
+       n_orig_terms_hit, n_exp_terms_hit, rm3_nano
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rm3_nano DESC, doc_id ASC) AS rn FROM ragg)
+WHERE rn <= {BM25_K}
+""",
+    doc="RM3 pseudo-relevance feedback — the classic retrieval-stack "
+    "second pass, COMPOSING the real df-capped BM25 plan end to end: "
+    f"the top-{RM3_FDOCS} first-pass results per query become feedback "
+    "docs, expansion candidates are their terms weighted by exact "
+    "integer relative frequency (sum of tf*1e6 div dl over the "
+    "feedback set — the deterministic RM1 stand-in for P(t|R)), "
+    "original query terms (INCLUDING df-capped ones — a dropped "
+    "stopword must not sneak back in) are excluded, the SAME df cap "
+    f"gates expansion candidates, and the top-{RM3_EXP} per query by "
+    "(weight desc, term asc) join the original terms for the second "
+    f"scoring pass at {RM3_ALPHA_MILLI}/{RM3_BETA_MILLI} milli "
+    "weights. Every score bit is BIGINT (weight x idf_milli x "
+    "tfp_micro summed; headroom ~1.6e17 at sf0.1); per-result "
+    "provenance (n_orig_terms_hit / n_exp_terms_hit) is in the hash "
+    "gate, so WHERE each result came from is pinned, not narrated. "
+    "Scale shape: feedback and expansion dims are <= Q*F and Q*E rows "
+    "and broadcast; expansion candidates bound by the feedback docs' "
+    "vocabularies; both scoring passes are the audited BM25 shape "
+    "(terms shuffle, text never, WindowGroupLimit top-k).",
+    tags=("corpus", "retrieval"),
+)
+def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _bm25_parts(spark, sf_dir)
+    post, q_ann, tot = parts["post"], parts["q_ann"], parts["tot"]
+    fb = parts["ranked"].where(F.col("rank") <= RM3_FDOCS).select(
+        "query_id", F.col("doc_id").alias("fdoc")
+    )
+    rc = (
+        post.join(F.broadcast(fb), post["doc_id"] == fb["fdoc"])
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.expr("tf * 1000000L div dl")).cast("long").alias("w_micro"))
+    )
+    rx = rc.join(
+        q_ann.select("query_id", "term"), ["query_id", "term"], "left_anti"
+    )
+    re0 = (
+        rx.join(parts["term_df"], "term")
+        .crossJoin(F.broadcast(tot))
+        .where(F.expr(f"df * 1000000 <= {BM25_DF_CAP_PPM} * n"))
+    )
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.col("w_micro").desc(), F.col("term").asc()
+    )
+    rtop = (
+        re0.withColumn("rn", F.row_number().over(wexp))
+        .where(F.col("rn") <= RM3_EXP)
+        .select("query_id", "term", "df", "n", "t")
+    )
+    allt = parts["q_kept"].select(
+        "query_id", "term", "df", "n", "t",
+        F.lit(RM3_ALPHA_MILLI).cast("long").alias("w"),
+        F.lit(True).alias("is_orig"),
+    ).unionByName(
+        rtop.select(
+            "query_id", "term", "df", "n", "t",
+            F.lit(RM3_BETA_MILLI).cast("long").alias("w"),
+            F.lit(False).alias("is_orig"),
+        )
+    )
+    rsc = post.join(F.broadcast(allt), "term").where(
+        F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        "is_orig",
+        F.expr(
+            "w * (((2 * n - 2 * df + 1) * 1000L) div (2 * df + 1))"
+            " * ((22 * tf * t * 1000000L)"
+            "    div (10 * t * tf + 3 * t + 9 * dl * n))"
+        ).alias("contrib"),
+    )
+    ragg = rsc.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("is_orig").cast("long")).cast("long").alias("n_orig_terms_hit"),
+        F.sum((~F.col("is_orig")).cast("long")).cast("long").alias("n_exp_terms_hit"),
+        F.sum("contrib").cast("long").alias("rm3_nano"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rm3_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ragg.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id",
+                "n_orig_terms_hit", "n_exp_terms_hit", "rm3_nano")
+    )

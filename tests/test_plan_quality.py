@@ -1239,6 +1239,46 @@ def test_hybrid_rrf_fusion_composes_bounded_legs(spark):
     assert not any("text" in e for e in exchanges), "raw text shuffled"
 
 
+def test_ann_dim_truncation_audit_shape(spark):
+    """The per-dim top-k frame is localCheckpointed at build (<=
+    |dims|*|Q|*k rows — two consumers must not re-run the brute-force
+    scan), so the visible plan is the audit fan-in only: ONE exchange
+    (the per-(dim, query) overlap rollup), broadcast truth join, no
+    Python, no cartesian."""
+    plan = _plan(spark, "ann_dim_truncation_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_inference_batch_padding_card_one_rollup(spark):
+    """Token count and bin assignment are row-local; the ONLY exchange
+    is the |bins|-key rollup (map-side partial agg) — no Python, no
+    Generate, no text in any shuffle."""
+    plan = _plan(spark, "inference_batch_padding_card")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"^\(\d+\) Generate", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 1, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_bm25_rm3_expansion_composes_bounded_passes(spark):
+    """RM3 composes the real BM25 twice (first pass + expanded rescore):
+    terms shuffle, text never; the feedback/expansion dims broadcast;
+    every top-k (first pass, expansion pick, final rank) plans with
+    WindowGroupLimit; no Python, no cartesian."""
+    plan = _plan(spark, "bm25_rm3_expansion")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 6  # 3 rank windows, tree+detail
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 14, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
 def test_hybrid_fusion_recall_audit_shape(spark):
     """The audit runs two full fusions (sketch path + exact truth) over
     ONE checkpointed bm leg and ONE checkpointed prefilter frame — no
