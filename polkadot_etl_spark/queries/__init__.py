@@ -80,6 +80,10 @@ _PRIORITY: list[str] = [
     "bm25_rm3_expansion",
     "ann_dim_truncation_audit",
     "inference_batch_padding_card",
+    # second late-r9 batch (two more r2-tail slots deferred to r10):
+    # champion-list index pruning and the shuffle-key skew card
+    "bm25_champion_prune",
+    "shuffle_skew_audit",
     # --- the r1 tail (26): last driver-green row is round 1
     "asof_join_last_purchase",
     "channel_daily_summary",
@@ -107,20 +111,21 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
     "trailing_rollups",
-    # --- the r2 tail (13 of 24): last driver-green row is round 2
+    # --- the r2 tail (11 of 24): last driver-green row is round 2
     # (left for r10: session_window_native, topk_paging,
     # tpch_q4_order_priority, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, unpivot_roundtrip, work_queue_backoff,
-    # plus four deferred late-r9 for the new-query block above —
+    # plus six deferred late-r9 for the new-query blocks above —
     # like_filter, noise_suppression, validity_filter,
-    # pivot_event_counts: all P-family filter/pivot shapes whose
-    # predicates re-run inside in-window relational plans and the local
-    # oracle suite every session)
+    # pivot_event_counts (P-family filter/pivot shapes whose predicates
+    # re-run inside in-window relational plans), per_block_stats (A7 —
+    # the agg family keeps 8+ in-window reps) and daily_history_series
+    # (W4 — window family repped by best_by_rank + moving_avg_7d
+    # in-window); all stay in the local oracle suite every session)
     "active_accounts_union",
     "anti_join_no_urgent",
     "best_by_rank",
     "block_at_timestamp",
-    "daily_history_series",
     "daily_order_metrics",
     "gap_detection",
     "intersect_except_users",
@@ -128,7 +133,6 @@ _PRIORITY: list[str] = [
     "json_field_access",
     "left_join_dim_agg",
     "monthly_rollup_having",
-    "per_block_stats",
 ]
 
 

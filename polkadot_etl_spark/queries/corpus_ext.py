@@ -6999,3 +6999,251 @@ def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id",
                 "n_orig_terms_hit", "n_exp_terms_hit", "rm3_nano")
     )
+
+
+# --------------------------------------------------------------------------
+# Champion-list index pruning: BM25 over top-C postings per term
+# --------------------------------------------------------------------------
+
+CHAMP_C = 32  # champion-list depth: top-C postings per term by tf
+
+
+@query(
+    "bm25_champion_prune",
+    oracle=f"""
+WITH {_BM25_ORACLE_CTES},
+champ AS (
+  SELECT doc_id, dl, term, tf FROM (
+    SELECT doc_id, dl, term, tf,
+           ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY tf DESC, doc_id ASC) AS crn
+    FROM post) WHERE crn <= {CHAMP_C}
+),
+psz AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS full_postings,
+         CAST(SUM(CASE WHEN crn <= {CHAMP_C} THEN 1 ELSE 0 END) AS BIGINT)
+           AS champ_postings
+  FROM (SELECT ROW_NUMBER() OVER (PARTITION BY term
+          ORDER BY tf DESC, doc_id ASC) AS crn FROM post)
+),
+csc AS (
+  SELECT k.query_id, p.doc_id,
+         ((2 * k.n - 2 * k.df + 1) * 1000) // (2 * k.df + 1)
+           * ((22 * p.tf * k.t * 1000000)
+              // (10 * k.t * p.tf + 3 * k.t + 9 * p.dl * k.n)) AS contrib
+  FROM qkept k JOIN champ p USING (term)
+  WHERE p.doc_id <> k.query_id
+),
+cagg AS (
+  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+  FROM csc GROUP BY query_id, doc_id
+),
+cr AS (
+  SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rn
+    FROM cagg) WHERE rn <= {BM25_K}
+),
+ov AS (
+  SELECT c.query_id, CAST(COUNT(b.doc_id) AS BIGINT) AS n_overlap
+  FROM cr c LEFT JOIN bm25_ranked b
+    ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+  GROUP BY c.query_id
+)
+SELECT o.query_id, o.n_overlap,
+       o.n_overlap * 1000000 // {BM25_K} AS overlap_ppm,
+       psz.full_postings, psz.champ_postings,
+       (psz.full_postings - psz.champ_postings) * 1000000
+         // psz.full_postings AS pruned_ppm
+FROM ov o CROSS JOIN psz
+""",
+    doc="Champion-list index pruning (the impact-ordered-index / "
+    f"top-docs classic): each term's postings prune to the top-{CHAMP_C} "
+    "by (tf desc, doc asc), the SAME df-capped BM25 scoring runs over "
+    "the pruned index, and the card reports per-query top-k overlap vs "
+    "the full-index BM25 (exact-integer ppm) NEXT TO the fraction of "
+    "postings pruned away — the recall-for-index-size trade as a "
+    "measured pair, the ann_recall_audit discipline applied to the "
+    "sparse index. On this shared-vocabulary fixture the champion cut "
+    "is deep (every query term matches most docs), which makes the "
+    "fixture the stress case: any scoring divergence between the "
+    "pruned and full paths shows immediately. "
+    "Scale shape: the champion cut is one term-partition "
+    "WindowGroupLimit over the postings (per-partition pre-cut before "
+    "the exchange); the pruned index is |vocab| x C rows regardless of "
+    "corpus size — the entire point of champion lists at 100 TB; both "
+    "scoring passes broadcast the <= 64-row query dim.",
+    tags=("corpus", "retrieval", "audit"),
+)
+def bm25_champion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _bm25_parts(spark, sf_dir)
+    post, q_kept = parts["post"], parts["q_kept"]
+    wc = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    crn = post.withColumn("crn", F.row_number().over(wc))
+    champ = crn.where(F.col("crn") <= CHAMP_C)
+    psz = crn.agg(
+        F.count(F.lit(1)).cast("long").alias("full_postings"),
+        F.sum((F.col("crn") <= CHAMP_C).cast("long")).cast("long").alias(
+            "champ_postings"
+        ),
+    )
+    csc = champ.join(F.broadcast(q_kept), "term").where(
+        F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            "(((2 * n - 2 * df + 1) * 1000L) div (2 * df + 1))"
+            " * ((22 * tf * t * 1000000L)"
+            "    div (10 * t * tf + 3 * t + 9 * dl * n))"
+        ).alias("contrib"),
+    )
+    cagg = csc.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("long").alias("score")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    cr = (
+        cagg.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= BM25_K)
+        .select("query_id", "doc_id")
+    )
+    full = parts["ranked"].select("query_id", "doc_id", F.lit(1).alias("hit"))
+    ov = (
+        cr.join(F.broadcast(full), ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("n_overlap"))
+    )
+    return ov.crossJoin(F.broadcast(psz)).select(
+        "query_id",
+        "n_overlap",
+        F.expr(f"n_overlap * 1000000L div {BM25_K}").alias("overlap_ppm"),
+        "full_postings",
+        "champ_postings",
+        F.expr(
+            "(full_postings - champ_postings) * 1000000L div full_postings"
+        ).alias("pruned_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-key skew audit: the salting decision as a measured card
+# --------------------------------------------------------------------------
+
+SKEW_P99_NUM = 99  # p99 by deterministic rank (ceil(0.99 * n_keys))
+
+
+@query(
+    "shuffle_skew_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+term_keys AS (
+  SELECT 'term' AS key_family, term AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, UNNEST(ts) AS term FROM toks)
+  GROUP BY term
+),
+digest_keys AS (
+  SELECT 'digest' AS key_family, md5(lower(trim(text))) AS k,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY md5(lower(trim(text)))
+),
+source_keys AS (
+  SELECT 'source' AS key_family, source AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source
+),
+ak AS (SELECT * FROM term_keys UNION ALL SELECT * FROM digest_keys
+       UNION ALL SELECT * FROM source_keys),
+rk AS (
+  SELECT key_family, k, cnt,
+         ROW_NUMBER() OVER (PARTITION BY key_family
+           ORDER BY cnt ASC, k ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY key_family) AS n_keys,
+         SUM(cnt) OVER (PARTITION BY key_family) AS n_rows
+  FROM ak
+)
+SELECT key_family,
+       CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       CAST(MAX(cnt) * 1000000 // MAX(n_rows) AS BIGINT) AS top_share_ppm,
+       CAST(MAX(CASE WHEN rn = (n_keys * {SKEW_P99_NUM} + 99) // 100
+            THEN cnt END) AS BIGINT) AS p99_key_rows
+FROM rk GROUP BY key_family
+""",
+    doc="Shuffle-key skew audit — the salting decision "
+    "(operators/skew.py) as a MEASURED card instead of a guess: for "
+    "the engine's three hottest shuffle-key families (term — the "
+    "BM25/BPE postings key; digest — the dedup canonicality key; "
+    "source — the rollup key), report key count, row count, the "
+    "hottest key's row count and share (exact ppm), and the "
+    "deterministic p99 key size (rank ceil(0.99 * n_keys) under "
+    "(count, key) total order — no percentile interpolation). "
+    "top_share_ppm >> 1/n_partitions is the quantitative trigger for "
+    "salting or AQE skew handling (the mitigation skewed_hotkey_rollup "
+    "demonstrates); on this fixture the 'source' family measures the "
+    "UN-skewed baseline (uniform sources) while 'term' carries the "
+    "real skew — stopword keys touching most documents, the exact "
+    "distribution behind the BM25 df cap. "
+    "Scale shape: three map-combined key counts (the same aggregates "
+    "the real pipelines run) + per-family rank windows over "
+    "key-cardinality-bounded frames; nothing is corpus-sized after "
+    "the first aggregate.",
+    tags=("corpus", "audit"),
+)
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    term_keys = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.lit("term").alias("key_family"), "k", "cnt")
+    )
+    digest_keys = (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.lit("digest").alias("key_family"), "k", "cnt")
+    )
+    source_keys = (
+        d.select(F.col("source").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.lit("source").alias("key_family"), "k", "cnt")
+    )
+    ak = term_keys.unionByName(digest_keys).unionByName(source_keys)
+    wf = Window.partitionBy("key_family")
+    wr = Window.partitionBy("key_family").orderBy(
+        F.col("cnt").asc(), F.col("k").asc()
+    )
+    rk = ak.select(
+        "key_family",
+        "cnt",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wf).alias("n_keys"),
+        F.sum("cnt").over(wf).alias("n_rows"),
+    )
+    return rk.groupBy("key_family").agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.expr("cast(max(cnt) * 1000000L div max(n_rows) as long)").alias(
+            "top_share_ppm"
+        ),
+        F.max(
+            F.when(
+                F.expr(f"rn = (n_keys * {SKEW_P99_NUM} + 99) div 100"),
+                F.col("cnt"),
+            )
+        ).cast("long").alias("p99_key_rows"),
+    )

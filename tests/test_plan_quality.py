@@ -1279,6 +1279,33 @@ def test_bm25_rm3_expansion_composes_bounded_passes(spark):
     assert not any("text" in e for e in exchanges), "raw text shuffled"
 
 
+def test_bm25_champion_prune_shape(spark):
+    """The champion cut is a term-partition WindowGroupLimit over the
+    postings (per-partition pre-cut before the exchange); both scoring
+    passes broadcast the query dim; terms shuffle, text never; no
+    Python, no cartesian."""
+    plan = _plan(spark, "bm25_champion_prune")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 4  # champion cut + final rank
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 11, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_shuffle_skew_audit_key_bounded(spark):
+    """Three map-combined key counts + per-family rank windows over
+    key-cardinality-bounded frames — nothing corpus-sized crosses an
+    exchange after the first aggregate; no Python, no cartesian, no
+    text in any shuffle."""
+    plan = _plan(spark, "shuffle_skew_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 5, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
 def test_hybrid_fusion_recall_audit_shape(spark):
     """The audit runs two full fusions (sketch path + exact truth) over
     ONE checkpointed bm leg and ONE checkpointed prefilter frame — no
