@@ -23,9 +23,10 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 #
 # ROUND-9 ROTATION (the r8 verdict's task #5 — grind the r1/r2 staleness
 # tail): 81 queries' last driver-green row was r1-r3; this round dedicates
-# 43 slots to the OLDEST tail (all 26 r1 entries + 17 of the 24 r2
-# entries; the 7 remaining r2 + the 31 r3 entries queue for r10, taking
-# the oldest-green tail from 81 to 38 < 50). Every rotated-in entry is
+# 37 slots to the OLDEST tail (all 26 r1 entries + 11 of the 24 r2
+# entries after six late-r9 deferrals for the new-query blocks; the 13
+# remaining r2 + the 31 r3 entries queue for r10, taking the oldest-green
+# tail from 81 to 44 < 50). Every rotated-in entry is
 # relational/tpch-family code untouched since its green row and verified
 # by the local oracle suite every session. The 45 demotions are ALL
 # r8-green (CORRECTNESS_r08.json, 50/50): the llmdata/corpus_ext demotions

@@ -6427,8 +6427,13 @@ def _replay_stream_collect(stream_df: DataFrame, work: str, out_schema):
         .foreachBatch(_collect)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # always stop: an orphaned stream would keep erroring against
+        # the caller's rmtree'd source/checkpoint dirs for the rest of
+        # the session, polluting every subsequent query
+        q.stop()
     out = [p for p in acc if len(p)]
     if out:
         return _pd.concat(out, ignore_index=True)
@@ -6597,7 +6602,7 @@ def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from polkadot_etl_spark.streaming.corpus import DOC_STREAM_SCHEMA
+    from polkadot_etl_spark.streaming.corpus import document_stream
     from polkadot_etl_spark.streaming.neardedup import (
         BAND_OUT_SCHEMA,
         consolidate_verdicts,
@@ -6607,14 +6612,13 @@ def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _tempfile.mkdtemp(prefix="neardedup_replay_")
     try:
         src_dir = _replay_ndjson_batches(spark, sf_dir, work)
-        docs = (
-            spark.readStream.schema(DOC_STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .json(src_dir)
-            .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        )
+        # the REAL source stage (shared with streaming_corpus_replay) —
+        # an inline copy would silently drift from the machine this
+        # query certifies
         pdf = _replay_stream_collect(
-            near_dedup_stream(docs, cap=REPLAY_ROSTER_CAP),
+            near_dedup_stream(
+                document_stream(spark, src_dir), cap=REPLAY_ROSTER_CAP
+            ),
             work,
             BAND_OUT_SCHEMA,
         )
@@ -7223,8 +7227,11 @@ def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ak = term_keys.unionByName(digest_keys).unionByName(source_keys)
     wf = Window.partitionBy("key_family")
+    # asc_nulls_last: Spark sorts NULLs FIRST on plain ASC while DuckDB
+    # sorts them LAST — a NULL key (source is nullable) would shift
+    # every rank by one in opposite directions across engines
     wr = Window.partitionBy("key_family").orderBy(
-        F.col("cnt").asc(), F.col("k").asc()
+        F.col("cnt").asc(), F.col("k").asc_nulls_last()
     )
     rk = ak.select(
         "key_family",

@@ -175,20 +175,26 @@ def ingest_accounting_sink(state_dir: str):
             .collect()
         )
         os.makedirs(state_dir, exist_ok=True)
-        payload = {
-            "batch_id": batch_id,
-            "sources": {
-                # source is nullable (DOC_STREAM_SCHEMA): a None key next
-                # to string keys makes json.dump(sort_keys=True) raise
-                # TypeError and kill the streaming query — sentinel it
-                (r["source"] if r["source"] is not None else "__null__"): {
-                    "n_in": r["n_in"],
-                    "n_quality": r["n_quality"],
-                    "n_unique": r["n_unique"],
-                }
-                for r in rows
-            },
-        }
+        # source is nullable (DOC_STREAM_SCHEMA): a None key next to
+        # string keys makes json.dump(sort_keys=True) raise TypeError and
+        # kill the streaming query — sentinel it. A real source literally
+        # named like the sentinel would collide with the null row and
+        # silently lose one accounting row; that must be LOUD instead.
+        sources: dict = {}
+        for r in rows:
+            k = r["source"] if r["source"] is not None else "__null__"
+            if k in sources:
+                raise ValueError(
+                    f"accounting key collision on {k!r}: a literal source"
+                    " named like the null sentinel would silently merge"
+                    " with the null-source row"
+                )
+            sources[k] = {
+                "n_in": r["n_in"],
+                "n_quality": r["n_quality"],
+                "n_unique": r["n_unique"],
+            }
+        payload = {"batch_id": batch_id, "sources": sources}
         path = os.path.join(state_dir, f"batch-{batch_id:08d}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

@@ -182,6 +182,34 @@ def test_dedup_multi_chunk_group_uses_batch_min():
     assert st.updated == (4, 2)
 
 
+def test_accounting_sink_null_source_and_collision(spark, tmp_path):
+    """A NULL source sentinels to '__null__' (json sort_keys would raise
+    on a None key); a literal source NAMED like the sentinel must fail
+    LOUDLY instead of silently merging with the null row."""
+    import pytest
+
+    from polkadot_etl_spark.streaming.corpus import ingest_accounting_sink
+
+    acct = str(tmp_path / "acct")
+    ok = spark.createDataFrame(
+        [(1, "d", None, True, True, 1), (2, "e", "s0", True, True, 2)],
+        "doc_id LONG, digest STRING, source STRING, keep BOOLEAN,"
+        " is_first BOOLEAN, canonical_id LONG",
+    )
+    ingest_accounting_sink(acct)(ok, 0)
+    payload = json.loads((pathlib.Path(acct) / "batch-00000000.json").read_text())
+    assert payload["sources"]["__null__"]["n_in"] == 1
+    assert payload["sources"]["s0"]["n_in"] == 1
+
+    clash = spark.createDataFrame(
+        [(1, "d", None, True, True, 1), (2, "e", "__null__", True, True, 2)],
+        "doc_id LONG, digest STRING, source STRING, keep BOOLEAN,"
+        " is_first BOOLEAN, canonical_id LONG",
+    )
+    with pytest.raises(ValueError, match="collision"):
+        ingest_accounting_sink(acct)(clash, 1)
+
+
 def test_out_of_order_arrival_is_first_arrival_wins(spark, tmp_path):
     src, _, _ = _mk_dirs(tmp_path)
     _write_ndjson(src / "a.json", [{"doc_id": 7, "text": GOOD, "source": "s0", "lang": "en"}])
