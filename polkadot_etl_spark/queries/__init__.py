@@ -23,10 +23,10 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 #
 # ROUND-9 ROTATION (the r8 verdict's task #5 — grind the r1/r2 staleness
 # tail): 81 queries' last driver-green row was r1-r3; this round dedicates
-# 37 slots to the OLDEST tail (all 26 r1 entries + 11 of the 24 r2
-# entries after six late-r9 deferrals for the new-query blocks; the 13
+# 36 slots to the OLDEST tail (all 26 r1 entries + 10 of the 24 r2
+# entries after seven late-r9 deferrals for the new-query blocks; the 14
 # remaining r2 + the 31 r3 entries queue for r10, taking the oldest-green
-# tail from 81 to 44 < 50). Every rotated-in entry is
+# tail from 81 to 45 < 50). Every rotated-in entry is
 # relational/tpch-family code untouched since its green row and verified
 # by the local oracle suite every session. The 45 demotions are ALL
 # r8-green (CORRECTNESS_r08.json, 50/50): the llmdata/corpus_ext demotions
@@ -85,6 +85,9 @@ _PRIORITY: list[str] = [
     # champion-list index pruning and the shuffle-key skew card
     "bm25_champion_prune",
     "shuffle_skew_audit",
+    # third late-r9 addition (one more r2-tail slot deferred): the
+    # fourth iterative family — fixed-point top-PC power iteration
+    "embedding_top_pc_power",
     # --- the r1 tail (26): last driver-green row is round 1
     "asof_join_last_purchase",
     "channel_daily_summary",
@@ -112,17 +115,18 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
     "trailing_rollups",
-    # --- the r2 tail (11 of 24): last driver-green row is round 2
+    # --- the r2 tail (10 of 24): last driver-green row is round 2
     # (left for r10: session_window_native, topk_paging,
     # tpch_q4_order_priority, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, unpivot_roundtrip, work_queue_backoff,
-    # plus six deferred late-r9 for the new-query blocks above —
+    # plus seven deferred late-r9 for the new-query blocks above —
     # like_filter, noise_suppression, validity_filter,
     # pivot_event_counts (P-family filter/pivot shapes whose predicates
     # re-run inside in-window relational plans), per_block_stats (A7 —
-    # the agg family keeps 8+ in-window reps) and daily_history_series
+    # the agg family keeps 8+ in-window reps), daily_history_series
     # (W4 — window family repped by best_by_rank + moving_avg_7d
-    # in-window); all stay in the local oracle suite every session)
+    # in-window) and monthly_rollup_having (A3 — same agg-family
+    # argument); all stay in the local oracle suite every session)
     "active_accounts_union",
     "anti_join_no_urgent",
     "best_by_rank",
@@ -133,7 +137,6 @@ _PRIORITY: list[str] = [
     "interval_sampling",
     "json_field_access",
     "left_join_dim_agg",
-    "monthly_rollup_having",
 ]
 
 

@@ -7135,6 +7135,180 @@ def bm25_champion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Top principal component via fixed-point power iteration (the fourth
+# iterative family after k-means / connected components / PageRank)
+# --------------------------------------------------------------------------
+
+PC_ITERS = 4  # power iterations (deltas shrink fast on anisotropic data)
+PC_SCALE = 1_000_000  # x renormalizes to max|coord| = 1e6 each round
+PC_QUANT = 1000  # embeddings quantize to floor(x*1000) BIGINTs (SRP rule)
+PC_DIMS = 64
+
+
+def _pc_oracle_layers() -> str:
+    """Unrolled power-iteration CTE layers (the bpe_merge_train_steps
+    precedent): layer i computes per-vector dots against x_{i-1}, the
+    per-dim matvec y_i, and the renormalized x_i."""
+    layers = []
+    for i in range(1, PC_ITERS + 1):
+        prev = "x0" if i == 1 else f"x{i - 1}"
+        layers.append(f"""dot{i} AS (
+  SELECT cv.vec_id, CAST(SUM(cv.c * px.x) AS BIGINT) AS p
+  FROM cv JOIN {prev} px USING (d) GROUP BY cv.vec_id
+),
+y{i} AS (
+  SELECT cv.d, CAST(SUM(cv.c * dt.p) AS BIGINT) AS y
+  FROM cv JOIN dot{i} dt USING (vec_id) GROUP BY cv.d
+),
+m{i} AS (
+  SELECT greatest(greatest(MAX(abs(y)), 1) // {PC_SCALE}, 1) AS dv
+  FROM y{i}
+),
+x{i} AS (
+  SELECT y{i}.d, CAST(y{i}.y // m{i}.dv AS BIGINT) AS x
+  FROM y{i} CROSS JOIN m{i}
+)""")
+    return ",\n".join(layers)
+
+
+@query(
+    "embedding_top_pc_power",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, {PC_DIMS} + 1)) AS d),
+ex AS (
+  SELECT q.vec_id, dd.d,
+         CAST(floor(q.embedding[dd.d]::DOUBLE * {PC_QUANT}) AS BIGINT)
+           + ((dd.d * 7) % 13 - 6) * (20 + (q.vec_id % 11) * 4) AS v
+  FROM embeddings q CROSS JOIN dims dd
+),
+mu AS (SELECT d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m FROM ex GROUP BY d),
+cv AS (SELECT ex.vec_id, ex.d, ex.v - mu.m AS c FROM ex JOIN mu USING (d)),
+x0 AS (SELECT d, CAST({PC_SCALE} AS BIGINT) AS x FROM dims),
+{_pc_oracle_layers()},
+sg AS (
+  SELECT CASE WHEN (SELECT x FROM x{PC_ITERS} WHERE x <> 0
+                    ORDER BY d ASC LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS s
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT CAST(xf.d AS INTEGER) AS dim,
+       CAST(xf.x * sg.s AS BIGINT) AS pc_micro,
+       nv.n AS n_vectors,
+       CAST({PC_ITERS} AS INTEGER) AS n_iter
+FROM x{PC_ITERS} xf CROSS JOIN sg CROSS JOIN nv
+""",
+    doc="Top principal component of the embedding corpus by fixed-point "
+    "power iteration — the dominant-direction primitive every "
+    "embedding post-processing pipeline needs (all-but-the-top / ABTT "
+    "anisotropy correction, whitening decisions, the direction behind "
+    "embedding_isotropy_card's compactness numbers) — and the FOURTH "
+    "iterative family under the integer-determinism discipline "
+    "(k-means, connected components, PageRank). The fixture embeddings "
+    "are deliberately ISOTROPIC (lambda2/lambda1 = 0.987 — the flat "
+    "spectrum embedding_isotropy_card exists to measure), where power "
+    "iteration converges at rate (l2/l1)^k, i.e. not in 4 rounds — so "
+    "a deterministic common-direction component is synthesized inside "
+    "the query (the html_boilerplate/video synthesize-then-exercise "
+    "precedent, and exactly the ABTT setting: real sentence embeddings "
+    "carry a dominant shared direction this fixture lacks): bias "
+    "pattern ((d*7) % 13 - 6) scaled per vector by (20 + vec_id%11 * "
+    "4), giving lambda2/lambda1 ~ 0.17 so 4 rounds converge to "
+    "|cos| > 0.999 against numpy's leading eigenvector (pinned in "
+    "pytest). Mechanics: embeddings quantize to "
+    f"floor(v*{PC_QUANT}) BIGINTs (+ the integer bias), per-dim means "
+    "center with one truncating division, and every iteration is "
+    "matvec y = sum_v "
+    "(c_v . x) c_v in EXACT BIGINT arithmetic with x renormalized by "
+    "dividing every coordinate by greatest(max|y| div "
+    f"{PC_SCALE}, 1) — division, not y*SCALE, because the scaled "
+    "product overflows int64 in SQL; the result keeps max|x| in "
+    f"[{PC_SCALE}, 2*{PC_SCALE}) — no float exists anywhere, so the "
+    "direction is bit-identical across engines and partitionings (the "
+    "sign fixed deterministically by the first nonzero coordinate). "
+    "BIGINT headroom: |c| <= 2e3, |dot| <= "
+    f"{PC_DIMS}*2e3*2e6 = 2.6e11, |y| <= N*2e3*2.6e11 = 2.6e18 at "
+    "N = 5000 (sf0.1) — inside int64; at N >= 2e4 drop PC_SCALE one "
+    "decade, same plan. Spark runs the loop "
+    "PageRank-style with bounded driver state (x is 64 numbers "
+    "collected per round; dots are row-local zip_with folds against "
+    "the x LITERAL — no join), while the oracle unrolls the same "
+    "iterations as relational joins per layer — opposite mechanisms "
+    "agreeing on every bit. Scale shape: one corpus pass per "
+    "iteration, each a map-side fold + one |dims|-key aggregate; "
+    "driver state is O(dims) per round.",
+    tags=("similarity", "iterative"),
+)
+def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # quantize + the synthesized common-direction component (see doc):
+    # bias pattern ((d*7) % 13 - 6) scaled per vector by (20 + id%11 * 4)
+    qv = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (v, i) ->"
+            f" cast(floor(cast(v as double) * {PC_QUANT}) as bigint)"
+            f" + (((i + 1) * 7) % 13 - 6) * (20 + (vec_id % 11) * 4))"
+        ).alias("qv"),
+    )
+    # per-dim means (one corpus pass, 64-row collect — bounded driver
+    # state, the kmeans-centroid class)
+    mu_rows = (
+        qv.select(F.posexplode("qv").alias("d0", "v"))
+        .groupBy("d0")
+        .agg(F.expr("sum(v) div count(1)").alias("m"))
+        .collect()
+    )
+    mu = [0] * PC_DIMS
+    for r in mu_rows:
+        mu[r["d0"]] = int(r["m"])
+    mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+    cva = qv.select(
+        "vec_id",
+        F.expr(f"zip_with(qv, {mu_lit}, (v, m) -> v - m)").alias("cv"),
+    )
+    x = [PC_SCALE] * PC_DIMS
+    for _ in range(PC_ITERS):
+        x_lit = "array(" + ", ".join(f"{v}L" for v in x) + ")"
+        y_rows = (
+            cva.select(
+                "cv",
+                F.expr(
+                    f"aggregate(zip_with(cv, {x_lit}, (c, xx) -> c * xx),"
+                    " 0L, (acc, v) -> acc + v)"
+                ).alias("p"),
+            )
+            .select(F.posexplode(F.expr("transform(cv, c -> c * p)")).alias("d0", "yv"))
+            .groupBy("d0")
+            .agg(F.sum("yv").alias("y"))
+            .collect()
+        )
+        y = [0] * PC_DIMS
+        for r in y_rows:
+            y[r["d0"]] = int(r["y"])
+        # renormalize by dividing by (max|y| div SCALE) rather than
+        # multiplying y by SCALE — y*SCALE overflows int64 in the SQL
+        # oracle (y reaches ~1e18); division keeps both engines in
+        # int64 with identical truncate-toward-zero semantics
+        # (re-verified: DuckDB // and Spark div both give -7//2 = -3)
+        dv = max(max(abs(v) for v in y) // PC_SCALE, 1)
+        x = [_trunc_div(v, dv) for v in y]
+    first_nz = next((v for v in x if v != 0), 1)
+    sg = -1 if first_nz < 0 else 1
+    n_vectors = qv.count()
+    return spark.createDataFrame(
+        [(d + 1, x[d] * sg, n_vectors, PC_ITERS) for d in range(PC_DIMS)],
+        "dim INT, pc_micro LONG, n_vectors LONG, n_iter INT",
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark ``div`` / DuckDB
+    ``//`` semantics; Python ``//`` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# --------------------------------------------------------------------------
 # Shuffle-key skew audit: the salting decision as a measured card
 # --------------------------------------------------------------------------
 

@@ -684,3 +684,55 @@ def test_ivfpq_nprobe_raises_pruning_ceiling(spark):
         _ivfpq_probed(e, 0)
     with pytest.raises(ValueError, match="nprobe"):
         _ivfpq_probed(e, IVFPQ_NCELL + 1)
+
+
+def test_top_pc_power_matches_numpy_eigenvector(spark):
+    """The fixed-point power iteration must point where real linear
+    algebra points: the integer direction's |cosine| with numpy's
+    leading eigenvector of the centered quantized data's covariance
+    must be ~1 (the pagerank/bloom model-pin discipline), and the
+    output must be the documented scale/sign contract."""
+    import math
+
+    import numpy as np
+
+    from polkadot_etl_spark.queries.corpus_ext import (
+        PC_DIMS,
+        PC_QUANT,
+        PC_SCALE,
+        embedding_top_pc_power,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+
+    rows = embedding_top_pc_power(spark, SF_DIR).collect()
+    assert len(rows) == PC_DIMS
+    x = np.array(
+        [r["pc_micro"] for r in sorted(rows, key=lambda r: r["dim"])],
+        dtype=float,
+    )
+    # scale contract: max|coord| in [PC_SCALE, 2*PC_SCALE)
+    assert PC_SCALE <= np.abs(x).max() < 2 * PC_SCALE
+    # sign contract: first nonzero coordinate is positive
+    first_nz = next(v for v in x if v != 0)
+    assert first_nz > 0
+
+    rows_e = (
+        load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
+    )
+    emb = np.array([r["embedding"] for r in rows_e], dtype=float)
+    ids = np.array([r["vec_id"] for r in rows_e], dtype=np.int64)
+    d = np.arange(1, PC_DIMS + 1)
+    # the query's synthesized common-direction component (the ABTT
+    # setting: the raw fixture is deliberately isotropic)
+    bias = ((d * 7) % 13 - 6)[None, :] * (20 + (ids % 11) * 4)[:, None]
+    q = np.floor(emb * PC_QUANT) + bias
+    # truncating-mean center (Spark div / DuckDB // truncate toward 0)
+    s_ = q.sum(axis=0)
+    mu = np.sign(s_) * (np.abs(s_) // len(q))
+    c = q - mu
+    cov = c.T @ c
+    w, v = np.linalg.eigh(cov)
+    assert w[-2] / w[-1] < 0.5, "synthesized anisotropy missing?"
+    lead = v[:, -1]
+    cos = abs(float(x @ lead) / (math.sqrt(float(x @ x)) * 1.0))
+    assert cos > 0.999, cos
