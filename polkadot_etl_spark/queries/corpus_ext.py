@@ -7142,7 +7142,7 @@ def bm25_champion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 PC_ITERS = 4  # power iterations (deltas shrink fast on anisotropic data)
 PC_SCALE = 1_000_000  # x renormalizes to max|coord| = 1e6 each round
 PC_QUANT = 1000  # embeddings quantize to floor(x*1000) BIGINTs (SRP rule)
-PC_DIMS = 64
+PC_DIMS = INT8_DIMS  # one source of truth for the fixture dimensionality
 
 
 def _pc_oracle_layers() -> str:
@@ -7251,21 +7251,29 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     # per-dim means (one corpus pass, 64-row collect — bounded driver
-    # state, the kmeans-centroid class)
+    # state, the kmeans-centroid class); n_vectors rides the same
+    # aggregation instead of costing its own scan
     mu_rows = (
         qv.select(F.posexplode("qv").alias("d0", "v"))
         .groupBy("d0")
-        .agg(F.expr("sum(v) div count(1)").alias("m"))
+        .agg(
+            F.expr("sum(v) div count(1)").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     )
     mu = [0] * PC_DIMS
     for r in mu_rows:
         mu[r["d0"]] = int(r["m"])
+    n_vectors = int(mu_rows[0]["n"]) if mu_rows else 0
     mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+    # loop-invariant input: checkpoint once so the 4 iterations reuse
+    # the quantized+centered frame instead of re-deriving it from
+    # parquet per pass (the domain_pagerank precedent)
     cva = qv.select(
         "vec_id",
         F.expr(f"zip_with(qv, {mu_lit}, (v, m) -> v - m)").alias("cv"),
-    )
+    ).localCheckpoint(eager=True)
     x = [PC_SCALE] * PC_DIMS
     for _ in range(PC_ITERS):
         x_lit = "array(" + ", ".join(f"{v}L" for v in x) + ")"
@@ -7294,7 +7302,6 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = [_trunc_div(v, dv) for v in y]
     first_nz = next((v for v in x if v != 0), 1)
     sg = -1 if first_nz < 0 else 1
-    n_vectors = qv.count()
     return spark.createDataFrame(
         [(d + 1, x[d] * sg, n_vectors, PC_ITERS) for d in range(PC_DIMS)],
         "dim INT, pc_micro LONG, n_vectors LONG, n_iter INT",
