@@ -230,3 +230,39 @@ def test_wav_roundtrip_any_shape(n_frames, n_ch, bits, rate):
     assert got_rate == rate
     assert dec.shape == (n_frames, n_ch)
     assert (dec == x).all()
+
+
+@given(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=-(2**62), max_value=2**62).filter(lambda b: b != 0),
+)
+@settings(max_examples=300, deadline=None)
+def test_trunc_div_matches_duckdb_integer_division(a, b):
+    """_trunc_div (the Spark `div` model used by the power iteration's
+    driver loop) must agree with DuckDB's `//` on every sign
+    combination — the load-bearing parity behind bm25's idf, RM3's
+    weights and embedding_top_pc_power's renormalization (verified
+    empirically for -7//2 = -3; this pins the full contract)."""
+    import duckdb
+
+    from polkadot_etl_spark.queries.corpus_ext import _trunc_div
+
+    got = _trunc_div(a, b)
+    want = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()[0]
+    assert got == want, (a, b, got, want)
+    # and the definition itself: truncation toward zero
+    q = abs(a) // abs(b)
+    assert abs(got) == q and (got == 0 or (got > 0) == ((a > 0) == (b > 0)))
+
+
+@given(st.floats(min_value=0.05, max_value=0.95), st.integers(min_value=1, max_value=16))
+@settings(max_examples=200, deadline=None)
+def test_plan_bands_total_and_within_budget(threshold, n_hashes):
+    """plan_bands returns a valid (b, r) for every (threshold, budget):
+    b*r <= n_hashes, both >= 1, and the pick is deterministic (same
+    inputs -> same plan) after the r9 lazy-tie refactor."""
+    from polkadot_etl_spark.operators.lsh_planner import plan_bands
+
+    b, r = plan_bands(threshold, n_hashes)
+    assert b >= 1 and r >= 1 and b * r <= n_hashes
+    assert (b, r) == plan_bands(threshold, n_hashes)
