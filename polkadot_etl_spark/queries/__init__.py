@@ -23,10 +23,10 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 #
 # ROUND-9 ROTATION (the r8 verdict's task #5 — grind the r1/r2 staleness
 # tail): 81 queries' last driver-green row was r1-r3; this round dedicates
-# 36 slots to the OLDEST tail (all 26 r1 entries + 10 of the 24 r2
-# entries after seven late-r9 deferrals for the new-query blocks; the 14
+# 35 slots to the OLDEST tail (all 26 r1 entries + 9 of the 24 r2
+# entries after eight late-r9 deferrals for the new-query blocks; the 15
 # remaining r2 + the 31 r3 entries queue for r10, taking the oldest-green
-# tail from 81 to 45 < 50). Every rotated-in entry is
+# tail from 81 to 46 < 50). Every rotated-in entry is
 # relational/tpch-family code untouched since its green row and verified
 # by the local oracle suite every session. The 45 demotions are ALL
 # r8-green (CORRECTNESS_r08.json, 50/50): the llmdata/corpus_ext demotions
@@ -86,8 +86,10 @@ _PRIORITY: list[str] = [
     "bm25_champion_prune",
     "shuffle_skew_audit",
     # third late-r9 addition (one more r2-tail slot deferred): the
-    # fourth iterative family — fixed-point top-PC power iteration
+    # fourth iterative family — fixed-point top-PC power iteration,
+    # plus the card that APPLIES its direction (train -> use)
     "embedding_top_pc_power",
+    "embedding_abtt_card",
     # --- the r1 tail (26): last driver-green row is round 1
     "asof_join_last_purchase",
     "channel_daily_summary",
@@ -115,7 +117,7 @@ _PRIORITY: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_global_sales_opportunity",
     "trailing_rollups",
-    # --- the r2 tail (10 of 24): last driver-green row is round 2
+    # --- the r2 tail (9 of 24): last driver-green row is round 2
     # (left for r10: session_window_native, topk_paging,
     # tpch_q4_order_priority, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, unpivot_roundtrip, work_queue_backoff,
@@ -125,8 +127,10 @@ _PRIORITY: list[str] = [
     # re-run inside in-window relational plans), per_block_stats (A7 —
     # the agg family keeps 8+ in-window reps), daily_history_series
     # (W4 — window family repped by best_by_rank + moving_avg_7d
-    # in-window) and monthly_rollup_having (A3 — same agg-family
-    # argument); all stay in the local oracle suite every session)
+    # in-window), monthly_rollup_having (A3 — same agg-family
+    # argument) and json_field_access (the get_json_object scalar
+    # surface re-runs inside dozens of in-window plans); all stay in
+    # the local oracle suite every session)
     "active_accounts_union",
     "anti_join_no_urgent",
     "best_by_rank",
@@ -135,7 +139,6 @@ _PRIORITY: list[str] = [
     "gap_detection",
     "intersect_except_users",
     "interval_sampling",
-    "json_field_access",
     "left_join_dim_agg",
 ]
 

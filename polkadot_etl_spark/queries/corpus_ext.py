@@ -7308,11 +7308,154 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pc_power_direction(spark: SparkSession, sf_dir: str):
+    """(x_signed, n_vectors) of the trained power iteration — the
+    sign-fixed direction embedding_top_pc_power ships, collected for
+    embedding_abtt_card to project onto (the card COMPOSES the real
+    training query, so the two can never diverge — the strongest
+    sharing form, same as video_keyframe_sample composing the full
+    scene-cut plan)."""
+    rows = embedding_top_pc_power(spark, sf_dir).collect()
+    x = [0] * PC_DIMS
+    n_vectors = 0
+    for r in rows:
+        x[r["dim"] - 1] = int(r["pc_micro"])
+        n_vectors = int(r["n_vectors"])
+    return x, n_vectors
+
+
 def _trunc_div(a: int, b: int) -> int:
     """Truncate-toward-zero integer division (Spark ``div`` / DuckDB
     ``//`` semantics; Python ``//`` floors, which differs on negatives)."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b >= 0) else -q
+
+
+@query(
+    "embedding_abtt_card",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, {PC_DIMS} + 1)) AS d),
+ex AS (
+  SELECT q.vec_id, q.label, dd.d,
+         CAST(floor(q.embedding[dd.d]::DOUBLE * {PC_QUANT}) AS BIGINT)
+           + ((dd.d * 7) % 13 - 6) * (20 + (q.vec_id % 11) * 4) AS v
+  FROM embeddings q CROSS JOIN dims dd
+),
+mu AS (SELECT d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m FROM ex GROUP BY d),
+cv AS (SELECT ex.vec_id, ex.label, ex.d, ex.v - mu.m AS c
+       FROM ex JOIN mu USING (d)),
+x0 AS (SELECT d, CAST({PC_SCALE} AS BIGINT) AS x FROM dims),
+{_pc_oracle_layers()},
+sg AS (
+  SELECT CASE WHEN (SELECT x FROM x{PC_ITERS} WHERE x <> 0
+                    ORDER BY d ASC LIMIT 1) < 0
+         THEN -1 ELSE 1 END AS s
+),
+xs AS (SELECT xf.d, xf.x * sg.s AS x FROM x{PC_ITERS} xf CROSS JOIN sg),
+xsq AS (SELECT CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS xx FROM xs),
+proj AS (
+  SELECT cv.vec_id, MAX(cv.label) AS label,
+         CAST(SUM(cv.c * xs.x) AS BIGINT) AS p,
+         CAST(SUM(CAST(cv.c AS HUGEINT) * cv.c) AS HUGEINT) AS c2
+  FROM cv JOIN xs USING (d) GROUP BY cv.vec_id
+),
+lab AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         SUM(CAST(p AS HUGEINT) * p) AS sum_p2,
+         SUM(c2) AS sum_c2
+  FROM proj GROUP BY label
+)
+SELECT label, n_vectors,
+       CAST((lab.sum_p2 * 1000000)
+            // greatest(xsq.xx * lab.sum_c2, 1) AS BIGINT)
+         AS pc_share_ppm
+FROM lab CROSS JOIN xsq
+""",
+    doc="All-but-the-top decision card — the trained top-PC direction "
+    "APPLIED (train -> use, the bpe_merge_train_steps -> "
+    "bpe_fertility_audit pattern): per label, the share of centered "
+    "variance lying along the corpus' dominant direction, "
+    "share = sum_v (c_v . x)^2 / (|x|^2 sum_v |c_v|^2) as an exact "
+    "integer ppm — the number that decides whether removing the "
+    "common direction (Mu & Viswanath 2018) is worth it and whether "
+    "it is uniform across labels (a direction dominating ONE label is "
+    "signal, not anisotropy). COMPOSES the real power iteration: the "
+    "direction comes from embedding_top_pc_power's exact loop (a "
+    "pytest pins that this card and the shipped direction agree), and "
+    "the synthesized common-direction component MEASURES 13-18% shares "
+    "uniform across all 10 labels — ~10x the isotropic 1/64 baseline "
+    "and label-flat, i.e. anisotropy to remove, not signal to keep. "
+    "Arithmetic: projections are BIGINT (|p| <= 3e11); squares "
+    "and the share ride 128-bit lanes — HUGEINT in DuckDB, "
+    "python-int driver math over collected per-label DECIMAL(38,0) "
+    "sums in Spark (2 decimals per label, bounded driver state) — so "
+    "no float ever exists and the final division is the SAME "
+    "truncating semantics both sides. Scale shape: one corpus pass "
+    "for the projections (row-local folds against the x literal), one "
+    "label-keyed aggregate; labels are low-cardinality at any corpus "
+    "size.",
+    tags=("similarity", "iterative", "audit"),
+)
+def embedding_abtt_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, _n = _pc_power_direction(spark, sf_dir)
+    x2 = sum(v * v for v in x)
+    x_lit = "array(" + ", ".join(f"{v}L" for v in x) + ")"
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, (v, i) ->"
+            f" cast(floor(cast(v as double) * {PC_QUANT}) as bigint)"
+            f" + (((i + 1) * 7) % 13 - 6) * (20 + (vec_id % 11) * 4))"
+        ).alias("qv"),
+    )
+    mu_rows = (
+        qv.select(F.posexplode("qv").alias("d0", "v"))
+        .groupBy("d0")
+        .agg(F.expr("sum(v) div count(1)").alias("m"))
+        .collect()
+    )
+    mu = [0] * PC_DIMS
+    for r in mu_rows:
+        mu[r["d0"]] = int(r["m"])
+    mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+    proj = qv.select(
+        "label",
+        F.expr(
+            f"aggregate(zip_with(zip_with(qv, {mu_lit}, (v, m) -> v - m),"
+            f" {x_lit}, (c, xx) -> c * xx), 0L, (acc, v) -> acc + v)"
+        ).alias("p"),
+        F.expr(
+            f"aggregate(zip_with(qv, {mu_lit},"
+            " (v, m) -> cast((v - m) as decimal(38, 0))"
+            " * cast((v - m) as decimal(38, 0))),"
+            " cast(0 as decimal(38, 0)), (acc, v) -> acc + v)"
+        ).alias("c2"),
+    )
+    lab_rows = (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(
+                F.expr("cast(p as decimal(38, 0)) * cast(p as decimal(38, 0))")
+            ).alias("sum_p2"),
+            F.sum("c2").alias("sum_c2"),
+        )
+        .collect()
+    )
+    out = [
+        (
+            int(r["label"]),
+            int(r["n_vectors"]),
+            int(r["sum_p2"]) * 1_000_000 // max(x2 * int(r["sum_c2"]), 1),
+        )
+        for r in lab_rows
+    ]
+    return spark.createDataFrame(
+        out, "label INT, n_vectors LONG, pc_share_ppm LONG"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -736,3 +736,23 @@ def test_top_pc_power_matches_numpy_eigenvector(spark):
     lead = v[:, -1]
     cos = abs(float(x @ lead) / (math.sqrt(float(x @ x)) * 1.0))
     assert cos > 0.999, cos
+
+
+def test_abtt_card_share_semantics(spark):
+    """The per-label top-PC variance share must (a) exceed the
+    isotropic 1/dims baseline by a wide margin (the synthesized common
+    direction is real anisotropy) and (b) be label-UNIFORM (max/min
+    within 2x — a direction dominating one label would be signal, not
+    anisotropy), and (c) respect the Cauchy-Schwarz bound ppm <= 1e6."""
+    from polkadot_etl_spark.queries.corpus_ext import (
+        PC_DIMS,
+        embedding_abtt_card,
+    )
+
+    rows = embedding_abtt_card(spark, SF_DIR).collect()
+    shares = {r["label"]: r["pc_share_ppm"] for r in rows}
+    assert len(shares) == 10
+    baseline = 1_000_000 // PC_DIMS
+    assert all(0 < s <= 1_000_000 for s in shares.values())
+    assert min(shares.values()) > 3 * baseline
+    assert max(shares.values()) < 2 * min(shares.values())
