@@ -121,7 +121,7 @@ _PRIORITY: list[str] = [
     # (left for r10: session_window_native, topk_paging,
     # tpch_q4_order_priority, tpch_q5_regional_revenue,
     # tpch_q6_forecast_revenue, unpivot_roundtrip, work_queue_backoff,
-    # plus seven deferred late-r9 for the new-query blocks above —
+    # plus eight deferred late-r9 for the new-query blocks above —
     # like_filter, noise_suppression, validity_filter,
     # pivot_event_counts (P-family filter/pivot shapes whose predicates
     # re-run inside in-window relational plans), per_block_stats (A7 —

@@ -5123,7 +5123,20 @@ def _bm25_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     """The BM25 stage plans, shared by bm25_topk_retrieval (which joins
     drops + ranked), hybrid_rrf_fusion's sparse leg, and
     bm25_rm3_expansion (which feeds the ranked top back as relevance
-    feedback) — one source of truth for postings/lexicon/cap/scoring."""
+    feedback) — one source of truth for postings/lexicon/cap/scoring.
+
+    EAGER-BUILD CONTRACT (r9 ADVICE, documented as the registry-wide
+    idiom it has become): constructing any BM25-family DataFrame runs one
+    bounded Spark job at build time — the q_ann ``.collect()`` below
+    materializes the df-annotated query dim (<= BM25_QUERIES*BM25_TERMS
+    = 64 rows) into a LocalRelation. This is the same
+    bounded-driver-state pattern as ``asof_broadcast_version``'s
+    collected when-chain and the kmeans/pagerank driver loops: the
+    alternative (two lazy consumers of the lexicon count) re-runs a full
+    postings aggregation per consumer, which is strictly worse at every
+    scale. Callers that only want plan inspection pay one tiny-dim job;
+    bench attribution for the family includes this build cost by design
+    (see BENCH_DETAIL notes)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

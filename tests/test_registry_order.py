@@ -171,7 +171,12 @@ _DEMOTED_GREEN = {
     "ann_sketch_prefilter",  # r8 green; the ENTIRE prefilter + rerank
     # plan (_sketch_prefiltered + _sketch_rerank) composes inside
     # in-window hybrid_rrf_fusion AND hybrid_fusion_recall_audit every
-    # round — the strongest demotion form
+    # round — the strongest demotion form. (r9 ADVICE note: the r9
+    # _sketch_rerank edit was signature-only — a new `topk` parameter
+    # defaulting to the previous SKETCH_TOPK constant, behavior-identical
+    # for this query and ann_recall_audit — and the shared path was
+    # re-verified IN-window that round via the hybrid pair, so the
+    # staleness rule is satisfied by composition rather than re-green.)
     "ann_recall_audit",  # r7+r8 green; its sketch leg re-runs inside the
     # in-window hybrid pair every round; the IVF/LSH legs and recall
     # accounting stay locally oracle-verified
