@@ -5760,3 +5760,304 @@ def evm_tx_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded_logs=decoded_logs,
     )
     return base.select("event_id", F.to_json(doc).alias("doc"))
+
+
+# --------------------------------------------------------------------------
+# End-to-end streaming day-dump replay: the reference's production shape
+# composed under ONE hash (r9 verdict task #4)
+# --------------------------------------------------------------------------
+
+_SDR_KEYS = 120  # candidate window: block numbers 0..119 (every SF has them)
+
+
+def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Materialize the bounded block-candidate NDJSON replay source:
+    three arrival WAVES with forced-distinct mtimes (the
+    streaming_corpus_replay file-ordering trick) plus a duplicated wave —
+
+    - wave 1: every block seen UNFINALIZED first (hash 0xb{n}, t+60s)
+    - wave 2: finalization for every non-5-LOW block (same hash, t+120s)
+      — the incremental sink must REPLACE the wave-1 winner in state
+    - wave 3: an unfinalized FORK candidate for 1-URGENT blocks
+      (hash 0xf{n}) with the LATEST observation — it must still lose to
+      the finalized wave-2 row (finality outranks recency)
+    - wave 4: wave 2's file again, byte-identical (replay idempotence
+      through the partition-replace sink)
+
+    5-LOW blocks never finalize, so the publish-time finalized filter
+    drops them — the gap the gold blocklog must report."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < _SDR_KEYS)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["o_orderkey"])
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir)
+
+    def _cand(r, hash_prefix: str, finalized: bool, lag_s: int) -> str:
+        t = r["o_orderdate"]
+        return _json.dumps(
+            {
+                "chain_id": 0,
+                "number": int(r["o_orderkey"]),
+                "hash": f"{hash_prefix}{int(r['o_orderkey'])}",
+                "parent_hash": None,
+                "block_time": t.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                "finalized": finalized,
+                "observed_at": t.strftime(f"%Y-%m-%dT%H:%M:{lag_s:02d}.000Z"),
+            }
+        )
+
+    waves = [
+        [_cand(r, "0xb", False, 1) for r in rows],
+        [
+            _cand(r, "0xb", True, 2)
+            for r in rows
+            if r["o_orderpriority"] != "5-LOW"
+        ],
+        [
+            _cand(r, "0xf", False, 3)
+            for r in rows
+            if r["o_orderpriority"] == "1-URGENT"
+        ],
+    ]
+    waves.append(list(waves[1]))  # replayed delivery of the finalization wave
+    base_t = _time.time() - 3600
+    for i, lines in enumerate(waves):
+        path = _os.path.join(src_dir, f"wave-{i:02d}.json")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        _os.utime(path, (base_t + i, base_t + i))
+    return src_dir
+
+
+@query(
+    "streaming_dump_replay",
+    oracle=f"""
+WITH o AS (
+  SELECT * FROM orders WHERE o_orderkey < {_SDR_KEYS}
+),
+pub AS (
+  SELECT * FROM o WHERE o_orderpriority <> '5-LOW'
+),
+days AS (
+  SELECT {d_date('o_orderdate')} AS log_dt,
+         MIN(o_orderkey) AS start_bn,
+         MAX(o_orderkey) AS end_bn,
+         COUNT(*) AS num_blocks,
+         COUNT(*) + COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+           AS num_logs
+  FROM pub GROUP BY 1
+),
+le AS (
+  SELECT l.*, p.o_orderdate
+  FROM lineitem l JOIN pub p ON l.l_orderkey = p.o_orderkey
+),
+extd AS (
+  SELECT {d_date('o_orderdate')} AS log_dt,
+         COUNT(*) AS num_extrinsics,
+         COUNT(CASE WHEN l_returnflag IN ('A','R') THEN 1 END)
+           AS num_signed_extrinsics,
+         COUNT(DISTINCT CASE WHEN l_returnflag IN ('A','R') THEN l_suppkey END)
+           AS num_active_signers,
+         {d_decsum("CASE WHEN l_returnflag IN ('A','R') THEN l_extendedprice END")}
+           AS fees,
+         COUNT(CASE WHEN l_quantity >= 2 THEN 1 END)
+           + COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS num_events,
+         CAST(SUM(CASE WHEN l_quantity >= 2
+                       THEN CASE WHEN l_returnflag = 'A' THEN 3 ELSE 1 END
+                       ELSE 0 END) AS BIGINT) AS num_calls,
+         COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS num_transfers
+  FROM le GROUP BY 1
+)
+SELECT d.log_dt, d.start_bn, d.end_bn, d.num_blocks,
+       d.end_bn - d.start_bn + 1 - d.num_blocks AS num_missing,
+       COALESCE(e.num_extrinsics, 0) AS num_extrinsics,
+       COALESCE(e.num_signed_extrinsics, 0) AS num_signed_extrinsics,
+       COALESCE(e.num_active_signers, 0) AS num_active_signers,
+       e.fees,
+       COALESCE(e.num_events, 0) AS num_events,
+       COALESCE(e.num_calls, 0) AS num_calls,
+       COALESCE(e.num_transfers, 0) AS num_transfers,
+       d.num_logs,
+       (d.end_bn - d.start_bn + 1 - d.num_blocks) = 0 AS loaded
+FROM days d LEFT JOIN extd e ON d.log_dt = e.log_dt
+""",
+    doc="The reference's PRODUCTION shape end to end under ONE hash — "
+    "the last integration seam the machines were verified across but "
+    "never composed through (r9 verdict task #4): a bounded NDJSON "
+    "block-candidate replay (unfinalized-first sightings, a later "
+    "finalization wave, a latest-observed fork candidate for 1-URGENT "
+    "blocks, and a byte-identical replayed delivery) streams through "
+    "the REAL streaming/pipeline.py ingest tier — "
+    "block_candidates_stream file source, foreachBatch "
+    "fork_resolving_sink applying resolve_forks INCREMENTALLY against "
+    "parquet state with dynamic partition-replace (X1/X6/X8; "
+    "crawler.js:1296 fork path) — then the finalized-only publish "
+    "gate (X2; 5-LOW blocks never finalize and MUST fall out), then "
+    "the REAL plans/dump.py day-dump (digest->logs, validity gates, "
+    "call-tree flatten, transfer extraction; substrateetl.js:6171 "
+    "dump lifecycle) down to the blocklog GOLD per chain-day. Every "
+    "bit of the gold row is hash-matched against a batch oracle that "
+    "recomputes the whole thing relationally from orders/lineitem: a "
+    "wrong fork winner (recency beating finality) or a lost/duplicated "
+    "replay row lands in num_blocks/num_missing; a broken incremental "
+    "re-resolution (wave 2 failing to REPLACE the wave-1 unfinalized "
+    "winner in state) empties the publish set; the deliberately "
+    "never-finalized blocks make num_missing/loaded load-bearing. "
+    "Scale shape: state is partitioned by (chain_id, day) and each "
+    "micro-batch rewrites ONLY the partitions it touches (the batch "
+    "lake's unit-of-reprocessing); the dump composition is the same "
+    "per-day plan dump_day_blocklog budgets; the replay harness "
+    "(bounded collect of 120 orders, temp NDJSON, local checkpoint "
+    "dir) is fixture plumbing, not the operator.",
+    tags=("streaming", "pipeline", "agg", "join"),
+)
+def streaming_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from polkadot_etl_spark.plans.dump import dump_day
+    from polkadot_etl_spark.streaming.pipeline import (
+        block_candidates_stream,
+        fork_resolving_sink,
+    )
+
+    work = _tempfile.mkdtemp(prefix="dump_replay_")
+    try:
+        src_dir = _stream_dump_candidates(spark, sf_dir, work)
+        state_dir = _os.path.join(work, "state")
+        q = (
+            block_candidates_stream(spark, src_dir)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", _os.path.join(work, "chk"))
+            .foreachBatch(fork_resolving_sink(state_dir))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the X2 publish gate: only finalized winners leave the state
+        winners = (
+            spark.read.parquet(state_dir)
+            .where(F.col("finalized"))
+            .select("number", "hash", "block_time")
+            .localCheckpoint(eager=True)  # freeze before work is rmtree'd
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+    # bronze decoration (batch-side, as the dump decorates from bronze):
+    # urgency drives the second digest log, exactly _synth_bronze's rule
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < _SDR_KEYS)
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    j1 = F.concat(
+        F.lit('{"preRuntime":["0x61757261","0x'),
+        F.lpad(F.hex(F.col("number")), 16, "0"),
+        F.lit('"]}'),
+    )
+    j2 = F.lit('{"seal":["0x61757261","0x00"]}')
+    blocks_raw = winners.join(
+        o.select(F.col("o_orderkey").alias("number"), "o_orderpriority"), "number"
+    ).select(
+        "number",
+        "hash",
+        F.lit(None).cast("string").alias("parent_hash"),
+        F.lit(None).cast("string").alias("state_root"),
+        F.lit(None).cast("string").alias("extrinsics_root"),
+        "block_time",
+        F.lit(None).cast("string").alias("author_ss58"),
+        F.lit(None).cast("string").alias("author_pub_key"),
+        F.lit(1).alias("spec_version"),
+        F.lit(None).cast("long").alias("relay_block_number"),
+        F.lit(None).cast("string").alias("relay_state_root"),
+        F.when(urgent, F.array(j1, j2)).otherwise(F.array(j1)).alias("digest_logs"),
+    )
+
+    # extrinsics/events exist only for PUBLISHED blocks: the semi-join
+    # against the streamed winners makes the streaming output gate the
+    # extrinsic side too (a lost winner silently empties its day)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < _SDR_KEYS)
+    le = li.join(
+        winners.select(F.col("number").alias("l_orderkey"), "block_time"),
+        "l_orderkey",
+    )
+    rf = F.col("l_returnflag")
+    signed = rf.isin("A", "R")
+    ok = (F.col("l_quantity") >= 2).cast("int")
+    ext_id = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), ok)
+    ext_hash = F.concat(
+        F.lit("0xe"), F.col("l_orderkey").cast("string"), F.lit("x"),
+        F.col("l_linenumber").cast("string"), F.lit("x"), ok.cast("string"),
+    )
+    extrinsics = le.select(
+        ext_hash.alias("hash"),
+        ext_id.alias("extrinsic_id"),
+        "block_time",
+        F.col("l_orderkey").alias("block_number"),
+        F.concat(F.lit("0xb"), F.col("l_orderkey").cast("string")).alias("block_hash"),
+        F.lit("{}").alias("lifetime"),
+        F.when(rf == "A", F.lit("utility")).when(rf == "R", F.lit("balances")).otherwise(F.lit("timestamp")).alias("section"),
+        F.when(rf == "A", F.lit("batch")).when(rf == "R", F.lit("transfer")).otherwise(F.lit("set")).alias("method"),
+        F.when(rf == "A", F.lit(_NESTED_PARAMS)).otherwise(F.lit("{}")).alias("params"),
+        F.when(signed, F.col("l_extendedprice")).alias("fee"),
+        F.when(signed, F.col("l_extendedprice") * 6.5).alias("fee_usd"),
+        F.lit(None).cast("long").alias("weight"),
+        signed.alias("signed"),
+        _pk(F.col("l_suppkey")).alias("signer_ss58"),
+        _pk(F.col("l_suppkey")).alias("signer_pub_key"),
+    )
+    common = [
+        ext_id.alias("extrinsic_id"),
+        ext_hash.alias("extrinsic_hash"),
+        F.col("block_time").alias("block_time"),
+        F.col("l_orderkey").alias("block_number"),
+        F.concat(F.lit("0xb"), F.col("l_orderkey").cast("string")).alias("block_hash"),
+        F.lit(None).cast("string").alias("data_decoded"),
+    ]
+    success = le.where(F.col("l_quantity") >= 2).select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.lit("0")).alias("event_id"),
+        F.lit("system").alias("section"),
+        F.lit("ExtrinsicSuccess").alias("method"),
+        F.lit("[]").alias("data"),
+        *common,
+    )
+    raw_amt = F.floor(F.col("l_extendedprice") * 100).cast("bigint").cast("string")
+    xfer_ev = le.where(rf == "R").select(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"), F.lit("1")).alias("event_id"),
+        F.lit("balances").alias("section"),
+        F.lit("Transfer").alias("method"),
+        F.concat(
+            F.lit('["'), _pk(F.col("l_suppkey")), F.lit('","'), _pk(F.col("l_partkey")),
+            F.lit('","'), raw_amt, F.lit('"]'),
+        ).alias("data"),
+        *common,
+    )
+    events = success.unionByName(xfer_ev)
+
+    tables = dump_day(blocks_raw, extrinsics, events, relay_chain="polkadot", para_id=0)
+    gold = tables["blocklog"]
+    return gold.select(
+        s_date("log_dt").alias("log_dt"),
+        "start_bn",
+        "end_bn",
+        "num_blocks",
+        "num_missing",
+        "num_extrinsics",
+        "num_signed_extrinsics",
+        "num_active_signers",
+        "fees",
+        "num_events",
+        "num_calls",
+        "num_transfers",
+        "num_logs",
+        "loaded",
+    )

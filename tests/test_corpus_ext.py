@@ -756,3 +756,58 @@ def test_abtt_card_share_semantics(spark):
     assert all(0 < s <= 1_000_000 for s in shares.values())
     assert min(shares.values()) > 3 * baseline
     assert max(shares.values()) < 2 * min(shares.values())
+
+
+def test_abtt_isotropy_delta_semantics(spark):
+    """The applied correction must (a) actually remove the direction —
+    residual_pc_ppm exactly 0 per label (truncation residue is < 1 ppm
+    by construction, and the projection identity makes the exact value
+    part of the hash gate too), and (b) deliver Mu & Viswanath's claim:
+    the cross-label spread of centroid-alignment shares TIGHTENS once
+    the label-uniform common direction is gone (before: the inflated
+    outlier labels sit >2.5x the minimum; after: everything within 2x)."""
+    from polkadot_etl_spark.queries.corpus_ext import (
+        embedding_abtt_isotropy_delta,
+    )
+
+    rows = embedding_abtt_isotropy_delta(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["residual_pc_ppm"] == 0 for r in rows)
+    before = [r["share_before_ppm"] for r in rows]
+    after = [r["share_after_ppm"] for r in rows]
+    assert all(0 < s <= 1_000_000 for s in before + after)
+    assert max(before) > 2.5 * min(before), "fixture anisotropy missing?"
+    assert max(after) < 2.0 * min(after), "spread did not tighten"
+    assert max(after) / min(after) < max(before) / min(before)
+    for r in rows:
+        assert r["delta_ppm"] == r["share_after_ppm"] - r["share_before_ppm"]
+
+
+def test_ivf_incremental_maintenance_semantics(spark):
+    """The maintenance card's contracts: the synthesized per-cell drift
+    gradient is strictly increasing in cell id, the retrain threshold
+    genuinely SPLITS the cells (both verdicts occur — a flag that is
+    always true or always false gates nothing), growth sits at the
+    2/7-new-batch design point, the quantizer converges in the pinned 2
+    rounds, and standing+new partition the corpus exactly."""
+    from polkadot_etl_spark.queries.corpus_ext import (
+        IVF_MAINT_RETRAIN_PPM,
+        ann_ivf_incremental_maintenance,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+
+    rows = sorted(
+        ann_ivf_incremental_maintenance(spark, SF_DIR).collect(),
+        key=lambda r: r["cell"],
+    )
+    assert [r["cell"] for r in rows] == [0, 1, 2, 3, 4]
+    drifts = [r["drift_ppm"] for r in rows]
+    assert drifts == sorted(drifts) and len(set(drifts)) == 5, drifts
+    verdicts = {r["retrain"] for r in rows}
+    assert verdicts == {True, False}, "threshold does not split the cells"
+    for r in rows:
+        assert r["retrain"] == (r["drift_ppm"] >= IVF_MAINT_RETRAIN_PPM)
+        assert 300_000 <= r["growth_ppm"] <= 500_000
+        assert r["n_iter"] == 2
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_standing"] + r["n_new"] for r in rows) == n_total

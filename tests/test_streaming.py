@@ -567,3 +567,39 @@ def test_socket_ingestion_end_to_end(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_streaming_dump_replay_finality_semantics(spark):
+    """The end-to-end day-dump replay's streaming-specific contracts,
+    beyond the oracle hash: never-finalized (5-LOW) blocks are absent
+    from the published set (X2), fork losers never surface (every
+    published count traces to a 0xb winner — a 0xf winner would change
+    day membership), and the replayed wave-2 delivery is idempotent
+    (total published blocks == count of finalizable orders, no
+    double-publish)."""
+    from polkadot_etl_spark.queries.pipelines import (
+        _SDR_KEYS,
+        streaming_dump_replay,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    rows = streaming_dump_replay(spark, SF_DIR).collect()
+    o = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") < _SDR_KEYS)
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    )
+    publishable = [r for r in o if r["o_orderpriority"] != "5-LOW"]
+    assert len(publishable) < len(o), "fixture lost its 5-LOW gap source"
+    # idempotent publish: exactly one block per finalizable order
+    assert sum(r["num_blocks"] for r in rows) == len(publishable)
+    # the never-finalized blocks create genuine in-range gaps somewhere
+    assert sum(r["num_missing"] for r in rows) > 0
+    assert any(not r["loaded"] for r in rows)
+    # day partitioning: one gold row per distinct published day
+    days = {r["log_dt"] for r in rows}
+    assert len(days) == len(rows)
