@@ -140,6 +140,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="polkadot-etl-spark-bench")
+    # 1-minute load BEFORE this run starts: driver-sitting contention is
+    # the established phantom-breach cause (r8/r9 adjudications) — the
+    # stamp makes it self-evident in the sidecar instead of costing a
+    # judge cycle (r9 verdict task #2).
+    load_1m_start = round(os.getloadavg()[0], 2)
 
     # JVM + parquet-footer warmup so q1 doesn't absorb session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
@@ -226,6 +231,8 @@ def main() -> None:
                 "extra_iteration_under_1s": True,
                 "agg": "min",
                 "wall_all": wall_all,
+                "loadavg_1m_start": load_1m_start,
+                "loadavg_1m_end": round(os.getloadavg()[0], 2),
                 "over_budget": over_budget,
                 "no_budget": sorted(no_budget),
                 "funnel_stages": funnel_stages,

@@ -1,0 +1,219 @@
+"""Cross-SF scaling-exponent card — the empirical 100x-backstop (r9
+verdict task #3).
+
+Every "100 TB shape" claim in the registry docstrings is a statement
+about PLAN shape (pinned by tests/test_plan_quality.py). This card adds
+the missing verification layer: MEASURED growth. It times every
+bench-enabled registry query at sf0.001 / sf0.01 / sf0.1 (same noop-sink
+min-of-2 discipline as bench.py, third iteration when sub-second), and
+fits a per-query scaling exponent
+
+    exponent = ln(t_hi / t_lo) / ln(input_growth)
+
+where input_growth is the growth of the query's ACTUAL inputs, not the
+nominal SF ratio: the synthetic tables do not all scale together
+(documents/embeddings are flat from sf0.001 to sf0.01 while the TPC-H
+tables grow 10x), so the card instruments ``load_table`` during the
+first build of each query to record exactly which tables it reads, and
+uses the max row-count ratio over those tables. The top pair
+(sf0.01 -> sf0.1, where every table grows) is the scored exponent; the
+lower pair is recorded for context.
+
+A query whose exponent exceeds FLAG_ABOVE is flagged superlinear —
+legitimate only for the documented brute-force audit truth legs
+(EXPECTED_SUPERLINEAR below, each with its justification).
+tests/test_scaling_card.py pins flagged ⊆ documented against the
+committed SCALING.json. Fixed per-query overhead (session/scheduler,
+~0.1-0.5 s) deflates exponents toward 0 for fast queries — the card is
+a SUPERLINEARITY detector, not a precise complexity estimator: a flag
+means the data-dependent term both dominates wall-clock AND grows
+faster than the input, which is exactly the 100 TB kill condition.
+
+Usage:  python scaling_card.py          # writes SCALING.json
+Run on an idle box (contention inflates individual points and can
+phantom-flag); ~12-15 min for the full registry at three SFs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+SF_DIRS = {
+    0.001: "/root/testdata/sf0.001",
+    0.01: "/root/testdata/sf0.01",
+    0.1: "/root/testdata/sf0.1",
+}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+FLAG_ABOVE = 1.2
+
+# The documented superlinear exceptions: every entry is a query whose
+# docstring DECLARES a deliberately quadratic leg, with the bound that
+# keeps it safe in production (query-dim-bounded truth legs, capped
+# candidate emission). A flag on anything else fails the pytest.
+EXPECTED_SUPERLINEAR = {
+    "ann_recall_audit": "exact-truth leg is corpus x query-dim brute "
+    "force by design (bounded by the 8-query dim); the audit prices the "
+    "sketch/IVF paths against it",
+    "hybrid_fusion_recall_audit": "same exact-truth brute leg as "
+    "ann_recall_audit, composed twice (sketch path + exact truth)",
+    "ann_ivfpq_recall_audit": "exhaustive-ADC ceiling leg scans every "
+    "(query, code) pair to split nprobe loss from code loss",
+    "ann_cosine_topk": "the baseline brute-force rung of the ANN ladder "
+    "— corpus x query-dim by definition; the scale path is the "
+    "sketch/IVF family measured against it",
+    "dedup_minhash_banded_r2": "measurement query: emits every verify "
+    "candidate with its verdict; candidate count is BUCKET_CAP-bounded "
+    "per bucket but grows with corpus pair density at tiny SF",
+    "semdedup_prune": "intra-cell pairwise cosine is quadratic in cell "
+    "size by design; production bounds it with k ~ sqrt(N) cells (the "
+    "fixture keeps k fixed, so tiny-SF growth reads superlinear)",
+    "dedup_embedding_cosine": "sign-bucket pair join: pair density "
+    "inside buckets grows quadratically at fixture scale; production "
+    "relies on bucket cardinality growing with the corpus",
+}
+
+
+def _patch_load_table(modules, recorder):
+    """Wrap each query module's imported load_table so builds record
+    which tables they touch (the modules import the symbol by name, so
+    patching the source module would not reach them)."""
+    originals = {}
+    for mod in modules:
+        orig = getattr(mod, "load_table", None)
+        if orig is None:
+            continue
+        originals[mod] = orig
+
+        def wrapped(spark, sf_dir, name, _orig=orig):
+            recorder.add(name)
+            return _orig(spark, sf_dir, name)
+
+        mod.load_table = wrapped
+    return originals
+
+
+class _Recorder:
+    def __init__(self):
+        self.current: set[str] | None = None
+
+    def add(self, table: str) -> None:
+        if self.current is not None:
+            self.current.add(table)
+
+
+def main() -> None:
+    from polkadot_etl_spark.queries import QUERIES
+    from polkadot_etl_spark.queries import (
+        corpus_ext,
+        llmdata,
+        pipelines,
+        relational,
+        survey_ext,
+        tpch,
+    )
+    from polkadot_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="polkadot-etl-spark-scaling")
+    rec = _Recorder()
+    _patch_load_table(
+        [tpch, relational, llmdata, survey_ext, pipelines, corpus_ext], rec
+    )
+
+    rows: dict[float, dict[str, int]] = {}
+    for sf, d in SF_DIRS.items():
+        rows[sf] = {
+            t: spark.read.parquet(f"{d}/{t}.parquet").count() for t in TABLES
+        }
+
+    # warmups (same as bench.py): parquet footer + Arrow worker pool
+    spark.read.parquet(f"{SF_DIRS[0.1]}/lineitem.parquet").limit(1).collect()
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(32).repartition(32).select(_warm("id")).collect()
+
+    names = [n for n in sorted(QUERIES) if QUERIES[n].bench]
+    timings: dict[str, dict[float, float]] = {n: {} for n in names}
+    tables_read: dict[str, set[str]] = {n: set() for n in names}
+    for sf, d in SF_DIRS.items():
+        for name in names:
+            spec = QUERIES[name]
+            times = []
+            for i in range(2):
+                rec.current = tables_read[name] if i == 0 else None
+                t0 = time.perf_counter()
+                spec.build(spark, d).write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+                rec.current = None
+            if min(times) < 1.0:
+                t0 = time.perf_counter()
+                spec.build(spark, d).write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            timings[name][sf] = round(min(times), 3)
+            print(f"# sf{sf} {name}: {timings[name][sf]:.3f}s", file=sys.stderr)
+
+    def _exponent(name: str, lo: float, hi: float) -> tuple[float, float]:
+        tabs = tables_read[name] or set(TABLES)
+        growth = max(rows[hi][t] / max(rows[lo][t], 1) for t in tabs)
+        if growth <= 1.0:
+            return 0.0, growth
+        e = math.log(timings[name][hi] / max(timings[name][lo], 1e-3)) / math.log(
+            growth
+        )
+        return round(e, 3), round(growth, 3)
+
+    out_queries = {}
+    flagged = []
+    for name in names:
+        e_hi, g_hi = _exponent(name, 0.01, 0.1)
+        e_lo, g_lo = _exponent(name, 0.001, 0.01)
+        is_flagged = e_hi > FLAG_ABOVE
+        if is_flagged:
+            flagged.append(name)
+        out_queries[name] = {
+            "t": {str(sf): timings[name][sf] for sf in SF_DIRS},
+            "tables": sorted(tables_read[name]),
+            "growth_hi": g_hi,
+            "exponent_hi": e_hi,
+            "growth_lo": g_lo,
+            "exponent_lo": e_lo,
+            "flagged": is_flagged,
+        }
+    unexplained = sorted(set(flagged) - set(EXPECTED_SUPERLINEAR))
+    doc = {
+        "metric": "per-query scaling exponent ln(t_hi/t_lo)/ln(input_growth)",
+        "pairs": {"hi": [0.01, 0.1], "lo": [0.001, 0.01]},
+        "flag_above": FLAG_ABOVE,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "table_rows": {str(sf): rows[sf] for sf in SF_DIRS},
+        "flagged": sorted(flagged),
+        "unexplained": unexplained,
+        "expected_superlinear": EXPECTED_SUPERLINEAR,
+        "queries": out_queries,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "flagged": sorted(flagged),
+                "unexplained": unexplained,
+                "n_queries": len(out_queries),
+                "detail": "SCALING.json",
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
