@@ -29,6 +29,7 @@ as "wall_all".
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -183,6 +184,17 @@ def main() -> None:
             f"(iters: {', '.join(f'{t:.3f}' for t in times)})",
             file=sys.stderr,
         )
+        # Release the just-built DataFrames' py4j refs NOW: several
+        # queries eagerly localCheckpoint loop-invariant frames, whose
+        # executor-storage blocks survive until Python GC drops the
+        # reference and the async ContextCleaner runs — 204 queries in
+        # one JVM let that residue pressure the unified memory pool of
+        # later queries. Bounding it costs ~ms per query. (It is NOT
+        # the phantom-breach cause: the r10 A/B ran under 1.3x box-speed
+        # swings — see the loadavg stamps and STATUS's adjudication
+        # record, where every in-bench breach re-measured UNDER budget
+        # min-of-5 in a fresh session on the same box.)
+        gc.collect()
     # Stage-grain attribution for the most expensive composed query: time
     # each corpus_release_funnel gate plan separately (same noop-sink
     # materialization) so a regression localizes to ONE stage without

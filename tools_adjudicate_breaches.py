@@ -23,10 +23,14 @@ BREACHES = [
 
 def main() -> None:
     import json
+    import sys
 
     from polkadot_etl_spark.queries import QUERIES
     from polkadot_etl_spark.session import get_spark
 
+    global BREACHES
+    if len(sys.argv) > 1:
+        BREACHES = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark(app_name="polkadot-etl-spark-adjudicate")
     print(f"# loadavg_1m at start: {os.getloadavg()[0]:.2f}")
