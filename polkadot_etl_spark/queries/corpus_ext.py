@@ -7919,7 +7919,7 @@ drift AS (
   FROM counts c JOIN ab USING (cell)
 )
 SELECT cell, n_std AS n_standing, n_new,
-       CAST(n_new * 1000000 // n_std AS BIGINT) AS growth_ppm,
+       CAST(n_new * 1000000 // greatest(n_std, 1) AS BIGINT) AS growth_ppm,
        drift_ppm,
        drift_ppm >= {IVF_MAINT_RETRAIN_PPM} AS retrain,
        CAST(2 AS INTEGER) AS n_iter
@@ -7948,9 +7948,13 @@ FROM drift
     "fixture's graded drifts (~33..523 ppm, growing with cell id) into "
     "kept and flagged cells. The oracle derives assignments "
     "relationally (cell = vec_id % 5 — the displacement dominates by "
-    "construction) while Spark runs the REAL kmeans + assign_nearest, "
-    "so a mis-assignment anywhere lands in the counts/sums and "
-    "hash-mismatches. Scale shape: training is the bounded-driver-"
+    "construction) while Spark runs the REAL kmeans + assign_nearest "
+    "with cluster ids CANONICALIZED to each trained centroid's "
+    "dominant dimension (kmeans numbering follows init order, which "
+    "nothing ties to the displacement layout; a non-bijective "
+    "canonical map raises loudly), so a mis-assignment anywhere lands "
+    "in the counts/sums and hash-mismatches. "
+    "Scale shape: training is the bounded-driver-"
     "state kmeans loop over the standing corpus (build-time cost); "
     "MAINTENANCE-time work touches only the new batch — one zero-"
     "shuffle literal assignment (k <= 64) or broadcast-centroid join, "
@@ -7995,9 +7999,24 @@ def ann_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     assigned, centroids, n_iter = kmeans_lloyd(
         standing, vec_col="demb", id_col="vec_id", k=k, max_iter=10, tol=0.0
     )
+    # CANONICALIZE cluster ids by each centroid's dominant (displaced)
+    # dimension: kmeans numbering follows init order, which nothing
+    # guarantees matches the displacement layout — a cid permutation
+    # would swap every per-cell row across engines even though the
+    # clustering is correct (r10 self-review finding). argmax of the
+    # trained centroid IS the displaced dim when clustering is right;
+    # a wrong clustering collides here and still hash-fails loudly.
+    canon = [max(range(len(c)), key=lambda d: c[d]) for c in centroids]
+    if sorted(canon) != list(range(k)):
+        raise ValueError(f"trained centroids do not separate cells: {canon}")
+    canon_col = F.expr(
+        "CASE cid "
+        + " ".join(f"WHEN {j} THEN {canon[j]}" for j in range(k))
+        + " END"
+    ).alias("cid")
     std_rows = (
         assigned.select(
-            "cid", F.posexplode(F.expr("transform(demb, v -> cast(v as bigint))")).alias("d0", "v")
+            canon_col, F.posexplode(F.expr("transform(demb, v -> cast(v as bigint))")).alias("d0", "v")
         )
         .groupBy("cid", "d0")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -8013,7 +8032,7 @@ def ann_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     new_rows = (
         assign_nearest(new_batch, centroids, vec_col="demb", id_col="vec_id")
         .select(
-            "cid", F.posexplode(F.expr("transform(demb, v -> cast(v as bigint))")).alias("d0", "v")
+            canon_col, F.posexplode(F.expr("transform(demb, v -> cast(v as bigint))")).alias("d0", "v")
         )
         .groupBy("cid", "d0")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))

@@ -5775,12 +5775,13 @@ def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
     three arrival WAVES with forced-distinct mtimes (the
     streaming_corpus_replay file-ordering trick) plus a duplicated wave —
 
-    - wave 1: every block seen UNFINALIZED first (hash 0xb{n}, t+60s)
-    - wave 2: finalization for every non-5-LOW block (same hash, t+120s)
+    - wave 1: every block seen UNFINALIZED first (hash 0xb{n},
+      observed_at = block_time + 1s)
+    - wave 2: finalization for every non-5-LOW block (same hash, +2s)
       — the incremental sink must REPLACE the wave-1 winner in state
     - wave 3: an unfinalized FORK candidate for 1-URGENT blocks
-      (hash 0xf{n}) with the LATEST observation — it must still lose to
-      the finalized wave-2 row (finality outranks recency)
+      (hash 0xf{n}) with the LATEST observation (+3s) — it must still
+      lose to the finalized wave-2 row (finality outranks recency)
     - wave 4: wave 2's file again, byte-identical (replay idempotence
       through the partition-replace sink)
 
@@ -5935,7 +5936,13 @@ def streaming_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = _stream_dump_candidates(spark, sf_dir, work)
         state_dir = _os.path.join(work, "state")
         q = (
-            block_candidates_stream(spark, src_dir)
+            # one wave file per micro-batch (oldest-mtime first): the
+            # whole point is driving fork_resolving_sink's INCREMENTAL
+            # read-state/union/re-resolve path across four batches — an
+            # unbounded trigger would coalesce the pre-existing files
+            # into one batch and a broken state merge could still
+            # hash-green (r10 self-review finding)
+            block_candidates_stream(spark, src_dir, max_files_per_trigger=1)
             .writeStream.outputMode("append")
             .option("checkpointLocation", _os.path.join(work, "chk"))
             .foreachBatch(fork_resolving_sink(state_dir))

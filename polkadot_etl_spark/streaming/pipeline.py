@@ -42,11 +42,20 @@ CANDIDATE_SCHEMA = T.StructType(
 )
 
 
-def block_candidates_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def block_candidates_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based candidate stream (one JSON file per crawl flush). A
     production deployment swaps this for a Kafka/WS-bridge source; the
-    downstream plan is identical."""
-    return spark.readStream.schema(CANDIDATE_SCHEMA).json(source_dir)
+    downstream plan is identical. ``max_files_per_trigger=1`` pins one
+    flush file per micro-batch (FileStreamSource picks oldest-mtime
+    first) — replay harnesses need it so multi-wave fixtures actually
+    exercise the INCREMENTAL state path instead of coalescing every
+    pre-existing file into one batch."""
+    reader = spark.readStream.schema(CANDIDATE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
 
 
 def block_candidates_socket_stream(

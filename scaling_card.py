@@ -29,6 +29,16 @@ a SUPERLINEARITY detector, not a precise complexity estimator: a flag
 means the data-dependent term both dominates wall-clock AND grows
 faster than the input, which is exactly the 100 TB kill condition.
 
+Detector sensitivity is itself MEASURED, not assumed: the card times a
+deliberately corpus x corpus probe plan (all-pairs embedding cosine —
+the shape every registry dedup/ANN query exists to avoid) under the
+same discipline, and the pytest pins that the probe flags. Note the
+r10 measurement's real finding: the registry's documented "brute
+force" audit legs measure LINEAR (exponents 0.1-0.7), because their
+quadratic term is bounded by the fixed query dim — corpus x 8 queries
+IS linear in corpus. EXPECTED_SUPERLINEAR stays as the allowance for
+SFs/noise regimes where their data term dominates differently.
+
 Usage:  python scaling_card.py          # writes SCALING.json
 Run on an idle box (contention inflates individual points and can
 phantom-flag); ~12-15 min for the full registry at three SFs.
@@ -40,7 +50,6 @@ import json
 import math
 import os
 import sys
-import time
 
 SF_DIRS = {
     0.001: "/root/testdata/sf0.001",
@@ -132,41 +141,60 @@ def main() -> None:
             t: spark.read.parquet(f"{d}/{t}.parquet").count() for t in TABLES
         }
 
-    # warmups (same as bench.py): parquet footer + Arrow worker pool
-    spark.read.parquet(f"{SF_DIRS[0.1]}/lineitem.parquet").limit(1).collect()
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    # warmup + min-of-N timing discipline shared with bench.py via
+    # benchutil (one definition, the tools cannot drift)
+    from polkadot_etl_spark.benchutil import time_noop_min, warm_session
 
-    _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
-    spark.range(32).repartition(32).select(_warm("id")).collect()
+    warm_session(spark, SF_DIRS[0.1])
 
     names = [n for n in sorted(QUERIES) if QUERIES[n].bench]
     timings: dict[str, dict[float, float]] = {n: {} for n in names}
     tables_read: dict[str, set[str]] = {n: set() for n in names}
     for sf, d in SF_DIRS.items():
         for name in names:
-            spec = QUERIES[name]
-            times = []
-            for i in range(2):
-                rec.current = tables_read[name] if i == 0 else None
-                t0 = time.perf_counter()
-                spec.build(spark, d).write.format("noop").mode("overwrite").save()
-                times.append(time.perf_counter() - t0)
-                rec.current = None
-            if min(times) < 1.0:
-                t0 = time.perf_counter()
-                spec.build(spark, d).write.format("noop").mode("overwrite").save()
-                times.append(time.perf_counter() - t0)
+            # recording stays on for every iteration — the per-query
+            # set dedups, so repeat builds are harmless
+            rec.current = tables_read[name]
+            times = time_noop_min(QUERIES[name].build, spark, d)
+            rec.current = None
             timings[name][sf] = round(min(times), 3)
             print(f"# sf{sf} {name}: {timings[name][sf]:.3f}s", file=sys.stderr)
+
+    # SENSITIVITY PROBE: a deliberately corpus x corpus plan (all-pairs
+    # cosine sum over embeddings — the exact shape every registry dedup/
+    # ANN query exists to avoid) timed under the SAME discipline. The
+    # detector is only trustworthy if this probe FLAGS: fixed per-query
+    # overhead deflates exponents toward 0, so a detector that cannot
+    # flag a true quadratic at fixture scale would be asserting nothing
+    # (r10 self-review finding). tests/test_scaling_card.py pins
+    # probe.exponent_hi > flag_above.
+    def _probe_quadratic(spark_, d):
+        e = spark_.read.parquet(f"{d}/embeddings.parquet")
+        from pyspark.sql import functions as F
+
+        a = e.select(F.col("vec_id").alias("ai"), F.col("embedding").alias("ea"))
+        b = e.select(F.col("vec_id").alias("bi"), F.col("embedding").alias("eb"))
+        dot = F.expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double)"
+            " * cast(y as double)), 0D, (acc, v) -> acc + v)"
+        )
+        return a.crossJoin(b).select(dot.alias("d")).agg(F.sum("d").alias("s"))
+
+    probe_t: dict[float, float] = {}
+    for sf, d in SF_DIRS.items():
+        probe_t[sf] = round(min(time_noop_min(_probe_quadratic, spark, d)), 3)
+        print(f"# sf{sf} [quadratic probe]: {probe_t[sf]:.3f}s", file=sys.stderr)
 
     def _exponent(name: str, lo: float, hi: float) -> tuple[float, float]:
         tabs = tables_read[name] or set(TABLES)
         growth = max(rows[hi][t] / max(rows[lo][t], 1) for t in tabs)
         if growth <= 1.0:
-            return 0.0, growth
-        e = math.log(timings[name][hi] / max(timings[name][lo], 1e-3)) / math.log(
-            growth
-        )
+            return 0.0, round(growth, 3)
+        # clamp BOTH timings: round(min, 3) can record 0.0 for a
+        # sub-millisecond build, and log(0) would kill the whole run
+        e = math.log(
+            max(timings[name][hi], 1e-3) / max(timings[name][lo], 1e-3)
+        ) / math.log(growth)
         return round(e, 3), round(growth, 3)
 
     out_queries = {}
@@ -187,6 +215,12 @@ def main() -> None:
             "flagged": is_flagged,
         }
     unexplained = sorted(set(flagged) - set(EXPECTED_SUPERLINEAR))
+    probe_growth = rows[0.1]["embeddings"] / max(rows[0.01]["embeddings"], 1)
+    probe_exp = round(
+        math.log(max(probe_t[0.1], 1e-3) / max(probe_t[0.01], 1e-3))
+        / math.log(probe_growth),
+        3,
+    )
     doc = {
         "metric": "per-query scaling exponent ln(t_hi/t_lo)/ln(input_growth)",
         "pairs": {"hi": [0.01, 0.1], "lo": [0.001, 0.01]},
@@ -196,6 +230,12 @@ def main() -> None:
         "flagged": sorted(flagged),
         "unexplained": unexplained,
         "expected_superlinear": EXPECTED_SUPERLINEAR,
+        "probe_quadratic": {
+            "t": {str(sf): probe_t[sf] for sf in SF_DIRS},
+            "growth_hi": round(probe_growth, 3),
+            "exponent_hi": probe_exp,
+            "detects": probe_exp > FLAG_ABOVE,
+        },
         "queries": out_queries,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")

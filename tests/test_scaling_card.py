@@ -42,6 +42,16 @@ def test_card_covers_the_registry(scaling):
     assert not missing, f"queries missing from SCALING.json: {missing}"
 
 
+def test_detector_sensitivity_probe_flags(scaling):
+    """The card's own corpus x corpus probe plan must measure as
+    superlinear — a detector that cannot flag a true quadratic at
+    fixture scale would make flagged=[] vacuous (r10 self-review
+    finding). The probe is the positive control for the whole card."""
+    probe = scaling["probe_quadratic"]
+    assert probe["exponent_hi"] > scaling["flag_above"], probe
+    assert probe["detects"] is True
+
+
 def test_exponents_are_input_growth_normalized(scaling):
     """Growth attribution sanity: every query records the tables it
     read, and its hi-pair growth factor matches the max row ratio over

@@ -8,7 +8,6 @@ keep as the round's adjudication script)."""
 from __future__ import annotations
 
 import os
-import time
 
 BREACHES = [
     "paragraph_dedup_rewrite",
@@ -31,29 +30,33 @@ def main() -> None:
     global BREACHES
     if len(sys.argv) > 1:
         BREACHES = sys.argv[1:]
+    from polkadot_etl_spark.benchutil import time_noop_min, warm_session
+
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark(app_name="polkadot-etl-spark-adjudicate")
     print(f"# loadavg_1m at start: {os.getloadavg()[0]:.2f}")
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    warm_session(spark, sf_dir)
 
-    _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
-    spark.range(32).repartition(32).select(_warm("id")).collect()
-
-    budgets = json.load(open("BENCH_BUDGETS.json"))["budgets"]
+    budget_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGETS.json"
+    )
+    budgets = json.load(open(budget_path))["budgets"]
     for name in BREACHES:
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times.append(time.perf_counter() - t0)
+        if name not in QUERIES:
+            print(f"{name}: UNKNOWN query name — skipped")
+            continue
+        times = time_noop_min(
+            QUERIES[name].build, spark, sf_dir, base_iters=5, extra_below=0.0
+        )
         m = min(times)
-        b = budgets.get(name, float("nan"))
-        verdict = "UNDER (phantom)" if m <= b else "OVER (real)"
+        b = budgets.get(name)
+        if b is None:
+            verdict, btxt = "NO BUDGET (not in BENCH_BUDGETS.json)", "n/a"
+        else:
+            verdict = "UNDER (phantom)" if m <= b else "OVER (real)"
+            btxt = f"{b:.2f}s"
         print(
-            f"{name}: min-of-5={m:.3f}s budget={b:.2f}s {verdict} "
+            f"{name}: min-of-5={m:.3f}s budget={btxt} {verdict} "
             f"(iters: {', '.join(f'{t:.3f}' for t in times)})"
         )
 
