@@ -140,12 +140,13 @@ def main() -> None:
     write_budgets = "--write-budgets" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="polkadot-etl-spark-bench")
     # 1-minute load BEFORE this run starts: driver-sitting contention is
     # the established phantom-breach cause (r8/r9 adjudications) — the
     # stamp makes it self-evident in the sidecar instead of costing a
-    # judge cycle (r9 verdict task #2).
+    # judge cycle (r9 verdict task #2). Sampled BEFORE get_spark so the
+    # driver JVM's own startup burst can't masquerade as contention.
     load_1m_start = round(os.getloadavg()[0], 2)
+    spark = get_spark(app_name="polkadot-etl-spark-bench")
 
     # Warmup + min-of-N discipline live in benchutil (shared with
     # scaling_card.py and tools_adjudicate_breaches.py so the three

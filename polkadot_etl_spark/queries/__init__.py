@@ -28,8 +28,11 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 # the 204 registry entries has a driver-green row from r4+, finishing the
 # r7->r10 rotation program. Every rotated-in entry is code untouched since
 # its green row (comment-only edits exempt per the materiality rule) and
-# verified by the local oracle suite every session. The 46 demotions are
-# ALL r9-green (CORRECTNESS_r09.json, 50/50): the corpus_ext demotions
+# verified by the local oracle suite every session. The 49 demotions
+# (everything in the r9 window except the kept flagship: 14 late-r9/
+# corpus_ext entries + the 26 r1-tail + 9 r2-tail relational/tpch
+# re-greens) are ALL r9-green (CORRECTNESS_r09.json, 50/50): the
+# corpus_ext demotions
 # carry per-name redundancy notes in tests/test_registry_order.py's
 # _DEMOTED_GREEN; the non-llm demotions are, with green rows:
 #   asof_join_last_purchase, channel_daily_summary, collect_sorted_list,

@@ -7774,22 +7774,25 @@ def embedding_abtt_isotropy_delta(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=True)
     )
 
-    def _label_centroids(col: str) -> dict[int, list[int]]:
-        rows = (
-            cr.select("label", F.posexplode(col).alias("d0", "v"))
-            .groupBy("label", "d0")
-            .agg(F.expr("sum(v) div count(1)").alias("m"))
-            .collect()
+    # BOTH centroid ledgers (centered + corrected) in ONE pass over the
+    # checkpointed frame: arrays_zip pairs the coordinates so a single
+    # explode+aggregate produces mb and ma together (two separate jobs
+    # re-scanned cr for nothing — r10 second-review finding)
+    cent_rows = (
+        cr.select("label", F.posexplode(F.arrays_zip("c", "r")).alias("d0", "z"))
+        .groupBy("label", "d0")
+        .agg(
+            F.expr("sum(z.c) div count(1)").alias("mc"),
+            F.expr("sum(z.r) div count(1)").alias("mr"),
         )
-        cents: dict[int, list[int]] = {}
-        for row in rows:
-            cents.setdefault(int(row["label"]), [0] * PC_DIMS)[row["d0"]] = int(
-                row["m"]
-            )
-        return cents
-
-    mb = _label_centroids("c")
-    ma = _label_centroids("r")
+        .collect()
+    )
+    mb: dict[int, list[int]] = {}
+    ma: dict[int, list[int]] = {}
+    for row in cent_rows:
+        lab = int(row["label"])
+        mb.setdefault(lab, [0] * PC_DIMS)[row["d0"]] = int(row["mc"])
+        ma.setdefault(lab, [0] * PC_DIMS)[row["d0"]] = int(row["mr"])
     cent_df = spark.createDataFrame(
         [(lab, mb[lab], ma[lab]) for lab in sorted(mb)],
         "label INT, mb ARRAY<BIGINT>, ma ARRAY<BIGINT>",
@@ -8014,35 +8017,34 @@ def ann_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         + " ".join(f"WHEN {j} THEN {canon[j]}" for j in range(k))
         + " END"
     ).alias("cid")
-    std_rows = (
-        assigned.select(
-            canon_col, F.posexplode(F.expr("transform(demb, v -> cast(v as bigint))")).alias("d0", "v")
+    def _ledger(frame: DataFrame) -> "tuple[dict[int, list[int]], dict[int, int]]":
+        """Per-cell (per-dim integer sum, count) from an assigned frame
+        — ONE definition so the standing and new-batch folds can never
+        drift conventions (r10 second-review finding)."""
+        rows_ = (
+            frame.select(
+                canon_col,
+                F.posexplode(
+                    F.expr("transform(demb, v -> cast(v as bigint))")
+                ).alias("d0", "v"),
+            )
+            .groupBy("cid", "d0")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        .groupBy("cid", "d0")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    s_std: dict[int, list[int]] = {j: [0] * PC_DIMS for j in range(k)}
-    n_std: dict[int, int] = {j: 0 for j in range(k)}
-    for r in std_rows:
-        s_std[r["cid"]][r["d0"]] = int(r["s"])
-        n_std[r["cid"]] = int(r["n"])
+        sums = {j: [0] * PC_DIMS for j in range(k)}
+        counts = {j: 0 for j in range(k)}
+        for r in rows_:
+            sums[r["cid"]][r["d0"]] = int(r["s"])
+            counts[r["cid"]] = int(r["n"])
+        return sums, counts
+
+    s_std, n_std = _ledger(assigned)
     # MAINTAIN: assign ONLY the new batch against the trained centroids
     # (zero-shuffle literal form at k=5) and fold its batch-sized sums
-    new_rows = (
+    s_new, n_new = _ledger(
         assign_nearest(new_batch, centroids, vec_col="demb", id_col="vec_id")
-        .select(
-            canon_col, F.posexplode(F.expr("transform(demb, v -> cast(v as bigint))")).alias("d0", "v")
-        )
-        .groupBy("cid", "d0")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
     )
-    s_new: dict[int, list[int]] = {j: [0] * PC_DIMS for j in range(k)}
-    n_new: dict[int, int] = {j: 0 for j in range(k)}
-    for r in new_rows:
-        s_new[r["cid"]][r["d0"]] = int(r["s"])
-        n_new[r["cid"]] = int(r["n"])
     out = []
     for cell in range(k):
         ns, nn = n_std[cell], n_new[cell]

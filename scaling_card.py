@@ -92,20 +92,18 @@ EXPECTED_SUPERLINEAR = {
 def _patch_load_table(modules, recorder):
     """Wrap each query module's imported load_table so builds record
     which tables they touch (the modules import the symbol by name, so
-    patching the source module would not reach them)."""
-    originals = {}
+    patching the source module would not reach them). Patches stay for
+    the process lifetime — this is a one-shot measurement script."""
     for mod in modules:
         orig = getattr(mod, "load_table", None)
         if orig is None:
             continue
-        originals[mod] = orig
 
         def wrapped(spark, sf_dir, name, _orig=orig):
             recorder.add(name)
             return _orig(spark, sf_dir, name)
 
         mod.load_table = wrapped
-    return originals
 
 
 class _Recorder:
@@ -118,22 +116,18 @@ class _Recorder:
 
 
 def main() -> None:
+    import sys as _sys
+
     from polkadot_etl_spark.queries import QUERIES
-    from polkadot_etl_spark.queries import (
-        corpus_ext,
-        llmdata,
-        pipelines,
-        relational,
-        survey_ext,
-        tpch,
-    )
     from polkadot_etl_spark.session import get_spark
 
     spark = get_spark(app_name="polkadot-etl-spark-scaling")
     rec = _Recorder()
-    _patch_load_table(
-        [tpch, relational, llmdata, survey_ext, pipelines, corpus_ext], rec
-    )
+    # derive the module set from the registry itself (a hardcoded list
+    # silently misses a future query module, and the all-tables growth
+    # fallback then UNDER-flags — r10 second-review finding)
+    query_modules = {_sys.modules[spec.build.__module__] for spec in QUERIES.values()}
+    _patch_load_table(sorted(query_modules, key=lambda m: m.__name__), rec)
 
     rows: dict[float, dict[str, int]] = {}
     for sf, d in SF_DIRS.items():

@@ -31,6 +31,34 @@ def test_flagged_set_is_documented(scaling):
     assert not flagged - documented, f"unexplained superlinear: {sorted(flagged - documented)}"
 
 
+def test_flagged_set_is_exactly_the_ratchet():
+    """Stronger than the allowlist: the r10 measurement established that
+    NOTHING in the registry is superlinear (even the documented brute
+    legs are linear — their quadratic term is query-dim-bounded). Pin
+    flagged == [] exactly, so a regression in an ALLOWLISTED query
+    cannot be auto-excused by its EXPECTED_SUPERLINEAR entry (r10
+    second-review finding). Loosening this requires a conscious edit
+    here, like every other ratchet."""
+    import json
+
+    scaling = json.loads(_PATH.read_text())
+    assert scaling["flagged"] == [], scaling["flagged"]
+
+
+def test_every_query_recorded_its_tables():
+    """The growth attribution is only meaningful when the load_table
+    instrumentation actually fired: an empty tables list falls back to
+    all-tables max growth, which UNDER-flags embeddings-family queries
+    (10x denominator instead of 4x). Every registry query reads at
+    least one fixture table, so empty means the instrumentation missed
+    a module."""
+    import json
+
+    scaling = json.loads(_PATH.read_text())
+    missing = [n for n, q in scaling["queries"].items() if not q["tables"]]
+    assert not missing, f"instrumentation missed: {missing}"
+
+
 def test_card_covers_the_registry(scaling):
     """The card must cover every bench-enabled registry query (a query
     landed after the last regen would silently escape the backstop —
