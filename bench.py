@@ -34,7 +34,13 @@ import os
 import sys
 import time
 
-from polkadot_etl_spark.benchutil import time_noop_min, warm_session
+from polkadot_etl_spark.benchutil import (
+    AGG,
+    BASE_ITERS,
+    EXTRA_BELOW,
+    time_noop_min,
+    warm_session,
+)
 from polkadot_etl_spark.queries import QUERIES
 from polkadot_etl_spark.session import get_spark
 
@@ -218,9 +224,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "iterations": 2,
-                "extra_iteration_under_1s": True,
-                "agg": "min",
+                # sourced from benchutil (the one definition of the
+                # timing discipline) so the metadata can never lie about
+                # what the shared helper actually did (r10 ADVICE note)
+                "iterations": BASE_ITERS,
+                "extra_iteration_below_s": EXTRA_BELOW,
+                "agg": AGG,
                 "wall_all": wall_all,
                 "loadavg_1m_start": load_1m_start,
                 "loadavg_1m_end": round(os.getloadavg()[0], 2),

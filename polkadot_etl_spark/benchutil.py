@@ -26,6 +26,13 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The iteration constants, exported so sidecar metadata (bench.py) can
+# reference the ACTUAL behavior instead of hardcoding literals that a
+# future change here would silently falsify (r10 ADVICE note).
+BASE_ITERS = 2
+EXTRA_BELOW = 1.0
+AGG = "min"
+
 
 def warm_session(spark: SparkSession, sf_dir: str) -> None:
     """Parquet-footer + Arrow-worker warmup (see module doc)."""
@@ -42,8 +49,8 @@ def time_noop_min(
     build,
     spark: SparkSession,
     sf_dir: str,
-    base_iters: int = 2,
-    extra_below: float = 1.0,
+    base_iters: int = BASE_ITERS,
+    extra_below: float = EXTRA_BELOW,
 ) -> list[float]:
     """Run ``build(spark, sf_dir)`` through the noop sink ``base_iters``
     times (+1 when the min lands under ``extra_below`` seconds) and

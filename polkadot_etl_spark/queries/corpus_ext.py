@@ -7736,13 +7736,34 @@ def embedding_abtt_isotropy_delta(spark: SparkSession, sf_dir: str) -> DataFrame
     mu_rows = (
         qv.select(F.posexplode("qv").alias("d0", "v"))
         .groupBy("d0")
-        .agg(F.expr("sum(v) div count(1)").alias("m"))
+        .agg(
+            F.expr("sum(v) div count(1)").alias("m"),
+            F.max(F.abs(F.col("v"))).alias("mx"),
+        )
         .collect()
     )
     mu = [0] * PC_DIMS
+    max_v = 0
     for r in mu_rows:
         mu[r["d0"]] = int(r["m"])
+        max_v = max(max_v, int(r["mx"]))
     mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+    # BUILD-TIME HEADROOM GUARD (r10 ADVICE note): the Gram-Schmidt
+    # residual lane (cc * x2 - p * xx) runs in int64 on the Spark side
+    # while the oracle rides HUGEINT — a future PC_QUANT / fixture-
+    # magnitude bump would WRAP silently in non-ANSI Spark and surface
+    # only as an opaque hash mismatch. Bound the lane from already-
+    # collected stats (|c| <= max|v| + max|mu|; |p| <= dims*max|c|*
+    # max|x|) and fail loudly with 2x headroom to spare.
+    max_c = max_v + max(abs(m) for m in mu)
+    max_x = max(abs(v) for v in x)
+    peak = max_c * x2 + (PC_DIMS * max_c * max_x) * max_x
+    if peak >= 2**62:
+        raise ValueError(
+            f"ABTT residual lane would overflow int64: peak bound {peak:.3e}"
+            f" >= 2^62 (max|c|={max_c}, |x|^2={x2}) — drop PC_QUANT a decade"
+            " or move the residual numerator to decimal(38,0)"
+        )
     # centered + corrected vectors in ONE checkpointed pass: the frame
     # feeds four downstream consumers (two centroid aggregates, the
     # compactness folds, the residual-projection proof), so materialize

@@ -66,6 +66,12 @@ FLAG_ABOVE = 1.2
 # docstring DECLARES a deliberately quadratic leg, with the bound that
 # keeps it safe in production (query-dim-bounded truth legs, capped
 # candidate emission). A flag on anything else fails the pytest.
+# NOTE: tests/test_scaling_card.py currently pins flagged == [] EXACTLY
+# (the r10 measurement's fact — even these documented legs measure
+# linear at fixture SFs because their quadratic term is query-dim-
+# bounded), so this allowlist has no excusing effect until that ratchet
+# is consciously loosened; it remains as documentation of which queries
+# are ALLOWED to flag if a future SF/noise regime shifts their exponent.
 EXPECTED_SUPERLINEAR = {
     "ann_recall_audit": "exact-truth leg is corpus x query-dim brute "
     "force by design (bounded by the 8-query dim); the audit prices the "
@@ -179,11 +185,16 @@ def main() -> None:
         probe_t[sf] = round(min(time_noop_min(_probe_quadratic, spark, d)), 3)
         print(f"# sf{sf} [quadratic probe]: {probe_t[sf]:.3f}s", file=sys.stderr)
 
-    def _exponent(name: str, lo: float, hi: float) -> tuple[float, float]:
+    def _exponent(name: str, lo: float, hi: float) -> tuple[float | None, float]:
+        """Fit the exponent for one SF pair; None when the query's
+        inputs did not grow across the pair (exponent undefined — a
+        query reading only flat tables must surface as UNMEASURABLE,
+        not silently score 0.0 and dodge the detector; r10 ADVICE
+        note)."""
         tabs = tables_read[name] or set(TABLES)
         growth = max(rows[hi][t] / max(rows[lo][t], 1) for t in tabs)
         if growth <= 1.0:
-            return 0.0, round(growth, 3)
+            return None, round(growth, 3)
         # clamp BOTH timings: round(min, 3) can record 0.0 for a
         # sub-millisecond build, and log(0) would kill the whole run
         e = math.log(
@@ -193,10 +204,17 @@ def main() -> None:
 
     out_queries = {}
     flagged = []
+    unmeasurable = []
     for name in names:
         e_hi, g_hi = _exponent(name, 0.01, 0.1)
         e_lo, g_lo = _exponent(name, 0.001, 0.01)
-        is_flagged = e_hi > FLAG_ABOVE
+        if e_hi is None:
+            # the scored pair has no input growth for this query — it is
+            # exempt from the detector BY CONSTRUCTION, and that fact
+            # must be a loud artifact field (pinned empty in pytest: at
+            # the hi pair every fixture table grows), not a silent 0.0
+            unmeasurable.append(name)
+        is_flagged = e_hi is not None and e_hi > FLAG_ABOVE
         if is_flagged:
             flagged.append(name)
         out_queries[name] = {
@@ -215,14 +233,25 @@ def main() -> None:
         / math.log(probe_growth),
         3,
     )
+    import hashlib
+
     doc = {
         "metric": "per-query scaling exponent ln(t_hi/t_lo)/ln(input_growth)",
         "pairs": {"hi": [0.01, 0.1], "lo": [0.001, 0.01]},
         "flag_above": FLAG_ABOVE,
+        # content hash of THIS harness at measurement time: pinned by
+        # tests/test_scaling_card.py so the committed artifact can never
+        # be older than the harness that claims it (the r10 refactor
+        # shipped without a regen — harmless then, now structurally
+        # impossible; r10 verdict task #5)
+        "harness_sha256_16": hashlib.sha256(
+            open(os.path.abspath(__file__), "rb").read()
+        ).hexdigest()[:16],
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "table_rows": {str(sf): rows[sf] for sf in SF_DIRS},
         "flagged": sorted(flagged),
         "unexplained": unexplained,
+        "unmeasurable": sorted(unmeasurable),
         "expected_superlinear": EXPECTED_SUPERLINEAR,
         "probe_quadratic": {
             "t": {str(sf): probe_t[sf] for sf in SF_DIRS},
