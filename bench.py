@@ -204,6 +204,28 @@ def main() -> None:
             ].write.format("noop").mode("overwrite").save()
             funnel_stages[stage] = round(time.perf_counter() - t0, 3)
         print(f"# funnel stages: {funnel_stages}", file=sys.stderr)
+    # Stage-grain attribution for the other expensive composed query:
+    # streaming_dump_replay's cost is dominated by the 4-micro-batch
+    # structured-streaming harness (checkpoint round-trips), not plan
+    # work — split harness vs batch-side dump composition so a future
+    # regression localizes without re-profiling (r10 verdict task #4).
+    # One iteration each — attribution hints over the budgeted min-of-2.
+    dump_replay_stages: dict[str, float] = {}
+    if "streaming_dump_replay" in per_query:
+        from polkadot_etl_spark.queries.pipelines import (  # noqa: PLC0415
+            _dump_replay_gold,
+            _dump_replay_winners,
+        )
+
+        t0 = time.perf_counter()
+        winners = _dump_replay_winners(spark, sf_dir)
+        dump_replay_stages["stream_harness"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _dump_replay_gold(spark, sf_dir, winners).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dump_replay_stages["dump_compose"] = round(time.perf_counter() - t0, 3)
+        print(f"# dump replay stages: {dump_replay_stages}", file=sys.stderr)
     wall_all = round(time.perf_counter() - t_all, 3)
     total = round(sum(per_query.values()), 3)
 
@@ -236,6 +258,7 @@ def main() -> None:
                 "over_budget": over_budget,
                 "no_budget": sorted(no_budget),
                 "funnel_stages": funnel_stages,
+                "dump_replay_stages": dump_replay_stages,
                 "queries": per_query,
             },
             fh,

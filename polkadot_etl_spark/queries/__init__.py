@@ -21,95 +21,97 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 # tests/test_registry_order.py against the committed CORRECTNESS artifacts)
 # and stays verified by the local oracle suite every session.
 #
-# ROUND-10 ROTATION (the r9 verdict's task #1 — retire the staleness tail
-# to ZERO): the remaining 46 queries whose last driver-green row is r2 (15)
-# or r3 (31) all rotate in, with the flagship and the three new r10
-# queries filling the window to exactly 50. After this round every one of
-# the 204 registry entries has a driver-green row from r4+, finishing the
-# r7->r10 rotation program. Every rotated-in entry is code untouched since
-# its green row (comment-only edits exempt per the materiality rule) and
-# verified by the local oracle suite every session. The 49 demotions
-# (everything in the r9 window except the kept flagship: 14 late-r9/
-# corpus_ext entries + the 26 r1-tail + 9 r2-tail relational/tpch
-# re-greens) are ALL r9-green (CORRECTNESS_r09.json, 50/50): the
-# corpus_ext demotions
-# carry per-name redundancy notes in tests/test_registry_order.py's
-# _DEMOTED_GREEN; the non-llm demotions are, with green rows:
-#   asof_join_last_purchase, channel_daily_summary, collect_sorted_list,
-#   customer_lifetime_stats, distinct_pairs, duplicate_detection,
-#   fee_distribution_stats, fee_percentiles, first_attribution,
-#   moving_avg_7d, rollup_daily_type, semi_join_building,
-#   sessionize_events, size_histogram, topn_per_group, trailing_rollups,
-#   tpch_q7/q8/q9/q10/q13/q14/q15/q17/q19/q22 (r1+r9 green),
-#   active_accounts_union, anti_join_no_urgent, best_by_rank,
-#   block_at_timestamp, daily_order_metrics, gap_detection,
-#   intersect_except_users, interval_sampling, left_join_dim_agg
-#   (r2+r9 green) — all relational/tpch-family code untouched since r1/r2
-#   whose operator families keep in-window representatives via the
-#   rotated-in r2/r3 tail (the same families: windows via
-#   daily_history_series/session_window_native, aggs via
-#   monthly_rollup_having/per_block_stats, joins via the tpch block).
+# ROUND-11 ROTATION (the freshness program's steady state, r10 verdict
+# task #6; max staleness <= 6 rounds is now PINNED by
+# tests/test_registry_order.py::test_registry_freshness_max_staleness):
+# in-window this round are (a) the flagship, (b) the new composed
+# daily-increment query, (c) the six queries whose CODE changed this
+# round after their last green row (the r10 trio + the two streaming
+# replays touched by the shared replay-skeleton refactor +
+# approx_distinct_users' new oracle row — the staleness rule), and
+# (d) the oldest green tail: all of r4 (8), r5 (8) and r6 (19) plus the
+# first 7 of the r7 tail (the remaining 17 r7 entries are r12's
+# rotation). This deviates deliberately from the r10 verdict's
+# suggestion to rotate the 14 late-r9 corpus_ext demotions: the r6 tail
+# is 3 rounds staler, and the <=6-round pin makes oldest-first the only
+# sustainable order; the two REPLAY queries the deferred refactor
+# required are in regardless. The 46 demotions (the whole r10 r2/r3
+# re-green tail) are ALL r10-green (CORRECTNESS_r10.json, 50/50, zero
+# err); the llmdata/corpus_ext demotions keep their redundancy notes in
+# tests/test_registry_order.py's _DEMOTED_GREEN (their entries were
+# vacuous while in-window and simply apply again); the relational/tpch
+# demotions keep in-window family representatives via the rotated-in
+# r4-r7 tail (aggs via audit_row_counts/address_topn_metrics, windows
+# via lag_change_detection/ohlcv_hourly successors in the r7 head,
+# joins via assethub_asset_transfers/xcm family, scans/exports via
+# dune_csv_roundtrip/xcm_messages_published).
 _PRIORITY: list[str] = [
     # --- the flagship (driver smoke-checks entry() against it)
     "tpch_q1",
-    # --- the three new r10 queries (new queries MUST be in-window):
-    # ABTT completed (train->measure->USE: the correction applied and the
-    # isotropy win hash-gated), incremental IVF index maintenance (FAISS
-    # add-with-ids shape pairing the streaming dedup with retrieval), and
-    # the end-to-end streaming day-dump replay (candidates -> fork
-    # resolution -> finalized publish -> dump silver -> blocklog gold
-    # under ONE hash)
+    # --- NEW this round: the LLM-side daily-increment production loop
+    # composed under one hash (streaming ingest -> ledger dedup -> IVF
+    # maintenance; r10 verdict task #8)
+    "corpus_daily_increment_replay",
+    # --- changed-code re-greens (the staleness rule: every query whose
+    # implementation changed after its last driver-green row):
+    # the r10 trio (ABTT headroom guard + plan seams; IVF maintenance
+    # helper extraction; dump-replay stage seams), the two streaming
+    # replays (shared replay-skeleton refactor, deferred from r10 by
+    # this exact rule), and approx_distinct_users (no_oracle ->
+    # hash-gated accuracy contract, retiring the registry's last
+    # rows-only row)
     "embedding_abtt_isotropy_delta",
     "ann_ivf_incremental_maintenance",
     "streaming_dump_replay",
-    # --- the r2 tail (15): last driver-green row is round 2
-    "daily_history_series",
-    "json_field_access",
-    "like_filter",
-    "monthly_rollup_having",
-    "noise_suppression",
-    "per_block_stats",
-    "pivot_event_counts",
-    "session_window_native",
-    "topk_paging",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_revenue",
-    "tpch_q6_forecast_revenue",
-    "unpivot_roundtrip",
-    "validity_filter",
-    "work_queue_backoff",
-    # --- the r3 tail (31): last driver-green row is round 3
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "band_join_tiebreak",
-    "broadcast_dim_decoration",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dex_router_paths",
-    "doc_fingerprint",
-    "embedding_bucket_stats",
-    "evmtxs_daily_gold",
-    "fuzzy_confidence_match",
-    "gopher_repetition",
-    "identity_resolution",
-    "ivf_centroid_update",
-    "lang_id_heuristic",
-    "pii_scrub",
-    "rewards_rollup",
-    "simhash_fingerprints",
-    "stratified_sample",
-    "text_quality",
-    "token_counts",
-    "tpch_q11_important_value_share",
-    "tpch_q16_supplier_count_by_part",
-    "tpch_q18_large_volume",
-    "tpch_q20_excess_supply_semi",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3",
+    "streaming_corpus_replay",
+    "streaming_neardedup_replay",
+    "approx_distinct_users",
+    # --- the r4 tail (8): last driver-green row is round 4
+    "bpe_encode_vocab",
+    "ccnet_perplexity_buckets",
+    "intradoc_dup_ngrams",
+    "lsh_dropped_buckets",
+    "multimodal_image_features",
+    "snapshots_pricefeed",
+    "snapshots_staking_era",
+    "xcm_message_weights",
+    # --- the r5 tail (8): last driver-green row is round 5
+    "democracy_voting",
+    "dune_csv_roundtrip",
+    "evm_accounts_daily",
+    "evm_decoded_transfers",
+    "gar_chain_registry",
+    "multimodal_audio_features",
+    "snapshots_astar_dappstaking",
+    "xcm_messages_published",
+    # --- the r6 tail (19): last driver-green row is round 6
+    "audit_row_counts",
+    "corpus_filter_funnel",
+    "dedup_corpus_survivors",
+    "dune_freshness_alerts",
+    "evm_precompile_calls",
+    "exact_substring_dup_spans",
+    "image_dhash_dedup",
+    "kmeans_corpus_clusters",
+    "mixture_sample_corpus",
+    "mixture_weights",
+    "quality_classifier_logit",
+    "semdedup_prune",
+    "sequence_packing",
+    "snapshots_assethub_stablecoins",
+    "snapshots_hydradx_omnipool",
+    "split_leakage_audit",
+    "token_metadata_maintenance",
+    "tpch_q12_shipmode_priority",
+    "winnowing_fingerprints",
+    # --- the r7 head (7 of 24, alphabetical; the rest rotate in r12)
+    "address_topn_metrics",
+    "asof_broadcast_version",
+    "assethub_asset_transfers",
+    "audio_energy_hash_dedup",
+    "bpe_pair_counts",
+    "call_tree_flatten",
+    "cdc_chunk_dedup",
 ]
 
 

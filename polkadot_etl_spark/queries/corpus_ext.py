@@ -6377,15 +6377,28 @@ REPLAY_BATCHES = 3  # monotone-id micro-batches (the batch-rule contract)
 REPLAY_ROSTER_CAP = 10_000  # near-dedup replay: no admission drops at 120 docs
 
 
+def _doc_ndjson_line(r) -> str:
+    """One NDJSON document line in DOC_STREAM_SCHEMA field order."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "doc_id": r["doc_id"],
+            "text": r["text"],
+            "lang": r["lang"],
+            "source": r["source"],
+        }
+    )
+
+
 def _replay_ndjson_batches(spark: SparkSession, sf_dir: str, work: str) -> str:
     """Materialize the bounded fixture stream (doc_id < REPLAY_DOCS) as
-    REPLAY_BATCHES monotone-id NDJSON files under ``work`` with
-    forced-distinct mtimes, so FileStreamSource's batch order is pinned
-    to doc_id order — the monotone-arrival contract both streaming
-    replays' batch-window oracles rely on. Returns the source dir."""
-    import json as _json
-    import os as _os
-    import time as _time
+    REPLAY_BATCHES monotone-id NDJSON waves under ``work`` via the
+    SHARED replay skeleton (streaming/replay.py), so FileStreamSource's
+    batch order is pinned to doc_id order — the monotone-arrival
+    contract both streaming replays' batch-window oracles rely on.
+    Returns the source dir."""
+    from polkadot_etl_spark.streaming.replay import write_ndjson_waves
 
     rows = (
         load_table(spark, sf_dir, "documents")
@@ -6394,63 +6407,12 @@ def _replay_ndjson_batches(spark: SparkSession, sf_dir: str, work: str) -> str:
         .collect()
     )
     rows.sort(key=lambda r: r["doc_id"])
-    src_dir = _os.path.join(work, "src")
-    _os.makedirs(src_dir)
     per = max(1, (len(rows) + REPLAY_BATCHES - 1) // REPLAY_BATCHES)
-    base_t = _time.time() - 3600
-    for b in range(REPLAY_BATCHES):
-        chunk = rows[b * per : (b + 1) * per]
-        if not chunk:
-            continue
-        path = _os.path.join(src_dir, f"batch-{b:03d}.json")
-        with open(path, "w") as fh:
-            for r in chunk:
-                fh.write(
-                    _json.dumps(
-                        {
-                            "doc_id": r["doc_id"],
-                            "text": r["text"],
-                            "lang": r["lang"],
-                            "source": r["source"],
-                        }
-                    )
-                    + "\n"
-                )
-        _os.utime(path, (base_t + b, base_t + b))
-    return src_dir
-
-
-def _replay_stream_collect(stream_df: DataFrame, work: str, out_schema):
-    """Run a bounded stream to completion, collecting every micro-batch
-    via foreachBatch into one pandas frame (the replay harness both
-    streaming gate queries share). Returns the concatenated pandas
-    frame (possibly empty, schema-named)."""
-    import os as _os
-
-    import pandas as _pd
-
-    acc: "list[_pd.DataFrame]" = []
-
-    def _collect(batch_df: DataFrame, _batch_id: int) -> None:
-        acc.append(batch_df.toPandas())
-
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .option("checkpointLocation", _os.path.join(work, "chk"))
-        .foreachBatch(_collect)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        # always stop: an orphaned stream would keep erroring against
-        # the caller's rmtree'd source/checkpoint dirs for the rest of
-        # the session, polluting every subsequent query
-        q.stop()
-    out = [p for p in acc if len(p)]
-    if out:
-        return _pd.concat(out, ignore_index=True)
-    return _pd.DataFrame(columns=[f.name for f in out_schema.fields])
+    waves = [
+        [_doc_ndjson_line(r) for r in rows[b * per : (b + 1) * per]]
+        for b in range(REPLAY_BATCHES)
+    ]
+    return write_ndjson_waves(work, waves)
 
 
 @query(
@@ -6516,11 +6478,12 @@ def streaming_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         document_stream,
         quality_gated,
     )
+    from polkadot_etl_spark.streaming.replay import collect_bounded_stream
 
     work = _tempfile.mkdtemp(prefix="corpus_replay_")
     try:
         src_dir = _replay_ndjson_batches(spark, sf_dir, work)
-        pdf = _replay_stream_collect(
+        pdf = collect_bounded_stream(
             dedup_first_occurrence(
                 quality_gated(document_stream(spark, src_dir))
             ),
@@ -6621,6 +6584,7 @@ def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         consolidate_verdicts,
         near_dedup_stream,
     )
+    from polkadot_etl_spark.streaming.replay import collect_bounded_stream
 
     work = _tempfile.mkdtemp(prefix="neardedup_replay_")
     try:
@@ -6628,7 +6592,7 @@ def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the REAL source stage (shared with streaming_corpus_replay) —
         # an inline copy would silently drift from the machine this
         # query certifies
-        pdf = _replay_stream_collect(
+        pdf = collect_bounded_stream(
             near_dedup_stream(
                 document_stream(spark, src_dir), cap=REPLAY_ROSTER_CAP
             ),
@@ -7720,6 +7684,61 @@ CROSS JOIN xsq
     tags=("similarity", "iterative", "audit"),
 )
 def embedding_abtt_isotropy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cr = _abtt_centered(spark, sf_dir).localCheckpoint(eager=True)
+    x, x2, x_lit = _ABTT_DIRECTION
+    mb, ma = _abtt_cent_ledgers(cr)
+    cent_df = spark.createDataFrame(
+        [(lab, mb[lab], ma[lab]) for lab in sorted(mb)],
+        "label INT, mb ARRAY<BIGINT>, ma ARRAY<BIGINT>",
+    )
+    lab_rows = (
+        _abtt_folded(cr, cent_df, x_lit)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr("cast(dtb as decimal(38, 0)) * cast(dtb as decimal(38, 0))")
+            ).alias("sdt2b"),
+            F.sum("c2").alias("sc2b"),
+            F.sum(
+                F.expr("cast(dta as decimal(38, 0)) * cast(dta as decimal(38, 0))")
+            ).alias("sdt2a"),
+            F.sum("r2").alias("sc2a"),
+            F.sum(
+                F.expr("cast(prx as decimal(38, 0)) * cast(prx as decimal(38, 0))")
+            ).alias("sp2"),
+        )
+        .collect()
+    )
+    out = []
+    for row in lab_rows:
+        lab = int(row["label"])
+        m2b = sum(v * v for v in mb[lab])
+        m2a = sum(v * v for v in ma[lab])
+        before = int(row["sdt2b"]) * 1_000_000 // max(m2b * int(row["sc2b"]), 1)
+        after = int(row["sdt2a"]) * 1_000_000 // max(m2a * int(row["sc2a"]), 1)
+        resid = int(row["sp2"]) * 1_000_000 // max(x2 * int(row["sc2a"]), 1)
+        out.append((lab, int(row["n"]), before, after, after - before, resid))
+    return spark.createDataFrame(
+        out,
+        "label INT, n_vectors LONG, share_before_ppm LONG,"
+        " share_after_ppm LONG, delta_ppm LONG, residual_pc_ppm LONG",
+    )
+
+
+# module-level slot carrying the trained direction between _abtt_centered
+# and its consumers within ONE build (the helpers exist as plan seams for
+# tests/test_plan_quality.py; the direction is a pure function of the
+# corpus, so a stale read cannot occur — every build refreshes it first)
+_ABTT_DIRECTION: "tuple[list[int], int, str] | None" = None
+
+
+def _abtt_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT stage 1 (plan seam): the centered + corrected vectors frame
+    (vec_id, label, c, r) BEFORE checkpointing — one parquet pass, all
+    row-local folds against broadcast literals. Side effect: stores the
+    trained direction in _ABTT_DIRECTION for the downstream stages."""
+    global _ABTT_DIRECTION
     x, _n = _pc_power_direction(spark, sf_dir)
     x2 = sum(v * v for v in x)  # <= 64 * 4e12, inside int64
     x_lit = "array(" + ", ".join(f"{v}L" for v in x) + ")"
@@ -7764,11 +7783,11 @@ def embedding_abtt_isotropy_delta(spark: SparkSession, sf_dir: str) -> DataFrame
             f" >= 2^62 (max|c|={max_c}, |x|^2={x2}) — drop PC_QUANT a decade"
             " or move the residual numerator to decimal(38,0)"
         )
-    # centered + corrected vectors in ONE checkpointed pass: the frame
-    # feeds four downstream consumers (two centroid aggregates, the
-    # compactness folds, the residual-projection proof), so materialize
-    # once (the cva precedent in embedding_top_pc_power)
-    cr = (
+    _ABTT_DIRECTION = (x, x2, x_lit)
+    # centered + corrected vectors in ONE pass (the caller checkpoints:
+    # the frame feeds four downstream consumers — two centroid
+    # aggregates, the compactness folds, the residual-projection proof)
+    return (
         qv.select(
             "vec_id",
             "label",
@@ -7792,38 +7811,46 @@ def embedding_abtt_isotropy_delta(spark: SparkSession, sf_dir: str) -> DataFrame
                 f" (cc, xx) -> (cc * {x2}L - p * xx) div {x2}L)"
             ).alias("r"),
         )
-        .localCheckpoint(eager=True)
     )
 
-    # BOTH centroid ledgers (centered + corrected) in ONE pass over the
-    # checkpointed frame: arrays_zip pairs the coordinates so a single
-    # explode+aggregate produces mb and ma together (two separate jobs
-    # re-scanned cr for nothing — r10 second-review finding)
-    cent_rows = (
+
+def _abtt_cent_ledger_frame(cr: DataFrame) -> DataFrame:
+    """ABTT stage 2 (plan seam): BOTH centroid ledgers (centered +
+    corrected) in ONE pass over the checkpointed frame — arrays_zip
+    pairs the coordinates so a single explode+aggregate produces mb and
+    ma together (two separate jobs re-scanned cr for nothing — r10
+    second-review finding)."""
+    return (
         cr.select("label", F.posexplode(F.arrays_zip("c", "r")).alias("d0", "z"))
         .groupBy("label", "d0")
         .agg(
             F.expr("sum(z.c) div count(1)").alias("mc"),
             F.expr("sum(z.r) div count(1)").alias("mr"),
         )
-        .collect()
     )
+
+
+def _abtt_cent_ledgers(cr: DataFrame):
+    """Collect the O(labels x dims) centroid ledgers to the driver."""
     mb: dict[int, list[int]] = {}
     ma: dict[int, list[int]] = {}
-    for row in cent_rows:
+    for row in _abtt_cent_ledger_frame(cr).collect():
         lab = int(row["label"])
         mb.setdefault(lab, [0] * PC_DIMS)[row["d0"]] = int(row["mc"])
         ma.setdefault(lab, [0] * PC_DIMS)[row["d0"]] = int(row["mr"])
-    cent_df = spark.createDataFrame(
-        [(lab, mb[lab], ma[lab]) for lab in sorted(mb)],
-        "label INT, mb ARRAY<BIGINT>, ma ARRAY<BIGINT>",
-    )
+    return mb, ma
+
+
+def _abtt_folded(cr: DataFrame, cent_df: DataFrame, x_lit: str) -> DataFrame:
+    """ABTT stage 3 (plan seam): per-vector compactness folds against
+    the BROADCAST centroid dim — row-local HOF aggregates, no pairwise
+    term anywhere."""
     dec2 = (
         "aggregate(transform({col}, v -> cast(v as decimal(38, 0))"
         " * cast(v as decimal(38, 0))), cast(0 as decimal(38, 0)),"
         " (acc, v) -> acc + v)"
     )
-    folded = cr.join(F.broadcast(cent_df), "label").select(
+    return cr.join(F.broadcast(cent_df), "label").select(
         "label",
         F.expr(
             "aggregate(zip_with(c, mb, (cc, mm) -> cc * mm), 0L,"
@@ -7839,38 +7866,6 @@ def embedding_abtt_isotropy_delta(spark: SparkSession, sf_dir: str) -> DataFrame
             f"aggregate(zip_with(r, {x_lit}, (rr, xx) -> rr * xx),"
             " 0L, (acc, v) -> acc + v)"
         ).alias("prx"),
-    )
-    lab_rows = (
-        folded.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(
-                F.expr("cast(dtb as decimal(38, 0)) * cast(dtb as decimal(38, 0))")
-            ).alias("sdt2b"),
-            F.sum("c2").alias("sc2b"),
-            F.sum(
-                F.expr("cast(dta as decimal(38, 0)) * cast(dta as decimal(38, 0))")
-            ).alias("sdt2a"),
-            F.sum("r2").alias("sc2a"),
-            F.sum(
-                F.expr("cast(prx as decimal(38, 0)) * cast(prx as decimal(38, 0))")
-            ).alias("sp2"),
-        )
-        .collect()
-    )
-    out = []
-    for row in lab_rows:
-        lab = int(row["label"])
-        m2b = sum(v * v for v in mb[lab])
-        m2a = sum(v * v for v in ma[lab])
-        before = int(row["sdt2b"]) * 1_000_000 // max(m2b * int(row["sc2b"]), 1)
-        after = int(row["sdt2a"]) * 1_000_000 // max(m2a * int(row["sc2a"]), 1)
-        resid = int(row["sp2"]) * 1_000_000 // max(x2 * int(row["sc2a"]), 1)
-        out.append((lab, int(row["n"]), before, after, after - before, resid))
-    return spark.createDataFrame(
-        out,
-        "label INT, n_vectors LONG, share_before_ppm LONG,"
-        " share_after_ppm LONG, delta_ppm LONG, residual_pc_ppm LONG",
     )
 
 
@@ -7890,6 +7885,123 @@ IVF_MAINT_NEW_MIN = 5
 # centroid, as ppm of the centroid's squared norm; 150 splits the
 # fixture's graded drifts (33..523 ppm across cells) into kept/flagged
 IVF_MAINT_RETRAIN_PPM = 150
+
+
+def _ivf_maint_corpus(e: DataFrame, is_new: "F.Column") -> DataFrame:
+    """The displaced + drifted synthetic index corpus (vec_id, is_new,
+    demb): quantize floor(v * QUANT), displace dim (vec_id % k) so the
+    oracle can derive cell assignment relationally, and give NEW-batch
+    vectors the graded (20 + 15*cell)-unit drift at the next-door dim.
+    Parameterized on the new-batch membership column so the maintenance
+    card and the composed daily-increment pipeline share ONE synthesis
+    (the plan seam tests/test_plan_quality.py pins)."""
+    k = IVF_MAINT_K
+    base = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (v, i) ->"
+            f" cast(floor(cast(v as double) * {IVF_MAINT_QUANT}) as bigint)"
+            f" + if(i = vec_id % {k}, {IVF_MAINT_DISP}L, 0L))"
+        ).alias("qd"),
+        is_new.alias("is_new"),
+    )
+    return base.select(
+        "vec_id",
+        "is_new",
+        F.expr(
+            "transform(qd, (v, i) -> cast(v +"
+            f" if(is_new and i = (vec_id + 1) % {k},"
+            f" (20 + 15 * (vec_id % {k})) * {IVF_MAINT_QUANT}L, 0L)"
+            " as double))"
+        ).alias("demb"),
+    )
+
+
+def _ivf_train_canon(standing: DataFrame):
+    """BUILD-time training: kmeans_lloyd on the standing corpus, plus
+    the cluster-id CANONICALIZATION column. kmeans numbering follows
+    init order, which nothing guarantees matches the displacement
+    layout — a cid permutation would swap every per-cell row across
+    engines even though the clustering is correct (r10 self-review
+    finding). argmax of the trained centroid IS the displaced dim when
+    clustering is right; a wrong clustering collides here and still
+    hash-fails loudly. Returns (assigned, centroids, canon_col,
+    n_iter)."""
+    from polkadot_etl_spark.operators.kmeans import kmeans_lloyd
+
+    k = IVF_MAINT_K
+    assigned, centroids, n_iter = kmeans_lloyd(
+        standing, vec_col="demb", id_col="vec_id", k=k, max_iter=10, tol=0.0
+    )
+    canon = [max(range(len(c)), key=lambda d: c[d]) for c in centroids]
+    if sorted(canon) != list(range(k)):
+        raise ValueError(f"trained centroids do not separate cells: {canon}")
+    canon_col = F.expr(
+        "CASE cid "
+        + " ".join(f"WHEN {j} THEN {canon[j]}" for j in range(k))
+        + " END"
+    ).alias("cid")
+    return assigned, centroids, canon_col, n_iter
+
+
+def _ivf_ledger_frame(frame: DataFrame, canon_col) -> DataFrame:
+    """The (cell, dim)-keyed integer ledger aggregate an assigned frame
+    folds into — exposed pre-collect as the plan seam (the maintenance-
+    time plan must be batch-sized: one Exchange, no join, no rescan of
+    the standing corpus)."""
+    return (
+        frame.select(
+            canon_col,
+            F.posexplode(
+                F.expr("transform(demb, v -> cast(v as bigint))")
+            ).alias("d0", "v"),
+        )
+        .groupBy("cid", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _ivf_ledger(
+    frame: DataFrame, canon_col
+) -> "tuple[dict[int, list[int]], dict[int, int]]":
+    """Per-cell (per-dim integer sum, count) from an assigned frame —
+    ONE definition so the standing and new-batch folds can never drift
+    conventions (r10 second-review finding)."""
+    k = IVF_MAINT_K
+    sums = {j: [0] * PC_DIMS for j in range(k)}
+    counts = {j: 0 for j in range(k)}
+    for r in _ivf_ledger_frame(frame, canon_col).collect():
+        sums[r["cid"]][r["d0"]] = int(r["s"])
+        counts[r["cid"]] = int(r["n"])
+    return sums, counts
+
+
+def _ivf_card_rows(s_std, n_std, s_new, n_new):
+    """The maintenance card fold: per-cell growth/drift ppm and the
+    retrain flag from the two integer ledgers, via the exact identity
+    drift = A/(N^2 B) with A = sum_d (S_tot*n_std - S_std*N)^2 and
+    B = sum_d S_std^2 — python-int 128-bit-safe, no float anywhere."""
+    out = []
+    for cell in range(IVF_MAINT_K):
+        ns, nn = n_std[cell], n_new[cell]
+        ntot = ns + nn
+        a = sum(
+            ((s_std[cell][d] + s_new[cell][d]) * ns - s_std[cell][d] * ntot) ** 2
+            for d in range(PC_DIMS)
+        )
+        b = sum(s * s for s in s_std[cell])
+        drift_ppm = a * 1_000_000 // max(ntot * ntot * b, 1)
+        out.append(
+            (
+                cell,
+                ns,
+                nn,
+                nn * 1_000_000 // max(ns, 1),
+                drift_ppm,
+                drift_ppm >= IVF_MAINT_RETRAIN_PPM,
+            )
+        )
+    return out
 
 
 @query(
@@ -7991,104 +8103,376 @@ FROM drift
     tags=("similarity", "iterative", "pipeline", "streaming"),
 )
 def ann_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from polkadot_etl_spark.operators.kmeans import assign_nearest, kmeans_lloyd
+    from polkadot_etl_spark.operators.kmeans import assign_nearest
 
     e = load_table(spark, sf_dir, "embeddings")
     vid = F.col("vec_id")
-    k = IVF_MAINT_K
-    base = e.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, (v, i) ->"
-            f" cast(floor(cast(v as double) * {IVF_MAINT_QUANT}) as bigint)"
-            f" + if(i = vec_id % {k}, {IVF_MAINT_DISP}L, 0L))"
-        ).alias("qd"),
-        (vid % IVF_MAINT_NEW_MOD >= IVF_MAINT_NEW_MIN).alias("is_new"),
-    )
-    # the new batch carries the graded drift term at the next-door dim
-    qd = base.select(
-        "vec_id",
-        "is_new",
-        F.expr(
-            "transform(qd, (v, i) -> cast(v +"
-            f" if(is_new and i = (vec_id + 1) % {k},"
-            f" (20 + 15 * (vec_id % {k})) * {IVF_MAINT_QUANT}L, 0L)"
-            " as double))"
-        ).alias("demb"),
-    )
+    qd = _ivf_maint_corpus(e, vid % IVF_MAINT_NEW_MOD >= IVF_MAINT_NEW_MIN)
     standing = qd.where(~F.col("is_new"))
     new_batch = qd.where(F.col("is_new"))
     # BUILD: train the coarse quantizer on the standing corpus and keep
     # the per-cell integer ledger (count, per-dim sum) as index metadata
-    assigned, centroids, n_iter = kmeans_lloyd(
-        standing, vec_col="demb", id_col="vec_id", k=k, max_iter=10, tol=0.0
-    )
-    # CANONICALIZE cluster ids by each centroid's dominant (displaced)
-    # dimension: kmeans numbering follows init order, which nothing
-    # guarantees matches the displacement layout — a cid permutation
-    # would swap every per-cell row across engines even though the
-    # clustering is correct (r10 self-review finding). argmax of the
-    # trained centroid IS the displaced dim when clustering is right;
-    # a wrong clustering collides here and still hash-fails loudly.
-    canon = [max(range(len(c)), key=lambda d: c[d]) for c in centroids]
-    if sorted(canon) != list(range(k)):
-        raise ValueError(f"trained centroids do not separate cells: {canon}")
-    canon_col = F.expr(
-        "CASE cid "
-        + " ".join(f"WHEN {j} THEN {canon[j]}" for j in range(k))
-        + " END"
-    ).alias("cid")
-    def _ledger(frame: DataFrame) -> "tuple[dict[int, list[int]], dict[int, int]]":
-        """Per-cell (per-dim integer sum, count) from an assigned frame
-        — ONE definition so the standing and new-batch folds can never
-        drift conventions (r10 second-review finding)."""
-        rows_ = (
-            frame.select(
-                canon_col,
-                F.posexplode(
-                    F.expr("transform(demb, v -> cast(v as bigint))")
-                ).alias("d0", "v"),
-            )
-            .groupBy("cid", "d0")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        sums = {j: [0] * PC_DIMS for j in range(k)}
-        counts = {j: 0 for j in range(k)}
-        for r in rows_:
-            sums[r["cid"]][r["d0"]] = int(r["s"])
-            counts[r["cid"]] = int(r["n"])
-        return sums, counts
-
-    s_std, n_std = _ledger(assigned)
+    assigned, centroids, canon_col, n_iter = _ivf_train_canon(standing)
+    s_std, n_std = _ivf_ledger(assigned, canon_col)
     # MAINTAIN: assign ONLY the new batch against the trained centroids
     # (zero-shuffle literal form at k=5) and fold its batch-sized sums
-    s_new, n_new = _ledger(
-        assign_nearest(new_batch, centroids, vec_col="demb", id_col="vec_id")
+    s_new, n_new = _ivf_ledger(
+        assign_nearest(new_batch, centroids, vec_col="demb", id_col="vec_id"),
+        canon_col,
     )
-    out = []
-    for cell in range(k):
-        ns, nn = n_std[cell], n_new[cell]
-        ntot = ns + nn
-        a = sum(
-            ((s_std[cell][d] + s_new[cell][d]) * ns - s_std[cell][d] * ntot) ** 2
-            for d in range(PC_DIMS)
-        )
-        b = sum(s * s for s in s_std[cell])
-        drift_ppm = a * 1_000_000 // max(ntot * ntot * b, 1)
-        out.append(
-            (
-                cell,
-                ns,
-                nn,
-                nn * 1_000_000 // max(ns, 1),
-                drift_ppm,
-                drift_ppm >= IVF_MAINT_RETRAIN_PPM,
-                int(n_iter),
-            )
-        )
+    out = [
+        row + (int(n_iter),)
+        for row in _ivf_card_rows(s_std, n_std, s_new, n_new)
+    ]
     return spark.createDataFrame(
         out,
         "cell INT, n_standing LONG, n_new LONG, growth_ppm LONG,"
         " drift_ppm LONG, retrain BOOLEAN, n_iter INT",
+    )
+
+
+# --------------------------------------------------------------------------
+# The LLM-side daily-increment pipeline, composed under ONE hash
+# (r10 verdict task #8 — the production data-ops loop end to end)
+# --------------------------------------------------------------------------
+
+INCR_DOCS = 500  # bounded corpus slice: doc_id < 500 exists at every SF
+INCR_MIN_SRC = 10  # src10+ is "today's crawl"; src0-9 the standing corpus
+# mirror redeliveries: batch docs with doc_id % 50 == 7 are re-crawled
+# under a new id (orig + 10000) in a FINAL wave — the only intra-stream
+# exact dups in the fixture, so the stream state machine's is_first leg
+# is load-bearing (the original corpus has no exact-text dups across the
+# src split; the ledger leg runs on the vocabulary fingerprint instead)
+INCR_MIRROR_MOD = 50
+INCR_MIRROR_REM = 7
+INCR_MIRROR_OFF = 10_000
+INCR_WAVES = 3  # monotone-id waves for the original batch docs
+
+_INCR_VH_DUCK = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split_regex(lower(trim(text)), ' +'))), ' '))"
+)
+
+
+def _incr_vh_col():
+    """The vocabulary fingerprint (dedup_incremental_batch's ledger
+    key) as a Spark column over a `text` column."""
+    return F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))
+            ),
+        )
+    )
+
+
+def _incr_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 — the REAL streaming ingest over the daily batch: the
+    src10+ slice (doc_id < INCR_DOCS) in INCR_WAVES monotone-id NDJSON
+    waves plus a final mirror-redelivery wave, replayed through
+    streaming/corpus.py (document_stream -> shared Gopher gate ->
+    applyInPandasWithState first-occurrence dedup; maxFilesPerTrigger=1
+    so every wave is its own micro-batch and the state seam is
+    exercised). Returns the collected stream output as a local frame."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from polkadot_etl_spark.streaming.corpus import (
+        DEDUP_OUT_SCHEMA,
+        dedup_first_occurrence,
+        document_stream,
+        quality_gated,
+    )
+    from polkadot_etl_spark.streaming.replay import (
+        collect_bounded_stream,
+        write_ndjson_waves,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") < INCR_DOCS)
+            & (
+                F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+                >= INCR_MIN_SRC
+            )
+        )
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    per = max(1, (len(rows) + INCR_WAVES - 1) // INCR_WAVES)
+    waves = [
+        [_doc_ndjson_line(r) for r in rows[b * per : (b + 1) * per]]
+        for b in range(INCR_WAVES)
+    ]
+    waves.append(
+        [
+            _doc_ndjson_line(
+                {
+                    "doc_id": r["doc_id"] + INCR_MIRROR_OFF,
+                    "text": r["text"],
+                    "lang": r["lang"],
+                    "source": r["source"],
+                }
+            )
+            for r in rows
+            if r["doc_id"] % INCR_MIRROR_MOD == INCR_MIRROR_REM
+        ]
+    )
+    work = _tempfile.mkdtemp(prefix="incr_replay_")
+    try:
+        src_dir = write_ndjson_waves(work, waves)
+        pdf = collect_bounded_stream(
+            dedup_first_occurrence(
+                quality_gated(document_stream(spark, src_dir))
+            ),
+            work,
+            DEDUP_OUT_SCHEMA,
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, DEDUP_OUT_SCHEMA)
+
+
+def _incr_classified(spark: SparkSession, sf_dir: str, sdf: DataFrame) -> DataFrame:
+    """Stage 2 (plan seam): classify the collected stream output against
+    the standing corpus's vocabulary-fingerprint ledger —
+    dedup_incremental_batch's key and precedence rule (gate-drop, then
+    dup-vs-ledger, then dup-in-stream, then kept). Both joins move
+    16-byte digests/ids only; raw text never reaches an Exchange."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < INCR_DOCS)
+    src_n = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    vh_dim = docs.select(
+        F.col("doc_id").alias("orig_id"),
+        _incr_vh_col().alias("vh"),
+        src_n.alias("src_n"),
+    )
+    ledger = (
+        vh_dim.where(F.col("src_n") < INCR_MIN_SRC)
+        .select("vh")
+        .distinct()
+        .withColumn("in_ledger", F.lit(True))
+    )
+    staged = (
+        sdf.withColumn("orig_id", F.col("doc_id") % INCR_MIRROR_OFF)
+        .join(vh_dim.select("orig_id", "vh"), "orig_id")
+        .join(ledger, "vh", "left")
+    )
+    status = (
+        F.when(~F.col("keep"), F.lit("gate"))
+        .when(F.col("in_ledger"), F.lit("dup_ledger"))
+        .when(~F.col("is_first"), F.lit("dup_stream"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.select("doc_id", "orig_id", status.alias("status"))
+
+
+@query(
+    "corpus_daily_increment_replay",
+    oracle=f"""
+WITH doc AS MATERIALIZED (
+  SELECT doc_id, text, source,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS src_n
+  FROM documents WHERE doc_id < {INCR_DOCS}
+),
+batch0 AS (SELECT * FROM doc WHERE src_n >= {INCR_MIN_SRC}),
+stream AS (
+  SELECT doc_id, text, source FROM batch0
+  UNION ALL
+  SELECT doc_id + {INCR_MIRROR_OFF} AS doc_id, text, source FROM batch0
+  WHERE doc_id % {INCR_MIRROR_MOD} = {INCR_MIRROR_REM}
+),
+w AS MATERIALIZED (
+  SELECT doc_id, source, string_split(text, ' ') AS words,
+         md5(lower(trim(text))) AS digest,
+         {_INCR_VH_DUCK} AS vh
+  FROM stream
+),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY doc_id, word),
+t AS (SELECT doc_id, MAX(cnt) AS top_word_count FROM c GROUP BY doc_id),
+g AS (
+  SELECT w.doc_id, w.digest, w.vh,
+         ((CAST(t.top_word_count AS DOUBLE) / len(w.words)) <= 0.2
+          AND len(w.words) >= 10) AS keep
+  FROM w JOIN t ON t.doc_id = w.doc_id
+),
+ledger AS (SELECT DISTINCT {_INCR_VH_DUCK} AS vh FROM doc
+           WHERE src_n < {INCR_MIN_SRC}),
+cls AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN NOT keep THEN 'gate'
+              WHEN vh IN (SELECT vh FROM ledger) THEN 'dup_ledger'
+              WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY digest)
+                THEN 'dup_stream'
+              ELSE 'kept' END AS status
+  FROM g
+),
+fun AS (
+  SELECT COUNT(*) AS n_streamed,
+         COUNT(*) FILTER (WHERE status = 'gate') AS n_gate_dropped,
+         COUNT(*) FILTER (WHERE status = 'dup_ledger') AS n_dup_ledger,
+         COUNT(*) FILTER (WHERE status = 'dup_stream') AS n_dup_stream,
+         COUNT(*) FILTER (WHERE status = 'kept') AS n_kept
+  FROM cls
+),
+kept AS (SELECT doc_id FROM cls WHERE status = 'kept'),
+member AS (
+  SELECT e.vec_id, e.embedding,
+         (e.vec_id IN (SELECT doc_id FROM kept)) AS is_new
+  FROM embeddings e
+  WHERE e.vec_id < {INCR_DOCS}
+    AND (e.vec_id IN (SELECT doc_id FROM doc WHERE src_n < {INCR_MIN_SRC})
+         OR e.vec_id IN (SELECT doc_id FROM kept))
+),
+qd AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(vec_id % {IVF_MAINT_K} AS INTEGER) AS cell,
+         is_new,
+         d - 1 AS d0,
+         CAST(floor(raw::DOUBLE * {IVF_MAINT_QUANT}) AS BIGINT)
+           + CASE WHEN d - 1 = vec_id % {IVF_MAINT_K}
+                  THEN {IVF_MAINT_DISP} ELSE 0 END
+           + CASE WHEN is_new AND d - 1 = (vec_id + 1) % {IVF_MAINT_K}
+                  THEN (20 + 15 * (vec_id % {IVF_MAINT_K}))
+                       * {IVF_MAINT_QUANT} ELSE 0 END AS v
+  FROM (SELECT vec_id, is_new, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS raw FROM member)
+),
+cellsums AS MATERIALIZED (
+  SELECT cell, d0,
+         CAST(SUM(CASE WHEN NOT is_new THEN v ELSE 0 END) AS BIGINT) AS s_std,
+         CAST(SUM(v) AS BIGINT) AS s_tot
+  FROM qd GROUP BY cell, d0
+),
+counts AS MATERIALIZED (
+  SELECT cell,
+         CAST(COUNT(DISTINCT CASE WHEN NOT is_new THEN vec_id END) AS BIGINT)
+           AS n_std,
+         CAST(COUNT(DISTINCT CASE WHEN is_new THEN vec_id END) AS BIGINT)
+           AS n_new
+  FROM qd GROUP BY cell
+),
+ab AS (
+  SELECT cs.cell,
+         SUM((CAST(s_tot AS HUGEINT) * c.n_std
+              - CAST(s_std AS HUGEINT) * (c.n_std + c.n_new))
+             * (CAST(s_tot AS HUGEINT) * c.n_std
+                - CAST(s_std AS HUGEINT) * (c.n_std + c.n_new))) AS a,
+         SUM(CAST(s_std AS HUGEINT) * s_std) AS b
+  FROM cellsums cs JOIN counts c USING (cell)
+  GROUP BY cs.cell
+),
+drift AS (
+  SELECT c.cell, c.n_std, c.n_new,
+         CAST(ab.a * 1000000
+              // greatest(CAST(c.n_std + c.n_new AS HUGEINT)
+                          * (c.n_std + c.n_new) * ab.b, 1) AS BIGINT)
+           AS drift_ppm
+  FROM counts c JOIN ab USING (cell)
+)
+SELECT d.cell, d.n_std AS n_standing, d.n_new,
+       CAST(d.n_new * 1000000 // greatest(d.n_std, 1) AS BIGINT) AS growth_ppm,
+       d.drift_ppm,
+       d.drift_ppm >= {IVF_MAINT_RETRAIN_PPM} AS retrain,
+       fun.n_streamed, fun.n_gate_dropped, fun.n_dup_ledger,
+       fun.n_dup_stream, fun.n_kept
+FROM drift d CROSS JOIN fun
+""",
+    doc="The LLM-side DAILY-INCREMENT production loop composed under "
+    "ONE hash (r10 verdict task #8 — the corpus equivalent of "
+    "streaming_dump_replay's relational gate): today's crawl (the "
+    f"src{INCR_MIN_SRC}+ slice, doc_id < {INCR_DOCS}, plus a final "
+    "wave of mirror REDELIVERIES — re-crawled pages under new ids — "
+    "the only intra-stream exact dups in the fixture) streams through "
+    "the REAL streaming/corpus.py ingest tier (NDJSON document_stream, "
+    "the shared row-local Gopher gate, per-digest first-occurrence "
+    "dedup as applyInPandasWithState, one wave per micro-batch so the "
+    "state seam is exercised); the surviving stream output is then "
+    "deduped against the STANDING corpus's vocabulary-fingerprint "
+    "ledger (dedup_incremental_batch's key and precedence rule: "
+    "gate-drop, then dup-vs-ledger, then dup-in-stream, then kept); "
+    "and the kept documents' embeddings are admitted to the trained "
+    "IVF index WITHOUT retraining via the SHARED maintenance plan "
+    "(_ivf_maint_corpus/_ivf_train_canon/_ivf_ledger — "
+    "ann_ivf_incremental_maintenance's exact machinery with "
+    "membership = the stream's kept set instead of a mod rule), "
+    "emitting the per-cell growth/drift/retrain card with the funnel "
+    "counters on every row. Every bit is hash-matched against a batch "
+    "oracle that recomputes the stream (monotone-arrival equivalence "
+    "contract), the ledger rule and the drift identity relationally — "
+    "new crawl in, dups out, index maintained, retrain flags raised, "
+    "verified as a COMPOSITION, not three parts. Scale shape: the "
+    "gate/digest work is map-side; both dedup legs shuffle 16-byte "
+    "digests only; maintenance-time work is batch-sized (zero-shuffle "
+    "literal assignment at k<=64, one (cell, dim)-keyed aggregate of "
+    "the new batch, O(k x dims) ledger ints on the driver) — the "
+    "standing corpus is scanned at BUILD time only (quantizer "
+    "training, ledger bootstrap). The replay harness (bounded collect, "
+    "temp NDJSON, local checkpoint) is fixture plumbing, not the "
+    "operator.",
+    tags=("streaming", "corpus", "dedup", "similarity", "pipeline"),
+)
+def corpus_daily_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.operators.kmeans import assign_nearest
+
+    # ---- stage 1: the real streaming ingest over today's crawl
+    sdf = _incr_stream_output(spark, sf_dir)
+
+    # ---- stage 2: classify against the standing vocabulary ledger
+    cls = _incr_classified(spark, sf_dir, sdf)
+    fun_row = cls.groupBy().agg(
+        F.count(F.lit(1)).alias("n_streamed"),
+        F.sum((F.col("status") == "gate").cast("long")).alias("n_gate_dropped"),
+        F.sum((F.col("status") == "dup_ledger").cast("long")).alias("n_dup_ledger"),
+        F.sum((F.col("status") == "dup_stream").cast("long")).alias("n_dup_stream"),
+        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+    ).collect()[0]
+    kept_ids = sorted(
+        int(r["orig_id"]) for r in cls.where(F.col("status") == "kept").collect()
+    )
+
+    # ---- stage 3: admit the kept docs' embeddings to the trained index
+    # (the SHARED maintenance machinery; membership = the kept set)
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < INCR_DOCS)
+    standing_dim = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < INCR_DOCS)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            (
+                F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+                < INCR_MIN_SRC
+            ).alias("standing"),
+        )
+    )
+    kept_col = F.col("vec_id").isin(kept_ids)
+    corpus = e.join(standing_dim, "vec_id").where(F.col("standing") | kept_col)
+    qd = _ivf_maint_corpus(corpus, kept_col)
+    assigned, centroids, canon_col, _n_iter = _ivf_train_canon(
+        qd.where(~F.col("is_new"))
+    )
+    s_std, n_std = _ivf_ledger(assigned, canon_col)
+    s_new, n_new = _ivf_ledger(
+        assign_nearest(
+            qd.where(F.col("is_new")), centroids, vec_col="demb", id_col="vec_id"
+        ),
+        canon_col,
+    )
+    fun = (
+        int(fun_row["n_streamed"]),
+        int(fun_row["n_gate_dropped"]),
+        int(fun_row["n_dup_ledger"]),
+        int(fun_row["n_dup_stream"]),
+        int(fun_row["n_kept"]),
+    )
+    out = [row + fun for row in _ivf_card_rows(s_std, n_std, s_new, n_new)]
+    return spark.createDataFrame(
+        out,
+        "cell INT, n_standing LONG, n_new LONG, growth_ppm LONG,"
+        " drift_ppm LONG, retrain BOOLEAN, n_streamed LONG,"
+        " n_gate_dropped LONG, n_dup_ledger LONG, n_dup_stream LONG,"
+        " n_kept LONG",
     )

@@ -5786,10 +5786,13 @@ def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
       through the partition-replace sink)
 
     5-LOW blocks never finalize, so the publish-time finalized filter
-    drops them — the gap the gold blocklog must report."""
+    drops them — the gap the gold blocklog must report. Waves are
+    materialized through the SHARED replay skeleton
+    (streaming/replay.py write_ndjson_waves — one definition of the
+    forced-distinct-mtime idiom across all replay gates)."""
     import json as _json
-    import os as _os
-    import time as _time
+
+    from polkadot_etl_spark.streaming.replay import write_ndjson_waves
 
     rows = (
         load_table(spark, sf_dir, "orders")
@@ -5798,8 +5801,6 @@ def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
         .collect()
     )
     rows.sort(key=lambda r: r["o_orderkey"])
-    src_dir = _os.path.join(work, "src")
-    _os.makedirs(src_dir)
 
     def _cand(r, hash_prefix: str, finalized: bool, lag_s: int) -> str:
         t = r["o_orderdate"]
@@ -5829,13 +5830,7 @@ def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
         ],
     ]
     waves.append(list(waves[1]))  # replayed delivery of the finalization wave
-    base_t = _time.time() - 3600
-    for i, lines in enumerate(waves):
-        path = _os.path.join(src_dir, f"wave-{i:02d}.json")
-        with open(path, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        _os.utime(path, (base_t + i, base_t + i))
-    return src_dir
+    return write_ndjson_waves(work, waves)
 
 
 @query(
@@ -5921,11 +5916,20 @@ FROM days d LEFT JOIN extd e ON d.log_dt = e.log_dt
     tags=("streaming", "pipeline", "agg", "join"),
 )
 def streaming_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dump_replay_gold(spark, sf_dir, _dump_replay_winners(spark, sf_dir))
+
+
+def _dump_replay_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 of the replay — the STREAMING harness: fixture waves
+    through block_candidates_stream -> incremental fork_resolving_sink
+    -> finalized-only publish gate. Returns the checkpointed winners
+    frame (number, hash, block_time). Split out so bench.py can
+    attribute the replay's cost to harness-vs-composition (the funnel
+    treatment; r10 verdict task #4)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from polkadot_etl_spark.plans.dump import dump_day
     from polkadot_etl_spark.streaming.pipeline import (
         block_candidates_stream,
         fork_resolving_sink,
@@ -5953,7 +5957,7 @@ def streaming_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         # the X2 publish gate: only finalized winners leave the state
-        winners = (
+        return (
             spark.read.parquet(state_dir)
             .where(F.col("finalized"))
             .select("number", "hash", "block_time")
@@ -5961,6 +5965,15 @@ def streaming_dump_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+def _dump_replay_gold(
+    spark: SparkSession, sf_dir: str, winners: DataFrame
+) -> DataFrame:
+    """Stage 2 of the replay — the BATCH-side dump composition from a
+    winners frame down to the blocklog gold row (the plan the plan-pin
+    test checks without paying the streaming harness)."""
+    from polkadot_etl_spark.plans.dump import dump_day
 
     # bronze decoration (batch-side, as the dump decorates from bronze):
     # urgency drives the second digest log, exactly _synth_bronze's rule

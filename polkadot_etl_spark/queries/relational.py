@@ -854,21 +854,39 @@ def rollup_daily_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches differ across engines by design; driver runs rows-only
-    doc="approx_count_distinct (HyperLogLog++) per event_type with the "
-    "exact count alongside — the documented opt-in for 100 TB cardinality "
-    "work (SURVEY §2.4: reference uses exact COUNT(DISTINCT) at "
-    "substrateetl.js:9385; at scale the exact form shuffles every "
-    "distinct key, the sketch shuffles fixed-size registers). rsd=0.01; "
-    "the test asserts the sketch lands within 5% of exact.",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+""",
+    doc="approx_count_distinct (HyperLogLog++) per event_type, HASH-"
+    "GATED against the exact count — the documented opt-in for 100 TB "
+    "cardinality work (SURVEY §2.4: reference uses exact "
+    "COUNT(DISTINCT) at substrateetl.js:9385; at scale the exact form "
+    "shuffles every distinct key, the sketch shuffles fixed-size "
+    "registers). HLL register values differ across engines BY DESIGN, "
+    "so the raw estimate can never hash-match an oracle; what CAN is "
+    "the accuracy contract: the gate pins (event_type, exact count, "
+    "within_5pct) where within_5pct = |approx - exact| <= "
+    "greatest(1, 0.05 * exact) computed Spark-side and pinned TRUE by "
+    "the oracle — an HLL drift past 5% now hash-mismatches loudly "
+    "instead of hiding behind a rows-only check (this retired the "
+    "registry's last no_oracle row, r10 verdict task #7). The raw "
+    "estimate stays pinned at the tighter tolerance in "
+    "tests/test_queries_oracle.py.",
     tags=("agg",),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    within = F.abs(F.col("approx_users") - F.col("exact_users")) <= F.greatest(
+        F.lit(1).cast("long"), (F.col("exact_users") * 0.05).cast("long")
+    )
+    return agg.select("event_type", "exact_users", within.alias("within_5pct"))
 
 
 @query(

@@ -811,3 +811,58 @@ def test_ivf_incremental_maintenance_semantics(spark):
         assert r["n_iter"] == 2
     n_total = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_standing"] + r["n_new"] for r in rows) == n_total
+
+
+def test_daily_increment_composition_semantics(spark):
+    """The composed daily-increment pipeline's contracts: every funnel
+    branch fires (a branch with zero fixture coverage gates nothing —
+    gate drops, ledger dups, the mirror-redelivery stream dups, and a
+    kept majority), the counters tie out to the streamed total, the
+    kept docs are exactly the new-batch vectors the index admitted, the
+    mirror wave is sized by its deterministic rule, and the retrain
+    threshold splits the cells with the graded drift increasing in cell
+    id (the shared maintenance machinery's contract surviving the
+    composition)."""
+    from polkadot_etl_spark.queries.corpus_ext import (
+        INCR_DOCS,
+        INCR_MIN_SRC,
+        INCR_MIRROR_MOD,
+        INCR_MIRROR_REM,
+        IVF_MAINT_RETRAIN_PPM,
+        corpus_daily_increment_replay,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+
+    rows = sorted(
+        corpus_daily_increment_replay(spark, SF_DIR).collect(),
+        key=lambda r: r["cell"],
+    )
+    assert [r["cell"] for r in rows] == [0, 1, 2, 3, 4]
+    r0 = rows[0]
+    for branch in ("n_gate_dropped", "n_dup_ledger", "n_dup_stream", "n_kept"):
+        assert r0[branch] > 0, f"funnel branch {branch} has no fixture signal"
+    assert r0["n_streamed"] == (
+        r0["n_gate_dropped"] + r0["n_dup_ledger"] + r0["n_dup_stream"] + r0["n_kept"]
+    )
+    # the admitted new batch IS the kept set
+    assert sum(r["n_new"] for r in rows) == r0["n_kept"]
+    # the mirror wave's deterministic size: one redelivery per batch doc
+    # with doc_id % MOD == REM
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < INCR_DOCS)
+    src_n = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    batch = d.where(src_n >= INCR_MIN_SRC)
+    n_batch = batch.count()
+    n_mirror = batch.where(
+        F.col("doc_id") % INCR_MIRROR_MOD == INCR_MIRROR_REM
+    ).count()
+    assert n_mirror > 0
+    assert r0["n_streamed"] == n_batch + n_mirror
+    # maintenance contracts survive the composition
+    drifts = [r["drift_ppm"] for r in rows]
+    assert drifts == sorted(drifts) and len(set(drifts)) == 5, drifts
+    assert {r["retrain"] for r in rows} == {True, False}
+    for r in rows:
+        assert r["retrain"] == (r["drift_ppm"] >= IVF_MAINT_RETRAIN_PPM)
+        assert r["n_standing"] > 0 and r["n_new"] > 0

@@ -14,6 +14,14 @@ from tests.conftest import SF_DIR
 
 def _plan(spark, name: str) -> str:
     df = QUERIES[name].build(spark, SF_DIR)
+    return _plan_of(spark, df)
+
+
+def _plan_of(spark, df) -> str:
+    """Formatted physical plan of an arbitrary DataFrame — for pinning
+    the INTERNAL stage plans of queries whose final frame is a
+    driver-assembled LocalRelation (the bounded-driver-state family:
+    the plan that matters is the one feeding the collect)."""
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -1317,3 +1325,177 @@ def test_hybrid_fusion_recall_audit_shape(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
     assert len(exchanges) <= 22, exchanges
     assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+# --------------------------------------------------------------------------
+# r10-trio pins (the one ratchet that slipped in r10 — r10 verdict task #1).
+# These queries' FINAL frames are driver-assembled LocalRelations or
+# post-streaming composites, so the pins target the internal stage plans
+# through the module seams; reaching them executes the bounded build-time
+# stages (kmeans training / the power-iteration direction), a few seconds
+# each — the only tests in this file that run jobs.
+# --------------------------------------------------------------------------
+
+
+def test_ivf_maintenance_time_plan_is_batch_sized(spark):
+    """ann_ivf_incremental_maintenance's MAINTENANCE-time plan (new
+    batch -> literal nearest-centroid assignment -> (cell, dim) ledger
+    aggregate) must be batch-sized: ONE Exchange (the ledger rollup),
+    ZERO joins of any kind (k=5 <= 64 plans as the literal zero-shuffle
+    assignment expression, not a broadcast/shuffle join), no Python,
+    and exactly ONE parquet scan carrying the new-batch membership
+    filter — the standing corpus is NEVER rescanned after the training
+    loop."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.kmeans import assign_nearest
+    from polkadot_etl_spark.queries.corpus_ext import (
+        IVF_MAINT_NEW_MIN,
+        IVF_MAINT_NEW_MOD,
+        _ivf_ledger_frame,
+        _ivf_maint_corpus,
+        _ivf_train_canon,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qd = _ivf_maint_corpus(
+        e, F.col("vec_id") % IVF_MAINT_NEW_MOD >= IVF_MAINT_NEW_MIN
+    )
+    _assigned, centroids, canon_col, _n = _ivf_train_canon(
+        qd.where(~F.col("is_new"))
+    )
+    maint = _ivf_ledger_frame(
+        assign_nearest(
+            qd.where(F.col("is_new")), centroids, vec_col="demb", id_col="vec_id"
+        ),
+        canon_col,
+    )
+    plan = _plan_of(spark, maint)
+    assert "EvalPython" not in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"maintenance assignment planned a {join}"
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) == 1, exchanges
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, (
+        "maintenance plan rescans the standing corpus"
+    )
+    assert re.search(r"% 7\)? >= 5", plan), "new-batch membership filter missing"
+
+
+def test_abtt_stage_plans_are_single_pass(spark):
+    """embedding_abtt_isotropy_delta's pass budget, pinned per stage:
+    the centered+corrected frame is ONE parquet pass of row-local folds
+    (zero Exchange, zero Python, no join — the projection is against
+    broadcast literals); the dual centroid ledger is ONE arrays_zip
+    Generate + ONE Exchange over the checkpointed frame (never a second
+    corpus scan — r10 second-review finding made structural); the
+    compactness fold joins ONLY the broadcast centroid dim (no shuffle
+    before its label rollup, no pairwise |vectors|^2 term anywhere)."""
+    from polkadot_etl_spark.queries import corpus_ext as cx
+
+    cr0 = cx._abtt_centered(spark, SF_DIR)
+    plan_cr = _plan_of(spark, cr0)
+    assert "EvalPython" not in plan_cr
+    assert not re.findall(r"^\(\d+\) Exchange", plan_cr, re.M), "centering shuffles"
+    assert "Join" not in plan_cr
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan_cr, re.M)) == 1
+
+    cr = cr0.localCheckpoint(eager=True)
+    plan_led = _plan_of(spark, cx._abtt_cent_ledger_frame(cr))
+    assert "Scan parquet" not in plan_led, "ledger re-scans the corpus"
+    assert len(re.findall(r"^\(\d+\) Generate", plan_led, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan_led, re.M)) == 1
+
+    _x, _x2, x_lit = cx._ABTT_DIRECTION
+    cent_df = spark.createDataFrame(
+        [(0, [0] * cx.PC_DIMS, [0] * cx.PC_DIMS)],
+        "label INT, mb ARRAY<BIGINT>, ma ARRAY<BIGINT>",
+    )
+    plan_fold = _plan_of(spark, cx._abtt_folded(cr, cent_df, x_lit))
+    assert "Scan parquet" not in plan_fold, "fold re-scans the corpus"
+    assert "BroadcastHashJoin" in plan_fold
+    assert "SortMergeJoin" not in plan_fold
+    assert "CartesianProduct" not in plan_fold
+    assert not re.findall(r"^\(\d+\) Exchange", plan_fold, re.M)
+
+
+def test_daily_increment_stage_plans_batch_sized(spark):
+    """corpus_daily_increment_replay's batch-side stages must move
+    digests/ids only (r10 verdict task #8's 'batch-sized shuffles'
+    pin): stage 2's ledger classification joins the collected stream
+    output to the vocabulary dim on 16-byte keys — raw text in NO
+    Exchange, no cartesian, no Python; stage 3's maintenance-time plan
+    (kept-membership literal -> nearest-centroid assignment -> ledger
+    aggregate) has no sort-merge join (the only join is the broadcast
+    standing/membership decoration) and text never appears. Fake stream
+    output + fixed centroids keep this a planning-only test."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.operators.kmeans import assign_nearest
+    from polkadot_etl_spark.queries import corpus_ext as cx
+    from polkadot_etl_spark.sources.tables import load_table
+    from polkadot_etl_spark.streaming.corpus import DEDUP_OUT_SCHEMA
+
+    sdf = spark.createDataFrame(
+        [(1, "d1", "src10", True, True, 1), (10008, "d1", "src10", True, False, 1)],
+        DEDUP_OUT_SCHEMA,
+    )
+    plan2 = _plan_of(spark, cx._incr_classified(spark, SF_DIR, sdf))
+    assert "EvalPython" not in plan2
+    assert "CartesianProduct" not in plan2
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan2, re.M)
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+    kept = [i for i in range(cx.INCR_DOCS) if i % 7 == 3]
+    e = load_table(spark, SF_DIR, "embeddings").where(
+        F.col("vec_id") < cx.INCR_DOCS
+    )
+    kept_col = F.col("vec_id").isin(kept)
+    qd = cx._ivf_maint_corpus(e, kept_col)
+    centroids = [
+        [float(cx.IVF_MAINT_DISP) if d == j else 0.0 for d in range(cx.PC_DIMS)]
+        for j in range(cx.IVF_MAINT_K)
+    ]
+    canon_col = F.col("cid").alias("cid")  # identity map for fixed centroids
+    maint = cx._ivf_ledger_frame(
+        assign_nearest(
+            qd.where(F.col("is_new")), centroids, vec_col="demb", id_col="vec_id"
+        ),
+        canon_col,
+    )
+    plan3 = _plan_of(spark, maint)
+    assert "EvalPython" not in plan3
+    assert "SortMergeJoin" not in plan3 and "CartesianProduct" not in plan3
+    exchanges3 = re.findall(r"^\(\d+\) Exchange[^\n]*", plan3, re.M)
+    assert len(exchanges3) <= 1, exchanges3
+    assert not any("text" in e for e in exchanges3)
+
+
+def test_dump_replay_batch_composition_shapes(spark):
+    """streaming_dump_replay's batch-side dump composition (the plan
+    downstream of the streamed winners), pinned to the same shapes
+    dump_day_blocklog budgets: the success gate is a dedup-free
+    ShuffledHashJoin LeftSemi (never sorted), no cartesian, no
+    row-pickling Python, and the winners gate reaches the extrinsic
+    side as a keyed join (a lost winner empties its day)."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.queries.pipelines import (
+        _SDR_KEYS,
+        _dump_replay_gold,
+    )
+    from polkadot_etl_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").where(F.col("o_orderkey") < _SDR_KEYS)
+    winners = o.select(
+        F.col("o_orderkey").alias("number"),
+        F.concat(F.lit("0xb"), F.col("o_orderkey").cast("string")).alias("hash"),
+        F.col("o_orderdate").cast("timestamp").alias("block_time"),
+    )
+    plan = _plan_of(spark, _dump_replay_gold(spark, SF_DIR, winners))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"ShuffledHashJoin [^\n]*LeftSemi", plan), "semi join not hash"
+    assert not re.search(r"SortMergeJoin [^\n]*LeftSemi", plan), "semi join sorts"

@@ -38,12 +38,24 @@ def test_query_nonempty(spark, name):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """The HLL sketch must land within 5% of the exact count — the
-    rows-only driver check can't see values, so pin accuracy here."""
-    from polkadot_etl_spark.queries import QUERIES
+    """The HLL sketch must land within 5% of the exact count. The
+    registry row now hash-gates (exact, within_5pct) — the raw estimate
+    stays pinned HERE at the same tolerance, since the boolean alone
+    can't show how close the sketch actually lands."""
+    from pyspark.sql import functions as F
 
-    for r in QUERIES["approx_distinct_users"].build(spark, SF_DIR).collect():
+    from polkadot_etl_spark.queries import QUERIES
+    from polkadot_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    raw = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    for r in raw.collect():
         assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), r
+    rows = QUERIES["approx_distinct_users"].build(spark, SF_DIR).collect()
+    assert rows and all(r.within_5pct for r in rows)
 
 
 def test_ss58_codec_roundtrip_invariant(spark):

@@ -307,6 +307,44 @@ def test_window_contains_all_llmdata_ops():
     assert not outside, f"llmdata ops outside the driver window: {outside}"
 
 
+def test_registry_freshness_max_staleness():
+    """The freshness program's ratchet (r10 verdict task #6): no
+    registry entry may sit more than 6 rounds past its latest
+    driver-green row. With R = the newest committed CORRECTNESS round,
+    the upcoming round is R+1, so every entry OUTSIDE the current
+    window (in-window entries re-green at R+1 by construction) must
+    have a green row >= R-5. This forces the oldest-first rotation to
+    actually happen each round instead of silently lapsing — at the
+    start of a round this test FAILS until the rotation is written,
+    which is the point."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    newest = 0
+    for rec in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", rec.stem).group(1))
+        newest = max(newest, rnd)
+        for name, row in json.loads(rec.read_text()).items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    window = set(list(QUERIES)[:50])
+    floor = newest + 1 - 6
+    stale = sorted(
+        n
+        for n in QUERIES
+        if n not in window and latest.get(n, 0) < floor
+    )
+    assert not stale, (
+        f"entries staler than 6 rounds (latest green < r{floor}) and not "
+        f"in the rotation window: {stale}"
+    )
+
+
 def test_demoted_ops_have_recorded_green_rows():
     """A demotion without a prior driver-green row would hide an operator
     from the gate forever — pin the precondition against the committed
