@@ -104,14 +104,19 @@ _PRIORITY: list[str] = [
     "token_metadata_maintenance",
     "tpch_q12_shipmode_priority",
     "winnowing_fingerprints",
-    # --- the r7 head (7 of 24, alphabetical; the rest rotate in r12)
+    # --- NEW this round: the sketch-accuracy pair extending the HLL
+    # gate's pattern (estimate out of the hash, the GUARANTEE in it) —
+    # distributed count-min heavy-hitter audit and the GK
+    # approx-percentile rank-error card
+    "cms_heavy_hitters",
+    "approx_percentile_rank_error",
+    # --- the r7 head (5 of 24, alphabetical; the rest rotate in r12 —
+    # two slots ceded to the new queries above, which MUST be in-window)
     "address_topn_metrics",
     "asof_broadcast_version",
     "assethub_asset_transfers",
     "audio_energy_hash_dedup",
     "bpe_pair_counts",
-    "call_tree_flatten",
-    "cdc_chunk_dedup",
 ]
 
 

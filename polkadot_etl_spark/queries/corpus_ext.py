@@ -8476,3 +8476,129 @@ def corpus_daily_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         " n_gate_dropped LONG, n_dup_ledger LONG, n_dup_stream LONG,"
         " n_kept LONG",
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (the frequency-estimation sketch audit)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 16  # counters per row (1 md5 nibble) — sized so the 31-word
+# fixture vocabulary forces VISIBLE collisions (12 of the top 20 carry a
+# positive overestimate at sf0.01 while 8 stay exact — both branches
+# fixture-covered); production sizes width ~ e/epsilon, same plan
+CMS_TOPN = 20  # heavy-hitter candidates audited
+
+# col(word, row) = first nibble of md5('{word}:{row}') — the same
+# engine-identical md5-nibble address math the Bloom operator uses
+_CMS_COL_DUCK = (
+    "strpos('0123456789abcdef', substr(md5(word || ':' ||"
+    " CAST(r AS VARCHAR)), 1, 1)) - 1"
+)
+_CMS_COL_SPARK = (
+    "instr('0123456789abcdef', substring(md5(concat(word, ':',"
+    " cast(r as string))), 1, 1)) - 1"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+  FROM documents
+),
+wc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM w WHERE word <> '' GROUP BY word
+),
+rows_ AS (SELECT unnest(range(0, {CMS_DEPTH})) AS r),
+led AS MATERIALIZED (
+  SELECT r, CAST({_CMS_COL_DUCK} AS INTEGER) AS col,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM wc CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT word, cnt FROM (
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rn
+    FROM wc) WHERE rn <= {CMS_TOPN}
+),
+est AS (
+  SELECT cand.word, cand.cnt, MIN(led.c) AS est
+  FROM (SELECT word, cnt, r, CAST({_CMS_COL_DUCK} AS INTEGER) AS col
+        FROM cand CROSS JOIN rows_) cand
+  JOIN led USING (r, col)
+  GROUP BY cand.word, cand.cnt
+)
+SELECT word, cnt AS exact_count, est AS cms_estimate,
+       est - cnt AS overestimate,
+       CAST((est - cnt) * 1000000 // cnt AS BIGINT) AS overestimate_ppm
+FROM est
+""",
+    doc="Distributed count-min sketch + heavy-hitter audit — the "
+    "frequency-estimation sibling of bloom_dedup_membership (Cormode & "
+    f"Muthukrishnan 2005): a {CMS_DEPTH}x{CMS_WIDTH} counter ledger "
+    "built as ONE distributed aggregate (word counts fan out "
+    f"{CMS_DEPTH} (row, col) cells via md5-nibble addressing — the "
+    "Bloom bit-array discipline applied to counters; the build "
+    "distributes because SUM does, unlike driver-side sketch "
+    "libraries), probed by the exact top-"
+    f"{CMS_TOPN} heavy hitters: estimate = min over rows of the "
+    "addressed counters, and the hash gate pins exact count, estimate, "
+    "and the measured OVERESTIMATE (est - exact, provably >= 0 — the "
+    "CMS one-sided-error guarantee is IN the hash: a negative "
+    "overestimate anywhere means the sketch math is broken) with "
+    "integer-ppm severity. Like the Bloom FP audit, the exact truth "
+    "leg exists to PRICE the sketch at fixture scale; production keeps "
+    "only the O(depth x width) ledger where exact per-key counting "
+    "shuffles every distinct word. Width 256 is sized for "
+    "fixture-visible collisions against the 31-word vocabulary; "
+    "production sizes width ~ e/epsilon. All arithmetic integer; col "
+    "addressing = md5 nibbles, engine-identical. Scale shape: one "
+    "|vocab|-key count, one <= depth*width-key ledger aggregate, "
+    "candidates join the BROADCAST ledger.",
+    tags=("corpus", "agg", "audit"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("word")
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    rows_ = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    ).alias("r")
+    fan = wc.select("word", "cnt", rows_).select(
+        "word",
+        "cnt",
+        "r",
+        F.expr(_CMS_COL_SPARK).cast("int").alias("col"),
+    )
+    led = fan.groupBy("r", "col").agg(F.sum("cnt").alias("c"))
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    cand = (
+        wc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= CMS_TOPN)
+        .select("word", "cnt")
+    )
+    probed = (
+        cand.select("word", "cnt", rows_)
+        .select(
+            "word",
+            "cnt",
+            "r",
+            F.expr(_CMS_COL_SPARK).cast("int").alias("col"),
+        )
+        .join(F.broadcast(led), ["r", "col"])
+        .groupBy("word", "cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return probed.select(
+        "word",
+        F.col("cnt").alias("exact_count"),
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("cnt")).alias("overestimate"),
+        F.expr("(est - cnt) * 1000000L div cnt").alias("overestimate_ppm"),
+    )

@@ -918,6 +918,77 @@ def fee_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentile_rank_error",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="approx_percentile (Greenwald-Khanna sketch) RANK-ERROR card, "
+    "hash-gated — the ordered-statistics sibling of "
+    "approx_distinct_users' HLL accuracy contract, and the measured "
+    "form of fee_percentiles' docstring promise ('at 100 TB swap to "
+    "approx_percentile and record the rank error'): per group, the "
+    "sketch (accuracy=100, so guaranteed rank error <= n/100) returns "
+    "an actual element; its true rank INTERVAL [count(<v), count(<=v)] "
+    "— the tie-correct form: with duplicated prices the upper rank "
+    "alone can exceed the target by the tie mass — must overlap "
+    "[q*n - n/100 - 1, q*n + n/100 + 1], checked in EXACT integer "
+    "arithmetic (rank_lo*100 <= q*100*n + n + 100 and rank_hi*100 >= "
+    "q*100*n - n - 100). The gate pins (n, exact percentile, both "
+    "booleans TRUE); the sketch values stay out of the hash (their "
+    "exact placement is implementation-defined within the guarantee). "
+    "At 100 TB the exact form sorts every group; the sketch shuffles "
+    "O(1/eps log(eps n)) summaries — this card is the licence to swap, "
+    "with the guarantee verified not assumed. Scale shape: one grouped "
+    "sketch agg + one broadcast join back for the rank counts.",
+    tags=("agg", "audit"),
+)
+def approx_percentile_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 100).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("exact_p95"),
+    )
+    price = F.col("l_extendedprice")
+    ranks = (
+        l.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("exact_p50").alias("exact_p50"),
+            F.max("exact_p95").alias("exact_p95"),
+            F.sum((price < F.col("ap")[0]).cast("long")).alias("lo50"),
+            F.sum((price <= F.col("ap")[0]).cast("long")).alias("hi50"),
+            F.sum((price < F.col("ap")[1]).cast("long")).alias("lo95"),
+            F.sum((price <= F.col("ap")[1]).cast("long")).alias("hi95"),
+        )
+    )
+    def within(q100: int, lo: str, hi: str):
+        n = F.col("n")
+        return (F.col(lo) * 100 <= q100 * n + n + 100) & (
+            F.col(hi) * 100 >= q100 * n - n - 100
+        )
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        within(50, "lo50", "hi50").alias("p50_within_tol"),
+        within(95, "lo95", "hi95").alias("p95_within_tol"),
+    )
+
+
+@query(
     "moving_avg_7d",
     oracle=f"""
 WITH daily AS (

@@ -866,3 +866,26 @@ def test_daily_increment_composition_semantics(spark):
     for r in rows:
         assert r["retrain"] == (r["drift_ppm"] >= IVF_MAINT_RETRAIN_PPM)
         assert r["n_standing"] > 0 and r["n_new"] > 0
+
+
+def test_cms_heavy_hitters_one_sided_error_and_signal(spark):
+    """The CMS contracts: the estimate is NEVER below the exact count
+    (the one-sided-error guarantee), the fixture width forces a real
+    collision mix (both zero and positive overestimates occur — an
+    audit where no counter collides prices nothing, and one where every
+    counter collides can't show the min-over-rows working), and the
+    candidate set is exactly the deterministic top-N."""
+    from polkadot_etl_spark.queries.corpus_ext import (
+        CMS_TOPN,
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == CMS_TOPN
+    overs = [r["overestimate"] for r in rows]
+    assert all(o >= 0 for o in overs), "CMS under-estimated — sketch math broken"
+    assert any(o > 0 for o in overs), "no collision signal — audit is vacuous"
+    assert any(o == 0 for o in overs), "every counter collides — width too small"
+    for r in rows:
+        assert r["cms_estimate"] == r["exact_count"] + r["overestimate"]
+        assert r["overestimate_ppm"] == r["overestimate"] * 1_000_000 // r["exact_count"]

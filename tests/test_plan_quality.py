@@ -1421,6 +1421,37 @@ def test_abtt_stage_plans_are_single_pass(spark):
     assert not re.findall(r"^\(\d+\) Exchange", plan_fold, re.M)
 
 
+def test_cms_heavy_hitters_plan_shapes(spark):
+    """The CMS build is bounded aggregates end to end: the word count
+    (|vocab| keys) and the ledger (<= depth*width keys) are the only
+    hash exchanges besides the tiny candidate window's single-partition
+    exchange; the candidate probe joins the BROADCAST ledger (no SMJ,
+    no cartesian); raw document text never crosses an Exchange; no
+    Python anywhere."""
+    plan = _plan(spark, "cms_heavy_hitters")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 5, exchanges
+    assert not any("text" in e for e in exchanges), "raw text shuffled"
+
+
+def test_approx_percentile_rank_error_plan_shapes(spark):
+    """One grouped sketch aggregate plus one broadcast join back for
+    the rank counts — the fact table is scanned twice but never
+    shuffled beyond the two group-by-returnflag aggregates; no SMJ, no
+    cartesian, no Python."""
+    plan = _plan(spark, "approx_percentile_rank_error")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) <= 4, exchanges
+
+
 def test_daily_increment_stage_plans_batch_sized(spark):
     """corpus_daily_increment_replay's batch-side stages must move
     digests/ids only (r10 verdict task #8's 'batch-sized shuffles'

@@ -82,3 +82,46 @@ def test_documents_corpus_is_ascii(oracle):
         " AND octet_length(encode(text)) != length(text)"
     ).fetchone()
     assert n == 0, f"{n} non-ASCII documents break the byte==codepoint oracles"
+
+
+def test_approx_percentile_rank_interval_semantics(spark):
+    """The GK rank-error card's local contract (the oracle pins the
+    booleans TRUE; this pins that the Spark-side interval math is the
+    tie-correct form and the tolerances are the documented n/100 + 1):
+    recompute the rank interval of the sketch values directly and
+    compare with the query's verdicts."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.queries import QUERIES
+    from polkadot_etl_spark.sources.tables import load_table
+
+    out = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_percentile_rank_error"].build(spark, SF_DIR).collect()
+    }
+    l = load_table(spark, SF_DIR, "lineitem")
+    ap = {
+        r["l_returnflag"]: r["ap"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 100).alias("ap"))
+        .collect()
+    }
+    for flag, row in out.items():
+        assert row["p50_within_tol"] and row["p95_within_tol"], row
+        n = row["n"]
+        vals = [
+            x["l_extendedprice"]
+            for x in l.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        ]
+        for q, v in ((0.5, ap[flag][0]), (0.95, ap[flag][1])):
+            lo = sum(1 for x in vals if x < v)
+            hi = sum(1 for x in vals if x <= v)
+            assert lo <= q * n + n / 100 + 1 and hi >= q * n - n / 100 - 1, (
+                flag,
+                q,
+                lo,
+                hi,
+                n,
+            )
