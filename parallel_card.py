@@ -1,38 +1,51 @@
-"""Cross-parallelism scaling card — the LAST unmeasured axis of the
-100 TB story (r10 verdict task #3, complementing SCALING.json's
-data-growth card).
+"""Parallelism card — the LAST unmeasured axis of the 100 TB story
+(r10 verdict task #3, complementing SCALING.json's data-growth card).
 
 SCALING.json measures wall-clock growth vs DATA; nothing measured
-speedup vs CORES. Every driver-side iterative loop in the registry
-(kmeans, pagerank, BPE rounds, the eager query-dim collects) is
-*bounded*, but a driver-serialized stage would be invisible to the
-data-growth exponent: it grows linearly with data AND refuses to
-parallelize. This card times every bench-enabled registry query at
-sf0.1 under local[8] / local[16] / local[32] — each parallelism level
-in its OWN driver process (one JVM cannot change masters) — fits
+whether each query's work actually PARALLELIZES. Every driver-side
+iterative loop in the registry (kmeans, pagerank, BPE rounds, the eager
+query-dim collects) is *bounded*, but a driver-serialized stage would be
+invisible to the data-growth exponent: it grows with data AND runs on
+one core no matter how many the cluster has.
 
-    speedup = t(local[8]) / t(local[32])        (ideal = 4.0)
-    parallel_efficiency = speedup / 4
+Instrument choice (and the measurement lesson baked into this file's
+history): the first cut timed the whole registry under three separate
+local[8]/local[16]/local[32] driver JVMs and fitted wall-clock speedup —
+and its own probe controls REFUTED it: at MB-fixture scale, cross-JVM
+wall-clock is dominated by scheduling/AQE/JIT differences (the
+deliberately-serial probe read speedup 2.0; the parallel probe read an
+impossible 16.6x), so "expensive and flat" would have flagged half the
+registry for reasons that have nothing to do with driver serialization.
+The property we actually care about is direct and measurable in ONE
+session: ACHIEVED CONCURRENCY = (process-tree CPU time consumed by the
+driver + JVM + Python workers) / wall-clock. A driver-serialized query
+cannot exceed ~1 no matter the box; genuinely distributed work on
+local[32] reads well above it. No cross-JVM comparison, no AQE/JIT
+confound; idle-wait (streaming checkpoint latency) correctly reads
+LOW and is documented, not excused.
 
-and flags queries that are EXPENSIVE AND FLAT: t8 >= MIN_FLAG_SECONDS
-(cheap queries are fixed-overhead-dominated — scheduler + session
-costs swamp any scaling signal) and speedup < FLAG_SPEEDUP_BELOW,
-excluding the documented EXPECTED_DRIVER_BOUND set (each entry with
-its justification; the pytest pins flagged == [] strictly, mirroring
-the scaling card's ratchet).
+Per bench-enabled query at sf0.1 on local[32]: wall (min-of-2 noop-sink
+discipline) + tree-CPU delta per iteration; concurrency = max over
+iterations of cpu/wall (max: a serialized query cannot fake a high
+reading in ANY iteration, while a healthy query's first iteration may
+be scan-bound). Flag = wall >= MIN_FLAG_SECONDS (cheap queries carry no
+signal) AND concurrency <= FLAG_CONCURRENCY_BELOW, excluding the
+documented EXPECTED_DRIVER_BOUND set (each entry justified; the pytest
+pins flagged == [] strictly, mirroring the scaling card's ratchet).
 
-Detector sensitivity is MEASURED, not assumed (the scaling-card
-discipline): a deliberately serialized probe (the same heavy row-local
-fold forced into ONE post-shuffle partition) must flag, and a parallel
-probe (the identical fold spread over 64 partitions) must show real
-speedup — the positive and negative controls for the whole card.
+Detector sensitivity is MEASURED, not assumed: a deliberately
+serialized probe (a heavy row-local fold forced into ONE post-shuffle
+partition) must flag, and the identical fold spread over 64 partitions
+must read high concurrency — the positive and negative controls for the
+whole card.
 
 Usage:
-    python parallel_card.py                 # parent: runs the 3 workers,
-                                            # fits, writes PARALLEL.json
-    python parallel_card.py --worker 8 OUT  # internal: one timing pass
-Run on an idle box (contention masquerades as poor scaling); ~20-25 min
-for the full registry at three parallelism levels.
+    python parallel_card.py           # measure + fit, writes PARALLEL.json
+    python parallel_card.py --refit   # re-fit from .parallel_raw.json
+                                      # (after a threshold/allowlist edit)
+Run on an idle box (co-tenant CPU inflates the tree only if it is OUR
+tree, but contention stretches wall and DEFLATES concurrency — phantom
+flags); ~10-12 min for the full registry.
 """
 
 from __future__ import annotations
@@ -40,17 +53,16 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import subprocess
 import sys
+import time
 
-CPU_LEVELS = (8, 16, 32)
 SF_DIR = "/root/testdata/sf0.1"
-MIN_FLAG_SECONDS = 2.0  # flag-eligible only when t8 is above this
-FLAG_SPEEDUP_BELOW = 1.10  # 8->32 cores buying <10% is "flat"
-PROBE_PAR_MIN = 1.5  # the parallel probe must show at least this
+MIN_FLAG_SECONDS = 2.0  # flag-eligible only when wall is above this
+FLAG_CONCURRENCY_BELOW = 1.3  # <=1.3 cores busy on a 32-core box is "serial"
+PROBE_PAR_MIN = 8.0  # the 64-partition probe must achieve at least this
 
-# The documented expensive-and-flat exceptions. Every entry is a query
-# whose wall-clock is dominated by work that parallelism CANNOT touch,
+# The documented expensive-and-serial exceptions. Every entry is a query
+# whose wall-clock is dominated by work that MORE CORES cannot touch,
 # with the justification; anything else that flags fails the pytest.
 # NOTE: tests/test_parallel_card.py pins flagged == [] EXACTLY, so this
 # list has no excusing effect until that ratchet is consciously
@@ -58,151 +70,231 @@ PROBE_PAR_MIN = 1.5  # the parallel probe must show at least this
 # box/SF regime shifts their profile.
 EXPECTED_DRIVER_BOUND = {
     "streaming_dump_replay": "4 structured-streaming micro-batches with "
-    "checkpoint round-trips; the wall is harness latency (commit-log "
-    "fsyncs, trigger scheduling), not plan work — measured flat across "
-    "core counts and budgeted as such in BENCH_DETAIL's stage split",
+    "checkpoint round-trips; the wall is harness IDLE latency (commit-log "
+    "fsyncs, trigger scheduling), not CPU — the BENCH_DETAIL stage split "
+    "attributes it (stream_harness ~4x dump_compose)",
     "streaming_corpus_replay": "same micro-batch harness latency class "
     "(3-batch replay through applyInPandasWithState)",
     "streaming_neardedup_replay": "same micro-batch harness latency class",
-    "corpus_daily_increment_replay": "composes the streaming replay "
-    "harness (4 micro-batches) plus two bounded kmeans training loops",
+    "corpus_daily_increment_replay": "composes the 4-wave streaming replay "
+    "harness plus two bounded kmeans training loops over a 250-doc slice",
     "ann_ivf_incremental_maintenance": "bounded-driver-state kmeans "
-    "training loop dominates; per-round work is one small-corpus pass",
+    "training loop over the standing corpus; each round is one small "
+    "job + an O(k x dims) collect — latency-bound at fixture scale",
     "embedding_abtt_isotropy_delta": "power-iteration direction training "
     "+ four bounded collect rounds; per-round work is one 500-row pass",
+    "merge_upsert_state": "real parquet write/read-back round-trips "
+    "(bootstrap + merge + replay) — commit-protocol latency, not CPU",
+    "dune_csv_roundtrip": "real CSV write + read-back round trip; "
+    "commit-protocol latency on a dim-scale file",
+    "work_queue_backoff": "50-row work queue fixture: wall is fixed "
+    "scheduling latency across many tiny stages",
+    "token_metadata_maintenance": "real partitioned-parquet maintenance "
+    "writes (newer-block gate + NFT upsert) — commit latency",
+    "assethub_price_log": "tiny Dune-CSV fixture through a real file "
+    "write/read round trip — commit latency",
+    "ivf_centroid_update": "one literal-seed assignment + exact-decimal "
+    "means over 500 vectors; sub-second jobs, latency-bound",
+    "ss58_codec_roundtrip": "100-row literal-VALUES fixture; wall is "
+    "per-stage scheduling floor",
+    # --- the fixture-granularity class (r11 measurement finding): the
+    # test parquet is SINGLE-ROW-GROUP, so a zero-Exchange map-only plan
+    # runs in ONE task locally no matter how many cores exist — these
+    # queries read serial BECAUSE their plans are the desired 100 TB
+    # shape (all work at the scan, nothing shuffled); at real storage
+    # grains the same plan splits by file/row-group. The flag is
+    # correct as an instrument reading and wrong as a verdict — hence
+    # documented, not excused silently.
+    "evm_decoded_transfers": "pure-JVM column decode, zero Exchange, one "
+    "WholeStageCodegen span over the single-row-group events file — one "
+    "task by fixture scan granularity (measured concurrency 1.13)",
+    "ann_sketch_prefilter": "zero-shuffle sketch-packing + Hamming-scan "
+    "leg over the single-row-group embeddings file (concurrency 1.28)",
+    "hard_negative_mining": "composes the same single-task sketch "
+    "prefilter leg (concurrency 1.22)",
+    # --- borderline band (measured 1.4-2.0, within noise of the 1.3
+    # line): bounded driver-loop rounds or map-heavy single-row-group
+    # legs; documented so a noisy regen cannot churn the ratchet
+    "kmeans_corpus_clusters": "bounded Lloyd rounds: each a small job + "
+    "O(k x dims) collect (measured 1.39)",
+    "ann_ivfpq_residual_search": "broadcast query dim + map-side ADC "
+    "tables over the single-row-group embeddings file (measured 1.48)",
+    "ann_pq_adc_search": "same map-side ADC class (measured 1.76)",
+    "paragraph_dedup_rewrite": "row-local CDC chunking in one Generate "
+    "task over the single-row-group documents file before the 16-byte "
+    "hash shuffles (measured 1.50)",
+    "cdc_chunk_dedup": "same single-task chunking leg (measured 1.90)",
+    "dedup_clusters": "connected-components propagation rounds: bounded "
+    "driver loop of small jobs (measured 2.00)",
 }
 
 
-def _time_all(cpus: int, out_path: str) -> None:
-    """Worker: one full timing pass at local[cpus], results to JSON."""
-    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
-    load_start = round(os.getloadavg()[0], 2)
-
-    from pyspark.sql import functions as F
-
-    from polkadot_etl_spark.benchutil import time_noop_min, warm_session
-    from polkadot_etl_spark.queries import QUERIES
-    from polkadot_etl_spark.session import get_spark
-
-    spark = get_spark(app_name=f"polkadot-etl-spark-parallel-{cpus}")
-    warm_session(spark, SF_DIR)
-
-    # the heavy row-local fold both probes share: ~1k-iteration integer
-    # aggregate per row over lineitem — pure executor CPU, zero shuffle
-    # beyond the explicit repartition, so the ONLY variable between the
-    # probes is how many tasks carry it
-    heavy = F.expr(
-        "aggregate(sequence(1, 1000), 0L,"
-        " (acc, x) -> acc + (x * l_orderkey) % 997)"
-    )
-
-    def _probe(n_parts: int):
-        def build(spark_, d):
-            li = spark_.read.parquet(f"{d}/lineitem.parquet").select("l_orderkey")
-            return li.repartition(n_parts).select(heavy.alias("h")).agg(
-                F.sum("h").alias("s")
-            )
-
-        return build
-
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        spec = QUERIES[name]
-        if not spec.bench:
+def _tree_cpu_seconds() -> float:
+    """utime+stime of THIS process and every live descendant (the
+    driver, the JVM, the pyspark worker pool), in seconds. /proc walk —
+    no psutil in the environment. CPU of already-exited short-lived
+    children is lost, which UNDER-counts concurrency slightly — the
+    safe direction for a detector whose flag condition is 'too low'
+    would be over-counting, so note: the pyspark worker pool is
+    persistent (reuse on), and executor threads live in the one JVM, so
+    the loss is negligible here."""
+    tck = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
             continue
-        timings[name] = round(min(time_noop_min(spec.build, spark, SF_DIR)), 3)
-        print(f"# local[{cpus}] {name}: {timings[name]:.3f}s", file=sys.stderr)
-    probes = {
-        "serial": round(min(time_noop_min(_probe(1), spark, SF_DIR)), 3),
-        "parallel": round(min(time_noop_min(_probe(64), spark, SF_DIR)), 3),
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                st = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        rp = st.rindex(")")
+        fields = st[rp + 2 :].split()
+        procs[int(pid)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [me], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(kids.get(p, []))
+    return total / tck
+
+
+def _measure(build, spark, sf_dir: str, base_iters: int = 2) -> dict:
+    """bench.py's min-of-2 noop-sink discipline, plus a tree-CPU delta
+    per iteration. Returns wall (min), and concurrency (max over
+    iterations of cpu/wall)."""
+    import gc
+
+    walls: list[float] = []
+    concs: list[float] = []
+
+    def one() -> None:
+        c0, t0 = _tree_cpu_seconds(), time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        cpu = _tree_cpu_seconds() - c0
+        walls.append(wall)
+        concs.append(cpu / max(wall, 1e-3))
+
+    for _ in range(base_iters):
+        one()
+    if min(walls) < 1.0:
+        one()
+    gc.collect()
+    return {
+        "wall": round(min(walls), 3),
+        "concurrency": round(max(concs), 2),
     }
-    print(f"# local[{cpus}] probes: {probes}", file=sys.stderr)
-    with open(out_path, "w") as fh:
-        json.dump(
-            {
-                "cpus": cpus,
-                "loadavg_1m_start": load_start,
-                "loadavg_1m_end": round(os.getloadavg()[0], 2),
-                "queries": timings,
-                "probes": probes,
-            },
-            fh,
-        )
 
 
 def main() -> None:
-    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
-        _time_all(int(sys.argv[2]), sys.argv[3])
-        return
-
     here = os.path.dirname(os.path.abspath(__file__))
-    runs: dict[int, dict] = {}
-    for cpus in CPU_LEVELS:
-        out = os.path.join(here, f".parallel_worker_{cpus}.json")
-        print(f"# spawning local[{cpus}] worker...", file=sys.stderr)
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), out],
-            check=True,
-        )
-        with open(out) as fh:
-            runs[cpus] = json.load(fh)
-        os.unlink(out)
+    raw_path = os.path.join(here, ".parallel_raw.json")
+    refit = "--refit" in sys.argv
 
-    t8, t32 = runs[8]["queries"], runs[32]["queries"]
-    out_queries = {}
+    if not refit:
+        load_start = round(os.getloadavg()[0], 2)
+        from pyspark.sql import functions as F
+
+        from polkadot_etl_spark.benchutil import warm_session
+        from polkadot_etl_spark.queries import QUERIES
+        from polkadot_etl_spark.session import get_spark
+
+        spark = get_spark(app_name="polkadot-etl-spark-parallel")
+        warm_session(spark, SF_DIR)
+
+        # the heavy row-local fold both probes share — pure executor
+        # CPU; the ONLY variable between the probes is task layout.
+        # Sized (~23 s single-task) so the JVM's background CPU (GC/JIT,
+        # measured ~2.5 cpu-s around a short job) dilutes below the flag
+        # threshold for the serial control: at a 3.7 s wall the same
+        # probe read concurrency 1.66 — background, not parallelism.
+        heavy = F.expr(
+            "aggregate(sequence(1, 600), 0L,"
+            " (acc, x) -> acc + (x * l_orderkey) % 997)"
+        )
+
+        def _probe(n_parts: int):
+            def build(spark_, d):
+                li = spark_.read.parquet(f"{d}/lineitem.parquet").select(
+                    "l_orderkey"
+                )
+                return (
+                    li.repartition(n_parts)
+                    .select(heavy.alias("h"))
+                    .agg(F.sum("h").alias("s"))
+                )
+
+            return build
+
+        raw: dict = {"queries": {}, "loadavg_1m_start": load_start}
+        for name in sorted(QUERIES):
+            spec = QUERIES[name]
+            if not spec.bench:
+                continue
+            m = _measure(spec.build, spark, SF_DIR)
+            raw["queries"][name] = m
+            print(
+                f"# {name}: wall={m['wall']:.3f}s conc={m['concurrency']:.2f}",
+                file=sys.stderr,
+            )
+        raw["probes"] = {
+            "serial": _measure(_probe(1), spark, SF_DIR),
+            "parallel": _measure(_probe(64), spark, SF_DIR),
+        }
+        raw["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
+        print(f"# probes: {raw['probes']}", file=sys.stderr)
+        with open(raw_path, "w") as fh:
+            json.dump(raw, fh)
+    else:
+        with open(raw_path) as fh:
+            raw = json.load(fh)
+
     flagged = []
-    for name in sorted(t8):
-        speedup = round(t8[name] / max(t32[name], 1e-3), 3)
+    out_queries = {}
+    for name, m in sorted(raw["queries"].items()):
         is_flagged = (
-            t8[name] >= MIN_FLAG_SECONDS and speedup < FLAG_SPEEDUP_BELOW
+            m["wall"] >= MIN_FLAG_SECONDS
+            and m["concurrency"] <= FLAG_CONCURRENCY_BELOW
         )
         if is_flagged:
             flagged.append(name)
-        out_queries[name] = {
-            "t": {str(c): runs[c]["queries"][name] for c in CPU_LEVELS},
-            "speedup_8_32": speedup,
-            "parallel_efficiency": round(speedup / 4.0, 3),
-            "flagged": is_flagged,
-        }
+        out_queries[name] = {**m, "flagged": is_flagged}
     unexplained = sorted(set(flagged) - set(EXPECTED_DRIVER_BOUND))
-    probe_serial = round(
-        runs[8]["probes"]["serial"] / max(runs[32]["probes"]["serial"], 1e-3), 3
-    )
-    probe_parallel = round(
-        runs[8]["probes"]["parallel"] / max(runs[32]["probes"]["parallel"], 1e-3),
-        3,
-    )
+    ps, pp = raw["probes"]["serial"], raw["probes"]["parallel"]
     doc = {
-        "metric": "per-query core-scaling speedup t(local[8]) / t(local[32])",
+        "metric": "achieved concurrency = process-tree CPU / wall on local[32]",
         "sf_dir": SF_DIR,
-        "cpu_levels": list(CPU_LEVELS),
         "min_flag_seconds": MIN_FLAG_SECONDS,
-        "flag_speedup_below": FLAG_SPEEDUP_BELOW,
+        "flag_concurrency_below": FLAG_CONCURRENCY_BELOW,
         "harness_sha256_16": hashlib.sha256(
             open(os.path.abspath(__file__), "rb").read()
         ).hexdigest()[:16],
-        "loadavg_1m_start": {
-            str(c): runs[c]["loadavg_1m_start"] for c in CPU_LEVELS
-        },
+        "loadavg_1m_start": raw["loadavg_1m_start"],
+        "loadavg_1m_end": raw["loadavg_1m_end"],
         "flagged": sorted(flagged),
         "unexplained": unexplained,
         "expected_driver_bound": EXPECTED_DRIVER_BOUND,
         "probes": {
             "serial": {
-                "t": {str(c): runs[c]["probes"]["serial"] for c in CPU_LEVELS},
-                "speedup_8_32": probe_serial,
-                # the serial probe must read as FLAT by the same rule
-                # (its single post-shuffle partition cannot use cores)
-                "detects_flat": runs[8]["probes"]["serial"] >= MIN_FLAG_SECONDS
-                and probe_serial < FLAG_SPEEDUP_BELOW,
+                **ps,
+                # the single-partition probe must read as expensive-and-
+                # serial by the card's own rule, or flagged=[] is vacuous
+                "detects_serial": ps["wall"] >= MIN_FLAG_SECONDS
+                and ps["concurrency"] <= FLAG_CONCURRENCY_BELOW,
             },
             "parallel": {
-                "t": {str(c): runs[c]["probes"]["parallel"] for c in CPU_LEVELS},
-                "speedup_8_32": probe_parallel,
-                # the identical work spread over 64 partitions must show
-                # real speedup — proof the box and the detector can see
-                # scaling when it exists
-                "shows_speedup": probe_parallel >= PROBE_PAR_MIN,
+                **pp,
+                # the identical work over 64 partitions must achieve real
+                # concurrency — proof the instrument can see parallelism
+                "shows_parallelism": pp["concurrency"] >= PROBE_PAR_MIN,
             },
         },
         "queries": out_queries,
@@ -216,8 +308,8 @@ def main() -> None:
             {
                 "flagged": sorted(flagged),
                 "unexplained": unexplained,
-                "probe_serial_flat": doc["probes"]["serial"]["detects_flat"],
-                "probe_parallel_speedup": probe_parallel,
+                "probe_serial_detects": doc["probes"]["serial"]["detects_serial"],
+                "probe_parallel_concurrency": pp["concurrency"],
                 "n_queries": len(out_queries),
                 "detail": "PARALLEL.json",
             },
