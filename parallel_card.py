@@ -31,7 +31,9 @@ reading in ANY iteration, while a healthy query's first iteration may
 be scan-bound). Flag = wall >= MIN_FLAG_SECONDS (cheap queries carry no
 signal) AND concurrency <= FLAG_CONCURRENCY_BELOW, excluding the
 documented EXPECTED_DRIVER_BOUND set (each entry justified; the pytest
-pins flagged == [] strictly, mirroring the scaling card's ratchet).
+pins flagged == the measured fixture-granularity trio EXACTLY and
+unexplained == [], mirroring the scaling card's ratchet — a new flag
+fails the suite even if someone pre-adds an allowlist entry).
 
 Detector sensitivity is MEASURED, not assumed: a deliberately
 serialized probe (a heavy row-local fold forced into ONE post-shuffle
@@ -64,10 +66,12 @@ PROBE_PAR_MIN = 8.0  # the 64-partition probe must achieve at least this
 # The documented expensive-and-serial exceptions. Every entry is a query
 # whose wall-clock is dominated by work that MORE CORES cannot touch,
 # with the justification; anything else that flags fails the pytest.
-# NOTE: tests/test_parallel_card.py pins flagged == [] EXACTLY, so this
-# list has no excusing effect until that ratchet is consciously
-# loosened; it documents which queries are ALLOWED to flag if a future
-# box/SF regime shifts their profile.
+# NOTE: tests/test_parallel_card.py pins the flagged set EXACTLY (the
+# measured fixture-granularity trio), so adding an entry here cannot
+# silently excuse a newly-serialized query — the strict pin must be
+# consciously updated too. The rest of this list documents which
+# queries are ALLOWED to flag if a future box/SF regime shifts their
+# profile (the unexplained == [] gate would then be the operative one).
 EXPECTED_DRIVER_BOUND = {
     "streaming_dump_replay": "4 structured-streaming micro-batches with "
     "checkpoint round-trips; the wall is harness IDLE latency (commit-log "

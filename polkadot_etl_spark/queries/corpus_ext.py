@@ -8553,7 +8553,7 @@ FROM est
     "integer-ppm severity. Like the Bloom FP audit, the exact truth "
     "leg exists to PRICE the sketch at fixture scale; production keeps "
     "only the O(depth x width) ledger where exact per-key counting "
-    "shuffles every distinct word. Width 256 is sized for "
+    f"shuffles every distinct word. Width {CMS_WIDTH} is sized for "
     "fixture-visible collisions against the 31-word vocabulary; "
     "production sizes width ~ e/epsilon. All arithmetic integer; col "
     "addressing = md5 nibbles, engine-identical. Scale shape: one "
