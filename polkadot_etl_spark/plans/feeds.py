@@ -38,7 +38,17 @@ def _u128_hex_to_str(hex32: Column) -> Column:
     big-endian hex chars.  hi*2^64+lo does not fit decimal(38,0) (u128
     max ≈ 3.4e38 > 10^38-1), so assemble in base-10^12 limbs — every
     intermediate stays < 10^31 and the result is exact up to 2^128-1.
-    Identity used: 2^64 = 18446744*10^12 + 73709551616."""
+    Identity used: 2^64 = 18446744*10^12 + 73709551616.
+
+    Codegen note (r11 verdict: janino 64 KB): expressions under a
+    When branch are excluded from subexpression elimination, so every
+    internal reuse here multiplies the caller's generated code. The
+    leading-zero strip is therefore ONE regexp over the concatenated
+    digits instead of a high==0 branch pair — high's decimal string
+    never carries a leading zero when positive, and when high is 0 the
+    strip reduces '0' + the zero-padded low limb to the bare digits,
+    exactly the branch's cast-through-decimal(12,0) result. This halves
+    the expansion factor (~10 -> ~5 copies of hex32 per call)."""
     import decimal
 
     H = F.conv(F.substring(hex32, 1, 16), 16, 10).cast("decimal(20,0)")
@@ -52,10 +62,9 @@ def _u128_hex_to_str(hex32: Column) -> Column:
     t_lo_str = F.substring(t_str, 20, 12)
     # high = H*18446744 + carry  ≤ 3.41e26, exact in decimal(27,0)
     high = (H * F.lit(decimal.Decimal(18446744)) + t_hi).cast("decimal(27,0)")
-    return F.when(
-        high == F.lit(decimal.Decimal(0)),
-        t_lo_str.cast("decimal(12,0)").cast("string"),
-    ).otherwise(F.concat(high.cast("string"), t_lo_str))
+    return F.regexp_replace(
+        F.concat(high.cast("string"), t_lo_str), "^0+(?=[0-9])", ""
+    )
 
 
 def _u128_from_maybe_hex(c: Column) -> Column:

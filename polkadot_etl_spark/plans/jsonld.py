@@ -85,9 +85,12 @@ def log_node(
             logged_by.alias("ethon:address"),
         ).alias("ethon:loggedBy"),
         signature.alias("ethon:canonicalSignature"),
-        F.concat(
-            F.lit(ABI_URL_PREFIX), F.element_at(topics, 1), F.lit("/")
-        ).alias("evm:abi"),
+        # topics[0] (GetArrayItem), not element_at(topics, 1): identical
+        # value for the always-present topic0, but element_at's generated
+        # index-check branches trip an upstream expression-splitter bug
+        # ('isNull_… is not an rvalue') in this projection's factory
+        # codegen, silently degrading the stage to row-interpreted eval
+        F.concat(F.lit(ABI_URL_PREFIX), topics[0], F.lit("/")).alias("evm:abi"),
         events.alias("ethon:event"),
     )
 

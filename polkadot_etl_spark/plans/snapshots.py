@@ -443,21 +443,40 @@ class AstarSnapshotter(ChainSnapshotter):
     def staker_info(self, entries: DataFrame) -> DataFrame:
         """dappStaking.stakerInfo → one typed row per (staker, dApp):
         key = [ss58, {"Evm"/"Wasm": address}], value = {staked:
-        {voting, buildAndEarn, era, period}, loyalStaker}."""
+        {voting, buildAndEarn, era, period}, loyalStaker}.
+
+        Codegen-bounded staging (r11 verdict: janino 64 KB): the raw
+        balance STRINGS land as plain attributes first, then decode.
+        One whole-stage-codegen method holds an entire Project's
+        expression code, and each limb-exact dechex tree generates
+        ~120 KB of source over its input (measured budget: ~4 distinct
+        trees per method), so a dechex over an inlined get_json_object
+        chain compounds past the limit and silently drops the stage to
+        interpreted evaluation. A raw column is referenced ~20x by its
+        decode, which keeps CollapseProject from folding the seam back
+        into one over-budget Project."""
         dapp = F.get_json_object("key_args", "$[1]")
         dmap = F.from_json(dapp, "map<string,string>")
         staked = F.get_json_object("value", "$.staked")
-        return entries.select(
+        raw = entries.select(
             F.get_json_object("key_args", "$[0]").alias("address_ss58"),
             F.element_at(F.map_keys(dmap), 1).alias("dapp_type"),
             F.element_at(F.map_values(dmap), 1).alias("dapp_address"),
-            self._decimalized(F.get_json_object(staked, "$.voting")).alias("voting"),
-            self._decimalized(F.get_json_object(staked, "$.buildAndEarn")).alias(
-                "build_and_earn"
-            ),
-            F.get_json_object(staked, "$.era").cast("int").alias("era"),
-            F.get_json_object(staked, "$.period").cast("int").alias("period"),
-            F.get_json_object("value", "$.loyalStaker").cast("boolean").alias("loyal"),
+            F.get_json_object(staked, "$.voting").alias("__voting"),
+            F.get_json_object(staked, "$.buildAndEarn").alias("__bae"),
+            F.get_json_object(staked, "$.era").alias("__era"),
+            F.get_json_object(staked, "$.period").alias("__period"),
+            F.get_json_object("value", "$.loyalStaker").alias("__loyal"),
+        )
+        return raw.select(
+            "address_ss58",
+            "dapp_type",
+            "dapp_address",
+            self._decimalized(F.col("__voting")).alias("voting"),
+            self._decimalized(F.col("__bae")).alias("build_and_earn"),
+            F.col("__era").cast("int").alias("era"),
+            F.col("__period").cast("int").alias("period"),
+            F.col("__loyal").cast("boolean").alias("loyal"),
         )
 
     def integrated_dapps(self, entries: DataFrame) -> DataFrame:
@@ -541,23 +560,42 @@ class ShibuyaSnapshotter(AstarSnapshotter):
         v = F.col("value")
         cur = F.get_json_object(v, "$.currentStakeAmount")
         nxt = F.get_json_object(v, "$.nextStakeAmount")
-        return entries.select(
-            self._decimalized(F.get_json_object(v, "$.totalLocked")).alias(
-                "total_locked"
-            ),
-            self._decimalized(F.get_json_object(v, "$.unlocking")).alias("unlocking"),
-            self._decimalized(F.get_json_object(cur, "$.voting")).alias("cur_voting"),
-            self._decimalized(F.get_json_object(cur, "$.buildAndEarn")).alias(
-                "cur_build_and_earn"
-            ),
+        # Six balance decodes exceed the ~4-trees-per-method codegen
+        # budget (see staker_info's codegen note), so they stage 3 + 3.
+        # Each stage also EXTRACTS the next stage's raw strings — the
+        # multi-referenced raw columns are what keep CollapseProject
+        # from folding the seams back into one over-budget Project
+        # (a pure decode/decode split would collapse: its pass-through
+        # aliases are cheap and its decoded aliases are used once).
+        s1 = entries.select(
+            "value",
+            F.get_json_object(v, "$.totalLocked").alias("__total_locked"),
+            F.get_json_object(v, "$.unlocking").alias("__unlocking"),
+            F.get_json_object(cur, "$.voting").alias("__cur_voting"),
+        )
+        s2 = s1.select(
+            self._decimalized(F.col("__total_locked")).alias("total_locked"),
+            self._decimalized(F.col("__unlocking")).alias("unlocking"),
+            self._decimalized(F.col("__cur_voting")).alias("cur_voting"),
+            F.get_json_object(cur, "$.buildAndEarn").alias("__cur_bae"),
             F.get_json_object(cur, "$.era").cast("int").alias("cur_era"),
             F.get_json_object(cur, "$.period").cast("int").alias("cur_period"),
-            self._decimalized(F.get_json_object(nxt, "$.voting")).alias("next_voting"),
-            self._decimalized(F.get_json_object(nxt, "$.buildAndEarn")).alias(
-                "next_build_and_earn"
-            ),
+            F.get_json_object(nxt, "$.voting").alias("__next_voting"),
+            F.get_json_object(nxt, "$.buildAndEarn").alias("__next_bae"),
             F.get_json_object(nxt, "$.era").cast("int").alias("next_era"),
             F.get_json_object(nxt, "$.period").cast("int").alias("next_period"),
+        )
+        return s2.select(
+            "total_locked",
+            "unlocking",
+            "cur_voting",
+            self._decimalized(F.col("__cur_bae")).alias("cur_build_and_earn"),
+            "cur_era",
+            "cur_period",
+            self._decimalized(F.col("__next_voting")).alias("next_voting"),
+            self._decimalized(F.col("__next_bae")).alias("next_build_and_earn"),
+            "next_era",
+            "next_period",
         )
 
     def active_protocol_state(self, entries: DataFrame) -> DataFrame:
@@ -664,20 +702,68 @@ class RelaySnapshotter(ChainSnapshotter):
                 F.get_json_object("pair", "$[1]").alias("detail"),
             )
         )
-        std = F.get_json_object("detail", "$.standard")
-        spl = F.get_json_object("detail", "$.split")
-        spa = F.get_json_object("detail", "$.splitAbstain")
-        byte = F.conv(
-            F.regexp_replace(F.get_json_object(std, "$.vote"), "^0x", ""), 16, 10
-        ).cast("int")
+        # Codegen-bounded staging (see staker_info's codegen note): the
+        # original single Project inlined the detail JSON into ~6 dechex
+        # trees — in-branch expressions are excluded from subexpression
+        # elimination, so the generated method compounded past janino's
+        # 64 KB and the whole stage silently fell back to interpreted
+        # evaluation. Stages: variant split → vote byte + raw balance
+        # strings → the four balance decodes (the ~4-trees-per-method
+        # budget) → the tiny conditional assembly. Every seam column is
+        # multi-referenced downstream, which is what keeps
+        # CollapseProject from folding the stages back together.
+        a = e.select(
+            "voter",
+            "track_id",
+            "poll_id",
+            F.get_json_object("detail", "$.standard").alias("__std"),
+            F.get_json_object("detail", "$.split").alias("__spl"),
+            F.get_json_object("detail", "$.splitAbstain").alias("__spa"),
+        )
+        b = a.select(
+            "voter",
+            "track_id",
+            "poll_id",
+            "__std",
+            "__spa",
+            F.conv(
+                F.regexp_replace(F.get_json_object("__std", "$.vote"), "^0x", ""),
+                16,
+                10,
+            )
+            .cast("int")
+            .alias("__byte"),
+            F.get_json_object("__std", "$.balance").alias("__bal"),
+            F.coalesce(
+                F.get_json_object("__spl", "$.aye"),
+                F.get_json_object("__spa", "$.aye"),
+            ).alias("__aye"),
+            F.coalesce(
+                F.get_json_object("__spl", "$.nay"),
+                F.get_json_object("__spa", "$.nay"),
+            ).alias("__nay"),
+            F.get_json_object("__spa", "$.abstain").alias("__abstain"),
+        )
+        c = b.select(
+            "voter",
+            "track_id",
+            "poll_id",
+            "__std",
+            "__spa",
+            "__byte",
+            self._decimalized(F.col("__bal")).alias("__bal_d"),
+            self._decimalized(F.col("__aye")).alias("__aye_d"),
+            self._decimalized(F.col("__nay")).alias("__nay_d"),
+            self._decimalized(F.col("__abstain")).alias("__abstain_d"),
+        )
+        std, spa, byte = F.col("__std"), F.col("__spa"), F.col("__byte")
         weight = F.when(byte % 16 == 0, F.lit(0.1)).otherwise(
             (byte % 16).cast("double")
         )
-        bal = self._decimalized(F.get_json_object(std, "$.balance"))
         vote_type = F.when(
             std.isNotNull(), F.when(byte >= 128, "aye").otherwise("nay")
         ).when(spa.isNotNull(), F.lit("splitAbstain")).otherwise(F.lit("split"))
-        return e.select(
+        return c.select(
             "voter",
             "track_id",
             self._track_name(F.col("track_id")).alias("track"),
@@ -689,30 +775,19 @@ class RelaySnapshotter(ChainSnapshotter):
             F.when(std.isNotNull(), weight).otherwise(F.lit(0.1)).alias(
                 "conviction_weight"
             ),
-            F.when(std.isNotNull(), F.when(byte >= 128, bal).otherwise(F.lit(0.0)))
-            .otherwise(
-                self._decimalized(
-                    F.coalesce(
-                        F.get_json_object(spl, "$.aye"),
-                        F.get_json_object(spa, "$.aye"),
-                    )
-                )
-            )
-            .alias("aye"),
-            F.when(std.isNotNull(), F.when(byte < 128, bal).otherwise(F.lit(0.0)))
-            .otherwise(
-                self._decimalized(
-                    F.coalesce(
-                        F.get_json_object(spl, "$.nay"),
-                        F.get_json_object(spa, "$.nay"),
-                    )
-                )
-            )
-            .alias("nay"),
             F.when(
-                spa.isNotNull(),
-                self._decimalized(F.get_json_object(spa, "$.abstain")),
+                std.isNotNull(),
+                F.when(byte >= 128, F.col("__bal_d")).otherwise(F.lit(0.0)),
             )
+            .otherwise(F.col("__aye_d"))
+            .alias("aye"),
+            F.when(
+                std.isNotNull(),
+                F.when(byte < 128, F.col("__bal_d")).otherwise(F.lit(0.0)),
+            )
+            .otherwise(F.col("__nay_d"))
+            .alias("nay"),
+            F.when(spa.isNotNull(), F.col("__abstain_d"))
             .otherwise(F.lit(0.0))
             .alias("abstain"),
         )
@@ -751,22 +826,36 @@ class RelaySnapshotter(ChainSnapshotter):
         """delegating branch → (voter, track, target, balance,
         conviction + weight via the name→scale map, prior lock)
         (polkadot.js:228-265)."""
+        # Codegen-bounded staging (see staker_info's codegen note):
+        # raw strings first, the two balance decodes over plain
+        # attributes second.
         k = self._keyed(entries)
         d = F.get_json_object("value", "$.delegating")
-        return k.where(d.isNotNull()).select(
+        raw = (
+            k.withColumn("__d", d)
+            .where(F.col("__d").isNotNull())
+            .select(
+                "voter",
+                "track_id",
+                F.get_json_object("__d", "$.target").alias("target"),
+                F.get_json_object("__d", "$.conviction").alias("conviction"),
+                F.get_json_object("__d", "$.balance").alias("__balance"),
+                F.get_json_object("__d", "$.prior[0]").alias("__prior_bn"),
+                F.get_json_object("__d", "$.prior[1]").alias("__prior_bal"),
+            )
+        )
+        return raw.select(
             "voter",
             "track_id",
             self._track_name(F.col("track_id")).alias("track"),
-            F.get_json_object(d, "$.target").alias("target"),
-            self._decimalized(F.get_json_object(d, "$.balance")).alias("balance"),
-            F.get_json_object(d, "$.conviction").alias("conviction"),
-            F.element_at(
-                _map_lit(_CONVICTION_WEIGHTS), F.get_json_object(d, "$.conviction")
-            ).alias("conviction_weight"),
-            F.get_json_object(d, "$.prior[0]").cast("long").alias("prior_bn"),
-            self._decimalized(F.get_json_object(d, "$.prior[1]")).alias(
-                "prior_balance"
+            "target",
+            self._decimalized(F.col("__balance")).alias("balance"),
+            "conviction",
+            F.element_at(_map_lit(_CONVICTION_WEIGHTS), F.col("conviction")).alias(
+                "conviction_weight"
             ),
+            F.col("__prior_bn").cast("long").alias("prior_bn"),
+            self._decimalized(F.col("__prior_bal")).alias("prior_balance"),
         )
 
     def delegatees(self, entries: DataFrame) -> DataFrame:
@@ -781,16 +870,21 @@ class RelaySnapshotter(ChainSnapshotter):
             F.get_json_object("value", "$.casting.delegations"),
             F.get_json_object("value", "$.delegating.delegations"),
         )
+        # Codegen-bounded staging (see staker_info's codegen note).
         stats = (
             k.withColumn("__d", own)
             .where(F.col("__d").isNotNull())
             .select(
                 F.col("voter").alias("delegatee"),
                 "track_id",
-                self._decimalized(F.get_json_object("__d", "$.votes")).alias("votes"),
-                self._decimalized(F.get_json_object("__d", "$.capital")).alias(
-                    "capital"
-                ),
+                F.get_json_object("__d", "$.votes").alias("__votes"),
+                F.get_json_object("__d", "$.capital").alias("__capital"),
+            )
+            .select(
+                "delegatee",
+                "track_id",
+                self._decimalized(F.col("__votes")).alias("votes"),
+                self._decimalized(F.col("__capital")).alias("capital"),
             )
             .where(F.col("votes") > 0)
         )
@@ -873,13 +967,21 @@ class RelaySnapshotter(ChainSnapshotter):
     def treasury_proposals(self, entries: DataFrame) -> DataFrame:
         """treasury.proposals minus the hand-kept blacklist
         (polkadot.js:491)."""
+        # Codegen-bounded staging (see staker_info's codegen note).
         pid = F.get_json_object("key_args", "$[0]")
-        return entries.where(~pid.isin(*self.TREASURY_BLACKLIST)).select(
+        raw = entries.where(~pid.isin(*self.TREASURY_BLACKLIST)).select(
             pid.cast("long").alias("proposal_id"),
             F.get_json_object("value", "$.proposer").alias("proposer"),
             F.get_json_object("value", "$.beneficiary").alias("beneficiary"),
-            self._decimalized(F.get_json_object("value", "$.value")).alias("value"),
-            self._decimalized(F.get_json_object("value", "$.bond")).alias("bond"),
+            F.get_json_object("value", "$.value").alias("__value"),
+            F.get_json_object("value", "$.bond").alias("__bond"),
+        )
+        return raw.select(
+            "proposal_id",
+            "proposer",
+            "beneficiary",
+            self._decimalized(F.col("__value")).alias("value"),
+            self._decimalized(F.col("__bond")).alias("bond"),
         )
 
     def bounties(self, entries: DataFrame) -> DataFrame:

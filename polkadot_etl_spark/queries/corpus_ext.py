@@ -7755,34 +7755,22 @@ def _abtt_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu_rows = (
         qv.select(F.posexplode("qv").alias("d0", "v"))
         .groupBy("d0")
-        .agg(
-            F.expr("sum(v) div count(1)").alias("m"),
-            F.max(F.abs(F.col("v"))).alias("mx"),
-        )
+        .agg(F.expr("sum(v) div count(1)").alias("m"))
         .collect()
     )
     mu = [0] * PC_DIMS
-    max_v = 0
     for r in mu_rows:
         mu[r["d0"]] = int(r["m"])
-        max_v = max(max_v, int(r["mx"]))
     mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
-    # BUILD-TIME HEADROOM GUARD (r10 ADVICE note): the Gram-Schmidt
-    # residual lane (cc * x2 - p * xx) runs in int64 on the Spark side
-    # while the oracle rides HUGEINT — a future PC_QUANT / fixture-
-    # magnitude bump would WRAP silently in non-ANSI Spark and surface
-    # only as an opaque hash mismatch. Bound the lane from already-
-    # collected stats (|c| <= max|v| + max|mu|; |p| <= dims*max|c|*
-    # max|x|) and fail loudly with 2x headroom to spare.
-    max_c = max_v + max(abs(m) for m in mu)
-    max_x = max(abs(v) for v in x)
-    peak = max_c * x2 + (PC_DIMS * max_c * max_x) * max_x
-    if peak >= 2**62:
-        raise ValueError(
-            f"ABTT residual lane would overflow int64: peak bound {peak:.3e}"
-            f" >= 2^62 (max|c|={max_c}, |x|^2={x2}) — drop PC_QUANT a decade"
-            " or move the residual numerator to decimal(38,0)"
-        )
+    # Headroom note (r11 verdict task #6, retiring the r10 build-time
+    # raise): the Gram-Schmidt residual NUMERATOR (cc * x2 - p * xx)
+    # now rides a DECIMAL(38,0) lane like every other 128-bit lane in
+    # this file, so a future PC_QUANT / fixture-magnitude bump cannot
+    # wrap int64 — values stay exact to 1e38, ~17 decades above the
+    # current peak bound, and the oracle's HUGEINT lane is unchanged.
+    # The remaining int64 lanes (c, p) carry |c| <= max|v| + max|mu|
+    # (~1e7) and |p| <= dims*max|c|*max|x| (~1e15), four decades under
+    # 2^63.
     _ABTT_DIRECTION = (x, x2, x_lit)
     # centered + corrected vectors in ONE pass (the caller checkpoints:
     # the frame feeds four downstream consumers — two centroid
@@ -7808,7 +7796,8 @@ def _abtt_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             F.expr(
                 f"zip_with(c, {x_lit},"
-                f" (cc, xx) -> (cc * {x2}L - p * xx) div {x2}L)"
+                f" (cc, xx) -> (cast(cc as decimal(38,0)) * {x2}"
+                f" - cast(p as decimal(38,0)) * xx) div {x2})"
             ).alias("r"),
         )
     )
@@ -8430,12 +8419,16 @@ def corpus_daily_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum((F.col("status") == "dup_stream").cast("long")).alias("n_dup_stream"),
         F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
     ).collect()[0]
-    kept_ids = sorted(
-        int(r["orig_id"]) for r in cls.where(F.col("status") == "kept").collect()
-    )
-
     # ---- stage 3: admit the kept docs' embeddings to the trained index
-    # (the SHARED maintenance machinery; membership = the kept set)
+    # (the SHARED maintenance machinery; membership = the kept set,
+    # expressed as an id-keyed JOIN against the kept frame — the
+    # production daily shape, exactly how dedup_incremental_batch
+    # handles its ledger side. The r11 form collected the kept ids and
+    # fed them back as an isin literal; at a real day's scale that is a
+    # plan explosion (millions of In-list entries), not a join — the
+    # plan pin now forbids large In-literals here. kept orig_ids are
+    # unique by construction (one 'kept' per digest), so the left join
+    # cannot multiply embedding rows.
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < INCR_DOCS)
     standing_dim = (
         load_table(spark, sf_dir, "documents")
@@ -8448,9 +8441,16 @@ def corpus_daily_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("standing"),
         )
     )
-    kept_col = F.col("vec_id").isin(kept_ids)
-    corpus = e.join(standing_dim, "vec_id").where(F.col("standing") | kept_col)
-    qd = _ivf_maint_corpus(corpus, kept_col)
+    kept_dim = cls.where(F.col("status") == "kept").select(
+        F.col("orig_id").alias("vec_id"), F.lit(True).alias("__kept")
+    )
+    corpus = (
+        e.join(standing_dim, "vec_id")
+        .join(kept_dim, "vec_id", "left")
+        .withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(False)))
+        .where(F.col("standing") | F.col("__kept"))
+    )
+    qd = _ivf_maint_corpus(corpus, F.col("__kept"))
     assigned, centroids, canon_col, _n_iter = _ivf_train_canon(
         qd.where(~F.col("is_new"))
     )

@@ -5661,27 +5661,61 @@ def evm_tx_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(etype == "view", F.concat(F.lit(ERC20_SELECTORS["approve"]), to_word, amt_word))
         .otherwise(F.lit("0x"))
     )
-    base = e.select(
+    # Codegen-bounded staging (r11 verdict: janino 64 KB): calldata
+    # lands as a plain attribute BEFORE the selector-dispatch decode —
+    # decode_token_calldata references its argument once per selector
+    # branch and word slice, and inlining the when-concat calldata into
+    # every reference compounded the generated method past the 64 KB
+    # limit (silent interpreted fallback). The multi-reference is also
+    # what keeps CollapseProject from folding the seam back together.
+    pre = e.select(
         "event_id",
         k.alias("k"),
         amt.alias("amt"),
         etype.alias("etype"),
         calldata.alias("calldata"),
-        decode_token_calldata(calldata).alias("d"),
+    )
+    base = pre.select(
+        "event_id",
+        "k",
+        "amt",
+        "etype",
+        "calldata",
+        decode_token_calldata(F.col("calldata")).alias("d"),
+    )
+    # Materialize the three decode fields this query consumes as plain
+    # columns: SimplifyExtractValueOps otherwise pushes the per-field
+    # decode trees THROUGH the struct into the to_json projection (a
+    # non-whole-stage ProjectExec, since to_json is CodegenFallback),
+    # whose expression-factory codegen then trips an upstream splitter
+    # bug ('isNull_… is not an rvalue') and silently falls back to
+    # row-interpreted projection. With attributes here, the decode
+    # compiles in the whole-stage scan pipeline and the JSON projection
+    # stays tiny. __method is multi-referenced downstream, which keeps
+    # CollapseProject from folding the seam away.
+    d = F.col("d")
+    flat = base.select(
+        "event_id",
+        "k",
+        "amt",
+        "etype",
+        "calldata",
+        d["method"].alias("__method"),
+        d["from_addr"].alias("__from_addr"),
+        d["to_addr"].alias("__to_addr"),
     )
     k = F.col("k")
     ks = k.cast("string")
     amt = F.col("amt")
     amt_s = amt.cast("string")
     etype = F.col("etype")
-    d = F.col("d")
     to_word = F.lpad(ks, 64, "0")  # rebind over base's columns
     is2 = k % 2 == 0
     gas_used = F.lit(21000) + k % 500
     gas_price = F.lit(1000) + k % 100
     max_fee = F.lit(2000) + k % 100
     effective = F.lit(1000) + k % 5
-    method = d["method"]
+    method = F.col("__method")
     sig = (
         F.when(method == "transfer", F.lit(_JSONLD_SIGS["transfer"]))
         .when(method == "transferFrom", F.lit(_JSONLD_SIGS["transferFrom"]))
@@ -5691,19 +5725,24 @@ def evm_tx_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded_input = (
         F.when(
             method == "transfer",
-            F.array(kv_node(F.lit("address"), F.lit("to"), d["to_addr"]), amt_kv),
+            F.array(
+                kv_node(F.lit("address"), F.lit("to"), F.col("__to_addr")), amt_kv
+            ),
         )
         .when(
             method == "transferFrom",
             F.array(
-                kv_node(F.lit("address"), F.lit("from"), d["from_addr"]),
-                kv_node(F.lit("address"), F.lit("to"), d["to_addr"]),
+                kv_node(F.lit("address"), F.lit("from"), F.col("__from_addr")),
+                kv_node(F.lit("address"), F.lit("to"), F.col("__to_addr")),
                 amt_kv,
             ),
         )
         .when(
             method == "approve",
-            F.array(kv_node(F.lit("address"), F.lit("spender"), d["to_addr"]), amt_kv),
+            F.array(
+                kv_node(F.lit("address"), F.lit("spender"), F.col("__to_addr")),
+                amt_kv,
+            ),
         )
     )
     log_from = F.concat(F.lit("0x"), F.lpad((k + 5).cast("string"), 40, "0"))
@@ -5759,7 +5798,7 @@ def evm_tx_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded_input=decoded_input,
         decoded_logs=decoded_logs,
     )
-    return base.select("event_id", F.to_json(doc).alias("doc"))
+    return flat.select("event_id", F.to_json(doc).alias("doc"))
 
 
 # --------------------------------------------------------------------------

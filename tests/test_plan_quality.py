@@ -1461,7 +1461,13 @@ def test_daily_increment_stage_plans_batch_sized(spark):
     (kept-membership literal -> nearest-centroid assignment -> ledger
     aggregate) has no sort-merge join (the only join is the broadcast
     standing/membership decoration) and text never appears. Fake stream
-    output + fixed centroids keep this a planning-only test."""
+    output + fixed centroids keep this a planning-only test.
+
+    r12: stage 3's membership is an id-keyed JOIN against the kept
+    frame (the r11 isin literal was a plan explosion at a real day's
+    millions of kept ids — r11 verdict 'What's wrong #2'), so this
+    probe mirrors the join shape and additionally pins that NO large
+    In-literal appears anywhere in the maintenance plan."""
     from pyspark.sql import functions as F
 
     from polkadot_etl_spark.operators.kmeans import assign_nearest
@@ -1479,12 +1485,19 @@ def test_daily_increment_stage_plans_batch_sized(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan2, re.M)
     assert not any("text" in e for e in exchanges), "raw text shuffled"
 
-    kept = [i for i in range(cx.INCR_DOCS) if i % 7 == 3]
+    kept_dim = spark.createDataFrame(
+        [(i, True) for i in range(cx.INCR_DOCS) if i % 7 == 3],
+        "vec_id long, __kept boolean",
+    )
     e = load_table(spark, SF_DIR, "embeddings").where(
         F.col("vec_id") < cx.INCR_DOCS
     )
-    kept_col = F.col("vec_id").isin(kept)
-    qd = cx._ivf_maint_corpus(e, kept_col)
+    corpus = (
+        e.join(kept_dim, "vec_id", "left")
+        .withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(False)))
+    )
+    kept_col = F.col("__kept")
+    qd = cx._ivf_maint_corpus(corpus, kept_col)
     centroids = [
         [float(cx.IVF_MAINT_DISP) if d == j else 0.0 for d in range(cx.PC_DIMS)]
         for j in range(cx.IVF_MAINT_K)
@@ -1500,8 +1513,12 @@ def test_daily_increment_stage_plans_batch_sized(spark):
     assert "EvalPython" not in plan3
     assert "SortMergeJoin" not in plan3 and "CartesianProduct" not in plan3
     exchanges3 = re.findall(r"^\(\d+\) Exchange[^\n]*", plan3, re.M)
-    assert len(exchanges3) <= 1, exchanges3
+    assert len(exchanges3) <= 2, exchanges3
     assert not any("text" in e for e in exchanges3)
+    # NO large In-literal anywhere in the maintenance plan: membership
+    # must stay a join, never a collected id list baked into the plan
+    for m in re.finditer(r" IN \(([^()]*)\)", plan3):
+        assert m.group(1).count(",") < 10, f"large In-literal: {m.group(0)[:120]}"
 
 
 def test_dump_replay_batch_composition_shapes(spark):
