@@ -38,6 +38,7 @@ from polkadot_etl_spark.benchutil import (
     AGG,
     BASE_ITERS,
     EXTRA_BELOW,
+    box_speed_probe,
     time_noop_min,
     warm_session,
 )
@@ -77,6 +78,7 @@ def reconcile_budgets(
     write_budgets: bool,
     at_budget_sf: bool,
     sf: float,
+    box: "dict | None" = None,
 ):
     """The budget mechanism, separated from the run loop so the
     self-heal contract is unit-testable (tests/test_bench_budgets.py):
@@ -104,6 +106,11 @@ def reconcile_budgets(
                 {
                     "sf": sf,
                     "rule": "1.5x idle-box min with a +0.75s floor",
+                    # the generating sitting's measured box speed (see
+                    # benchutil.box_speed_probe): a future sitting
+                    # normalizes a breach by speed_then/speed_now
+                    # before calling it real
+                    "box_speed": box or {},
                     "budgets": {n: _budget_of(t) for n, t in sorted(per_query.items())},
                 },
                 fh,
@@ -166,6 +173,16 @@ def main() -> None:
     # adjudication record, where every in-bench breach re-measured
     # UNDER budget min-of-5 in a fresh session on the same box.)
     warm_session(spark, sf_dir)
+
+    # Box-speed calibration stamp (r11 verdict task #2): a fixed-work
+    # pure-JVM probe timed 1-thread and full-parallel BEFORE the
+    # registry, so cross-sitting comparisons self-normalize (the r9-r11
+    # phantom-breach class: 24 breaches across three rounds, every one
+    # box-speed drift on untouched code). Readers: a sitting that
+    # measures queries 1.3x slower should also read ~1.3x lower
+    # box_speed_* here; tools_adjudicate_breaches.py consumes the stamp.
+    box = box_speed_probe(spark)
+    print(f"# box speed: {box}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -233,7 +250,7 @@ def main() -> None:
     # every query is inside its checked-in ceiling. Only meaningful at
     # the budgets' own scale factor (sf0.1).
     over_budget, no_budget = reconcile_budgets(
-        per_query, _BUDGET_PATH, write_budgets, abs(sf - 0.1) < 1e-9, sf
+        per_query, _BUDGET_PATH, write_budgets, abs(sf - 0.1) < 1e-9, sf, box
     )
 
     # Sidecar carries the full per-query breakdown (too long for one stdout
@@ -253,6 +270,7 @@ def main() -> None:
                 "extra_iteration_below_s": EXTRA_BELOW,
                 "agg": AGG,
                 "wall_all": wall_all,
+                **box,
                 "loadavg_1m_start": load_1m_start,
                 "loadavg_1m_end": round(os.getloadavg()[0], 2),
                 "over_budget": over_budget,

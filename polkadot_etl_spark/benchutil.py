@@ -34,6 +34,57 @@ EXTRA_BELOW = 1.0
 AGG = "min"
 
 
+# Fixed-work box-speed calibration (r11 verdict task #2): cross-sitting
+# bench comparisons have produced 24 phantom budget breaches over three
+# rounds (r9: 7, r10: 16, r11: 1 — every one adjudicated UNDER budget
+# idle) because the box swings 1.1-1.5x between sittings under
+# co-tenant CPU throttling the loadavg stamps cannot see. The probe
+# times ONE deterministic pure-JVM workload (whole-stage-codegen'd
+# integer folding over spark.range — no I/O, no Python, one single-row
+# aggregate) single-threaded and at full local parallelism, and stamps
+# rows/sec into the artifacts, making every cross-sitting delta
+# self-normalizing: expected_now = measured_then * speed_then/speed_now.
+BOX_PROBE_ROWS = 2_000_000
+BOX_PROBE_FOLD = 64
+
+
+def box_speed_probe(spark: SparkSession) -> dict:
+    """Measure the box: {'box_speed_1t', 'box_speed_nt'} in probe
+    rows/sec (min-of-2 walls, one warm run first so codegen compilation
+    is excluded), plus the raw walls and thread count for readers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    n_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    fold = F.expr(
+        f"aggregate(sequence(1, {BOX_PROBE_FOLD}), 0L,"
+        " (acc, x) -> acc + (x * id) % 997)"
+    )
+
+    def run(parts: int, rows: int) -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, rows, 1, parts)
+            .select(fold.alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    run(n_threads, BOX_PROBE_ROWS // 20)  # warm: codegen compile + JIT
+    wall_1t = min(run(1, BOX_PROBE_ROWS) for _ in range(2))
+    wall_nt = min(run(n_threads, BOX_PROBE_ROWS) for _ in range(2))
+    return {
+        "box_speed_1t": round(BOX_PROBE_ROWS / wall_1t),
+        "box_speed_nt": round(BOX_PROBE_ROWS / wall_nt),
+        "box_probe_wall_1t": round(wall_1t, 3),
+        "box_probe_wall_nt": round(wall_nt, 3),
+        "box_probe_threads": n_threads,
+        "box_probe_rows": BOX_PROBE_ROWS,
+    }
+
+
 def warm_session(spark: SparkSession, sf_dir: str) -> None:
     """Parquet-footer + Arrow-worker warmup (see module doc)."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()

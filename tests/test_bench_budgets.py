@@ -67,3 +67,18 @@ def test_no_budget_file_is_silent(tmp_path):
     p = tmp_path / "none.json"
     over, no_budget = reconcile_budgets({"q": 1.0}, str(p), False, True, 0.1)
     assert over == {} and no_budget == [] and not p.exists()
+
+
+def test_box_speed_probe_shape(spark):
+    """The r12 box-speed calibration stamp (benchutil.box_speed_probe):
+    fixed-work rows/sec for 1 thread and full parallelism, positive and
+    internally consistent. The parallel leg must not read materially
+    slower than the serial leg (a tolerance absorbs co-tenant noise —
+    this pins the instrument's shape, not the box's speed)."""
+    from polkadot_etl_spark.benchutil import BOX_PROBE_ROWS, box_speed_probe
+
+    box = box_speed_probe(spark)
+    assert box["box_speed_1t"] > 0 and box["box_speed_nt"] > 0
+    assert box["box_probe_rows"] == BOX_PROBE_ROWS
+    assert box["box_speed_nt"] >= 0.8 * box["box_speed_1t"], box
+    assert box["box_probe_wall_1t"] > 0 and box["box_probe_wall_nt"] > 0

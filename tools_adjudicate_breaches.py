@@ -1,9 +1,17 @@
 """One-shot idle-box adjudication of bench-budget breaches (r9 verdict
-task #2): min-of-5 noop-sink timing at sf0.1 for the seven r9
-`over_budget` rows, printed against their checked-in budgets. Run on an
-idle box; the verdict-prescribed protocol that exonerated the r8 pair.
-Results are recorded in STATUS.md (not a committed artifact — delete or
-keep as the round's adjudication script)."""
+task #2): min-of-5 noop-sink timing at sf0.1 for breach names (default:
+the r9 `over_budget` rows; pass names as argv), printed against their
+checked-in budgets. Run on an idle box; the verdict-prescribed protocol
+that exonerated the r8 pair. Results are recorded in STATUS.md (not a
+committed artifact — delete or keep as the round's adjudication script).
+
+r12: consumes the box-speed calibration stamp (benchutil.
+box_speed_probe) — it measures THIS sitting's speed, reads the speed
+stamped into BENCH_BUDGETS.json by the generating sitting, and prints a
+NORMALIZED verdict alongside the raw one: expected_now = budget *
+speed_then/speed_now. A breach that is under its normalized budget is
+box drift, not code — the self-normalizing form of the manual min-of-5
+protocol that consumed three rounds of phantom adjudications."""
 
 from __future__ import annotations
 
@@ -30,7 +38,11 @@ def main() -> None:
     global BREACHES
     if len(sys.argv) > 1:
         BREACHES = sys.argv[1:]
-    from polkadot_etl_spark.benchutil import time_noop_min, warm_session
+    from polkadot_etl_spark.benchutil import (
+        box_speed_probe,
+        time_noop_min,
+        warm_session,
+    )
 
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark(app_name="polkadot-etl-spark-adjudicate")
@@ -40,7 +52,23 @@ def main() -> None:
     budget_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGETS.json"
     )
-    budgets = json.load(open(budget_path))["budgets"]
+    budget_doc = json.load(open(budget_path))
+    budgets = budget_doc["budgets"]
+    box_now = box_speed_probe(spark)
+    box_then = budget_doc.get("box_speed") or {}
+    # queries run at full parallelism, so the nt stamp is the right
+    # normalizer; speed ratio > 1 means this sitting's box is SLOWER
+    # than the one that generated the budgets
+    ratio = (
+        box_then["box_speed_nt"] / box_now["box_speed_nt"]
+        if box_then.get("box_speed_nt")
+        else None
+    )
+    print(f"# box speed now: {box_now}")
+    print(
+        f"# box speed at budget generation: {box_then or 'UNSTAMPED (pre-r12 budgets)'}"
+        + (f" -> normalization ratio {ratio:.3f}" if ratio else "")
+    )
     for name in BREACHES:
         if name not in QUERIES:
             print(f"{name}: UNKNOWN query name — skipped")
@@ -55,6 +83,13 @@ def main() -> None:
         else:
             verdict = "UNDER (phantom)" if m <= b else "OVER (real)"
             btxt = f"{b:.2f}s"
+            if ratio and m > b:
+                b_norm = b * ratio
+                verdict = (
+                    f"OVER raw, UNDER normalized ({b_norm:.2f}s) — box drift"
+                    if m <= b_norm
+                    else f"OVER even normalized ({b_norm:.2f}s) — REAL"
+                )
         print(
             f"{name}: min-of-5={m:.3f}s budget={btxt} {verdict} "
             f"(iters: {', '.join(f'{t:.3f}' for t in times)})"
