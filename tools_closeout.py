@@ -1,0 +1,118 @@
+"""One-command close-out runner (r11 verdict task #5): regenerate every
+committed measurement artifact FROM FINAL CODE, in dependency order, and
+print the verbatim counts STATUS.md's close-out section should carry —
+ending the recurring artifact/prose drift (r10 "800" vs 802 tests,
+r11 "825" vs 826, r10's stale SCALING.json).
+
+Steps (each skippable for partial reruns; durations are idle-box):
+
+  1. pytest            full zero-skip suite            (~20 min)
+  2. verify 0.01       verify_driver --all at sf0.01   (~6 min)
+  3. verify 0.1        verify_driver --all at sf0.1    (~20 min;
+                       the scale-dependent-oracle-bug probe)
+  4. budgets           bench.py --write-budgets at sf0.1 (~8 min;
+                       also refreshes BENCH_DETAIL.json + box stamps)
+  5. scaling           scaling_card.py -> SCALING.json (~15 min)
+  6. parallel          parallel_card.py -> PARALLEL.json (~12 min)
+
+Usage:
+    python tools_closeout.py                 # everything
+    python tools_closeout.py --skip pytest   # rerun artifacts only
+    python tools_closeout.py --only budgets scaling
+
+Run on an IDLE box (the budgets/cards are checked-in ceilings). The
+final block is machine-parsed-looking on purpose: paste it into
+STATUS.md verbatim so the close-out numbers are this script's output,
+not prose."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+STEPS = ["pytest", "verify001", "verify01", "budgets", "scaling", "parallel"]
+
+
+def _run(name: str, cmd: list[str], env: dict | None = None) -> tuple[str, float]:
+    print(f"== closeout step: {name}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    proc = subprocess.run(
+        cmd, cwd=HERE, env=e, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    dur = time.time() - t0
+    tail = "\n".join(proc.stdout.strip().split("\n")[-6:])
+    print(tail, flush=True)
+    if proc.returncode != 0:
+        print(f"!! {name} FAILED (rc={proc.returncode}) after {dur:.0f}s")
+        sys.exit(proc.returncode)
+    print(f"== {name} done in {dur:.0f}s", flush=True)
+    return proc.stdout, dur
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", nargs="*", default=[], choices=STEPS)
+    ap.add_argument("--only", nargs="*", default=None, choices=STEPS)
+    args = ap.parse_args()
+    todo = [
+        s for s in STEPS
+        if (args.only is None or s in args.only) and s not in args.skip
+    ]
+    print(f"# closeout steps: {todo}")
+    print(f"# loadavg_1m at start: {os.getloadavg()[0]:.2f}")
+    summary: dict[str, str] = {}
+
+    if "pytest" in todo:
+        out, dur = _run(
+            "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]
+        )
+        m = re.search(r"(\d+) passed(?:, (\d+) skipped)?(?:, (\d+) failed)?", out)
+        summary["pytest"] = (
+            f"{m.group(1)} passed / {m.group(2) or 0} skipped / "
+            f"{m.group(3) or 0} failed ({dur:.0f}s)" if m else f"UNPARSED ({dur:.0f}s)"
+        )
+    if "verify001" in todo:
+        out, dur = _run(
+            "verify 0.01", [sys.executable, "verify_driver.py", "--all"]
+        )
+        summary["verify_sf0.01"] = out.strip().split("\n")[-1] + f" ({dur:.0f}s)"
+    if "verify01" in todo:
+        out, dur = _run(
+            "verify 0.1",
+            [sys.executable, "verify_driver.py", "--all",
+             "--sf-dir", "/root/testdata/sf0.1"],
+        )
+        summary["verify_sf0.1"] = out.strip().split("\n")[-1] + f" ({dur:.0f}s)"
+    if "budgets" in todo:
+        out, dur = _run(
+            "budgets", [sys.executable, "bench.py", "--write-budgets"]
+        )
+        summary["bench_budgets"] = out.strip().split("\n")[-1] + f" ({dur:.0f}s)"
+    if "scaling" in todo:
+        out, dur = _run("scaling", [sys.executable, "scaling_card.py"])
+        summary["scaling_card"] = out.strip().split("\n")[-1] + f" ({dur:.0f}s)"
+    if "parallel" in todo:
+        out, dur = _run("parallel", [sys.executable, "parallel_card.py"])
+        summary["parallel_card"] = out.strip().split("\n")[-1] + f" ({dur:.0f}s)"
+
+    from polkadot_etl_spark.queries import QUERIES
+
+    print("\n==== CLOSEOUT SUMMARY (paste into STATUS.md verbatim) ====")
+    print(f"registry_queries: {len(QUERIES)}")
+    print(f"loadavg_1m_end: {os.getloadavg()[0]:.2f}")
+    for k, v in summary.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
