@@ -21,102 +21,87 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 # tests/test_registry_order.py against the committed CORRECTNESS artifacts)
 # and stays verified by the local oracle suite every session.
 #
-# ROUND-11 ROTATION (the freshness program's steady state, r10 verdict
-# task #6; max staleness <= 6 rounds is now PINNED by
+# ROUND-12 ROTATION (oldest-first under the <=6-round staleness pin,
 # tests/test_registry_order.py::test_registry_freshness_max_staleness):
-# in-window this round are (a) the flagship, (b) the new composed
-# daily-increment query, (c) the six queries whose CODE changed this
-# round after their last green row (the r10 trio + the two streaming
-# replays touched by the shared replay-skeleton refactor +
-# approx_distinct_users' new oracle row — the staleness rule), and
-# (d) the oldest green tail: all of r4 (8), r5 (8) and r6 (19) plus the
-# first 7 of the r7 tail (the remaining 17 r7 entries are r12's
-# rotation). This deviates deliberately from the r10 verdict's
-# suggestion to rotate the 14 late-r9 corpus_ext demotions: the r6 tail
-# is 3 rounds staler, and the <=6-round pin makes oldest-first the only
-# sustainable order; the two REPLAY queries the deferred refactor
-# required are in regardless. The 46 demotions (the whole r10 r2/r3
-# re-green tail) are ALL r10-green (CORRECTNESS_r10.json, 50/50, zero
-# err); the llmdata/corpus_ext demotions keep their redundancy notes in
-# tests/test_registry_order.py's _DEMOTED_GREEN (their entries were
-# vacuous while in-window and simply apply again); the relational/tpch
-# demotions keep in-window family representatives via the rotated-in
-# r4-r7 tail (aggs via audit_row_counts/address_topn_metrics, windows
-# via lag_change_detection/ohlcv_hourly successors in the r7 head,
-# joins via assethub_asset_transfers/xcm family, scans/exports via
-# dune_csv_roundtrip/xcm_messages_published).
+# in-window this round are (a) the flagship, (b) the three new r12
+# queries, (c) every query whose CODE changed this round after its last
+# driver-green row — the codegen-compaction blast radius (plans/
+# snapshots.py staging, plans/feeds.py _u128_hex_to_str, functions/
+# evm.py decode_token_calldata, plans/jsonld.py, the daily-increment
+# join fix and the ABTT decimal lane; see the r12 codegen commit) —
+# and (d) the ENTIRE r7 tail (19, the oldest green rows) plus the
+# oldest 10 of the r8 tail alphabetically. The remaining r8 entries
+# (green r8) are r13's forced rotation under the ratchet. Every
+# demotion below is r10- or r11-green (CORRECTNESS_r10/r11.json, zero
+# err); the three demoted corpus_ext entries gain _DEMOTED_GREEN
+# redundancy notes (streaming_corpus_replay / streaming_neardedup_replay
+# re-run their replay skeleton inside in-window streaming_dump_replay
+# and corpus_daily_increment_replay every round; cms_heavy_hitters'
+# md5-nibble ledger discipline re-runs inside in-window
+# bloom_dedup_membership's sibling family and stays locally
+# oracle-verified every session).
 _PRIORITY: list[str] = [
     # --- the flagship (driver smoke-checks entry() against it)
     "tpch_q1",
-    # --- NEW this round: the LLM-side daily-increment production loop
-    # composed under one hash (streaming ingest -> ledger dedup -> IVF
-    # maintenance; r10 verdict task #8)
+    # --- NEW this round: UniMax epoch-capped mixture budgeting, the
+    # prefix-cache bucket planner, and the quality-filter threshold
+    # sweep (all oracle-hashed, integer-exact)
+    "unimax_mixture_budget",
+    "prefix_cache_buckets",
+    "filter_threshold_sweep",
+    # --- changed-code re-greens with r10/r11 green rows (the staleness
+    # rule: implementation changed this round after the last green row)
     "corpus_daily_increment_replay",
-    # --- changed-code re-greens (the staleness rule: every query whose
-    # implementation changed after its last driver-green row):
-    # the r10 trio (ABTT headroom guard + plan seams; IVF maintenance
-    # helper extraction; dump-replay stage seams), the two streaming
-    # replays (shared replay-skeleton refactor, deferred from r10 by
-    # this exact rule), and approx_distinct_users (no_oracle ->
-    # hash-gated accuracy contract, retiring the registry's last
-    # rows-only row)
     "embedding_abtt_isotropy_delta",
-    "ann_ivf_incremental_maintenance",
-    "streaming_dump_replay",
-    "streaming_corpus_replay",
-    "streaming_neardedup_replay",
-    "approx_distinct_users",
-    # --- the r4 tail (8): last driver-green row is round 4
-    "bpe_encode_vocab",
-    "ccnet_perplexity_buckets",
-    "intradoc_dup_ngrams",
-    "lsh_dropped_buckets",
-    "multimodal_image_features",
+    "snapshots_astar_dappstaking",
+    "snapshots_hydradx_omnipool",
+    "snapshots_assethub_stablecoins",
     "snapshots_pricefeed",
     "snapshots_staking_era",
-    "xcm_message_weights",
-    # --- the r5 tail (8): last driver-green row is round 5
-    "democracy_voting",
-    "dune_csv_roundtrip",
-    "evm_accounts_daily",
     "evm_decoded_transfers",
-    "gar_chain_registry",
-    "multimodal_audio_features",
-    "snapshots_astar_dappstaking",
-    "xcm_messages_published",
-    # --- the r6 tail (19): last driver-green row is round 6
-    "audit_row_counts",
-    "corpus_filter_funnel",
-    "dedup_corpus_survivors",
-    "dune_freshness_alerts",
-    "evm_precompile_calls",
-    "exact_substring_dup_spans",
-    "image_dhash_dedup",
-    "kmeans_corpus_clusters",
-    "mixture_sample_corpus",
-    "mixture_weights",
-    "quality_classifier_logit",
-    "semdedup_prune",
-    "sequence_packing",
-    "snapshots_assethub_stablecoins",
-    "snapshots_hydradx_omnipool",
-    "split_leakage_audit",
-    "token_metadata_maintenance",
-    "tpch_q12_shipmode_priority",
-    "winnowing_fingerprints",
-    # --- NEW this round: the sketch-accuracy pair extending the HLL
-    # gate's pattern (estimate out of the hash, the GUARANTEE in it) —
-    # distributed count-min heavy-hitter audit and the GK
-    # approx-percentile rank-error card
-    "cms_heavy_hitters",
-    "approx_percentile_rank_error",
-    # --- the r7 head (5 of 24, alphabetical; the rest rotate in r12 —
-    # two slots ceded to the new queries above, which MUST be in-window)
-    "address_topn_metrics",
-    "asof_broadcast_version",
     "assethub_asset_transfers",
-    "audio_energy_hash_dedup",
-    "bpe_pair_counts",
+    "rewards_rollup",
+    "evmtxs_daily_gold",
+    # --- the r7 tail (19): last driver-green row is round 7
+    "call_tree_flatten",
+    "cdc_chunk_dedup",
+    "dsir_importance",
+    "dynamic_predicates",
+    "evm_transfer_logs",
+    "evm_txn_fees",
+    "lag_change_detection",
+    "ohlcv_hourly",
+    "passage_dedup_ngrams",
+    "quality_signal_spearman",
+    "snapshots_dappstaking_v3",
+    "ss58_codec_roundtrip",
+    "tpch_q21_waiting_suppliers",
+    "train_val_split",
+    "unigram_perplexity",
+    "users_tags_attribution",
+    "video_scene_cuts",
+    "xcm_asset_registry",
+    "xcm_remote_transact",
+    # --- changed-code re-greens whose last green row is round 8 (also
+    # the oldest slice of the r8 tail by the ratchet)
+    "evm_tx_jsonld",
+    "snapshots_relay_opengov",
+    "balances_day_lifecycle",
+    "cluster_trace_reference",
+    "wasm_contract_calls",
+    "dump_day_blocklog",
+    # --- the oldest 10 of the remaining r8 tail (alphabetical; the
+    # rest are r13's rotation)
+    "ann_ivf_trained_search",
+    "ann_ivfpq_recall_audit",
+    "ann_ivfpq_residual_search",
+    "ann_pq_adc_search",
+    "ann_recall_audit",
+    "ann_sketch_prefilter",
+    "assethub_price_log",
+    "audio_silence_trim",
+    "benchmark_contamination",
+    "bigram_perplexity_backoff",
 ]
 
 

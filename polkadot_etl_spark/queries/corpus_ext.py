@@ -8602,3 +8602,275 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("cnt")).alias("overestimate"),
         F.expr("(est - cnt) * 1000000L div cnt").alias("overestimate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture budgeting (Chung et al. 2023 — epoch-capped waterfall)
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 4  # max epochs any source may repeat (the Muennighoff rule)
+# budget = 3.75x the corpus (15/4): between the fixture's smallest cap
+# (4x the smallest source ~= 3.3x the average share) and its largest, so
+# BOTH waterfall branches (capped and uniform) carry fixture coverage
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 15, 4
+
+
+@query(
+    "unimax_mixture_budget",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS HUGEINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+ord AS (
+  SELECT source, n_tokens, {UNIMAX_EPOCH_CAP} * n_tokens AS cap,
+         ROW_NUMBER() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * n_tokens ASC,
+                            source ASC) AS j,
+         COUNT(*) OVER () AS m
+  FROM t
+),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS j,
+         ({UNIMAX_BUDGET_NUM} * tot) // {UNIMAX_BUDGET_DEN} AS r,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS HUGEINT) AS n_tokens,
+         CAST(NULL AS HUGEINT) AS cap, CAST(NULL AS HUGEINT) AS alloc
+  FROM (SELECT SUM(n_tokens) AS tot FROM t)
+  UNION ALL
+  SELECT o.j, w.r - LEAST(o.cap, w.r // (o.m - o.j + 1)),
+         o.source, o.n_tokens, o.cap,
+         LEAST(o.cap, w.r // (o.m - o.j + 1))
+  FROM walk w JOIN ord o ON o.j = w.j + 1
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST(alloc * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
+       alloc = cap AS capped
+FROM walk WHERE source IS NOT NULL
+""",
+    doc="UniMax mixture budgeting (Chung et al. 2023, 'UniMax: Fairer "
+    "and More Effective Language Sampling') — the OTHER published "
+    "answer to mixture_weights' temperature smoothing: allocate a "
+    "fixed token budget as uniformly as possible across sources, "
+    "capping every source at "
+    f"{UNIMAX_EPOCH_CAP} epochs of its own size, with capped sources' "
+    "unused share cascading to the rest (the waterfall: visit sources "
+    "by ascending cap; each takes min(cap, remaining div "
+    "sources_left)). All arithmetic is EXACT integers — the waterfall "
+    "runs on the driver over the collected per-source dim (sources are "
+    "a small dim by definition; kmeans/BPE bounded-driver-state "
+    "discipline) and the oracle replays it as a recursive CTE in "
+    "HUGEINT, so the hash pins every allocation, the integer-division "
+    "remainder cascade included. epochs_ppm is integer ppm (alloc*1e6 "
+    "div tokens); capped marks the branch taken. Budget = "
+    f"{UNIMAX_BUDGET_NUM}/{UNIMAX_BUDGET_DEN} of the corpus, sized so "
+    "the fixture exercises BOTH branches. Scale shape: ONE "
+    "groupBy(source) over the corpus with map-side partials; "
+    "everything after is O(n_sources) driver ints.",
+    tags=("sampling", "corpus", "metric"),
+)
+def unimax_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+    t = (
+        d.groupBy("source")
+        .agg(F.sum(n_tokens).cast("bigint").alias("n_tokens"))
+        .collect()
+    )
+    total = sum(int(r["n_tokens"]) for r in t)
+    remaining = UNIMAX_BUDGET_NUM * total // UNIMAX_BUDGET_DEN
+    items = sorted(
+        ((UNIMAX_EPOCH_CAP * int(r["n_tokens"]), r["source"], int(r["n_tokens"]))
+         for r in t)
+    )
+    out = []
+    for i, (cap, source, n_tok) in enumerate(items):
+        alloc = min(cap, remaining // (len(items) - i))
+        remaining -= alloc
+        out.append(
+            (source, n_tok, cap, alloc, alloc * 1_000_000 // n_tok, alloc == cap)
+        )
+    return spark.createDataFrame(
+        out,
+        "source STRING, n_tokens LONG, cap_tokens LONG, alloc_tokens LONG,"
+        " epochs_ppm LONG, capped BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-cache bucketing (vLLM/SGLang automatic-prefix-caching planning)
+# ---------------------------------------------------------------------------
+
+PREFIX_CACHE_WORDS = 5  # cached-prefix length in words (proxy tokens)
+
+
+@query(
+    "prefix_cache_buckets",
+    oracle=f"""
+WITH d AS (
+  SELECT string_split_regex(lower(trim(text)), ' +') AS ws FROM documents
+),
+p AS (
+  SELECT array_to_string(ws[1:{PREFIX_CACHE_WORDS}], ' ') AS prefix,
+         CAST(len(ws) AS BIGINT) AS n_tokens
+  FROM d WHERE len(ws) >= {PREFIX_CACHE_WORDS}
+)
+SELECT md5(prefix) AS bucket, MIN(prefix) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((COUNT(*) - 1) * {PREFIX_CACHE_WORDS} AS BIGINT)
+         AS saved_prefill_tokens,
+       CAST((COUNT(*) - 1) * {PREFIX_CACHE_WORDS} * 1000000
+            // SUM(n_tokens) AS BIGINT) AS saved_ppm
+FROM p GROUP BY md5(prefix) HAVING COUNT(*) >= 2
+""",
+    doc="Prefix-cache bucket planning — the serving-side sibling of "
+    "inference_batch_padding_card: vLLM/SGLang automatic prefix "
+    "caching reuses the KV cache of a shared prompt prefix, so the "
+    "batch planner wants to know which exact first-K-token prefixes "
+    f"recur and what prefill they amortize. Documents bucket by the "
+    f"md5 of their first {PREFIX_CACHE_WORDS} words; buckets with >= 2 "
+    "docs report doc count, total tokens, saved prefill (= "
+    f"(n_docs - 1) x {PREFIX_CACHE_WORDS} shared-prefix tokens) and "
+    "integer-ppm savings. Scale shape: the bucket key is a 16-byte "
+    "digest computed map-side — full texts never reach the Exchange, "
+    "only (digest, K-word prefix, count) ride the one groupBy shuffle; "
+    "at 100 TB this is the same digest-keyed aggregate as dedup_exact. "
+    "All ratios integer ppm; min(prefix) is constant within a bucket "
+    "(same preimage), so the output is order- and partition-invariant.",
+    tags=("similarity", "corpus", "metric"),
+)
+def prefix_cache_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " +")
+    prefix = F.array_join(F.slice(ws, 1, PREFIX_CACHE_WORDS), " ")
+    staged = d.where(F.size(ws) >= PREFIX_CACHE_WORDS).select(
+        F.md5(prefix).alias("bucket"),
+        prefix.alias("prefix"),
+        F.size(ws).cast("long").alias("n_tokens"),
+    )
+    k = PREFIX_CACHE_WORDS
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.min("prefix").alias("prefix"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "bucket",
+            "prefix",
+            "n_docs",
+            "total_tokens",
+            ((F.col("n_docs") - 1) * k).alias("saved_prefill_tokens"),
+            F.expr(f"(n_docs - 1) * {k} * 1000000L div total_tokens").alias(
+                "saved_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter threshold sweep (the curation-gate calibration card)
+# ---------------------------------------------------------------------------
+
+# integer TENTHS of logit threshold, -0.4 .. +0.4 — brackets the fixture
+# logit range so the kept-fraction curve spans ~0 to ~100%
+FT_THRESHOLDS_TENTHS = tuple(range(-4, 5))
+
+
+@query(
+    "filter_threshold_sweep",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(list_sum(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+'),
+           w -> ((CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % {QC_BUCKETS})
+                 * 37) % 21 - 10)) AS BIGINT) AS z10,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_words
+  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+),
+t AS (SELECT CAST(unnest(range({FT_THRESHOLDS_TENTHS[0]},
+                              {FT_THRESHOLDS_TENTHS[-1] + 1})) AS INTEGER)
+        AS threshold_tenths)
+SELECT threshold_tenths,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN 2 * z10 - n_words > 2 * n_words * threshold_tenths
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN 2 * z10 - n_words > 2 * n_words * threshold_tenths
+                     THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN 2 * z10 - n_words > 2 * n_words * threshold_tenths
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS kept_docs_ppm,
+       CAST(SUM(CASE WHEN 2 * z10 - n_words > 2 * n_words * threshold_tenths
+                     THEN n_words ELSE 0 END) * 1000000 // SUM(n_words)
+            AS BIGINT) AS kept_tokens_ppm
+FROM d CROSS JOIN t GROUP BY threshold_tenths
+""",
+    doc="Quality-filter threshold sweep — the calibration card a "
+    "curation team reads before fixing quality_classifier_logit's "
+    "cut: docs and tokens kept at every candidate threshold in one "
+    "pass (the FineWeb-Edu 'pick the score cut by yield curve' step). "
+    "The decision rides EXACT integer space: logit > t/10 with the "
+    "z10 integer-tenths activation and bias -1/20 rearranges to "
+    "2*z10 - n_words > 2*n_words*t — no IEEE comparison anywhere near "
+    "a boundary, so both engines agree at every threshold by "
+    "construction. Scale shape: the per-doc (z10, n_words) pair is "
+    "one map-side HOF fold (zero shuffle, shared with the logit "
+    "query), fanned out over the "
+    f"{len(FT_THRESHOLDS_TENTHS)}-row threshold dim and rolled up by "
+    "ONE groupBy(threshold) — text never leaves the scan; the "
+    "Exchange carries 2 ints x thresholds per doc. All ratios "
+    "integer ppm.",
+    tags=("corpus", "quality", "metric"),
+)
+def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    z10 = F.expr(
+        "aggregate(regexp_extract_all(lower(text), '[a-z]+', 0), 0L,"
+        " (acc, w) -> acc + ((cast(conv(substring(md5(w), 1, 4), 16, 10) as int)"
+        f" % {QC_BUCKETS}) * 37) % 21 - 10)"
+    )
+    base = d.where(F.size(ws) > 0).select(
+        z10.alias("z10"), F.size(ws).cast("long").alias("n_words")
+    )
+    fan = base.select(
+        "z10",
+        "n_words",
+        F.explode(
+            F.array(*[F.lit(t) for t in FT_THRESHOLDS_TENTHS])
+        ).alias("threshold_tenths"),
+    )
+    kept = (
+        F.lit(2) * F.col("z10") - F.col("n_words")
+        > F.lit(2) * F.col("n_words") * F.col("threshold_tenths")
+    )
+    return (
+        fan.groupBy("threshold_tenths")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum(kept.cast("long")).alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_words")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "threshold_tenths",
+            "n_docs",
+            "n_tokens",
+            "kept_docs",
+            "kept_tokens",
+            F.expr("kept_docs * 1000000L div n_docs").alias("kept_docs_ppm"),
+            F.expr("kept_tokens * 1000000L div n_tokens").alias(
+                "kept_tokens_ppm"
+            ),
+        )
+    )

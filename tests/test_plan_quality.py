@@ -1547,3 +1547,71 @@ def test_dump_replay_batch_composition_shapes(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"ShuffledHashJoin [^\n]*LeftSemi", plan), "semi join not hash"
     assert not re.search(r"SortMergeJoin [^\n]*LeftSemi", plan), "semi join sorts"
+
+
+def test_unimax_budget_semantics_and_aggregate_shape(spark):
+    """unimax_mixture_budget (r12): the distributed part is ONE
+    groupBy(source) aggregate (map-side partials, no join, no Python);
+    the waterfall itself is bounded driver ints. Semantics pinned here
+    beyond the oracle hash: both branches exercised, caps respected,
+    and conservation — the waterfall distributes the entire budget
+    whenever total caps exceed it (ours is 15/16 of total caps)."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.queries import corpus_ext as cx
+    from polkadot_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    agg = d.groupBy("source").agg(
+        F.sum(
+            F.regexp_count(F.lower(F.col("text")), F.lit(cx._BPE_RE))
+        ).alias("n_tokens")
+    )
+    plan = _plan_of(spark, agg)
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    rows = QUERIES["unimax_mixture_budget"].build(spark, SF_DIR).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = cx.UNIMAX_BUDGET_NUM * total // cx.UNIMAX_BUDGET_DEN
+    assert any(r.capped for r in rows), "no source hit the epoch cap"
+    assert any(not r.capped for r in rows), "every source capped"
+    assert all(r.alloc_tokens <= r.cap_tokens for r in rows)
+    assert all(
+        r.cap_tokens == cx.UNIMAX_EPOCH_CAP * r.n_tokens for r in rows
+    )
+    assert sum(r.alloc_tokens for r in rows) == budget, "budget not conserved"
+
+
+def test_prefix_cache_buckets_plan_digest_keyed(spark):
+    """prefix_cache_buckets (r12): one digest-keyed groupBy — full
+    texts never reach the Exchange (only the 16-byte bucket, the
+    K-word prefix and counts ride the shuffle), no join, no Python."""
+    plan = _plan(spark, "prefix_cache_buckets")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) == 1, exchanges
+    assert not any(re.search(r"\btext\b", e) for e in exchanges), exchanges
+
+
+def test_filter_threshold_sweep_plan_and_monotonicity(spark):
+    """filter_threshold_sweep (r12): map-side HOF fold + bounded
+    threshold fan-out + ONE groupBy — no join, no Python, text never
+    shuffled. Semantics: kept docs/tokens are non-increasing in the
+    threshold (a non-monotone curve means the integer rearrangement is
+    wrong)."""
+    plan = _plan(spark, "filter_threshold_sweep")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) == 1, exchanges
+    assert not any(re.search(r"\btext\b", e) for e in exchanges), exchanges
+    rows = sorted(
+        QUERIES["filter_threshold_sweep"].build(spark, SF_DIR).collect(),
+        key=lambda r: r.threshold_tenths,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.kept_docs >= b.kept_docs
+        assert a.kept_tokens >= b.kept_tokens
+    assert rows[0].kept_docs > 0
+    assert rows[-1].kept_docs < rows[-1].n_docs

@@ -286,6 +286,70 @@ _DEMOTED_GREEN = {
     "embedding_abtt_card",  # r9 green; its projection mechanism re-runs
     # inside the new in-window embedding_abtt_isotropy_delta (same
     # direction, same 128-bit-lane share math), locally oracle-verified
+    # --- ROUND-12 ROTATION demotions (every entry r11-green,
+    # CORRECTNESS_r11.json 50/50 zero err; slots went to the r7 tail +
+    # the codegen-compaction changed set + the oldest r8 slice)
+    "streaming_corpus_replay",  # r9+r11 green; the FileStreamSource +
+    # foreachBatch replay skeleton (streaming/replay.py) re-runs inside
+    # in-window corpus_daily_increment_replay every round, and the
+    # ingest state machine stays pinned in tests/test_streaming_corpus
+    "streaming_neardedup_replay",  # r9+r11 green; same shared replay
+    # skeleton, roster state machine pinned in
+    # tests/test_streaming_neardedup + the local oracle row
+    "ann_ivf_incremental_maintenance",  # r11 green; its EXACT machinery
+    # (_ivf_maint_corpus/_ivf_train_canon/_ivf_ledger) re-runs inside
+    # in-window corpus_daily_increment_replay every round — the
+    # strongest demotion form (the composed successor carries the
+    # shared helpers under its own hash)
+    "cms_heavy_hitters",  # r11 green; the md5-nibble distributed-ledger
+    # discipline is bloom_dedup_membership's (in-window r12) — the CMS
+    # one-sided-error contract stays locally oracle-verified every
+    # session
+    "corpus_filter_funnel",  # r4..r6+r11 green; funnel accounting
+    # repped by corpus_release_funnel (demoted-green, whose stage plans
+    # re-run in the local suite); re-listed for the r12 rotation
+    "dedup_corpus_survivors",  # r4..r6+r11 green; the LSH->Jaccard->CC
+    # roster pipeline re-runs inside corpus_release_funnel's stage 4
+    # every session (entry above applies again post-r11-window)
+    "kmeans_corpus_clusters",  # r5+r6+r11 green; kmeans_lloyd re-runs
+    # inside corpus_daily_increment_replay's quantizer training
+    # (in-window) every round
+    "mixture_sample_corpus",  # r5+r6+r11 green; md5-threshold sampling
+    # re-runs inside in-window train_val_split + split family
+    "mixture_weights",  # r4..r6+r11 green; slot went to same-family
+    # successor unimax_mixture_budget (the OTHER published mixing rule,
+    # sharing the per-source token aggregate)
+    "quality_classifier_logit",  # r4..r6+r11 green; the logit
+    # mechanism (z10 HOF fold) re-runs VERBATIM inside in-window
+    # filter_threshold_sweep every round — the strongest demotion form
+    "semdedup_prune",  # r4..r6+r11 green; assign_nearest re-runs
+    # inside the in-window ANN family every round
+    "sequence_packing",  # r4..r6+r11 green; successor
+    # rag_chunk_documents demoted-green; token cumsum window locally
+    # oracle-verified
+    "split_leakage_audit",  # r4..r6+r11 green; split + word-gram
+    # mechanisms in-window via train_val_split + passage_dedup_ngrams
+    "winnowing_fingerprints",  # r6+r11 green; offset-robust fingerprint
+    # overlap stays in-window via cdc_chunk_dedup
+    "exact_substring_dup_spans",  # r4..r6+r11 green; within/cross-doc
+    # gram machinery in-window via passage_dedup_ngrams +
+    # intradoc complement (locally verified)
+    "image_dhash_dedup",  # r5+r6+r11 green; successor
+    # image_dhash_hamming_lsh (demoted-green) composes the entire
+    # codec->dhash plan; locally oracle-verified
+    "bpe_encode_vocab",  # r4+r11 green; BPE family keeps
+    # bpe_pair_counts' successors demoted-green; locally verified
+    "ccnet_perplexity_buckets",  # r4+r11 green; composes in-window
+    # unigram_perplexity's LM dim every round
+    "intradoc_dup_ngrams",  # r4+r11 green; within-doc complement of
+    # in-window passage_dedup_ngrams
+    "lsh_dropped_buckets",  # r4+r11 green; bucket-cap accounting rides
+    # the capped pipeline inside corpus_release_funnel (demoted-green)
+    "multimodal_image_features",  # r4+r11 green; PNG codec path re-runs
+    # inside image_dhash_hamming_lsh's wave (demoted-green), golden-
+    # tested in tests/test_multimodal
+    "audio_energy_hash_dedup",  # r4..r7+r11 green; 8-bit WAV round trip
+    # re-runs inside audio_silence_trim (in-window r12)
 }
 
 
