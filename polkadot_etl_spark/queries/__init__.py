@@ -44,11 +44,14 @@ _PRIORITY: list[str] = [
     # --- the flagship (driver smoke-checks entry() against it)
     "tpch_q1",
     # --- NEW this round: UniMax epoch-capped mixture budgeting, the
-    # prefix-cache bucket planner, and the quality-filter threshold
-    # sweep (all oracle-hashed, integer-exact)
+    # prefix-cache bucket planner, the quality-filter threshold sweep,
+    # the Heaps-law vocabulary-growth card, and sorted-neighborhood
+    # near-dup blocking (all oracle-hashed, integer-exact)
     "unimax_mixture_budget",
     "prefix_cache_buckets",
     "filter_threshold_sweep",
+    "heaps_vocab_growth",
+    "sorted_neighborhood_dedup",
     # --- changed-code re-greens with r10/r11 green rows (the staleness
     # rule: implementation changed this round after the last green row)
     "corpus_daily_increment_replay",
@@ -90,8 +93,9 @@ _PRIORITY: list[str] = [
     "cluster_trace_reference",
     "wasm_contract_calls",
     "dump_day_blocklog",
-    # --- the oldest 10 of the remaining r8 tail (alphabetical; the
-    # rest are r13's rotation)
+    # --- the oldest 8 of the remaining r8 tail (alphabetical; the
+    # rest are r13's rotation — two slots ceded to the two late-r12
+    # queries above, which MUST be in-window as new corpus_ext entries)
     "ann_ivf_trained_search",
     "ann_ivfpq_recall_audit",
     "ann_ivfpq_residual_search",
@@ -100,8 +104,6 @@ _PRIORITY: list[str] = [
     "ann_sketch_prefilter",
     "assethub_price_log",
     "audio_silence_trim",
-    "benchmark_contamination",
-    "bigram_perplexity_backoff",
 ]
 
 

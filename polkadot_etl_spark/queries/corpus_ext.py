@@ -8874,3 +8874,272 @@ def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (corpus-composition card)
+# ---------------------------------------------------------------------------
+
+HEAPS_OCTILES = 8  # prefix grid: k/8 of the corpus for k = 1..8
+
+
+@query(
+    "heaps_vocab_growth",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+nd AS (SELECT COUNT(*) AS n FROM d),
+t AS (
+  SELECT CAST(k AS INTEGER) AS octile, (k * nd.n) // {HEAPS_OCTILES} AS thr
+  FROM (SELECT unnest(range(1, {HEAPS_OCTILES} + 1)) AS k), nd
+),
+fd AS (
+  SELECT w AS word, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY w
+),
+voc AS (
+  SELECT t.octile, CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM t JOIN fd ON fd.first_doc < t.thr GROUP BY t.octile
+),
+tok AS (
+  SELECT t.octile, CAST(COUNT(*) AS BIGINT) AS docs_prefix,
+         CAST(SUM(len(d.ws)) AS BIGINT) AS tokens_prefix
+  FROM t JOIN d ON d.doc_id < t.thr GROUP BY t.octile
+)
+SELECT tok.octile, docs_prefix, tokens_prefix, vocab_size,
+       CAST(vocab_size - COALESCE(LAG(vocab_size) OVER (ORDER BY tok.octile),
+                                  0) AS BIGINT) AS new_words,
+       CAST(vocab_size * 1000000 // tokens_prefix AS BIGINT)
+         AS type_token_ppm
+FROM tok JOIN voc ON voc.octile = tok.octile
+""",
+    doc="Heaps-law vocabulary-growth card — the corpus-composition "
+    "curve (V = K*n^beta) a curation team reads to judge whether more "
+    "of the same crawl still buys new vocabulary: at each corpus-order "
+    f"octile (k/{HEAPS_OCTILES} of the docs), the prefix's doc count, "
+    "token count, cumulative distinct-word vocabulary, NEW words added "
+    "in the octile, and the integer-ppm type/token ratio. The "
+    "distinct-vocabulary-at-threshold problem reduces to ONE "
+    "groupBy(word) -> min(doc_id) ledger fanned over the bounded "
+    "octile dim — never a per-prefix distinct — so the corpus is "
+    "scanned once however fine the grid. A flattening new_words column "
+    "is the 'diminishing vocabulary returns' signal; a type/token "
+    "ratio rising again late in the order flags a composition shift. "
+    "Scale shape: one word-keyed aggregate (16-byte-scale keys), one "
+    "doc-level rollup, both map-combined; thresholds are driver "
+    "literals from one scalar count. All ratios integer ppm.",
+    tags=("corpus", "agg", "metric"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    base = d.select("doc_id", ws.alias("ws"))
+    n_docs = base.count()  # one scalar: the octile thresholds
+    thr = [
+        (k, k * n_docs // HEAPS_OCTILES) for k in range(1, HEAPS_OCTILES + 1)
+    ]
+    t = F.explode(
+        F.array(*[F.struct(F.lit(k).alias("octile"), F.lit(v).alias("thr"))
+                  for k, v in thr])
+    ).alias("t")
+    fd = (
+        base.select(F.explode("ws").alias("word"), "doc_id")
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    voc = (
+        fd.select(t, "first_doc")
+        .where(F.col("first_doc") < F.col("t.thr"))
+        .groupBy(F.col("t.octile").alias("octile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    tok = (
+        base.select(t, "doc_id", F.size("ws").cast("long").alias("n_words"))
+        .where(F.col("doc_id") < F.col("t.thr"))
+        .groupBy(F.col("t.octile").alias("octile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_prefix"),
+            F.sum("n_words").alias("tokens_prefix"),
+        )
+    )
+    w = Window.orderBy("octile")
+    return (
+        tok.join(voc, "octile")
+        .select(
+            "octile",
+            "docs_prefix",
+            "tokens_prefix",
+            "vocab_size",
+            (
+                F.col("vocab_size")
+                - F.coalesce(F.lag("vocab_size").over(w), F.lit(0))
+            ).alias("new_words"),
+            F.expr("vocab_size * 1000000L div tokens_prefix").alias(
+                "type_token_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995)
+# ---------------------------------------------------------------------------
+
+SNM_KEY_WORDS = 8  # sort key: first K sorted distinct words
+SNM_WINDOW = 3  # neighbors compared per doc in sorted order
+SNM_MIN_PPM = 500_000  # emit pairs at vocabulary Jaccard >= 0.5
+
+
+@query(
+    "sorted_neighborhood_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_sort(list_distinct(
+           regexp_extract_all(lower(text), '[a-z]+'))) AS vocab
+  FROM documents
+),
+k AS (
+  SELECT doc_id, vocab,
+         array_to_string(vocab[1:{SNM_KEY_WORDS}], ' ') AS skey
+  FROM d WHERE len(vocab) > 0
+),
+nbr AS (
+  SELECT doc_id AS doc_a, vocab AS va,
+         LEAD(doc_id, 1) OVER win AS b1, LEAD(vocab, 1) OVER win AS v1,
+         LEAD(doc_id, 2) OVER win AS b2, LEAD(vocab, 2) OVER win AS v2,
+         LEAD(doc_id, 3) OVER win AS b3, LEAD(vocab, 3) OVER win AS v3
+  FROM k WINDOW win AS (ORDER BY skey, doc_id)
+),
+-- one lead per distance over the BASE relation (a cross-joined
+-- distance dim inside the window frame would interleave each doc's
+-- copies into the sort order)
+pairs AS (
+  SELECT doc_a, va, 1 AS dist, b1 AS doc_b, v1 AS vb FROM nbr
+  UNION ALL SELECT doc_a, va, 2, b2, v2 FROM nbr
+  UNION ALL SELECT doc_a, va, 3, b3, v3 FROM nbr
+),
+v AS (
+  SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist,
+         CAST(len(list_intersect(va, vb)) AS BIGINT) AS n_inter,
+         CAST(len(va) + len(vb) - len(list_intersect(va, vb)) AS BIGINT)
+           AS n_union
+  FROM pairs WHERE doc_b IS NOT NULL
+)
+SELECT doc_a, doc_b, dist, n_inter, n_union,
+       CAST(n_inter * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+FROM v WHERE n_inter * 1000000 // n_union >= {SNM_MIN_PPM}
+""",
+    doc="Sorted-neighborhood near-dup blocking (Hernandez & Stolfo "
+    "1995, the SNM record-linkage classic) — the THIRD candidate-"
+    "generation family next to LSH banding (hash-based) and SemDeDup "
+    "cells (embedding-based): sort the corpus by a canonical key (the "
+    f"first {SNM_KEY_WORDS} sorted distinct words), slide a "
+    f"{SNM_WINDOW}-wide window, and verify only sorted neighbors — "
+    "near-dups share vocabulary prefixes and sort adjacently, so the "
+    "candidate set is W*n instead of n^2. Verification is the EXACT "
+    "distinct-vocabulary Jaccard in integer ppm (array_intersect "
+    "counts — set sizes are engine-identical integers); pairs at >= "
+    f"{SNM_MIN_PPM / 1e6:.1f} emit with their sort distance. Scale "
+    "shape — DISTRIBUTED SNM, not a single global window (Spark's "
+    "unpartitioned Window moves the corpus to ONE task): a "
+    "range-partitioned sort on (key, doc_id), per-partition LEAD "
+    "windows, and boundary correctness via GHOST rows — each "
+    f"partition's first {SNM_WINDOW} rows are replicated to the "
+    "previous partition (where they sort last, range partitioning "
+    "guarantees it) purely as lead TARGETS, and ghost-SOURCED pairs "
+    "are dropped so nothing double-counts. The partitioning itself is "
+    "sampled (nondeterministic) but the PAIR SET is "
+    "partitioning-invariant by the ghost construction — pinned by the "
+    "shuffle=8 probe; the checkpoint pins the sampled boundaries so "
+    "the ghost branch reads the same partitioning. The vocab arrays "
+    "ride the sort/pid exchanges (bounded: distinct words per doc), "
+    "never a shuffle keyed on them; the oracle replays the same "
+    "semantics as one global window.",
+    tags=("dedup", "similarity", "corpus"),
+)
+def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = F.array_sort(
+        F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    )
+    k = (
+        d.select("doc_id", vocab.alias("vocab"))
+        .where(F.size("vocab") > 0)
+        .select(
+            "doc_id",
+            "vocab",
+            F.array_join(F.slice("vocab", 1, SNM_KEY_WORDS), " ").alias("skey"),
+        )
+    )
+    # distributed SNM: range-sort, then stamp the physical partition id.
+    # The checkpoint pins the SAMPLED range boundaries so the ghost
+    # branch below re-reads the identical partitioning instead of
+    # re-sampling (a divergent second sample would misplace ghosts and
+    # silently DROP boundary pairs).
+    s = (
+        k.repartitionByRange(F.col("skey"), F.col("doc_id"))
+        .select("*", F.spark_partition_id().alias("pid"))
+        .localCheckpoint(eager=True)
+    )
+    wrn = Window.partitionBy("pid").orderBy("skey", "doc_id")
+    sr = s.withColumn("rn", F.row_number().over(wrn))
+    # ghosts: each partition's first W rows, re-tagged to the PREVIOUS
+    # partition where (by range partitioning) they sort strictly last —
+    # lead targets only, never pair sources
+    ghosts = (
+        sr.where(F.col("rn") <= SNM_WINDOW)
+        .withColumn("pid", F.col("pid") - 1)
+        .where(F.col("pid") >= 0)
+        .withColumn("ghost", F.lit(True))
+    )
+    aug = sr.withColumn("ghost", F.lit(False)).unionByName(ghosts)
+    w = Window.partitionBy("pid").orderBy("skey", "doc_id")
+    nbr_wide = aug.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("vocab").alias("va"),
+        "ghost",
+        *[
+            c
+            for dist in range(1, SNM_WINDOW + 1)
+            for c in (
+                F.lead("doc_id", dist).over(w).alias(f"b{dist}"),
+                F.lead("vocab", dist).over(w).alias(f"v{dist}"),
+            )
+        ],
+    )
+    nbr = nbr_wide.where(~F.col("ghost")).select(
+        "doc_a",
+        "va",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dist).alias("dist"),
+                        F.col(f"b{dist}").alias("doc_b"),
+                        F.col(f"v{dist}").alias("vb"),
+                    )
+                    for dist in range(1, SNM_WINDOW + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_a", "va", "p.dist", "p.doc_b", "p.vb")
+    n_inter = F.size(F.array_intersect("va", "vb")).cast("long")
+    v = (
+        nbr.where(F.col("doc_b").isNotNull())
+        .select(
+            "doc_a",
+            "doc_b",
+            "dist",
+            n_inter.alias("n_inter"),
+            (F.size("va") + F.size("vb") - n_inter).cast("long").alias("n_union"),
+        )
+    )
+    return v.select(
+        "doc_a",
+        "doc_b",
+        "dist",
+        "n_inter",
+        "n_union",
+        F.expr("n_inter * 1000000L div n_union").alias("jaccard_ppm"),
+    ).where(F.col("jaccard_ppm") >= SNM_MIN_PPM)

