@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "filter_threshold_sweep",
     "heaps_vocab_growth",
     "sorted_neighborhood_dedup",
+    "pack_bins_ffd",
     # --- changed-code re-greens with r10/r11 green rows (the staleness
     # rule: implementation changed this round after the last green row)
     "corpus_daily_increment_replay",
@@ -93,8 +94,8 @@ _PRIORITY: list[str] = [
     "cluster_trace_reference",
     "wasm_contract_calls",
     "dump_day_blocklog",
-    # --- the oldest 8 of the remaining r8 tail (alphabetical; the
-    # rest are r13's rotation — two slots ceded to the two late-r12
+    # --- the oldest 7 of the remaining r8 tail (alphabetical; the
+    # rest are r13's rotation — three slots ceded to the three late-r12
     # queries above, which MUST be in-window as new corpus_ext entries)
     "ann_ivf_trained_search",
     "ann_ivfpq_recall_audit",
@@ -103,7 +104,6 @@ _PRIORITY: list[str] = [
     "ann_recall_audit",
     "ann_sketch_prefilter",
     "assethub_price_log",
-    "audio_silence_trim",
 ]
 
 

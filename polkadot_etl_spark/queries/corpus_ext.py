@@ -9143,3 +9143,173 @@ def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union",
         F.expr("n_inter * 1000000L div n_union").alias("jaccard_ppm"),
     ).where(F.col("jaccard_ppm") >= SNM_MIN_PPM)
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing bin packing (the batch packer the padding card prices)
+# ---------------------------------------------------------------------------
+
+PACK_CAP = 96  # bin capacity in words — brackets the 10..100-word fixture
+# docs so BOTH branches (FFD packing + oversized chunking) carry coverage
+
+
+@query(
+    "pack_bins_ffd",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+),
+small AS (
+  SELECT source, doc_id, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rk
+  FROM d WHERE n < {PACK_CAP}
+),
+walk AS (
+  SELECT source, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads
+  FROM (SELECT DISTINCT source FROM small)
+  UNION ALL
+  SELECT w.source, s.rk,
+         CASE WHEN len(list_filter(range(1, len(w.loads) + 1),
+                        i -> w.loads[i] + s.n <= {PACK_CAP})) = 0
+              THEN list_append(w.loads, s.n)
+              ELSE list_transform(range(1, len(w.loads) + 1),
+                     i -> CASE WHEN i = list_filter(
+                                  range(1, len(w.loads) + 1),
+                                  j -> w.loads[j] + s.n <= {PACK_CAP})[1]
+                               THEN w.loads[i] + s.n
+                               ELSE w.loads[i] END)
+         END
+  FROM walk w JOIN small s ON s.source = w.source AND s.rk = w.rk + 1
+),
+ffd AS (
+  SELECT source, loads FROM (
+    SELECT source, loads,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk DESC) AS rn
+    FROM walk) WHERE rn = 1
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN n >= {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS oversized_docs,
+         CAST(SUM(CASE WHEN n >= {PACK_CAP}
+                       THEN (n + {PACK_CAP} - 1) // {PACK_CAP}
+                       ELSE 0 END) AS BIGINT) AS oversized_bins
+  FROM d GROUP BY source
+)
+SELECT agg.source, n_docs, total_tokens, oversized_docs,
+       CAST(COALESCE(len(ffd.loads), 0) + oversized_bins AS BIGINT)
+         AS bins_used,
+       CAST((total_tokens + {PACK_CAP} - 1) // {PACK_CAP} AS BIGINT)
+         AS bins_lower_bound,
+       CAST(((COALESCE(len(ffd.loads), 0) + oversized_bins) * {PACK_CAP}
+             - total_tokens) * 1000000
+            // ((COALESCE(len(ffd.loads), 0) + oversized_bins) * {PACK_CAP})
+            AS BIGINT) AS waste_ppm
+FROM agg LEFT JOIN ffd ON ffd.source = agg.source
+""",
+    doc="First-fit-decreasing bin packing — the PACKER whose absence "
+    "inference_batch_padding_card prices: pretraining batch assembly "
+    f"packs documents into fixed {PACK_CAP}-word bins, FFD (sort "
+    "descending, place each doc in the first bin it fits — the classic "
+    "11/9*OPT+6/9 guarantee) for docs under the cap, greedy "
+    "ceil(n/cap) chunking for oversized docs (sequence_packing's "
+    "rule). The whole packer is ONE groupBy(source) whose aggregate "
+    "carries (n, doc_id) int structs — never text — and a per-group "
+    "HOF fold over the sorted list with the bin-load array as state; "
+    "the oracle replays the identical first-fit order as a recursive "
+    "CTE with a LIST-typed state column, so the hash pins every bin "
+    "count, the FFD tie-break (doc_id on equal lengths) included. "
+    "waste_ppm = unused capacity over allocated capacity, integer ppm; "
+    "bins_lower_bound = ceil(tokens/cap) is the fractional optimum. "
+    "Scale shape: packing state is O(bins-per-shard); production packs "
+    "within bounded shards exactly like this per-source form — the "
+    "fold is O(docs x bins) per shard, never cross-shard.",
+    tags=("corpus", "sampling", "metric"),
+)
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = PACK_CAP
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast(
+        "long"
+    )
+    base = d.select("source", "doc_id", n.alias("n")).where(F.col("n") > 0)
+    # one groupBy: stats + the sorted small-doc list (collect_list skips
+    # the NULLs the when() leaves for oversized docs)
+    small_struct = F.when(
+        F.col("n") < cap,
+        F.struct(
+            (-F.col("n")).alias("kn"),
+            F.col("doc_id").alias("kd"),
+            F.col("n").alias("n"),
+        ),
+    )
+    g = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum((F.col("n") >= cap).cast("long")).alias("oversized_docs"),
+        F.sum(
+            F.when(F.col("n") >= cap, F.expr(f"(n + {cap} - 1) div {cap}"))
+            .otherwise(F.lit(0))
+        ).alias("oversized_bins"),
+        F.sort_array(F.collect_list(small_struct)).alias("docs"),
+    )
+    # FFD fold: loads = bin fill levels; first fitting bin or a new one.
+    # The empty-state branch guards ANSI element_at AND the
+    # sequence(1,0)-counts-DOWN trap (the rag_chunk_documents lesson).
+    loads = F.expr(
+        f"""
+        aggregate(
+          docs,
+          cast(array() as array<bigint>),
+          (loads, d) -> if(
+            size(loads) = 0,
+            array(d.n),
+            if(
+              size(filter(sequence(1, size(loads)),
+                          i -> element_at(loads, cast(i as int)) + d.n <= {cap})) = 0,
+              concat(loads, array(d.n)),
+              transform(loads, (l, i) ->
+                if(cast(i + 1 as bigint) = element_at(
+                     filter(sequence(1, size(loads)),
+                            j -> element_at(loads, cast(j as int)) + d.n <= {cap}),
+                     1),
+                   l + d.n, l))
+            )
+          )
+        )
+        """
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "oversized_docs",
+        (F.size(loads) + F.col("oversized_bins")).cast("long").alias(
+            "bins_used"
+        ),
+        F.expr(f"(total_tokens + {cap} - 1) div {cap}").alias(
+            "bins_lower_bound"
+        ),
+        (
+            (
+                (F.size(loads) + F.col("oversized_bins")) * cap
+                - F.col("total_tokens")
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("__waste_num"),
+    ).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "oversized_docs",
+        "bins_used",
+        "bins_lower_bound",
+        F.expr(f"__waste_num div (bins_used * {cap})").alias("waste_ppm"),
+    )

@@ -1676,3 +1676,30 @@ def test_sorted_neighborhood_dedup_distributed_window(spark):
     assert any(r.jaccard_ppm == 1_000_000 for r in rows), "no exact-dup pair"
     assert all(1 <= r.dist <= 3 for r in rows)
     assert all(r.doc_a != r.doc_b for r in rows)
+
+
+def test_pack_bins_ffd_plan_and_packing_invariants(spark):
+    """pack_bins_ffd (r12): ONE groupBy(source) whose aggregate carries
+    int structs — no text in any Exchange, no join (the stats and the
+    FFD fold share one aggregate), no Python. Packing invariants:
+    bins_used >= bins_lower_bound (ceil optimum), every bin's waste is
+    bounded (bins_used*cap >= total), and FFD never beats the
+    fractional lower bound."""
+    plan = _plan(spark, "pack_bins_ffd")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
+    assert len(exchanges) == 1, exchanges
+    assert not any(re.search(r"\btext\b", e) for e in exchanges), exchanges
+    from polkadot_etl_spark.queries import corpus_ext as cx
+
+    rows = QUERIES["pack_bins_ffd"].build(spark, SF_DIR).collect()
+    assert rows
+    assert any(r.oversized_docs > 0 for r in rows), "oversized branch dry"
+    assert any(r.oversized_docs == 0 for r in rows) or all(
+        r.oversized_docs < r.n_docs for r in rows
+    ), "FFD branch dry"
+    for r in rows:
+        assert r.bins_used >= r.bins_lower_bound, r
+        assert r.bins_used * cx.PACK_CAP >= r.total_tokens, r
+        assert 0 <= r.waste_ppm < 1_000_000, r
