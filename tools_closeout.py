@@ -4,16 +4,20 @@ print the verbatim counts STATUS.md's close-out section should carry —
 ending the recurring artifact/prose drift (r10 "800" vs 802 tests,
 r11 "825" vs 826, r10's stale SCALING.json).
 
-Steps (each skippable for partial reruns; durations are idle-box):
+Steps (each skippable for partial reruns; durations are idle-box).
+pytest runs LAST on purpose: the suite pins the cards' registry
+coverage and harness hashes, so the artifacts must be regenerated
+before it can be green — running it first would fail on any round that
+added queries (the exact drift class this runner exists to end):
 
-  1. pytest            full zero-skip suite            (~20 min)
-  2. verify 0.01       verify_driver --all at sf0.01   (~6 min)
-  3. verify 0.1        verify_driver --all at sf0.1    (~20 min;
+  1. verify 0.01       verify_driver --all at sf0.01   (~6 min)
+  2. verify 0.1        verify_driver --all at sf0.1    (~20 min;
                        the scale-dependent-oracle-bug probe)
-  4. budgets           bench.py --write-budgets at sf0.1 (~8 min;
+  3. budgets           bench.py --write-budgets at sf0.1 (~8 min;
                        also refreshes BENCH_DETAIL.json + box stamps)
-  5. scaling           scaling_card.py -> SCALING.json (~15 min)
-  6. parallel          parallel_card.py -> PARALLEL.json (~12 min)
+  4. scaling           scaling_card.py -> SCALING.json (~15 min)
+  5. parallel          parallel_card.py -> PARALLEL.json (~12 min)
+  6. pytest            full zero-skip suite            (~20 min)
 
 Usage:
     python tools_closeout.py                 # everything
@@ -36,7 +40,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-STEPS = ["pytest", "verify001", "verify01", "budgets", "scaling", "parallel"]
+STEPS = ["verify001", "verify01", "budgets", "scaling", "parallel", "pytest"]
 
 
 def _run(name: str, cmd: list[str], env: dict | None = None) -> tuple[str, float]:
@@ -72,15 +76,6 @@ def main() -> None:
     print(f"# loadavg_1m at start: {os.getloadavg()[0]:.2f}")
     summary: dict[str, str] = {}
 
-    if "pytest" in todo:
-        out, dur = _run(
-            "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]
-        )
-        m = re.search(r"(\d+) passed(?:, (\d+) skipped)?(?:, (\d+) failed)?", out)
-        summary["pytest"] = (
-            f"{m.group(1)} passed / {m.group(2) or 0} skipped / "
-            f"{m.group(3) or 0} failed ({dur:.0f}s)" if m else f"UNPARSED ({dur:.0f}s)"
-        )
     if "verify001" in todo:
         out, dur = _run(
             "verify 0.01", [sys.executable, "verify_driver.py", "--all"]
@@ -104,6 +99,15 @@ def main() -> None:
     if "parallel" in todo:
         out, dur = _run("parallel", [sys.executable, "parallel_card.py"])
         summary["parallel_card"] = out.strip().split("\n")[-1] + f" ({dur:.0f}s)"
+    if "pytest" in todo:
+        out, dur = _run(
+            "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]
+        )
+        m = re.search(r"(\d+) passed(?:, (\d+) skipped)?(?:, (\d+) failed)?", out)
+        summary["pytest"] = (
+            f"{m.group(1)} passed / {m.group(2) or 0} skipped / "
+            f"{m.group(3) or 0} failed ({dur:.0f}s)" if m else f"UNPARSED ({dur:.0f}s)"
+        )
 
     from polkadot_etl_spark.queries import QUERIES
 
