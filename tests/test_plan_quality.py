@@ -1679,17 +1679,21 @@ def test_sorted_neighborhood_dedup_distributed_window(spark):
 
 
 def test_pack_bins_ffd_plan_and_packing_invariants(spark):
-    """pack_bins_ffd (r12): ONE groupBy(source) whose aggregate carries
-    int structs — no text in any Exchange, no join (the stats and the
-    FFD fold share one aggregate), no Python. Packing invariants:
-    bins_used >= bins_lower_bound (ceil optimum), every bin's waste is
-    bounded (bins_used*cap >= total), and FFD never beats the
-    fractional lower bound."""
+    """pack_bins_ffd (r12): groupBy(source, shard) carrying int structs
+    + the per-source rollup — exactly TWO exchanges, no text in either,
+    no join, no Python. The SHARD key is the scale pin's point: the FFD
+    fold state is bounded by the 256-id window at any corpus size (the
+    per-source first cut measured ~x16 time on x10 data). Packing
+    invariants: bins_used >= bins_lower_bound (ceil optimum), capacity
+    conservation, waste ppm in range."""
     plan = _plan(spark, "pack_bins_ffd")
     assert "EvalPython" not in plan
     assert "Join" not in plan
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
-    assert len(exchanges) == 1, exchanges
+    assert len(exchanges) == 2, exchanges
+    assert re.search(r"hashpartitioning\(source[^\n]*shard", plan), (
+        "packing must key on the bounded (source, shard) window"
+    )
     assert not any(re.search(r"\btext\b", e) for e in exchanges), exchanges
     from polkadot_etl_spark.queries import corpus_ext as cx
 
