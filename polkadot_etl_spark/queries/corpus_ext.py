@@ -8647,7 +8647,8 @@ SELECT source,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(cap AS BIGINT) AS cap_tokens,
        CAST(alloc AS BIGINT) AS alloc_tokens,
-       CAST(alloc * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE alloc * 1000000 // n_tokens END AS BIGINT) AS epochs_ppm,
        alloc = cap AS capped
 FROM walk WHERE source IS NOT NULL
 """,
@@ -8690,13 +8691,179 @@ def unimax_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (cap, source, n_tok) in enumerate(items):
         alloc = min(cap, remaining // (len(items) - i))
         remaining -= alloc
-        out.append(
-            (source, n_tok, cap, alloc, alloc * 1_000_000 // n_tok, alloc == cap)
-        )
+        # zero-token source: cap = alloc = 0, epochs defined as 0 (the
+        # oracle guards the same division — fixture-safe, but the query
+        # must not ZeroDivisionError on arbitrary corpora)
+        epochs_ppm = alloc * 1_000_000 // n_tok if n_tok > 0 else 0
+        out.append((source, n_tok, cap, alloc, epochs_ppm, alloc == cap))
     return spark.createDataFrame(
         out,
         "source STRING, n_tokens LONG, cap_tokens LONG, alloc_tokens LONG,"
         " epochs_ppm LONG, capped BOOLEAN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi iterative mixture reweighting (Xie et al. 2023 — the FIFTH
+# iterative family, next to CC / k-means / PageRank / power iteration)
+# ---------------------------------------------------------------------------
+
+DOREMI_STEPS = 8  # multiplicative-weights rounds (proxy-training steps)
+DOREMI_ETA_NUM, DOREMI_ETA_DEN = 1, 1  # eta = 1/nat (the paper's default),
+# as the 1+eta*x multiplicative-weights approximation of exp(eta*x)
+
+
+@query(
+    "mixture_doremi_weights",
+    oracle=f"""
+WITH RECURSIVE wd AS (
+  SELECT source, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM wd GROUP BY w),
+wt AS (
+  SELECT w,
+         CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE)), 6)
+              AS DECIMAL(12,6)) AS logp
+  FROM cnt
+),
+per_src AS (
+  SELECT wd.source, COUNT(*) AS n_words,
+         CAST(-SUM(wt.logp) * 1000000 AS HUGEINT) AS neg_micro
+  FROM wd JOIN wt USING (w) GROUP BY wd.source
+),
+src AS (
+  SELECT d.source,
+         CAST(COALESCE(p.n_words, 0) AS HUGEINT) AS n_words,
+         CAST(COALESCE(p.neg_micro, 0) AS HUGEINT) AS neg_micro
+  FROM (SELECT DISTINCT source FROM documents) d
+  LEFT JOIN per_src p USING (source)
+),
+ref AS (
+  SELECT SUM(neg_micro) // GREATEST(SUM(n_words), 1) AS ref_micro FROM src
+),
+m AS (
+  SELECT source, n_words,
+         CASE WHEN n_words = 0 THEN CAST(0 AS HUGEINT)
+              ELSE neg_micro // n_words END AS loss_micro,
+         GREATEST(CASE WHEN n_words = 0 THEN CAST(0 AS HUGEINT)
+                       ELSE neg_micro // n_words END
+                  - (SELECT ref_micro FROM ref), 0) AS excess
+  FROM src
+),
+mult AS (
+  SELECT source, n_words, loss_micro, excess,
+         1000000 + excess * {DOREMI_ETA_NUM} // {DOREMI_ETA_DEN} AS m_ppm
+  FROM m
+),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS t, source,
+         CAST(1000000 // (SELECT COUNT(*) FROM src) AS HUGEINT) AS wgt,
+         m_ppm
+  FROM mult
+  UNION ALL
+  SELECT t + 1, source, wgt * m_ppm // 1000000, m_ppm
+  FROM walk WHERE t < {DOREMI_STEPS}
+),
+norm AS (
+  SELECT t, source, wgt * 1000000 // SUM(wgt) OVER (PARTITION BY t) AS n
+  FROM walk WHERE t >= 1
+)
+SELECT mult.source,
+       CAST(mult.n_words AS BIGINT) AS n_words,
+       CAST(mult.loss_micro AS BIGINT) AS loss_micro_nats,
+       CAST(mult.excess AS BIGINT) AS excess_micro_nats,
+       CAST(mult.m_ppm AS BIGINT) AS multiplier_ppm,
+       CAST(fin.n AS BIGINT) AS final_weight_ppm,
+       CAST(av.a AS BIGINT) AS avg_weight_ppm
+FROM mult
+JOIN (SELECT source, n FROM norm WHERE t = {DOREMI_STEPS}) fin
+  USING (source)
+JOIN (SELECT source, SUM(n) // {DOREMI_STEPS} AS a FROM norm GROUP BY source) av
+  USING (source)
+""",
+    doc="DoReMi iterative mixture reweighting (Xie et al. 2023, 'DoReMi: "
+    "Optimizing Data Mixtures Speeds Up Language Model Pretraining') — "
+    "the FIFTH iterative family (after CC, k-means, PageRank, power "
+    "iteration) and the capstone of the mixture ladder: "
+    "mixture_weights' temperature smoothing -> unimax_mixture_budget's "
+    "epoch-capped waterfall -> DoReMi's LEARNED weights. Domain weights "
+    "are trained by multiplicative-weights updates on per-domain EXCESS "
+    "loss (Group-DRO's exponentiated-gradient step, which the paper "
+    "instantiates): each source's loss proxy is its per-word cross-"
+    "entropy under the corpus unigram LM (the SQL-expressible stand-in "
+    "for the paper's proxy model, shared with unigram_perplexity via "
+    "_unigram_lm_dim) in EXACT integer micro-nats; the reference loss "
+    "is the corpus-wide average (the paper's reference-model role); "
+    f"excess = max(0, loss - ref). {DOREMI_STEPS} update rounds w <- "
+    f"w * (1e6 + excess*{DOREMI_ETA_NUM}/{DOREMI_ETA_DEN})/1e6 in ppm "
+    "fixed point with floor division (static multipliers make the "
+    "recursion per-source independent — normalization is reporting-"
+    "side, so both engines replay the identical floor sequence), and "
+    "the published output is DoReMi's: the AVERAGE of the per-step "
+    "normalized domain weights, plus the final step's. Zero-word "
+    "sources take loss = excess = 0 (the unimax zero-guard lesson, "
+    "applied from birth). Scale shape: ONE corpus word aggregate + one "
+    "broadcast-dim join + one groupBy(source); the iteration is "
+    "O(sources x steps) driver ints over the collected source dim "
+    "(kmeans/unimax bounded-driver-state discipline), replayed by the "
+    "oracle as a recursive CTE in HUGEINT.",
+    tags=("sampling", "corpus", "metric"),
+)
+def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    wd = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "source", F.explode(words).alias("w")
+    )
+    dim = _unigram_lm_dim(wd).select("w", "logp")
+    per_src = (
+        wd.join(F.broadcast(dim), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (-F.sum("logp") * 1_000_000).cast("long").alias("neg_micro"),
+        )
+    )
+    rows = (
+        d.select("source")
+        .distinct()
+        .join(per_src, "source", "left")
+        .collect()
+    )  # bounded: one row per source (a small dim by definition)
+    srcs = sorted(
+        (r["source"], int(r["n_words"] or 0), int(r["neg_micro"] or 0))
+        for r in rows
+    )
+    total_words = sum(n for _, n, _ in srcs)
+    ref = sum(neg for _, _, neg in srcs) // max(total_words, 1)
+    stats = []
+    for source, n_words, neg in srcs:
+        loss = neg // n_words if n_words > 0 else 0
+        excess = max(loss - ref, 0)
+        m_ppm = 1_000_000 + excess * DOREMI_ETA_NUM // DOREMI_ETA_DEN
+        stats.append((source, n_words, loss, excess, m_ppm))
+    wgt = {s[0]: 1_000_000 // len(stats) for s in stats}
+    norm_sum = {s[0]: 0 for s in stats}
+    final = {}
+    for _t in range(1, DOREMI_STEPS + 1):
+        for source, _, _, _, m_ppm in stats:
+            wgt[source] = wgt[source] * m_ppm // 1_000_000
+        tot = sum(wgt.values())
+        for source in wgt:
+            n = wgt[source] * 1_000_000 // tot
+            norm_sum[source] += n
+            final[source] = n
+    out = [
+        (source, n_words, loss, excess, m_ppm, final[source],
+         norm_sum[source] // DOREMI_STEPS)
+        for source, n_words, loss, excess, m_ppm in stats
+    ]
+    return spark.createDataFrame(
+        out,
+        "source STRING, n_words LONG, loss_micro_nats LONG,"
+        " excess_micro_nats LONG, multiplier_ppm LONG,"
+        " final_weight_ppm LONG, avg_weight_ppm LONG",
     )
 
 
@@ -8991,6 +9158,111 @@ SNM_WINDOW = 3  # neighbors compared per doc in sorted order
 SNM_MIN_PPM = 500_000  # emit pairs at vocabulary Jaccard >= 0.5
 
 
+def _snm_neighbor_pairs(k: DataFrame) -> DataFrame:
+    """Distributed sorted-neighborhood candidate pairs over a keyed
+    corpus (doc_id, vocab, skey) -> one row per (doc, global sort
+    successor at distance 1..SNM_WINDOW): (doc_a, va, dist, doc_b, vb).
+
+    Range-partitioned sort on (skey, doc_id), per-partition LEAD
+    windows, and boundary correctness via CHAINED ghost rows: each
+    partition must see the SNM_WINDOW globally-next rows after its last
+    real row as lead targets. Replicating only the immediately-next
+    partition's head is NOT enough — a range partition holding fewer
+    than SNM_WINDOW rows (or none: sampled boundaries on small/skewed
+    key spaces routinely leave partitions empty) would swallow pairs
+    that span two boundaries. So the ghost map is computed from the
+    per-partition row counts (a bounded dim — one row per shuffle
+    partition — collected like the kmeans/unimax driver state): a row
+    with global rank g is replicated into every earlier nonempty
+    partition q whose cumulative end E_q lies in [g - W, g - 1], i.e.
+    exactly the partitions for which it is one of the W globally-next
+    rows. Only rows with per-partition row_number <= W can ever
+    qualify (E_q <= g - rn for q < p), so the map is <= W rows per
+    partition and the replication is a broadcast equi-join on
+    (pid, rn). Ghosts are lead TARGETS only; ghost-sourced rows are
+    dropped before pair emission, so the pair set equals one global
+    window's — partitioning-invariant by construction.
+
+    The eager localCheckpoint pins the SAMPLED range boundaries so the
+    count/ghost branches read the identical partitioning instead of
+    re-sampling (a divergent second sample would misplace ghosts and
+    silently drop boundary pairs).
+    """
+    s = (
+        k.repartitionByRange(F.col("skey"), F.col("doc_id"))
+        .select("*", F.spark_partition_id().alias("pid"))
+        .localCheckpoint(eager=True)
+    )
+    wrn = Window.partitionBy("pid").orderBy("skey", "doc_id")
+    sr = s.withColumn("rn", F.row_number().over(wrn))
+    counts = {
+        int(r["pid"]): int(r["n"])
+        for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pids = sorted(counts)
+    ends: list[int] = []  # cumulative end rank per nonempty pid, in pid order
+    offs: dict[int, int] = {}
+    run = 0
+    for p in pids:
+        offs[p] = run
+        run += counts[p]
+        ends.append(run)
+    import bisect
+
+    ghost_map: list[tuple[int, int, int]] = []  # (src_pid, rn, ghost_pid)
+    for i, p in enumerate(pids):
+        for rn in range(1, min(SNM_WINDOW, counts[p]) + 1):
+            g = offs[p] + rn
+            # nonempty partitions q < p with E_q in [g - W, g - 1]
+            lo = bisect.bisect_left(ends, g - SNM_WINDOW, 0, i)
+            hi = bisect.bisect_right(ends, g - 1, 0, i)
+            for j in range(lo, hi):
+                ghost_map.append((p, rn, pids[j]))
+    if ghost_map:
+        gm = k.sparkSession.createDataFrame(
+            ghost_map, "pid INT, rn INT, gpid INT"
+        )
+        ghosts = (
+            sr.join(F.broadcast(gm), ["pid", "rn"])
+            .drop("pid")
+            .withColumnRenamed("gpid", "pid")
+            .withColumn("ghost", F.lit(True))
+        )
+        aug = sr.withColumn("ghost", F.lit(False)).unionByName(ghosts)
+    else:  # single nonempty partition: no boundaries to bridge
+        aug = sr.withColumn("ghost", F.lit(False))
+    w = Window.partitionBy("pid").orderBy("skey", "doc_id")
+    nbr_wide = aug.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("vocab").alias("va"),
+        "ghost",
+        *[
+            c
+            for dist in range(1, SNM_WINDOW + 1)
+            for c in (
+                F.lead("doc_id", dist).over(w).alias(f"b{dist}"),
+                F.lead("vocab", dist).over(w).alias(f"v{dist}"),
+            )
+        ],
+    )
+    return nbr_wide.where(~F.col("ghost")).select(
+        "doc_a",
+        "va",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dist).alias("dist"),
+                        F.col(f"b{dist}").alias("doc_b"),
+                        F.col(f"v{dist}").alias("vb"),
+                    )
+                    for dist in range(1, SNM_WINDOW + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_a", "va", "p.dist", "p.doc_b", "p.vb")
+
+
 @query(
     "sorted_neighborhood_dedup",
     oracle=f"""
@@ -9044,18 +9316,19 @@ FROM v WHERE n_inter * 1000000 // n_union >= {SNM_MIN_PPM}
     "shape — DISTRIBUTED SNM, not a single global window (Spark's "
     "unpartitioned Window moves the corpus to ONE task): a "
     "range-partitioned sort on (key, doc_id), per-partition LEAD "
-    "windows, and boundary correctness via GHOST rows — each "
-    f"partition's first {SNM_WINDOW} rows are replicated to the "
-    "previous partition (where they sort last, range partitioning "
-    "guarantees it) purely as lead TARGETS, and ghost-SOURCED pairs "
-    "are dropped so nothing double-counts. The partitioning itself is "
-    "sampled (nondeterministic) but the PAIR SET is "
-    "partitioning-invariant by the ghost construction — pinned by the "
-    "shuffle=8 probe; the checkpoint pins the sampled boundaries so "
-    "the ghost branch reads the same partitioning. The vocab arrays "
-    "ride the sort/pid exchanges (bounded: distinct words per doc), "
-    "never a shuffle keyed on them; the oracle replays the same "
-    "semantics as one global window.",
+    "windows, and boundary correctness via CHAINED ghost rows — each "
+    f"partition receives the {SNM_WINDOW} globally-NEXT rows after its "
+    "end (wherever they physically live, so under-full or empty range "
+    "partitions cannot swallow boundary pairs) purely as lead TARGETS; "
+    "ghost-SOURCED pairs are dropped so nothing double-counts. The "
+    "partitioning itself is sampled (nondeterministic) but the PAIR "
+    "SET is partitioning-invariant by the chained-ghost construction — "
+    "pinned by the shuffle=8 probe plus the shuffle=64 under-full-"
+    "partition probe in tests; the checkpoint pins the sampled "
+    "boundaries so the ghost branch reads the same partitioning. The "
+    "vocab arrays ride the sort/pid exchanges (bounded: distinct words "
+    "per doc), never a shuffle keyed on them; the oracle replays the "
+    "same semantics as one global window. See _snm_neighbor_pairs.",
     tags=("dedup", "similarity", "corpus"),
 )
 def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9072,58 +9345,7 @@ def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("vocab", 1, SNM_KEY_WORDS), " ").alias("skey"),
         )
     )
-    # distributed SNM: range-sort, then stamp the physical partition id.
-    # The checkpoint pins the SAMPLED range boundaries so the ghost
-    # branch below re-reads the identical partitioning instead of
-    # re-sampling (a divergent second sample would misplace ghosts and
-    # silently DROP boundary pairs).
-    s = (
-        k.repartitionByRange(F.col("skey"), F.col("doc_id"))
-        .select("*", F.spark_partition_id().alias("pid"))
-        .localCheckpoint(eager=True)
-    )
-    wrn = Window.partitionBy("pid").orderBy("skey", "doc_id")
-    sr = s.withColumn("rn", F.row_number().over(wrn))
-    # ghosts: each partition's first W rows, re-tagged to the PREVIOUS
-    # partition where (by range partitioning) they sort strictly last —
-    # lead targets only, never pair sources
-    ghosts = (
-        sr.where(F.col("rn") <= SNM_WINDOW)
-        .withColumn("pid", F.col("pid") - 1)
-        .where(F.col("pid") >= 0)
-        .withColumn("ghost", F.lit(True))
-    )
-    aug = sr.withColumn("ghost", F.lit(False)).unionByName(ghosts)
-    w = Window.partitionBy("pid").orderBy("skey", "doc_id")
-    nbr_wide = aug.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("vocab").alias("va"),
-        "ghost",
-        *[
-            c
-            for dist in range(1, SNM_WINDOW + 1)
-            for c in (
-                F.lead("doc_id", dist).over(w).alias(f"b{dist}"),
-                F.lead("vocab", dist).over(w).alias(f"v{dist}"),
-            )
-        ],
-    )
-    nbr = nbr_wide.where(~F.col("ghost")).select(
-        "doc_a",
-        "va",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(dist).alias("dist"),
-                        F.col(f"b{dist}").alias("doc_b"),
-                        F.col(f"v{dist}").alias("vb"),
-                    )
-                    for dist in range(1, SNM_WINDOW + 1)
-                ]
-            )
-        ).alias("p"),
-    ).select("doc_a", "va", "p.dist", "p.doc_b", "p.vb")
+    nbr = _snm_neighbor_pairs(k)
     n_inter = F.size(F.array_intersect("va", "vb")).cast("long")
     v = (
         nbr.where(F.col("doc_b").isNotNull())

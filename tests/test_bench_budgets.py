@@ -80,5 +80,10 @@ def test_box_speed_probe_shape(spark):
     box = box_speed_probe(spark)
     assert box["box_speed_1t"] > 0 and box["box_speed_nt"] > 0
     assert box["box_probe_rows"] == BOX_PROBE_ROWS
-    assert box["box_speed_nt"] >= 0.8 * box["box_speed_1t"], box
+    # Instrument-shape pin only, not a box-speed pin: on a low-core or
+    # co-tenant-throttled box (SPARK_GRAFT_CPUS defaults to 32 regardless
+    # of real cores) the parallel leg can legitimately trail the serial
+    # leg, so the factor is loose — it catches a broken probe (nt leg
+    # timing the wrong thing / returning garbage), not scheduler noise.
+    assert box["box_speed_nt"] >= 0.5 * box["box_speed_1t"], box
     assert box["box_probe_wall_1t"] > 0 and box["box_probe_wall_nt"] > 0

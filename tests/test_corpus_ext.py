@@ -889,3 +889,26 @@ def test_cms_heavy_hitters_one_sided_error_and_signal(spark):
     for r in rows:
         assert r["cms_estimate"] == r["exact_count"] + r["overestimate"]
         assert r["overestimate_ppm"] == r["overestimate"] * 1_000_000 // r["exact_count"]
+
+
+def test_snm_pair_set_invariant_under_underfull_partitions(spark):
+    """The r12 ADVICE regime: with many more shuffle partitions than the
+    key space comfortably fills (64 partitions on the sf0.001 corpus),
+    sampled range partitions are routinely under-full or empty — ghosts
+    must CHAIN across boundaries (each partition sees the W globally-next
+    rows wherever they live) or pairs spanning two boundaries drop. The
+    pair set must equal the single-partition (trivially global) run's."""
+    from polkadot_etl_spark.queries.corpus_ext import sorted_neighborhood_dedup
+
+    def pairs(n_shuffle):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+        try:
+            rows = sorted_neighborhood_dedup(spark, SF_DIR).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return sorted(tuple(r) for r in rows)
+
+    wide, single = pairs(64), pairs(1)
+    assert wide == single
+    assert len(single) > 0

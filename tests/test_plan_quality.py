@@ -1582,6 +1582,49 @@ def test_unimax_budget_semantics_and_aggregate_shape(spark):
     assert sum(r.alloc_tokens for r in rows) == budget, "budget not conserved"
 
 
+def test_doremi_weights_semantics_and_stage_shape(spark):
+    """mixture_doremi_weights (r13): the distributed part is one corpus
+    word aggregate feeding a broadcast LM dim + one groupBy(source); the
+    multiplicative-weights iteration is bounded driver ints (unimax
+    discipline). Semantics beyond the oracle hash: both excess branches
+    exercised, multipliers are exactly the ppm update rule, per-step
+    normalization floor slack bounded by n_sources, and the coupling is
+    monotone — a strictly larger excess never yields a smaller final or
+    average weight (the Group-DRO direction: harder domains gain)."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.queries import corpus_ext as cx
+    from polkadot_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    wd = d.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    dim = cx._unigram_lm_dim(wd).select("w", "logp")
+    stage = wd.join(F.broadcast(dim), "w").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"), F.sum("logp").alias("slogp")
+    )
+    plan = _plan_of(spark, stage)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "LM dim must broadcast"
+    rows = QUERIES["mixture_doremi_weights"].build(spark, SF_DIR).collect()
+    assert any(r.excess_micro_nats == 0 for r in rows), "no at-ref source"
+    assert any(r.excess_micro_nats > 0 for r in rows), "no excess signal"
+    for r in rows:
+        assert r.multiplier_ppm == 1_000_000 + (
+            r.excess_micro_nats * cx.DOREMI_ETA_NUM // cx.DOREMI_ETA_DEN
+        )
+        assert r.loss_micro_nats > 0 and r.n_words > 0
+    tot_final = sum(r.final_weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= tot_final <= 1_000_000, tot_final
+    by_excess = sorted(rows, key=lambda r: r.excess_micro_nats)
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a.final_weight_ppm <= b.final_weight_ppm, (a, b)
+        assert a.avg_weight_ppm <= b.avg_weight_ppm, (a, b)
+
+
 def test_prefix_cache_buckets_plan_digest_keyed(spark):
     """prefix_cache_buckets (r12): one digest-keyed groupBy — full
     texts never reach the Exchange (only the 16-byte bucket, the

@@ -58,12 +58,23 @@ def main() -> None:
     box_then = budget_doc.get("box_speed") or {}
     # queries run at full parallelism, so the nt stamp is the right
     # normalizer; speed ratio > 1 means this sitting's box is SLOWER
-    # than the one that generated the budgets
-    ratio = (
-        box_then["box_speed_nt"] / box_now["box_speed_nt"]
-        if box_then.get("box_speed_nt")
-        else None
-    )
+    # than the one that generated the budgets. nt stamps are only
+    # comparable at the SAME thread count (SPARK_GRAFT_CPUS can differ
+    # across sittings) — on mismatch fall back to the 1t stamp, which
+    # is thread-count-free.
+    ratio = None
+    if box_then.get("box_speed_nt") and (
+        box_then.get("box_probe_threads") == box_now.get("box_probe_threads")
+    ):
+        ratio = box_then["box_speed_nt"] / box_now["box_speed_nt"]
+    elif box_then.get("box_speed_1t"):
+        print(
+            "# box_probe_threads mismatch "
+            f"(then={box_then.get('box_probe_threads')}, "
+            f"now={box_now.get('box_probe_threads')}) — normalizing on the "
+            "1t stamp instead of nt"
+        )
+        ratio = box_then["box_speed_1t"] / box_now["box_speed_1t"]
     print(f"# box speed now: {box_now}")
     print(
         f"# box speed at budget generation: {box_then or 'UNSTAMPED (pre-r12 budgets)'}"

@@ -103,10 +103,17 @@ def main() -> None:
         out, dur = _run(
             "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]
         )
-        m = re.search(r"(\d+) passed(?:, (\d+) skipped)?(?:, (\d+) failed)?", out)
+        # pytest orders the summary counts by status (failures first),
+        # so parse each count independently instead of one ordered regex
+        # — an ordered pattern would silently report 0 failed.
+        mp = re.search(r"(\d+) passed", out)
+        ms = re.search(r"(\d+) skipped", out)
+        mf = re.search(r"(\d+) failed", out)
         summary["pytest"] = (
-            f"{m.group(1)} passed / {m.group(2) or 0} skipped / "
-            f"{m.group(3) or 0} failed ({dur:.0f}s)" if m else f"UNPARSED ({dur:.0f}s)"
+            f"{mp.group(1)} passed / {ms.group(1) if ms else 0} skipped / "
+            f"{mf.group(1) if mf else 0} failed ({dur:.0f}s)"
+            if mp
+            else f"UNPARSED ({dur:.0f}s)"
         )
 
     from polkadot_etl_spark.queries import QUERIES
