@@ -21,89 +21,81 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 # tests/test_registry_order.py against the committed CORRECTNESS artifacts)
 # and stays verified by the local oracle suite every session.
 #
-# ROUND-12 ROTATION (oldest-first under the <=6-round staleness pin,
+# ROUND-13 ROTATION (oldest-first under the <=6-round staleness pin,
 # tests/test_registry_order.py::test_registry_freshness_max_staleness):
-# in-window this round are (a) the flagship, (b) the three new r12
-# queries, (c) every query whose CODE changed this round after its last
-# driver-green row — the codegen-compaction blast radius (plans/
-# snapshots.py staging, plans/feeds.py _u128_hex_to_str, functions/
-# evm.py decode_token_calldata, plans/jsonld.py, the daily-increment
-# join fix and the ABTT decimal lane; see the r12 codegen commit) —
-# and (d) the ENTIRE r7 tail (19, the oldest green rows) plus the
-# oldest 10 of the r8 tail alphabetically. The remaining r8 entries
-# (green r8) are r13's forced rotation under the ratchet. Every
-# demotion below is r10- or r11-green (CORRECTNESS_r10/r11.json, zero
-# err); the three demoted corpus_ext entries gain _DEMOTED_GREEN
-# redundancy notes (streaming_corpus_replay / streaming_neardedup_replay
-# re-run their replay skeleton inside in-window streaming_dump_replay
-# and corpus_daily_increment_replay every round; cms_heavy_hitters'
-# md5-nibble ledger discipline re-runs inside in-window
-# bloom_dedup_membership's sibling family and stays locally
-# oracle-verified every session).
+# in-window this round are (a) the flagship, (b) the four new r13
+# queries, (c) the two queries whose CODE changed this round after
+# their r12 green rows (the chained-ghost SNM rewrite and the unimax
+# zero-token guard), (d) corpus_daily_increment_replay, kept in-window
+# deliberately — several _DEMOTED_GREEN notes lean on its composed
+# replay skeleton / IVF maintenance re-running in-window every round,
+# and (e) the ENTIRE r8 tail (32 entries, the oldest green rows — the
+# staleness wall the r12 verdict called out) plus the oldest 10 of the
+# r9 tail alphabetically, pulling the next wall forward before the
+# ratchet forces it. Every demotion is r12-green (CORRECTNESS_r12.json,
+# 50/50 zero err); the five demoted corpus_ext entries gain
+# _DEMOTED_GREEN redundancy notes.
 _PRIORITY: list[str] = [
     # --- the flagship (driver smoke-checks entry() against it)
     "tpch_q1",
-    # --- NEW this round: UniMax epoch-capped mixture budgeting, the
-    # prefix-cache bucket planner, the quality-filter threshold sweep,
-    # the Heaps-law vocabulary-growth card, and sorted-neighborhood
-    # near-dup blocking (all oracle-hashed, integer-exact)
-    "unimax_mixture_budget",
-    "prefix_cache_buckets",
-    "filter_threshold_sweep",
-    "heaps_vocab_growth",
+    # --- NEW this round: DoReMi iterative mixture reweighting, the
+    # multi-pass SNM union with per-pass attribution, MMC4-style
+    # interleaved multimodal document assembly, and the Derby-backed
+    # end-to-end JDBC round trip (retires the S3 planner-only partial)
+    "mixture_doremi_weights",
+    "snm_multipass_dedup",
+    "mmc4_interleaved_docs",
+    "jdbc_derby_roundtrip",
+    # --- changed-code re-greens (r12-green, code changed this round)
     "sorted_neighborhood_dedup",
-    "pack_bins_ffd",
-    # --- changed-code re-greens with r10/r11 green rows (the staleness
-    # rule: implementation changed this round after the last green row)
+    "unimax_mixture_budget",
+    # --- composition hub kept in-window (see header note d)
     "corpus_daily_increment_replay",
-    "embedding_abtt_isotropy_delta",
-    "snapshots_astar_dappstaking",
-    "snapshots_hydradx_omnipool",
-    "snapshots_assethub_stablecoins",
-    "snapshots_pricefeed",
-    "snapshots_staking_era",
-    "evm_decoded_transfers",
-    "assethub_asset_transfers",
-    "rewards_rollup",
-    "evmtxs_daily_gold",
-    # --- the r7 tail (19): last driver-green row is round 7
-    "call_tree_flatten",
-    "cdc_chunk_dedup",
-    "dsir_importance",
-    "dynamic_predicates",
-    "evm_transfer_logs",
-    "evm_txn_fees",
-    "lag_change_detection",
-    "ohlcv_hourly",
-    "passage_dedup_ngrams",
-    "quality_signal_spearman",
-    "snapshots_dappstaking_v3",
-    "ss58_codec_roundtrip",
-    "tpch_q21_waiting_suppliers",
-    "train_val_split",
-    "unigram_perplexity",
-    "users_tags_attribution",
-    "video_scene_cuts",
-    "xcm_asset_registry",
-    "xcm_remote_transact",
-    # --- changed-code re-greens whose last green row is round 8 (also
-    # the oldest slice of the r8 tail by the ratchet)
-    "evm_tx_jsonld",
-    "snapshots_relay_opengov",
-    "balances_day_lifecycle",
-    "cluster_trace_reference",
-    "wasm_contract_calls",
-    "dump_day_blocklog",
-    # --- the oldest 7 of the remaining r8 tail (alphabetical; the
-    # rest are r13's rotation — three slots ceded to the three late-r12
-    # queries above, which MUST be in-window as new corpus_ext entries)
-    "ann_ivf_trained_search",
-    "ann_ivfpq_recall_audit",
-    "ann_ivfpq_residual_search",
-    "ann_pq_adc_search",
-    "ann_recall_audit",
-    "ann_sketch_prefilter",
-    "assethub_price_log",
+    # --- the full r8 tail (32): last driver-green row is round 8
+    "audio_silence_trim",
+    "benchmark_contamination",
+    "bigram_perplexity_backoff",
+    "bloom_dedup_membership",
+    "bpe_fertility_audit",
+    "bpe_merge_train_steps",
+    "contamination_containment",
+    "corpus_shard_shuffle",
+    "datacard_source_stats",
+    "dedup_incremental_batch",
+    "dedup_minhash_banded_r2",
+    "domain_pagerank",
+    "domain_quota_sample",
+    "embedding_int8_quantize",
+    "embedding_isotropy_card",
+    "gar_longtail_registry",
+    "gate_attribution_audit",
+    "hard_negative_mining",
+    "image_dhash_hamming_lsh",
+    "merge_upsert_state",
+    "mmr_diversified_topk",
+    "pallet_typed_views",
+    "paragraph_dedup_rewrite",
+    "pq_quantize_embeddings",
+    "rag_chunk_documents",
+    "skewed_hotkey_rollup",
+    "source_overlap_matrix",
+    "source_vocab_drift",
+    "url_domain_filter",
+    "video_keyframe_sample",
+    "xcm_trace_spans",
+    "xcmtransfers_wide",
+    # --- the oldest 10 of the r9 tail (alphabetical) — pulled forward
+    # so the r9 wall (47 entries due at r16) starts draining now
+    "active_accounts_union",
+    "ann_dim_truncation_audit",
+    "anti_join_no_urgent",
+    "asof_join_last_purchase",
+    "best_by_rank",
+    "block_at_timestamp",
+    "bm25_champion_prune",
+    "bm25_rm3_expansion",
+    "bm25_topk_retrieval",
+    "channel_daily_summary",
 ]
 
 

@@ -9367,6 +9367,145 @@ def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("jaccard_ppm") >= SNM_MIN_PPM)
 
 
+def _snm_oracle_nbr(tag: str, key_sql: str) -> str:
+    """One global-window SNM pass for the multi-pass oracle: the keyed
+    relation, the LEAD window, and the per-distance UNION ALL fan-out
+    (one lead per distance over the BASE relation — a cross-joined
+    distance dim inside the window frame would interleave each doc's
+    copies into the sort order)."""
+    leads = ",\n         ".join(
+        f"LEAD(doc_id, {i}) OVER win AS b{i}, LEAD(vocab, {i}) OVER win AS v{i}"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    fans = "\n  UNION ALL ".join(
+        f"SELECT doc_a, va, b{i} AS doc_b, v{i} AS vb FROM nbr{tag}"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    return f"""
+k{tag} AS (
+  SELECT doc_id, vocab, {key_sql} AS skey FROM kbase
+),
+nbr{tag} AS (
+  SELECT doc_id AS doc_a, vocab AS va,
+         {leads}
+  FROM k{tag} WINDOW win AS (ORDER BY skey, doc_id)
+),
+p{tag} AS (
+  {fans}
+)"""
+
+
+@query(
+    "snm_multipass_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_sort(list_distinct(
+           regexp_extract_all(lower(text), '[a-z]+'))) AS vocab
+  FROM documents
+),
+kbase AS (SELECT doc_id, vocab FROM d WHERE len(vocab) > 0),
+{_snm_oracle_nbr("1", f"array_to_string(vocab[1:{SNM_KEY_WORDS}], ' ')")},
+{_snm_oracle_nbr(
+    "2", f"array_to_string(list_reverse(vocab)[1:{SNM_KEY_WORDS}], ' ')"
+)},
+pairs AS (
+  SELECT 1 AS pass_no, * FROM p1
+  UNION ALL SELECT 2 AS pass_no, * FROM p2
+),
+v AS (
+  SELECT pass_no,
+         LEAST(doc_a, doc_b) AS lo, GREATEST(doc_a, doc_b) AS hi,
+         CAST(len(list_intersect(va, vb)) AS BIGINT) AS n_inter,
+         CAST(len(va) + len(vb) - len(list_intersect(va, vb)) AS BIGINT)
+           AS n_union
+  FROM pairs WHERE doc_b IS NOT NULL
+),
+f AS (SELECT * FROM v WHERE n_inter * 1000000 // n_union >= {SNM_MIN_PPM})
+SELECT lo AS doc_a, hi AS doc_b,
+       MIN(n_inter) AS n_inter, MIN(n_union) AS n_union,
+       CAST(MIN(n_inter) * 1000000 // MIN(n_union) AS BIGINT) AS jaccard_ppm,
+       MAX(CASE WHEN pass_no = 1 THEN 1 ELSE 0 END) = 1 AS in_pass1,
+       MAX(CASE WHEN pass_no = 2 THEN 1 ELSE 0 END) = 1 AS in_pass2
+FROM f GROUP BY lo, hi
+""",
+    doc="Multi-pass sorted-neighborhood dedup (Hernandez & Stolfo 1995 "
+    "section 3.3: single-key SNM misses near-dups whose difference "
+    "falls in the sort key itself, so run SNM over SEVERAL independent "
+    "keys and union the candidate pairs). Pass 1 sorts by the first "
+    f"{SNM_KEY_WORDS} sorted distinct words (vocabulary prefix — the "
+    "single-pass key); pass 2 by the LAST "
+    f"{SNM_KEY_WORDS} in descending order (vocabulary suffix), an "
+    "independent view that adjacency-sorts docs whose shared rare "
+    "words sit at the tail of the alphabet. Both passes run the SAME "
+    "chained-ghost distributed window (_snm_neighbor_pairs — one "
+    "range-sort + per-partition LEADs per pass, W*n candidates each), "
+    "verify with the exact distinct-vocabulary Jaccard in integer ppm, "
+    "and union under normalized (lo, hi) pair identity with PER-PASS "
+    "ATTRIBUTION flags (the gate_attribution_audit discipline): "
+    "in_pass2-only rows ARE the measured recall gain of the second "
+    "key — at the sf0.001 fixture pass 2 contributes 1079 unique pairs "
+    "on top of pass 1's 1208 (+89% candidate recall: the two keys see "
+    "nearly disjoint neighborhoods, Hernandez & Stolfo's argument for "
+    "multi-pass; recomputed by the attribution test each session). "
+    "Scale shape: two W*n legs, "
+    "each a range-partition sort + bounded ghost map; the union "
+    "shuffles (lo, hi, ints) only — vocab arrays never ride the "
+    "pair-identity Exchange.",
+    tags=("dedup", "similarity", "corpus"),
+)
+def snm_multipass_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = F.array_sort(
+        F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    )
+    base = d.select("doc_id", vocab.alias("vocab")).where(F.size("vocab") > 0)
+    keys = {
+        1: F.array_join(F.slice(F.col("vocab"), 1, SNM_KEY_WORDS), " "),
+        2: F.array_join(F.slice(F.reverse(F.col("vocab")), 1, SNM_KEY_WORDS), " "),
+    }
+    legs = []
+    for pass_no, key in keys.items():
+        k = base.select("doc_id", "vocab", key.alias("skey"))
+        nbr = _snm_neighbor_pairs(k).where(F.col("doc_b").isNotNull())
+        n_inter = F.size(F.array_intersect("va", "vb")).cast("long")
+        leg = (
+            nbr.select(
+                F.least("doc_a", "doc_b").alias("lo"),
+                F.greatest("doc_a", "doc_b").alias("hi"),
+                n_inter.alias("n_inter"),
+                (F.size("va") + F.size("vb") - n_inter)
+                .cast("long")
+                .alias("n_union"),
+            )
+            .where(F.expr(f"n_inter * 1000000L div n_union >= {SNM_MIN_PPM}"))
+            .withColumn("pass_no", F.lit(pass_no))
+        )
+        legs.append(leg)
+    u = legs[0].unionByName(legs[1])
+    return (
+        u.groupBy("lo", "hi")
+        .agg(
+            F.min("n_inter").alias("n_inter"),
+            F.min("n_union").alias("n_union"),
+            (F.max(F.when(F.col("pass_no") == 1, 1).otherwise(0)) == 1).alias(
+                "in_pass1"
+            ),
+            (F.max(F.when(F.col("pass_no") == 2, 1).otherwise(0)) == 1).alias(
+                "in_pass2"
+            ),
+        )
+        .select(
+            F.col("lo").alias("doc_a"),
+            F.col("hi").alias("doc_b"),
+            "n_inter",
+            "n_union",
+            F.expr("n_inter * 1000000L div n_union").alias("jaccard_ppm"),
+            "in_pass1",
+            "in_pass2",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # First-fit-decreasing bin packing (the batch packer the padding card prices)
 # ---------------------------------------------------------------------------
@@ -9555,4 +9694,253 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(bins_used * {cap} - total_tokens) * 1000000L"
             f" div (bins_used * {cap})"
         ).alias("waste_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal document assembly (MMC4 / OBELICS style)
+# ---------------------------------------------------------------------------
+
+MMC4_CHUNK_WORDS = 12  # text segment length (words) in the assembled doc
+MMC4_IMG_WORDS = 20  # words rendered into one image block
+MMC4_MAX_IMAGES = 3  # per-doc image cap (dropped blocks are accounted)
+MMC4_IMG_TOKENS = 64  # serving-side token cost of one image (LLaVA-style)
+_MMC4_SIDE = 16  # raster is 16x16 = 256 bytes, the PNG codec's shape
+
+
+@query(
+    "mmc4_interleaved_docs",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+base AS (SELECT doc_id, ws, len(ws) AS nw FROM d WHERE len(ws) > 0),
+chunks AS (
+  SELECT doc_id, c,
+         list_distinct(ws[c * {MMC4_CHUNK_WORDS} + 1
+                          : (c + 1) * {MMC4_CHUNK_WORDS}]) AS cw
+  FROM base, LATERAL (SELECT unnest(range(0,
+       (nw + {MMC4_CHUNK_WORDS} - 1) // {MMC4_CHUNK_WORDS})) AS c) t
+),
+imgs AS (
+  SELECT doc_id, b,
+         list_distinct(ws[b * {MMC4_IMG_WORDS} + 1
+                          : (b + 1) * {MMC4_IMG_WORDS}]) AS aw,
+         array_to_string(ws[b * {MMC4_IMG_WORDS} + 1
+                            : (b + 1) * {MMC4_IMG_WORDS}], ' ') AS raster_text
+  FROM base, LATERAL (SELECT unnest(range(0, LEAST(
+       (nw + {MMC4_IMG_WORDS} - 1) // {MMC4_IMG_WORDS},
+       {MMC4_MAX_IMAGES}))) AS b) t
+),
+mt AS (
+  SELECT doc_id, b, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, b
+                            ORDER BY len(list_intersect(aw, cw)) DESC, c ASC)
+           AS rk
+  FROM imgs JOIN chunks USING (doc_id)
+),
+asg AS (SELECT doc_id, b, c FROM mt WHERE rk = 1),
+roster AS (
+  SELECT ch.doc_id, ch.c,
+         't' || ch.c || COALESCE(string_agg('|i' || a.b, '' ORDER BY a.b), '')
+           AS seg
+  FROM chunks ch LEFT JOIN asg a ON a.doc_id = ch.doc_id AND a.c = ch.c
+  GROUP BY ch.doc_id, ch.c
+),
+sig AS (
+  SELECT doc_id, md5(string_agg(seg, '|' ORDER BY c)) AS interleave_sig,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM roster GROUP BY doc_id
+),
+pix AS (
+  SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS pixel_check,
+         CAST(COUNT(*) AS BIGINT) AS n_images
+  FROM (
+    SELECT doc_id,
+           (SELECT COALESCE(SUM(unicode(ch)), 0)
+            FROM unnest(string_split(substr(raster_text, 1, 256), '')) u(ch)
+            WHERE ch <> '') AS bs
+    FROM imgs) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(base.nw AS BIGINT) AS n_words,
+       sig.n_chunks,
+       pix.n_images,
+       CAST(GREATEST((base.nw + {MMC4_IMG_WORDS} - 1) // {MMC4_IMG_WORDS}
+                     - {MMC4_MAX_IMAGES}, 0) AS BIGINT) AS n_images_dropped,
+       CAST(pix.n_images * {MMC4_IMG_TOKENS} AS BIGINT) AS image_tokens,
+       CAST(base.nw + pix.n_images * {MMC4_IMG_TOKENS} AS BIGINT)
+         AS total_tokens,
+       sig.interleave_sig,
+       pix.pixel_check
+FROM base JOIN sig USING (doc_id) JOIN pix USING (doc_id)
+""",
+    doc="Interleaved multimodal training-document assembly (MMC4 — Zhu "
+    "et al. 2023 'Multimodal C4'; OBELICS — Laurencon et al. 2023): "
+    "the missing layer between the multimodal feature extractors and "
+    "sequence_packing. Each document's words split into "
+    f"{MMC4_CHUNK_WORDS}-word text segments and (capped at "
+    f"{MMC4_MAX_IMAGES}, cap drops ACCOUNTED in n_images_dropped) "
+    f"{MMC4_IMG_WORDS}-word image blocks; each block renders through "
+    "the REAL PNG codec (multimodal/codecs.py: its words' bytes, zero-"
+    "padded to a 16x16 raster, zlib-encoded then DECODED BACK — "
+    "pixel_check sums the decoded raster, so a broken codec breaks the "
+    "hash) and is placed after its best-matching segment, MMC4's "
+    "bipartite placement with exact distinct-word overlap standing in "
+    "for CLIP similarity (ties -> earliest segment, matching the "
+    "paper's greedy assignment). The assembled interleave order is "
+    "hashed into interleave_sig ('t0|i0|t1|...' md5), and per-doc "
+    "accounting prices the sequence: text tokens + "
+    f"{MMC4_IMG_TOKENS}/image (the LLaVA-style fixed visual-token "
+    "cost) = total_tokens, the number packing consumes. Scale shape: "
+    "everything is doc_id-keyed — the match fan-out is bounded per doc "
+    "(<= chunks x images <= 9x3 at fixture word counts), the codec is "
+    "ONE Arrow wave emitting (doc_id, int) only, and PIXELS NEVER "
+    "SHUFFLE: PNG bytes exist solely inside the wave's batch; every "
+    "Exchange carries ids, counts and 16-byte digests. The oracle "
+    "replays placement and accounting from the words themselves "
+    "(ASCII: unicode(c) = the byte the raster holds).",
+    tags=("multimodal", "corpus", "packing"),
+)
+def mmc4_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.multimodal.codecs import decode_png, encode_png
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    base = (
+        d.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .withColumn("nw", F.size("ws"))
+    )
+    cw_len, iw_len = MMC4_CHUNK_WORDS, MMC4_IMG_WORDS
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"int((nw + {cw_len} - 1) div {cw_len}) - 1")
+            )
+        ).alias("c"),
+        "ws",
+    ).select(
+        "doc_id",
+        "c",
+        F.expr(f"array_distinct(slice(ws, c * {cw_len} + 1, {cw_len}))").alias(
+            "cw"
+        ),
+    )
+    imgs = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(
+                    f"least(int((nw + {iw_len} - 1) div {iw_len}),"
+                    f" {MMC4_MAX_IMAGES}) - 1"
+                ),
+            )
+        ).alias("b"),
+        "ws",
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(f"array_distinct(slice(ws, b * {iw_len} + 1, {iw_len}))").alias(
+            "aw"
+        ),
+        F.expr(
+            f"array_join(slice(ws, b * {iw_len} + 1, {iw_len}), ' ')"
+        ).alias("raster_text"),
+    )
+    rk = Window.partitionBy("doc_id", "b").orderBy(
+        F.size(F.array_intersect("aw", "cw")).desc(), F.col("c").asc()
+    )
+    asg = (
+        imgs.join(chunks, "doc_id")
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "b", "c")
+    )
+    roster = (
+        chunks.join(asg, ["doc_id", "c"], "left")
+        .groupBy("doc_id", "c")
+        .agg(
+            F.concat(
+                F.lit("t"),
+                F.col("c").cast("string"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.filter(
+                                F.collect_list("b"), lambda x: x.isNotNull()
+                            )
+                        ),
+                        lambda x: F.concat(F.lit("|i"), x.cast("string")),
+                    ),
+                    "",
+                ),
+            ).alias("seg")
+        )
+    )
+    sig = roster.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("c"), F.col("seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                "|",
+            )
+        ).alias("interleave_sig"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+    )
+
+    side = _MMC4_SIDE
+
+    def _codec_wave(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            sums = []
+            for t in pdf.raster_text:
+                raw = t.encode("utf-8")[: side * side]
+                raw = raw + bytes(side * side - len(raw))
+                raster = np.frombuffer(raw, dtype=np.uint8).reshape(side, side)
+                decoded = decode_png(encode_png(raster))
+                sums.append(int(decoded.astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": pdf.doc_id, "bs": sums})
+
+    pix = (
+        imgs.select("doc_id", "raster_text")
+        .mapInPandas(_codec_wave, "doc_id LONG, bs LONG")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bs").cast("bigint").alias("pixel_check"),
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        )
+    )
+    return (
+        base.select("doc_id", "nw")
+        .join(sig, "doc_id")
+        .join(pix, "doc_id")
+        .select(
+            "doc_id",
+            F.col("nw").cast("bigint").alias("n_words"),
+            "n_chunks",
+            "n_images",
+            F.expr(
+                f"cast(greatest((nw + {iw_len} - 1) div {iw_len}"
+                f" - {MMC4_MAX_IMAGES}, 0) as bigint)"
+            ).alias("n_images_dropped"),
+            (F.col("n_images") * MMC4_IMG_TOKENS)
+            .cast("bigint")
+            .alias("image_tokens"),
+            (F.col("nw") + F.col("n_images") * MMC4_IMG_TOKENS)
+            .cast("bigint")
+            .alias("total_tokens"),
+            "interleave_sig",
+            "pixel_check",
+        )
     )

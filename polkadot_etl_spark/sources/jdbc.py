@@ -84,6 +84,43 @@ def day_range_predicates(column: str, start_day: str, n_days: int) -> list[str]:
     return preds
 
 
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+_DERBY_SEEDED: dict[tuple[str, str], str] = {}  # (sf_dir, table) -> jdbc url
+
+
+def derby_seeded_url(
+    spark: SparkSession, df: DataFrame, sf_dir: str, table: str
+) -> str:
+    """Seed an embedded Apache Derby database with ``df`` through
+    spark's OWN JDBC sink and return the url for reading it back — the
+    sandbox-local stand-in for the reference's live MySQL (substrate/
+    polkaholicDB.js): no database server ships in this environment, but
+    the Derby jars ship inside pyspark itself, so BOTH halves of the
+    JDBC binding (DataFrameWriter.jdbc -> Derby -> spark.read.jdbc with
+    an explicit partition plan) execute for real. Embedded Derby lives
+    inside the driver JVM — fine on local[N] where executors share it;
+    on a real cluster this helper is test scaffolding and the url
+    points at the actual MySQL/Postgres instead.
+
+    Seeding happens once per (process, sf_dir, table); derby.system.home
+    is pointed at the scratch dir BEFORE the first connection so
+    derby.log never lands in the repo."""
+    key = (sf_dir, table)
+    if key not in _DERBY_SEEDED:
+        import os
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="spark_derby_")
+        spark._jvm.java.lang.System.setProperty("derby.system.home", base)
+        url = f"jdbc:derby:{os.path.join(base, 'db')};create=true"
+        df.write.jdbc(
+            url=url, table=table, mode="overwrite",
+            properties={"driver": DERBY_DRIVER},
+        )
+        _DERBY_SEEDED[key] = url
+    return _DERBY_SEEDED[key]
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,

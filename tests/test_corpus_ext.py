@@ -912,3 +912,60 @@ def test_snm_pair_set_invariant_under_underfull_partitions(spark):
     wide, single = pairs(64), pairs(1)
     assert wide == single
     assert len(single) > 0
+
+
+def test_snm_multipass_attribution_and_consistency(spark):
+    """Multi-pass SNM: pass 1 must reproduce the single-pass pair set
+    exactly (same verdict integers under normalized pair identity), the
+    suffix key must contribute unique pairs (the measured recall gain
+    the docstring quotes), the keys must also overlap somewhere (a
+    fully disjoint union would mean the passes see different corpora),
+    and the pair-identity Exchange must not carry vocab arrays."""
+    import re
+
+    from polkadot_etl_spark.queries import corpus_ext as cx
+
+    multi = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["snm_multipass_dedup"].build(spark, SF_DIR).collect()
+    }
+    single = QUERIES["sorted_neighborhood_dedup"].build(spark, SF_DIR).collect()
+    single_pairs = set()
+    for r in single:
+        lo, hi = sorted((r.doc_a, r.doc_b))
+        single_pairs.add((lo, hi))
+        m = multi[(lo, hi)]
+        assert m.in_pass1, (lo, hi)
+        assert (m.n_inter, m.n_union) == (r.n_inter, r.n_union), (lo, hi)
+    pass1 = {k for k, m in multi.items() if m.in_pass1}
+    assert pass1 == single_pairs, "pass 1 != single-pass pair set"
+    assert any(m.in_pass2 and not m.in_pass1 for m in multi.values()), (
+        "suffix key added nothing — the multi-pass gain is vacuous"
+    )
+    assert any(m.in_pass1 and m.in_pass2 for m in multi.values())
+    for m in multi.values():
+        assert m.doc_a < m.doc_b
+        assert m.jaccard_ppm >= cx.SNM_MIN_PPM
+        assert m.in_pass1 or m.in_pass2
+    plan = (
+        QUERIES["snm_multipass_dedup"]
+        .build(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # formatted mode puts Exchange keys on the detail block's Arguments
+    # line — split the detail section into per-node blocks
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    pair_exchanges = [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning(lo" in b
+    ]
+    assert pair_exchanges, "pair-identity exchange missing"
+    assert not any("vocab" in b for b in pair_exchanges), pair_exchanges

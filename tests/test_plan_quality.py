@@ -1750,3 +1750,72 @@ def test_pack_bins_ffd_plan_and_packing_invariants(spark):
         assert r.bins_used >= r.bins_lower_bound, r
         assert r.bins_used * cx.PACK_CAP >= r.total_tokens, r
         assert 0 <= r.waste_ppm < 1_000_000, r
+
+
+def test_mmc4_interleaved_plan_and_assembly_semantics(spark):
+    """mmc4_interleaved_docs (r13): pixels never shuffle — every
+    Exchange carries ids/counts/digests only (no raster_text, no PNG
+    content), the codec is exactly ONE Arrow wave, no cartesian. The
+    formatted plan prints each node twice (tree + detail), so the wave
+    count divides by two. Assembly semantics recomputed in Python on a
+    sample: each image sits after its max-overlap chunk (ties ->
+    earliest), the cap accounting is exact, and both cap branches
+    (dropped / not dropped) carry fixture coverage."""
+    plan = _plan(spark, "mmc4_interleaved_docs")
+    assert "CartesianProduct" not in plan
+    n_map_waves = len(re.findall(r"MapInPandas", plan))
+    assert n_map_waves in (1, 2), f"codec must be one wave: {n_map_waves}"
+    exchanges = re.split(r"\n(?=\(\d+\) )", plan)
+    for b in exchanges:
+        if re.match(r"\(\d+\) Exchange", b):
+            assert "raster_text" not in b, b
+            assert "content" not in b, b
+    from polkadot_etl_spark.queries import corpus_ext as cx
+    from polkadot_etl_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in
+            QUERIES["mmc4_interleaved_docs"].build(spark, SF_DIR).collect()}
+    assert any(r.n_images_dropped > 0 for r in rows.values()), "cap branch dry"
+    assert any(r.n_images_dropped == 0 for r in rows.values())
+    import re as _re
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    checked = 0
+    for d in sorted(docs, key=lambda x: x.doc_id)[:40]:
+        w = _re.findall(r"[a-z]+", d.text.lower())
+        if not w:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        cwn = cx.MMC4_CHUNK_WORDS
+        iwn = cx.MMC4_IMG_WORDS
+        n_chunks = (len(w) + cwn - 1) // cwn
+        n_blocks = (len(w) + iwn - 1) // iwn
+        n_imgs = min(n_blocks, cx.MMC4_MAX_IMAGES)
+        assert r.n_words == len(w)
+        assert r.n_chunks == n_chunks
+        assert r.n_images == n_imgs
+        assert r.n_images_dropped == max(n_blocks - cx.MMC4_MAX_IMAGES, 0)
+        assert r.image_tokens == n_imgs * cx.MMC4_IMG_TOKENS
+        assert r.total_tokens == r.n_words + r.image_tokens
+        # independent placement replay -> interleave signature
+        chunks = [sorted(set(w[c * cwn:(c + 1) * cwn])) for c in range(n_chunks)]
+        placed: dict[int, list[int]] = {}
+        for b in range(n_imgs):
+            aw = set(w[b * iwn:(b + 1) * iwn])
+            best = max(range(n_chunks),
+                       key=lambda c: (len(aw & set(chunks[c])), -c))
+            placed.setdefault(best, []).append(b)
+        segs = ["t%d" % c + "".join("|i%d" % b for b in sorted(placed.get(c, [])))
+                for c in range(n_chunks)]
+        import hashlib
+
+        assert r.interleave_sig == hashlib.md5("|".join(segs).encode()).hexdigest(), d.doc_id
+        # pixel check: decoded raster sums = raw byte sums
+        exp = sum(
+            sum(" ".join(w[b * iwn:(b + 1) * iwn]).encode("utf-8")[:256])
+            for b in range(n_imgs)
+        )
+        assert r.pixel_check == exp, d.doc_id
+        checked += 1
+    assert checked >= 30

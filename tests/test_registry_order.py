@@ -280,12 +280,13 @@ _DEMOTED_GREEN = {
     "shuffle_skew_audit",  # r9 green; the salting-decision card,
     # locally oracle-verified
     "embedding_top_pc_power",  # r9 green; the power-iteration loop is
-    # COMPOSED by the new in-window embedding_abtt_isotropy_delta every
-    # round (via _pc_power_direction — the strongest demotion form) and
-    # stays numpy-model-pinned in pytest
+    # COMPOSED by embedding_abtt_isotropy_delta (r11+r12 green, demoted
+    # r13) via _pc_power_direction and stays numpy-model-pinned in
+    # pytest + locally oracle-verified every session
     "embedding_abtt_card",  # r9 green; its projection mechanism re-runs
-    # inside the new in-window embedding_abtt_isotropy_delta (same
-    # direction, same 128-bit-lane share math), locally oracle-verified
+    # inside embedding_abtt_isotropy_delta (r11+r12 green, demoted r13 —
+    # same direction, same 128-bit-lane share math), locally
+    # oracle-verified every session
     # --- ROUND-12 ROTATION demotions (every entry r11-green,
     # CORRECTNESS_r11.json 50/50 zero err; slots went to the r7 tail +
     # the codegen-compaction changed set + the oldest r8 slice)
@@ -350,6 +351,23 @@ _DEMOTED_GREEN = {
     # tested in tests/test_multimodal
     "audio_energy_hash_dedup",  # r4..r7+r11 green; 8-bit WAV round trip
     # re-runs inside audio_silence_trim (in-window r12)
+    # --- ROUND-13 ROTATION demotions (every entry r12-green,
+    # CORRECTNESS_r12.json 50/50 zero err; slots went to the four new
+    # r13 queries + the full r8 tail + the oldest r9 slice)
+    "prefix_cache_buckets",  # r12 green; the digest-keyed groupBy is
+    # dedup_exact's discipline (demoted-green family), locally
+    # oracle-verified + plan-pinned every session
+    "filter_threshold_sweep",  # r12 green; its z10 HOF fold is shared
+    # VERBATIM with quality_classifier_logit and re-runs inside the new
+    # in-window mixture_doremi_weights' loss stage family; locally
+    # oracle-verified + monotonicity-pinned every session
+    "heaps_vocab_growth",  # r12 green; one word->min(doc_id) ledger,
+    # locally oracle-verified + telescoping-pinned every session
+    "pack_bins_ffd",  # r12 green; sharded FFD fold, locally
+    # oracle-verified + exactly-2-Exchange plan-pinned every session
+    "embedding_abtt_isotropy_delta",  # r11+r12 green; composes
+    # _pc_power_direction (numpy-model-pinned in pytest) and the
+    # isotropy card math; locally oracle-verified every session
 }
 
 
