@@ -23,14 +23,14 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 #
 # ROUND-13 ROTATION (oldest-first under the <=6-round staleness pin,
 # tests/test_registry_order.py::test_registry_freshness_max_staleness):
-# in-window this round are (a) the flagship, (b) the four new r13
+# in-window this round are (a) the flagship, (b) the five new r13
 # queries, (c) the two queries whose CODE changed this round after
 # their r12 green rows (the chained-ghost SNM rewrite and the unimax
 # zero-token guard), (d) corpus_daily_increment_replay, kept in-window
 # deliberately — several _DEMOTED_GREEN notes lean on its composed
 # replay skeleton / IVF maintenance re-running in-window every round,
 # and (e) the ENTIRE r8 tail (32 entries, the oldest green rows — the
-# staleness wall the r12 verdict called out) plus the oldest 10 of the
+# staleness wall the r12 verdict called out) plus the oldest 9 of the
 # r9 tail alphabetically, pulling the next wall forward before the
 # ratchet forces it. Every demotion is r12-green (CORRECTNESS_r12.json,
 # 50/50 zero err); the five demoted corpus_ext entries gain
@@ -40,12 +40,14 @@ _PRIORITY: list[str] = [
     "tpch_q1",
     # --- NEW this round: DoReMi iterative mixture reweighting, the
     # multi-pass SNM union with per-pass attribution, MMC4-style
-    # interleaved multimodal document assembly, and the Derby-backed
-    # end-to-end JDBC round trip (retires the S3 planner-only partial)
+    # interleaved multimodal document assembly, the Derby-backed
+    # end-to-end JDBC round trip (retires the S3 planner-only partial),
+    # and RHO-loss doc-level data selection
     "mixture_doremi_weights",
     "snm_multipass_dedup",
     "mmc4_interleaved_docs",
     "jdbc_derby_roundtrip",
+    "rholoss_doc_selection",
     # --- changed-code re-greens (r12-green, code changed this round)
     "sorted_neighborhood_dedup",
     "unimax_mixture_budget",
@@ -84,7 +86,7 @@ _PRIORITY: list[str] = [
     "video_keyframe_sample",
     "xcm_trace_spans",
     "xcmtransfers_wide",
-    # --- the oldest 10 of the r9 tail (alphabetical) — pulled forward
+    # --- the oldest 9 of the r9 tail (alphabetical) — pulled forward
     # so the r9 wall (47 entries due at r16) starts draining now
     "active_accounts_union",
     "ann_dim_truncation_audit",
@@ -95,7 +97,6 @@ _PRIORITY: list[str] = [
     "bm25_champion_prune",
     "bm25_rm3_expansion",
     "bm25_topk_retrieval",
-    "channel_daily_summary",
 ]
 
 

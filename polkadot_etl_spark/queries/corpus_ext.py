@@ -9944,3 +9944,142 @@ def mmc4_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_check",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RHO-loss doc-level data selection (Mindermann et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rholoss_doc_selection",
+    oracle=f"""
+WITH wd AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM wd GROUP BY w),
+tots AS (SELECT SUM(c) AS tot, COUNT(*) AS v FROM cnt),
+ct AS (
+  SELECT w, CAST(ROUND(ln(CAST(c AS DOUBLE)
+                          / CAST((SELECT tot FROM tots) AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS logp
+  FROM cnt
+),
+scnt AS (
+  SELECT w, COUNT(*) AS c FROM wd
+  WHERE source = '{BIGRAM_SEED_SOURCE}' GROUP BY w
+),
+stot AS (SELECT COALESCE(SUM(c), 0) AS tot FROM scnt),
+rt AS (
+  SELECT cnt.w,
+         CAST(ROUND(ln(CAST(COALESCE(scnt.c, 0) + 1 AS DOUBLE)
+                       / CAST((SELECT tot FROM stot)
+                              + (SELECT v FROM tots) AS DOUBLE)), 6)
+              AS DECIMAL(12,6)) AS logp_ref
+  FROM cnt LEFT JOIN scnt USING (w)
+),
+perdoc AS (
+  SELECT wd.doc_id, COUNT(*) AS n,
+         SUM(ct.logp) AS st, SUM(rt.logp_ref) AS sr
+  FROM wd JOIN ct USING (w) JOIN rt USING (w)
+  GROUP BY wd.doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(CAST(-st * 1000000 AS HUGEINT) // n AS BIGINT)
+         AS loss_train_micro_nats,
+       CAST(CAST(-sr * 1000000 AS HUGEINT) // n AS BIGINT)
+         AS loss_ref_micro_nats,
+       CAST(CAST(-st * 1000000 AS HUGEINT) // n
+            - CAST(-sr * 1000000 AS HUGEINT) // n AS BIGINT)
+         AS rho_micro_nats,
+       CAST(-st * 1000000 AS HUGEINT) // n
+         > CAST(-sr * 1000000 AS HUGEINT) // n AS selected
+FROM perdoc
+""",
+    doc="RHO-loss data selection (Mindermann et al. 2022, 'Prioritized "
+    "Training on Points that are Learnable, Worth Learning, and Not "
+    "Yet Learnt'; applied to LM pretraining as RHO-1, Lin et al. "
+    "2024) — the DOC-level complement of mixture_doremi_weights' "
+    "domain-level reweighting: score each document by reducible "
+    "holdout loss, RHO(x) = L_train(x) - L_holdout(x). The training "
+    "loss proxy is per-word cross-entropy under the corpus unigram LM "
+    "(the 'current model' role, shared construction with "
+    "unigram_perplexity); the holdout/reference loss is cross-entropy "
+    f"under a Laplace-smoothed unigram LM of the '{BIGRAM_SEED_SOURCE}' "
+    "seed corpus (the clean-holdout reference-model role "
+    "bigram_perplexity_backoff's seed plays) — p_ref(w) = "
+    "(c_seed+1)/(tot_seed+V) over the FULL corpus vocabulary, so every "
+    "corpus word scores without an OOV special case. Both losses are "
+    "EXACT integer micro-nats per word (round-6 decimal log-prob sums, "
+    "one truncating division each, numerators positive so div = "
+    "floor); rho is their difference and selected = rho > 0 — high "
+    "train loss the clean reference does NOT share marks learnable, "
+    "non-noise documents (the paper's selection rule, thresholded at "
+    "zero excess). Zero-word docs carry no loss and emit no row (the "
+    "gate upstream drops them). Scale shape: one corpus word "
+    "aggregate, one seed aggregate, two broadcast LM dims, ONE "
+    "groupBy(doc_id) — the same shuffle budget as unigram_perplexity.",
+    tags=("corpus", "quality", "sampling"),
+)
+def rholoss_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    wd = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", "source", F.explode(words).alias("w")
+    )
+    corpus_dim = _unigram_lm_dim(wd).select("w", "logp").localCheckpoint(
+        eager=True
+    )
+    # two driver scalars (bounded: one 1-row aggregate) — the corpus
+    # vocabulary size V and the seed token total, literals in the
+    # Laplace formula exactly as the oracle's scalar subqueries
+    v_size = corpus_dim.count()
+    seed_cnt = (
+        wd.where(F.col("source") == BIGRAM_SEED_SOURCE)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seed_tot = (
+        seed_cnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t")).collect()[0][
+            "t"
+        ]
+    )
+    ref_dim = (
+        corpus_dim.select("w")
+        .join(seed_cnt, "w", "left")
+        .select(
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / F.lit(float(seed_tot + v_size))
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("logp_ref"),
+        )
+    )
+    perdoc = (
+        wd.join(F.broadcast(corpus_dim), "w")
+        .join(F.broadcast(ref_dim), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (-F.sum("logp") * 1_000_000).cast("long").alias("neg_t"),
+            (-F.sum("logp_ref") * 1_000_000).cast("long").alias("neg_r"),
+        )
+    )
+    lt = F.expr("neg_t div n")
+    lr = F.expr("neg_r div n")
+    return perdoc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        lt.alias("loss_train_micro_nats"),
+        lr.alias("loss_ref_micro_nats"),
+        (lt - lr).alias("rho_micro_nats"),
+        (lt > lr).alias("selected"),
+    )

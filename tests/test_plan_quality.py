@@ -1819,3 +1819,41 @@ def test_mmc4_interleaved_plan_and_assembly_semantics(spark):
         assert r.pixel_check == exp, d.doc_id
         checked += 1
     assert checked >= 30
+
+
+def test_rholoss_selection_plan_and_semantics(spark):
+    """rholoss_doc_selection (r13): one corpus word aggregate + two
+    broadcast LM dims + ONE groupBy(doc_id) — unigram_perplexity's
+    shuffle budget, no Python, no cartesian. Semantics beyond the
+    oracle hash: rho telescopes exactly (train - ref in floored
+    micro-nats), both selection branches carry fixture coverage, and
+    the seed source's own documents must skew toward SELECTION — they
+    draw from the holdout distribution, so their holdout loss is low
+    and their reducible loss (train - holdout) high: RHO's 'clean and
+    learnable' points are exactly the ones that look like the trusted
+    reference (the paper's noise filter working as designed)."""
+    from polkadot_etl_spark.queries import corpus_ext as cx
+    from polkadot_etl_spark.sources.tables import load_table
+
+    plan = _plan(spark, "rholoss_doc_selection")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = QUERIES["rholoss_doc_selection"].build(spark, SF_DIR).collect()
+    assert any(r.selected for r in rows) and any(not r.selected for r in rows)
+    for r in rows:
+        assert r.rho_micro_nats == (
+            r.loss_train_micro_nats - r.loss_ref_micro_nats
+        )
+        assert r.selected == (r.rho_micro_nats > 0)
+        assert r.n_words > 0 and r.loss_train_micro_nats > 0
+    src = {
+        d.doc_id: d.source
+        for d in load_table(spark, SF_DIR, "documents").collect()
+    }
+    seed = [r for r in rows if src[r.doc_id] == cx.BIGRAM_SEED_SOURCE]
+    rest = [r for r in rows if src[r.doc_id] != cx.BIGRAM_SEED_SOURCE]
+    assert seed and rest
+    seed_rate = sum(r.selected for r in seed) / len(seed)
+    rest_rate = sum(r.selected for r in rest) / len(rest)
+    assert seed_rate > rest_rate, (seed_rate, rest_rate)
