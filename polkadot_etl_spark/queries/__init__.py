@@ -23,14 +23,14 @@ from polkadot_etl_spark.queries import corpus_ext  # noqa: F401,E402
 #
 # ROUND-13 ROTATION (oldest-first under the <=6-round staleness pin,
 # tests/test_registry_order.py::test_registry_freshness_max_staleness):
-# in-window this round are (a) the flagship, (b) the five new r13
+# in-window this round are (a) the flagship, (b) the six new r13
 # queries, (c) the two queries whose CODE changed this round after
 # their r12 green rows (the chained-ghost SNM rewrite and the unimax
 # zero-token guard), (d) corpus_daily_increment_replay, kept in-window
 # deliberately — several _DEMOTED_GREEN notes lean on its composed
 # replay skeleton / IVF maintenance re-running in-window every round,
 # and (e) the ENTIRE r8 tail (32 entries, the oldest green rows — the
-# staleness wall the r12 verdict called out) plus the oldest 9 of the
+# staleness wall the r12 verdict called out) plus the oldest 8 of the
 # r9 tail alphabetically, pulling the next wall forward before the
 # ratchet forces it. Every demotion is r12-green (CORRECTNESS_r12.json,
 # 50/50 zero err); the five demoted corpus_ext entries gain
@@ -42,12 +42,13 @@ _PRIORITY: list[str] = [
     # multi-pass SNM union with per-pass attribution, MMC4-style
     # interleaved multimodal document assembly, the Derby-backed
     # end-to-end JDBC round trip (retires the S3 planner-only partial),
-    # and RHO-loss doc-level data selection
+    # RHO-loss doc-level data selection, and the dedup-family Venn
     "mixture_doremi_weights",
     "snm_multipass_dedup",
     "mmc4_interleaved_docs",
     "jdbc_derby_roundtrip",
     "rholoss_doc_selection",
+    "dedup_family_venn",
     # --- changed-code re-greens (r12-green, code changed this round)
     "sorted_neighborhood_dedup",
     "unimax_mixture_budget",
@@ -86,7 +87,7 @@ _PRIORITY: list[str] = [
     "video_keyframe_sample",
     "xcm_trace_spans",
     "xcmtransfers_wide",
-    # --- the oldest 9 of the r9 tail (alphabetical) — pulled forward
+    # --- the oldest 8 of the r9 tail (alphabetical) — pulled forward
     # so the r9 wall (47 entries due at r16) starts draining now
     "active_accounts_union",
     "ann_dim_truncation_audit",
@@ -96,7 +97,6 @@ _PRIORITY: list[str] = [
     "block_at_timestamp",
     "bm25_champion_prune",
     "bm25_rm3_expansion",
-    "bm25_topk_retrieval",
 ]
 
 

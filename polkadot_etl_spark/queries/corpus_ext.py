@@ -9395,6 +9395,42 @@ p{tag} AS (
 )"""
 
 
+def _snm_verified_legs(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The two multi-pass SNM legs, each a VERIFIED pair frame
+    (lo, hi, n_inter, n_union, pass_no) at >= SNM_MIN_PPM vocabulary
+    Jaccard under normalized pair identity — shared by
+    snm_multipass_dedup (which adds per-pass attribution) and
+    dedup_family_venn (which takes the union as one family)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = F.array_sort(
+        F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    )
+    base = d.select("doc_id", vocab.alias("vocab")).where(F.size("vocab") > 0)
+    keys = {
+        1: F.array_join(F.slice(F.col("vocab"), 1, SNM_KEY_WORDS), " "),
+        2: F.array_join(F.slice(F.reverse(F.col("vocab")), 1, SNM_KEY_WORDS), " "),
+    }
+    legs = []
+    for pass_no, key in keys.items():
+        k = base.select("doc_id", "vocab", key.alias("skey"))
+        nbr = _snm_neighbor_pairs(k).where(F.col("doc_b").isNotNull())
+        n_inter = F.size(F.array_intersect("va", "vb")).cast("long")
+        leg = (
+            nbr.select(
+                F.least("doc_a", "doc_b").alias("lo"),
+                F.greatest("doc_a", "doc_b").alias("hi"),
+                n_inter.alias("n_inter"),
+                (F.size("va") + F.size("vb") - n_inter)
+                .cast("long")
+                .alias("n_union"),
+            )
+            .where(F.expr(f"n_inter * 1000000L div n_union >= {SNM_MIN_PPM}"))
+            .withColumn("pass_no", F.lit(pass_no))
+        )
+        legs.append(leg)
+    return legs
+
+
 @query(
     "snm_multipass_dedup",
     oracle=f"""
@@ -9454,33 +9490,7 @@ FROM f GROUP BY lo, hi
     tags=("dedup", "similarity", "corpus"),
 )
 def snm_multipass_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    vocab = F.array_sort(
-        F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-    )
-    base = d.select("doc_id", vocab.alias("vocab")).where(F.size("vocab") > 0)
-    keys = {
-        1: F.array_join(F.slice(F.col("vocab"), 1, SNM_KEY_WORDS), " "),
-        2: F.array_join(F.slice(F.reverse(F.col("vocab")), 1, SNM_KEY_WORDS), " "),
-    }
-    legs = []
-    for pass_no, key in keys.items():
-        k = base.select("doc_id", "vocab", key.alias("skey"))
-        nbr = _snm_neighbor_pairs(k).where(F.col("doc_b").isNotNull())
-        n_inter = F.size(F.array_intersect("va", "vb")).cast("long")
-        leg = (
-            nbr.select(
-                F.least("doc_a", "doc_b").alias("lo"),
-                F.greatest("doc_a", "doc_b").alias("hi"),
-                n_inter.alias("n_inter"),
-                (F.size("va") + F.size("vb") - n_inter)
-                .cast("long")
-                .alias("n_union"),
-            )
-            .where(F.expr(f"n_inter * 1000000L div n_union >= {SNM_MIN_PPM}"))
-            .withColumn("pass_no", F.lit(pass_no))
-        )
-        legs.append(leg)
+    legs = _snm_verified_legs(spark, sf_dir)
     u = legs[0].unionByName(legs[1])
     return (
         u.groupBy("lo", "hi")
@@ -10082,4 +10092,190 @@ def rholoss_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr.alias("loss_ref_micro_nats"),
         (lt - lr).alias("rho_micro_nats"),
         (lt > lr).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family attribution Venn (which near-dup pairs does each
+# candidate-generation family actually surface?)
+# ---------------------------------------------------------------------------
+
+VENN_GRAM_MIN = 3  # pairs sharing >= this many distinct word-5-grams
+VENN_GRAM_CAP = 64  # grams in more docs are stopword-like (LSH's cap rule)
+
+
+def _venn_oracle() -> str:
+    from polkadot_etl_spark.queries.llmdata import _DUCK_SIG, BUCKET_CAP
+
+    return f"""
+WITH {_DUCK_SIG},
+sized AS (
+  SELECT doc_id, band, minhash,
+         COUNT(*) OVER (PARTITION BY band, minhash) AS bucket_size
+  FROM sig
+),
+capped AS (SELECT * FROM sized WHERE bucket_size <= {BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+lshp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+snmd AS (
+  SELECT doc_id, list_sort(list_distinct(
+           regexp_extract_all(lower(text), '[a-z]+'))) AS vocab
+  FROM documents
+),
+kbase AS (SELECT doc_id, vocab FROM snmd WHERE len(vocab) > 0),
+{_snm_oracle_nbr("1", f"array_to_string(vocab[1:{SNM_KEY_WORDS}], ' ')")},
+{_snm_oracle_nbr(
+    "2", f"array_to_string(list_reverse(vocab)[1:{SNM_KEY_WORDS}], ' ')"
+)},
+snmu AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+snmp AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS doc_a,
+                  GREATEST(doc_a, doc_b) AS doc_b
+  FROM snmu
+  WHERE doc_b IS NOT NULL
+    AND len(list_intersect(va, vb)) * 1000000
+        // (len(va) + len(vb) - len(list_intersect(va, vb)))
+        >= {SNM_MIN_PPM}
+),
+gw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+gs AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(words[i:i+4], ' ')) AS gh
+  FROM gw, LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+),
+gsized AS (
+  SELECT gh FROM gs GROUP BY gh
+  HAVING COUNT(*) BETWEEN 2 AND {VENN_GRAM_CAP}
+),
+gp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gs a JOIN gsized USING (gh) JOIN gs b USING (gh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {VENN_GRAM_MIN}
+),
+fam AS (
+  SELECT 'lsh' AS fam, doc_a, doc_b FROM lshp
+  UNION ALL SELECT 'snm', doc_a, doc_b FROM snmp
+  UNION ALL SELECT 'gram', doc_a, doc_b FROM gp
+),
+flags AS (
+  SELECT doc_a, doc_b,
+         MAX(CASE WHEN fam = 'lsh' THEN 1 ELSE 0 END) = 1 AS in_lsh,
+         MAX(CASE WHEN fam = 'snm' THEN 1 ELSE 0 END) = 1 AS in_snm,
+         MAX(CASE WHEN fam = 'gram' THEN 1 ELSE 0 END) = 1 AS in_gram
+  FROM fam GROUP BY doc_a, doc_b
+)
+SELECT in_lsh, in_snm, in_gram, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM flags GROUP BY in_lsh, in_snm, in_gram
+"""
+
+
+@query(
+    "dedup_family_venn",
+    oracle=_venn_oracle(),
+    doc="Dedup-family attribution Venn — gate_attribution_audit's "
+    "discipline applied to CANDIDATE GENERATION: the three text-side "
+    "near-dup families each produce their verified pair set over the "
+    "same corpus and the card reports every Venn region's pair count, "
+    "answering the curation question 'which family is load-bearing, "
+    "which is redundant, and where do they disagree'. Families: (1) "
+    "character-shingle MinHash-LSH banding verified at exact shingle-"
+    "set Jaccard >= 0.5 (dedup_ngram_jaccard's full plan, composed by "
+    "calling it); (2) multi-pass sorted-neighborhood, both keys, at "
+    ">= 0.5 distinct-VOCABULARY Jaccard (the shared _snm_verified_legs "
+    "— a deliberately looser, order-free gate, so SNM dominates raw "
+    "counts and the interesting regions are the overlaps); (3) shared "
+    f"word-5-gram pairs (>= {VENN_GRAM_MIN} distinct grams, gram "
+    f"buckets capped at {VENN_GRAM_CAP} docs — the stopword-gram rule "
+    "LSH banding applies via BUCKET_CAP; both caps' drop accounting "
+    "lives in the families' own queries, lsh_dropped_buckets et al.). "
+    "The embedding-side family (SemDeDup) keys a different id space "
+    "(vec_id) and is excluded by design. Scale shape: each leg is its "
+    "family's own bucketed/windowed plan — never all-pairs; the Venn "
+    "itself shuffles only (doc_a, doc_b, tag) triples and emits <= 7 "
+    "rows.",
+    tags=("dedup", "corpus", "metric"),
+)
+def dedup_family_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.queries.llmdata import dedup_ngram_jaccard
+
+    lsh = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("lsh").alias("fam")
+    )
+    legs = _snm_verified_legs(spark, sf_dir)
+    snm = (
+        legs[0]
+        .unionByName(legs[1])
+        .select(
+            F.col("lo").alias("doc_a"),
+            F.col("hi").alias("doc_b"),
+            F.lit("snm").alias("fam"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    from polkadot_etl_spark.queries.llmdata import _word_grams
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    gs = (
+        d.select(
+            "doc_id", F.explode(_word_grams(F.split(F.col("text"), " "))).alias("g")
+        )
+        .select("doc_id", F.md5("g").alias("gh"))
+        .dropDuplicates()
+    )
+    buckets = (
+        gs.groupBy("gh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= VENN_GRAM_CAP))
+    )
+    gram = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " b -> struct(a as doc_a, b as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= VENN_GRAM_MIN)
+        .select("doc_a", "doc_b", F.lit("gram").alias("fam"))
+    )
+    u = lsh.unionByName(snm).unionByName(gram)
+    flags = u.groupBy("doc_a", "doc_b").agg(
+        (F.max(F.when(F.col("fam") == "lsh", 1).otherwise(0)) == 1).alias(
+            "in_lsh"
+        ),
+        (F.max(F.when(F.col("fam") == "snm", 1).otherwise(0)) == 1).alias(
+            "in_snm"
+        ),
+        (F.max(F.when(F.col("fam") == "gram", 1).otherwise(0)) == 1).alias(
+            "in_gram"
+        ),
+    )
+    return flags.groupBy("in_lsh", "in_snm", "in_gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )

@@ -1857,3 +1857,24 @@ def test_rholoss_selection_plan_and_semantics(spark):
     seed_rate = sum(r.selected for r in seed) / len(seed)
     rest_rate = sum(r.selected for r in rest) / len(rest)
     assert seed_rate > rest_rate, (seed_rate, rest_rate)
+
+
+def test_dedup_family_venn_cross_query_conservation(spark):
+    """dedup_family_venn (r13): the Venn's marginals must equal the
+    component queries' own pair counts EXACTLY — the card is an
+    attribution over the same verified sets, not a re-derivation that
+    could drift. Also: no all-false region can exist, the SNM-only
+    region must be nonempty (its vocabulary gate is deliberately
+    looser), and some region where all three families agree must exist
+    (the true near-dups every family finds)."""
+    rows = QUERIES["dedup_family_venn"].build(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 7
+    assert all(r.in_lsh or r.in_snm or r.in_gram for r in rows)
+    assert any(r.in_snm and not r.in_lsh and not r.in_gram for r in rows)
+    assert any(r.in_lsh and r.in_snm and r.in_gram for r in rows)
+    snm_margin = sum(r.n_pairs for r in rows if r.in_snm)
+    lsh_margin = sum(r.n_pairs for r in rows if r.in_lsh)
+    snm_pairs = QUERIES["snm_multipass_dedup"].build(spark, SF_DIR).count()
+    lsh_pairs = QUERIES["dedup_ngram_jaccard"].build(spark, SF_DIR).count()
+    assert snm_margin == snm_pairs, (snm_margin, snm_pairs)
+    assert lsh_margin == lsh_pairs, (lsh_margin, lsh_pairs)
