@@ -96,23 +96,40 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hashes are hex strings compared lexicographically (fixed width →
     identical to numeric order) in both engines.
     """
-    # Fan-out operator: one input row becomes ~n_chars shingle rows, so
-    # input splits must be sized by OUTPUT volume. A compact parquet file
-    # arrives as one split; repartition before the explode or the whole
-    # shingle/digest pipeline runs on a single core (same rule at 100 TB,
-    # just with maxPartitionBytes instead).
-    # min over a multiset == min over its distinct set, so dedupe the
-    # shingle array BEFORE exploding: ~40% fewer md5s on this corpus
-    # (small vocab → many repeated 5-grams), oracle unchanged.
+    # Heavy per-doc compute: spread docs across cores first (a compact
+    # parquet file is one split; same rule at 100 TB via
+    # maxPartitionBytes). min over a multiset == min over its distinct
+    # set, so dedupe the shingle array first: ~40% fewer md5s on this
+    # corpus (small vocab → many repeated 5-grams), oracle unchanged.
+    #
+    # r13 optimization (guide §2.4): the per-doc minima are computed
+    # INSIDE the array world — stage one md5 per distinct shingle, then
+    # array_min per 8-hex slice — instead of explode → groupBy(doc_id)
+    # min(string). The old shape shuffled ~1k rows/doc and, because
+    # min(string) has a var-length agg buffer, planned as partial+final
+    # SortAggregate (two full sorts of the exploded shingle stream);
+    # the array form is pure map-side projection: no Generate, no
+    # Exchange, no sort, identical minima (8-hex-char slices compare
+    # lexicographically == numerically).
     hs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.lower("text").alias("lt"))
-        .select("doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle"))
-        .select("doc_id", F.md5("shingle").alias("h"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(_spark_shingles()), lambda s: F.md5(s)
+            ).alias("ha"),
+        )
     )
-    mins = hs.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 1 + 8 * b, 8)).alias(f"m{b}") for b in range(N_BANDS)]
+    mins = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("ha", lambda h: F.substring(h, 1 + 8 * b, 8))
+            ).alias(f"m{b}")
+            for b in range(N_BANDS)
+        ],
     )
     stack_args = ", ".join(f"{b}, m{b}" for b in range(N_BANDS))
     return mins.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) as (b, minhash)").select(
@@ -295,7 +312,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.lower("text").alias("lt"))
-        .select("doc_id", F.array_sort(F.array_distinct(_spark_shingles())).alias("sh_set"))
+        .select("doc_id", F.array_distinct(_spark_shingles()).alias("sh_set"))
+        # (r13: no array_sort — array_intersect/size have set semantics
+        # and the arrays never reach the output, so sorting each set was
+        # pure wasted per-doc O(n log n))
     )
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
@@ -391,18 +411,31 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 )
 def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     H, B = MINHASH_R2_HASHES, MINHASH_R2_BANDS
+    # r13 optimization (guide §2.4): same array_min restructure as
+    # _minhash_signatures — stage the 64-hex double digest once per
+    # distinct shingle, take the 8 per-doc minima map-side. Removes the
+    # shingle explode, the partial+final SortAggregate pair (min over
+    # var-length strings cannot hash-aggregate) and the doc_id Exchange.
     hs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.lower("text").alias("lt"))
-        .select("doc_id", F.explode(F.array_distinct(_spark_shingles())).alias("shingle"))
         .select(
             "doc_id",
-            F.concat(F.md5("shingle"), F.md5(F.concat(F.lit("b:"), F.col("shingle")))).alias("h"),
+            F.transform(
+                F.array_distinct(_spark_shingles()),
+                lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("b:"), s))),
+            ).alias("ha"),
         )
     )
-    mins = hs.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 1 + 8 * i, 8)).alias(f"s{i}") for i in range(H)]
+    mins = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("ha", lambda h: F.substring(h, 1 + 8 * i, 8))
+            ).alias(f"s{i}")
+            for i in range(H)
+        ],
     )
     stack_args = ", ".join(f"{k}, concat(s{2 * k}, s{2 * k + 1})" for k in range(B))
     sig = mins.selectExpr("doc_id", f"stack({B}, {stack_args}) as (band, bkey)")
@@ -429,7 +462,10 @@ def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.lower("text").alias("lt"))
-        .select("doc_id", F.array_sort(F.array_distinct(_spark_shingles())).alias("sh_set"))
+        .select("doc_id", F.array_distinct(_spark_shingles()).alias("sh_set"))
+        # (r13: no array_sort — array_intersect/size have set semantics
+        # and the arrays never reach the output, so sorting each set was
+        # pure wasted per-doc O(n log n))
     )
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))

@@ -120,28 +120,59 @@ def fork_resolving_sink(state_dir: str):
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch = batch_df.withColumn("log_dt", F.to_date("block_time"))
-        if batch.isEmpty():
-            return
+        # r13 (guide §1.2/§2.4): pin the micro-batch once. The eager
+        # localCheckpoint (a) evaluates the source exactly once — the
+        # old shape re-read/re-parsed the stream source for isEmpty,
+        # for the affected-partition collect AND under the merge write
+        # — and (b) detaches the merge/write plan from the incremental
+        # (streaming) execution, where AQE is force-disabled, so the
+        # state merge + partition-replace write get AQE's runtime
+        # partition coalescing instead of a fixed shuffle-partition
+        # fan-out per micro-batch (scale-adaptive by construction: the
+        # shuffle is sized by the batch's own bytes, local or cluster).
+        batch = (
+            batch_df.withColumn("log_dt", F.to_date("block_time"))
+            .localCheckpoint(eager=True)
+        )
+        # one bounded dim collect serves as both the empty-batch gate
+        # and the affected-(chain, day) set (the partition-replace unit)
         affected = [
             (r.chain_id, r.log_dt.isoformat())
             for r in batch.select("chain_id", "log_dt").dropDuplicates().collect()
         ]
+        if not affected:
+            return
+        # r13 (guide §6): read ONLY the affected partition dirs by path
+        # (basePath keeps the partition columns) with the candidate
+        # schema given explicitly — the old full-table read re-listed
+        # every (chain_id, log_dt) dir and re-read a parquet footer per
+        # micro-batch just to prune back down to the affected set.
         existing = None
-        if os.path.isdir(state_dir):
-            try:
-                state = spark.read.parquet(state_dir)
-                cond = None
-                for cid, day in affected:
-                    c = (F.col("chain_id") == cid) & (F.col("log_dt") == day)
-                    cond = c if cond is None else (cond | c)
-                existing = state.where(cond).select(*batch.columns)
-            except Exception:
-                existing = None  # first batch: no state yet
+        paths = [
+            p
+            for p in (
+                os.path.join(state_dir, f"chain_id={cid}", f"log_dt={day}")
+                for cid, day in affected
+            )
+            if os.path.isdir(p)
+        ]
+        if paths:
+            existing = (
+                spark.read.schema(CANDIDATE_SCHEMA)
+                .option("basePath", state_dir)
+                .parquet(*paths)
+                .select(*batch.columns)
+            )
         merged = batch if existing is None else batch.unionByName(existing)
         resolved = resolve_forks(merged)
+        # one write task per affected (chain, day) — hash-partitioning by
+        # the key cannot use more tasks than distinct keys, so the
+        # explicit count only trims empty tasks (and stops AQE from
+        # coalescing the keyed write to ONE task serializing every
+        # partition dir); cap at the session's parallelism
+        n_out = min(spark.sparkContext.defaultParallelism, len(affected))
         (
-            resolved.repartition("chain_id", "log_dt")
+            resolved.repartition(n_out, "chain_id", "log_dt")
             .write.mode("overwrite")
             .partitionBy("chain_id", "log_dt")
             .parquet(state_dir)
