@@ -6489,6 +6489,7 @@ def streaming_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             work,
             DEDUP_OUT_SCHEMA,
+            n_rows=REPLAY_DOCS,  # r13: size state partitions to the stream
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
@@ -6598,6 +6599,7 @@ def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             work,
             BAND_OUT_SCHEMA,
+            n_rows=REPLAY_DOCS,  # r13: size state partitions to the stream
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
@@ -8219,6 +8221,8 @@ def _incr_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             work,
             DEDUP_OUT_SCHEMA,
+            # r13: size state partitions to the bounded stream's rows
+            n_rows=sum(len(w) for w in waves),
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
