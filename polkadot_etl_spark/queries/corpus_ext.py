@@ -28,6 +28,7 @@ from polkadot_etl_spark.operators.srp import (
     srp_words_expr,
 )
 from polkadot_etl_spark.queries.llmdata import _DUCK_BUCKET as _LSH_DUCK_BUCKET
+from polkadot_etl_spark.queries.llmdata import _sq_norm as _sqn
 from polkadot_etl_spark.queries.registry import QUERIES, query
 from polkadot_etl_spark.sources.tables import load_table
 
@@ -2257,9 +2258,16 @@ def _ivf_rerank(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cell")
     )
-    qraw = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    # r13: norms staged per side — one HOF fold per pair (see _sq_norm)
+    qraw = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _sqn("embedding").alias("q_n"),
+    )
     nraw = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _sqn("embedding").alias("c_n"),
     )
     j = cand.join(F.broadcast(qraw.where(F.col("query_id") < 8)), "query_id").join(
         nraw, "neighbor_id"
@@ -2268,17 +2276,11 @@ def _ivf_rerank(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
     )
-    qn = F.expr(
-        "aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
-    )
-    cn = F.expr(
-        "aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
-    )
     scored = j.select(
         "query_id",
         "neighbor_id",
         "cell",
-        F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"),
+        F.round(dot / F.sqrt(F.col("q_n") * F.col("c_n")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -2905,11 +2907,31 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries here would train kmeans twice per audit — measured ~2x on
     # the audit's bench cost); same for the sketch scan, whose |Q| x m
     # candidate frame is checkpointed once (bounded at any corpus size)
-    assigned, probed, n_iter = _ivf_trained_parts(spark, sf_dir)
+    # r13 (guide §2.6): the two eager legs — the kmeans training loop's
+    # per-round driver actions and the sketch scan's checkpoint — are
+    # independent; submitting them from two driver threads lets the
+    # scheduler back-fill each leg's task tails with the other's tasks
+    # instead of running the legs strictly back to back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ivf = pool.submit(
+            inheritable_thread_target(_ivf_trained_parts), spark, sf_dir
+        )
+        f_sk = pool.submit(
+            inheritable_thread_target(
+                lambda: _sketch_prefiltered(spark, sf_dir).localCheckpoint(
+                    eager=True
+                )
+            )
+        )
+        assigned, probed, n_iter = f_ivf.result()
+        sk_cand = f_sk.result()
     ivf = _ivf_rerank(spark, sf_dir, assigned, probed, n_iter).select(
         F.col("query_id").alias("q_id"), F.col("neighbor_id").alias("c_id")
     )
-    sk_cand = _sketch_prefiltered(spark, sf_dir).localCheckpoint(eager=True)
     sk = _sketch_rerank(spark, sf_dir, sk_cand).select("q_id", "c_id")
     m = (
         lsh.withColumn("method", F.lit("lsh"))
@@ -6320,12 +6342,28 @@ JOIN ncand n ON n.query_id = c.query_id
     tags=("corpus", "retrieval", "audit"),
 )
 def hybrid_fusion_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bm = _rrf_bm_leg(spark, sf_dir).localCheckpoint(eager=True)
-    cand = (
-        _sketch_prefiltered(spark, sf_dir)
-        .where(F.col("q_id") < RRF_QUERIES)
-        .localCheckpoint(eager=True)
-    )
+    # r13 (guide §2.6): the BM25 leg and the sketch prefilter are
+    # independent eager checkpoints — overlap them from two driver
+    # threads so neither leg's task tail idles the other.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bm = pool.submit(
+            inheritable_thread_target(
+                lambda: _rrf_bm_leg(spark, sf_dir).localCheckpoint(eager=True)
+            )
+        )
+        f_cand = pool.submit(
+            inheritable_thread_target(
+                lambda: _sketch_prefiltered(spark, sf_dir)
+                .where(F.col("q_id") < RRF_QUERIES)
+                .localCheckpoint(eager=True)
+            )
+        )
+        bm = f_bm.result()
+        cand = f_cand.result()
     sk_leg = _sketch_rerank(spark, sf_dir, cand, topk=RRF_OUT).select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("item_id"),
@@ -6698,23 +6736,23 @@ FROM ov
 def ann_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dims = F.array(*[F.lit(d) for d in TRUNC_DIMS])
+    # r13: norms staged per side — one HOF fold per pair (see _sq_norm)
     sl = e.select(
         "vec_id", F.explode(dims).alias("td"), "embedding"
-    ).select("vec_id", "td", F.expr("slice(embedding, 1, td)").alias("e"))
+    ).select(
+        "vec_id",
+        "td",
+        F.expr("slice(embedding, 1, td)").alias("e"),
+    ).withColumn("c_n", _sqn("e"))
     qs = sl.where(F.col("vec_id") < TRUNC_NQ).select(
         F.col("td").alias("qtd"),
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("c_n").alias("q_n"),
     )
     dot = F.expr(
         "aggregate(zip_with(qe, e, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
-    )
-    qn = F.expr(
-        "aggregate(qe, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
-    )
-    cn = F.expr(
-        "aggregate(e, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"
     )
     w = Window.partitionBy("td", "query_id").orderBy(
         F.col("r").desc(), F.col("cand_id").asc()
@@ -6728,7 +6766,7 @@ def ann_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "td",
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(dot / F.sqrt(qn * cn), 6).alias("r"),
+            F.round(dot / F.sqrt(F.col("q_n") * F.col("c_n")), 6).alias("r"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TRUNC_K)
@@ -9414,12 +9452,12 @@ def _snm_verified_legs(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         1: F.array_join(F.slice(F.col("vocab"), 1, SNM_KEY_WORDS), " "),
         2: F.array_join(F.slice(F.reverse(F.col("vocab")), 1, SNM_KEY_WORDS), " "),
     }
-    legs = []
-    for pass_no, key in keys.items():
+
+    def _leg(pass_no: int, key) -> DataFrame:
         k = base.select("doc_id", "vocab", key.alias("skey"))
         nbr = _snm_neighbor_pairs(k).where(F.col("doc_b").isNotNull())
         n_inter = F.size(F.array_intersect("va", "vb")).cast("long")
-        leg = (
+        return (
             nbr.select(
                 F.least("doc_a", "doc_b").alias("lo"),
                 F.greatest("doc_a", "doc_b").alias("hi"),
@@ -9431,8 +9469,22 @@ def _snm_verified_legs(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             .where(F.expr(f"n_inter * 1000000L div n_union >= {SNM_MIN_PPM}"))
             .withColumn("pass_no", F.lit(pass_no))
         )
-        legs.append(leg)
-    return legs
+
+    # r13 (guide §2.6): each pass's build does eager work (the
+    # boundary-pinning range-sort checkpoint + the partition-count
+    # collect inside _snm_neighbor_pairs); the two passes are
+    # independent, so build them from two driver threads and let the
+    # scheduler overlap their jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(_leg), pass_no, key)
+            for pass_no, key in keys.items()
+        ]
+        return [f.result() for f in futs]
 
 
 @query(

@@ -690,6 +690,17 @@ _QN = "list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i]::DOUBLE *
 _CN = "list_sum(list_transform(range(1, len(c_emb) + 1), i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE))"
 
 
+def _sq_norm(col: str):
+    """Squared L2 norm of an ARRAY<FLOAT/DOUBLE> column — the exact fold
+    the cosine formulas use. r13: staged per SIDE before candidate
+    joins so each pair row folds only the dot product (1 HOF fold/pair
+    instead of 3); same aggregate over the same array → bit-identical."""
+    return F.expr(
+        f"aggregate({col}, 0D, (acc, v) -> acc + cast(v as double)"
+        " * cast(v as double))"
+    )
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
@@ -716,15 +727,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    # r13 (guide §1.2): squared norms staged per SIDE before the join —
+    # the per-pair projection folds only the dot (1 HOF fold/pair, was
+    # 3); same aggregate over the same array, so values are bit-identical
+    q = q.withColumn("q_n", _sq_norm("q_emb"))
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _sq_norm("embedding").alias("c_n"),
+    )
     j = c.crossJoin(F.broadcast(q)).where(F.col("c_id") != F.col("q_id"))
     dot = F.expr(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
     )
-    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    sims = j.select("q_id", "c_id", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+    sims = j.select(
+        "q_id",
+        "c_id",
+        F.round(dot / F.sqrt(F.col("q_n") * F.col("c_n")), 6).alias("cosine"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
 
@@ -765,17 +786,27 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.withColumn("bucket", bucket)
     q = b.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+        _sq_norm("embedding").alias("q_n"),
     )
-    c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), F.col("bucket").alias("bucket_c"))
+    c = b.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("bucket_c"),
+        _sq_norm("embedding").alias("c_n"),
+    )
     j = c.join(F.broadcast(q), (F.col("bucket") == F.col("bucket_c")) & (F.col("c_id") != F.col("q_id")))
     dot = F.expr(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
     )
-    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    sims = j.select("q_id", "c_id", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+    sims = j.select(
+        "q_id",
+        "c_id",
+        F.round(dot / F.sqrt(F.col("q_n") * F.col("c_n")), 6).alias("cosine"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
 
@@ -839,18 +870,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.slice("embedding", 1, 8), lambda x: F.when(x >= 0, "1").otherwise("0")), ""
     )
     b = e.withColumn("bucket", bucket)
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "bucket")
+    a = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+        _sq_norm("embedding").alias("q_n"),
+    )
     c = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), F.col("bucket").alias("bucket_c")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("bucket_c"),
+        _sq_norm("embedding").alias("c_n"),
     )
     j = a.join(c, (F.col("bucket") == F.col("bucket_c")) & (F.col("vec_a") < F.col("vec_b")))
     dot = F.expr(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
         " 0D, (acc, v) -> acc + v)"
     )
-    qn = F.expr("aggregate(q_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    cn = F.expr("aggregate(c_emb, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))")
-    sims = j.select("vec_a", "vec_b", F.round(dot / F.sqrt(qn * cn), 6).alias("cosine"))
+    sims = j.select(
+        "vec_a",
+        "vec_b",
+        F.round(dot / F.sqrt(F.col("q_n") * F.col("c_n")), 6).alias("cosine"),
+    )
     return sims.where(F.col("cosine") >= 0.3)
 
 
