@@ -63,7 +63,12 @@ def connected_components(
         )
         # keep the old label in the SAME join output: change detection
         # is then a filter over the checkpointed frame, not a third
-        # node-keyed join per round
+        # node-keyed join per round. The checkpoint is LAZY (r13, guide
+        # §1.2): the count() action below touches every partition, so
+        # one job materializes the checkpoint AND counts the changed
+        # labels — an eager checkpoint would run the same computation
+        # as its own job and the count as a second one, two driver
+        # round trips per round instead of one.
         stepped = (
             labels.join(nbr, labels.node == nbr.node2, "left")
             .select(
@@ -73,7 +78,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(F.col("component") != F.col("__old")).count()
         labels = stepped.select("node", "component")

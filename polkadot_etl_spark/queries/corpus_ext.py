@@ -3219,7 +3219,7 @@ def _release_stage_parts(
             QUERIES["dedup_exact"].build(spark, sf_dir)
             .select("doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("f_exact"))
         )
-    if want("lsh_near_dedup"):
+    def _near() -> DataFrame:
         # MEASURED DECISION (r9, the lsh_planner question): the release
         # gate stays on the recall-leaning (b=4, r=1) family, NOT the
         # planner's cost-optimal (4, 2), because the gate VERIFIES at
@@ -3236,36 +3236,68 @@ def _release_stage_parts(
         # only (fp mass 0.27 vs 0.61), which BUCKET_CAP already bounds
         # — the wrong trade for a release path, the right one for the
         # interactive dedup_minhash_banded_r2 configuration.
-        parts["lsh_near_dedup"] = (
+        return (
             QUERIES["dedup_corpus_survivors"].build(spark, sf_dir)
             .select("doc_id", F.col("is_kept").alias("f_near"))
         )
-    if not want("decontamination"):
+
+    def _contam() -> DataFrame:
+        # Decontamination by VERBATIM PASSAGE overlap (word 5-grams, the
+        # passage_dedup_ngrams unit via the shared _word_grams
+        # expression): the registry's benchmark_contamination audit uses
+        # 5-CHAR shingles for recall — on this corpus it flags ~96% of
+        # docs, which is the right property for an audit and the wrong
+        # one for a release gate. A release drops docs sharing a
+        # verbatim passage with the eval set (the GPT-3/Llama n-gram
+        # decontamination rule) — precision over recall. The bench gram
+        # dim broadcasts, same shape as the audit.
+        d_full = load_table(spark, sf_dir, "documents")
+        words = F.split(F.col("text"), " ")
+        bench_grams = (
+            d_full.where(F.col("doc_id") < 20)
+            .select(F.explode(_word_grams(words)).alias("gram"))
+            .distinct()
+        )
+        return (
+            d_full.where(F.col("doc_id") >= 20)
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(_word_grams(words))).alias("gram"),
+            )
+            .join(F.broadcast(bench_grams), "gram")
+            .select("doc_id")
+            .distinct()
+            .withColumn("contaminated", F.lit(True))
+        )
+
+    if only is None:
+        # r13 (guide §2.6): under full composition (the funnel / gate
+        # audit) the two expensive independent legs overlap — the
+        # near-dup gate's BUILD is eager (the CC driver loop inside
+        # dedup_corpus_survivors) while the decontamination flag frame
+        # is a self-contained (doc_id, contaminated) dim, so one driver
+        # thread materializes its checkpoint while the other runs the
+        # CC rounds and the scheduler back-fills each leg's task tails.
+        # Single-stage builds (bench attribution via ``only``) keep the
+        # plain un-checkpointed plans.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_near = pool.submit(inheritable_thread_target(_near))
+            f_cont = pool.submit(
+                inheritable_thread_target(
+                    lambda: _contam().localCheckpoint(eager=True)
+                )
+            )
+            parts["lsh_near_dedup"] = f_near.result()
+            parts["decontamination"] = f_cont.result()
         return parts
-    # Decontamination by VERBATIM PASSAGE overlap (word 5-grams, the
-    # passage_dedup_ngrams unit via the shared _word_grams expression):
-    # the registry's benchmark_contamination audit uses 5-CHAR shingles
-    # for recall — on this corpus it flags ~96% of docs, which is the
-    # right property for an audit and the wrong one for a release gate.
-    # A release drops docs sharing a verbatim passage with the eval set
-    # (the GPT-3/Llama n-gram decontamination rule) — precision over
-    # recall. The bench gram dim broadcasts, same shape as the audit.
-    d_full = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    bench_grams = (
-        d_full.where(F.col("doc_id") < 20)
-        .select(F.explode(_word_grams(words)).alias("gram"))
-        .distinct()
-    )
-    contam = (
-        d_full.where(F.col("doc_id") >= 20)
-        .select("doc_id", F.explode(F.array_distinct(_word_grams(words))).alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
-        .select("doc_id")
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
-    parts["decontamination"] = contam
+    if want("lsh_near_dedup"):
+        parts["lsh_near_dedup"] = _near()
+    if want("decontamination"):
+        parts["decontamination"] = _contam()
     return parts
 
 
@@ -10272,54 +10304,78 @@ FROM flags GROUP BY in_lsh, in_snm, in_gram
     tags=("dedup", "corpus", "metric"),
 )
 def dedup_family_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from polkadot_etl_spark.queries.llmdata import dedup_ngram_jaccard
+    from polkadot_etl_spark.queries.llmdata import _word_grams, dedup_ngram_jaccard
 
-    lsh = dedup_ngram_jaccard(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit("lsh").alias("fam")
-    )
-    legs = _snm_verified_legs(spark, sf_dir)
-    snm = (
-        legs[0]
-        .unionByName(legs[1])
-        .select(
-            F.col("lo").alias("doc_a"),
-            F.col("hi").alias("doc_b"),
-            F.lit("snm").alias("fam"),
+    def _lsh() -> DataFrame:
+        return dedup_ngram_jaccard(spark, sf_dir).select(
+            "doc_a", "doc_b", F.lit("lsh").alias("fam")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    from polkadot_etl_spark.queries.llmdata import _word_grams
 
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    gs = (
-        d.select(
-            "doc_id", F.explode(_word_grams(F.split(F.col("text"), " "))).alias("g")
+    def _snm() -> DataFrame:
+        legs = _snm_verified_legs(spark, sf_dir)
+        return (
+            legs[0]
+            .unionByName(legs[1])
+            .select(
+                F.col("lo").alias("doc_a"),
+                F.col("hi").alias("doc_b"),
+                F.lit("snm").alias("fam"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select("doc_id", F.md5("g").alias("gh"))
-        .dropDuplicates()
-    )
-    buckets = (
-        gs.groupBy("gh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= VENN_GRAM_CAP))
-    )
-    gram = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " b -> struct(a as doc_a, b as doc_b))))"
-                )
-            ).alias("p")
+
+    def _gram() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
         )
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= VENN_GRAM_MIN)
-        .select("doc_a", "doc_b", F.lit("gram").alias("fam"))
-    )
+        gs = (
+            d.select(
+                "doc_id",
+                F.explode(_word_grams(F.split(F.col("text"), " "))).alias("g"),
+            )
+            .select("doc_id", F.md5("g").alias("gh"))
+            .dropDuplicates()
+        )
+        buckets = (
+            gs.groupBy("gh")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .where((F.size("ids") >= 2) & (F.size("ids") <= VENN_GRAM_CAP))
+        )
+        return (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) ->"
+                        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                        " b -> struct(a as doc_a, b as doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.doc_a", "p.doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= VENN_GRAM_MIN)
+            .select("doc_a", "doc_b", F.lit("gram").alias("fam"))
+        )
+
+    # r13 (guide §2.6): the three family legs are fully independent —
+    # the SNM legs already build eagerly (range-sort checkpoints +
+    # partition-count collects), while the LSH and gram legs were lazy
+    # and evaluated strictly AFTER them in the final action. Checkpoint
+    # each leg's bounded pair frame from its own driver thread so the
+    # scheduler interleaves all three candidate generations; the final
+    # plan is then two small pair-keyed aggregates over the
+    # checkpointed frames.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _ck(build):
+        return lambda: build().localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(inheritable_thread_target(_ck(b)))
+                for b in (_lsh, _snm, _gram)]
+        lsh, snm, gram = [f.result() for f in futs]
     u = lsh.unionByName(snm).unionByName(gram)
     flags = u.groupBy("doc_a", "doc_b").agg(
         (F.max(F.when(F.col("fam") == "lsh", 1).otherwise(0)) == 1).alias(
