@@ -84,17 +84,41 @@ def srp_words_expr(
 ) -> str:
     """Spark SQL expression: the packed sketch (array of n_planes/32
     longs, 32 bits each) for the numeric-array column ``emb_col`` —
-    quantize once, n_planes integer dots once, fold to words once."""
+    quantize once, n_planes integer dots once, fold to words once.
+
+    The per-plane dot uses the Rademacher identity (r13, guide §1.2):
+    with s ∈ {+1, −1}, Σ qe_i·s_i = 2·Σ_{s=+1} qe_i − Σ qe_i, so each
+    plane folds only its POSITIVE-sign indices (a literal int array,
+    ~dims/2 elements) against one shared total — higher-order-function
+    lambdas are interpreted (never codegen'd), and this form runs ~4x
+    fewer lambda invocations per row than the zip_with/multiply form
+    (measured 1.61 → 0.66 s over the sf0.1 corpus, bit-identical on
+    every row; a FULLY flattened ±qe[i] expansion was also tried and
+    OOMs janino at 256×64 terms). Exact integer math is unchanged —
+    the identity is exact over BIGINTs, no rounding anywhere."""
     n_planes = len(signs)
     dims = len(signs[0])
     qe = (
         f"transform(slice({emb_col}, 1, {dims}),"
         f" x -> cast(floor(cast(x as double) * {quant}) as bigint))"
     )
+    pos_lists = (
+        "array("
+        + ", ".join(
+            "array(" + ",".join(str(i + 1) for i, s in enumerate(row) if s > 0) + ")"
+            if any(s > 0 for s in row)
+            # all-negative plane (possible at small dims): typed empty
+            # list, so the aggregate returns its 0L seed and the dot is
+            # exactly -tq
+            else "cast(array() as array<int>)"
+            for row in signs
+        )
+        + ")"
+    )
     bits = (
-        f"transform(sequence(1, {n_planes}), h ->"
-        f" if(aggregate(zip_with(qe, element_at({srp_signs_sql_literal(signs)}, h),"
-        " (x, s) -> x * s), 0L, (a, v) -> a + v) >= 0, 1L, 0L))"
+        f"transform({pos_lists}, p ->"
+        " if(2L * aggregate(p, 0L, (a, i) -> a + element_at(qe, i))"
+        " - tq >= 0, 1L, 0L))"
     )
     words = (
         f"transform(sequence(0, {n_planes // WORD_BITS - 1}), w ->"
@@ -102,7 +126,11 @@ def srp_words_expr(
         f" (acc, j) -> acc + shiftleft(element_at(bits, w * {WORD_BITS} + j),"
         f" {WORD_BITS} - j)))"
     )
-    return _let(qe, "qe", _let(bits, "bits", words))
+    return _let(
+        qe,
+        "qe",
+        _let("aggregate(qe, 0L, (a, v) -> a + v)", "tq", _let(bits, "bits", words)),
+    )
 
 
 def srp_hamming_expr(a_col: str, b_col: str) -> str:
