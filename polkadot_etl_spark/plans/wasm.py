@@ -176,19 +176,35 @@ def contractscall_table(calls, contracts_dim, registry=None):
     match + SCALE arg decode when a ContractRegistry is supplied
     (Arrow-batched; NULL decoded args otherwise)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    # Two-stage projection, deliberately: stage 1 runs each
-    # get_json_object exactly once; stage 2 derives the dechex columns
-    # from the SMALL extracted strings.  Folding both into one select
-    # duplicates the JSON parse into every _dechex_str subtree (~6 refs
-    # each) once the projection fuses with the downstream join stage —
-    # codegen CSE stops deduplicating across that boundary (measured
-    # ~2.4s extra at sf0.1).  CollapseProject keeps the split because
-    # the extracted attrs are non-cheap and multiply referenced.
-    p = F.col("params")
+    # Three-stage projection, deliberately: stage 0 parses the params
+    # JSON ONCE into a struct (one Jackson parse per row — the previous
+    # six get_json_object calls each re-parsed the document, measured
+    # +0.33s at sf0.1); stage 1 pulls the five attributes out of the
+    # struct; stage 2 derives the dechex columns from the SMALL
+    # extracted strings.  Folding the stages together duplicates the
+    # parse into every _dechex_str subtree (~6 refs each) once the
+    # projection fuses with the downstream join stage — codegen CSE
+    # stops deduplicating across that boundary (measured ~2.4s extra at
+    # sf0.1).  CollapseProject keeps the split because the extracted
+    # attrs are non-cheap and multiply referenced.  String-typed struct
+    # fields return the raw token text for non-string JSON values
+    # (numbers, booleans), matching get_json_object's surface.
+    params_schema = T.StructType(
+        [
+            T.StructField(
+                "dest", T.StructType([T.StructField("id", T.StringType())])
+            ),
+            T.StructField("gas_limit", T.StringType()),
+            T.StructField("storage_deposit_limit", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
     gas = F.col("__gas")
     sdl = F.col("__sdl")
-    raw = calls.where(
+    parsed = calls.where(
         (F.col("section") == "contracts") & (F.col("method") == "call")
     ).select(
         "extrinsic_id",
@@ -196,12 +212,21 @@ def contractscall_table(calls, contracts_dim, registry=None):
         F.col("block_time").alias("block_timestamp"),
         "block_number",
         "block_hash",
-        F.get_json_object(p, "$.dest.id").alias("address_pub_key"),
-        F.get_json_object(p, "$.gas_limit").alias("__gas"),
-        F.get_json_object(p, "$.storage_deposit_limit").alias("__sdl"),
-        F.get_json_object(p, "$.value").alias("__value"),
+        F.from_json(F.col("params"), params_schema).alias("__params"),
         F.col("signer_pub_key").alias("caller_pub_key"),
-        F.get_json_object(p, "$.data").alias("__calldata"),
+    )
+    raw = parsed.select(
+        "extrinsic_id",
+        "extrinsic_hash",
+        "block_timestamp",
+        "block_number",
+        "block_hash",
+        F.col("__params.dest.id").alias("address_pub_key"),
+        F.col("__params.gas_limit").alias("__gas"),
+        F.col("__params.storage_deposit_limit").alias("__sdl"),
+        F.col("__params.value").alias("__value"),
+        "caller_pub_key",
+        F.col("__params.data").alias("__calldata"),
     )
     base = raw.select(
         "extrinsic_id",

@@ -7277,14 +7277,14 @@ FROM x{PC_ITERS} xf CROSS JOIN sg CROSS JOIN nv
     "BIGINT headroom: |c| <= 2e3, |dot| <= "
     f"{PC_DIMS}*2e3*2e6 = 2.6e11, |y| <= N*2e3*2.6e11 = 2.6e18 at "
     "N = 5000 (sf0.1) — inside int64; at N >= 2e4 drop PC_SCALE one "
-    "decade, same plan. Spark runs the loop "
-    "PageRank-style with bounded driver state (x is 64 numbers "
-    "collected per round; dots are row-local zip_with folds against "
-    "the x LITERAL — no join), while the oracle unrolls the same "
-    "iterations as relational joins per layer — opposite mechanisms "
-    "agreeing on every bit. Scale shape: one corpus pass per "
-    "iteration, each a map-side fold + one |dims|-key aggregate; "
-    "driver state is O(dims) per round.",
+    "decade, same plan. Spark collects the exact 64x64 Gram ledger "
+    "G = sum_v c_v c_v^T in ONE corpus pass (decimal(38,0) lanes) and "
+    "runs every round as bounded exact driver math — y = Gx is the "
+    "same integer sums as sum_v (c_v . x) c_v, merely reassociated — "
+    "while the oracle unrolls the same iterations as relational joins "
+    "per layer — opposite mechanisms agreeing on every bit. Scale "
+    "shape: two corpus passes TOTAL (means, Gram) regardless of "
+    "iteration count; driver state is O(dims^2).",
     tags=("similarity", "iterative"),
 )
 def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7316,37 +7316,46 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu[r["d0"]] = int(r["m"])
     n_vectors = int(mu_rows[0]["n"]) if mu_rows else 0
     mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
-    # loop-invariant input: checkpoint once so the 4 iterations reuse
-    # the quantized+centered frame instead of re-deriving it from
-    # parquet per pass (the domain_pagerank precedent)
-    cva = qv.select(
-        "vec_id",
-        F.expr(f"zip_with(qv, {mu_lit}, (v, m) -> v - m)").alias("cv"),
-    ).localCheckpoint(eager=True)
+    global _PC_TRAIN_MU
+    _PC_TRAIN_MU = (mu, n_vectors)
+    # Gram-matrix form of the loop (r13, guide §1.2 — remove passes):
+    # each round's matvec y_d = sum_v cv_d * (cv . x)
+    #                         = sum_j (sum_v cv_d * cv_j) * x_j
+    # is a pure reordering of the SAME exact integer sums, so the
+    # 64x64 Gram ledger G = sum_v cv cv^T — ONE corpus pass — lets all
+    # PC_ITERS rounds run as bounded exact driver math (python ints,
+    # O(dims^2) state, the kmeans-centroid class) instead of one corpus
+    # job per round: 2 + PC_ITERS driver jobs became 2, and the
+    # loop-invariant checkpoint is gone with them. Headroom:
+    # |G_ij| <= N * max|c|^2 = N * 4e6 — int64-safe far past the
+    # N ~ 2e4 cliff the matvec bound (|y| <= 2.6e18 at N = 5000)
+    # already imposes; the same "drop PC_SCALE a decade" note covers
+    # both. The repartition fans the dims^2-per-row explode out of the
+    # single-row-group scan (generator-fan-out rule); hash on the
+    # unique vec_id avoids round-robin's sort-before-repartition. The
+    # renormalization divides by (max|y| div SCALE) rather than
+    # multiplying y by SCALE — y*SCALE overflows int64 in the SQL
+    # oracle (y reaches ~1e18); truncate-toward-zero division matches
+    # DuckDB // (and python _trunc_div) exactly.
+    cvf = qv.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    ).select(F.expr(f"zip_with(qv, {mu_lit}, (v, m) -> v - m)").alias("cv"))
+    g_rows = (
+        cvf.select(F.col("cv"), F.posexplode("cv").alias("i", "vi"))
+        .select("i", "vi", F.posexplode("cv").alias("j", "vj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.expr("vi * vj")).alias("g"))
+        .collect()
+    )
+    gram = [[0] * PC_DIMS for _ in range(PC_DIMS)]
+    for r in g_rows:
+        gram[r["i"]][r["j"]] = int(r["g"])
     x = [PC_SCALE] * PC_DIMS
     for _ in range(PC_ITERS):
-        x_lit = "array(" + ", ".join(f"{v}L" for v in x) + ")"
-        y_rows = (
-            cva.select(
-                "cv",
-                F.expr(
-                    f"aggregate(zip_with(cv, {x_lit}, (c, xx) -> c * xx),"
-                    " 0L, (acc, v) -> acc + v)"
-                ).alias("p"),
-            )
-            .select(F.posexplode(F.expr("transform(cv, c -> c * p)")).alias("d0", "yv"))
-            .groupBy("d0")
-            .agg(F.sum("yv").alias("y"))
-            .collect()
-        )
-        y = [0] * PC_DIMS
-        for r in y_rows:
-            y[r["d0"]] = int(r["y"])
-        # renormalize by dividing by (max|y| div SCALE) rather than
-        # multiplying y by SCALE — y*SCALE overflows int64 in the SQL
-        # oracle (y reaches ~1e18); division keeps both engines in
-        # int64 with identical truncate-toward-zero semantics
-        # (re-verified: DuckDB // and Spark div both give -7//2 = -3)
+        y = [
+            sum(gram[d][j] * x[j] for j in range(PC_DIMS))
+            for d in range(PC_DIMS)
+        ]
         dv = max(max(abs(v) for v in y) // PC_SCALE, 1)
         x = [_trunc_div(v, dv) for v in y]
     first_nz = next((v for v in x if v != 0), 1)
@@ -7355,6 +7364,15 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d + 1, x[d] * sg, n_vectors, PC_ITERS) for d in range(PC_DIMS)],
         "dim INT, pc_micro LONG, n_vectors LONG, n_iter INT",
     )
+
+
+# module-level slot carrying the per-dim means + vector count between
+# embedding_top_pc_power and its same-build composers (_abtt_centered,
+# embedding_abtt_card) — the _ABTT_DIRECTION pattern: set unconditionally
+# on every training run (a pure function of the corpus, refreshed before
+# every consumer read within ONE build), so the composers skip their own
+# duplicate mu aggregation job without any cross-run memoization.
+_PC_TRAIN_MU: "tuple[list[int], int] | None" = None
 
 
 def _pc_power_direction(spark: SparkSession, sf_dir: str):
@@ -7460,15 +7478,10 @@ def embedding_abtt_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + (((i + 1) * 7) % 13 - 6) * (20 + (vec_id % 11) * 4))"
         ).alias("qv"),
     )
-    mu_rows = (
-        qv.select(F.posexplode("qv").alias("d0", "v"))
-        .groupBy("d0")
-        .agg(F.expr("sum(v) div count(1)").alias("m"))
-        .collect()
-    )
-    mu = [0] * PC_DIMS
-    for r in mu_rows:
-        mu[r["d0"]] = int(r["m"])
+    # mu comes from the training run _pc_power_direction just executed
+    # (same build, same corpus — the _ABTT_DIRECTION sharing form):
+    # re-aggregating it here was a duplicate corpus job
+    mu, _nv = _PC_TRAIN_MU
     mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
     proj = qv.select(
         "label",
@@ -7824,15 +7837,10 @@ def _abtt_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + (((i + 1) * 7) % 13 - 6) * (20 + (vec_id % 11) * 4))"
         ).alias("qv"),
     )
-    mu_rows = (
-        qv.select(F.posexplode("qv").alias("d0", "v"))
-        .groupBy("d0")
-        .agg(F.expr("sum(v) div count(1)").alias("m"))
-        .collect()
-    )
-    mu = [0] * PC_DIMS
-    for r in mu_rows:
-        mu[r["d0"]] = int(r["m"])
+    # mu comes from the training run two lines up (same build, same
+    # corpus — the _ABTT_DIRECTION sharing form): re-aggregating it
+    # here was a duplicate corpus job
+    mu, _nv = _PC_TRAIN_MU
     mu_lit = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
     # Headroom note (r11 verdict task #6, retiring the r10 build-time
     # raise): the Gram-Schmidt residual NUMERATOR (cc * x2 - p * xx)

@@ -767,8 +767,13 @@ def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # generator fan-out: single-row-group test parquet would otherwise
     # run the whole SCALE-hex synthesis as one task (see
-    # users_tags_attribution)
-    li = load_table(spark, sf_dir, "lineitem").repartition(32)
+    # users_tags_attribution). Keyed on the (unique) line identity:
+    # round-robin repartition pays a full local sort of the input
+    # (sortBeforeRepartition, for deterministic retries) that hash
+    # partitioning on a deterministic unique key avoids.
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        32, F.col("l_orderkey"), F.col("l_linenumber")
+    )
     sup = load_table(spark, sf_dir, "supplier")
     u = F.col("l_suppkey")
     qty = F.col("l_quantity").cast("bigint")
@@ -804,8 +809,10 @@ def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
         # arrive as 3 splits, so without this the JSON parse + dechex
         # pipeline runs on 3 of 32 cores; the exchange ALSO materializes
         # the params concat once, where the fused projection re-evaluated
-        # it per get_json_object (measured 26.7s -> ~4s at sf0.1)
-    ).repartition(spark.sparkContext.defaultParallelism)
+        # it per JSON extraction (measured 26.7s -> ~4s at sf0.1).
+        # Hash-keyed on the unique extrinsic_id: round-robin would sort
+        # the whole synthesized payload locally first (see above).
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("extrinsic_id"))
     dim = sup.select(
         _pk(F.col("s_suppkey")).alias("address_pub_key"),
         F.concat(F.lit("0xc"), (F.col("s_suppkey") % 4).cast("string")).alias("code_hash"),
