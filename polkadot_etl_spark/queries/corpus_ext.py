@@ -417,7 +417,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     wb = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "lang", F.explode(words).alias("w"))
         .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bucket"))
     )
@@ -628,7 +628,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     ex = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(F.explode(words).alias("w"))
         .where(F.length("w") >= 2)
     )
@@ -732,7 +732,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     vocab = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(F.explode(words).alias("w"))
         .where(F.length("w") >= 2)
         .groupBy("w")
@@ -856,7 +856,7 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    wd = d.repartition(spark.sparkContext.defaultParallelism).select(
+    wd = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.explode(words).alias("w")
     )
     dim = _unigram_lm_dim(wd).select("w", "logp", "in_vocab")
@@ -969,7 +969,7 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 def bigram_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    dws = d.repartition(spark.sparkContext.defaultParallelism).select(
+    dws = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", "source", words.alias("ws")
     )
     bg_expr = F.expr(
@@ -1100,7 +1100,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(split.alias("split"), F.explode(grams).alias("gram_hash"))
         .distinct()
     )
@@ -8895,7 +8895,7 @@ JOIN (SELECT source, SUM(n) // {DOREMI_STEPS} AS a FROM norm GROUP BY source) av
 def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    wd = d.repartition(spark.sparkContext.defaultParallelism).select(
+    wd = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "source", F.explode(words).alias("w")
     )
     dim = _unigram_lm_dim(wd).select("w", "logp")
@@ -10133,7 +10133,7 @@ FROM perdoc
 def rholoss_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    wd = d.repartition(spark.sparkContext.defaultParallelism).select(
+    wd = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", "source", F.explode(words).alias("w")
     )
     corpus_dim = _unigram_lm_dim(wd).select("w", "logp").localCheckpoint(
@@ -10334,7 +10334,7 @@ def dedup_family_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _gram() -> DataFrame:
         d = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "doc_id"
         )
         gs = (
             d.select(

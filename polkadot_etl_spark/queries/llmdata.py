@@ -113,7 +113,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexicographically == numerically).
     hs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.lower("text").alias("lt"))
         .select(
             "doc_id",
@@ -310,7 +310,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one split; spread the docs BEFORE the per-doc set build runs.
     sets_ = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.array_distinct(_spark_shingles()).alias("sh_set"))
         # (r13: no array_sort — array_intersect/size have set semantics
@@ -418,7 +418,7 @@ def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # var-length strings cannot hash-aggregate) and the doc_id Exchange.
     hs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.lower("text").alias("lt"))
         .select(
             "doc_id",
@@ -460,7 +460,7 @@ def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets_ = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.array_distinct(_spark_shingles()).alias("sh_set"))
         # (r13: no array_sort — array_intersect/size have set semantics
@@ -510,7 +510,7 @@ FROM contrib GROUP BY doc_id
     tags=("dedup",),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias(
@@ -669,7 +669,7 @@ FROM sh GROUP BY doc_id
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.explode(_spark_shingles(k=8)).alias("shingle"))
     )
@@ -1280,7 +1280,7 @@ HAVING COUNT(*) >= 3
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     bench = (
         d.where(F.col("doc_id") < 20)
@@ -1422,7 +1422,7 @@ SELECT gram_hash, n_docs, n_occurrences FROM f WHERE n_docs >= 2
 )
 def passage_dedup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     words = F.split(F.col("text"), " ")
     grams = _word_grams(words)

@@ -540,7 +540,7 @@ def evm_transfer_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # handful of splits; spread the decode across the executor cores
         # and materialize the synthesized topics/data arrays once (same
         # compact-input rule as wasm_contract_calls, measured there)
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(spark.sparkContext.defaultParallelism, "event_id")
     t = evmtransfers_table(logs)
     return t.select(
         F.col("log_index").cast("bigint").alias("event_id"),
@@ -1071,7 +1071,7 @@ def xcm_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     # generator fan-out (single-row-group test parquet; see
     # users_tags_attribution)
-    o = load_table(spark, sf_dir, "orders").repartition(32).select(
+    o = load_table(spark, sf_dir, "orders").repartition(32, "o_orderkey").select(
         F.concat(F.lit("x"), k.cast("string")).alias("extrinsic_id"),
         F.concat(F.lit("m"), (k % 1000).cast("string")).alias("msg_hash"),
         (k % 10000).alias("sent_at"),
@@ -2086,7 +2086,7 @@ def cluster_trace_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decode across the executor cores (measured 24s -> ~1.5s at
         # sf0.1); the exchange also materializes the synthesized k/v hex
         # once instead of per decoded column
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(spark.sparkContext.defaultParallelism, "block_number")
     dim = storage_keys_dim(
         spark,
         [("System", "Account", "AccountInfo"), ("Balances", "TotalIssuance", "u128")],
@@ -2279,7 +2279,7 @@ def users_tags_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group, so without this the whole synth (pubkey concat +
     # broadcast probe over 600k rows at sf0.1) runs as ONE task —
     # measured 2.4x (4.7s -> 2.0s). Real day partitions split naturally.
-    li = load_table(spark, sf_dir, "lineitem").repartition(32)
+    li = load_table(spark, sf_dir, "lineitem").repartition(32, "l_orderkey", "l_linenumber")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     transfers = li.join(o, li.l_orderkey == o.o_orderkey).select(
         _pk(F.col("l_suppkey")).alias("from_pub_key"),

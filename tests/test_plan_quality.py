@@ -144,18 +144,20 @@ def test_evm_decodes_stay_jvm_side(spark):
 def test_corpus_hygiene_ops_stay_map_side(spark):
     """gopher_repetition (HOF run-length) and pii_scrub (JVM regex) are
     per-document column computations — zero Exchange, zero Python.
-    passage_dedup_ngrams shuffles exactly twice beyond the fan-out
-    repartition — the distinct-aggregate pair shuffle then the final
-    gram-hash shuffle.  (A size(collect_set) single-shuffle variant
-    exists but is memory-unsafe on degenerate hot grams at 100 TB;
-    the two-phase shape bounds per-key state.)"""
+    passage_dedup_ngrams shuffles exactly twice: the doc_id-keyed
+    fan-out repartition doubles as the (doc_id, gram) distinct's
+    clustering (hashpartitioning(doc_id) satisfies the pair-keyed
+    ClusteredDistribution, so the old distinct shuffle is gone — r13),
+    then the final gram-hash shuffle.  (A size(collect_set)
+    single-shuffle variant exists but is memory-unsafe on degenerate
+    hot grams at 100 TB; the two-phase shape bounds per-key state.)"""
     for name in ("gopher_repetition", "pii_scrub"):
         plan = _plan(spark, name)
         assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), name
         assert "EvalPython" not in plan, name
     plan = _plan(spark, "passage_dedup_ngrams")
-    # 3 = fan-out roundrobin repartition + the two hash exchanges
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3
+    # 2 = doc_id-keyed fan-out (reused by the distinct) + the gram hash
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
     assert "EvalPython" not in plan
 
 
