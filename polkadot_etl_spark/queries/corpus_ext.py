@@ -1784,8 +1784,15 @@ FROM sp GROUP BY doc_id, span_id
     tags=("dedup", "corpus"),
 )
 def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws")
+    # one md5 per gram position below — generator fan-out before the
+    # hash chain (single-split fixture scan; keyed, no payload pre-sort)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws"),
+        )
     )
     W = SUBSTR_W
     g = (
@@ -1802,8 +1809,15 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"array_join(slice(ws, i, {W}), ' ')")).alias("h"),
         )
     )
-    dup = g.groupBy("h").count().where(F.col("count") > 1).select("h")
-    m = g.join(dup, "h").select("doc_id", "i", "j")
+    # duplicate grams via ONE h-clustered window count — the old
+    # groupBy(h)+join-back shape evaluated the md5 gram chain twice
+    # (once per consumer) and paid an aggregate exchange PLUS a join;
+    # count(*) over (partition by h) reads the same clustering once
+    m = (
+        g.withColumn("hc", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("hc") > 1)
+        .select("doc_id", "i", "j")
+    )
     prev_max = (
         Window.partitionBy("doc_id")
         .orderBy("i")
@@ -2390,7 +2404,11 @@ UNION ALL SELECT * FROM dropped_rows
     tags=("dedup", "window", "functions"),
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # one md5 per word k-gram below — generator fan-out before the hash
+    # chain (single-split fixture scan; keyed, no payload pre-sort)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     K, W = WINNOW_K, WINNOW_W
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     grams = F.expr(
@@ -2427,6 +2445,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        # five consumers (doc counts, bucket widths, both pair-join
+        # sides, dropped audit) would each re-sort and re-window the
+        # full gram stream above the one AQE-reused exchange; the
+        # selected fingerprints are a W-fold reduction of that stream,
+        # so materialize them once and fan the legs out from the
+        # checkpoint
+        .localCheckpoint(eager=True)
     )
     null_l = F.lit(None).cast("bigint")
     doc_rows = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
@@ -4844,12 +4869,22 @@ FROM bstats b LEFT JOIN top t USING (b_doc)
 def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.queries.llmdata import _word_grams
 
-    d = load_table(spark, sf_dir, "documents")
+    # one md5 per distinct word gram below, and FOUR consumers (bench
+    # grams twice, train grams twice) would each re-run the scan +
+    # explode + md5 chain — fan the single-split scan out first, then
+    # materialize the narrow (doc_id, 16-byte h) stream once
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     words = F.split(F.lower(F.col("text")), " ")
-    g = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(_word_grams(words, CONT_GRAM_N))).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("h"))
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_word_grams(words, CONT_GRAM_N))).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("h"))
+        .localCheckpoint(eager=True)
+    )
     bg = g.where(F.col("doc_id") < _CONT_BENCH_MAX).select(
         F.col("doc_id").alias("b_doc"), "h"
     )
