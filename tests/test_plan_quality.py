@@ -781,10 +781,14 @@ def test_winnowing_selection_is_bounded_exchanges(spark):
     plan = _plan(spark, "winnowing_fingerprints")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # 10 = the fp subtree's window + distinct exchanges re-planned per
-    # union leg (doc counts, bucket agg, the capped pair join's two
-    # sides) — the ratchet ceiling, not a target
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 10
+    # r13: the selected fingerprints are checkpointed once (the gram
+    # explode + doc window no longer re-plan per union leg), so every
+    # leg reads the W-fold-reduced fp RDD — pin that the declared plan
+    # contains NO Generate/Window (they ran once at build) and that the
+    # remaining exchanges are the fp-sized aggregation/join shuffles
+    assert "Scan ExistingRDD" in plan
+    assert "Generate" not in plan and "Window" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 12
 
 
 def test_ann_recall_audit_is_broadcast_dim_joins(spark):
