@@ -412,7 +412,14 @@ WHERE event_type IN ('purchase', 'click', 'view')
 def evm_decoded_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.functions.evm import ERC20_SELECTORS, decode_token_calldata
 
-    e = load_table(spark, sf_dir, "events")
+    # generator fan-out (single-row-group test parquet; keyed on the
+    # unique event_id — no round-robin pre-sort): the 4-limb
+    # uint256->DECIMAL reconstruction is the same BigDecimal-heavy
+    # per-row decode the trace query measured, and without the exchange
+    # the whole synth+decode runs as ONE task
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     amt = F.floor(F.col("value") * 100).cast("bigint")
     # address words use decimal digits (valid hex) so the oracle can build
     # the expected address without hex conversion; the amount word is a
