@@ -605,7 +605,14 @@ FROM t
 def evm_txn_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.plans.evm import evmtxs_table
 
-    txns, receipts = _synth_evm_frames(load_table(spark, sf_dir, "orders"))
+    # generator fan-out (single-row-group test parquet; keyed on the
+    # unique o_orderkey — no round-robin pre-sort): without it the whole
+    # tx+receipt synthesis and the fee math run as ONE task
+    txns, receipts = _synth_evm_frames(
+        load_table(spark, sf_dir, "orders").repartition(
+            spark.sparkContext.defaultParallelism, "o_orderkey"
+        )
+    )
     t = evmtxs_table(txns, receipts)
     return t.select(
         "hash",
@@ -707,7 +714,14 @@ FROM t GROUP BY 1
 def evmtxs_daily_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polkadot_etl_spark.plans.evm import evmtxs_table
 
-    txns, receipts = _synth_evm_frames(load_table(spark, sf_dir, "orders"))
+    # generator fan-out (single-row-group test parquet; keyed on the
+    # unique o_orderkey — no round-robin pre-sort): without it the whole
+    # tx+receipt synthesis and the fee math run as ONE task
+    txns, receipts = _synth_evm_frames(
+        load_table(spark, sf_dir, "orders").repartition(
+            spark.sparkContext.defaultParallelism, "o_orderkey"
+        )
+    )
     t = evmtxs_table(txns, receipts)
     wei = F.col("receipt_gas_used").cast("decimal(38,0)") * F.col("gas_price")
     burned = F.when(
@@ -1734,7 +1748,14 @@ def evm_accounts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         evmtxs_table,
     )
 
-    txns, receipts = _synth_evm_frames(load_table(spark, sf_dir, "orders"))
+    # generator fan-out (single-row-group test parquet; keyed on the
+    # unique o_orderkey — no round-robin pre-sort): without it the whole
+    # tx+receipt synthesis and the fee math run as ONE task
+    txns, receipts = _synth_evm_frames(
+        load_table(spark, sf_dir, "orders").repartition(
+            spark.sparkContext.defaultParallelism, "o_orderkey"
+        )
+    )
     t = evmtxs_table(txns, receipts)
     transfers = t.select("from_address", "to_address", "block_timestamp")
     active = accounts_evm_active(t)
