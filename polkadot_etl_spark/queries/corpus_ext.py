@@ -8522,30 +8522,12 @@ FROM drift d CROSS JOIN fun
     tags=("streaming", "corpus", "dedup", "similarity", "pipeline"),
 )
 def corpus_daily_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from polkadot_etl_spark.operators.kmeans import assign_nearest
 
-    # ---- stage 1: the real streaming ingest over today's crawl
-    sdf = _incr_stream_output(spark, sf_dir)
-
-    # ---- stage 2: classify against the standing vocabulary ledger
-    cls = _incr_classified(spark, sf_dir, sdf)
-    fun_row = cls.groupBy().agg(
-        F.count(F.lit(1)).alias("n_streamed"),
-        F.sum((F.col("status") == "gate").cast("long")).alias("n_gate_dropped"),
-        F.sum((F.col("status") == "dup_ledger").cast("long")).alias("n_dup_ledger"),
-        F.sum((F.col("status") == "dup_stream").cast("long")).alias("n_dup_stream"),
-        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
-    ).collect()[0]
-    # ---- stage 3: admit the kept docs' embeddings to the trained index
-    # (the SHARED maintenance machinery; membership = the kept set,
-    # expressed as an id-keyed JOIN against the kept frame — the
-    # production daily shape, exactly how dedup_incremental_batch
-    # handles its ledger side. The r11 form collected the kept ids and
-    # fed them back as an isin literal; at a real day's scale that is a
-    # plan explosion (millions of In-list entries), not a join — the
-    # plan pin now forbids large In-literals here. kept orig_ids are
-    # unique by construction (one 'kept' per digest), so the left join
-    # cannot multiply embedding rows.
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < INCR_DOCS)
     standing_dim = (
         load_table(spark, sf_dir, "documents")
@@ -8558,24 +8540,58 @@ def corpus_daily_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("standing"),
         )
     )
+
+    # ---- stages 1+2 (stream ingest + ledger classify) and the standing-
+    # side quantizer training are INDEPENDENT legs: the stream carries
+    # only src>=INCR_MIN_SRC docs while training reads the standing
+    # (src<INCR_MIN_SRC) complement, so the kept and standing row sets
+    # are disjoint by construction. r13 (guide §2.6): run the stream
+    # harness (a driver-blocking micro-batch loop) and the Lloyd
+    # training rounds from two driver threads so the box is never idle
+    # waiting on one of them.
+    def _stream_leg():
+        sdf = _incr_stream_output(spark, sf_dir)
+        cls = _incr_classified(spark, sf_dir, sdf)
+        fun_row = cls.groupBy().agg(
+            F.count(F.lit(1)).alias("n_streamed"),
+            F.sum((F.col("status") == "gate").cast("long")).alias("n_gate_dropped"),
+            F.sum((F.col("status") == "dup_ledger").cast("long")).alias("n_dup_ledger"),
+            F.sum((F.col("status") == "dup_stream").cast("long")).alias("n_dup_stream"),
+            F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+        ).collect()[0]
+        return cls, fun_row
+
+    def _train_leg():
+        # identical rows to the old corpus.where(~is_new): standing and
+        # kept are disjoint, and is_new=False contributes no drift term
+        qd_std = _ivf_maint_corpus(
+            e.join(standing_dim, "vec_id").where(F.col("standing")), F.lit(False)
+        )
+        return _ivf_train_canon(qd_std)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stream = pool.submit(inheritable_thread_target(_stream_leg))
+        f_train = pool.submit(inheritable_thread_target(_train_leg))
+        cls, fun_row = f_stream.result()
+        assigned, centroids, canon_col, _n_iter = f_train.result()
+
+    # ---- stage 3: admit the kept docs' embeddings to the trained index
+    # (the SHARED maintenance machinery; membership = the kept set,
+    # expressed as an id-keyed JOIN against the kept frame — the
+    # production daily shape, exactly how dedup_incremental_batch
+    # handles its ledger side. The r11 form collected the kept ids and
+    # fed them back as an isin literal; at a real day's scale that is a
+    # plan explosion (millions of In-list entries), not a join — the
+    # plan pin forbids large In-literals here. kept orig_ids are
+    # unique by construction (one 'kept' per digest), so the join
+    # cannot multiply embedding rows.
     kept_dim = cls.where(F.col("status") == "kept").select(
-        F.col("orig_id").alias("vec_id"), F.lit(True).alias("__kept")
+        F.col("orig_id").alias("vec_id")
     )
-    corpus = (
-        e.join(standing_dim, "vec_id")
-        .join(kept_dim, "vec_id", "left")
-        .withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(False)))
-        .where(F.col("standing") | F.col("__kept"))
-    )
-    qd = _ivf_maint_corpus(corpus, F.col("__kept"))
-    assigned, centroids, canon_col, _n_iter = _ivf_train_canon(
-        qd.where(~F.col("is_new"))
-    )
+    qd_new = _ivf_maint_corpus(e.join(kept_dim, "vec_id"), F.lit(True))
     s_std, n_std = _ivf_ledger(assigned, canon_col)
     s_new, n_new = _ivf_ledger(
-        assign_nearest(
-            qd.where(F.col("is_new")), centroids, vec_col="demb", id_col="vec_id"
-        ),
+        assign_nearest(qd_new, centroids, vec_col="demb", id_col="vec_id"),
         canon_col,
     )
     fun = (
