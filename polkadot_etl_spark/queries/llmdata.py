@@ -301,7 +301,16 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_candidate_pairs(spark, sf_dir).dropDuplicates()
+    # r13 (guide §2.5/§2.2): same single-task-verify fix as banded_r2 —
+    # the distinct pair frame is narrow enough that AQE coalesces the
+    # downstream stage (the per-pair array_intersect verify against the
+    # broadcast sets) to one task; pin it to the session's parallelism.
+    # dropDuplicates reuses the keyed repartition's hash partitioning.
+    cand = (
+        _lsh_candidate_pairs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a", "doc_b")
+        .dropDuplicates()
+    )
     # per-doc distinct shingle SET as one sorted array: the exact-verify
     # join then moves one array per doc instead of one row per shingle,
     # and the intersection is a map-side array_intersect — no
@@ -455,6 +464,16 @@ def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
+        # r13 (guide §2.5/§2.2): pin the pair frame's partition count.
+        # The pairs are ~3 MB of narrow longs, so AQE's byte-sized
+        # coalescing collapses the post-aggregation stage to ONE task —
+        # but that stage is where every candidate pair pays its exact
+        # array_intersect verify against the broadcast shingle sets
+        # (~1.4 ms/pair, measured serial before this). An explicit
+        # keyed repartition (REPARTITION_BY_NUM is never coalesced)
+        # spreads the verify across the session's cores; the groupBy
+        # reuses the same hash partitioning, so no extra exchange.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )

@@ -80,10 +80,18 @@ def test_box_speed_probe_shape(spark):
     box = box_speed_probe(spark)
     assert box["box_speed_1t"] > 0 and box["box_speed_nt"] > 0
     assert box["box_probe_rows"] == BOX_PROBE_ROWS
+    assert box["box_probe_wall_1t"] > 0 and box["box_probe_wall_nt"] > 0
     # Instrument-shape pin only, not a box-speed pin: on a low-core or
     # co-tenant-throttled box (SPARK_GRAFT_CPUS defaults to 32 regardless
     # of real cores) the parallel leg can legitimately trail the serial
     # leg, so the factor is loose — it catches a broken probe (nt leg
     # timing the wrong thing / returning garbage), not scheduler noise.
+    # A broken probe fails the ratio on EVERY attempt; a sitting where
+    # another 32-task job owns the cores (measured: nt 87k vs 1t 202k
+    # with a concurrent full-registry verify) fails it transiently, so
+    # retry before declaring the instrument broken.
+    for _ in range(2):
+        if box["box_speed_nt"] >= 0.5 * box["box_speed_1t"]:
+            break
+        box = box_speed_probe(spark)
     assert box["box_speed_nt"] >= 0.5 * box["box_speed_1t"], box
-    assert box["box_probe_wall_1t"] > 0 and box["box_probe_wall_nt"] > 0
