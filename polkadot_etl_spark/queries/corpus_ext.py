@@ -1518,7 +1518,13 @@ FROM embeddings
     tags=("similarity",),
 )
 def pq_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # r13 (guide §2.5): the argmin-over-centroids quantize expression is
+    # heavy per-row work above the single-split fixture scan (event-log
+    # profile: one ~1.9 s task); fan the narrow (vec_id, embedding) rows
+    # out before it like every other synthesis query.
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     codes, qerr = _pq_codes_spark("embedding")
     return e.select(
         "vec_id",
@@ -1583,7 +1589,12 @@ SELECT q_id, db_id, adc_dist, rn FROM r WHERE rn <= 10
 def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     codes, _ = _pq_codes_spark("embedding")
-    db = e.select(F.col("vec_id").alias("db_id"), F.expr(codes).alias("codes"))
+    # r13 (guide §2.5): fan out the db side only — the per-row PQ encode
+    # + 8-lookup ADC ran in the one scan task (event-log profile: a
+    # single 3.1 s task); the query side stays a scan-pruned broadcast.
+    db = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        F.col("vec_id").alias("db_id"), F.expr(codes).alias("codes")
+    )
     q = (
         e.where(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
@@ -2573,7 +2584,13 @@ def _sketch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — the compressed linear scan. Only (ids, 8 words) cross the
     scan; raw embeddings are touched again only for the m survivors."""
     e = load_table(spark, sf_dir, "embeddings")
-    sk = _sketch_packed(e)
+    # r13 (guide §2.5): the corpus-side SRP encode + 256-bit Hamming ran
+    # in the one scan task (event-log profile: a single ~1.1 s task);
+    # fan the narrow rows out first. The query side's filter pushes
+    # below the repartition, so its encode stays scan-pruned.
+    sk = _sketch_packed(
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     q = sk.where(F.col("vec_id") < SKETCH_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("ws").alias("qws")
     )
@@ -2603,7 +2620,13 @@ def _sketch_rerank(
     qraw = e.where(F.col("vec_id") < SKETCH_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    craw = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    # r13 (guide §2.5): the planner broadcasts the bounded candidate
+    # frame, so the corpus side streams — from the one scan task unless
+    # fanned out (event-log profile: a single ~1.0 s task paying every
+    # rerank dot fold).
+    craw = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
     j = cand.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
     dot = F.expr(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -2812,7 +2835,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     qraw = e.where(F.col("vec_id") < SKETCH_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    craw = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    # r13 (guide §2.5): same corpus-side fan-out as _sketch_rerank — the
+    # labeled candidate frame broadcasts, so the cosine folds otherwise
+    # run in the one scan task.
+    craw = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
     j = labeled.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
     dot = F.expr(
         "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -4194,7 +4222,12 @@ SELECT q_id, db_id, cell, adc_dist, rn FROM r WHERE rn <= {IVFPQ_TOPK}
 )
 def ann_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    celled = _ivfpq_celled(e)
+    # r13 (guide §2.5): the db side's cell argmin + residual PQ encode is
+    # the expensive per-row chain; spread it before it runs (the probed
+    # query table stays on the pruned scan — it is dim-sized).
+    celled = _ivfpq_celled(
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     codes_expr, _ = _pq_codes_spark("res", div=100)
     codes_let = _ivfpq_let(
         f"element_at({_IVFPQ_COARSE_S}, cell)",
@@ -4585,7 +4618,11 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < IVFPQ_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    db = e.select(F.col("vec_id").alias("db_id"), F.col("embedding").alias("c_emb"))
+    # r13 (guide §2.5): the brute-truth L2 folds stream over the db scan
+    # (one task on the single-split fixture); fan the narrow rows out.
+    db = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        F.col("vec_id").alias("db_id"), F.col("embedding").alias("c_emb")
+    )
     l2 = F.expr(
         "round(aggregate(zip_with(q_emb, c_emb,"
         " (x, y) -> (cast(x as double) - cast(y as double))"
@@ -4613,7 +4650,7 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residual codes cost (shared _ivfpq_celled/_ivfpq_probed helpers,
     # the same cell/probe plans the search runs)
     cellcand = (
-        _ivfpq_celled(e)
+        _ivfpq_celled(e.repartition(spark.sparkContext.defaultParallelism, "vec_id"))
         .select("db_id", "cell")
         .join(F.broadcast(_ivfpq_probed(e).select("q_id", "cell")), "cell")
         .where(F.col("db_id") != F.col("q_id"))
@@ -5208,7 +5245,9 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+def _bm25_parts(
+    spark: SparkSession, sf_dir: str, fan_out: bool = True
+) -> "dict[str, DataFrame]":
     """The BM25 stage plans, shared by bm25_topk_retrieval (which joins
     drops + ranked), hybrid_rrf_fusion's sparse leg, and
     bm25_rm3_expansion (which feeds the ranked top back as relevance
@@ -5226,7 +5265,17 @@ def _bm25_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     scale. Callers that only want plan inspection pay one tiny-dim job;
     bench attribution for the family includes this build cost by design
     (see BENCH_DETAIL notes)."""
+    # r13 (guide §2.5): the tokenize -> explode -> partial-tf pipeline is
+    # heavy per-row work above a single-split fixture scan (event-log
+    # profile: 1-task ~1.1 s stages in every bm25 consumer); the keyed
+    # fan-out spreads it like every other document pipeline. fan_out is
+    # opt-out ONLY for bm25_rm3_expansion, whose two-pass plan rebuilds
+    # the post subtree several times and re-pays the exchange per pass
+    # (measured: rm3 4.24 -> 5.14 s with the fan-out; topk 2.11 -> 1.91,
+    # champion 2.95 -> 2.65, hybrid_rrf 4.19 -> 3.57 WITH it).
     d = load_table(spark, sf_dir, "documents")
+    if fan_out:
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ts"),
@@ -7024,7 +7073,9 @@ WHERE rn <= {BM25_K}
     tags=("corpus", "retrieval"),
 )
 def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = _bm25_parts(spark, sf_dir)
+    # fan_out=False: see _bm25_parts — the two-pass plan re-pays the
+    # fan-out exchange per post rebuild, a measured net loss here.
+    parts = _bm25_parts(spark, sf_dir, fan_out=False)
     post, q_ann, tot = parts["post"], parts["q_ann"], parts["tot"]
     fb = parts["ranked"].where(F.col("rank") <= RM3_FDOCS).select(
         "query_id", F.col("doc_id").alias("fdoc")

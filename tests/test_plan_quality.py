@@ -471,12 +471,15 @@ def test_classifier_and_dup_ngrams_are_map_side(spark):
 
 
 def test_pq_encode_is_map_side_and_search_broadcasts(spark):
-    """PQ encode is a zero-Exchange, zero-Python column pass; the ADC
-    search's only cross shape is the broadcast query set (never a
-    shuffled CartesianProduct) and its top-k rank gets the
-    WindowGroupLimit pushdown."""
+    """PQ encode is a zero-Python column pass whose only Exchange is the
+    r13 keyed generator fan-out of the narrow (vec_id, embedding) rows
+    (the single-split fixture scan otherwise runs every per-row encode
+    in one task); the ADC search's only cross shape is the broadcast
+    query set (never a shuffled CartesianProduct) and its top-k rank
+    gets the WindowGroupLimit pushdown."""
     plan = _plan(spark, "pq_quantize_embeddings")
-    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1 and "hashpartitioning(vec_id" in plan
     assert "EvalPython" not in plan
     plan = _plan(spark, "ann_pq_adc_search")
     assert "CartesianProduct" not in plan
@@ -1012,7 +1015,11 @@ def test_ann_ivfpq_residual_search_shape(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    # exactly two exchanges: the r13 keyed fan-out of the narrow db rows
+    # (the cell+residual encode otherwise runs in the one fixture scan
+    # task) and the per-query rank window
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "hashpartitioning(vec_id" in plan
     assert len(plan) < 300_000, f"plan blew up to {len(plan)} chars"
 
 
