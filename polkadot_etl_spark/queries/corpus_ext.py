@@ -3311,8 +3311,13 @@ def _release_stage_parts(
             .select(F.explode(_word_grams(words)).alias("gram"))
             .distinct()
         )
+        # r13 (guide §2.5): the train side's split + word-gram explode is
+        # heavy per-row work above the single-split scan (event-log
+        # profile: the funnel/gate thread-pool leg ran as one ~1.8-2.6 s
+        # task); the bench side stays a scan-pruned 20-doc broadcast.
         return (
             d_full.where(F.col("doc_id") >= 20)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
             .select(
                 "doc_id",
                 F.explode(F.array_distinct(_word_grams(words))).alias("gram"),
