@@ -6122,7 +6122,12 @@ FROM kept GROUP BY doc_id
     tags=("corpus", "text", "filter"),
 )
 def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5): the per-doc HTML synthesis + block extraction is
+    # heavy per-row expression work above the single-split scan
+    # (event-log profile: one ~1.05 s task); spread the docs first.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     staged = d.select(
         "doc_id",
         F.split(F.col("text"), " ").alias("words"),

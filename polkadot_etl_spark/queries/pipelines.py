@@ -1211,7 +1211,14 @@ FROM j GROUP BY msg_id
     tags=("pipeline", "join", "agg"),
 )
 def xcm_message_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # r13 (guide §2.5): the instruction synthesis explode + dim join ran
+    # in the one fixture scan task (event-log profile: ~1.25 s single
+    # task); the keyed fan-out also pre-clusters the downstream
+    # per-message aggregate (msg_id IS event_id), so the exchange is
+    # reused, not added.
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     instr_json = (
         F.when(F.col("event_type") == "purchase",
                '["withdrawAsset","clearOrigin","buyExecution","depositAsset"]')
