@@ -7923,7 +7923,15 @@ def _abtt_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, _n = _pc_power_direction(spark, sf_dir)
     x2 = sum(v * v for v in x)  # <= 64 * 4e12, inside int64
     x_lit = "array(" + ", ".join(f"{v}L" for v in x) + ")"
-    e = load_table(spark, sf_dir, "embeddings")
+    # r13 (guide §2.5): the quantize + center + project folds feed an
+    # EAGER checkpoint consumed by four downstream jobs — on the
+    # single-split fixture scan that materialization ran as one ~1.6 s
+    # task AND left the checkpoint single-partitioned, serializing every
+    # consumer. One narrow keyed fan-out spreads the folds and the
+    # checkpointed partitions.
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     qv = e.select(
         "vec_id",
         "label",
