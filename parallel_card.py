@@ -249,6 +249,44 @@ def main() -> None:
                 f"# {name}: wall={m['wall']:.3f}s conc={m['concurrency']:.2f}",
                 file=sys.stderr,
             )
+        # Phantom-flag guard (same class as benchutil's box-speed stamp
+        # and the box-probe retry): a co-tenant burst inflates wall
+        # while OUR process-tree CPU stays put, so a borderline query
+        # crosses MIN_FLAG_SECONDS with concurrency under the line and
+        # flags spuriously (measured: domain_pagerank and
+        # lag_change_detection each flagged exactly once across loaded
+        # sittings, at walls a hair over 2.0 s). Re-measure every
+        # would-be flag that is NOT already documented driver-bound, up
+        # to twice: a genuinely serialized query flags on every attempt
+        # (best wall stays high, best concurrency low); a burst
+        # artifact clears on a quieter re-run. min-wall/max-concurrency
+        # merging matches _measure's own min/max discipline.
+        def _would_flag(m: dict) -> bool:
+            return (
+                m["wall"] >= MIN_FLAG_SECONDS
+                and m["concurrency"] <= FLAG_CONCURRENCY_BELOW
+            )
+
+        for name in sorted(raw["queries"]):
+            m = raw["queries"][name]
+            if name in EXPECTED_DRIVER_BOUND or not _would_flag(m):
+                continue
+            for _ in range(2):
+                m2 = _measure(QUERIES[name].build, spark, SF_DIR)
+                m = {
+                    "wall": round(min(m["wall"], m2["wall"]), 3),
+                    "concurrency": round(
+                        max(m["concurrency"], m2["concurrency"]), 2
+                    ),
+                }
+                if not _would_flag(m):
+                    break
+            raw["queries"][name] = m
+            print(
+                f"# re-probed {name}: wall={m['wall']:.3f}s"
+                f" conc={m['concurrency']:.2f}",
+                file=sys.stderr,
+            )
         raw["probes"] = {
             "serial": _measure(_probe(1), spark, SF_DIR),
             "parallel": _measure(_probe(64), spark, SF_DIR),

@@ -1411,7 +1411,16 @@ def test_abtt_stage_plans_are_single_pass(spark):
     cr0 = cx._abtt_centered(spark, SF_DIR)
     plan_cr = _plan_of(spark, cr0)
     assert "EvalPython" not in plan_cr
-    assert not re.findall(r"^\(\d+\) Exchange", plan_cr, re.M), "centering shuffles"
+    # exactly ONE exchange: the r13 keyed fan-out of the narrow
+    # (vec_id, label, embedding) rows feeding the eager checkpoint (the
+    # single-split fixture scan otherwise materializes the whole
+    # centered frame in one task and leaves the checkpoint
+    # single-partitioned for all four consumers); still one parquet
+    # pass, still no corpus re-shuffle of the folds themselves
+    exch = re.findall(r"^\(\d+\) Exchange", plan_cr, re.M)
+    assert len(exch) == 1 and "hashpartitioning(vec_id" in plan_cr, (
+        "centering must carry only the keyed fan-out exchange"
+    )
     assert "Join" not in plan_cr
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan_cr, re.M)) == 1
 
