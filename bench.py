@@ -1,8 +1,11 @@
 """Benchmark runner: executes every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-SHORT final JSON line (total wall-clock only).  The full per-query map is
-written as a sidecar to BENCH_DETAIL.json next to this file — the harness
-truncates long stdout lines, so the final line must stay small.
+final JSON line carrying the total AND the per-query map ("queries" —
+r14, VERDICT #7: the driver's round-over-round comparison needs the map
+in the line; ~6.5 KB for 219 queries, well under any observed capture
+limit — the r13 driver's BENCH_rNN.json tail captured more).  The full
+run metadata (box stamps, budgets, iterations, stage attributions) still
+goes to the BENCH_DETAIL.json sidecar next to this file.
 
 Each query is fully materialized through the NOOP SINK
 (`df.write.format("noop")`): every output column is computed and row
@@ -284,7 +287,12 @@ def main() -> None:
         )
         fh.write("\n")
 
-    # Final stdout line: short enough to never be truncated, valid JSON.
+    # Final stdout line: valid JSON, one line. r14 (VERDICT #7,
+    # additions-only): the per-query map rides IN the line — the r13
+    # driver's round-over-round comparison came back empty
+    # (PERF_r13.json per_query {}, n_common 0) because the line carried
+    # only totals and the sidecar is overwritten per run. ~7 KB for 219
+    # queries; every existing key is unchanged.
     print(
         json.dumps(
             {
@@ -295,6 +303,7 @@ def main() -> None:
                 "n_queries": len(per_query),
                 "over_budget": len(over_budget),
                 "detail": "BENCH_DETAIL.json",
+                "queries": per_query,
             },
             separators=(",", ":"),
         )

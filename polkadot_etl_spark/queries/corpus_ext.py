@@ -6647,13 +6647,17 @@ def streaming_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _tempfile.mkdtemp(prefix="corpus_replay_")
     try:
         src_dir = _replay_ndjson_batches(spark, sf_dir, work)
+        # builder form (r14): the harness sizes state partitions in a
+        # CLONED session, so the stream plans against the sized conf
+        # while this session's conf never mutates (VERDICT #2)
         pdf = collect_bounded_stream(
-            dedup_first_occurrence(
-                quality_gated(document_stream(spark, src_dir))
+            lambda ss: dedup_first_occurrence(
+                quality_gated(document_stream(ss, src_dir))
             ),
             work,
             DEDUP_OUT_SCHEMA,
-            n_rows=REPLAY_DOCS,  # r13: size state partitions to the stream
+            spark,
+            n_rows=REPLAY_DOCS,
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
@@ -6758,12 +6762,13 @@ def streaming_neardedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an inline copy would silently drift from the machine this
         # query certifies
         pdf = collect_bounded_stream(
-            near_dedup_stream(
-                document_stream(spark, src_dir), cap=REPLAY_ROSTER_CAP
+            lambda ss: near_dedup_stream(
+                document_stream(ss, src_dir), cap=REPLAY_ROSTER_CAP
             ),
             work,
             BAND_OUT_SCHEMA,
-            n_rows=REPLAY_DOCS,  # r13: size state partitions to the stream
+            spark,
+            n_rows=REPLAY_DOCS,  # sized state partitions via cloned session
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
@@ -8397,13 +8402,17 @@ def _incr_stream_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _tempfile.mkdtemp(prefix="incr_replay_")
     try:
         src_dir = write_ndjson_waves(work, waves)
+        # builder form (r14): state partitions sized in a CLONED session
+        # — load-bearing for THIS query, whose quantizer-training leg
+        # plans concurrently on another driver thread and must not
+        # inherit the stream's tiny shuffle-partition count (VERDICT #2)
         pdf = collect_bounded_stream(
-            dedup_first_occurrence(
-                quality_gated(document_stream(spark, src_dir))
+            lambda ss: dedup_first_occurrence(
+                quality_gated(document_stream(ss, src_dir))
             ),
             work,
             DEDUP_OUT_SCHEMA,
-            # r13: size state partitions to the bounded stream's rows
+            spark,
             n_rows=sum(len(w) for w in waves),
         )
     finally:

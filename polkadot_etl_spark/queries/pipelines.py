@@ -1091,8 +1091,12 @@ def xcm_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = F.col("o_orderkey")
     # generator fan-out (single-row-group test parquet; see
-    # users_tags_attribution)
-    o = load_table(spark, sf_dir, "orders").repartition(32, "o_orderkey").select(
+    # users_tags_attribution); keyed on the session's parallelism like
+    # every other fan-out site — a literal count under-parallelizes any
+    # larger cluster (r13 VERDICT #5)
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey"
+    ).select(
         F.concat(F.lit("x"), k.cast("string")).alias("extrinsic_id"),
         F.concat(F.lit("m"), (k % 1000).cast("string")).alias("msg_hash"),
         (k % 10000).alias("sent_at"),
@@ -2314,7 +2318,11 @@ def users_tags_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group, so without this the whole synth (pubkey concat +
     # broadcast probe over 600k rows at sf0.1) runs as ONE task —
     # measured 2.4x (4.7s -> 2.0s). Real day partitions split naturally.
-    li = load_table(spark, sf_dir, "lineitem").repartition(32, "l_orderkey", "l_linenumber")
+    # Keyed on the session's parallelism (r13 VERDICT #5: the literal 32
+    # under-parallelized larger clusters).
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     transfers = li.join(o, li.l_orderkey == o.o_orderkey).select(
         _pk(F.col("l_suppkey")).alias("from_pub_key"),

@@ -61,25 +61,61 @@ def write_ndjson_waves(work: str, waves: "list[list[str]]") -> str:
 STATE_ROWS_PER_PARTITION = 1024
 
 
+def replay_session(spark, n_rows: int):
+    """A CLONED session (same SparkContext, isolated SQL conf) with
+    shuffle partitions sized to the bounded stream's known row count.
+
+    Structured Streaming pins state partitioning to
+    spark.sql.shuffle.partitions at first trigger — AQE cannot coalesce
+    it — so without the sizing every micro-batch pays the per-partition
+    Python/state-store round trip across the full session fan-out even
+    for a few hundred rows (measured 8.7 s -> 3.5 s on the 255-row
+    daily-increment replay at 32 cores). r13 set the conf IN PLACE on
+    the caller's session (restored in finally), but SQL conf is
+    session-global: corpus_daily_increment_replay overlaps this stream
+    with a quantizer-training leg on a second driver thread, and any
+    training shuffle planned during the stream's lifetime inherited the
+    tiny partition count (r13 VERDICT item 2 — harmless at sf0.1, an
+    under-parallelization hazard at cluster scale). newSession()
+    isolates the override completely: the clone shares the
+    SparkContext (executors, scheduler) but not the SQL conf, and is
+    simply dropped when the stream finishes. Session timezone is copied
+    from the caller so timestamp parsing inside the stream cannot
+    drift from the batch plans' session."""
+    import math
+
+    sess = spark.newSession()
+    sess.conf.set(
+        "spark.sql.session.timeZone",
+        spark.conf.get("spark.sql.session.timeZone"),
+    )
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_rows / STATE_ROWS_PER_PARTITION),
+        ),
+    )
+    sess.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return sess
+
+
 def collect_bounded_stream(
-    stream_df: DataFrame, work: str, out_schema, n_rows: int | None = None
+    build_stream, work: str, out_schema, spark, n_rows: int | None = None
 ):
     """Run a bounded stream to completion, collecting every micro-batch
     via foreachBatch into one pandas frame. Returns the concatenated
     pandas frame (possibly empty, schema-named).
 
-    ``n_rows`` (the bounded stream's total row count, which replay
-    harnesses know exactly) sizes the stateful-operator partition count:
-    Structured Streaming pins state partitioning to
-    spark.sql.shuffle.partitions at first trigger — AQE cannot coalesce
-    it — so without the hint every micro-batch pays the per-partition
-    Python/state-store round trip across the full session fan-out even
-    for a few hundred rows (measured 8.7 s -> 3.5 s on the 255-row
-    daily-increment replay at 32 cores). The conf is scoped to the
-    stream (restored in finally); the first trigger persists the value
-    into the checkpoint, so later batches are unaffected by restore."""
-    import math
-
+    ``build_stream`` is a callable SparkSession -> streaming DataFrame:
+    the harness — not the caller — decides which session the stream
+    plans against, because the state-partition sizing must live in a
+    session the caller's other (possibly concurrent) plans never see.
+    With ``n_rows`` (the bounded stream's total row count, which replay
+    harnesses know exactly) the stream is built on ``replay_session``'s
+    clone — sized state partitions, zero mutation of the caller's
+    session conf (see replay_session). Without it the stream builds
+    directly on ``spark``."""
     import pandas as pd
 
     acc: "list[pd.DataFrame]" = []
@@ -87,35 +123,21 @@ def collect_bounded_stream(
     def _collect(batch_df: DataFrame, _batch_id: int) -> None:
         acc.append(batch_df.toPandas())
 
-    spark = stream_df.sparkSession
-    old_parts: str | None = None
-    if n_rows is not None:
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        parts = max(
-            1,
-            min(
-                spark.sparkContext.defaultParallelism,
-                math.ceil(n_rows / STATE_ROWS_PER_PARTITION),
-            ),
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    sess = replay_session(spark, n_rows) if n_rows is not None else spark
+    q = (
+        build_stream(sess)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .foreachBatch(_collect)
+        .start()
+    )
     try:
-        q = (
-            stream_df.writeStream.outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "chk"))
-            .foreachBatch(_collect)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            # always stop: an orphaned stream would keep erroring against
-            # the caller's rmtree'd source/checkpoint dirs for the rest of
-            # the session, polluting every subsequent query
-            q.stop()
+        q.processAllAvailable()
     finally:
-        if old_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # always stop: an orphaned stream would keep erroring against
+        # the caller's rmtree'd source/checkpoint dirs for the rest of
+        # the session, polluting every subsequent query
+        q.stop()
     out = [p for p in acc if len(p)]
     if out:
         return pd.concat(out, ignore_index=True)

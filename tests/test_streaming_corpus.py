@@ -251,3 +251,77 @@ def test_ingest_accounting_sink_counts_and_shape(spark, tmp_path):
     )
     ingest_accounting_sink(acct)(batch_df, payload["batch_id"])
     assert files[-1].read_text() == before
+
+
+# ---------------------------------------------------------------------------
+# streaming/replay.py — the bounded-replay harness must size state
+# partitions WITHOUT mutating the caller's session conf (r13 VERDICT
+# item 2: the in-place override bled into concurrently-planning driver
+# threads, e.g. corpus_daily_increment_replay's overlapped training leg)
+# ---------------------------------------------------------------------------
+
+
+def test_replay_session_is_isolated_and_sized(spark):
+    from polkadot_etl_spark.streaming.replay import (
+        STATE_ROWS_PER_PARTITION,
+        replay_session,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ss = replay_session(spark, STATE_ROWS_PER_PARTITION + 1)
+    assert ss is not spark
+    # clone: sized partitions, inherited timezone, SHARED SparkContext
+    assert ss.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert ss.conf.get("spark.sql.session.timeZone") == spark.conf.get(
+        "spark.sql.session.timeZone"
+    )
+    assert ss.sparkContext is spark.sparkContext
+    # the caller's conf never changed
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_collect_bounded_stream_never_mutates_caller_conf(spark, tmp_path):
+    """A concurrent driver thread polling the caller's session conf for
+    the stream's whole lifetime must never observe the replay sizing —
+    the exact observation the r13 in-place override failed."""
+    import threading
+
+    from polkadot_etl_spark.streaming.corpus import DEDUP_OUT_SCHEMA
+    from polkadot_etl_spark.streaming.replay import collect_bounded_stream
+
+    src, _, _ = _mk_dirs(tmp_path)
+    _write_ndjson(
+        src / "a.json",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s0"},
+            {"doc_id": 2, "text": GOOD, "lang": "en", "source": "s0"},
+        ],
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen: set[str] = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        pdf = collect_bounded_stream(
+            lambda ss: dedup_first_occurrence(
+                quality_gated(document_stream(ss, str(src)))
+            ),
+            str(tmp_path / "work"),
+            DEDUP_OUT_SCHEMA,
+            spark,
+            n_rows=2,  # sizes the clone to ONE state partition
+        )
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert seen == {before}, f"caller conf mutated during stream: {seen}"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # the stream still ran (both docs out, dup resolved to canonical 1)
+    assert sorted(pdf["doc_id"]) == [1, 2]
+    assert sorted(pdf["canonical_id"]) == [1, 1]
