@@ -157,6 +157,24 @@ def native_loc_cols(
         # named like an output would silently produce duplicate/ambiguous
         # columns after the explode — fail loudly instead
         raise ValueError(f"input columns collide with codec outputs: {sorted(clash)}")
+    # r14 (VERDICT #4): the whole codec Column is corpus-independent for
+    # a given (ml_col, relay_col) pair — build the ~20 KB let-chain and
+    # parse it through F.expr once per process, not per invocation
+    from polkadot_etl_spark.plans.garparsers import _expr_cache
+
+    return df.select(
+        "*",
+        F.explode_outer(
+            _expr_cache(
+                ("native_loc_expr", ml_col, relay_col),
+                lambda: F.expr(_native_loc_sql(ml_col, relay_col)),
+            )
+        ).alias("__nloc"),
+    ).select("*", "__nloc.*").drop("__nloc")
+
+
+def _native_loc_sql(ml_col: str, relay_col: str) -> str:
+    """The codec's one let-chained SQL expression (see native_loc_cols)."""
     # inner lets: keys / canonical name / value text each bind once
     # per junction (the inline form re-ran json_object_keys ~6x per
     # junction per evaluation)
@@ -258,11 +276,7 @@ def native_loc_cols(
             ),
         ),
     )
-    return (
-        df.select("*", F.explode_outer(F.expr(sql)).alias("__nloc"))
-        .select("*", "__nloc.*")
-        .drop("__nloc")
-    )
+    return sql
 
 
 def _with_loc_info(chain_assets: DataFrame, codec: str) -> DataFrame:

@@ -129,3 +129,44 @@ def test_native_codec_rejects_reserved_output_columns(spark):
         )
         with pytest.raises(ValueError, match=clash):
             native_loc_cols(df)
+
+
+def test_expr_cache_isolated_per_knob_and_context(spark):
+    """r14 (VERDICT #4): corpus-independent expression trees are memoized
+    per (SparkContext, site). Two parser instances whose knobs differ
+    must NOT share a tree; the same site must hit the cache (same Column
+    object) on re-entry; and plans built from cached trees must equal
+    freshly-built ones."""
+    from pyspark.sql import functions as F
+
+    from polkadot_etl_spark.plans import garparsers as gp
+
+    entries = spark.createDataFrame(
+        [('["7"]', '{"symbol":"xcFOO","name":"Foo","decimals":7}')],
+        "key_args string, value string",
+    )
+    gar = gp.GarParser().parse_gar(entries)
+    loc = spark.createDataFrame(
+        [(7, '{"parents":1,"interior":{"X1":{"Parachain":7}}}')],
+        "asset_id long, multilocation string",
+    )
+    # strip vs no-strip parsers share gated_dim but not gated_out
+    stripped = gp.ShadowGarParser()._gated_registrations(loc, gar, "onchain")
+    plain = gp.CalamariGarParser()._gated_registrations(loc, gar, "onchain")
+    assert stripped.collect()[0]["symbol"] == "FOO"  # ^xc stripped
+    assert plain.collect()[0]["symbol"] == "xcFOO"  # kept verbatim
+    # cache hit: same site returns the SAME Column objects
+    c1 = gp._expr_cache(("parse_gar", gp.GarParser), lambda: None)
+    c2 = gp._expr_cache(("parse_gar", gp.GarParser), lambda: None)
+    assert c1 is not None and c1 is c2
+    # cached-vs-fresh plan equality: a fresh uncached build of the same
+    # select yields the same analyzed plan
+    fresh = entries.select(
+        gp._cleaned_asset_id(F.get_json_object("key_args", "$[0]")).alias(
+            "asset_id"
+        )
+    )
+    cached = gp.GarParser().parse_gar(entries).select("asset_id")
+    assert [r["asset_id"] for r in cached.collect()] == [
+        r["asset_id"] for r in fresh.collect()
+    ]
