@@ -1635,51 +1635,65 @@ def xcmtransfers_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = (k % 50).cast("double") / 10
     symbol = F.concat(F.lit("S"), (k % 5).cast("string"))
 
+    # r14 (guide §2.3/§8, the address_topn transplant — VERDICT #6):
+    # match/rank on NARROW keys only, synthesize the wide decoration
+    # row AFTER the rank. The old shape shipped all 34 synthesized
+    # columns (two 64+-char pubkeys, hashes, JSON decorations — ~600 B/
+    # row) through match_transfers' rank Exchange; everything below is
+    # a pure function of k, so only the columns the match itself reads
+    # (window keys, join keys, band ts, scoring amount) plus k itself
+    # need to cross the exchange (~70 B/row).
     transfers = o.select(
-        F.concat(F.lit("0xt"), ks).alias("extrinsicHash"),
+        k.alias("k"),
         F.concat(ks, F.lit("-0")).alias("extrinsicID"),
         F.lit(0).cast("long").alias("transferIndex"),
         F.lit(0).cast("long").alias("xcmIndex"),
-        (F.lit(2000) + k % 4).alias("chainID"),
         (F.lit(2010) + k % 3).alias("chainIDDest"),
-        k.alias("blockNumber"),
         symbol.alias("symbol"),
         amount_sent.alias("amountSent"),
         source_ts.alias("sourceTS"),
-        k.alias("sentAt"),
         F.concat(F.lit("0x"), F.lpad(ks, 8, "0")).alias("msgHash"),
-        (k % 2).cast("int").alias("destStatus"),
-        # xcmInfo-side decorations the indexer packs onto the transfer row
-        F.when(k % 9 == 0, F.lit("error")).otherwise(F.lit("success")).alias(
-            "destExecutionStatus"
-        ),
-        price.alias("priceUSD"),
-        (amount_sent.cast("double") / F.lit(1e10) * price).alias("amountSentUSD"),
-        ((amount_sent - fee).cast("double") / F.lit(1e10) * price).alias(
-            "amountReceivedUSD"
-        ),
-        F.lit("xcmPallet").alias("section"),
-        F.lit("limitedReserveTransferAssets").alias("method"),
-        F.when(k % 13 == 0, F.lit(None).cast("double"))
-        .otherwise((k % 13).cast("double") / 10000)
-        .alias("txFee"),
-        F.when(k % 13 == 0, F.lit(None).cast("double"))
-        .otherwise((k % 13).cast("double") / 10000 * price)
-        .alias("txFeeUSD"),
-        (fee.cast("double") / F.lit(1e10) * price).alias("teleportFeeUSD"),
-        F.concat(F.lit("5S"), ks).alias("senderSS58"),
-        F.concat(F.lit("0x"), F.lpad(ks, 64, "0")).alias("senderPubKey"),
-        F.concat(F.lit("5B"), ks).alias("beneficiarySS58"),
-        F.concat(F.lit("0xb"), F.lpad(ks, 63, "0")).alias("beneficiaryPubKey"),
-        F.when(k % 2 == 0, F.concat(F.lit("0xevm"), ks)).alias("transactionHash"),
-        F.when(k % 5 == 0, F.lit(None).cast("boolean"))
-        .otherwise(k % 3 == 0)
-        .alias("isMsgSent"),
-        (k % 2 == 0).alias("isFeeItem"),
-        F.concat((k + 1).cast("string"), F.lit("-2")).alias("destExtrinsicID"),
-        (F.lit(1700000000) + k).alias("xcmInfoLastUpdateTS"),
-        F.concat(F.lit("polkadot~S"), (k % 5).cast("string")).alias("xcmInteriorKey"),
     )
+    # post-rank decoration: every column the wide projection reads that
+    # the match does not — identical expressions to the pre-r14 form,
+    # applied to the survivors' carried k
+    _DECOR = {
+        "extrinsicHash": F.concat(F.lit("0xt"), ks),
+        "chainID": F.lit(2000) + k % 4,
+        "blockNumber": k,
+        "sentAt": k,
+        "destStatus": (k % 2).cast("int"),
+        # xcmInfo-side decorations the indexer packs onto the transfer row
+        "destExecutionStatus": F.when(k % 9 == 0, F.lit("error")).otherwise(
+            F.lit("success")
+        ),
+        "priceUSD": price,
+        "amountSentUSD": amount_sent.cast("double") / F.lit(1e10) * price,
+        "amountReceivedUSD": (amount_sent - fee).cast("double")
+        / F.lit(1e10)
+        * price,
+        "section": F.lit("xcmPallet"),
+        "method": F.lit("limitedReserveTransferAssets"),
+        "txFee": F.when(k % 13 == 0, F.lit(None).cast("double")).otherwise(
+            (k % 13).cast("double") / 10000
+        ),
+        "txFeeUSD": F.when(k % 13 == 0, F.lit(None).cast("double")).otherwise(
+            (k % 13).cast("double") / 10000 * price
+        ),
+        "teleportFeeUSD": fee.cast("double") / F.lit(1e10) * price,
+        "senderSS58": F.concat(F.lit("5S"), ks),
+        "senderPubKey": F.concat(F.lit("0x"), F.lpad(ks, 64, "0")),
+        "beneficiarySS58": F.concat(F.lit("5B"), ks),
+        "beneficiaryPubKey": F.concat(F.lit("0xb"), F.lpad(ks, 63, "0")),
+        "transactionHash": F.when(k % 2 == 0, F.concat(F.lit("0xevm"), ks)),
+        "isMsgSent": F.when(k % 5 == 0, F.lit(None).cast("boolean")).otherwise(
+            k % 3 == 0
+        ),
+        "isFeeItem": k % 2 == 0,
+        "destExtrinsicID": F.concat((k + 1).cast("string"), F.lit("-2")),
+        "xcmInfoLastUpdateTS": F.lit(1700000000) + k,
+        "xcmInteriorKey": F.concat(F.lit("polkadot~S"), (k % 5).cast("string")),
+    }
     candidates = o.select(
         F.concat(F.lit("0x"), F.lpad(ks, 8, "0")).alias("msgHash"),
         (F.lit(2010) + k % 3).alias("chainIDDest"),
@@ -1695,7 +1709,7 @@ def xcmtransfers_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, f"chain{c}", f"Chain {c}", c - 2000) for c in chain_ids],
         "chainID: long, id: string, chain_name: string, para_id: long",
     )
-    matched = match_transfers(transfers, candidates)
+    matched = match_transfers(transfers, candidates).withColumns(_DECOR).drop("k")
     w = wide(matched, chains)
     return w.select(
         *[
