@@ -5251,7 +5251,7 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_parts(
-    spark: SparkSession, sf_dir: str, fan_out: bool = True
+    spark: SparkSession, sf_dir: str, fan_out: bool = True, pin_post: bool = False
 ) -> "dict[str, DataFrame]":
     """The BM25 stage plans, shared by bm25_topk_retrieval (which joins
     drops + ranked), hybrid_rrf_fusion's sparse leg, and
@@ -5296,6 +5296,17 @@ def _bm25_parts(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if pin_post:
+        # r14 (VERDICT #5; guide §3.3 "materialise an intermediate"):
+        # multi-pass consumers (RM3's two scoring passes + feedback-term
+        # collection + lexicon) re-plan the tokenize→explode→aggregate
+        # postings subtree once PER CONSUMER — the reason rm3 measured a
+        # LOSS from the r13 fan-out (it re-paid the exchange per
+        # rebuild, corpus_ext.py:7086 note). An eager localCheckpoint
+        # computes the postings ONCE; every pass reads the partitioned
+        # RDD. Opt-in: single-pass consumers keep the lazy plan (a
+        # checkpoint there is a pure materialization barrier).
+        post = post.localCheckpoint(eager=True)
     # the lexicon: per-term document frequency as ONE map-combined count
     # (replaces the r8 COUNT-window over the full postings, which sorted
     # every term partition just to annotate 64 query terms)
@@ -7088,9 +7099,17 @@ WHERE rn <= {BM25_K}
     tags=("corpus", "retrieval"),
 )
 def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out=False: see _bm25_parts — the two-pass plan re-pays the
-    # fan-out exchange per post rebuild, a measured net loss here.
-    parts = _bm25_parts(spark, sf_dir, fan_out=False)
+    # pin_post (r14, VERDICT #5): the two-pass plan rebuilt the postings
+    # subtree per consumer (4x in the lazy plan + once under the q_ann
+    # collect); the eager checkpoint computes it once (plan: 105 ops /
+    # 13 Exchanges / 4 Generates -> 78 / 9 / 0, every pass reading the
+    # ExistingRDD). fan_out stays OFF: pin+fan-out was re-measured a
+    # consistent interleaved loss (the fanned checkpoint job pays the
+    # full-text exchange; at fixture scale the serial tokenize is
+    # cheaper), matching the r13 measurement. At production scale the
+    # checkpoint partitioning follows the aggregation's own shuffle, so
+    # no 1-partition hazard exists off-fixture.
+    parts = _bm25_parts(spark, sf_dir, fan_out=False, pin_post=True)
     post, q_ann, tot = parts["post"], parts["q_ann"], parts["tot"]
     fb = parts["ranked"].where(F.col("rank") <= RM3_FDOCS).select(
         "query_id", F.col("doc_id").alias("fdoc")

@@ -1296,7 +1296,16 @@ def test_bm25_rm3_expansion_composes_bounded_passes(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("WindowGroupLimit") >= 6  # 3 rank windows, tree+detail
     exchanges = re.findall(r"^\(\d+\) Exchange[^\n]*", plan, re.M)
-    assert len(exchanges) <= 14, exchanges
+    # r14 (VERDICT #5): postings checkpoint once — both scoring passes
+    # and the feedback-term pass read the pinned RDD instead of
+    # re-planning the tokenize→explode→aggregate subtree per consumer
+    # (pre-pin: 13 exchanges, 4 Generates; pinned: 9 / 0)
+    assert len(exchanges) <= 9, exchanges
+    assert "Scan ExistingRDD" in plan, "postings checkpoint missing"
+    assert not re.findall(r"^\(\d+\) Generate", plan, re.M), (
+        "tokenize explode re-entered the declared plan — postings "
+        "checkpoint regressed"
+    )
     assert not any("text" in e for e in exchanges), "raw text shuffled"
 
 
