@@ -5893,7 +5893,7 @@ _SDR_KEYS = 120  # candidate window: block numbers 0..119 (every SF has them)
 def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
     """Materialize the bounded block-candidate NDJSON replay source:
     three arrival WAVES with forced-distinct mtimes (the
-    streaming_corpus_replay file-ordering trick) plus a duplicated wave —
+    streaming_corpus_replay file-ordering trick) —
 
     - wave 1: every block seen UNFINALIZED first (hash 0xb{n},
       observed_at = block_time + 1s)
@@ -5901,9 +5901,18 @@ def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
       — the incremental sink must REPLACE the wave-1 winner in state
     - wave 3: an unfinalized FORK candidate for 1-URGENT blocks
       (hash 0xf{n}) with the LATEST observation (+3s) — it must still
-      lose to the finalized wave-2 row (finality outranks recency)
-    - wave 4: wave 2's file again, byte-identical (replay idempotence
-      through the partition-replace sink)
+      lose to the finalized wave-2 row NOW IN STATE (finality outranks
+      recency) — PLUS wave 2's lines delivered again verbatim (replay
+      idempotence through the partition-replace sink: duplicate rows
+      re-arriving in a LATER batch than their original must not
+      double-publish). r14 (guide §1.2): these were two separate
+      triggers; each trigger pays a full affected-partition state
+      rewrite (~95 (chain, day) dirs, the measured per-batch dominant
+      cost), and both transitions resolve against the SAME wave-2
+      state, so one merged batch exercises both — state-vs-batch fork
+      resolution and duplicate redelivery — with one rewrite. The
+      load-bearing incremental seam (wave-2 finalization REPLACING
+      wave-1 winners in state) keeps its own trigger.
 
     5-LOW blocks never finalize, so the publish-time finalized filter
     drops them — the gap the gold blocklog must report. Waves are
@@ -5936,20 +5945,23 @@ def _stream_dump_candidates(spark: SparkSession, sf_dir: str, work: str) -> str:
             }
         )
 
+    finalization = [
+        _cand(r, "0xb", True, 2)
+        for r in rows
+        if r["o_orderpriority"] != "5-LOW"
+    ]
     waves = [
         [_cand(r, "0xb", False, 1) for r in rows],
-        [
-            _cand(r, "0xb", True, 2)
-            for r in rows
-            if r["o_orderpriority"] != "5-LOW"
-        ],
+        finalization,
+        # fork candidates + the finalization wave redelivered (see
+        # docstring: one merged trigger, both state transitions)
         [
             _cand(r, "0xf", False, 3)
             for r in rows
             if r["o_orderpriority"] == "1-URGENT"
-        ],
+        ]
+        + finalization,
     ]
-    waves.append(list(waves[1]))  # replayed delivery of the finalization wave
     return write_ndjson_waves(work, waves)
 
 
@@ -6062,7 +6074,7 @@ def _dump_replay_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             # one wave file per micro-batch (oldest-mtime first): the
             # whole point is driving fork_resolving_sink's INCREMENTAL
-            # read-state/union/re-resolve path across four batches — an
+            # read-state/union/re-resolve path across three batches — an
             # unbounded trigger would coalesce the pre-existing files
             # into one batch and a broken state merge could still
             # hash-green (r10 self-review finding)
