@@ -73,7 +73,7 @@ PROBE_PAR_MIN = 8.0  # the 64-partition probe must achieve at least this
 # queries are ALLOWED to flag if a future box/SF regime shifts their
 # profile (the unexplained == [] gate would then be the operative one).
 EXPECTED_DRIVER_BOUND = {
-    "streaming_dump_replay": "4 structured-streaming micro-batches with "
+    "streaming_dump_replay": "3 structured-streaming micro-batches with "
     "checkpoint round-trips; the wall is harness IDLE latency (commit-log "
     "fsyncs, trigger scheduling), not CPU — the BENCH_DETAIL stage split "
     "attributes it (stream_harness ~4x dump_compose)",
@@ -101,29 +101,19 @@ EXPECTED_DRIVER_BOUND = {
     "means over 500 vectors; sub-second jobs, latency-bound",
     "ss58_codec_roundtrip": "100-row literal-VALUES fixture; wall is "
     "per-stage scheduling floor",
-    # --- the fixture-granularity class (r11 measurement finding): the
-    # test parquet is SINGLE-ROW-GROUP, so a zero-Exchange map-only plan
-    # runs in ONE task locally no matter how many cores exist — these
-    # queries read serial BECAUSE their plans are the desired 100 TB
-    # shape (all work at the scan, nothing shuffled); at real storage
-    # grains the same plan splits by file/row-group. The flag is
-    # correct as an instrument reading and wrong as a verdict — hence
-    # documented, not excused silently.
-    "evm_decoded_transfers": "pure-JVM column decode, zero Exchange, one "
-    "WholeStageCodegen span over the single-row-group events file — one "
-    "task by fixture scan granularity (measured concurrency 1.13)",
-    "ann_sketch_prefilter": "zero-shuffle sketch-packing + Hamming-scan "
-    "leg over the single-row-group embeddings file (concurrency 1.28)",
-    "hard_negative_mining": "composes the same single-task sketch "
-    "prefilter leg (concurrency 1.22)",
+    # --- (r14 note: the r11 "fixture-granularity class" — map-only
+    # plans serialized by the single-row-group test parquet — emptied
+    # out once the r13 keyed scan fan-outs landed: evm_decoded_transfers,
+    # ann_sketch_prefilter, hard_negative_mining, ann_pq_adc_search and
+    # ann_ivfpq_residual_search now measure 3.5-15x concurrent in
+    # .parallel_raw.json, so their stale zero-shuffle/single-task
+    # justifications are gone with them; the fan-outs themselves are
+    # split-count-gated in sources/tables.fan_out_scan.)
     # --- borderline band (measured 1.4-2.0, within noise of the 1.3
     # line): bounded driver-loop rounds or map-heavy single-row-group
     # legs; documented so a noisy regen cannot churn the ratchet
     "kmeans_corpus_clusters": "bounded Lloyd rounds: each a small job + "
     "O(k x dims) collect (measured 1.39)",
-    "ann_ivfpq_residual_search": "broadcast query dim + map-side ADC "
-    "tables over the single-row-group embeddings file (measured 1.48)",
-    "ann_pq_adc_search": "same map-side ADC class (measured 1.76)",
     "paragraph_dedup_rewrite": "row-local CDC chunking in one Generate "
     "task over the single-row-group documents file before the 16-byte "
     "hash shuffles (measured 1.50)",

@@ -30,7 +30,7 @@ from polkadot_etl_spark.operators.srp import (
 from polkadot_etl_spark.queries.llmdata import _DUCK_BUCKET as _LSH_DUCK_BUCKET
 from polkadot_etl_spark.queries.llmdata import _sq_norm as _sqn
 from polkadot_etl_spark.queries.registry import QUERIES, query
-from polkadot_etl_spark.sources.tables import load_table
+from polkadot_etl_spark.sources.tables import fan_out_scan, load_table
 
 SEMDEDUP_K = 45  # k-means cells ~ sqrt(N) (seeded, like ivf_centroid_update)
 SEMDEDUP_THR = 0.3  # cosine gate (synthetic vectors: selects top tail)
@@ -417,7 +417,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     wb = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select("doc_id", "lang", F.explode(words).alias("w"))
         .select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("bucket"))
     )
@@ -628,7 +628,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     ex = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select(F.explode(words).alias("w"))
         .where(F.length("w") >= 2)
     )
@@ -732,7 +732,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     vocab = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select(F.explode(words).alias("w"))
         .where(F.length("w") >= 2)
         .groupBy("w")
@@ -856,7 +856,7 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    wd = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    wd = d.transform(fan_out_scan(sf_dir, "documents", "doc_id")).select(
         "doc_id", F.explode(words).alias("w")
     )
     dim = _unigram_lm_dim(wd).select("w", "logp", "in_vocab")
@@ -969,7 +969,7 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 def bigram_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    dws = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    dws = d.transform(fan_out_scan(sf_dir, "documents", "doc_id")).select(
         "doc_id", "source", words.alias("ws")
     )
     bg_expr = F.expr(
@@ -1100,7 +1100,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select(split.alias("split"), F.explode(grams).alias("gram_hash"))
         .distinct()
     )
@@ -1522,9 +1522,7 @@ def pq_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy per-row work above the single-split fixture scan (event-log
     # profile: one ~1.9 s task); fan the narrow (vec_id, embedding) rows
     # out before it like every other synthesis query.
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = load_table(spark, sf_dir, "embeddings").transform(fan_out_scan(sf_dir, "embeddings", "vec_id"))
     codes, qerr = _pq_codes_spark("embedding")
     return e.select(
         "vec_id",
@@ -1592,7 +1590,7 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5): fan out the db side only — the per-row PQ encode
     # + 8-lookup ADC ran in the one scan task (event-log profile: a
     # single 3.1 s task); the query side stays a scan-pruned broadcast.
-    db = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+    db = e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("db_id"), F.expr(codes).alias("codes")
     )
     q = (
@@ -1799,7 +1797,7 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash chain (single-split fixture scan; keyed, no payload pre-sort)
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select(
             "doc_id",
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws"),
@@ -2417,9 +2415,7 @@ UNION ALL SELECT * FROM dropped_rows
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one md5 per word k-gram below — generator fan-out before the hash
     # chain (single-split fixture scan; keyed, no payload pre-sort)
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     K, W = WINNOW_K, WINNOW_W
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     grams = F.expr(
@@ -2589,7 +2585,7 @@ def _sketch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the narrow rows out first. The query side's filter pushes
     # below the repartition, so its encode stays scan-pruned.
     sk = _sketch_packed(
-        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id"))
     )
     q = sk.where(F.col("vec_id") < SKETCH_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("ws").alias("qws")
@@ -2624,7 +2620,7 @@ def _sketch_rerank(
     # frame, so the corpus side streams — from the one scan task unless
     # fanned out (event-log profile: a single ~1.0 s task paying every
     # rerank dot fold).
-    craw = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+    craw = e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     j = cand.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
@@ -2838,7 +2834,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5): same corpus-side fan-out as _sketch_rerank — the
     # labeled candidate frame broadcasts, so the cosine folds otherwise
     # run in the one scan task.
-    craw = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+    craw = e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     j = labeled.join(F.broadcast(qraw), "q_id").join(craw, "c_id")
@@ -3317,7 +3313,7 @@ def _release_stage_parts(
         # task); the bench side stays a scan-pruned 20-doc broadcast.
         return (
             d_full.where(F.col("doc_id") >= 20)
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
             .select(
                 "doc_id",
                 F.explode(F.array_distinct(_word_grams(words))).alias("gram"),
@@ -4231,7 +4227,7 @@ def ann_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive per-row chain; spread it before it runs (the probed
     # query table stays on the pruned scan — it is dim-sized).
     celled = _ivfpq_celled(
-        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id"))
     )
     codes_expr, _ = _pq_codes_spark("res", div=100)
     codes_let = _ivfpq_let(
@@ -4625,7 +4621,7 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r13 (guide §2.5): the brute-truth L2 folds stream over the db scan
     # (one task on the single-split fixture); fan the narrow rows out.
-    db = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+    db = e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("db_id"), F.col("embedding").alias("c_emb")
     )
     l2 = F.expr(
@@ -4655,7 +4651,7 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residual codes cost (shared _ivfpq_celled/_ivfpq_probed helpers,
     # the same cell/probe plans the search runs)
     cellcand = (
-        _ivfpq_celled(e.repartition(spark.sparkContext.defaultParallelism, "vec_id"))
+        _ivfpq_celled(e.transform(fan_out_scan(sf_dir, "embeddings", "vec_id")))
         .select("db_id", "cell")
         .join(F.broadcast(_ivfpq_probed(e).select("q_id", "cell")), "cell")
         .where(F.col("db_id") != F.col("q_id"))
@@ -4915,9 +4911,7 @@ def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grams twice, train grams twice) would each re-run the scan +
     # explode + md5 chain — fan the single-split scan out first, then
     # materialize the narrow (doc_id, 16-byte h) stream once
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     words = F.split(F.lower(F.col("text")), " ")
     g = (
         d.select(
@@ -5280,7 +5274,7 @@ def _bm25_parts(
     # champion 2.95 -> 2.65, hybrid_rrf 4.19 -> 3.57 WITH it).
     d = load_table(spark, sf_dir, "documents")
     if fan_out:
-        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d = d.transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     toks = d.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ts"),
@@ -6136,9 +6130,7 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5): the per-doc HTML synthesis + block extraction is
     # heavy per-row expression work above the single-split scan
     # (event-log profile: one ~1.05 s task); spread the docs first.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     staged = d.select(
         "doc_id",
         F.split(F.col("text"), " ").alias("words"),
@@ -7457,9 +7449,7 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplying y by SCALE — y*SCALE overflows int64 in the SQL
     # oracle (y reaches ~1e18); truncate-toward-zero division matches
     # DuckDB // (and python _trunc_div) exactly.
-    cvf = qv.repartition(
-        spark.sparkContext.defaultParallelism, F.col("vec_id")
-    ).select(F.expr(f"zip_with(qv, {mu_lit}, (v, m) -> v - m)").alias("cv"))
+    cvf = qv.transform(fan_out_scan(sf_dir, "embeddings", F.col("vec_id"))).select(F.expr(f"zip_with(qv, {mu_lit}, (v, m) -> v - m)").alias("cv"))
     g_rows = (
         cvf.select(F.col("cv"), F.posexplode("cv").alias("i", "vi"))
         .select("i", "vi", F.posexplode("cv").alias("j", "vj"))
@@ -7953,9 +7943,7 @@ def _abtt_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task AND left the checkpoint single-partitioned, serializing every
     # consumer. One narrow keyed fan-out spreads the folds and the
     # checkpointed partitions.
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = load_table(spark, sf_dir, "embeddings").transform(fan_out_scan(sf_dir, "embeddings", "vec_id"))
     qv = e.select(
         "vec_id",
         "label",
@@ -9043,7 +9031,7 @@ JOIN (SELECT source, SUM(n) // {DOREMI_STEPS} AS a FROM norm GROUP BY source) av
 def mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    wd = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    wd = d.transform(fan_out_scan(sf_dir, "documents", "doc_id")).select(
         "source", F.explode(words).alias("w")
     )
     dim = _unigram_lm_dim(wd).select("w", "logp")
@@ -10281,7 +10269,7 @@ FROM perdoc
 def rholoss_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    wd = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    wd = d.transform(fan_out_scan(sf_dir, "documents", "doc_id")).select(
         "doc_id", "source", F.explode(words).alias("w")
     )
     corpus_dim = _unigram_lm_dim(wd).select("w", "logp").localCheckpoint(
@@ -10481,9 +10469,7 @@ def dedup_family_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _gram() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
-        )
+        d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         gs = (
             d.select(
                 "doc_id",

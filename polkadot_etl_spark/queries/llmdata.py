@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polkadot_etl_spark.queries.registry import QUERIES, query
-from polkadot_etl_spark.sources.tables import load_table
+from polkadot_etl_spark.sources.tables import fan_out_scan, load_table
 
 N_BANDS = 4  # (b=4, r=1) under operators/lsh_planner's S-curve model:
 # t* = 0.25, recall-leaning (collision prob ~0.94 at Jaccard 0.5) —
@@ -113,7 +113,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexicographically == numerically).
     hs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select("doc_id", F.lower("text").alias("lt"))
         .select(
             "doc_id",
@@ -319,7 +319,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one split; spread the docs BEFORE the per-doc set build runs.
     sets_ = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.array_distinct(_spark_shingles()).alias("sh_set"))
         # (r13: no array_sort — array_intersect/size have set semantics
@@ -427,7 +427,7 @@ def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # var-length strings cannot hash-aggregate) and the doc_id Exchange.
     hs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select("doc_id", F.lower("text").alias("lt"))
         .select(
             "doc_id",
@@ -479,7 +479,7 @@ def dedup_minhash_banded_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets_ = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.array_distinct(_spark_shingles()).alias("sh_set"))
         # (r13: no array_sort — array_intersect/size have set semantics
@@ -529,7 +529,7 @@ FROM contrib GROUP BY doc_id
     tags=("dedup",),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     toks = d.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias(
@@ -688,7 +688,7 @@ FROM sh GROUP BY doc_id
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(fan_out_scan(sf_dir, "documents", "doc_id"))
         .select("doc_id", F.lower("text").alias("lt"))
         .select("doc_id", F.explode(_spark_shingles(k=8)).alias("shingle"))
     )
@@ -1298,9 +1298,7 @@ HAVING COUNT(*) >= 3
     tags=("dedup", "filter"),
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     bench = (
         d.where(F.col("doc_id") < 20)
         .select(F.lower("text").alias("lt"))
@@ -1440,9 +1438,7 @@ SELECT gram_hash, n_docs, n_occurrences FROM f WHERE n_docs >= 2
     tags=("dedup", "text"),
 )
 def passage_dedup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = load_table(spark, sf_dir, "documents").transform(fan_out_scan(sf_dir, "documents", "doc_id"))
     words = F.split(F.col("text"), " ")
     grams = _word_grams(words)
     return (

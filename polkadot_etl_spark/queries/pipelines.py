@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from polkadot_etl_spark.queries.fmt import d_date, d_decsum, s_date, s_ts
 from polkadot_etl_spark.queries.registry import query
-from polkadot_etl_spark.sources.tables import load_table
+from polkadot_etl_spark.sources.tables import fan_out_scan, load_table
 
 # Nested params for the utility:batch extrinsics — exercises the recursive
 # call-tree flatten inside dump_day (root + 2 leaf children = 3 call rows).
@@ -417,8 +417,8 @@ def evm_decoded_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uint256->DECIMAL reconstruction is the same BigDecimal-heavy
     # per-row decode the trace query measured, and without the exchange
     # the whole synth+decode runs as ONE task
-    e = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, "event_id"
+    e = load_table(spark, sf_dir, "events").transform(
+        fan_out_scan(sf_dir, "events", "event_id")
     )
     amt = F.floor(F.col("value") * 100).cast("bigint")
     # address words use decimal digits (valid hex) so the oracle can build
@@ -609,8 +609,8 @@ def evm_txn_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique o_orderkey — no round-robin pre-sort): without it the whole
     # tx+receipt synthesis and the fee math run as ONE task
     txns, receipts = _synth_evm_frames(
-        load_table(spark, sf_dir, "orders").repartition(
-            spark.sparkContext.defaultParallelism, "o_orderkey"
+        load_table(spark, sf_dir, "orders").transform(
+            fan_out_scan(sf_dir, "orders", "o_orderkey")
         )
     )
     t = evmtxs_table(txns, receipts)
@@ -718,8 +718,8 @@ def evmtxs_daily_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique o_orderkey — no round-robin pre-sort): without it the whole
     # tx+receipt synthesis and the fee math run as ONE task
     txns, receipts = _synth_evm_frames(
-        load_table(spark, sf_dir, "orders").repartition(
-            spark.sparkContext.defaultParallelism, "o_orderkey"
+        load_table(spark, sf_dir, "orders").transform(
+            fan_out_scan(sf_dir, "orders", "o_orderkey")
         )
     )
     t = evmtxs_table(txns, receipts)
@@ -792,8 +792,8 @@ def wasm_contract_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-robin repartition pays a full local sort of the input
     # (sortBeforeRepartition, for deterministic retries) that hash
     # partitioning on a deterministic unique key avoids.
-    li = load_table(spark, sf_dir, "lineitem").repartition(
-        32, F.col("l_orderkey"), F.col("l_linenumber")
+    li = load_table(spark, sf_dir, "lineitem").transform(
+        fan_out_scan(sf_dir, "lineitem", F.col("l_orderkey"), F.col("l_linenumber"))
     )
     sup = load_table(spark, sf_dir, "supplier")
     u = F.col("l_suppkey")
@@ -1094,8 +1094,8 @@ def xcm_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # users_tags_attribution); keyed on the session's parallelism like
     # every other fan-out site — a literal count under-parallelizes any
     # larger cluster (r13 VERDICT #5)
-    o = load_table(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = load_table(spark, sf_dir, "orders").transform(
+        fan_out_scan(sf_dir, "orders", "o_orderkey")
     ).select(
         F.concat(F.lit("x"), k.cast("string")).alias("extrinsic_id"),
         F.concat(F.lit("m"), (k % 1000).cast("string")).alias("msg_hash"),
@@ -1777,8 +1777,8 @@ def evm_accounts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique o_orderkey — no round-robin pre-sort): without it the whole
     # tx+receipt synthesis and the fee math run as ONE task
     txns, receipts = _synth_evm_frames(
-        load_table(spark, sf_dir, "orders").repartition(
-            spark.sparkContext.defaultParallelism, "o_orderkey"
+        load_table(spark, sf_dir, "orders").transform(
+            fan_out_scan(sf_dir, "orders", "o_orderkey")
         )
     )
     t = evmtxs_table(txns, receipts)
@@ -2334,8 +2334,8 @@ def users_tags_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.4x (4.7s -> 2.0s). Real day partitions split naturally.
     # Keyed on the session's parallelism (r13 VERDICT #5: the literal 32
     # under-parallelized larger clusters).
-    li = load_table(spark, sf_dir, "lineitem").repartition(
-        spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+    li = load_table(spark, sf_dir, "lineitem").transform(
+        fan_out_scan(sf_dir, "lineitem", "l_orderkey", "l_linenumber")
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     transfers = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -2602,8 +2602,8 @@ def address_topn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query's heavy stage and ran in one effective scan task
     # (event-log profile: ntasks=1, ~1.8 s); fan the needed columns out
     # on the join key before it.
-    li = load_table(spark, sf_dir, "lineitem").repartition(
-        spark.sparkContext.defaultParallelism, "l_orderkey"
+    li = load_table(spark, sf_dir, "lineitem").transform(
+        fan_out_scan(sf_dir, "lineitem", "l_orderkey")
     )
     c = load_table(spark, sf_dir, "customer")
     oa = o.groupBy(F.col("o_custkey").alias("k")).agg(

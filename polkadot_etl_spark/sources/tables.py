@@ -54,6 +54,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCAN_SPLITS_MEMO: dict[tuple[int, str, str], int] = {}
+
+
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Planned split count of one table's parquet scan, memoized per
+    (SparkContext, path) — one .rdd planning round trip per table per
+    JVM (no job runs; split packing is decided at planning time from
+    file sizes and maxPartitionBytes/openCostInBytes)."""
+    key = (id(spark.sparkContext), sf_dir, name)
+    n = _SCAN_SPLITS_MEMO.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, name).rdd.getNumPartitions()
+        _SCAN_SPLITS_MEMO[key] = n
+    return n
+
+
+def fan_out_scan(sf_dir: str, name: str, *keys):
+    """Keyed fan-out for heavy per-row chains sitting directly above a
+    table scan, GATED on the scan's actual split count (r14, ADVICE):
+
+    - fixture grain: the test parquet is a single row group, so the scan
+      cannot split and every heavy synthesis/encode chain above it runs
+      as ONE task — the keyed repartition spreads it (the r13 fix).
+    - production grain: the scan splits by row group into >= cores
+      partitions, the chain above it is already parallel, and the same
+      repartition would be a pure ADDED corpus-wide shuffle of payload
+      rows (raw text/embeddings) — so it must vanish.
+
+    Returns a ``DataFrame -> DataFrame`` for ``df.transform(...)``:
+    repartition only when the table's planned split count is below the
+    session's core count; pass through unchanged otherwise. The frame
+    may be the scan itself or derived 1:1 from it (select/filter/
+    synthesis) — the gate is a property of the TABLE's file layout.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        dp = spark.sparkContext.defaultParallelism
+        if scan_splits(spark, sf_dir, name) >= dp:
+            return df
+        return df.repartition(dp, *keys)
+
+    return _apply
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all test tables as temp views for spark.sql() use."""
     for name in TABLES:

@@ -77,10 +77,14 @@ def test_box_speed_probe_shape(spark):
     this pins the instrument's shape, not the box's speed)."""
     from polkadot_etl_spark.benchutil import BOX_PROBE_ROWS, box_speed_probe
 
-    box = box_speed_probe(spark)
-    assert box["box_speed_1t"] > 0 and box["box_speed_nt"] > 0
-    assert box["box_probe_rows"] == BOX_PROBE_ROWS
-    assert box["box_probe_wall_1t"] > 0 and box["box_probe_wall_nt"] > 0
+    def _assert_shape(b) -> None:
+        # re-asserted on EVERY sample, including retries (r14 ADVICE:
+        # the old loop only ratio-checked the fresh probe, so a retried
+        # probe with a broken wall/row field could pass)
+        assert b["box_speed_1t"] > 0 and b["box_speed_nt"] > 0
+        assert b["box_probe_rows"] == BOX_PROBE_ROWS
+        assert b["box_probe_wall_1t"] > 0 and b["box_probe_wall_nt"] > 0
+
     # Instrument-shape pin only, not a box-speed pin: on a low-core or
     # co-tenant-throttled box (SPARK_GRAFT_CPUS defaults to 32 regardless
     # of real cores) the parallel leg can legitimately trail the serial
@@ -88,10 +92,20 @@ def test_box_speed_probe_shape(spark):
     # timing the wrong thing / returning garbage), not scheduler noise.
     # A broken probe fails the ratio on EVERY attempt; a sitting where
     # another 32-task job owns the cores (measured: nt 87k vs 1t 202k
-    # with a concurrent full-registry verify) fails it transiently, so
-    # retry before declaring the instrument broken.
-    for _ in range(2):
+    # with a concurrent full-registry verify) fails it transiently.
+    # MAJORITY vote over up to 3 samples (r14 ADVICE: best-of-3 let ONE
+    # lucky sample clear a genuinely regressed nt leg; a co-tenant burst
+    # long enough to fail 2 of 3 spaced probes is indistinguishable from
+    # a real regression and SHOULD fail the suite).
+    passes, fails = 0, 0
+    box = box_speed_probe(spark)
+    _assert_shape(box)
+    while passes < 2 and fails < 2:
         if box["box_speed_nt"] >= 0.5 * box["box_speed_1t"]:
-            break
-        box = box_speed_probe(spark)
-    assert box["box_speed_nt"] >= 0.5 * box["box_speed_1t"], box
+            passes += 1
+        else:
+            fails += 1
+        if passes < 2 and fails < 2:
+            box = box_speed_probe(spark)
+            _assert_shape(box)
+    assert passes >= 2, box

@@ -1909,3 +1909,64 @@ def test_dedup_family_venn_cross_query_conservation(spark):
     lsh_pairs = QUERIES["dedup_ngram_jaccard"].build(spark, SF_DIR).count()
     assert snm_margin == snm_pairs, (snm_margin, snm_pairs)
     assert lsh_margin == lsh_pairs, (lsh_margin, lsh_pairs)
+
+
+def test_payload_exchanges_are_deliberate_fanouts_only(spark):
+    """ADVICE r14: raw corpus payload (documents.text / embeddings.
+    embedding) may cross an Exchange ONLY through the deliberate keyed
+    scan fan-outs — hashpartitioning on the unique id key, tagged
+    REPARTITION_BY_NUM, gated on scan split count in
+    sources/tables.fan_out_scan — never through a requirement-driven
+    shuffle (ENSURE_REQUIREMENTS), which would mean a join/aggregate/
+    window is moving payload bytes corpus-wide at production grain.
+    Inspects each Exchange node's Input COLUMNS, not just the header
+    line (the r13 assertions' blind spot, ADVICE medium)."""
+    bad = []
+    for name in sorted(QUERIES):
+        plan = _plan(spark, name)
+        for block in re.split(r"\n\n", plan):
+            if not re.match(r"\(\d+\) Exchange", block):
+                continue
+            inp = re.search(r"Input \[\d+\]: \[(.*?)\]\n", block + "\n", re.S)
+            cols = inp.group(1) if inp else ""
+            if not re.search(r"(?:^|[\[, ])(?:embedding|text)#", cols):
+                continue
+            arg = re.search(r"Arguments: .*", block)
+            a = arg.group(0) if arg else ""
+            ok = "REPARTITION_BY_NUM" in a and re.search(
+                r"hashpartitioning\((?:doc_id|vec_id)#", a
+            )
+            if not ok:
+                bad.append((name, a[:120]))
+    assert not bad, f"payload-carrying non-fan-out exchanges: {bad}"
+
+
+def test_fan_out_scan_gates_on_split_count(spark):
+    """sources/tables.fan_out_scan (r14, ADVICE): the keyed fan-out must
+    apply exactly when the table's planned scan split count is below the
+    session's parallelism — at fixture grain (single-row-group parquet,
+    1 split) it repartitions; at production grain (splits >= cores) it
+    must be a NO-OP so the payload never pays an added corpus-wide
+    shuffle. Simulated by seeding the memo the gate reads."""
+    from polkadot_etl_spark.sources import tables as T
+
+    dp = spark.sparkContext.defaultParallelism
+    key = (id(spark.sparkContext), SF_DIR, "documents")
+    df = T.load_table(spark, SF_DIR, "documents")
+    saved = T._SCAN_SPLITS_MEMO.get(key)
+    try:
+        # real fixture layout: single-row-group parquet -> fans out
+        T._SCAN_SPLITS_MEMO.pop(key, None)
+        fanned = df.transform(T.fan_out_scan(SF_DIR, "documents", "doc_id"))
+        assert T._SCAN_SPLITS_MEMO[key] < dp  # memo filled by the gate
+        plan = _plan_of(spark, fanned)
+        assert re.search(r"hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_NUM", plan)
+        # production layout (simulated): splits >= cores -> pass-through
+        T._SCAN_SPLITS_MEMO[key] = dp
+        passed = df.transform(T.fan_out_scan(SF_DIR, "documents", "doc_id"))
+        assert passed is df
+    finally:
+        if saved is None:
+            T._SCAN_SPLITS_MEMO.pop(key, None)
+        else:
+            T._SCAN_SPLITS_MEMO[key] = saved
