@@ -43,16 +43,21 @@ def connected_components(
     Raises if the propagation has not converged after ``max_iter``
     rounds — silent partial clustering would merge/split dedup groups
     invisibly (the no-silent-caps rule)."""
+    # r14 (guide §1.2): BOTH init checkpoints are LAZY — round 1's
+    # count() action materializes sym, the initial labels AND the first
+    # stepped frame in ONE driver job (eager init paid two extra driver
+    # round trips before the first round; the pinned RDDs are identical
+    # either way, and every later round still reads the pinned sym).
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
