@@ -54,16 +54,10 @@ from pyspark.sql import functions as F
 # restarted JVM can never be served stale py4j references.
 # ---------------------------------------------------------------------------
 
-_EXPR_CACHE: dict = {}
-
-
-def _expr_cache(key, build):
-    sc = SparkContext._active_spark_context
-    full = (id(sc), key)
-    got = _EXPR_CACHE.get(full)
-    if got is None:
-        got = _EXPR_CACHE[full] = build()
-    return got
+from polkadot_etl_spark.plans.exprmemo import (  # noqa: E402
+    _EXPR_CACHE,
+    expr_cache as _expr_cache,
+)
 
 
 def _cleaned_asset_id(raw: Column) -> Column:

@@ -149,6 +149,21 @@ class ChainSnapshotter:
         casts differ by 1 ulp across engines)."""
         return _dechex_str(c).cast("double") / F.lit(float(10**self.chain_decimals))
 
+    def _memo(self, site: str, build):
+        """Corpus-independent Column-tree memo for the track builders
+        (r14, the gar-parser pattern — see plans/exprmemo.py): each
+        builder's select lists are pure functions of the snapshotter
+        CLASS (track maps, chain_decimals), not of the data, yet their
+        construction dominated the snapshot queries' build time
+        (~16.6k py4j round trips / ~4.5 s per relay build, cProfile).
+        Keyed per concrete class so subclass knobs (e.g. Kusama's 12
+        decimals) can never be served another chain's trees."""
+        from polkadot_etl_spark.plans.exprmemo import expr_cache
+
+        return expr_cache(
+            (site, type(self).__qualname__, self.chain_decimals), build
+        )
+
     def _rows(self, obs: DataFrame, *, section: str, storage: str, block: dict,
               **kw) -> DataFrame:
         return snapshot_rows(
@@ -677,9 +692,16 @@ class RelaySnapshotter(ChainSnapshotter):
 
     def _keyed(self, entries: DataFrame) -> DataFrame:
         return entries.select(
-            F.get_json_object("key_args", "$[0]").alias("voter"),
-            F.get_json_object("key_args", "$[1]").cast("int").alias("track_id"),
-            F.col("value"),
+            *self._memo(
+                "_keyed",
+                lambda: [
+                    F.get_json_object("key_args", "$[0]").alias("voter"),
+                    F.get_json_object("key_args", "$[1]")
+                    .cast("int")
+                    .alias("track_id"),
+                    F.col("value"),
+                ],
+            )
         )
 
     def casting_votes(self, entries: DataFrame) -> DataFrame:
@@ -688,20 +710,7 @@ class RelaySnapshotter(ChainSnapshotter):
         0 → 0.1 'None'); split carries aye/nay at conviction None;
         splitAbstain adds the abstain balance (polkadot.js:122-177)."""
         k = self._keyed(entries)
-        votes = F.from_json(
-            F.get_json_object("value", "$.casting"),
-            "struct<votes: array<string>>",
-        )["votes"]
-        e = (
-            k.where(F.get_json_object("value", "$.casting").isNotNull())
-            .select("voter", "track_id", F.explode(votes).alias("pair"))
-            .select(
-                "voter",
-                "track_id",
-                F.get_json_object("pair", "$[0]").cast("long").alias("poll_id"),
-                F.get_json_object("pair", "$[1]").alias("detail"),
-            )
-        )
+
         # Codegen-bounded staging (see staker_info's codegen note): the
         # original single Project inlined the detail JSON into ~6 dechex
         # trees — in-branch expressions are excluded from subexpression
@@ -712,85 +721,105 @@ class RelaySnapshotter(ChainSnapshotter):
         # budget) → the tiny conditional assembly. Every seam column is
         # multi-referenced downstream, which is what keeps
         # CollapseProject from folding the stages back together.
-        a = e.select(
-            "voter",
-            "track_id",
-            "poll_id",
-            F.get_json_object("detail", "$.standard").alias("__std"),
-            F.get_json_object("detail", "$.split").alias("__spl"),
-            F.get_json_object("detail", "$.splitAbstain").alias("__spa"),
-        )
-        b = a.select(
-            "voter",
-            "track_id",
-            "poll_id",
-            "__std",
-            "__spa",
-            F.conv(
-                F.regexp_replace(F.get_json_object("__std", "$.vote"), "^0x", ""),
-                16,
-                10,
+        def _cols():
+            votes = F.from_json(
+                F.get_json_object("value", "$.casting"),
+                "struct<votes: array<string>>",
+            )["votes"]
+            pred = F.get_json_object("value", "$.casting").isNotNull()
+            sel_explode = ["voter", "track_id", F.explode(votes).alias("pair")]
+            sel_pair = [
+                "voter",
+                "track_id",
+                F.get_json_object("pair", "$[0]").cast("long").alias("poll_id"),
+                F.get_json_object("pair", "$[1]").alias("detail"),
+            ]
+            sel_a = [
+                "voter",
+                "track_id",
+                "poll_id",
+                F.get_json_object("detail", "$.standard").alias("__std"),
+                F.get_json_object("detail", "$.split").alias("__spl"),
+                F.get_json_object("detail", "$.splitAbstain").alias("__spa"),
+            ]
+            sel_b = [
+                "voter",
+                "track_id",
+                "poll_id",
+                "__std",
+                "__spa",
+                F.conv(
+                    F.regexp_replace(F.get_json_object("__std", "$.vote"), "^0x", ""),
+                    16,
+                    10,
+                )
+                .cast("int")
+                .alias("__byte"),
+                F.get_json_object("__std", "$.balance").alias("__bal"),
+                F.coalesce(
+                    F.get_json_object("__spl", "$.aye"),
+                    F.get_json_object("__spa", "$.aye"),
+                ).alias("__aye"),
+                F.coalesce(
+                    F.get_json_object("__spl", "$.nay"),
+                    F.get_json_object("__spa", "$.nay"),
+                ).alias("__nay"),
+                F.get_json_object("__spa", "$.abstain").alias("__abstain"),
+            ]
+            sel_c = [
+                "voter",
+                "track_id",
+                "poll_id",
+                "__std",
+                "__spa",
+                "__byte",
+                self._decimalized(F.col("__bal")).alias("__bal_d"),
+                self._decimalized(F.col("__aye")).alias("__aye_d"),
+                self._decimalized(F.col("__nay")).alias("__nay_d"),
+                self._decimalized(F.col("__abstain")).alias("__abstain_d"),
+            ]
+            std, spa, byte = F.col("__std"), F.col("__spa"), F.col("__byte")
+            weight = F.when(byte % 16 == 0, F.lit(0.1)).otherwise(
+                (byte % 16).cast("double")
             )
-            .cast("int")
-            .alias("__byte"),
-            F.get_json_object("__std", "$.balance").alias("__bal"),
-            F.coalesce(
-                F.get_json_object("__spl", "$.aye"),
-                F.get_json_object("__spa", "$.aye"),
-            ).alias("__aye"),
-            F.coalesce(
-                F.get_json_object("__spl", "$.nay"),
-                F.get_json_object("__spa", "$.nay"),
-            ).alias("__nay"),
-            F.get_json_object("__spa", "$.abstain").alias("__abstain"),
+            vote_type = F.when(
+                std.isNotNull(), F.when(byte >= 128, "aye").otherwise("nay")
+            ).when(spa.isNotNull(), F.lit("splitAbstain")).otherwise(F.lit("split"))
+            sel_out = [
+                "voter",
+                "track_id",
+                self._track_name(F.col("track_id")).alias("track"),
+                "poll_id",
+                vote_type.alias("vote_type"),
+                F.when(std.isNotNull(), F.element_at(_map_lit({0.1: "None", 1.0: "Locked1x", 2.0: "Locked2x", 3.0: "Locked3x", 4.0: "Locked4x", 5.0: "Locked5x", 6.0: "Locked6x"}), weight))
+                .otherwise(F.lit("None"))
+                .alias("conviction"),
+                F.when(std.isNotNull(), weight).otherwise(F.lit(0.1)).alias(
+                    "conviction_weight"
+                ),
+                F.when(
+                    std.isNotNull(),
+                    F.when(byte >= 128, F.col("__bal_d")).otherwise(F.lit(0.0)),
+                )
+                .otherwise(F.col("__aye_d"))
+                .alias("aye"),
+                F.when(
+                    std.isNotNull(),
+                    F.when(byte < 128, F.col("__bal_d")).otherwise(F.lit(0.0)),
+                )
+                .otherwise(F.col("__nay_d"))
+                .alias("nay"),
+                F.when(spa.isNotNull(), F.col("__abstain_d"))
+                .otherwise(F.lit(0.0))
+                .alias("abstain"),
+            ]
+            return pred, sel_explode, sel_pair, sel_a, sel_b, sel_c, sel_out
+
+        pred, sel_explode, sel_pair, sel_a, sel_b, sel_c, sel_out = self._memo(
+            "casting_votes", _cols
         )
-        c = b.select(
-            "voter",
-            "track_id",
-            "poll_id",
-            "__std",
-            "__spa",
-            "__byte",
-            self._decimalized(F.col("__bal")).alias("__bal_d"),
-            self._decimalized(F.col("__aye")).alias("__aye_d"),
-            self._decimalized(F.col("__nay")).alias("__nay_d"),
-            self._decimalized(F.col("__abstain")).alias("__abstain_d"),
-        )
-        std, spa, byte = F.col("__std"), F.col("__spa"), F.col("__byte")
-        weight = F.when(byte % 16 == 0, F.lit(0.1)).otherwise(
-            (byte % 16).cast("double")
-        )
-        vote_type = F.when(
-            std.isNotNull(), F.when(byte >= 128, "aye").otherwise("nay")
-        ).when(spa.isNotNull(), F.lit("splitAbstain")).otherwise(F.lit("split"))
-        return c.select(
-            "voter",
-            "track_id",
-            self._track_name(F.col("track_id")).alias("track"),
-            "poll_id",
-            vote_type.alias("vote_type"),
-            F.when(std.isNotNull(), F.element_at(_map_lit({0.1: "None", 1.0: "Locked1x", 2.0: "Locked2x", 3.0: "Locked3x", 4.0: "Locked4x", 5.0: "Locked5x", 6.0: "Locked6x"}), weight))
-            .otherwise(F.lit("None"))
-            .alias("conviction"),
-            F.when(std.isNotNull(), weight).otherwise(F.lit(0.1)).alias(
-                "conviction_weight"
-            ),
-            F.when(
-                std.isNotNull(),
-                F.when(byte >= 128, F.col("__bal_d")).otherwise(F.lit(0.0)),
-            )
-            .otherwise(F.col("__aye_d"))
-            .alias("aye"),
-            F.when(
-                std.isNotNull(),
-                F.when(byte < 128, F.col("__bal_d")).otherwise(F.lit(0.0)),
-            )
-            .otherwise(F.col("__nay_d"))
-            .alias("nay"),
-            F.when(spa.isNotNull(), F.col("__abstain_d"))
-            .otherwise(F.lit(0.0))
-            .alias("abstain"),
-        )
+        e = k.where(pred).select(*sel_explode).select(*sel_pair)
+        return e.select(*sel_a).select(*sel_b).select(*sel_c).select(*sel_out)
 
     def casting_summary(self, entries: DataFrame) -> DataFrame:
         """One row per (voter, track) casting record — the granularity
@@ -800,27 +829,32 @@ class RelaySnapshotter(ChainSnapshotter):
         decode lives in casting_votes; this is the record-level
         summary."""
         k = self._keyed(entries)
-        c = F.get_json_object("value", "$.casting")
-        votes = F.from_json(c, "struct<votes: array<string>>")["votes"]
-        voted = F.transform(votes, lambda p: F.get_json_object(p, "$[0]"))
-        d = F.get_json_object(c, "$.delegations")
-        return k.where(c.isNotNull()).select(
-            "voter",
-            "track_id",
-            self._track_name(F.col("track_id")).alias("track"),
-            F.size(votes).cast("long").alias("voted_cnt"),
-            F.array_join(voted, ",").alias("voted"),
-            self._decimalized(F.get_json_object(d, "$.votes")).alias(
-                "delegations_votes"
-            ),
-            self._decimalized(F.get_json_object(d, "$.capital")).alias(
-                "delegations_capital"
-            ),
-            F.get_json_object(c, "$.prior[0]").cast("long").alias("prior_bn"),
-            self._decimalized(F.get_json_object(c, "$.prior[1]")).alias(
-                "prior_balance"
-            ),
-        )
+
+        def _cols():
+            c = F.get_json_object("value", "$.casting")
+            votes = F.from_json(c, "struct<votes: array<string>>")["votes"]
+            voted = F.transform(votes, lambda p: F.get_json_object(p, "$[0]"))
+            d = F.get_json_object(c, "$.delegations")
+            return c.isNotNull(), [
+                "voter",
+                "track_id",
+                self._track_name(F.col("track_id")).alias("track"),
+                F.size(votes).cast("long").alias("voted_cnt"),
+                F.array_join(voted, ",").alias("voted"),
+                self._decimalized(F.get_json_object(d, "$.votes")).alias(
+                    "delegations_votes"
+                ),
+                self._decimalized(F.get_json_object(d, "$.capital")).alias(
+                    "delegations_capital"
+                ),
+                F.get_json_object(c, "$.prior[0]").cast("long").alias("prior_bn"),
+                self._decimalized(F.get_json_object(c, "$.prior[1]")).alias(
+                    "prior_balance"
+                ),
+            ]
+
+        pred, sel = self._memo("casting_summary", _cols)
+        return k.where(pred).select(*sel)
 
     def delegations(self, entries: DataFrame) -> DataFrame:
         """delegating branch → (voter, track, target, balance,
@@ -830,11 +864,10 @@ class RelaySnapshotter(ChainSnapshotter):
         # raw strings first, the two balance decodes over plain
         # attributes second.
         k = self._keyed(entries)
-        d = F.get_json_object("value", "$.delegating")
-        raw = (
-            k.withColumn("__d", d)
-            .where(F.col("__d").isNotNull())
-            .select(
+
+        def _cols():
+            d = F.get_json_object("value", "$.delegating")
+            sel_raw = [
                 "voter",
                 "track_id",
                 F.get_json_object("__d", "$.target").alias("target"),
@@ -842,21 +875,25 @@ class RelaySnapshotter(ChainSnapshotter):
                 F.get_json_object("__d", "$.balance").alias("__balance"),
                 F.get_json_object("__d", "$.prior[0]").alias("__prior_bn"),
                 F.get_json_object("__d", "$.prior[1]").alias("__prior_bal"),
-            )
-        )
-        return raw.select(
-            "voter",
-            "track_id",
-            self._track_name(F.col("track_id")).alias("track"),
-            "target",
-            self._decimalized(F.col("__balance")).alias("balance"),
-            "conviction",
-            F.element_at(_map_lit(_CONVICTION_WEIGHTS), F.col("conviction")).alias(
-                "conviction_weight"
-            ),
-            F.col("__prior_bn").cast("long").alias("prior_bn"),
-            self._decimalized(F.col("__prior_bal")).alias("prior_balance"),
-        )
+            ]
+            sel_out = [
+                "voter",
+                "track_id",
+                self._track_name(F.col("track_id")).alias("track"),
+                "target",
+                self._decimalized(F.col("__balance")).alias("balance"),
+                "conviction",
+                F.element_at(_map_lit(_CONVICTION_WEIGHTS), F.col("conviction")).alias(
+                    "conviction_weight"
+                ),
+                F.col("__prior_bn").cast("long").alias("prior_bn"),
+                self._decimalized(F.col("__prior_bal")).alias("prior_balance"),
+            ]
+            return d, F.col("__d").isNotNull(), sel_raw, sel_out
+
+        d, pred, sel_raw, sel_out = self._memo("delegations", _cols)
+        raw = k.withColumn("__d", d).where(pred).select(*sel_raw)
+        return raw.select(*sel_out)
 
     def delegatees(self, entries: DataFrame) -> DataFrame:
         """The delegatee rollup (polkadot.js:183-206, 267-297): an
@@ -866,57 +903,63 @@ class RelaySnapshotter(ChainSnapshotter):
         least one delegator names it; delegators aggregate into a
         sorted roster; average_conviction = round(votes/capital, 4)."""
         k = self._keyed(entries)
-        own = F.coalesce(
-            F.get_json_object("value", "$.casting.delegations"),
-            F.get_json_object("value", "$.delegating.delegations"),
-        )
+
         # Codegen-bounded staging (see staker_info's codegen note).
-        stats = (
-            k.withColumn("__d", own)
-            .where(F.col("__d").isNotNull())
-            .select(
+        def _cols():
+            own = F.coalesce(
+                F.get_json_object("value", "$.casting.delegations"),
+                F.get_json_object("value", "$.delegating.delegations"),
+            )
+            sel_raw = [
                 F.col("voter").alias("delegatee"),
                 "track_id",
                 F.get_json_object("__d", "$.votes").alias("__votes"),
                 F.get_json_object("__d", "$.capital").alias("__capital"),
-            )
-            .select(
+            ]
+            sel_dec = [
                 "delegatee",
                 "track_id",
                 self._decimalized(F.col("__votes")).alias("votes"),
                 self._decimalized(F.col("__capital")).alias("capital"),
-            )
-            .where(F.col("votes") > 0)
-        )
-        incoming = (
-            self.delegations(entries)
-            .groupBy(F.col("target").alias("delegatee"), "track_id")
-            .agg(
+            ]
+            grp = [F.col("target").alias("delegatee"), "track_id"]
+            agg = [
                 F.count(F.lit(1)).alias("delegators_cnt"),
                 F.array_join(F.array_sort(F.collect_list("voter")), ",").alias(
                     "delegators"
                 ),
-            )
+            ]
+            votes = F.coalesce(F.col("votes"), F.lit(0.0))
+            capital = F.coalesce(F.col("capital"), F.lit(0.0))
+            sel_out = [
+                "delegatee",
+                "track_id",
+                self._track_name(F.col("track_id")).alias("track"),
+                votes.alias("delegations_votes"),
+                capital.alias("delegations_capital"),
+                # guard capital > 0 too: junk delegations {votes>0,
+                # capital:0} would otherwise emit Infinity
+                F.when((votes > 0) & (capital > 0), F.round(votes / capital, 4))
+                .otherwise(F.lit(0.0))
+                .alias("avg_conviction"),
+                F.coalesce(F.col("delegators_cnt"), F.lit(0)).cast("long").alias(
+                    "delegators_cnt"
+                ),
+                F.coalesce(F.col("delegators"), F.lit("")).alias("delegators"),
+            ]
+            return own, sel_raw, sel_dec, grp, agg, sel_out
+
+        own, sel_raw, sel_dec, grp, agg, sel_out = self._memo("delegatees", _cols)
+        stats = (
+            k.withColumn("__d", own)
+            .where(F.col("__d").isNotNull())
+            .select(*sel_raw)
+            .select(*sel_dec)
+            .where(F.col("votes") > 0)
         )
+        incoming = self.delegations(entries).groupBy(*grp).agg(*agg)
         merged = stats.join(incoming, ["delegatee", "track_id"], "full_outer")
-        votes = F.coalesce(F.col("votes"), F.lit(0.0))
-        capital = F.coalesce(F.col("capital"), F.lit(0.0))
-        return merged.select(
-            "delegatee",
-            "track_id",
-            self._track_name(F.col("track_id")).alias("track"),
-            votes.alias("delegations_votes"),
-            capital.alias("delegations_capital"),
-            # guard capital > 0 too: junk delegations {votes>0,
-            # capital:0} would otherwise emit Infinity
-            F.when((votes > 0) & (capital > 0), F.round(votes / capital, 4))
-            .otherwise(F.lit(0.0))
-            .alias("avg_conviction"),
-            F.coalesce(F.col("delegators_cnt"), F.lit(0)).cast("long").alias(
-                "delegators_cnt"
-            ),
-            F.coalesce(F.col("delegators"), F.lit("")).alias("delegators"),
-        )
+        return merged.select(*sel_out)
 
     # -------------------------------------------------------- referenda
 
@@ -925,40 +968,43 @@ class RelaySnapshotter(ChainSnapshotter):
         (Object.keys[0]); non-ongoing/killed rows carry [moment,
         {who, amount}]; ongoing rows carry submission/decision deposits
         and the tally (polkadot.js:48-93)."""
-        ref_id = F.get_json_object("key_args", "$[0]").cast("long")
-        m = F.from_json(F.col("value"), "map<string,string>")
-        status = F.element_at(F.map_keys(m), 1)
-        detail = F.element_at(F.map_values(m), 1)
-        # killed rows deliberately carry NO moment: the reference's
-        # closed-branch guard excludes killed too (polkadot.js:61
-        # `referendumStatus != 'ongoing' && != 'killed'`), so the kill
-        # block at detail[0] is dropped there as well — parity, not loss
-        closed = status.isin("ongoing", "killed") == F.lit(False)
-        dep = F.get_json_object(detail, "$[1]")
-        sub = F.get_json_object(detail, "$.submissionDeposit")
-        dec = F.get_json_object(detail, "$.decisionDeposit")
-        tally = F.get_json_object(detail, "$.tally")
-        return entries.select(
-            ref_id.alias("ref_id"),
-            status.alias("status"),
-            F.when(closed, F.get_json_object(detail, "$[0]").cast("long")).alias(
-                "moment"
-            ),
-            F.when(closed, F.get_json_object(dep, "$.who"))
-            .otherwise(F.get_json_object(sub, "$.who"))
-            .alias("depositor"),
-            F.when(closed, self._decimalized(F.get_json_object(dep, "$.amount")))
-            .otherwise(self._decimalized(F.get_json_object(sub, "$.amount")))
-            .alias("submission_deposit"),
-            self._decimalized(F.get_json_object(dec, "$.amount")).alias(
-                "decision_deposit"
-            ),
-            self._decimalized(F.get_json_object(tally, "$.ayes")).alias("tally_ayes"),
-            self._decimalized(F.get_json_object(tally, "$.nays")).alias("tally_nays"),
-            self._decimalized(F.get_json_object(tally, "$.support")).alias(
-                "tally_support"
-            ),
-        )
+        def _cols():
+            ref_id = F.get_json_object("key_args", "$[0]").cast("long")
+            m = F.from_json(F.col("value"), "map<string,string>")
+            status = F.element_at(F.map_keys(m), 1)
+            detail = F.element_at(F.map_values(m), 1)
+            # killed rows deliberately carry NO moment: the reference's
+            # closed-branch guard excludes killed too (polkadot.js:61
+            # `referendumStatus != 'ongoing' && != 'killed'`), so the kill
+            # block at detail[0] is dropped there as well — parity, not loss
+            closed = status.isin("ongoing", "killed") == F.lit(False)
+            dep = F.get_json_object(detail, "$[1]")
+            sub = F.get_json_object(detail, "$.submissionDeposit")
+            dec = F.get_json_object(detail, "$.decisionDeposit")
+            tally = F.get_json_object(detail, "$.tally")
+            return [
+                ref_id.alias("ref_id"),
+                status.alias("status"),
+                F.when(closed, F.get_json_object(detail, "$[0]").cast("long")).alias(
+                    "moment"
+                ),
+                F.when(closed, F.get_json_object(dep, "$.who"))
+                .otherwise(F.get_json_object(sub, "$.who"))
+                .alias("depositor"),
+                F.when(closed, self._decimalized(F.get_json_object(dep, "$.amount")))
+                .otherwise(self._decimalized(F.get_json_object(sub, "$.amount")))
+                .alias("submission_deposit"),
+                self._decimalized(F.get_json_object(dec, "$.amount")).alias(
+                    "decision_deposit"
+                ),
+                self._decimalized(F.get_json_object(tally, "$.ayes")).alias("tally_ayes"),
+                self._decimalized(F.get_json_object(tally, "$.nays")).alias("tally_nays"),
+                self._decimalized(F.get_json_object(tally, "$.support")).alias(
+                    "tally_support"
+                ),
+            ]
+
+        return entries.select(*self._memo("referenda", _cols))
 
     # ------------------------------------------------ treasury / bounty
 
@@ -968,41 +1014,53 @@ class RelaySnapshotter(ChainSnapshotter):
         """treasury.proposals minus the hand-kept blacklist
         (polkadot.js:491)."""
         # Codegen-bounded staging (see staker_info's codegen note).
-        pid = F.get_json_object("key_args", "$[0]")
-        raw = entries.where(~pid.isin(*self.TREASURY_BLACKLIST)).select(
-            pid.cast("long").alias("proposal_id"),
-            F.get_json_object("value", "$.proposer").alias("proposer"),
-            F.get_json_object("value", "$.beneficiary").alias("beneficiary"),
-            F.get_json_object("value", "$.value").alias("__value"),
-            F.get_json_object("value", "$.bond").alias("__bond"),
-        )
-        return raw.select(
-            "proposal_id",
-            "proposer",
-            "beneficiary",
-            self._decimalized(F.col("__value")).alias("value"),
-            self._decimalized(F.col("__bond")).alias("bond"),
-        )
+        def _cols():
+            pid = F.get_json_object("key_args", "$[0]")
+            sel_raw = [
+                pid.cast("long").alias("proposal_id"),
+                F.get_json_object("value", "$.proposer").alias("proposer"),
+                F.get_json_object("value", "$.beneficiary").alias("beneficiary"),
+                F.get_json_object("value", "$.value").alias("__value"),
+                F.get_json_object("value", "$.bond").alias("__bond"),
+            ]
+            sel_out = [
+                "proposal_id",
+                "proposer",
+                "beneficiary",
+                self._decimalized(F.col("__value")).alias("value"),
+                self._decimalized(F.col("__bond")).alias("bond"),
+            ]
+            return ~pid.isin(*self.TREASURY_BLACKLIST), sel_raw, sel_out
+
+        pred, sel_raw, sel_out = self._memo("treasury_proposals", _cols)
+        return entries.where(pred).select(*sel_raw).select(*sel_out)
 
     def bounties(self, entries: DataFrame) -> DataFrame:
         """bounties.bounties: value/fee/curatorDeposit decimalize; the
         status is a single-key variant whose detail may carry curator
         and updateDue (polkadot.js:232-254 process_bounties)."""
-        sm = F.from_json(F.get_json_object("value", "$.status"), "map<string,string>")
-        status = F.element_at(F.map_keys(sm), 1)
-        detail = F.element_at(F.map_values(sm), 1)
-        return entries.select(
-            F.get_json_object("key_args", "$[0]").cast("long").alias("bounty_id"),
-            F.get_json_object("value", "$.proposer").alias("proposer"),
-            self._decimalized(F.get_json_object("value", "$.value")).alias("value"),
-            self._decimalized(F.get_json_object("value", "$.fee")).alias("fee"),
-            self._decimalized(F.get_json_object("value", "$.curatorDeposit")).alias(
-                "curator_deposit"
-            ),
-            status.alias("bounty_status"),
-            F.get_json_object(detail, "$.curator").alias("curator"),
-            F.get_json_object(detail, "$.updateDue").cast("long").alias("update_due"),
-        )
+        def _cols():
+            sm = F.from_json(
+                F.get_json_object("value", "$.status"), "map<string,string>"
+            )
+            status = F.element_at(F.map_keys(sm), 1)
+            detail = F.element_at(F.map_values(sm), 1)
+            return [
+                F.get_json_object("key_args", "$[0]").cast("long").alias("bounty_id"),
+                F.get_json_object("value", "$.proposer").alias("proposer"),
+                self._decimalized(F.get_json_object("value", "$.value")).alias("value"),
+                self._decimalized(F.get_json_object("value", "$.fee")).alias("fee"),
+                self._decimalized(F.get_json_object("value", "$.curatorDeposit")).alias(
+                    "curator_deposit"
+                ),
+                status.alias("bounty_status"),
+                F.get_json_object(detail, "$.curator").alias("curator"),
+                F.get_json_object(detail, "$.updateDue").cast("long").alias(
+                    "update_due"
+                ),
+            ]
+
+        return entries.select(*self._memo("bounties", _cols))
 
     # ---------------------------------------------------------- staking
 
@@ -1017,23 +1075,27 @@ class RelaySnapshotter(ChainSnapshotter):
         # aggregate to exactly ONE era row: a missing currentEra yields a
         # NULL era (metrics still surface, visibly era-less) and
         # duplicated singleton fetches cannot double the metric rows
-        era = singletons.agg(
-            F.max(
+        def _cols():
+            era_agg = F.max(
                 F.when(F.col("name") == "currentEra", F.col("value").cast("long"))
             ).alias("__era")
-        )
-        balances = ("erasTotalStake", "totalIssuance")
-        metric = F.when(
-            F.col("name").isin(*balances), self._decimalized(F.col("value"))
-        ).otherwise(_dechex_str(F.col("value")).cast("double"))
-        return (
-            singletons.where(F.col("name") != "currentEra")
-            .crossJoin(F.broadcast(era))
-            .select(
+            balances = ("erasTotalStake", "totalIssuance")
+            metric = F.when(
+                F.col("name").isin(*balances), self._decimalized(F.col("value"))
+            ).otherwise(_dechex_str(F.col("value")).cast("double"))
+            sel = [
                 F.col("name").alias("metric"),
                 metric.alias("value"),
                 F.col("__era").alias("era"),
-            )
+            ]
+            return era_agg, sel
+
+        era_agg, sel = self._memo("staking_info", _cols)
+        era = singletons.agg(era_agg)
+        return (
+            singletons.where(F.col("name") != "currentEra")
+            .crossJoin(F.broadcast(era))
+            .select(*sel)
         )
 
 

@@ -4882,6 +4882,284 @@ def snapshots_dappstaking_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stakers.unionByName(ei).unionByName(ps)
 
 
+def _sro_exprs() -> dict:
+    """snapshots_relay_opengov's corpus-independent Column trees (r14,
+    the gar/snapshot memo pattern — plans/exprmemo.py): the synthesized
+    votingFor/referenda/treasury/bounty entry values and the eight
+    20-column contract wrappers are pure functions of the generator key
+    k and the track-builder output names; building them was ~half the
+    query's ~4.5 s py4j build floor. Called once per SparkContext via
+    expr_cache; every invocation still assembles and analyzes its own
+    plan over the parquet scans."""
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    k = F.col("k")
+    ks = k.cast("string")
+    track_id = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(10), F.lit(30), F.lit(34)),
+        (k % 5).cast("int") + 1,
+    )
+    voter = F.concat(F.lit("v"), ks)
+    key_args = F.concat(
+        F.lit('["'), voter, F.lit('", '), track_id.cast("string"), F.lit("]")
+    )
+
+    # casting value: standard vote byte 128+k%7 (aye) or k%7 (nay), then
+    # a split (k%6!=0) or splitAbstain (k%6==0) second vote; plancks are
+    # k-scaled integrals so every /1e10 is exact
+    byte = F.when(k % 2 == 0, k % 7 + 128).otherwise(k % 7)
+    vote_hex = F.concat(F.lit("0x"), F.lower(F.hex(byte)))
+    second = F.when(
+        k % 6 == 0,
+        F.concat(
+            F.lit('{"splitAbstain":{"aye":'), (k * 1000000000).cast("string"),
+            F.lit(',"nay":'), (k * 500000000).cast("string"),
+            F.lit(',"abstain":'), (k * 2000000000).cast("string"), F.lit("}}"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"split":{"aye":'), (k * 1000000000).cast("string"),
+            F.lit(',"nay":'), (k * 500000000).cast("string"), F.lit("}}"),
+        )
+    )
+    deleg_stats = F.when(
+        k % 9 == 0,
+        F.concat(
+            F.lit('{"votes":'), (k * 100 * 10000000000).cast("string"),
+            F.lit(',"capital":'), (k * 40 * 10000000000).cast("string"),
+            F.lit("}"),
+        ),
+    ).otherwise(F.lit('{"votes":0,"capital":0}'))
+    casting_val = F.concat(
+        F.lit('{"casting":{"votes":[['), ks,
+        F.lit(',{"standard":{"vote":"'), vote_hex, F.lit('","balance":'),
+        (k * 10000000000).cast("string"), F.lit("}}],["),
+        (k + 1000).cast("string"), F.lit(","), second,
+        F.lit(']],"delegations":'), deleg_stats,
+        F.lit(',"prior":['), ks, F.lit(","), (k * 10000000000).cast("string"),
+        F.lit("]}}"),
+    )
+    conv_name = F.when(k % 11 == 0, F.lit("None")).otherwise(
+        F.concat(F.lit("Locked"), (k % 6 + 1).cast("string"), F.lit("x"))
+    )
+    delegating_val = F.concat(
+        F.lit('{"delegating":{"balance":'), (k * 2 * 10000000000).cast("string"),
+        F.lit(',"target":"v'), (k % 10).cast("string"),
+        F.lit('","conviction":"'), conv_name,
+        F.lit('","delegations":{"votes":0,"capital":0},"prior":[0,0]}}'),
+    )
+    voting_cols = [
+        key_args.alias("key_args"),
+        F.when(k % 3 == 0, casting_val).otherwise(delegating_val).alias("value"),
+    ]
+
+    votes_sel = [
+        F.lit("voter").alias("kind"),
+        F.col("track"),
+        F.col("poll_id").cast("string").alias("track_val"),
+        F.col("voter").alias("address"),
+        null_s.alias("target"),
+        F.col("vote_type").alias("status"),
+        "conviction", "conviction_weight", "aye", "nay", "abstain",
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        null_l.alias("n"), null_d.alias("amount"), null_d.alias("deposit"),
+        null_d.alias("fee"),
+    ]
+    # record-level casting summary: kind='caster', one row per (voter,
+    # track) — delegators carries the voted-poll csv, n the vote count,
+    # amount/deposit the prior lock [bn, balance]
+    casters_sel = [
+        F.lit("caster").alias("kind"),
+        F.col("track"),
+        F.col("track").alias("track_val"),
+        F.col("voter").alias("address"),
+        null_s.alias("target"), null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"),
+        F.col("delegations_votes").alias("votes"),
+        F.col("delegations_capital").alias("capital"),
+        null_d.alias("avg_conviction"),
+        F.col("voted").alias("delegators"),
+        F.col("voted_cnt").alias("n"),
+        F.col("prior_bn").cast("double").alias("amount"),
+        F.col("prior_balance").alias("deposit"),
+        null_d.alias("fee"),
+    ]
+    delegators_sel = [
+        F.lit("delegator").alias("kind"),
+        F.col("track"),
+        F.col("track").alias("track_val"),
+        F.col("voter").alias("address"),
+        F.col("target"),
+        null_s.alias("status"),
+        "conviction", "conviction_weight",
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("prior_bn").alias("n"),
+        F.col("balance").alias("amount"),
+        F.col("prior_balance").alias("deposit"),
+        null_d.alias("fee"),
+    ]
+    delegatees_sel = [
+        F.lit("delegatee").alias("kind"),
+        F.col("track"),
+        F.col("track").alias("track_val"),
+        F.col("delegatee").alias("address"),
+        null_s.alias("target"), null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"),
+        F.col("delegations_votes").alias("votes"),
+        F.col("delegations_capital").alias("capital"),
+        "avg_conviction", "delegators",
+        F.col("delegators_cnt").alias("n"),
+        null_d.alias("amount"), null_d.alias("deposit"), null_d.alias("fee"),
+    ]
+
+    # referenda: status by k % 4 over the nation keys
+    ongoing_val = F.concat(
+        F.lit('{"ongoing":{"submissionDeposit":{"who":"d'), ks,
+        F.lit('","amount":'), (k * 10000000000 + 5000000000).cast("string"),
+        F.lit('},"decisionDeposit":{"who":"d'), ks, F.lit('","amount":'),
+        (k * 2 * 10000000000).cast("string"),
+        F.lit('},"tally":{"ayes":'), (k * 7 * 10000000000).cast("string"),
+        F.lit(',"nays":'), (k * 3 * 10000000000).cast("string"),
+        F.lit(',"support":'), (k * 5 * 10000000000).cast("string"),
+        F.lit("}}}"),
+    )
+    closed_val = F.concat(
+        F.when(k % 4 == 1, F.lit('{"approved":[')).otherwise(
+            F.lit('{"rejected":[')
+        ),
+        (k + 100000).cast("string"),
+        F.lit(',{"who":"d'), ks, F.lit('","amount":'),
+        (k * 10000000000).cast("string"), F.lit("},null]}"),
+    )
+    killed_val = F.concat(
+        F.lit('{"killed":['), (k + 200000).cast("string"), F.lit("]}")
+    )
+    ref_cols = [
+        F.concat(F.lit("["), ks, F.lit("]")).alias("key_args"),
+        F.when(k % 4 == 0, ongoing_val)
+        .when(k % 4 == 3, killed_val)
+        .otherwise(closed_val)
+        .alias("value"),
+    ]
+    refs_sel = [
+        F.lit("referendum").alias("kind"),
+        F.lit("referenda").alias("track"),
+        F.col("ref_id").cast("string").alias("track_val"),
+        F.col("depositor").alias("address"),
+        null_s.alias("target"),
+        F.col("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        F.col("tally_ayes").alias("aye"), F.col("tally_nays").alias("nay"),
+        null_d.alias("abstain"), F.col("tally_support").alias("support"),
+        null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("moment").alias("n"),
+        F.col("submission_deposit").alias("amount"),
+        F.col("decision_deposit").alias("deposit"),
+        null_d.alias("fee"),
+    ]
+
+    treas_cols = [
+        F.concat(F.lit('["'), ks, F.lit('"]')).alias("key_args"),
+        F.concat(
+            F.lit('{"proposer":"p'), ks, F.lit('","value":'),
+            (k * 10000000000).cast("string"),
+            F.lit(',"beneficiary":"b'), ks, F.lit('","bond":'),
+            (k * 1000000000).cast("string"), F.lit("}"),
+        ).alias("value"),
+    ]
+    treas_sel = [
+        F.lit("treasury").alias("kind"),
+        F.lit("treasury").alias("track"),
+        F.col("proposal_id").cast("string").alias("track_val"),
+        F.col("beneficiary").alias("address"),
+        F.col("proposer").alias("target"),
+        null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        null_l.alias("n"),
+        F.col("value").alias("amount"),
+        F.col("bond").alias("deposit"),
+        null_d.alias("fee"),
+    ]
+
+    # bounties over region keys: status variant embeds curator/updateDue
+    status_json = (
+        F.when(k % 3 == 0, F.lit('{"proposed":{}}'))
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit('{"active":{"curator":"c'), ks, F.lit('","updateDue":'),
+                (k + 300000).cast("string"), F.lit("}}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"pendingPayout":{"curator":"c'), ks,
+                F.lit('","unlockAt":9}}'),
+            )
+        )
+    )
+    bounty_cols = [
+        F.concat(F.lit("["), ks, F.lit("]")).alias("key_args"),
+        F.concat(
+            F.lit('{"proposer":"p'), ks, F.lit('","value":'),
+            (k * 5 * 10000000000).cast("string"),
+            F.lit(',"fee":'), (k * 10000000000).cast("string"),
+            F.lit(',"curatorDeposit":'), (k * 5000000000).cast("string"),
+            F.lit(',"bond":'), (k * 1000000000).cast("string"),
+            F.lit(',"status":'), status_json, F.lit("}"),
+        ).alias("value"),
+    ]
+    bounty_sel = [
+        F.lit("bounty").alias("kind"),
+        F.lit("bounty").alias("track"),
+        F.col("bounty_id").cast("string").alias("track_val"),
+        F.col("proposer").alias("address"),
+        F.col("curator").alias("target"),
+        F.col("bounty_status").alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("update_due").alias("n"),
+        F.col("value").alias("amount"),
+        F.col("curator_deposit").alias("deposit"),
+        F.col("fee"),
+    ]
+    staking_sel = [
+        F.lit("staking").alias("kind"),
+        F.lit("era").alias("track"),
+        F.col("metric").alias("track_val"),
+        null_s.alias("address"), null_s.alias("target"), null_s.alias("status"),
+        null_s.alias("conviction"), null_d.alias("conviction_weight"),
+        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
+        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
+        null_d.alias("avg_conviction"), null_s.alias("delegators"),
+        F.col("era").alias("n"),
+        F.col("value").alias("amount"),
+        null_d.alias("deposit"), null_d.alias("fee"),
+    ]
+    return {
+        "voting_cols": voting_cols, "votes_sel": votes_sel,
+        "casters_sel": casters_sel, "delegators_sel": delegators_sel,
+        "delegatees_sel": delegatees_sel, "ref_cols": ref_cols,
+        "refs_sel": refs_sel, "treas_cols": treas_cols,
+        "treas_sel": treas_sel, "bounty_cols": bounty_cols,
+        "bounty_sel": bounty_sel, "staking_sel": staking_sel,
+    }
+
+
 @query(
     "snapshots_relay_opengov",
     oracle="""
@@ -5095,197 +5373,33 @@ UNION ALL SELECT * FROM staking_rows
     tags=("pipeline", "snapshot", "window", "functions"),
 )
 def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polkadot_etl_spark.plans.exprmemo import expr_cache
     from polkadot_etl_spark.plans.snapshots import RelaySnapshotter
 
     snap = RelaySnapshotter()
-    null_s = F.lit(None).cast("string")
-    null_d = F.lit(None).cast("double")
-    null_l = F.lit(None).cast("long")
+    X = expr_cache(("snapshots_relay_opengov",), _sro_exprs)
 
     cu = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") < 60)
         .select(F.col("c_custkey").cast("long").alias("k"))
     )
-    k = F.col("k")
-    ks = k.cast("string")
-    track_id = F.element_at(
-        F.array(F.lit(0), F.lit(1), F.lit(10), F.lit(30), F.lit(34)),
-        (k % 5).cast("int") + 1,
-    )
-    voter = F.concat(F.lit("v"), ks)
-    key_args = F.concat(
-        F.lit('["'), voter, F.lit('", '), track_id.cast("string"), F.lit("]")
-    )
-
-    # casting value: standard vote byte 128+k%7 (aye) or k%7 (nay), then
-    # a split (k%6!=0) or splitAbstain (k%6==0) second vote; plancks are
-    # k-scaled integrals so every /1e10 is exact
-    byte = F.when(k % 2 == 0, k % 7 + 128).otherwise(k % 7)
-    vote_hex = F.concat(F.lit("0x"), F.lower(F.hex(byte)))
-    second = F.when(
-        k % 6 == 0,
-        F.concat(
-            F.lit('{"splitAbstain":{"aye":'), (k * 1000000000).cast("string"),
-            F.lit(',"nay":'), (k * 500000000).cast("string"),
-            F.lit(',"abstain":'), (k * 2000000000).cast("string"), F.lit("}}"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit('{"split":{"aye":'), (k * 1000000000).cast("string"),
-            F.lit(',"nay":'), (k * 500000000).cast("string"), F.lit("}}"),
-        )
-    )
-    deleg_stats = F.when(
-        k % 9 == 0,
-        F.concat(
-            F.lit('{"votes":'), (k * 100 * 10000000000).cast("string"),
-            F.lit(',"capital":'), (k * 40 * 10000000000).cast("string"),
-            F.lit("}"),
-        ),
-    ).otherwise(F.lit('{"votes":0,"capital":0}'))
-    casting_val = F.concat(
-        F.lit('{"casting":{"votes":[['), ks,
-        F.lit(',{"standard":{"vote":"'), vote_hex, F.lit('","balance":'),
-        (k * 10000000000).cast("string"), F.lit("}}],["),
-        (k + 1000).cast("string"), F.lit(","), second,
-        F.lit(']],"delegations":'), deleg_stats,
-        F.lit(',"prior":['), ks, F.lit(","), (k * 10000000000).cast("string"),
-        F.lit("]}}"),
-    )
-    conv_name = F.when(k % 11 == 0, F.lit("None")).otherwise(
-        F.concat(F.lit("Locked"), (k % 6 + 1).cast("string"), F.lit("x"))
-    )
-    delegating_val = F.concat(
-        F.lit('{"delegating":{"balance":'), (k * 2 * 10000000000).cast("string"),
-        F.lit(',"target":"v'), (k % 10).cast("string"),
-        F.lit('","conviction":"'), conv_name,
-        F.lit('","delegations":{"votes":0,"capital":0},"prior":[0,0]}}'),
-    )
     # materialize the synthesized votingFor walk ONCE: four consumers
     # (per-poll votes, casting summaries, delegating rows, and the
     # delegatee rollup's two branches) would otherwise each re-run the
     # scan + JSON synthesis subtree (semdedup_prune precedent)
-    voting_for = cu.select(
-        key_args.alias("key_args"),
-        F.when(k % 3 == 0, casting_val).otherwise(delegating_val).alias("value"),
-    ).localCheckpoint(eager=True)
+    voting_for = cu.select(*X["voting_cols"]).localCheckpoint(eager=True)
 
-    votes_df = snap.casting_votes(voting_for).select(
-        F.lit("voter").alias("kind"),
-        F.col("track"),
-        F.col("poll_id").cast("string").alias("track_val"),
-        F.col("voter").alias("address"),
-        null_s.alias("target"),
-        F.col("vote_type").alias("status"),
-        "conviction", "conviction_weight", "aye", "nay", "abstain",
-        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
-        null_d.alias("avg_conviction"), null_s.alias("delegators"),
-        null_l.alias("n"), null_d.alias("amount"), null_d.alias("deposit"),
-        null_d.alias("fee"),
-    )
-    # record-level casting summary: kind='caster', one row per (voter,
-    # track) — delegators carries the voted-poll csv, n the vote count,
-    # amount/deposit the prior lock [bn, balance]
-    casters_df = snap.casting_summary(voting_for).select(
-        F.lit("caster").alias("kind"),
-        F.col("track"),
-        F.col("track").alias("track_val"),
-        F.col("voter").alias("address"),
-        null_s.alias("target"), null_s.alias("status"),
-        null_s.alias("conviction"), null_d.alias("conviction_weight"),
-        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
-        null_d.alias("support"),
-        F.col("delegations_votes").alias("votes"),
-        F.col("delegations_capital").alias("capital"),
-        null_d.alias("avg_conviction"),
-        F.col("voted").alias("delegators"),
-        F.col("voted_cnt").alias("n"),
-        F.col("prior_bn").cast("double").alias("amount"),
-        F.col("prior_balance").alias("deposit"),
-        null_d.alias("fee"),
-    )
-    delegators_df = snap.delegations(voting_for).select(
-        F.lit("delegator").alias("kind"),
-        F.col("track"),
-        F.col("track").alias("track_val"),
-        F.col("voter").alias("address"),
-        F.col("target"),
-        null_s.alias("status"),
-        "conviction", "conviction_weight",
-        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
-        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
-        null_d.alias("avg_conviction"), null_s.alias("delegators"),
-        F.col("prior_bn").alias("n"),
-        F.col("balance").alias("amount"),
-        F.col("prior_balance").alias("deposit"),
-        null_d.alias("fee"),
-    )
-    delegatees_df = snap.delegatees(voting_for).select(
-        F.lit("delegatee").alias("kind"),
-        F.col("track"),
-        F.col("track").alias("track_val"),
-        F.col("delegatee").alias("address"),
-        null_s.alias("target"), null_s.alias("status"),
-        null_s.alias("conviction"), null_d.alias("conviction_weight"),
-        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
-        null_d.alias("support"),
-        F.col("delegations_votes").alias("votes"),
-        F.col("delegations_capital").alias("capital"),
-        "avg_conviction", "delegators",
-        F.col("delegators_cnt").alias("n"),
-        null_d.alias("amount"), null_d.alias("deposit"), null_d.alias("fee"),
-    )
+    votes_df = snap.casting_votes(voting_for).select(*X["votes_sel"])
+    casters_df = snap.casting_summary(voting_for).select(*X["casters_sel"])
+    delegators_df = snap.delegations(voting_for).select(*X["delegators_sel"])
+    delegatees_df = snap.delegatees(voting_for).select(*X["delegatees_sel"])
 
-    # referenda: status by k % 4 over the nation keys
     na = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("k")
     )
-    ongoing_val = F.concat(
-        F.lit('{"ongoing":{"submissionDeposit":{"who":"d'), ks,
-        F.lit('","amount":'), (k * 10000000000 + 5000000000).cast("string"),
-        F.lit('},"decisionDeposit":{"who":"d'), ks, F.lit('","amount":'),
-        (k * 2 * 10000000000).cast("string"),
-        F.lit('},"tally":{"ayes":'), (k * 7 * 10000000000).cast("string"),
-        F.lit(',"nays":'), (k * 3 * 10000000000).cast("string"),
-        F.lit(',"support":'), (k * 5 * 10000000000).cast("string"),
-        F.lit("}}}"),
-    )
-    closed_val = F.concat(
-        F.when(k % 4 == 1, F.lit('{"approved":[')).otherwise(
-            F.lit('{"rejected":[')
-        ),
-        (k + 100000).cast("string"),
-        F.lit(',{"who":"d'), ks, F.lit('","amount":'),
-        (k * 10000000000).cast("string"), F.lit("},null]}"),
-    )
-    killed_val = F.concat(
-        F.lit('{"killed":['), (k + 200000).cast("string"), F.lit("]}")
-    )
-    ref_entries = na.select(
-        F.concat(F.lit("["), ks, F.lit("]")).alias("key_args"),
-        F.when(k % 4 == 0, ongoing_val)
-        .when(k % 4 == 3, killed_val)
-        .otherwise(closed_val)
-        .alias("value"),
-    )
-    refs_df = snap.referenda(ref_entries).select(
-        F.lit("referendum").alias("kind"),
-        F.lit("referenda").alias("track"),
-        F.col("ref_id").cast("string").alias("track_val"),
-        F.col("depositor").alias("address"),
-        null_s.alias("target"),
-        F.col("status"),
-        null_s.alias("conviction"), null_d.alias("conviction_weight"),
-        F.col("tally_ayes").alias("aye"), F.col("tally_nays").alias("nay"),
-        null_d.alias("abstain"), F.col("tally_support").alias("support"),
-        null_d.alias("votes"), null_d.alias("capital"),
-        null_d.alias("avg_conviction"), null_s.alias("delegators"),
-        F.col("moment").alias("n"),
-        F.col("submission_deposit").alias("amount"),
-        F.col("decision_deposit").alias("deposit"),
-        null_d.alias("fee"),
-    )
+    ref_entries = na.select(*X["ref_cols"])
+    refs_df = snap.referenda(ref_entries).select(*X["refs_sel"])
 
     # treasury: suppliers < 30 plus the blacklisted 309 (must drop)
     sup = (
@@ -5294,79 +5408,14 @@ def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").cast("long").alias("k"))
         .unionByName(spark.createDataFrame([(309,)], "k long"))
     )
-    treas_entries = sup.select(
-        F.concat(F.lit('["'), ks, F.lit('"]')).alias("key_args"),
-        F.concat(
-            F.lit('{"proposer":"p'), ks, F.lit('","value":'),
-            (k * 10000000000).cast("string"),
-            F.lit(',"beneficiary":"b'), ks, F.lit('","bond":'),
-            (k * 1000000000).cast("string"), F.lit("}"),
-        ).alias("value"),
-    )
-    treas_df = snap.treasury_proposals(treas_entries).select(
-        F.lit("treasury").alias("kind"),
-        F.lit("treasury").alias("track"),
-        F.col("proposal_id").cast("string").alias("track_val"),
-        F.col("beneficiary").alias("address"),
-        F.col("proposer").alias("target"),
-        null_s.alias("status"),
-        null_s.alias("conviction"), null_d.alias("conviction_weight"),
-        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
-        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
-        null_d.alias("avg_conviction"), null_s.alias("delegators"),
-        null_l.alias("n"),
-        F.col("value").alias("amount"),
-        F.col("bond").alias("deposit"),
-        null_d.alias("fee"),
-    )
+    treas_entries = sup.select(*X["treas_cols"])
+    treas_df = snap.treasury_proposals(treas_entries).select(*X["treas_sel"])
 
-    # bounties over region keys: status variant embeds curator/updateDue
     rg = load_table(spark, sf_dir, "region").select(
         F.col("r_regionkey").cast("long").alias("k")
     )
-    status_json = (
-        F.when(k % 3 == 0, F.lit('{"proposed":{}}'))
-        .when(
-            k % 3 == 1,
-            F.concat(
-                F.lit('{"active":{"curator":"c'), ks, F.lit('","updateDue":'),
-                (k + 300000).cast("string"), F.lit("}}"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit('{"pendingPayout":{"curator":"c'), ks,
-                F.lit('","unlockAt":9}}'),
-            )
-        )
-    )
-    bounty_entries = rg.select(
-        F.concat(F.lit("["), ks, F.lit("]")).alias("key_args"),
-        F.concat(
-            F.lit('{"proposer":"p'), ks, F.lit('","value":'),
-            (k * 5 * 10000000000).cast("string"),
-            F.lit(',"fee":'), (k * 10000000000).cast("string"),
-            F.lit(',"curatorDeposit":'), (k * 5000000000).cast("string"),
-            F.lit(',"bond":'), (k * 1000000000).cast("string"),
-            F.lit(',"status":'), status_json, F.lit("}"),
-        ).alias("value"),
-    )
-    bounty_df = snap.bounties(bounty_entries).select(
-        F.lit("bounty").alias("kind"),
-        F.lit("bounty").alias("track"),
-        F.col("bounty_id").cast("string").alias("track_val"),
-        F.col("proposer").alias("address"),
-        F.col("curator").alias("target"),
-        F.col("bounty_status").alias("status"),
-        null_s.alias("conviction"), null_d.alias("conviction_weight"),
-        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
-        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
-        null_d.alias("avg_conviction"), null_s.alias("delegators"),
-        F.col("update_due").alias("n"),
-        F.col("value").alias("amount"),
-        F.col("curator_deposit").alias("deposit"),
-        F.col("fee"),
-    )
+    bounty_entries = rg.select(*X["bounty_cols"])
+    bounty_df = snap.bounties(bounty_entries).select(*X["bounty_sel"])
 
     # computeTotalStaked era rollup (literal singleton frame)
     singles = spark.createDataFrame(
@@ -5382,19 +5431,7 @@ def snapshots_relay_opengov(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "name string, value string",
     )
-    staking_df = snap.staking_info(singles).select(
-        F.lit("staking").alias("kind"),
-        F.lit("era").alias("track"),
-        F.col("metric").alias("track_val"),
-        null_s.alias("address"), null_s.alias("target"), null_s.alias("status"),
-        null_s.alias("conviction"), null_d.alias("conviction_weight"),
-        null_d.alias("aye"), null_d.alias("nay"), null_d.alias("abstain"),
-        null_d.alias("support"), null_d.alias("votes"), null_d.alias("capital"),
-        null_d.alias("avg_conviction"), null_s.alias("delegators"),
-        F.col("era").alias("n"),
-        F.col("value").alias("amount"),
-        null_d.alias("deposit"), null_d.alias("fee"),
-    )
+    staking_df = snap.staking_info(singles).select(*X["staking_sel"])
 
     return (
         votes_df.unionByName(casters_df)
